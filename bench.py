@@ -1,0 +1,69 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pipeline_dataengineer_spark.contract import QUERIES
+from pipeline_dataengineer_spark.session import get_spark
+
+# Headline set: one per operator family, heaviest variants included.
+HEADLINE = [
+    "q_agg_group",
+    "q_anti_join",
+    "q_inner_join",
+    "q_broadcast_join",
+    "q_window_rank",
+    "q_dedup_lastwins",
+    "q_sort_limit",
+    "q_tumbling_window",
+    "q_asof_join",
+    "q_range_join",
+    "q_cosine_topk",
+    "q_text_stats",
+    "q_minhash_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    # Warm the JVM/codegen once so per-query times measure the plan,
+    # not session startup.
+    QUERIES["q_agg_group"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        # count() forces full execution without driver-side collect cost.
+        QUERIES[name](spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+"""DuckDB oracle SQL — one entry per hash-checked query in queries.py.
+
+The driver registers views named ``region nation customer supplier
+part orders lineitem events documents embeddings`` over the same
+parquet files and compares row count + schema + order-insensitive
+value hash against the Spark result. Column aliases here MUST match
+the Spark side exactly; doubles are rounded identically; int widths
+are cast to BIGINT where DuckDB and Spark defaults differ.
+
+Queries with no entry here (minhash/simhash — engine-specific
+sketches) get the driver's weaker rows-only check by design.
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {}
+
+
+ORACLES["q_scan_project"] = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+"""
+
+ORACLES["q_filter_pred"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 25
+"""
+
+ORACLES["q_cast"] = """
+SELECT CAST(o_orderkey AS VARCHAR) AS okey_str,
+       CAST(o_orderdate AS DATE) AS odate,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+FROM orders
+"""
+
+ORACLES["q_anti_join"] = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+ORACLES["q_semi_join"] = """
+SELECT o_orderkey, o_orderpriority
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+ORACLES["q_inner_join"] = """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+ORACLES["q_left_join"] = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+ORACLES["q_full_join"] = """
+WITH a AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000),
+     b AS (SELECT DISTINCT o_custkey AS key FROM orders)
+SELECT coalesce(a.key, b.key) AS custkey,
+       a.key IS NOT NULL AS is_rich,
+       b.key IS NOT NULL AS is_buyer
+FROM a FULL OUTER JOIN b ON a.key = b.key
+"""
+
+ORACLES["q_broadcast_join"] = """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+ORACLES["q_theta_join"] = """
+SELECT p_brand, count(*) AS n_pairs
+FROM part, supplier WHERE p_retailprice > s_acctbal
+GROUP BY p_brand
+"""
+
+ORACLES["q_asof_join"] = """
+WITH clicks AS (
+  SELECT user_id, event_id FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, event_id AS purchase_event_id, round(value, 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id, p.purchase_event_id, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.event_id >= p.purchase_event_id
+"""
+
+ORACLES["q_range_join"] = """
+SELECT s_suppkey, count(*) AS n_parts
+FROM supplier JOIN part
+  ON p_retailprice >= s_acctbal AND p_retailprice <= s_acctbal + 500.0
+GROUP BY s_suppkey
+"""
+
+ORACLES["q_dedup_lastwins"] = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+ORACLES["q_text_dedup"] = """
+SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
+FROM documents GROUP BY lang
+"""
+
+ORACLES["q_agg_group"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q_agg_distinct"] = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["q_rollup"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["q_cube"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["q_pivot"] = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["q_median"] = """
+SELECT event_type, round(quantile_cont(value, 0.5), 2) AS median_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q_window_rank"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+ORACLES["q_window_frame"] = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events
+"""
+
+ORACLES["q_lag_lead"] = """
+SELECT user_id, event_id,
+       round(lag(value)  OVER (PARTITION BY user_id ORDER BY event_id), 2) AS prev_value,
+       round(lead(value) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS next_value
+FROM events
+"""
+
+ORACLES["q_sort_limit"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+ORACLES["q_union"] = """
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+"""
+
+ORACLES["q_intersect"] = """
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+"""
+
+ORACLES["q_except"] = """
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+"""
+
+ORACLES["q_string_fns"] = """
+SELECT c_custkey,
+       lower(c_mktsegment) AS seg_lower,
+       substring(c_name, 10, 9) AS name_digits,
+       regexp_extract(c_name, '(\\d+)', 1) AS name_num,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       CASE WHEN a IS NULL AND b IS NULL THEN NULL
+            ELSE concat_ws(chr(10), a, b) END AS merged,
+       strip_accents('Épicerie sucrée À l''Île dès l''été') AS accent_demo
+FROM (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CASE WHEN c_acctbal > 0 THEN c_name END AS a,
+         CASE WHEN length(c_mktsegment) > 9 THEN c_mktsegment END AS b
+  FROM customer
+)
+"""
+
+ORACLES["q_date_fns"] = """
+SELECT o_orderpriority,
+       max(CAST(o_orderdate AS DATE)) AS max_date,
+       max(CAST(o_orderdate AS DATE)) - 1 AS hwm_date,
+       strftime(max(CAST(o_orderdate AS DATE)) - 1, '%Y-%m-%d') AS hwm_str,
+       CAST(min(year(o_orderdate)) AS BIGINT) AS min_year
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["q_json_get"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+ORACLES["q_higher_order"] = """
+SELECT vec_id,
+       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings
+"""
+
+ORACLES["q_tumbling_window"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["q_session_window"] = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN date_diff('second',
+                             lag(date_trunc('second', ts))
+                               OVER (PARTITION BY user_id ORDER BY event_id),
+                             date_trunc('second', ts)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, event_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY user_id, session_id
+"""
+
+ORACLES["q_cosine_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+ORACLES["q_text_stats"] = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the', 'a'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stop_ratio
+FROM documents
+"""

@@ -1,0 +1,602 @@
+"""Contract queries (Spark side).
+
+One named query per operator row of SURVEY.md §2 Part C. Each
+callable takes ``(spark, sf_dir)`` and returns a lazy DataFrame.
+Determinism rules applied throughout (SURVEY.md §7 risks):
+
+- every aggregated/computed double is ``round(_, 2..4)`` on BOTH the
+  Spark and oracle side; raw doubles straight from parquet are safe;
+- never select the raw ns-precision ``events.ts`` (Spark truncates to
+  µs, DuckDB keeps ns) — order/group by ``event_id`` or a
+  ``date_trunc`` result instead;
+- every computed column is aliased identically to the oracle;
+- int-width parity: Spark ``year()``/``size()`` return int32 where
+  DuckDB returns BIGINT → cast to long.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.catalog import table
+from pipeline_dataengineer_spark.functions.text import merge_columns, strip_accents
+from pipeline_dataengineer_spark.functions.vectors import cosine_similarity
+from pipeline_dataengineer_spark.operators.dedup import (
+    dedup_last_wins,
+    minhash_lsh_near_duplicates,
+    simhash64,
+)
+from pipeline_dataengineer_spark.operators.joins import asof_join, range_join
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def query(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------- scans
+
+
+@query("q_scan_project")
+def q_scan_project(spark, sf_dir):
+    """Projection / column pruning (reference A5/A15). The parquet scan
+    must read only 3 columns — check ReadSchema in explain."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query("q_filter_pred")
+def q_filter_pred(spark, sf_dir):
+    """Filter with conjunctive predicate, pushed to the parquet scan
+    (PushedFilters)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+@query("q_cast")
+def q_cast(spark, sf_dir):
+    """Type casts (reference A13). floor() before int cast: Spark
+    truncates double→int, DuckDB rounds — floor makes both exact."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("okey_str"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+    )
+
+
+# --------------------------------------------------------------- joins
+
+
+@query("q_anti_join")
+def q_anti_join(spark, sf_dir):
+    """LEFT ANTI equi-join — the reference's flagship operator
+    (``src/spark_pgsql/spark_streaming.py:82-84``): rows whose key is
+    absent from the other side."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query("q_semi_join")
+def q_semi_join(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@query("q_inner_join")
+def q_inner_join(spark, sf_dir):
+    """3-way equi-join chain; both dims are broadcast-sized so Catalyst
+    picks broadcast-hash — verify in explain."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query("q_left_join")
+def q_left_join(spark, sf_dir):
+    """LEFT OUTER + count(non-null) preserves customers with 0 orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query("q_full_join")
+def q_full_join(spark, sf_dir):
+    rich = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    buyers = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    a, b = rich.alias("a"), buyers.alias("b")
+    return a.join(b, F.col("a.key") == F.col("b.key"), "full_outer").select(
+        F.coalesce(F.col("a.key"), F.col("b.key")).alias("custkey"),
+        F.col("a.key").isNotNull().alias("is_rich"),
+        F.col("b.key").isNotNull().alias("is_buyer"),
+    )
+
+
+@query("q_broadcast_join")
+def q_broadcast_join(spark, sf_dir):
+    """Explicit broadcast of the dimension side — same rows as an inner
+    join; the point is the strategy (no shuffle of lineitem)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query("q_theta_join")
+def q_theta_join(spark, sf_dir):
+    """Non-equi (theta) join on small dims → BNLJ is acceptable here;
+    at scale this shape goes through range_join bucketization."""
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        p.join(s, p.p_retailprice > s.s_acctbal)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query("q_asof_join")
+def q_asof_join(spark, sf_dir):
+    """As-of join (no Spark native): for each click event, the latest
+    purchase by the same user at-or-before it. Axis = event_id (int)
+    to dodge the ns-timestamp mismatch. Single-shuffle union+window
+    plan (operators/joins.py:asof_join)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="event_id",
+        right_ts="purchase_event_id",
+    )
+
+
+@query("q_range_join")
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join via bucketized equi-join
+    (operators/joins.py:range_join) — avoids the BNLJ cross-product."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500.0).alias("hi"),
+    )
+    joined = range_join(p, s, "p_retailprice", "lo", "hi", bucket_width=500.0)
+    return joined.groupBy("s_suppkey").agg(F.count("*").alias("n_parts"))
+
+
+# --------------------------------------------------------------- dedup
+
+
+@query("q_dedup_lastwins")
+def q_dedup_lastwins(spark, sf_dir):
+    """Reference A4 (last-wins dedup by key), distributed: window
+    row_number desc. event_id stands in for arrival order."""
+    ev = table(spark, sf_dir, "events")
+    return dedup_last_wins(ev, "user_id", "event_id").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@query("q_text_dedup")
+def q_text_dedup(spark, sf_dir):
+    """Exact text dedup stats per language (north star)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+    )
+
+
+# --------------------------------------------------------------- aggregates
+
+
+@query("q_agg_group")
+def q_agg_group(spark, sf_dir):
+    """TPC-H Q1 shape: multi-agg hash aggregate with map-side partial
+    aggregation. Doubles rounded on both sides (float-order risk)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query("q_agg_distinct")
+def q_agg_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("q_rollup")
+def q_rollup(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query("q_cube")
+def q_cube(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@query("q_pivot")
+def q_pivot(spark, sf_dir):
+    """Pivot on order status — conditional aggregation under the hood;
+    explicit value list avoids the extra distinct-scan job."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"O": "n_open", "F": "n_filled", "P": "n_partial"})
+    )
+
+
+@query("q_median")
+def q_median(spark, sf_dir):
+    """Exact interpolated median per group (percentile ↔ DuckDB
+    quantile_cont)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 2).alias("median_value"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------- windows
+
+
+@query("q_window_rank")
+def q_window_rank(spark, sf_dir):
+    """Top-3 orders per customer; o_orderkey tiebreak for determinism."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query("q_window_frame")
+def q_window_frame(spark, sf_dir):
+    """Running sum frame (rowsBetween unboundedPreceding→current)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query("q_lag_lead")
+def q_lag_lead(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+    )
+
+
+@query("q_sort_limit")
+def q_sort_limit(spark, sf_dir):
+    """Global top-10 — fuses to TakeOrderedAndProject (no full sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------- set ops
+
+
+def _seg_a(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey")
+    )
+
+
+def _seg_b(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey")
+    )
+
+
+@query("q_union")
+def q_union(spark, sf_dir):
+    return _seg_a(spark, sf_dir).union(_seg_b(spark, sf_dir)).distinct()
+
+
+@query("q_intersect")
+def q_intersect(spark, sf_dir):
+    return _seg_a(spark, sf_dir).intersect(_seg_b(spark, sf_dir))
+
+
+@query("q_except")
+def q_except(spark, sf_dir):
+    return _seg_a(spark, sf_dir).exceptAll(_seg_b(spark, sf_dir))
+
+
+# --------------------------------------------------------------- scalar fns
+
+
+@query("q_string_fns")
+def q_string_fns(spark, sf_dir):
+    """String surface incl. the reference's null-aware merge (A7) and
+    accent strip (A6). NULLs are manufactured with CASE so the merge's
+    both-null → NULL branch is exercised on real data."""
+    c = table(spark, sf_dir, "customer")
+    a = F.when(F.col("c_acctbal") > 0, F.col("c_name"))
+    b = F.when(F.length("c_mktsegment") > 9, F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("name_num"),
+        F.length("c_name").cast("long").alias("name_len"),
+        merge_columns(a, b).alias("merged"),
+        strip_accents(F.lit("Épicerie sucrée À l'Île dès l'été")).alias("accent_demo"),
+    )
+
+
+@query("q_date_fns")
+def q_date_fns(spark, sf_dir):
+    """Date arithmetic incl. the reference's watermark math (A10):
+    max(date) − 1 day, reformatted."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), 1).alias("hwm_date"),
+        F.date_format(
+            F.date_sub(F.max(F.col("o_orderdate").cast("date")), 1), "yyyy-MM-dd"
+        ).alias("hwm_str"),
+        F.min(F.year("o_orderdate")).cast("long").alias("min_year"),
+    )
+
+
+@query("q_json_get")
+def q_json_get(spark, sf_dir):
+    """JSON field extraction (reference A14's from_json family)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@query("q_higher_order")
+def q_higher_order(spark, sf_dir):
+    """Higher-order array fns over the embedding column: aggregate
+    (sum) + size. Accumulate in double on both sides."""
+    e = table(spark, sf_dir, "embeddings")
+    vec_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+# --------------------------------------------------------------- streaming-shaped
+
+
+@query("q_tumbling_window")
+def q_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window, batch mode (streaming parity —
+    identical plan under readStream + withWatermark). Window start
+    formatted as string: hour-truncated so the ns/µs mismatch is moot."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("q_session_window")
+def q_session_window(spark, sf_dir):
+    """Sessionization without the streaming-only session_window():
+    gap > 30min starts a new session (lag + cumsum) — ANSI-expressible
+    so it oracle-checks. Uses epoch seconds (µs-safe)."""
+    ev = table(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.date_trunc("second", "ts"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        secs.alias("sec"),
+    ).withColumn(
+        "new_sess",
+        (F.col("sec") - F.lag("sec").over(w) > 1800).cast("int"),
+    )
+    sess = gapped.withColumn(
+        "session_id",
+        F.sum(F.coalesce("new_sess", F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+# --------------------------------------------------------------- north star
+
+
+@query("q_cosine_topk")
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector — the ANN
+    baseline. The 1-row query side is broadcast; ranking on the
+    rounded score keeps the cut deterministic across engines."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 4).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@query("q_text_stats")
+def q_text_stats(spark, sf_dir):
+    """Text quality metrics (north star): token count, char len,
+    stopword ratio — all JVM-side array ops."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.filter(toks, lambda t: t.isin("the", "a"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.round(F.size(stop).cast("double") / F.size(toks), 4).alias("stop_ratio"),
+    )
+
+
+@query("q_minhash_neardup")
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs (rows-only check — sketches are
+    engine-specific). Near-dups are manufactured by unioning documents
+    with a lightly mutated copy of themselves, so the LSH actually has
+    pairs to find."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix token")).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    pairs = minhash_lsh_near_duplicates(
+        corpus,
+        "doc_id",
+        "text",
+        num_hashes=128,
+        bands=8,
+        shingle_n=5,
+        jaccard_threshold=0.7,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query("q_simhash")
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (rows-only — hash values engine-specific)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text", shingle_n=4).alias("simhash"))
+
+
+# --------------------------------------------------------------- flagship
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's idempotent-insert pattern (anti-join)
+    fused with an aggregate — 'orders not yet loaded, summarized by
+    priority'. Exercises scan→filter→anti-join→agg→sort in one plan."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    new_orders = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+    return (
+        new_orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,318 @@
+"""Deduplication operators — exact and near-duplicate.
+
+The reference dedups with a driver-side dict comprehension keeping
+the *last* occurrence per key (``src/kafka_client/kafka_stream_data.py:78-79``)
+— O(batch) in one Python process. Here every variant is a distributed
+plan: hash-shuffle on the key (or LSH bucket) with map-side partial
+work, so the same operator holds at 100 TB.
+
+Near-dup family (north star): MinHash+LSH, SimHash, n-gram Jaccard.
+All are expressed with built-in expressions (xxhash64, higher-order
+array fns, explode + self-join on bucket) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact dedup on a key set (or whole row). `dropDuplicates` is a
+    hash aggregate: partial map-side combine, one shuffle on the keys."""
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def dedup_last_wins(df: DataFrame, key: str | list[str], order: str | Column) -> DataFrame:
+    """Keep the last occurrence per key by `order` (reference A4
+    semantics, made deterministic: the reference relied on arrival
+    order, which does not exist in a distributed shuffle).
+
+    Window row_number over (key, order desc) == 1 → single shuffle on
+    the key; skewed keys are split by AQE skew handling.
+    """
+    keys = [key] if isinstance(key, str) else key
+    order_col = F.col(order) if isinstance(order, str) else order
+    w = Window.partitionBy(*keys).orderBy(order_col.desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------- near-dup
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingle set (distinct array<string>) of
+    lowercased text, JVM-side: sequence → transform(substr) →
+    array_distinct."""
+    c = F.col(col) if isinstance(col, str) else col
+    lower = F.lower(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lower) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: lower.substr(i, F.lit(n))))
+
+
+def _permutation_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic odd multipliers + offsets for the minhash
+    permutation family h_i(x) = a_i*x + b_i. Constants stay in 31 bits
+    and the base hash is reduced mod 2^31 so a*x+b ≤ 2^62 — inside
+    signed-long range, because ANSI mode (Spark 4 default) raises on
+    long overflow instead of wrapping."""
+    import random
+
+    rng = random.Random(0x5EED)
+    mults = [(rng.getrandbits(31) | 1) for _ in range(num_hashes)]
+    adds = [rng.getrandbits(31) for _ in range(num_hashes)]
+    return mults, adds
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 64, shingle_n: int = 5) -> Column:
+    """MinHash signature as array<bigint> of length `num_hashes`.
+
+    Each shingle is string-hashed ONCE (xxhash64); the `num_hashes`
+    signature slots come from cheap integer permutations a_i*h + b_i
+    (universal-hashing family; Java long arithmetic wraps, which is
+    exactly what we want). The naive per-seed re-hash of the shingle
+    strings is ~60× more string hashing and measured 5× slower
+    end-to-end at sf0.1.
+    """
+    return minhash_signature_from_shingles(shingles(col, shingle_n), num_hashes)
+
+
+def minhash_signature_from_shingles(sh: Column, num_hashes: int) -> Column:
+    """MinHash over an existing shingle-array column (see
+    minhash_signature)."""
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    mults, adds = _permutation_constants(num_hashes)
+    mult_arr = F.array(*[F.lit(m).cast("long") for m in mults])
+    add_arr = F.array(*[F.lit(a).cast("long") for a in adds])
+    # One pass over the shingle hashes carrying the running minima for
+    # all permutations at once. The mod by a Mersenne prime is
+    # essential: without it a_i*x + b_i is MONOTONIC in x, every
+    # "permutation" picks the same min shingle, and the signature
+    # degenerates to r=1 (measured: candidate pairs explode ~100×).
+    prime = (1 << 31) - 1
+    max_long = (1 << 63) - 1
+    init = F.array_repeat(F.lit(max_long).cast("long"), num_hashes)
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: F.least(
+                a,
+                F.pmod(
+                    h * F.element_at(mult_arr, i + 1) + F.element_at(add_arr, i + 1),
+                    F.lit(prime),
+                ),
+            ),
+        ),
+    )
+
+
+def minhash_band_hashes_arrow(num_hashes: int, bands: int):
+    """Arrow-vectorized (pandas UDF) minhash + band hashing.
+
+    Takes the base shingle-hash array column (array<long>, one xxhash64
+    per distinct shingle, JVM-side) and returns `bands` band-hash longs
+    per row. The permutation/min/band pipeline runs in numpy: the pure
+    higher-order-function formulation is interpreted per element by
+    Spark (no codegen for lambda expressions) and measured ~20×
+    slower at 10k docs; this is the sanctioned Arrow fallback.
+    """
+    from pipeline_dataengineer_spark.operators._arrow_udfs import (
+        make_minhash_band_hash_udf,
+    )
+
+    mults, adds = _permutation_constants(num_hashes)
+    return make_minhash_band_hash_udf(mults, adds, num_hashes, bands)
+
+
+def lsh_band_hashes(sig_col: Column | str, num_hashes: int, bands: int) -> Column:
+    """Hash each of `bands` contiguous signature bands to one long.
+    Takes a *materialized* signature column — never inline the
+    signature expression here or it is recomputed once per band."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    r = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(sig, b * r + 1, r).cast("string")),
+    )
+
+
+def minhash_lsh_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    shingle → minhash(num_hashes) → band-hash → explode → self
+    equi-join on (band_idx, band_hash) → optional exact-Jaccard verify.
+    Returns (id_a, id_b[, jaccard]) with id_a < id_b, distinct.
+
+    Scale-critical design points (all measured, see git history):
+    - a ``repartition`` barrier after the signature projection stops
+      CollapseProject from inlining (and thus recomputing) the whole
+      shingle→minhash chain once per band;
+    - the candidate join shuffles (id, band) rows ONLY — carrying the
+      shingle arrays through the join multiplies shuffle bytes by the
+      candidate multiplicity (measured 5× slower end-to-end);
+    - rows-per-band defaults to 16 (128/8): candidate volume on
+      shared-vocabulary corpora explodes at r=8, and candidates are
+      what the verify stage pays for;
+    - verification re-attaches shingles by joining the (small)
+      candidate set back to the shingle table per side.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(text_col, shingle_n).alias("__sh"),
+    )
+    band_udf = minhash_band_hashes_arrow(num_hashes, bands)
+    sig_df = (
+        base.withColumn(
+            "__bands", band_udf(F.transform("__sh", lambda s: F.xxhash64(s)))
+        )
+        .select("__id", "__sh", "__bands")
+        .repartition("__id")  # materialization barrier: bands computed once
+    )
+    banded = sig_df.select(
+        "__id",
+        F.posexplode("__bands").alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if jaccard_threshold is None:
+        return pairs
+    sh_tbl = sig_df.select("__id", "__sh")
+    a = sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh_tbl.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(col: Column | str, shingle_n: int = 4, bits: int = 63) -> Column:
+    """SimHash fingerprint of text (63 usable bits), JVM-side.
+
+    Classic bit-vote construction: per shingle take xxhash64; for each
+    bit position accumulate votes (+1 if set, -1 otherwise) in ONE
+    aggregate pass carrying an array<int> of votes (zip_with against a
+    literal powers-of-two array — shiftleft needs a literal shift, so
+    the powers are precomputed Python-side). Final fingerprint = sum
+    of the powers whose vote is positive (disjoint powers ≡ bitwise
+    OR). Bit 63 (sign) is left out to stay in signed-long range.
+    """
+    sh = shingles(col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zero_votes = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes,
+        zero_votes,
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    contributions = F.zip_with(
+        votes, pow2, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(
+        contributions, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs above `threshold`: banded-MinHash
+    candidate generation, then exact shingle Jaccard verification —
+    never a full cross join. (Single-hash bucketing was tried first
+    and produces catastrophic false-positive candidate volume on
+    corpora with shared vocabulary; banding fixes the FP rate.)"""
+    return minhash_lsh_near_duplicates(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=n,
+        jaccard_threshold=threshold,
+    )
+
+
+def embedding_cosine_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH bucket (sign
+    pattern over `n_planes` pseudo-random planes derived from
+    deterministic per-dimension hashes) → exact cosine within bucket.
+    Avoids the O(n²) cross join; exactness recovered inside buckets.
+    """
+    from pipeline_dataengineer_spark.functions.vectors import cosine_similarity
+
+    # Deterministic pseudo-random plane: weight(dim d, plane p) =
+    # hash-derived value in [-1, 1]. JVM-side via transform+aggregate.
+    def plane_sign(vec: Column, p: int) -> Column:
+        s = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda v, i: v.cast("double")
+                * ((F.pmod(F.xxhash64(i, F.lit(p)), 2000) - 1000).cast("double") / 1000.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    sig = F.concat_ws(
+        "", *[plane_sign(F.col(vec_col), p).cast("string") for p in range(n_planes)]
+    )
+    b = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__bucket"))
+    l, r = b.alias("l"), b.alias("r")
+    cos = cosine_similarity(F.col("l.__v"), F.col("r.__v")).alias("cosine")
+    return (
+        l.join(
+            r,
+            (F.col("l.__bucket") == F.col("r.__bucket")) & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), cos)
+        .filter(F.col("cosine") >= threshold)
+    )
