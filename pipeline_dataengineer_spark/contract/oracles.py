@@ -284,3 +284,99 @@ SELECT doc_id, lang,
              / len(string_split(text, ' ')), 4) AS stop_ratio
 FROM documents
 """
+
+
+ORACLES["q_right_join"] = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+ORACLES["q_cross_join"] = """
+SELECT r_name, n_name FROM region CROSS JOIN (SELECT n_name FROM nation) n
+"""
+
+ORACLES["q_grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+ORACLES["q_exists_subquery"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+ORACLES["q_scalar_subquery"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders) * 1.9
+"""
+
+ORACLES["q_math_fns"] = """
+SELECT p_partkey,
+       round(abs(-p_retailprice), 2) AS abs_price,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+       round(sqrt(p_retailprice), 4) AS sqrt_price,
+       round(ln(p_retailprice + 1.0), 4) AS log_price,
+       round(pow(p_retailprice, 0.5) - sqrt(p_retailprice), 4) AS pow_sqrt_diff,
+       p_partkey % 7 AS key_mod
+FROM part
+"""
+
+ORACLES["q_explode"] = """
+WITH idx AS (
+  SELECT vec_id, embedding, unnest(range(len(embedding))) AS i
+  FROM embeddings WHERE vec_id < 10
+)
+SELECT vec_id, CAST(i AS BIGINT) AS pos, embedding[CAST(i AS INT) + 1] AS val
+FROM idx
+"""
+
+ORACLES["q_array_fns"] = """
+SELECT vec_id,
+       round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_elem,
+       round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 4) AS head_sum,
+       CAST(len(list_distinct(embedding)) AS BIGINT) AS n_distinct,
+       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_1based
+FROM embeddings
+"""
+
+ORACLES["q_pandas_udf"] = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round(CASE WHEN sigma > 0 THEN (value - mu) / sigma END, 4) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+"""
+
+ORACLES["q_quality_score"] = """
+WITH t AS (
+  SELECT doc_id,
+         greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS n_tok,
+         greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq
+  FROM documents
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN n_tok < 5 THEN n_tok / 5.0
+               WHEN n_tok > 5000 THEN 0.5 ELSE 1.0 END)
+         * greatest(0.0, 1.0 - (punct / n_chars) * 4.0)
+         * (0.5 + (n_uniq / n_tok) / 2.0),
+       4) AS quality
+FROM t
+"""
+
+ORACLES["q_token_counts"] = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""

@@ -600,3 +600,223 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------- round 2: wider surface
+
+
+@query("q_right_join")
+def q_right_join(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query("q_cross_join")
+def q_cross_join(spark, sf_dir):
+    """Explicit cartesian product of two tiny dims."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query("q_grouping_sets")
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL API (Catalyst expands to Expand+Agg,
+    identical machinery to rollup/cube)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query("q_exists_subquery")
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS — Catalyst decorrelates to a semi-join
+    (RewriteCorrelatedScalarSubquery family)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_sq c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@query("q_scalar_subquery")
+def q_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery in a predicate."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_ssq
+        WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders_ssq) * 1.9
+        """
+    )
+
+
+@query("q_math_fns")
+def q_math_fns(spark, sf_dir):
+    """Math function surface; everything rounded to kill last-ulp
+    libm differences between JVM and DuckDB."""
+    p = table(spark, sf_dir, "part")
+    x = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(F.abs(-x), 2).alias("abs_price"),
+        F.ceil(x).cast("long").alias("ceil_price"),
+        F.floor(x).cast("long").alias("floor_price"),
+        F.round(F.sqrt(x), 4).alias("sqrt_price"),
+        F.round(F.log(x + 1.0), 4).alias("log_price"),
+        F.round(F.pow(x, F.lit(0.5)) - F.sqrt(x), 4).alias("pow_sqrt_diff"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).alias("key_mod"),
+    )
+
+
+@query("q_explode")
+def q_explode(spark, sf_dir):
+    """posexplode of the embedding array (array → rows). Values come
+    straight from parquet — no arithmetic, exact floats."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "val")
+
+
+@query("q_array_fns")
+def q_array_fns(spark, sf_dir):
+    """Array function surface: sort, slice, contains, distinct-size."""
+    e = table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(F.sort_array(arr, asc=False), 1).cast("double"), 4).alias("max_elem"),
+        F.round(
+            F.aggregate(F.slice(arr, 1, 8), F.lit(0.0), lambda a, v: a + v.cast("double")),
+            4,
+        ).alias("head_sum"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+        F.array_position(arr, F.array_max(arr)).cast("long").alias("argmax_1based"),
+    )
+
+
+@query("q_pandas_udf")
+def q_pandas_udf(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF with SQL-expressible
+    semantics — the sanctioned UDF shape (JVM → Arrow batch → numpy
+    → Arrow). Oracle checks the identical math in DuckDB."""
+    from pipeline_dataengineer_spark.operators._arrow_udfs import zscore_udf
+
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"), F.stddev_pop("value").alias("__sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(zscore_udf("value", "__mu", "__sigma"), 4).alias("zscore"),
+        )
+    )
+
+
+@query("q_quality_score")
+def q_quality_score(spark, sf_dir):
+    """North star: heuristic text-quality scoring (length, punctuation
+    density, lexical diversity), fully SQL-expressible."""
+    from pipeline_dataengineer_spark.functions.textstats import quality_score
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query("q_token_counts")
+def q_token_counts(spark, sf_dir):
+    """North star: whitespace + BPE-ish token counting."""
+    from pipeline_dataengineer_spark.functions.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@query("q_lang_id")
+def q_lang_id(spark, sf_dir):
+    """North star: heuristic language ID vs the labeled lang column
+    (rows-only: argmax tie-breaking is engine-specific). Emits
+    accuracy-checkable (doc_id, lang, lang_pred)."""
+    from pipeline_dataengineer_spark.functions.textstats import language_id
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+
+
+@query("q_fingerprint")
+def q_fingerprint(spark, sf_dir):
+    """North star: whole-doc + winnowed local fingerprints (rows-only:
+    xxhash64 values are engine-specific)."""
+    from pipeline_dataengineer_spark.functions.textstats import (
+        fingerprint64,
+        rolling_fingerprints,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint64("text").alias("fp64"),
+        F.size(rolling_fingerprints("text")).cast("long").alias("n_local_fps"),
+    )
+
+
+@query("q_ivf_topk")
+def q_ivf_topk(spark, sf_dir):
+    """North star: IVF approximate nearest neighbors (rows-only:
+    hash-seeded centroids are engine-specific). Query = 3 corpus
+    vectors; nprobe=4 of 8 buckets."""
+    from pipeline_dataengineer_spark.operators.similarity import ivf_build, ivf_search
+
+    e = table(spark, sf_dir, "embeddings")
+    query_vecs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids, assigned = ivf_build(e, num_centroids=8)
+    return ivf_search(centroids, assigned, query_vecs, k=5, nprobe=4)
+
+
+@query("q_embedding_neardup")
+def q_embedding_neardup(spark, sf_dir):
+    """North star: embedding-cosine near-duplicate pairs via
+    random-hyperplane LSH (rows-only). Near-dups manufactured by
+    unioning a lightly-perturbed copy of the corpus."""
+    from pipeline_dataengineer_spark.operators.dedup import (
+        embedding_cosine_near_duplicates,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = e.unionByName(perturbed)
+    return embedding_cosine_near_duplicates(
+        corpus, "vec_id", "embedding", threshold=0.999, n_planes=8
+    )

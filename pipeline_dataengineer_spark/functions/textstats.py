@@ -1,0 +1,122 @@
+"""Text analysis (north star): language ID, quality scoring, token
+counting, document fingerprinting. All JVM-side column expressions —
+at 100 TB these run inside whole-stage codegen over the documents
+table with zero Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword profiles for n-gram-free heuristic language ID.
+# Deliberately small: language ID at corpus scale is a scoring pass,
+# not a model inference — the profile is a broadcastable constant.
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+_BPE_ISH_TOKEN_RE = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count as long."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count: letters-runs + digit-runs + single
+    punctuation, the classic pre-BPE segmentation regex. A cheap,
+    deterministic proxy for LLM token budgeting."""
+    c = F.col(col) if isinstance(col, str) else col
+    # idx=0: the pattern deliberately has no capture group.
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH_TOKEN_RE), 0)).cast("long")
+
+
+def _profile_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double")
+
+
+def language_scores(col: Column | str) -> Column:
+    """map<lang, score>: stopword-hit ratio per language profile."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in _LANG_PROFILES]),
+        F.array(*[_profile_hits(toks, ws) / n for lang, ws in _LANG_PROFILES.items()]),
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Best-scoring language code ('und' when nothing matches).
+    Expressed as array<struct(score,lang)> → array_max → struct field
+    (argmax without a shuffle or UDF)."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scored = F.array(
+        *[
+            F.struct(
+                (_profile_hits(toks, ws) / n).alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang, ws in _LANG_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: penalizes extreme length,
+    high punctuation density, and low word diversity — the standard
+    pretraining-corpus filter trio, as one codegen'd expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chars = F.greatest(F.length(c), F.lit(1)).cast("double")
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0)).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    len_score = F.when(n_tok < 5, n_tok / 5.0).when(n_tok > 5000, F.lit(0.5)).otherwise(1.0)
+    punct_score = F.greatest(F.lit(0.0), 1.0 - (punct / n_chars) * 4.0)
+    return F.round(len_score * punct_score * (0.5 + uniq_ratio / 2.0), 4)
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """64-bit whole-document fingerprint (xxhash64 of NFC-ish
+    normalized text: lowercased, whitespace-collapsed). Exact-dup
+    detection key — group/join on this instead of the full text to
+    keep shuffle rows small."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def rolling_fingerprints(col: Column | str, kgram: int = 16, window: int = 8) -> Column:
+    """array<long> of winnowed local fingerprints (Schleimer et al.'s
+    winnowing): hash every k-gram position, keep the MIN hash of each
+    `window` of consecutive positions, deduplicated. Min-selection
+    makes the fingerprint set alignment-independent — a strided sample
+    was tried first and shared regions at different offsets produced
+    zero overlap. Building block for partial-overlap / containment
+    detection, where whole-doc hashing fails.
+
+    Implementation is an Arrow UDF: the pure expression formulation
+    re-evaluates the position-hash array once per window (Catalyst
+    inlines the shared subexpression into every slice) — measured
+    ~500s for 500 docs vs ~1s here. numpy sliding-window-min over
+    per-k-gram blake2b hashes."""
+    from pipeline_dataengineer_spark.operators._arrow_udfs import (
+        make_winnow_fingerprint_udf,
+    )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return make_winnow_fingerprint_udf(kgram, window)(c)

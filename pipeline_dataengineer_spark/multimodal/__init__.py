@@ -1,0 +1,17 @@
+"""Multimodal (image/audio/video) column plumbing."""
+
+from pipeline_dataengineer_spark.multimodal.media import (
+    MEDIA_SCHEMA,
+    attach_media_metadata,
+    decode_images,
+    extract_image_features,
+    sample_video_frames,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "decode_images",
+    "extract_image_features",
+    "sample_video_frames",
+]

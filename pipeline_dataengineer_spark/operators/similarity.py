@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (north star).
+
+Baseline: brute-force cosine top-k — a broadcast of the query
+vector(s) and one pass over the corpus; exact, O(N·d), and the right
+answer up to ~10⁸ vectors when d is small.
+
+Scale path: IVF (inverted-file) bucketing — assign each vector to its
+nearest of K centroids (a broadcastable constant), shuffle once on
+the centroid id, and probe only `nprobe` buckets per query: the
+classic recall/cost dial. Centroids here come from a deterministic
+hash-seeded sample (k-means iterations are a straightforward
+extension — each iteration is one groupBy(assignment).avg()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k per query vector.
+
+    `query` (small: id + vector) is broadcast; the corpus is scanned
+    once with no shuffle of the vectors themselves — the only shuffle
+    is the per-query top-k window over (query, score) pairs.
+    """
+    q = query.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(cosine_similarity("__cv", "__qv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (centroids, assigned corpus).
+
+    Centroids: a deterministic sample (hash-modulo of ids — seed-free
+    and reproducible across runs/cluster sizes). Assignment: argmax
+    cosine against the broadcast centroid set; one corpus pass, then a
+    single repartition on centroid id co-locates each bucket.
+    """
+    centroids = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), 997) < num_centroids * 3)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .limit(num_centroids)
+    )
+    c = F.broadcast(centroids)
+    scored = corpus.crossJoin(c).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine_similarity(vec_col, "cvec").alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+        .repartition("centroid_id")
+    )
+    return centroids, assigned
+
+
+def ivf_search(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: rank centroids per query, keep `nprobe`,
+    equi-join queries to only those buckets, exact cosine within.
+    The equi-join on centroid_id is the scalability win: each query
+    touches nprobe/num_centroids of the corpus."""
+    q = query.select(F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv"))
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "__qid", "__qv", "centroid_id", cosine_similarity("__qv", "cvec").alias("__csim")
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__qv", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(vec_col, "__qv"), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,50 @@
+"""File-format sources. Thin, explicit wrappers — the value is the
+defaults (no schema inference in production paths, pushdown-friendly
+options), not abstraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan; column pruning + predicate pushdown are Catalyst's
+    job — the optional `columns` select just makes pruning explicit."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with an explicit schema. ``inferSchema`` double-reads the
+    input (full scan to infer, then the real scan) — at 100 TB that is
+    a second pass over everything, so it is deliberately not exposed."""
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options: str
+) -> DataFrame:
+    """JSON-lines with an explicit schema (schema-on-read, mirroring
+    the reference's from_json discipline — SURVEY §1.3)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

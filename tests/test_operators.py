@@ -1,0 +1,177 @@
+"""Operator unit tests: dedup, incremental, joins, similarity,
+text stats, watermark math."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.functions.dates import high_water_mark
+from pipeline_dataengineer_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint64,
+    language_id,
+    quality_score,
+    rolling_fingerprints,
+    token_count,
+)
+from pipeline_dataengineer_spark.operators.dedup import (
+    dedup_last_wins,
+    minhash_lsh_near_duplicates,
+    shingles,
+    simhash64,
+)
+from pipeline_dataengineer_spark.operators.incremental import incremental_filter
+from pipeline_dataengineer_spark.operators.joins import asof_join, range_join
+from pipeline_dataengineer_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_build,
+    ivf_search,
+)
+
+
+def test_dedup_last_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], ["k", "ord", "val"]
+    )
+    got = {r["k"]: r["val"] for r in dedup_last_wins(df, "k", "ord").collect()}
+    assert got == {1: "b", 2: "c"}
+
+
+def test_high_water_mark(spark):
+    df = spark.createDataFrame([("2024-04-19",), ("2024-04-10",)], ["d"])
+    # max minus one day (kafka_stream_data.py:38-43)
+    assert high_water_mark(df, "d") == "2024-04-18"
+
+
+def test_incremental_filter_strict_gt(spark):
+    df = spark.createDataFrame([("2024-04-18",), ("2024-04-19",)], ["d"])
+    got = incremental_filter(df, "d", "2024-04-18").collect()
+    assert [r["d"] for r in got] == ["2024-04-19"]
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 8, "x"), (1, 20, "y"), (2, 6, "z")], ["k", "rts", "val"]
+    )
+    got = {
+        (r["k"], r["ts"]): (r["rts"], r["val"])
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    assert got == {(1, 10): (8, "x"), (1, 25): (20, "y"), (2, 5): (None, None)}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10)], ["k", "ts"])
+    right = spark.createDataFrame([(1, 8, "x"), (1, 12, "y")], ["k", "rts", "val"])
+    got = asof_join(left, right, "k", "ts", "rts", direction="forward").collect()[0]
+    assert (got["rts"], got["val"]) == (12, "y")
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 50.0)], ["pid", "x"])
+    ranges = spark.createDataFrame([(10, 0.0, 10.0), (20, 12.0, 20.0)], ["rid", "lo", "hi"])
+    got = {
+        (r["pid"], r["rid"])
+        for r in range_join(points, ranges, "x", "lo", "hi", bucket_width=7.0).collect()
+    }
+    assert got == {(1, 10), (2, 20)}
+
+
+def test_shingles(spark):
+    row = spark.range(1).select(shingles(F.lit("abcdef"), 3).alias("s")).collect()[0]
+    assert sorted(row["s"]) == ["abc", "bcd", "cde", "def"]
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (3, "completely unrelated text about database query optimization today"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_near_duplicates(
+            docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely different content with other words zzz"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r["h"] for r in df.select("id", simhash64("text").alias("h")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+
+
+def test_cosine_topk_bruteforce(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    query = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "embedding"])
+    got = cosine_topk_bruteforce(corpus, query, k=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert got[0]["score"] == 1.0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = (
+        corpus.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = cosine_topk_bruteforce(corpus, query, k=5)
+    centroids, assigned = ivf_build(corpus, num_centroids=8)
+    approx = ivf_search(centroids, assigned, query, k=5, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # approximate: demand >= 60% recall of the exact top-5 sets
+    assert len(e & a) / len(e) >= 0.6
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([("the cat and the dog, ok!",)], ["text"])
+    row = df.select(
+        token_count("text").alias("tc"),
+        bpe_ish_token_count("text").alias("bc"),
+        language_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+        fingerprint64("text").alias("fp"),
+    ).collect()[0]
+    assert row["tc"] == 6
+    assert row["bc"] == 8  # the/cat/and/the/dog/,/ok/!
+    assert row["lang"] == "en"
+    assert 0.0 <= row["q"] <= 1.0
+    assert isinstance(row["fp"], int)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], ["text"])
+    fps = [r["fp"] for r in df.select(fingerprint64("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]  # case + whitespace insensitive
+
+
+def test_rolling_fingerprints_overlap(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "prefix text then the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, a), (2, b)], ["id", "text"])
+    rows = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", rolling_fingerprints("text").alias("fp")).collect()
+    }
+    assert rows[1] & rows[2]  # shared region → shared local fingerprints

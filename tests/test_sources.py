@@ -1,0 +1,88 @@
+"""Source tests: REST paginated source (cursor logic + Python Data
+Source registration) and file readers."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from pipeline_dataengineer_spark.sources.files import read_csv, read_json
+from pipeline_dataengineer_spark.sources.rest import (
+    MAX_LIMIT,
+    fetch_all_since,
+    register_rest_source,
+)
+
+
+def test_fetch_all_pagination():
+    """Short-page termination (reference kafka_stream_data.py:58-61)."""
+    calls = []
+
+    def fake(where_gt, offset, limit):
+        calls.append((where_gt, offset))
+        if offset >= 2 * limit:
+            return []
+        n = limit if offset == 0 else limit // 2
+        return [{"date_de_publication": where_gt, "i": str(offset + i)} for i in range(n)]
+
+    rows = list(fetch_all_since("2024-01-01", fake, limit=10))
+    assert len(rows) == 15  # full page + short page
+    assert calls == [("2024-01-01", 0), ("2024-01-01", 10)]
+
+
+def test_fetch_all_offset_cap_reanchors():
+    """Offset cap → restart from last seen date (A2,
+    kafka_stream_data.py:63-71). Duplicates allowed by design."""
+    calls = []
+
+    def fake(where_gt, offset, limit):
+        calls.append((where_gt, offset))
+        if where_gt == "2024-01-02":
+            return []  # nothing after re-anchor
+        return [{"date_de_publication": "2024-01-02"} for _ in range(limit)]
+
+    list(fetch_all_since("2024-01-01", fake, limit=10, max_offset=20))
+    # paged 0,10 under the cap, then re-anchored to the max seen date
+    assert calls == [("2024-01-01", 0), ("2024-01-01", 10), ("2024-01-02", 0)]
+
+
+def test_rest_datasource_registration(spark):
+    register_rest_source(spark)
+    df = (
+        spark.read.format("rest_paginated")
+        .option("since", "2024-04-18")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == MAX_LIMIT + MAX_LIMIT // 2
+    assert rows[0]["date_de_publication"] == "2024-04-18"
+
+
+def test_rest_datasource_parallel_slices(spark):
+    register_rest_source(spark)
+    df = (
+        spark.read.format("rest_paginated")
+        .option("slices", '[["2024-01-01", "2099-01-01"], ["2024-02-01", "2099-01-01"]]')
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 2 * (MAX_LIMIT + MAX_LIMIT // 2)
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = read_csv(spark, str(p), schema=schema)
+    assert df.schema == schema
+    assert df.count() == 2
+
+
+def test_read_json_schema_on_read(spark, tmp_path):
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1, "unknown": true}\n{"b": "x"}\n')
+    df = read_json(spark, str(p), schema="a long, b string")
+    rows = df.collect()
+    assert df.columns == ["a", "b"]
+    assert rows[0]["a"] == 1 and rows[0]["b"] is None

@@ -1,0 +1,95 @@
+"""Reference-fidelity unit tests for the text transforms.
+
+Each case mirrors a row of FIXTURES.md §2 — the reference's subtlest
+behaviors (NULL semantics of the merge, the 2/1/0-match regex
+branches, accent stripping, empty→NULL), cited to
+``/root/reference/src/kafka_client/transformations.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.functions.text import (
+    merge_columns,
+    normalize_empty_to_null,
+    split_commercialisation_dates,
+    strip_accents,
+)
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_strip_accents_basic(spark):
+    # transformations.py:44-48 (unidecode)
+    assert _one(spark, strip_accents(F.lit("Épicerie sucrée"))) == "Epicerie sucree"
+
+
+def test_strip_accents_multichar(spark):
+    assert _one(spark, strip_accents(F.lit("œuf Æon straße"))) == "oeuf AEon strasse"
+
+
+def test_strip_accents_passthrough(spark):
+    assert _one(spark, strip_accents(F.lit("plain ASCII 123!"))) == "plain ASCII 123!"
+
+
+def test_empty_to_null(spark):
+    # transformations.py:56-58 — falsy → None, not ""
+    assert _one(spark, normalize_empty_to_null(F.lit(""))) is None
+    assert _one(spark, normalize_empty_to_null(F.lit("x"))) == "x"
+    assert _one(spark, normalize_empty_to_null(F.lit(None).cast("string"))) is None
+
+
+def test_merge_both_present(spark):
+    # transformations.py:13-17 — joined with \n
+    got = _one(spark, merge_columns(F.lit("Listeria"), F.lit("voir fiche")))
+    assert got == "Listeria\nvoir fiche"
+
+
+def test_merge_one_present(spark):
+    # no leading/trailing separator
+    assert _one(spark, merge_columns(F.lit(None).cast("string"), F.lit("voir fiche"))) == "voir fiche"
+    assert _one(spark, merge_columns(F.lit("Listeria"), F.lit(None).cast("string"))) == "Listeria"
+
+
+def test_merge_both_absent_is_null(spark):
+    # transformations.py:18 — the case concat_ws alone gets wrong ("")
+    assert _one(spark, merge_columns(F.lit(None).cast("string"), F.lit(None).cast("string"))) is None
+    assert _one(spark, merge_columns(F.lit(""), F.lit(""))) is None
+
+
+def _split(spark, text):
+    s, e = split_commercialisation_dates(F.lit(text))
+    row = spark.range(1).select(s.alias("s"), e.alias("e")).collect()[0]
+    return row["s"], row["e"]
+
+
+def test_split_two_dates(spark):
+    # transformations.py:33-35
+    assert _split(spark, "Du 01/02/2024 au 15/03/2024") == ("01/02/2024", "15/03/2024")
+
+
+def test_split_depuis(spark):
+    # transformations.py:36-38
+    assert _split(spark, "Depuis le 01/02/2024") == ("01/02/2024", None)
+
+
+def test_split_jusqu(spark):
+    # transformations.py:39-40
+    assert _split(spark, "Jusqu'au 15/03/2024") == (None, "15/03/2024")
+
+
+def test_split_no_match(spark):
+    # fall-through :33-41 and missing field :26-27
+    assert _split(spark, "courant 2024") == (None, None)
+    assert _split(spark, None) == (None, None)
+
+
+def test_split_three_dates_is_null(spark):
+    assert _split(spark, "01/01/2020 02/02/2021 03/03/2022") == (None, None)
+
+
+def test_split_one_date_no_keyword(spark):
+    assert _split(spark, "vendu le 01/02/2024 en magasin") == (None, None)
