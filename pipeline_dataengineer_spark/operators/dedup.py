@@ -172,17 +172,29 @@ def minhash_lsh_near_duplicates(
     - verification re-attaches shingles by joining the (small)
       candidate set back to the shingle table per side.
     """
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(text_col, shingle_n).alias("__sh"),
+    from pipeline_dataengineer_spark.operators._arrow_udfs import (
+        make_shingle_minhash_udf,
     )
-    band_udf = minhash_band_hashes_arrow(num_hashes, bands)
+
+    # Shingling + minhash + banding all run in one vectorized Arrow
+    # UDF (byte-level numpy; shingles pack injectively into int64 for
+    # n<=8) — the JVM higher-order formulation is interpreted per
+    # element and was the dominant cost. The exact-Jaccard verify
+    # reuses the packed shingle codes (array<long> compares, not
+    # strings).
+    mults, adds = _permutation_constants(num_hashes)
+    sm_udf = make_shingle_minhash_udf(mults, adds, shingle_n, num_hashes, bands)
+    # persist(): the plan references sig_df four times (both sides of
+    # the candidate self-join + both verify lookups); without a cache
+    # the UDF re-runs once per reference (measured 4-6× overcompute —
+    # a repartition barrier does NOT dedupe it because exchange reuse
+    # is unreliable around Python UDFs). Spark's ContextCleaner drops
+    # the cache when the DataFrame is garbage collected.
     sig_df = (
-        base.withColumn(
-            "__bands", band_udf(F.transform("__sh", lambda s: F.xxhash64(s)))
-        )
-        .select("__id", "__sh", "__bands")
-        .repartition("__id")  # materialization barrier: bands computed once
+        df.select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
+        .select("__id", F.col("__s.sh").alias("__sh"), F.col("__s.bands").alias("__bands"))
+        .repartition("__id")
+        .persist()
     )
     banded = sig_df.select(
         "__id",
