@@ -380,3 +380,112 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
+
+
+ORACLES["q_union_all"] = """
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+"""
+
+ORACLES["q_first_last"] = """
+SELECT user_id,
+       min_by(event_type, event_id) AS first_type,
+       max_by(event_type, event_id) AS last_type,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM events GROUP BY user_id
+"""
+
+ORACLES["q_collect_list"] = """
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS orderkeys,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses
+FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
+"""
+
+ORACLES["q_stddev_var"] = """
+SELECT event_type,
+       round(stddev_samp(value), 4) AS sd_samp,
+       round(stddev_pop(value), 4) AS sd_pop,
+       round(var_samp(value), 4) AS var_samp_v,
+       round(min(value), 2) AS min_v,
+       round(max(value), 2) AS max_v
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q_conditional"] = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 5000 THEN 'high'
+            WHEN c_acctbal > 0 THEN 'mid'
+            ELSE 'low' END AS tier,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       round(least(c_acctbal, 1000.0), 2) AS capped,
+       round(greatest(c_acctbal, 0.0), 2) AS floored
+FROM customer
+"""
+
+ORACLES["q_like_regexp"] = """
+SELECT p_partkey, p_name FROM part
+WHERE p_name LIKE '%wid%' OR regexp_matches(p_name, '^(red|blue) ')
+"""
+
+ORACLES["q_date_extract"] = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+       CAST(hour(o_orderdate) AS BIGINT) AS hr
+FROM orders
+"""
+
+ORACLES["q_interval_arith"] = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+       CAST(o_orderdate AS DATE) + 45 AS plus_45d,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS days_to_2025,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
+FROM orders
+"""
+
+ORACLES["q_map_fns"] = """
+SELECT event_id,
+       ['type', 'uid'] AS mkeys,
+       event_type AS type_val,
+       CAST(2 AS BIGINT) AS n_vals
+FROM events WHERE event_id < 100
+"""
+
+ORACLES["q_unpivot"] = """
+SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+"""
+
+ORACLES["q_salted_agg"] = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q_salted_join"] = """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+ORACLES["q_udtf"] = """
+WITH digits AS (
+  SELECT o_orderkey, unnest(range(length(CAST(o_orderkey AS VARCHAR)))) AS digit_pos
+  FROM orders WHERE o_orderkey < 50
+)
+SELECT o_orderkey,
+       CAST(digit_pos AS INT) AS digit_pos,
+       CAST(substring(CAST(o_orderkey AS VARCHAR), CAST(digit_pos AS INT) + 1, 1) AS INT) AS digit
+FROM digits
+"""

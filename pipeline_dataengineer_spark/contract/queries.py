@@ -820,3 +820,210 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_cosine_near_duplicates(
         corpus, "vec_id", "embedding", threshold=0.999, n_planes=8
     )
+
+
+# --------------------------------------------------------------- round 3: function surface
+
+
+@query("q_union_all")
+def q_union_all(spark, sf_dir):
+    """Bag-semantics union (no distinct)."""
+    a = _seg_a(spark, sf_dir)
+    b = _seg_b(spark, sf_dir)
+    return a.unionAll(b)
+
+
+@query("q_first_last")
+def q_first_last(spark, sf_dir):
+    """Deterministic first/last per group via min_by/max_by (argmin /
+    argmax aggregates — NOT first(), which is order-dependent)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+@query("q_collect_list")
+def q_collect_list(spark, sf_dir):
+    """Grouped list aggregation, sorted for determinism (collect_list
+    order is partition-dependent; sort_array fixes it)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+    )
+
+
+@query("q_stddev_var")
+def q_stddev_var(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
+        F.round(F.var_samp("value"), 4).alias("var_samp_v"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )
+
+
+@query("q_conditional")
+def q_conditional(spark, sf_dir):
+    """CASE/coalesce/nullif/least/greatest surface."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 5000, "high")
+        .when(F.col("c_acctbal") > 0, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.round(F.least(F.col("c_acctbal"), F.lit(1000.0)), 2).alias("capped"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("floored"),
+    )
+
+
+@query("q_like_regexp")
+def q_like_regexp(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%wid%") | F.col("p_name").rlike("^(red|blue) ")
+    ).select("p_partkey", "p_name")
+
+
+@query("q_date_extract")
+def q_date_extract(spark, sf_dir):
+    """Date-part extraction. DOW aligned explicitly: Spark dayofweek is
+    1=Sunday; the oracle uses dow (0=Sunday) + 1."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mon"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+        F.hour(d).cast("long").alias("hr"),
+    )
+
+
+@query("q_interval_arith")
+def q_interval_arith(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d).cast("long").alias("days_to_2025"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("qtr_start"),
+    )
+
+
+@query("q_map_fns")
+def q_map_fns(spark, sf_dir):
+    """Map construction + access. Maps don't hash portably across
+    engines → project entries back out as sorted arrays/scalars."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("mkeys"),
+        m["type"].alias("type_val"),
+        F.size(F.map_values(m)).cast("long").alias("n_vals"),
+    )
+
+
+@query("q_unpivot")
+def q_unpivot(spark, sf_dir):
+    """Wide→long unpivot via stack()."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', round(c_acctbal, 2), "
+            "'nationkey', cast(c_nationkey as double)) AS (metric, val)"
+        ),
+    )
+
+
+@query("q_approx_stats")
+def q_approx_stats(spark, sf_dir):
+    """Sketch aggregates (HLL++, GK-quantile) — rows-only: sketch
+    outputs are engine-specific by design (SURVEY §2C)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.percentile_approx("l_extendedprice", 0.5), 0).alias("approx_median"),
+    )
+
+
+@query("q_salted_agg")
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py): identical
+    result to a plain GROUP BY — the salt only reshapes the shuffle,
+    which is the oracle-checked claim."""
+    from pipeline_dataengineer_spark.operators.skew import salted_groupby_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_groupby_sum(
+        li,
+        keys=["l_returnflag"],
+        sums={"sum_qty": "l_quantity", "sum_price": "l_extendedprice"},
+        counts="cnt",
+        salt=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        "cnt",
+    )
+
+
+@query("q_salted_join")
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted join (operators/skew.py): same rows as the
+    plain join."""
+    from pipeline_dataengineer_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, p, on="l_partkey", salt=4)
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query("q_udtf")
+def q_udtf(spark, sf_dir):
+    """Python UDTF (PySpark 4): one input row → N output rows. SQL-
+    checkable semantics (digit split of the order key)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, digit_pos int, digit int")
+    class DigitSplit:
+        def eval(self, o_orderkey: int):
+            for i, ch in enumerate(str(o_orderkey)):
+                yield o_orderkey, i, int(ch)
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 50)
+    spark.udtf.register("digit_split", DigitSplit)
+    o.createOrReplaceTempView("orders_udtf")
+    return spark.sql(
+        """
+        SELECT t.o_orderkey, t.digit_pos, t.digit
+        FROM orders_udtf o, LATERAL digit_split(o.o_orderkey) t
+        """
+    )

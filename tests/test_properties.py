@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): the engine's column functions
+vs direct Python models of the reference's row-level semantics
+(``/root/reference/src/kafka_client/transformations.py``).
+
+Strategy: generate batches of adversarial strings, run BOTH the Spark
+expression and the Python model, compare row-by-row. One Spark job
+per hypothesis example would be minutes-slow, so each example IS a
+batch (list of strings → one DataFrame → one collect).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.functions.text import (
+    merge_columns,
+    normalize_empty_to_null,
+    split_commercialisation_dates,
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=60,
+)
+maybe_texts = st.one_of(st.none(), texts)
+
+
+def _py_merge(a, b):
+    """Python model of merge_two_columns (transformations.py:6-21)."""
+    a = a or None
+    b = b or None
+    if a is None and b is None:
+        return None
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + "\n" + b
+
+
+def _py_split(text):
+    """Python model of separate_commercialisation_dates
+    (transformations.py:24-41)."""
+    if text is None:
+        return (None, None)
+    dates = re.findall(r"(\d{2}/\d{2}/\d{4})", text)
+    if len(dates) == 2:
+        return (dates[0], dates[1])
+    if len(dates) == 1:
+        low = text.lower()
+        if "depuis le" in low:
+            return (dates[0], None)
+        if "jusqu" in low:
+            return (None, dates[0])
+    return (None, None)
+
+
+@given(st.lists(st.tuples(maybe_texts, maybe_texts), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_merge_matches_python_model(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["m"] for r in df.select(merge_columns("a", "b").alias("m")).collect()
+    ]
+    want = [_py_merge(a, b) for a, b in pairs]
+    assert got == want
+
+
+@given(st.lists(maybe_texts, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_split_matches_python_model(spark, rows):
+    df = spark.createDataFrame([(t,) for t in rows], "t string")
+    s, e = split_commercialisation_dates("t")
+    got = [(r["s"], r["e"]) for r in df.select(s.alias("s"), e.alias("e")).collect()]
+    want = [_py_split(t) for t in rows]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.just(""), texts),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_empty_to_null_matches_python_model(spark, rows):
+    df = spark.createDataFrame([(t,) for t in rows], "t string")
+    got = [
+        r["v"] for r in df.select(normalize_empty_to_null("t").alias("v")).collect()
+    ]
+    want = [(t or None) for t in rows]
+    assert got == want
+
+
+# Dates with realistic shapes to exercise the 1/2-match branches more.
+date_str = st.dates().map(lambda d: d.strftime("%d/%m/%Y"))
+date_texts = st.one_of(
+    st.tuples(date_str, date_str).map(lambda t: f"Du {t[0]} au {t[1]}"),
+    date_str.map(lambda d: f"Depuis le {d}"),
+    date_str.map(lambda d: f"Jusqu'au {d}"),
+    date_str.map(lambda d: f"vendu {d} partout"),
+    texts,
+)
+
+
+@given(st.lists(date_texts, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_split_realistic_shapes(spark, rows):
+    df = spark.createDataFrame([(t,) for t in rows], "t string")
+    s, e = split_commercialisation_dates("t")
+    got = [(r["s"], r["e"]) for r in df.select(s.alias("s"), e.alias("e")).collect()]
+    want = [_py_split(t) for t in rows]
+    assert got == want
