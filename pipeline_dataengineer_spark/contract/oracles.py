@@ -489,3 +489,44 @@ SELECT o_orderkey,
        CAST(substring(CAST(o_orderkey AS VARCHAR), CAST(digit_pos AS INT) + 1, 1) AS INT) AS digit
 FROM digits
 """
+
+
+ORACLES["q_tpch_q3_shape"] = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND l_quantity > 10
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+ORACLES["q_tpch_q5_shape"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name <> 'REGION#0'
+GROUP BY n_name
+"""
+
+ORACLES["q_tpch_q18_shape"] = """
+SELECT o_orderkey, o_custkey, round(tot_qty, 2) AS tot_qty, o_totalprice
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS tot_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) big ON o_orderkey = big.l_orderkey
+"""
+
+ORACLES["q_sql_api"] = """
+SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -1027,3 +1027,95 @@ def q_udtf(spark, sf_dir):
         FROM orders_udtf o, LATERAL digit_split(o.o_orderkey) t
         """
     )
+
+
+# --------------------------------------------------------------- round 4: analytics shapes
+
+
+@query("q_tpch_q3_shape")
+def q_tpch_q3_shape(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): filter both fact sides,
+    3-way join, grouped revenue, top-10. Exercises join reordering +
+    partial aggregation under AQE."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query("q_tpch_q5_shape")
+def q_tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-way star join with
+    two independent dimension paths meeting on nationkey, grouped
+    revenue per nation."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") != "REGION#0")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query("q_tpch_q18_shape")
+def q_tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): HAVING via a grouped
+    subquery driving a semi-join back onto the fact."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("tot_qty", 2).alias("tot_qty"),
+            "o_totalprice",
+        )
+    )
+
+
+@query("q_sql_api")
+def q_sql_api(spark, sf_dir):
+    """The SQL front door (pipeline_dataengineer_spark.sql): same
+    Catalyst plan as the DataFrame API, user-facing surface parity."""
+    from pipeline_dataengineer_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """
+        SELECT n_name, count(*) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        sf_dir,
+    )
