@@ -1,0 +1,70 @@
+"""Plan audit: assert the efficiency properties the engine claims.
+
+Checks, per query, that the physical plan has the shape a 100 TB run
+needs — filters pushed to the scan, pruned read schemas, broadcast
+joins on dimensions, TakeOrderedAndProject for top-k, no
+BroadcastNestedLoopJoin where a hash join is expected. Exits non-zero
+if any expectation fails, so it can gate commits like a test.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipeline_dataengineer_spark.contract import QUERIES
+from pipeline_dataengineer_spark.session import get_spark
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+# query -> (must_contain, must_not_contain)
+EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    "q_filter_pred": (["PushedFilters: [IsNotNull(l_discount)"], []),
+    "q_scan_project": (
+        ["ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"],
+        [],
+    ),
+    "q_broadcast_join": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    "q_inner_join": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    "q_anti_join": (["LeftAnti"], ["BroadcastNestedLoopJoin"]),
+    "q_sort_limit": (["TakeOrderedAndProject"], []),
+    "q_range_join": ([], ["BroadcastNestedLoopJoin"]),
+    "q_agg_group": (["HashAggregate"], []),
+    "q_dedup_lastwins": (["Window"], []),
+    "q_salted_agg": (["HashAggregate"], []),
+    "q_tpch_q5_shape": (["BroadcastHashJoin"], ["CartesianProduct"]),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    failures = 0
+    for name, (must, must_not) in EXPECTATIONS.items():
+        p = plan_of(spark, name, sf_dir)
+        problems = [f"missing: {m}" for m in must if m not in p] + [
+            f"present: {m}" for m in must_not if m in p
+        ]
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}")
+    print(f"\n{len(EXPECTATIONS) - failures}/{len(EXPECTATIONS)} plan checks pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
