@@ -530,3 +530,74 @@ SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+ORACLES["q_window_range_frame"] = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_recent,
+       round(sum(value) OVER w, 2) AS sum_recent
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["q_rank_fns"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cdist
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+ORACLES["q_moving_avg"] = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+FROM events
+"""
+
+ORACLES["q_sliding_window"] = """
+WITH hits AS (
+  SELECT date_trunc('hour', ts) - to_hours(CAST(h AS BIGINT)) AS win_start, value
+  FROM events, unnest(range(2)) t(h)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM hits GROUP BY 1
+"""
+
+ORACLES["q_wordcount"] = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+ORACLES["q_string_manip"] = """
+SELECT p_partkey,
+       regexp_replace(p_name, '\\s+', '_', 'g') AS snake,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_type, 10, '.') AS type_rpad,
+       repeat('ab', 3) AS abx3,
+       reverse(p_name) AS rev_name,
+       CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up
+FROM part WHERE p_partkey < 100
+"""
+
+ORACLES["q_bitwise"] = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS and255,
+       o_orderkey | 16 AS or16,
+       xor(o_orderkey, 85) AS xor85,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 1 AS shr1
+FROM orders WHERE o_orderkey < 200
+"""
+
+ORACLES["q_distinct_rows"] = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""

@@ -1119,3 +1119,124 @@ def q_sql_api(spark, sf_dir):
         """,
         sf_dir,
     )
+
+
+# --------------------------------------------------------------- round 5: windows & strings
+
+
+@query("q_window_range_frame")
+def q_window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, vs ROWS): per-user sum of events
+    within 100 event_ids back."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_recent"),
+        F.round(F.sum("value").over(w), 2).alias("sum_recent"),
+    )
+
+
+@query("q_rank_fns")
+def q_rank_fns(spark, sf_dir):
+    """Full ranking-function surface: rank, dense_rank, ntile,
+    percent_rank, cume_dist."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+@query("q_moving_avg")
+def q_moving_avg(spark, sf_dir):
+    """Moving average over the 3 most recent rows per key."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg3"),
+    )
+
+
+@query("q_sliding_window")
+def q_sliding_window(spark, sf_dir):
+    """Sliding event-time window (2h length, 1h slide) in batch mode —
+    each event lands in 2 windows; streaming parity via
+    streaming/windows.py:sliding_window_agg."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("q_wordcount")
+def q_wordcount(spark, sf_dir):
+    """The canonical split→explode→count, top-20 words by frequency."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@query("q_string_manip")
+def q_string_manip(spark, sf_dir):
+    """replace/pad/repeat/reverse/position surface."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", r"\s+", "_").alias("snake"),
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_type", 10, ".").alias("type_rpad"),
+        F.repeat(F.lit("ab"), 3).alias("abx3"),
+        F.reverse(F.col("p_name")).alias("rev_name"),
+        F.instr("p_name", "e").cast("long").alias("first_e"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+    )
+
+
+@query("q_bitwise")
+def q_bitwise(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and255"),
+        k.bitwiseOR(F.lit(16)).alias("or16"),
+        k.bitwiseXOR(F.lit(85)).alias("xor85"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 1).alias("shr1"),
+    )
+
+
+@query("q_distinct_rows")
+def q_distinct_rows(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+    )
