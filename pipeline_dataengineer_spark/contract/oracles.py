@@ -601,3 +601,31 @@ FROM orders WHERE o_orderkey < 200
 ORACLES["q_distinct_rows"] = """
 SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 """
+
+
+ORACLES["q_grouped_pandas"] = """
+SELECT event_id, event_type,
+       round(value - avg(value) OVER (PARTITION BY event_type), 4) AS centered
+FROM events
+"""
+
+ORACLES["q_map_in_pandas"] = """
+SELECT o_orderkey, o_totalprice, o_totalprice / 1000.0 AS price_k
+FROM orders WHERE o_totalprice > 100000
+"""
+
+ORACLES["q_try_fns"] = """
+SELECT event_id,
+       CASE WHEN value - value = 0 THEN NULL ELSE 1.0 / (value - value) END AS div0,
+       round(value / 2.0, 4) AS half,
+       TRY_CAST(event_type AS DOUBLE) AS type_as_num,
+       TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS uid_roundtrip
+FROM events WHERE event_id < 500
+"""
+
+ORACLES["q_decimal_agg"] = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_exact,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""

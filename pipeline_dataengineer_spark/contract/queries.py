@@ -1240,3 +1240,61 @@ def q_distinct_rows(spark, sf_dir):
         .select("o_orderstatus", "o_orderpriority")
         .distinct()
     )
+
+
+# --------------------------------------------------------------- round 6: UDF shapes & safe arithmetic
+
+
+@query("q_grouped_pandas")
+def q_grouped_pandas(spark, sf_dir):
+    """applyInPandas grouped-map: per-group demeaning. The group is a
+    pandas DataFrame in the worker; semantics SQL-expressible so it
+    oracle-checks. (The grouped-map shape backs custom per-entity
+    logic the built-ins can't express.)"""
+    from pipeline_dataengineer_spark.operators._arrow_udfs import demean_group
+
+    ev = table(spark, sf_dir, "events")
+    out = ev.select("event_id", "event_type", "value").groupBy("event_type")
+    return out.applyInPandas(
+        demean_group, schema="event_id long, event_type string, centered double"
+    ).select("event_id", "event_type", F.round("centered", 4).alias("centered"))
+
+
+@query("q_map_in_pandas")
+def q_map_in_pandas(spark, sf_dir):
+    """mapInPandas partition-batch transform: filter + derived column
+    in one Arrow pass (the custom-scan/operator escape hatch)."""
+    from pipeline_dataengineer_spark.operators._arrow_udfs import big_orders_batches
+
+    o = table(spark, sf_dir, "orders")
+    return o.mapInPandas(
+        big_orders_batches,
+        schema="o_orderkey long, o_totalprice double, price_k double",
+    )
+
+
+@query("q_try_fns")
+def q_try_fns(spark, sf_dir):
+    """Error-safe arithmetic/casts (ANSI mode is ON in Spark 4 — these
+    return NULL instead of raising)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.try_divide(F.lit(1.0), F.col("value") - F.col("value")).alias("div0"),
+        F.round(F.try_divide(F.col("value"), F.lit(2.0)), 4).alias("half"),
+        F.expr("try_cast(event_type AS double)").alias("type_as_num"),
+        F.expr("try_cast(cast(user_id AS string) AS long)").alias("uid_roundtrip"),
+    )
+
+
+@query("q_decimal_agg")
+def q_decimal_agg(spark, sf_dir):
+    """Exact decimal aggregation (no float nondeterminism): sums are
+    computed in DECIMAL and only cast to double at the end, so both
+    engines produce bit-identical results WITHOUT rounding."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec).cast("double").alias("sum_exact"),
+        F.count("*").alias("cnt"),
+    )

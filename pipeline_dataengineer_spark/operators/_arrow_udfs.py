@@ -148,3 +148,27 @@ def make_minhash_band_hash_udf(mults_l, adds_l, num_hashes, bands):
         return pd.Series(out)
 
     return band_hash
+
+
+def demean_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas grouped-map: subtract the group mean."""
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "centered": pdf["value"] - pdf["value"].mean(),
+        }
+    )
+
+
+def big_orders_batches(batches):
+    """mapInPandas: filter + derived column per Arrow batch."""
+    for pdf in batches:
+        big = pdf[pdf["o_totalprice"] > 100000]
+        yield pd.DataFrame(
+            {
+                "o_orderkey": big["o_orderkey"],
+                "o_totalprice": big["o_totalprice"],
+                "price_k": big["o_totalprice"] / 1000.0,
+            }
+        )
