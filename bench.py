@@ -39,9 +39,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
-    # Warm the JVM/codegen once so per-query times measure the plan,
-    # not session startup.
+    # Warm the JVM/codegen AND the Arrow Python workers once so
+    # per-query times measure plan throughput, not process startup
+    # (cold Python-worker spawn measured ~4s on the first UDF stage).
     QUERIES["q_agg_group"](spark, sf_dir).collect()
+    QUERIES["q_pandas_udf"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
     total = 0.0

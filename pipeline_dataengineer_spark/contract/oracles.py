@@ -629,3 +629,12 @@ SELECT l_returnflag,
        count(*) AS cnt
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+ORACLES["q_connected_components"] = """
+SELECT doc_id AS node, doc_id - doc_id % 5 AS component FROM documents
+"""
+
+ORACLES["q_dedup_canonical"] = """
+SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
+"""

@@ -1298,3 +1298,39 @@ def q_decimal_agg(spark, sf_dir):
         F.sum(dec).cast("double").alias("sum_exact"),
         F.count("*").alias("cnt"),
     )
+
+
+# --------------------------------------------------------------- round 7: dedup clustering
+
+
+def _chain_edges(spark, sf_dir):
+    """Deterministic transitive chains over documents: edges
+    (doc_id, doc_id+1) for doc_id % 5 < 4 → components are exactly
+    the 5-blocks {5k..5k+4} (diameter 4, so label propagation needs
+    multiple rounds — the transitivity is what's being tested)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.filter(F.pmod("doc_id", F.lit(5)) < 4).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+
+
+@query("q_connected_components")
+def q_connected_components(spark, sf_dir):
+    """Iterative connected components (operators/graph.py) — the
+    pair→cluster step of near-dup dedup. Oracle: component of node n
+    in a 5-chain is n - n%5 (closed form, no recursion needed)."""
+    from pipeline_dataengineer_spark.operators.graph import connected_components
+
+    return connected_components(_chain_edges(spark, sf_dir))
+
+
+@query("q_dedup_canonical")
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end duplicate-cluster collapse: keep the min-id member
+    of each component (operators/graph.py:dedup_keep_canonical)."""
+    from pipeline_dataengineer_spark.operators.graph import dedup_keep_canonical
+
+    d = table(spark, sf_dir, "documents")
+    return dedup_keep_canonical(
+        d, _chain_edges(spark, sf_dir), "doc_id"
+    ).select("doc_id", "lang")
