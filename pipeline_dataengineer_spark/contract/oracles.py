@@ -638,3 +638,65 @@ SELECT doc_id AS node, doc_id - doc_id % 5 AS component FROM documents
 ORACLES["q_dedup_canonical"] = """
 SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
 """
+
+
+from pipeline_dataengineer_spark.operators.sampling import bucket_sql as _bucket_sql
+
+_B = 1_000_000
+
+ORACLES["q_sample_det"] = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE {_bucket_sql('o_orderkey', _B)} < {int(0.1 * _B)}
+"""
+
+ORACLES["q_train_split"] = f"""
+SELECT o_orderkey,
+       CASE WHEN {_bucket_sql('o_orderkey', _B)} < {int(0.8 * _B)} THEN 'train'
+            WHEN {_bucket_sql('o_orderkey', _B)} < {int(0.9 * _B)} THEN 'val'
+            ELSE 'test' END AS split
+FROM orders
+"""
+
+ORACLES["q_resample_daily"] = """
+WITH agg AS (
+  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+         count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2),
+bounds AS (SELECT prio, min(day) AS mn, max(day) AS mx FROM agg GROUP BY 1),
+spine AS (
+  SELECT prio, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds)
+SELECT s.prio, s.day, coalesce(a.cnt, 0) AS cnt,
+       coalesce(a.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN agg a ON s.prio = a.prio AND s.day = a.day
+"""
+
+ORACLES["q_tfidf"] = """
+WITH words AS (
+  SELECT doc_id, w AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+ORACLES["q_corr_covar"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q_skew_kurtosis"] = """
+SELECT l_returnflag,
+       round(skewness(l_quantity), 4) AS skew_q,
+       round(kurtosis(l_quantity), 4) AS kurt_q,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""

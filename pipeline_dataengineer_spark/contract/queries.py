@@ -1334,3 +1334,101 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup_keep_canonical(
         d, _chain_edges(spark, sf_dir), "doc_id"
     ).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------- round 8: sampling / timeseries / corpus features
+
+
+@query("q_sample_det")
+def q_sample_det(spark, sf_dir):
+    """Deterministic hash sample (operators/sampling.py): ~10% of
+    orders by Lehmer bucket of the key — reproducible across engines
+    and layouts, and a pure narrow filter (no shuffle; rides the
+    scan). Oracle computes the identical arithmetic in SQL."""
+    from pipeline_dataengineer_spark.operators.sampling import deterministic_sample
+
+    o = table(spark, sf_dir, "orders")
+    return deterministic_sample(o, "o_orderkey", 0.1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query("q_train_split")
+def q_train_split(spark, sf_dir):
+    """Stable train/val/test split (operators/sampling.py:hash_split)
+    — every row in exactly one split, membership survives reruns and
+    repartitioning (the property an incrementally rebuilt corpus
+    needs)."""
+    from pipeline_dataengineer_spark.operators.sampling import hash_split
+
+    o = table(spark, sf_dir, "orders")
+    return hash_split(
+        o, "o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("o_orderkey", "split")
+
+
+@query("q_resample_daily")
+def q_resample_daily(spark, sf_dir):
+    """Per-group daily resample with gap fill (operators/
+    timeseries.py): aggregate-then-spine so the join touches one row
+    per group-day, never raw facts; spine rows are generated
+    executor-side via sequence+explode."""
+    from pipeline_dataengineer_spark.operators.timeseries import resample_daily
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("day"),
+        "o_totalprice",
+    )
+    return resample_daily(
+        o,
+        "day",
+        ["prio"],
+        aggs={
+            "cnt": F.count("*"),
+            "revenue": F.round(F.sum("o_totalprice"), 2),
+        },
+        fill={"cnt": 0, "revenue": 0.0},
+    )
+
+
+@query("q_tfidf")
+def q_tfidf(spark, sf_dir):
+    """Corpus-relative TF-IDF (operators/text_features.py): explode →
+    two term-partitioned aggregates → broadcast scalar N; the north-
+    star text-featurization step."""
+    from pipeline_dataengineer_spark.operators.text_features import tf_idf
+
+    return tf_idf(table(spark, sf_dir, "documents"))
+
+
+@query("q_corr_covar")
+def q_corr_covar(spark, sf_dir):
+    """Bivariate aggregates: correlation + sample/population
+    covariance per group (both engines use identical definitions)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covs_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covp_qp"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query("q_skew_kurtosis")
+def q_skew_kurtosis(spark, sf_dir):
+    """Higher moments. Spark returns population g1/g2; DuckDB returns
+    bias-corrected sample G1/G2 — convert with the closed-form
+    factors so both sides agree exactly:
+    G1 = g1*sqrt(n(n-1))/(n-2); G2 = ((n+1)g2+6)(n-1)/((n-2)(n-3))."""
+    li = table(spark, sf_dir, "lineitem")
+    n = F.count("*").cast("double")
+    g1 = F.skewness("l_quantity")
+    g2 = F.kurtosis("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(g1 * F.sqrt(n * (n - 1)) / (n - 2), 4).alias("skew_q"),
+        F.round(((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)), 4).alias(
+            "kurt_q"
+        ),
+        F.count("*").alias("cnt"),
+    )

@@ -1,0 +1,77 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that
+are (a) reproducible run-to-run, (b) stable under repartitioning, and
+(c) computable with zero shuffles. ``df.sample(seed=...)`` fails (a)
+across engines and (b) across partition layouts; ``orderBy(rand())``
+costs a full sort. Instead we bucket rows by a Lehmer / Park-Miller
+multiplicative hash of a key column:
+
+    bucket = ((key mod P) * 48271 mod P) mod buckets,  P = 2^31 - 1
+
+which is a pure narrow projection (no shuffle, pushable past joins),
+identical in any engine with 64-bit integer arithmetic (the product
+is < 2^47, safe under Spark 4 ANSI overflow checking), and assigns
+every row a stable bucket independent of data layout. The reference
+has no sampling at all (SURVEY.md §2 Part B); this is a north-star
+extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_31 = 2_147_483_647  # 2^31 - 1, the Lehmer modulus
+LEHMER_MULT = 48_271
+
+
+def portable_bucket(key: Column | str, buckets: int) -> Column:
+    """Stable bucket in [0, buckets) from an integer key; the inner
+    ``mod P`` keeps the product under 2^47 so ANSI mode never throws."""
+    k = F.col(key) if isinstance(key, str) else key
+    scrambled = F.pmod(F.pmod(k.cast("long"), F.lit(MERSENNE_31)) * LEHMER_MULT,
+                       F.lit(MERSENNE_31))
+    return F.pmod(scrambled, F.lit(buckets))
+
+
+def bucket_sql(key_expr: str, buckets: int) -> str:
+    """The same bucket function as ANSI SQL text (for oracles and for
+    pushing the sample predicate into non-Spark engines)."""
+    return (f"((({key_expr}) % {MERSENNE_31}) * {LEHMER_MULT})"
+            f" % {MERSENNE_31} % {buckets}")
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column | str, fraction: float, buckets: int = 1_000_000
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash: reproducible,
+    layout-independent, and a plain filter — at 100 TB it rides the
+    scan (no shuffle, combines with predicate pushdown)."""
+    return df.filter(portable_bucket(key, buckets) < int(fraction * buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    weights: dict[str, float],
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test'/...) partitioning
+    rows by cumulative hash-bucket ranges. Weights must sum to ~1.
+    Every row lands in exactly one split, and membership is stable
+    across runs, engines, and repartitioning — the property that
+    matters when the corpus is rebuilt incrementally."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = portable_bucket(key, buckets)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        branch = F.when(b < int(cum * buckets), F.lit(name))
+        expr = branch if expr is None else expr.when(b < int(cum * buckets), F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -1,0 +1,55 @@
+"""Corpus-level text featurization: TF-IDF, document frequency.
+
+The per-document stats in ``functions/textstats.py`` are narrow maps;
+TF-IDF is the first *corpus-relative* feature — a term's weight
+depends on how many documents contain it. Shape: one explode + two
+aggregations + one broadcast of the (tiny) corpus size. At 100 TB the
+heavy object is the term→df map; it shuffles once on ``term`` and the
+final join is term-partitioned on both sides, so no extra exchange.
+North-star text-analysis extension (no analog in the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows: lowercase, split on single spaces, drop
+    empties. Deliberately the simplest portable tokenizer — identical
+    semantics in any engine's string_split (oracle parity)."""
+    return df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """(id, term, tf, df, tfidf) with tfidf = tf * ln(N / df).
+
+    N arrives via a 1-row cross join (broadcast NL join of a scalar —
+    never a driver collect), so the whole computation stays lazy and
+    distributed.
+    """
+    t = terms(df, id_col, text_col)
+    tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n")
+    )
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), round_to).alias(
+                "tfidf"
+            ),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Unit tests: deterministic sampling / hash splits / daily resample."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    portable_bucket,
+)
+from pipeline_dataengineer_spark.operators.timeseries import resample_daily
+
+
+def test_sample_deterministic_and_layout_independent(spark):
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    a = {r.k for r in deterministic_sample(df, "k", 0.2).collect()}
+    b = {
+        r.k
+        for r in deterministic_sample(df.repartition(13), "k", 0.2).collect()
+    }
+    assert a == b  # membership survives repartitioning
+    assert 0.15 < len(a) / 20_000 < 0.25  # ratio near the target
+
+
+def test_sample_is_subset_at_larger_fraction(spark):
+    df = spark.range(0, 5_000).withColumnRenamed("id", "k")
+    small = {r.k for r in deterministic_sample(df, "k", 0.1).collect()}
+    big = {r.k for r in deterministic_sample(df, "k", 0.3).collect()}
+    assert small <= big  # fractions nest: growing a sample keeps prior rows
+
+
+def test_sample_plan_has_no_shuffle(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = deterministic_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_partitions_every_row_once(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 10_000
+    assert 0.75 < counts["train"] / 10_000 < 0.85
+    # splits are disjoint by construction (single CASE) — and stable:
+    again = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
+
+
+def test_bucket_matches_duckdb_formula(spark):
+    import duckdb
+
+    from pipeline_dataengineer_spark.operators.sampling import bucket_sql
+
+    got = {
+        r.k: r.b
+        for r in spark.range(0, 1000)
+        .select(F.col("id").alias("k"), portable_bucket("id", 97).alias("b"))
+        .collect()
+    }
+    want = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT k, {bucket_sql('k', 97)} FROM range(0, 1000) t(k)"
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_resample_fills_gaps_with_zero(spark):
+    rows = [
+        ("a", dt.date(2024, 1, 1), 10.0),
+        ("a", dt.date(2024, 1, 4), 5.0),  # gap: Jan 2, Jan 3
+        ("b", dt.date(2024, 2, 1), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, v double")
+    out = resample_daily(
+        df, "day", ["g"], aggs={"s": F.sum("v")}, fill={"s": 0.0}
+    )
+    got = {(r.g, str(r.day)): r.s for r in out.collect()}
+    assert got == {
+        ("a", "2024-01-01"): 10.0,
+        ("a", "2024-01-02"): 0.0,
+        ("a", "2024-01-03"): 0.0,
+        ("a", "2024-01-04"): 5.0,
+        ("b", "2024-02-01"): 1.0,  # per-group spine: b has one day only
+    }
