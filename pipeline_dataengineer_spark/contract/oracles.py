@@ -700,3 +700,56 @@ SELECT l_returnflag,
        count(*) AS cnt
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+ORACLES["q_quantiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q_levenshtein"] = """
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, substring(p_name, 1, 8)) AS BIGINT) AS lev_bn,
+       CAST(levenshtein(lower(p_type), 'promo') AS BIGINT) AS lev_promo
+FROM part
+"""
+
+ORACLES["q_histogram"] = """
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+       count(*) AS cnt,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM lineitem GROUP BY 1
+"""
+
+ORACLES["q_corpus_clean"] = """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         (SELECT round(
+            (CASE WHEN n_tok < 5 THEN n_tok / 5.0
+                  WHEN n_tok > 5000 THEN 0.5 ELSE 1.0 END)
+            * greatest(0.0, 1.0 - (punct / n_chars) * 4.0)
+            * (0.5 + (n_uniq / n_tok) / 2.0), 4)
+          FROM (SELECT
+            greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS n_tok,
+            greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_chars,
+            CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+            CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq)
+         ) AS quality
+  FROM documents
+  WHERE lang IN ('en', 'fr', 'de')
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE n_tokens BETWEEN 3 AND 5000 AND quality >= 0.3
+)
+SELECT doc_id, lang, n_tokens, quality
+FROM filtered
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""

@@ -1432,3 +1432,63 @@ def q_skew_kurtosis(spark, sf_dir):
         ),
         F.count("*").alias("cnt"),
     )
+
+
+# --------------------------------------------------------------- round 9: quantiles, string distance, binning, corpus pipeline
+
+
+@query("q_quantiles")
+def q_quantiles(spark, sf_dir):
+    """Multi-quantile exact percentiles per group (interpolated —
+    same definition as DuckDB quantile_cont)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = lambda f: F.round(F.percentile("l_extendedprice", F.lit(f)), 2)
+    return li.groupBy("l_returnflag").agg(
+        p(0.25).alias("p25"),
+        p(0.50).alias("p50"),
+        p(0.75).alias("p75"),
+        p(0.95).alias("p95"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query("q_levenshtein")
+def q_levenshtein(spark, sf_dir):
+    """Edit-distance surface (fuzzy-match building block; identical
+    definition both engines)."""
+    pt = table(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.substring("p_name", 1, 8)).cast("long").alias(
+            "lev_bn"
+        ),
+        F.levenshtein(F.lower("p_type"), F.lit("promo")).cast("long").alias(
+            "lev_promo"
+        ),
+    )
+
+
+@query("q_histogram")
+def q_histogram(spark, sf_dir):
+    """Fixed-width numeric binning — the groupBy key is a pure
+    expression so the aggregate gets map-side partials for free."""
+    li = table(spark, sf_dir, "lineitem")
+    bin_ = F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("bin")
+    return li.groupBy(bin_).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+@query("q_corpus_clean")
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end corpus cleaning (operators/corpus.py): lang filter →
+    token bounds → quality threshold → exact dedup keep-min-id. Narrow
+    filters run before the single dedup shuffle."""
+    from pipeline_dataengineer_spark.operators.corpus import clean_corpus
+
+    d = table(spark, sf_dir, "documents")
+    return clean_corpus(
+        d, langs=["en", "fr", "de"], min_quality=0.3, min_tokens=3, max_tokens=5000
+    ).select("doc_id", "lang", "n_tokens", "quality")
