@@ -1492,3 +1492,16 @@ def q_corpus_clean(spark, sf_dir):
     return clean_corpus(
         d, langs=["en", "fr", "de"], min_quality=0.3, min_tokens=3, max_tokens=5000
     ).select("doc_id", "lang", "n_tokens", "quality")
+
+
+@query("q_kmeans_sizes")
+def q_kmeans_sizes(spark, sf_dir):
+    """Iterative k-means over embeddings (operators/clustering.py) —
+    rows-only per the driver contract's iterative-algorithm carve-out
+    (centroid float summation order is engine-specific). Assignment is
+    one numpy matmul per Arrow batch; only k·d centroid values ever
+    reach the driver."""
+    from pipeline_dataengineer_spark.operators.clustering import cluster_sizes
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cluster_sizes(emb, k=8, max_iterations=10)

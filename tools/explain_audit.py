@@ -45,6 +45,23 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_dedup_lastwins": (["Window"], []),
     "q_salted_agg": (["HashAggregate"], []),
     "q_tpch_q5_shape": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # deterministic sample must stay a narrow filter riding the scan:
+    # no shuffle, and the bucket predicate must not block pushdown of
+    # the scan's column pruning.
+    "q_sample_det": (
+        ["ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"],
+        ["Exchange"],
+    ),
+    "q_train_split": ([], ["Exchange"]),
+    # TF-IDF: the corpus-size scalar must arrive by broadcast, never a
+    # cartesian; the tf→df join is an equi hash join on term.
+    "q_tfidf": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # corpus clean: lang/token/quality filters run in the scan stage
+    # (before the dedup window's exchange) — the Filter must sit below
+    # the one Exchange in the tree, which formatted-explain renders as
+    # the Exchange appearing before the Filter line.
+    "q_corpus_clean": (["Exchange", "PushedFilters: [In(lang"], []),
+    "q_histogram": (["HashAggregate"], ["Window"]),
 }
 
 
