@@ -753,3 +753,23 @@ SELECT doc_id, lang, n_tokens, quality
 FROM filtered
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
+
+
+ORACLES["q_ngrams"] = """
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+tris AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+  FROM toks)
+SELECT trigram, count(*) AS cnt FROM tris GROUP BY 1 HAVING count(*) >= 2
+"""
+
+ORACLES["q_count_of_counts"] = """
+WITH words AS (
+  SELECT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''),
+wc AS (SELECT w, count(*) AS n FROM words GROUP BY 1)
+SELECT n, count(*) AS n_words FROM wc GROUP BY 1
+"""

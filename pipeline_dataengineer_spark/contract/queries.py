@@ -1505,3 +1505,39 @@ def q_kmeans_sizes(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return cluster_sizes(emb, k=8, max_iterations=10)
+
+
+@query("q_ngrams")
+def q_ngrams(spark, sf_dir):
+    """Word trigram counts over the corpus — the LM-data n-gram
+    statistics pass. Trigrams are built JVM-side with a higher-order
+    transform over token indices (no UDF), exploded, then counted with
+    map-side partial aggregation; singleton trigrams are dropped to
+    keep the result the interesting head of the distribution."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tris = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return (
+        d.select(F.explode(tris).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+
+
+@query("q_count_of_counts")
+def q_count_of_counts(spark, sf_dir):
+    """Frequency-of-frequency (Zipf diagnostic): how many words occur
+    exactly n times — two chained aggregations, both map-side
+    combinable."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    return wc.groupBy("n").agg(F.count("*").alias("n_words"))
