@@ -64,3 +64,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Widen a DataFrame to the session's core count before CPU-heavy
+    per-row projections (tokenize / n-gram / shingle / hash).
+
+    A single-row-group parquet file scans as ONE task, serializing
+    whatever projection sits on top of it (measured: trigram explode
+    over a 1-partition 5k-doc table 8.0s vs 2.2s after repartition to
+    32). The shuffle moved is the raw input rows — cheap relative to
+    the projection it parallelizes. On production inputs with at least
+    one split per core this is a no-op: no shuffle is inserted.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

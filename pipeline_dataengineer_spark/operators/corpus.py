@@ -35,9 +35,11 @@ def clean_corpus(
     """Filter + dedup a document table; returns surviving rows with
     ``n_tokens`` and ``quality`` columns attached. Keeps the min-id
     duplicate (deterministic canonical pick)."""
-    out = df.withColumn("n_tokens", token_count(text_col).cast("long")).withColumn(
-        "quality", quality_score(text_col)
-    )
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    out = scale_out(df).withColumn(
+        "n_tokens", token_count(text_col).cast("long")
+    ).withColumn("quality", quality_score(text_col))
     if langs is not None:
         out = out.filter(F.col(lang_col).isin(langs))
     out = out.filter(

@@ -19,7 +19,9 @@ def terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term) rows: lowercase, split on single spaces, drop
     empties. Deliberately the simplest portable tokenizer — identical
     semantics in any engine's string_split (oracle parity)."""
-    return df.select(
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    return scale_out(df.select(id_col, text_col)).select(
         id_col,
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
     ).filter(F.col("term") != "")
