@@ -190,10 +190,21 @@ def minhash_lsh_near_duplicates(
     # a repartition barrier does NOT dedupe it because exchange reuse
     # is unreliable around Python UDFs). Spark's ContextCleaner drops
     # the cache when the DataFrame is garbage collected.
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    # scale_out BEFORE the signature UDF: on a single-row-group input
+    # the projection would otherwise run in the one-task scan stage.
+    # No repartition("__id") after it: that shuffled the signature
+    # arrays (the heavy payload) a second time for nothing — the
+    # downstream joins re-shuffle on their own keys anyway, persist()
+    # alone prevents UDF recompute, and identical UDF calls within
+    # the collapsed projection are deduped by ExtractPythonUDFs
+    # (verified: one ArrowEvalPython node in the plan). Measured
+    # 5.2s → 3.9s warm at sf0.1.
     sig_df = (
-        df.select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
+        scale_out(df)
+        .select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
         .select("__id", F.col("__s.sh").alias("__sh"), F.col("__s.bands").alias("__bands"))
-        .repartition("__id")
         .persist()
     )
     banded = sig_df.select(
