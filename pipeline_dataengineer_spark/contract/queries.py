@@ -1543,3 +1543,335 @@ def q_count_of_counts(spark, sf_dir):
     ).filter(F.col("w") != "")
     wc = words.groupBy("w").agg(F.count("*").alias("n"))
     return wc.groupBy("n").agg(F.count("*").alias("n_words"))
+
+
+# --------------------------------------------------------- round 6: TPC-H decision-support shapes
+#
+# The classic decision-support query shapes, adapted to the driver's
+# synthetic schema (no partsupp table; fewer columns). Each exercises
+# a distinct Catalyst capability the earlier contract rows don't:
+# decorrelation of correlated scalar subqueries, role-playing dimension
+# joins, disjunctive predicate pushdown, conditional-aggregate ratios,
+# and scalar-subquery HAVING thresholds. At 100 TB these plans are the
+# bread and butter of a warehouse: every one keeps the fact table
+# (lineitem) filtered before its shuffle and broadcasts the dims.
+
+
+@query("q_tpch_q6_shape")
+def q_tpch_q6_shape(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue): single-table conjunctive
+    filter + global aggregate. The whole predicate must reach the
+    parquet scan (PushedFilters) — no shuffle at all except the final
+    single-row agg."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 10)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("q_tpch_q2_shape")
+def q_tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost match): correlated scalar MIN subquery,
+    decorrelated by Catalyst into an aggregate + join
+    (RewriteCorrelatedScalarSubquery). Equality on raw parquet doubles
+    is exact — min() returns a stored value."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_q2")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_type, p_retailprice
+        FROM part_q2 p1
+        WHERE p_retailprice = (
+          SELECT min(p_retailprice) FROM part_q2 p2 WHERE p2.p_type = p1.p_type
+        )
+        """
+    )
+
+
+@query("q_tpch_q4_shape")
+def q_tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS with
+    a non-equi inner condition (l_shipdate > o_orderdate), then a
+    grouped count over the surviving semi-join."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_q4 o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_q4 l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query("q_tpch_q7_shape")
+def q_tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the nation dimension is
+    role-played twice (supplier nation vs customer nation) via alias;
+    symmetric pair filter; revenue per (supp_nation, cust_nation,
+    year). Both nation sides broadcast."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query("q_tpch_q8_shape")
+def q_tpch_q8_shape(spark, sf_dir):
+    """TPC-H Q8 shape (market share): conditional-aggregate ratio —
+    one nation's share of total volume per year. sum(CASE)/sum is the
+    canonical one-pass share computation (no self-join)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query("q_tpch_q10_shape")
+def q_tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 shape (returned items): quarter of orders × returned
+    lineitems, revenue per customer, top-20. Ties broken by c_custkey
+    so the limit is deterministic. The per-term double product is cast
+    to DECIMAL before summing: double sums are association-order-
+    dependent and a sum landing within 1e-9 of a .xx5 boundary rounds
+    differently per engine (observed at sf0.01) — decimal summation is
+    exact and engine-portable."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query("q_tpch_q11_shape")
+def q_tpch_q11_shape(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): grouped value with a HAVING
+    threshold that is itself an uncorrelated scalar subquery over the
+    same fact (share-of-total filter)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q11")
+    return spark.sql(
+        """
+        SELECT l_suppkey, round(sum(l_extendedprice * l_quantity), 2) AS total_value
+        FROM lineitem_q11
+        GROUP BY l_suppkey
+        HAVING sum(l_extendedprice * l_quantity) >
+               (SELECT sum(l_extendedprice * l_quantity) * 0.01 FROM lineitem_q11)
+        """
+    )
+
+
+@query("q_tpch_q14_shape")
+def q_tpch_q14_shape(spark, sf_dir):
+    """TPC-H Q14 shape (promo effect): single-row conditional ratio
+    over one month of shipments."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query("q_tpch_q15_shape")
+def q_tpch_q15_shape(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): CTE revenue view consumed twice
+    — once as the join input, once inside a scalar MAX subquery.
+    Catalyst plans the CTE twice; the driver checks values only."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q15")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q15")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem_q15
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier_q15 JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """
+    )
+
+
+@query("q_tpch_q17_shape")
+def q_tpch_q17_shape(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity orders): correlated scalar AVG
+    subquery against the same fact — the classic decorrelation-to-
+    aggregate-join case."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_rows
+        FROM lineitem_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM lineitem_q17 l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@query("q_tpch_q19_shape")
+def q_tpch_q19_shape(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): disjunction of conjunctive
+    brand/size/quantity ranges. Catalyst extracts the common
+    l_partkey = p_partkey equi-condition and keeps the OR as a join
+    residual; the p_size/p_brand legs still prune the part scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    leg1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    leg2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 30))
+        & (F.col("l_quantity").between(5, 30))
+    )
+    leg3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 50))
+        & (F.col("l_quantity").between(10, 40))
+    )
+    return (
+        li.join(
+            F.broadcast(p), (li.l_partkey == p.p_partkey) & (leg1 | leg2 | leg3)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query("q_tpch_q20_shape")
+def q_tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 shape (potential promotions): IN over a grouped+
+    filtered subquery — semi-join against an aggregate."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q20")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_q20")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier_q20
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem_q20 JOIN part_q20 ON p_partkey = l_partkey
+          WHERE p_type = 'PROMO'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 100
+        )
+        """
+    )
+
+
+@query("q_tpch_q22_shape")
+def q_tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG threshold
+    + NOT EXISTS anti-join with a residual predicate, grouped by
+    nation. Every synthetic customer has orders, so the EXISTS is
+    qualified (no *large* order) to keep the anti-join selective."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer_q22 c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer_q22 WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_q22 o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+          )
+        GROUP BY c_nationkey
+        """
+    )
