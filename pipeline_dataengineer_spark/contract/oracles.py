@@ -922,3 +922,63 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   )
 GROUP BY c_nationkey
 """
+
+
+# ------------------------------------------------- corpus governance
+
+ORACLES["q_pii_redact"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   'https://ex' || CAST(doc_id AS VARCHAR) || '.com/a?b=1',
+                   '+1-555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                           || CAST((doc_id * 3) % 256 AS VARCHAR)) AS s
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(s, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+\d[\d\- ]{6,}\d', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(s, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '\+\d[\d\- ]{6,}\d')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+FROM raw
+"""
+
+ORACLES["q_repetition_stats"] = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), wc AS (
+  SELECT doc_id, term, count(*) AS cnt FROM t WHERE term <> '' GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       count(*) AS n_distinct,
+       round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_word_frac,
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_word_frac
+FROM wc GROUP BY doc_id
+"""
+
+ORACLES["q_scd2"] = """
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+), changes AS (
+  SELECT user_id, event_id, event_type FROM base
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_id AS valid_from, event_type,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current
+FROM changes
+"""

@@ -1875,3 +1875,71 @@ def q_tpch_q22_shape(spark, sf_dir):
         GROUP BY c_nationkey
         """
     )
+
+
+# --------------------------------------------------------- round 7: corpus governance
+
+
+@query("q_pii_redact")
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (functions/pii.py): URLs, emails, phones, IPv4s →
+    typed placeholder tokens, plus audit counts. The corpus has no real
+    PII, so each doc gets deterministic synthetic PII derived from its
+    id appended — the redaction itself is the thing under test, and
+    both engines build the identical raw string."""
+    from pipeline_dataengineer_spark.functions.pii import pii_counts, redact_pii
+
+    d = table(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    raw = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), ds, F.lit("@example.com")),
+        F.concat(F.lit("https://ex"), ds, F.lit(".com/a?b=1")),
+        F.concat(
+            F.lit("+1-555-010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ),
+        F.concat(
+            F.lit("10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id") * 3, F.lit(256)).cast("string"),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        redact_pii(raw).alias("redacted"),
+        pii_counts(raw).getField("n_urls").alias("n_urls"),
+        pii_counts(raw).getField("n_emails").alias("n_emails"),
+        pii_counts(raw).getField("n_phones").alias("n_phones"),
+        pii_counts(raw).getField("n_ips").alias("n_ips"),
+    )
+
+
+@query("q_repetition_stats")
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition diagnostics per document
+    (operators/text_features.py:word_repetition_stats) — the filter
+    input for boilerplate/loop removal in a training-data pipeline."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        word_repetition_stats,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return word_repetition_stats(d, "doc_id", "text")
+
+
+@query("q_scd2")
+def q_scd2(spark, sf_dir):
+    """SCD type-2 history from the event stream
+    (operators/scd.py:scd2_from_changes): collapse consecutive
+    same-attribute rows per user, emit [valid_from, valid_to) intervals
+    over event_id (ns timestamps stay out of the hash per the
+    TESTDATA.md ns-precision rule)."""
+    from pipeline_dataengineer_spark.operators.scd import scd2_from_changes
+
+    ev = table(spark, sf_dir, "events")
+    return scd2_from_changes(
+        ev, key="user_id", order_col="event_id", attrs=["event_type"]
+    )

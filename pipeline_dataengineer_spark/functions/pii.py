@@ -1,0 +1,55 @@
+"""PII scrubbing for training corpora — JVM-side regex redaction.
+
+A 100 TB text pipeline must scrub emails, URLs, IPs and phone numbers
+before training. All patterns live in the common Java-regex / RE2
+subset (no lookbehind, no backrefs) so the same pattern string runs
+identically in Spark (`regexp_replace`, global by default) and in any
+RE2-based oracle engine with a 'g' flag. Everything is a narrow
+projection — codegen'd, zero shuffles, scales linearly.
+
+North-star text-analysis extension; the reference's only string
+surgery is accent-stripping and merging
+(``src/kafka_client/transformations.py:44-48,6-21``) — redaction
+generalizes the same "row-local string rewrite" category.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Order matters: URLs first (they may embed @ or digits), then emails,
+# then phones (anchored on a leading +), then bare IPv4s.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d[\d\- ]{6,}\d"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+REDACTIONS: list[tuple[str, str]] = [
+    (URL_RE, "<URL>"),
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_RE, "<PHONE>"),
+    (IPV4_RE, "<IP>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every URL/email/phone/IPv4 occurrence with a typed
+    placeholder token. One fused projection — Catalyst collapses the
+    four regexp_replace calls into a single codegen stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in REDACTIONS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """struct(n_urls, n_emails, n_phones, n_ips) — audit counts for a
+    redaction report, computed without materializing the matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.size(F.regexp_extract_all(c, F.lit(URL_RE), F.lit(0))).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), F.lit(0))).cast("long").alias("n_ips"),
+    )

@@ -55,3 +55,25 @@ def tf_idf(
             ),
         )
     )
+
+
+def word_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Per-document repetition diagnostics (the Gopher-rules family):
+    (id, n_words, n_distinct, dup_word_frac, top_word_frac).
+
+    dup_word_frac = 1 - distinct/total; top_word_frac = most frequent
+    word's share. Highly repetitive documents (boilerplate, SEO spam,
+    generation loops) score high on both and get filtered before
+    training. Two chained aggregations, both map-side combinable; the
+    only wide exchange is on (id, term), same as tf_idf."""
+    t = terms(df, id_col, text_col)
+    wc = t.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt")
+    return wc.groupBy(id_col).agg(
+        total.alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count("*") / total, round_to).alias("dup_word_frac"),
+        F.round(F.max("cnt") / total, round_to).alias("top_word_frac"),
+    )

@@ -1,0 +1,63 @@
+"""SCD2 history construction + PII redaction unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.functions.pii import pii_counts, redact_pii
+from pipeline_dataengineer_spark.operators.scd import scd2_from_changes
+
+
+def test_scd2_collapses_no_change_rows(spark):
+    rows = [
+        # key 1: A A B A -> versions A(1..3) B(3..4) A(4..)
+        (1, 1, "A"),
+        (1, 2, "A"),
+        (1, 3, "B"),
+        (1, 4, "A"),
+        # key 2: single row -> one open version
+        (2, 10, "X"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "status"])
+    out = scd2_from_changes(df, key="k", order_col="seq", attrs=["status"]).orderBy(
+        "k", "valid_from"
+    )
+    got = [(r.k, r.valid_from, r.status, r.valid_to, r.is_current) for r in out.collect()]
+    assert got == [
+        (1, 1, "A", 3, False),
+        (1, 3, "B", 4, False),
+        (1, 4, "A", None, True),
+        (2, 10, "X", None, True),
+    ]
+
+
+def test_scd2_null_attr_transitions(spark):
+    # NULL -> NULL is "no change" (eqNullSafe); NULL -> value is a change.
+    rows = [(1, 1, None), (1, 2, None), (1, 3, "v"), (1, 4, None)]
+    df = spark.createDataFrame(rows, "k int, seq int, status string")
+    out = scd2_from_changes(df, key="k", order_col="seq", attrs=["status"]).orderBy(
+        "valid_from"
+    )
+    assert [(r.valid_from, r.status) for r in out.collect()] == [
+        (1, None),
+        (3, "v"),
+        (4, None),
+    ]
+
+
+def test_redact_pii_all_kinds(spark):
+    s = (
+        "mail a@b.co or visit https://x.io/p?q=1 call +1-555-010-0042 "
+        "from 10.0.0.7 done"
+    )
+    df = spark.createDataFrame([(s,)], ["t"])
+    got = df.select(redact_pii("t").alias("r")).first().r
+    assert got == "mail <EMAIL> or visit <URL> call <PHONE> from <IP> done"
+    c = df.select(pii_counts("t").alias("c")).first().c
+    assert (c.n_urls, c.n_emails, c.n_phones, c.n_ips) == (1, 1, 1, 1)
+
+
+def test_redact_pii_clean_text_is_identity(spark):
+    s = "no pii here, just words and numbers 12 34"
+    df = spark.createDataFrame([(s,)], ["t"])
+    assert df.select(redact_pii("t").alias("r")).first().r == s
