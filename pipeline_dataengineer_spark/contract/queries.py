@@ -1943,3 +1943,159 @@ def q_scd2(spark, sf_dir):
     return scd2_from_changes(
         ev, key="user_id", order_col="event_id", attrs=["event_type"]
     )
+
+
+@query("q_tpch_q9_shape")
+def q_tpch_q9_shape(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): 5-way star join
+    lineitem x part x supplier x nation x orders with a LIKE filter on
+    p_name, profit expression per line, grouped by (nation, year).
+    The testdata has no partsupp, so supply cost is proxied as
+    0.6 * p_retailprice * l_quantity (same expression both sides).
+    Scale notes: nation broadcast; the p_name LIKE filter prunes part
+    BEFORE the fact join so AQE can pick broadcast-hash when the
+    filtered dim fits; lineitem is never shuffled twice — the
+    orderkey join and the final groupBy hash different keys, so one
+    shuffle each is the floor."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@query("q_tpch_q12_shape")
+def q_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority classes): fact-fact
+    join + conditional aggregation (CASE inside count) with a
+    date-range filter pushed to the lineitem scan. l_returnflag
+    stands in for l_shipmode (absent in testdata). The high/low
+    split is computed in one pass — no second scan or self-join."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query("q_tpch_q13_shape")
+def q_tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT
+    OUTER join with an extra predicate INSIDE the join condition
+    (orders filtered without dropping order-less customers), then a
+    two-level aggregation — count per customer, then histogram of
+    those counts. The second groupBy keys on c_count (tiny
+    cardinality) so its shuffle is negligible."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query("q_tpch_q16_shape")
+def q_tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count by part attributes): dim
+    filter with NOT LIKE + IN-list, NOT IN subquery decorrelated to a
+    LEFT ANTI join against the excluded-supplier set, then
+    count(DISTINCT supplier) per (brand, type, size). The anti-join
+    side (negative-balance suppliers) is tiny -> broadcast; distinct
+    agg is partial+final two-phase."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query("q_tpch_q21_shape")
+def q_tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    classic double-correlated subquery — EXISTS (another supplier in
+    the same order) AND NOT EXISTS (another supplier shipping LATER)
+    — decorrelated into a LEFT SEMI + LEFT ANTI self-join of lineitem
+    on l_orderkey with non-equi residual conditions. l_shipdate
+    stands in for the receipt/commit lateness test (absent in
+    testdata): we keep lines that are the strictly-last shipment of a
+    multi-supplier 'F' order. All three lineitem legs hash-partition
+    on l_orderkey, so the two self-joins reuse one co-partitioning;
+    supplier is broadcast."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    f_orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.join(f_orders, li.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("ok3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    )
+    waiting = l1.join(
+        l2,
+        (l1.l_orderkey == l2.ok2) & (l1.l_suppkey != l2.sk2),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3.ok3)
+        & (F.col("l_suppkey") != l3.sk3)
+        & (l3.sd3 > F.col("l_shipdate")),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

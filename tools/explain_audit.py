@@ -62,6 +62,25 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # the Exchange appearing before the Filter line.
     "q_corpus_clean": (["Exchange", "PushedFilters: [In(lang"], []),
     "q_histogram": (["HashAggregate"], ["Window"]),
+    # Q9: the p_name LIKE filter must reach the part scan; nation is
+    # broadcast; no cartesian anywhere in the 5-way star.
+    "q_tpch_q9_shape": (
+        ["PushedFilters: [IsNotNull(p_name)", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # Q16: NOT IN decorrelates to a broadcast anti hash join, and the
+    # size IN-list is pushed to the part scan.
+    "q_tpch_q16_shape": (
+        ["LeftAnti", "PushedFilters: [IsNotNull(p_brand)"],
+        ["BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # Q21: double-correlated EXISTS/NOT EXISTS becomes semi+anti hash
+    # self-joins on l_orderkey (equi key with non-equi residual) —
+    # never a nested-loop join.
+    "q_tpch_q21_shape": (
+        ["LeftSemi", "LeftAnti"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
 }
 
 
