@@ -40,10 +40,23 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
     # Warm the JVM/codegen AND the Arrow Python workers once so
-    # per-query times measure plan throughput, not process startup
-    # (cold Python-worker spawn measured ~4s on the first UDF stage).
+    # per-query times measure plan throughput, not process startup.
+    # The warmup UDF job must have as many partitions as the session
+    # has cores: a narrower job leaves the remaining workers cold and
+    # the first wide UDF stage pays ~2.5 s of pandas-import per cold
+    # worker (measured: 3.5 s first run vs 0.9 s warm at sf0.1).
     QUERIES["q_agg_group"](spark, sf_dir).collect()
-    QUERIES["q_pandas_udf"](spark, sf_dir).count()
+    n_cores = spark.sparkContext.defaultParallelism
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _warm(v):
+        return v * 1.0
+
+    spark.range(0, n_cores * 100, 1, n_cores).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
 
     times: dict[str, float] = {}
     total = 0.0

@@ -155,22 +155,35 @@ def minhash_lsh_near_duplicates(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    shingle → minhash(num_hashes) → band-hash → explode → self
-    equi-join on (band_idx, band_hash) → optional exact-Jaccard verify.
+    shingle → minhash(num_hashes) → band-hash → explode → groupBy
+    (band_idx, band_hash) bucket → in-bucket pair generation →
+    optional exact-Jaccard verify.
     Returns (id_a, id_b[, jaccard]) with id_a < id_b, distinct.
 
     Scale-critical design points (all measured, see git history):
-    - a ``repartition`` barrier after the signature projection stops
-      CollapseProject from inlining (and thus recomputing) the whole
-      shingle→minhash chain once per band;
-    - the candidate join shuffles (id, band) rows ONLY — carrying the
-      shingle arrays through the join multiplies shuffle bytes by the
-      candidate multiplicity (measured 5× slower end-to-end);
+    - candidates come from ONE shuffle (groupBy band key +
+      collect_list of ids) instead of a banded self-join: the
+      self-join shuffled the (id, band) table twice and forced a
+      second run of the signature stage for the right side. Pair
+      expansion happens JVM-side with higher-order functions on the
+      sorted id list — no Python, no extra exchange;
+    - the signature table is persisted: the plan references it three
+      times (bucket leg + two verify legs) and the Arrow UDF is the
+      single most expensive stage, so recompute-per-reference costs
+      ~3× the cache build (measured both ways at sf0.1; beware that
+      timing the UDF under a bare count() measures nothing — the
+      deterministic projection gets pruned and the UDF never runs).
+      At 100 TB, checkpoint signatures to a parquet stage table
+      instead of executor memory;
     - rows-per-band defaults to 16 (128/8): candidate volume on
       shared-vocabulary corpora explodes at r=8, and candidates are
       what the verify stage pays for;
+    - giant buckets (a boilerplate page shared by 10^5 docs) expand
+      quadratically; cap them upstream by raising `bands`
+      (longer band signatures → finer buckets) before reaching for
+      sampling — the cap would silently drop true pairs;
     - verification re-attaches shingles by joining the (small)
-      candidate set back to the shingle table per side.
+      candidate set back to the recomputed signature table per side.
     """
     from pipeline_dataengineer_spark.operators._arrow_udfs import (
         make_shingle_minhash_udf,
@@ -184,43 +197,50 @@ def minhash_lsh_near_duplicates(
     # strings).
     mults, adds = _permutation_constants(num_hashes)
     sm_udf = make_shingle_minhash_udf(mults, adds, shingle_n, num_hashes, bands)
-    # persist(): the plan references sig_df four times (both sides of
-    # the candidate self-join + both verify lookups); without a cache
-    # the UDF re-runs once per reference (measured 4-6× overcompute —
-    # a repartition barrier does NOT dedupe it because exchange reuse
-    # is unreliable around Python UDFs). Spark's ContextCleaner drops
-    # the cache when the DataFrame is garbage collected.
     from pipeline_dataengineer_spark.catalog import scale_out
 
     # scale_out BEFORE the signature UDF: on a single-row-group input
     # the projection would otherwise run in the one-task scan stage.
-    # No repartition("__id") after it: that shuffled the signature
-    # arrays (the heavy payload) a second time for nothing — the
-    # downstream joins re-shuffle on their own keys anyway, persist()
-    # alone prevents UDF recompute, and identical UDF calls within
-    # the collapsed projection are deduped by ExtractPythonUDFs
-    # (verified: one ArrowEvalPython node in the plan). Measured
-    # 5.2s → 3.9s warm at sf0.1.
+    # Spark's ContextCleaner drops the cache once the DataFrame is
+    # garbage collected.
     sig_df = (
         scale_out(df)
         .select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
         .select("__id", F.col("__s.sh").alias("__sh"), F.col("__s.bands").alias("__bands"))
         .persist()
     )
+    # Materialize the cache EAGERLY: the downstream job has three
+    # independent shuffle-map stages referencing sig_df (bucket leg +
+    # two verify legs). Spark submits them concurrently, and on a
+    # cache miss each recomputes the UDF in parallel (measured 3×
+    # wall on the signature phase). One up-front pass removes the
+    # race; every later stage reads the cache.
+    sig_df.count()
     banded = sig_df.select(
         "__id",
         F.posexplode("__bands").alias("band_idx", "band_hash"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.__id") < F.col("r.__id")),
+    # One shuffle: bucket ids per (band_idx, band_hash), then emit all
+    # i<j pairs of the sorted id list JVM-side. slice() is 1-based and
+    # clamps past the end, so position i+2 = "everything after element
+    # i" (transform's index is 0-based).
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if jaccard_threshold is None:
