@@ -1049,3 +1049,77 @@ WHERE EXISTS (
       AND l3.l_shipdate > l1.l_shipdate)
 GROUP BY s_name
 """
+
+ORACLES["q_stratified_sample"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 50000 END
+"""
+
+ORACLES["q_winsorize"] = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round(least(greatest(value, lo), hi), 4) AS value_w
+FROM events e JOIN b USING (event_type)
+"""
+
+ORACLES["q_profile"] = """
+SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+       count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+ORACLES["q_dup_spans"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, 'copied prefix words ' || text FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM corpus
+), grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS start_pos,
+         array_to_string(t[u.i:u.i+7], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+), dup AS (
+  SELECT doc_id, start_pos
+  FROM (SELECT doc_id, start_pos,
+               count(*) OVER (PARTITION BY gram) AS n
+        FROM grams)
+  WHERE n > 1
+), isl AS (
+  SELECT doc_id, start_pos,
+         CASE WHEN start_pos > coalesce(
+             max(start_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 7, 0)
+         THEN 1 ELSE 0 END AS new_island
+  FROM dup
+), isl2 AS (
+  SELECT doc_id, start_pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY start_pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, min(start_pos) AS span_start,
+       max(start_pos) + 7 AS span_end, count(*) AS n_dup_grams
+FROM isl2 GROUP BY doc_id, island
+"""

@@ -2099,3 +2099,61 @@ def q_tpch_q21_shape(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query("q_stratified_sample")
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sample
+    (operators/sampling.py:stratified_sample): each lang keeps its own
+    fraction via the Lehmer hash bucket — the engine-portable
+    sampleBy. Still a pure narrow filter: no shuffle, rides the scan."""
+    from pipeline_dataengineer_spark.operators.sampling import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.05
+    ).select("doc_id", "lang", "source")
+
+
+@query("q_winsorize")
+def q_winsorize(spark, sf_dir):
+    """Percentile clipping per group (operators/robust.py:winsorize):
+    exact interpolated percentile bounds per event_type, broadcast
+    back, clip. Oracle uses the identical quantile_cont definition."""
+    from pipeline_dataengineer_spark.operators.robust import winsorize
+
+    ev = table(spark, sf_dir, "events")
+    out = winsorize(ev, "value", 0.05, 0.95, group_cols=["event_type"])
+    return out.select(
+        "event_id", "event_type", F.round("value_w", 4).alias("value_w")
+    )
+
+
+@query("q_profile")
+def q_profile(spark, sf_dir):
+    """Single-pass table profiling
+    (operators/profiling.py:profile_table): null/distinct/min/max per
+    column, one scan for all columns, unpivoted to one row per column
+    on the single summary row (no second scan, no driver loop)."""
+    from pipeline_dataengineer_spark.operators.profiling import profile_table
+
+    o = table(spark, sf_dir, "orders")
+    return profile_table(o, ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+
+@query("q_dup_spans")
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans
+    (operators/dedup.py:duplicate_ngram_spans) — ExactSubstr-style:
+    8-token runs occurring >1 time in the corpus, overlapping runs
+    merged per doc (gaps-and-islands). Corpus is documents plus a
+    prefixed copy so duplicated substrings exist at every sf."""
+    from pipeline_dataengineer_spark.operators.dedup import duplicate_ngram_spans
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copied = d.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("copied prefix words "), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(copied)
+    return duplicate_ngram_spans(corpus, "doc_id", "text", n_tokens=8)

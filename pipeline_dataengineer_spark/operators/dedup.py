@@ -359,3 +359,75 @@ def embedding_cosine_near_duplicates(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), cos)
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the ExactSubstr dedup family:
+    find runs of >= n_tokens tokens that occur more than once in the
+    corpus, so they can be cut out of training text).
+
+    token n-grams with positions (JVM higher-order fns, no UDF)
+    -> count per gram (one shuffle) -> keep grams seen >1 time
+    -> merge overlapping [start, start+n) spans per doc
+       (gaps-and-islands: new island when start jumps past the
+       previous reach, islands numbered by a running sum).
+
+    Returns (doc_id, span_start, span_end, n_dup_grams) with 1-based
+    token positions, span_end inclusive.
+
+    ``hash_grams=True`` swaps the gram string for xxhash64(gram) as
+    the grouping key — at 100 TB the shuffle carries 8 bytes per gram
+    instead of the gram text (collision odds ~n^2/2^64 are fine for
+    dedup); keep strings when hash-checking against another engine.
+    Spans merge per doc in one window over (doc, start) — lineage:
+    gram shuffle, window shuffle on doc, final groupBy on (doc,
+    island) reuses the window partitioning (no third exchange).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    npos = F.size(toks) - F.lit(n_tokens - 1)
+    seq = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_str = lambda i: F.concat_ws(" ", F.slice(toks, i, n_tokens))
+    gram = (lambda i: F.xxhash64(gram_str(i))) if hash_grams else gram_str
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    i.cast("long").alias("start_pos"), gram(i).alias("gram")
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.start_pos", "g.gram")
+    dup = grams.withColumn(
+        "__n", F.count("*").over(Window.partitionBy("gram"))
+    ).filter(F.col("__n") > 1)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    reach = F.max("start_pos").over(w) + F.lit(n_tokens - 1)
+    islands = dup.withColumn(
+        "__new", F.when(F.col("start_pos") > F.coalesce(reach, F.lit(0)), 1).otherwise(0)
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            Window.partitionBy("doc_id")
+            .orderBy("start_pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy("doc_id", "__island").agg(
+        F.min("start_pos").alias("span_start"),
+        (F.max("start_pos") + F.lit(n_tokens - 1)).alias("span_end"),
+        F.count("*").alias("n_dup_grams"),
+    ).drop("__island")

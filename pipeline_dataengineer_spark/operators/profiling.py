@@ -1,0 +1,82 @@
+"""Table profiling: per-column summary statistics in one pass.
+
+The ``ANALYZE``/data-quality step of a pipeline: null counts,
+distinct counts, min/max per column, emitted as one row per column.
+All columns are profiled in a SINGLE aggregation over the table
+(Spark computes every aggregate in the same partial+final pass), then
+the one summary row is exploded into per-column rows driver-free.
+At 100 TB this is one full scan — the same cost as any count(*) —
+instead of one scan per column, and the unpivot happens on a
+single-row DataFrame so it is effectively free.
+
+The reference has no profiling surface (SURVEY.md §2 Part B math/agg
+rows are 'absent'); this is a north-star pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) with min/max rendered as strings so mixed
+    column types coexist in one result. Exact distinct counts (use
+    approx_profile for sketch-based at extreme cardinalities)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    summary = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return summary.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def approx_profile(df: DataFrame, columns: list[str] | None = None,
+                   rsd: float = 0.05) -> DataFrame:
+    """Sketch-based variant: HLL++ distinct counts (rsd-controlled).
+    Same single-pass shape; values are engine-specific (rows-only
+    check territory) but the scan cost is identical and the state per
+    column is O(1) instead of O(distinct)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            F.approx_count_distinct(F.col(c), rsd).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    summary = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return summary.select(F.explode(per_col).alias("p")).select("p.*")

@@ -75,3 +75,34 @@ def hash_split(
         expr = branch if expr is None else expr.when(b < int(cum * buckets), F.lit(name))
     expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum deterministic sample (the hash analogue of
+    ``df.sampleBy``): each stratum keeps its own fraction, strata not
+    listed keep ``default_fraction``. Still a pure narrow filter —
+    no shuffle, no per-stratum scan, stable under repartitioning —
+    which is what sampleBy(seed=...) cannot promise across engines
+    or layouts. Typical use: rebalance a web corpus by source/lang
+    without materializing per-stratum tables."""
+    b = portable_bucket(key, buckets)
+    thresh = None
+    for stratum, frac in fractions.items():
+        branch_val = F.lit(int(frac * buckets))
+        if thresh is None:
+            thresh = F.when(F.col(strata_col) == stratum, branch_val)
+        else:
+            thresh = thresh.when(F.col(strata_col) == stratum, branch_val)
+    thresh = (
+        F.lit(int(default_fraction * buckets))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default_fraction * buckets)))
+    )
+    return df.filter(b < thresh)

@@ -1,0 +1,87 @@
+"""Unit tests: profiling, winsorize, stratified sampling, exact-substring spans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.operators.dedup import duplicate_ngram_spans
+from pipeline_dataengineer_spark.operators.profiling import profile_table
+from pipeline_dataengineer_spark.operators.robust import winsorize
+from pipeline_dataengineer_spark.operators.sampling import stratified_sample
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        ["k", "v"],
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_rows"] == 4
+    assert rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "3"
+    assert rows["v"]["n_nulls"] == 1
+    assert rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_value"] == "a" and rows["v"]["max_value"] == "b"
+
+
+def test_winsorize_clips_to_band(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], ["grp", "value"]
+    )
+    out = winsorize(df, "value", 0.10, 0.90, group_cols=["grp"])
+    vals = [r["value_w"] for r in out.collect()]
+    # exact interpolated percentiles of 1..100 at 0.1/0.9 are 10.9 / 90.1
+    assert abs(min(vals) - 10.9) < 1e-9 and abs(max(vals) - 90.1) < 1e-9
+    # interior values untouched
+    assert 50.0 in vals
+
+
+def test_stratified_sample_fractions_and_stability(spark):
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(df, "id", "lang", {"en": 0.5, "de": 0.1})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 10_000 - 0.5) < 0.05
+    assert abs(counts["de"] / 10_000 - 0.1) < 0.05
+    # layout independence: same membership after repartition
+    ids1 = {r["id"] for r in out.collect()}
+    ids2 = {r["id"] for r in stratified_sample(df.repartition(13), "id", "lang", {"en": 0.5, "de": 0.1}).collect()}
+    assert ids1 == ids2
+
+
+def test_duplicate_ngram_spans_merges_overlaps(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x x a b c d e f q r"),
+            (3, "totally different words here now ok fine yes"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_dup_grams"]
+        for r in duplicate_ngram_spans(docs, "doc_id", "text", n_tokens=5).collect()
+    }
+    # docs 1+2 share "a b c d e f": two 5-gram starts each, merged to one span
+    assert rows == {(1, 1, 6): 2, (2, 3, 8): 2}
+
+
+def test_duplicate_ngram_spans_hash_grams_same_spans(spark):
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u v"), (2, "z p q r s t u k")],
+        ["doc_id", "text"],
+    )
+    plain = set(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(docs, "doc_id", "text", n_tokens=4).collect()
+    )
+    hashed = set(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(
+            docs, "doc_id", "text", n_tokens=4, hash_grams=True
+        ).collect()
+    )
+    assert plain == hashed and plain
