@@ -1123,3 +1123,16 @@ SELECT doc_id, min(start_pos) AS span_start,
        max(start_pos) + 7 AS span_end, count(*) AS n_dup_grams
 FROM isl2 GROUP BY doc_id, island
 """
+
+ORACLES["q_interval_join"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id
+ AND b.ts >= c.ts
+ AND b.ts <= c.ts + INTERVAL 30 MINUTE
+"""

@@ -2157,3 +2157,31 @@ def q_dup_spans(spark, sf_dir):
     )
     corpus = d.unionByName(copied)
     return duplicate_ngram_spans(corpus, "doc_id", "text", n_tokens=8)
+
+
+@query("q_interval_join")
+def q_interval_join(spark, sf_dir):
+    """Stream-stream interval join, batch parity
+    (streaming/joins.py:stream_stream_interval_join): purchases within
+    30 minutes after a click by the same user. On a stream the same
+    plan runs with watermarks bounding the join state; on batch it is
+    an equi-join with a range residual (never a nested loop). ns→µs
+    truncation on both engines keeps the boundary comparisons exact."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    out = stream_stream_interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        lower="0 seconds", upper="30 minutes",
+    )
+    return out.select(
+        F.col("l.user_id").alias("user_id"), "click_id", "buy_id"
+    )

@@ -138,3 +138,84 @@ def test_idempotent_foreach_batch_sink(spark, tmp_path):
     got = {r["k"] for r in spark.read.parquet(sink_dir).collect()}
     assert got == {"a", "b", "c"}
     assert spark.read.parquet(sink_dir).count() == 3  # no duplicate b
+
+
+def test_stream_static_join_enriches(spark, tmp_path):
+    from pipeline_dataengineer_spark.streaming.joins import stream_static_join
+
+    src = tmp_path / "src_enrich"
+    src.mkdir()
+    _write_json(
+        src,
+        "batch0.json",
+        [
+            {"k": "a", "ts": "2024-01-01T00:10:00", "v": 1.0},
+            {"k": "b", "ts": "2024-01-01T00:20:00", "v": 2.0},
+            {"k": "zz", "ts": "2024-01-01T00:30:00", "v": 3.0},
+        ],
+    )
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], ["k", "name"])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    joined = stream_static_join(stream, dim, ["k"])
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {(r["k"], r["name"]) for r in spark.sql("select * from enrich_out").collect()}
+    assert rows == {("a", "alpha"), ("b", "beta")}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    left_dir = tmp_path / "src_left"
+    right_dir = tmp_path / "src_right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    _write_json(
+        left_dir,
+        "batch0.json",
+        [
+            {"k": "u1", "ts": "2024-01-01T00:00:00", "v": 1.0},
+            {"k": "u2", "ts": "2024-01-01T02:00:00", "v": 2.0},
+        ],
+    )
+    _write_json(
+        right_dir,
+        "batch0.json",
+        [
+            # 10 min after u1's left event -> inside [0, 30m]
+            {"k": "u1", "ts": "2024-01-01T00:10:00", "v": 10.0},
+            # 90 min after -> outside
+            {"k": "u1", "ts": "2024-01-01T01:30:00", "v": 20.0},
+            # different key
+            {"k": "u3", "ts": "2024-01-01T02:00:00", "v": 30.0},
+        ],
+    )
+    left = spark.readStream.schema(SCHEMA).json(str(left_dir)).select(
+        F.col("k"), F.col("ts").alias("lts"), F.col("v").alias("lv")
+    )
+    right = spark.readStream.schema(SCHEMA).json(str(right_dir)).select(
+        F.col("k"), F.col("ts").alias("rts"), F.col("v").alias("rv")
+    )
+    joined = stream_stream_interval_join(
+        left, right, "k", "lts", "rts", lower="0 seconds", upper="30 minutes"
+    ).select(F.col("l.k").alias("k"), "lv", "rv")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {(r["k"], r["lv"], r["rv"]) for r in spark.sql("select * from ssj_out").collect()}
+    assert rows == {("u1", 1.0, 10.0)}
