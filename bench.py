@@ -32,6 +32,12 @@ HEADLINE = [
     "q_cosine_topk",
     "q_text_stats",
     "q_minhash_neardup",
+    "q_tfidf",
+    "q_corpus_clean",
+    "q_dup_spans",
+    "q_winsorize",
+    "q_tpch_q9_shape",
+    "q_tpch_q21_shape",
 ]
 
 
