@@ -1136,3 +1136,11 @@ JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
  AND b.ts >= c.ts
  AND b.ts <= c.ts + INTERVAL 30 MINUTE
 """
+
+ORACLES["q_source_cap"] = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""

@@ -2185,3 +2185,17 @@ def q_interval_join(spark, sf_dir):
     return out.select(
         F.col("l.user_id").alias("user_id"), "click_id", "buy_id"
     )
+
+
+@query("q_source_cap")
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (operators/corpus.py:cap_per_key): at
+    most 10 docs per source, deterministic by doc_id — the web-corpus
+    per-domain budget rule. One shuffle on source; AQE splits skewed
+    sources."""
+    from pipeline_dataengineer_spark.operators.corpus import cap_per_key
+
+    d = table(spark, sf_dir, "documents")
+    return cap_per_key(d, ["source"], 10, "doc_id").select(
+        "doc_id", "source", "lang"
+    )

@@ -13,7 +13,7 @@ keys 8 bytes (collision-checked by the canonical row's text equality).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_dataengineer_spark.functions.textstats import (
@@ -52,4 +52,31 @@ def clean_corpus(
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    max_rows: int,
+    order_col: str | Column,
+    descending: bool = False,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per key, chosen by ``order_col``
+    (the web-corpus "cap documents per domain" rule — unbounded hosts
+    like link farms otherwise dominate the token budget).
+
+    One shuffle on the key, rank inside the partition, filter. The
+    order column makes the cap DETERMINISTIC — capping by arrival
+    order would silently change membership on every re-run/layout
+    (same reason dedup_last_wins takes an explicit order). Skewed
+    keys (the very domains being capped) are split by AQE skew
+    handling; the filter drops their tail before anything downstream
+    shuffles again."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*key_cols).orderBy(oc.desc() if descending else oc.asc())
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_rows)
+        .drop("__rank")
     )

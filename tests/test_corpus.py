@@ -29,3 +29,20 @@ def test_clean_corpus_attaches_features(spark):
     row = clean_corpus(df).collect()[0]
     assert row.n_tokens == 6
     assert 0.0 <= row.quality <= 1.0
+
+
+def test_cap_per_key_deterministic(spark):
+    from pipeline_dataengineer_spark.operators.corpus import cap_per_key
+
+    df = spark.createDataFrame(
+        [(f"d{i}", i, "big" if i < 20 else "small") for i in range(25)],
+        ["doc", "rank_key", "src"],
+    )
+    out = cap_per_key(df, ["src"], 3, "rank_key")
+    got = {(r["src"], r["rank_key"]) for r in out.collect()}
+    assert got == {("big", 0), ("big", 1), ("big", 2),
+                   ("small", 20), ("small", 21), ("small", 22)}
+    # descending keeps the other tail
+    out_d = cap_per_key(df, ["src"], 2, "rank_key", descending=True)
+    got_d = {(r["src"], r["rank_key"]) for r in out_d.collect()}
+    assert got_d == {("big", 19), ("big", 18), ("small", 24), ("small", 23)}
