@@ -1144,3 +1144,21 @@ SELECT doc_id, source, lang FROM (
   FROM documents
 ) WHERE rn <= 10
 """
+
+ORACLES["q_knn_join"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+           AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 5
+)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""

@@ -2199,3 +2199,25 @@ def q_source_cap(spark, sf_dir):
     return cap_per_key(d, ["source"], 10, "doc_id").select(
         "doc_id", "source", "lang"
     )
+
+
+@query("q_knn_join")
+def q_knn_join(spark, sf_dir):
+    """k-NN JOIN (operators/similarity.py:cosine_topk_bruteforce):
+    exact top-5 corpus neighbors for EACH of 5 query vectors in one
+    plan — queries broadcast, corpus vectors never shuffled, one
+    window for the per-query cut. Scores ranked at 4 decimals so the
+    rank boundary is identical across engines (float32 embeddings
+    diverge at digit 5+ between accumulation orders)."""
+    from pipeline_dataengineer_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    return cosine_topk_bruteforce(
+        corpus, queries_df, k=5, score_round=4
+    ).select("query_id", "vec_id", "score", "rank")

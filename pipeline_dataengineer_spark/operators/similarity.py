@@ -27,6 +27,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     k: int = 10,
+    score_round: int = 6,
 ) -> DataFrame:
     """Exact top-k per query vector.
 
@@ -43,7 +44,7 @@ def cosine_topk_bruteforce(
         .select(
             F.col("__qid").alias(query_id_col),
             F.col(id_col),
-            F.round(cosine_similarity("__cv", "__qv"), 6).alias("score"),
+            F.round(cosine_similarity("__cv", "__qv"), score_round).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
