@@ -1162,3 +1162,40 @@ SELECT query_id, vec_id, score,
 FROM scored
 QUALIFY rank <= 5
 """
+
+ORACLES["q_upsert"] = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus <> 'P'
+UNION ALL
+SELECT o_orderkey, 'U' AS o_orderstatus,
+       o_totalprice + 1000.0 AS o_totalprice
+FROM orders WHERE o_orderstatus = 'P'
+"""
+
+ORACLES["q_snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000)
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT * FROM (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+              THEN 'update' END AS change_type,
+         n.o_orderstatus AS new_o_orderstatus,
+         n.o_totalprice AS new_o_totalprice,
+         o.o_orderstatus AS old_o_orderstatus,
+         o.o_totalprice AS old_o_totalprice
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+) WHERE change_type IS NOT NULL
+"""

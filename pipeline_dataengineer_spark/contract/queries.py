@@ -2221,3 +2221,54 @@ def q_knn_join(spark, sf_dir):
     return cosine_topk_bruteforce(
         corpus, queries_df, k=5, score_round=4
     ).select("query_id", "vec_id", "score", "rank")
+
+
+@query("q_upsert")
+def q_upsert(spark, sf_dir):
+    """MERGE-style upsert (operators/incremental.py:upsert_snapshot):
+    every 'P'-status order arrives re-priced as a change set; source
+    wins on collision, the rest of the target survives."""
+    from pipeline_dataengineer_spark.operators.incremental import upsert_snapshot
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    return upsert_snapshot(o, changes, ["o_orderkey"])
+
+
+@query("q_snapshot_diff")
+def q_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff (operators/incremental.py:snapshot_diff):
+    old = orders, new = orders with 'P' rows re-priced, 'F' rows with
+    price > 200000 deleted, and synthetic inserts; classifies
+    insert/update/delete via full outer join + null-safe compare."""
+    from pipeline_dataengineer_spark.operators.incremental import snapshot_diff
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(
+            ~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000))
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderstatus") == "P",
+                F.col("o_totalprice") + 1000.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    return snapshot_diff(o, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])

@@ -60,3 +60,73 @@ def idempotent_append(
     if writer is not None:
         writer(new_rows)
     return new_rows
+
+
+def upsert_snapshot(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE-style upsert as a snapshot transform: rows from
+    ``source`` win on key collision, unmatched target rows survive —
+    the WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT core of
+    MERGE INTO, computed as (target ANTI source) UNION source.
+
+    The anti-join shuffles only the key columns of the probe side and
+    broadcasts when source is small; at 100 TB with a partitioned
+    target, pair this with dynamic partition overwrite so only
+    touched partitions rewrite (the columns here are the MERGE
+    semantics; the write mode is the sink's concern). Both inputs
+    must share a schema."""
+    missing = target.join(source.select(*keys), keys, "left_anti")
+    return missing.unionByName(source)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC between two snapshots: one row per changed key with
+    change_type ∈ {'insert','update','delete'}.
+
+    Full outer join on the keys (one shuffle each side, AQE handles
+    skew), change classification from key-presence plus a null-safe
+    comparison (<=> semantics via eqNullSafe) over ``compare_cols``.
+    Unchanged keys are dropped. This is how a warehouse without a
+    native CDC log reconstructs a change stream — feed the output to
+    scd2_from_changes for history."""
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    old_present = F.col(f"__ok_{keys[0]}").isNotNull()
+    new_present = F.col(f"__nk_{keys[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k) for k in keys
+    ]
+    out_vals = [F.col(f"__n_{c}").alias(f"new_{c}") for c in compare_cols] + [
+        F.col(f"__o_{c}").alias(f"old_{c}") for c in compare_cols
+    ]
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*out_keys, F.col("change_type"), *out_vals)
+    )
