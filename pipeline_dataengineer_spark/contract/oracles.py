@@ -1199,3 +1199,41 @@ SELECT * FROM (
   FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
 ) WHERE change_type IS NOT NULL
 """
+
+ORACLES["q_funnel"] = """
+WITH pe AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN event_id END) AS f0,
+         min(CASE WHEN event_type = 'click' THEN event_id END) AS f1,
+         min(CASE WHEN event_type = 'purchase' THEN event_id END) AS f2
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT f2, f0 AS r0,
+         CASE WHEN f0 IS NOT NULL AND f1 IS NOT NULL AND f1 > f0
+              THEN f1 END AS r1
+  FROM pe
+), r2 AS (
+  SELECT r0, r1,
+         CASE WHEN r1 IS NOT NULL AND f2 IS NOT NULL AND f2 > r1
+              THEN f2 END AS r2
+  FROM r
+)
+SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_idx, count(r0) AS n_entities FROM r2
+UNION ALL
+SELECT 'click', 1, count(r1) FROM r2
+UNION ALL
+SELECT 'purchase', 2, count(r2) FROM r2
+"""
+
+ORACLES["q_cohort_retention"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+), first AS (
+  SELECT user_id, min(p) AS cohort FROM active GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', cohort, p) / 7 AS BIGINT) AS period_n,
+       count(*) AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""

@@ -2272,3 +2272,28 @@ def q_snapshot_diff(spark, sf_dir):
         )
     )
     return snapshot_diff(o, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
+@query("q_funnel")
+def q_funnel(spark, sf_dir):
+    """First-touch funnel view -> click -> purchase
+    (operators/events.py:funnel): one shuffle on user_id for any
+    funnel depth; reach chain as narrow expressions over the
+    per-user first-occurrence aggregate."""
+    from pipeline_dataengineer_spark.operators.events import funnel
+
+    ev = table(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "event_type", "event_id",
+                  ["view", "click", "purchase"])
+
+
+@query("q_cohort_retention")
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle
+    (operators/events.py:cohort_retention): first-active-week cohorts
+    x weeks-since; the cohort map co-partitions with the activity set
+    on user_id so the join adds no exchange."""
+    from pipeline_dataengineer_spark.operators.events import cohort_retention
+
+    ev = table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="week")

@@ -1,0 +1,113 @@
+"""Event-analytics operators: funnels and cohort retention.
+
+The reference's event flow is ingest-only (REST → Kafka → Postgres,
+no analytics on top); these are the standard product-analytics reads
+a pipeline serves once events land. Both are single-aggregation
+shapes: one shuffle on the entity key, conditional aggregates inside
+— no self-joins per funnel step (the naive k-step funnel as k-1
+self-joins shuffles the event table k times; this shuffles it once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    order_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """First-touch ordered funnel: an entity reaches step k when the
+    FIRST occurrence of each step strictly follows the first
+    occurrence of the previous step (the standard one-pass funnel
+    simplification; a re-click after a later view does not resurrect
+    a broken order). Returns (step, step_idx, n_entities).
+
+    One groupBy on the entity computes every step's first-occurrence
+    order via min(CASE...) conditional aggregates, the in-order chain
+    is a narrow column expression on the aggregate output, and the
+    per-step reach is a single-row final aggregate — the event table
+    shuffles ONCE regardless of funnel depth (the naive k-step funnel
+    as k-1 self-joins shuffles it k times)."""
+    base = df.select(
+        F.col(entity_col).alias("__e"),
+        F.col(type_col).alias("__t"),
+        F.col(order_col).alias("__o"),
+    )
+    # first-occurrence time of each step type per entity
+    per_entity = base.groupBy("__e").agg(
+        *[
+            F.min(F.when(F.col("__t") == s, F.col("__o"))).alias(f"__first_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # in-order reach: step i counts only if its first occurrence is
+    # strictly after step i-1's reach time. Build the chain as columns.
+    reach_cols: list[Column] = [F.col("__first_0")]
+    for i in range(1, len(steps)):
+        prev = reach_cols[i - 1]
+        cur = F.col(f"__first_{i}")
+        reach_cols.append(
+            F.when(prev.isNotNull() & cur.isNotNull() & (cur > prev), cur)
+        )
+    tagged = per_entity.select(
+        *[reach_cols[i].alias(f"__reach_{i}") for i in range(len(steps))]
+    )
+    counts = tagged.agg(
+        *[
+            F.count(F.col(f"__reach_{i}")).alias(f"__n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    per_step = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("step"),
+                F.lit(i).cast("long").alias("step_idx"),
+                F.col(f"__n_{i}").alias("n_entities"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(per_step).alias("f")).select("f.*")
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: entities grouped by their first
+    active period; for each (cohort, periods_since) count how many
+    came back. Returns (cohort, period_n, n_active).
+
+    Two aggregates: first-period per entity (shuffle on entity), then
+    (cohort, period) counts after a broadcast-size join of the
+    per-entity cohort back onto the entity's active periods — the
+    cohort map is one row per entity, which at 100 TB co-partitions
+    with the activity aggregate on the entity key (both shuffles hash
+    the same column, so the join itself is exchange-free)."""
+    active = df.select(
+        F.col(entity_col).alias("__e"),
+        F.date_trunc(period, F.col(ts_col)).alias("__p"),
+    ).distinct()
+    first = active.groupBy("__e").agg(F.min("__p").alias("__cohort"))
+    joined = active.join(first, "__e")
+    period_n = (
+        F.datediff(F.col("__p"), F.col("__cohort"))
+        / F.lit(7 if period == "week" else 1)
+    ).cast("long")
+    return (
+        joined.select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort"),
+            period_n.alias("period_n"),
+            F.col("__e"),
+        )
+        .groupBy("cohort", "period_n")
+        .agg(F.count("*").alias("n_active"))
+    )

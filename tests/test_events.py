@@ -1,0 +1,49 @@
+"""Unit tests: funnel and cohort retention."""
+
+from __future__ import annotations
+
+from pipeline_dataengineer_spark.operators.events import cohort_retention, funnel
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # u1: full in-order funnel
+        ("u1", "view", 1), ("u1", "click", 2), ("u1", "purchase", 3),
+        # u2: clicked before first view -> breaks at click
+        ("u2", "click", 1), ("u2", "view", 2), ("u2", "purchase", 3),
+        # u3: view+click only
+        ("u3", "view", 5), ("u3", "click", 9),
+        # u4: never viewed
+        ("u4", "purchase", 1),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "event_id"])
+    got = {
+        r["step"]: r["n_entities"]
+        for r in funnel(df, "user_id", "event_type", "event_id",
+                        ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        # cohort week of 2024-01-01 (Monday): u1 active weeks 0 and 1
+        ("u1", "2024-01-02 10:00:00"), ("u1", "2024-01-09 10:00:00"),
+        # u2 only week 0
+        ("u2", "2024-01-03 10:00:00"),
+        # cohort week of 2024-01-08: u3 active weeks 0 and 2
+        ("u3", "2024-01-10 10:00:00"), ("u3", "2024-01-22 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_str"]).selectExpr(
+        "user_id", "CAST(ts_str AS TIMESTAMP) AS ts"
+    )
+    got = {
+        (r["cohort"], r["period_n"]): r["n_active"]
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 2): 1,
+    }
