@@ -1237,3 +1237,15 @@ SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
 FROM active JOIN first USING (user_id)
 GROUP BY 1, 2
 """
+
+ORACLES["q_ffill"] = """
+SELECT event_id, user_id,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+FROM (
+  SELECT event_id, user_id,
+         CASE WHEN event_type <> 'error' THEN round(value, 2) END AS v
+  FROM events
+)
+"""

@@ -2297,3 +2297,34 @@ def q_cohort_retention(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return cohort_retention(ev, "user_id", "ts", period="week")
+
+
+@query("q_ffill")
+def q_ffill(spark, sf_dir):
+    """Forward fill (operators/timeseries.py:forward_fill): 'error'
+    events get a null value, repaired from the user's last good
+    observation; last(ignorenulls) over an unbounded frame == SQL
+    last_value IGNORE NULLS."""
+    from pipeline_dataengineer_spark.operators.timeseries import forward_fill
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") != "error", F.round("value", 2)).alias("v"),
+    )
+    return forward_fill(ev, ["user_id"], "event_id", ["v"])
+
+
+@query("q_ewma")
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (operators/timeseries.py:ewma,
+    applyInPandas — the recursion e_t = a*x_t + (1-a)*e_{t-1} is not
+    window-expressible, so this is the sanctioned Arrow grouped-map
+    path; rows-only check by design)."""
+    from pipeline_dataengineer_spark.operators.timeseries import ewma
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = ewma(ev, ["user_id"], "event_id", "value", alpha=0.3)
+    return out.select(
+        "event_id", "user_id", F.round("ewma", 4).alias("ewma")
+    )

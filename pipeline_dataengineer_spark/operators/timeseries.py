@@ -12,7 +12,7 @@ has no time-series ops; generalizes its daily-batch cadence
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,3 +54,61 @@ def resample_daily(
             c = F.coalesce(c, F.lit(fill[name]))
         out_cols.append(c.alias(name))
     return joined.select(*out_cols)
+
+
+def forward_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Carry the last non-null observation forward per key (the
+    sensor/SCD gap-repair primitive). One shuffle on the key; the
+    fill is last(ignorenulls) over an unbounded-preceding frame —
+    same definition as SQL last_value(... IGNORE NULLS), so it
+    oracle-checks. Leading nulls (nothing to carry) stay null."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key (recursive:
+    e_t = alpha*x_t + (1-alpha)*e_{t-1}) via applyInPandas — the
+    recursion is genuinely not window-expressible without a
+    numerically explosive (1-a)^(-t) rewrite, so this is the
+    sanctioned Arrow grouped-map path (pandas ewm, C-vectorized).
+    One shuffle on the key; each group must fit one executor's
+    memory, the same constraint any per-key sequential model has."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    # build a FRESH StructType — StructType.add mutates in place, and
+    # df.schema hands back the DataFrame's cached schema object, so
+    # df.schema.add(...) silently corrupts df.columns.
+    schema_out = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().astype("float64")
+        )
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)

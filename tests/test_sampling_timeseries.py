@@ -88,3 +88,36 @@ def test_resample_fills_gaps_with_zero(spark):
         ("a", "2024-01-04"): 5.0,
         ("b", "2024-02-01"): 1.0,  # per-group spine: b has one day only
     }
+
+
+def test_forward_fill_carries_last_non_null(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import forward_fill
+
+    df = spark.createDataFrame(
+        [("u", 1, None), ("u", 2, 5.0), ("u", 3, None), ("u", 4, None),
+         ("u", 5, 7.0), ("v", 1, None)],
+        "k: string, o: long, v: double",
+    )
+    got = {(r["k"], r["o"]): r["v"]
+           for r in forward_fill(df, ["k"], "o", ["v"]).collect()}
+    assert got == {("u", 1): None, ("u", 2): 5.0, ("u", 3): 5.0,
+                   ("u", 4): 5.0, ("u", 5): 7.0, ("v", 1): None}
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    from pipeline_dataengineer_spark.operators.timeseries import ewma
+
+    vals = [1.0, 4.0, 2.0, 8.0, 5.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], ["k", "o", "v"]
+    )
+    got = [
+        r["ewma"]
+        for r in ewma(df, ["k"], "o", "v", alpha=0.5)
+        .orderBy("o")
+        .collect()
+    ]
+    expect = pd.Series(vals).ewm(alpha=0.5, adjust=False).mean().tolist()
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, expect))
