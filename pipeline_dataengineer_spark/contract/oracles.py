@@ -1249,3 +1249,23 @@ FROM (
   FROM events
 )
 """
+
+ORACLES["q_contamination"] = """
+WITH cg AS (
+  SELECT DISTINCT doc_id AS corpus_id,
+         array_to_string(t[u.i:u.i+7], ' ') AS gram
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents),
+       unnest(generate_series(1, len(t) - 7)) AS u(i)
+), bg AS (
+  SELECT DISTINCT doc_id + 5000000 AS bench_id,
+         array_to_string(t[u.i:u.i+7], ' ') AS gram
+  FROM (SELECT doc_id,
+               string_split_regex(lower('eval question: ' || text), '\\s+') AS t
+        FROM documents WHERE doc_id % 25 = 0),
+       unnest(generate_series(1, len(t) - 7)) AS u(i)
+)
+SELECT corpus_id, bench_id, count(*) AS n_shared_grams
+FROM cg JOIN bg USING (gram)
+GROUP BY corpus_id, bench_id
+"""

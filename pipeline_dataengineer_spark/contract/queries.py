@@ -2328,3 +2328,24 @@ def q_ewma(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.round("ewma", 4).alias("ewma")
     )
+
+
+@query("q_contamination")
+def q_contamination(spark, sf_dir):
+    """Train-test contamination check
+    (operators/dedup.py:cross_corpus_contamination): a synthetic
+    'benchmark' built from documents with a shifted id must light up
+    exactly its source docs. String grams here so the oracle can
+    reproduce the join key; production uses hash_grams=True."""
+    from pipeline_dataengineer_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.lit("eval question: "), F.col("text")).alias("text"),
+    )
+    return cross_corpus_contamination(
+        d, bench, "doc_id", "text", n_tokens=8, hash_grams=False
+    )

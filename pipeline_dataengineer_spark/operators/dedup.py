@@ -438,3 +438,54 @@ def duplicate_ngram_spans(
         (F.max("start_pos") + F.lit(n_tokens - 1)).alias("span_end"),
         F.count("*").alias("n_dup_grams"),
     ).drop("__island")
+
+
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Decontamination report: which corpus documents contain verbatim
+    n-token runs from a benchmark/eval set (the train-test overlap
+    check run before any training corpus ships).
+
+    Both sides explode to token n-grams (same construction as
+    duplicate_ngram_spans); the benchmark side is aggregated to
+    DISTINCT grams and usually broadcasts (eval sets are tiny next to
+    a training corpus — if not, the equi-join shuffles on the gram
+    key like any hash join). Returns one row per contaminated
+    (corpus_id, bench_id) pair with the shared-gram count — feed ids
+    to an anti-join to quarantine.
+
+    ``hash_grams`` (default True) joins on xxhash64(gram): 8-byte
+    keys instead of strings through the shuffle/broadcast; set False
+    when hash-checking against another engine."""
+    def grams_of(df: DataFrame, label: str) -> DataFrame:
+        toks = F.split(F.lower(F.col(text_col)), r"\s+")
+        npos = F.size(toks) - F.lit(n_tokens - 1)
+        seq = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+            F.array().cast("array<int>")
+        )
+        gram_str = lambda i: F.concat_ws(" ", F.slice(toks, i, n_tokens))
+        gram = (lambda i: F.xxhash64(gram_str(i))) if hash_grams else gram_str
+        from pipeline_dataengineer_spark.catalog import scale_out
+
+        return (
+            scale_out(df)
+            .select(
+                F.col(id_col).alias(label),
+                F.explode(F.transform(seq, gram)).alias("gram"),
+            )
+            .distinct()
+        )
+
+    c = grams_of(corpus, "corpus_id")
+    b = grams_of(benchmark, "bench_id")
+    return (
+        c.join(b, "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

@@ -85,3 +85,28 @@ def test_duplicate_ngram_spans_hash_grams_same_spans(spark):
         ).collect()
     )
     assert plain == hashed and plain
+
+
+def test_cross_corpus_contamination(spark):
+    from pipeline_dataengineer_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        # contains corpus doc 1's run "beta gamma delta epsilon"
+        [(100, "question: beta gamma delta epsilon please answer")],
+        ["doc_id", "text"],
+    )
+    rows = cross_corpus_contamination(
+        corpus, bench, "doc_id", "text", n_tokens=4
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["corpus_id"], r["bench_id"], r["n_shared_grams"]) == (1, 100, 1)
