@@ -2156,7 +2156,13 @@ def q_dup_spans(spark, sf_dir):
         F.concat(F.lit("copied prefix words "), F.col("text")).alias("text"),
     )
     corpus = d.unionByName(copied)
-    return duplicate_ngram_spans(corpus, "doc_id", "text", n_tokens=8)
+    # hash_grams: the span OUTPUT is identical to string grouping
+    # (collision odds ~n^2/2^64), the oracle checks outputs, and the
+    # duplicate-count window then sorts 8-byte keys instead of ~50-char
+    # strings.
+    return duplicate_ngram_spans(
+        corpus, "doc_id", "text", n_tokens=8, hash_grams=True
+    )
 
 
 @query("q_interval_join")
