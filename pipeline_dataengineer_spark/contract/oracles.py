@@ -1269,3 +1269,21 @@ SELECT corpus_id, bench_id, count(*) AS n_shared_grams
 FROM cg JOIN bg USING (gram)
 GROUP BY corpus_id, bench_id
 """
+
+ORACLES["q_pack_sequences"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         ((doc_id % 2147483647) * 48271) % 2147483647 % 64 AS bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS before
+  FROM d
+)
+SELECT doc_id, bucket, before // 2048 AS seq_id, before % 2048 AS seq_offset
+FROM c
+"""

@@ -2355,3 +2355,19 @@ def q_contamination(spark, sf_dir):
     return cross_corpus_contamination(
         d, bench, "doc_id", "text", n_tokens=8, hash_grams=False
     )
+
+
+@query("q_pack_sequences")
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py:pack_sequences):
+    concat-and-chop documents into 2048-token training windows inside
+    64 hash buckets; one shuffle on the bucket key, windows
+    deterministic across engines/layouts. Token counts from the
+    whitespace tokenizer (same as the oracle's split)."""
+    from pipeline_dataengineer_spark.operators.packing import pack_sequences
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", context_len=2048, buckets=64)

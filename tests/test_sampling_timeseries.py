@@ -121,3 +121,23 @@ def test_ewma_matches_pandas(spark):
     ]
     expect = pd.Series(vals).ewm(alpha=0.5, adjust=False).mean().tolist()
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, expect))
+
+
+def test_pack_sequences_offsets_and_determinism(spark):
+    from pipeline_dataengineer_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(50)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", context_len=250, buckets=1)
+    rows = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+            for r in out.collect()}
+    # bucket 0, ordered by doc_id: doc k starts at 100k tokens
+    for k in range(50):
+        assert rows[k] == (100 * k // 250, 100 * k % 250)
+    # layout independence
+    out2 = pack_sequences(
+        df.repartition(7), "doc_id", "n_tokens", context_len=250, buckets=1
+    )
+    rows2 = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in out2.collect()}
+    assert rows == rows2
