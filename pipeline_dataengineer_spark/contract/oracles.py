@@ -1287,3 +1287,15 @@ WITH d AS (
 SELECT doc_id, bucket, before // 2048 AS seq_id, before % 2048 AS seq_offset
 FROM c
 """
+
+ORACLES["q_fuzzy_join"] = """
+WITH r AS (
+  SELECT p_partkey + 9000000 AS rk, substring(p_name, 2) AS rname
+  FROM part WHERE p_partkey % 20 = 0
+)
+SELECT DISTINCT p.p_partkey, p.p_name, r.rk AS p_partkey_r,
+       r.rname AS p_name_r,
+       CAST(levenshtein(p.p_name, r.rname) AS BIGINT) AS distance
+FROM part p CROSS JOIN r
+WHERE levenshtein(p.p_name, r.rname) <= 1
+"""

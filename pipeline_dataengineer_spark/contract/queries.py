@@ -2371,3 +2371,23 @@ def q_pack_sequences(spark, sf_dir):
         F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
     return pack_sequences(d, "doc_id", "n_tokens", context_len=2048, buckets=64)
+
+
+@query("q_fuzzy_join")
+def q_fuzzy_join(spark, sf_dir):
+    """Edit-distance join (operators/joins.py:fuzzy_join): part names
+    vs a first-char-dropped copy, distance <= 1, via the FastSS
+    deletion-neighborhood blocking (sound and complete — the oracle
+    is the brute-force cross join, so the blocking itself is what is
+    being verified)."""
+    from pipeline_dataengineer_spark.operators.joins import fuzzy_join
+
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    mutated = p.filter(F.col("p_partkey") % 20 == 0).select(
+        (F.col("p_partkey") + 9_000_000).alias("p_partkey"),
+        F.substring("p_name", 2, 1_000).alias("p_name"),
+    )
+    return fuzzy_join(
+        p, mutated, "p_name", "p_name",
+        max_distance=1, left_id="p_partkey", right_id="p_partkey",
+    )

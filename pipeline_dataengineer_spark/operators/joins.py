@@ -115,3 +115,86 @@ def range_join(
         & (lb[left_point] <= rb[right_hi])
     )
     return lb.join(rb, cond, how).drop("__bucket")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 1,
+    left_id: str | None = None,
+    right_id: str | None = None,
+) -> DataFrame:
+    """Edit-distance join (entity resolution): pairs with
+    levenshtein(left_col, right_col) <= max_distance, WITHOUT the
+    cross join.
+
+    Blocking is the FastSS deletion neighborhood: every string
+    explodes to the set of variants reachable by deleting up to
+    ``max_distance`` characters; two strings are within edit distance
+    k if and only if their <=k-deletion neighborhoods intersect, so
+    an equi-join on the variant (hashed to 8 bytes for the shuffle)
+    is a sound AND complete candidate generator. Neighborhood size is
+    O(len^k) per string — built JVM-side by k rounds of
+    delete-one-position over the variant array, so the method fits
+    short join keys (names, codes, titles; k <= 2 in practice).
+    Candidates dedupe on the id pair before one exact levenshtein
+    verify per pair.
+
+    Returns (left_id, left_col, right_id, right_col, distance); id
+    and value columns from the right side get an ``_r`` suffix when
+    the names collide with the left side.
+    """
+    k = max_distance
+    lid = left_id or left_col
+    rid = right_id or right_col
+
+    def delete_one(v):
+        # all strings formed by deleting exactly one character of v
+        return F.transform(
+            F.sequence(F.lit(1), F.length(v)),
+            lambda i: F.concat(
+                F.substring(v, F.lit(1), i - 1),
+                v.substr(i + 1, F.length(v)),
+            ),
+        )
+
+    def neighborhood(col: str):
+        variants = F.array(F.col(col))
+        for _ in range(k):
+            variants = F.array_distinct(
+                F.concat(
+                    variants,
+                    F.flatten(F.transform(variants, delete_one)),
+                )
+            )
+        return F.transform(variants, lambda v: F.xxhash64(v))
+
+    def explode_side(df: DataFrame, id_c: str, col: str, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_c).alias(f"{tag}_id"),
+            F.col(col).alias(f"{tag}_val"),
+            F.explode(neighborhood(col)).alias("variant"),
+        )
+
+    ls = explode_side(left, lid, left_col, "l")
+    rs = explode_side(right, rid, right_col, "r")
+    cands = (
+        ls.join(rs, "variant")
+        .select("l_id", "l_val", "r_id", "r_val")
+        .dropDuplicates(["l_id", "r_id"])
+    )
+    return (
+        cands.withColumn("distance", F.levenshtein("l_val", "r_val"))
+        .filter(F.col("distance") <= k)
+        .select(
+            F.col("l_id").alias(lid),
+            F.col("l_val").alias(left_col),
+            F.col("r_id").alias(rid + "_r" if rid == lid else rid),
+            F.col("r_val").alias(
+                right_col + "_r" if right_col == left_col else right_col
+            ),
+            F.col("distance").cast("long").alias("distance"),
+        )
+    )

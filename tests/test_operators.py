@@ -175,3 +175,33 @@ def test_rolling_fingerprints_overlap(spark):
         for r in df.select("id", rolling_fingerprints("text").alias("fp")).collect()
     }
     assert rows[1] & rows[2]  # shared region → shared local fingerprints
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    from pipeline_dataengineer_spark.operators.joins import fuzzy_join
+
+    def lev(x, y):
+        dp = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, dp[0] = dp[0], i
+            for j, cy in enumerate(y, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (cx != cy))
+                prev = cur
+        return dp[-1]
+
+    al = [(1, "hello"), (2, "world"), (3, "spark"), (4, "a")]
+    bl = [(10, "helo"), (11, "worlds"), (12, "quack"), (13, "spark"),
+          (14, "wurld"), (15, ""), (16, "b")]
+    a = spark.createDataFrame(al, ["id", "name"])
+    b = spark.createDataFrame(bl, ["id", "name"])
+    for k in (1, 2):
+        expect = {(i, j) for i, x in al for j, y in bl if lev(x, y) <= k}
+        got = {
+            (r["id"], r["id_r"])
+            for r in fuzzy_join(
+                a, b, "name", "name", max_distance=k,
+                left_id="id", right_id="id",
+            ).collect()
+        }
+        assert got == expect, (k, got, expect)
