@@ -86,3 +86,14 @@ def test_read_json_schema_on_read(spark, tmp_path):
     rows = df.collect()
     assert df.columns == ["a", "b"]
     assert rows[0]["a"] == 1 and rows[0]["b"] is None
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from pipeline_dataengineer_spark.sources.files import read_orc
+
+    p = str(tmp_path / "orc_out")
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["k", "s", "v"]
+    ).write.orc(p)
+    got = {(r["k"], r["s"], r["v"]) for r in read_orc(spark, p).collect()}
+    assert got == {(1, "a", 1.5), (2, "b", 2.5)}
