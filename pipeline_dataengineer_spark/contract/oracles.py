@@ -1299,3 +1299,17 @@ SELECT DISTINCT p.p_partkey, p.p_name, r.rk AS p_partkey_r,
 FROM part p CROSS JOIN r
 WHERE levenshtein(p.p_name, r.rname) <= 1
 """
+
+ORACLES["q_media_stats"] = """
+SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       WHEN 2 THEN 'audio/wav'
+                       ELSE 'application/octet-stream' END AS sniffed_mime,
+       count(*) AS n_media,
+       sum(CAST(octet_length(encode(text))
+                + CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3
+                                  WHEN 2 THEN 4 ELSE 0 END AS BIGINT))
+         AS total_bytes
+FROM documents
+GROUP BY 1
+"""

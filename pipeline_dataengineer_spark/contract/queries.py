@@ -2391,3 +2391,58 @@ def q_fuzzy_join(spark, sf_dir):
         p, mutated, "p_name", "p_name",
         max_distance=1, left_id="p_partkey", right_id="p_partkey",
     )
+
+
+@query("q_media_stats")
+def q_media_stats(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked
+    (multimodal/media.py:attach_media_metadata): a deterministic
+    binary payload (magic prefix by doc_id + utf-8 text bytes) is
+    mime-sniffed JVM-side from magic bytes and aggregated. Exercises
+    binary concat/encode/startswith/length — the typed-media column
+    path — without needing codec libs."""
+    from pipeline_dataengineer_spark.multimodal.media import attach_media_metadata
+
+    d = table(spark, sf_dir, "documents")
+    prefix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(b"\x89PNG"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(b"\xff\xd8\xff"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    with_payload = d.select(
+        "doc_id",
+        F.concat(prefix, F.encode("text", "UTF-8")).alias("payload"),
+    )
+    return (
+        attach_media_metadata(with_payload)
+        .groupBy("sniffed_mime")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("payload_bytes").alias("total_bytes"),
+        )
+    )
+
+
+@query("q_pretraining_pipeline")
+def q_pretraining_pipeline(spark, sf_dir):
+    """The full pretraining-corpus composition
+    (pipelines/pretraining_corpus.py): clean → LSH near-dup removal →
+    decontaminate vs a synthetic benchmark → per-source cap → split →
+    pack, one lazy plan. Rows-only (the LSH stage is sketch-based);
+    every component is individually oracle-checked."""
+    from pipeline_dataengineer_spark.pipelines.pretraining_corpus import (
+        build_pretraining_corpus,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.concat(F.lit("benchmark: "), F.col("text")).alias("text"),
+    )
+    return build_pretraining_corpus(
+        d.select("doc_id", "text", "lang", "source"),
+        benchmark=bench,
+        min_quality=0.2,
+        max_per_source=20,
+    ).orderBy("doc_id")
