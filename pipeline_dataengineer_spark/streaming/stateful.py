@@ -53,3 +53,86 @@ def running_totals(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def gap_sessions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Custom gap-based sessionization with an event-time timeout —
+    the applyInPandasWithState counterpart of session_window for when
+    the per-session output needs custom state (here: event count +
+    bounds; in general: any accumulator the built-in window can't
+    carry).
+
+    State = the open session (start, last_seen, n). A micro-batch
+    extends it while events fall within ``gap`` of last_seen,
+    otherwise the closed session is EMITTED and a new one opens.
+    The EventTimeTimeout + watermark close idle sessions even when a
+    key never receives another event — without it, state for
+    dead keys lives forever (the 100 TB failure mode). Emits only
+    CLOSED sessions (append semantics)."""
+
+    gap_ms = _duration_ms(gap)
+    out_schema = (
+        f"{key_col} bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    )
+    state_schema = "start timestamp, last_seen timestamp, n bigint"
+
+    def update(key, pdfs, state: GroupState):
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last_seen, n = state.get
+                closed.append((key[0], start, last_seen, n))
+            state.remove()
+        else:
+            if state.exists:
+                start, last_seen, n = state.get
+            else:
+                start = last_seen = None
+                n = 0
+            events = []
+            for pdf in pdfs:
+                events.extend(pdf[ts_col].tolist())
+            for ts in sorted(events):
+                if last_seen is not None and (
+                    (ts - last_seen).total_seconds() * 1000 > gap_ms
+                ):
+                    closed.append((key[0], start, last_seen, n))
+                    start, n = ts, 0
+                if start is None:
+                    start = ts
+                last_seen = ts
+                n += 1
+            state.update((start, last_seen, n))
+            state.setTimeoutTimestamp(
+                int(last_seen.timestamp() * 1000) + gap_ms
+            )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[key_col, "session_start", "session_end", "n_events"],
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(n) * mult

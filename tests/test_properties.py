@@ -121,3 +121,50 @@ def test_split_realistic_shapes(spark, rows):
     got = [(r["s"], r["e"]) for r in df.select(s.alias("s"), e.alias("e")).collect()]
     want = [_py_split(t) for t in rows]
     assert got == want
+
+
+def _py_lev(x: str, y: str) -> int:
+    dp = list(range(len(y) + 1))
+    for i, cx in enumerate(x, 1):
+        prev, dp[0] = dp[0], i
+        for j, cy in enumerate(y, 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (cx != cy))
+            prev = cur
+    return dp[-1]
+
+
+short_words = st.lists(
+    st.text(alphabet="abcde", min_size=0, max_size=6),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@given(left=short_words, right=short_words, k=st.integers(1, 2))
+@settings(**_SETTINGS)
+def test_fuzzy_join_complete_vs_bruteforce(spark, left, right, k):
+    """FastSS deletion-neighborhood blocking must be COMPLETE: the
+    distributed fuzzy join returns exactly the brute-force pair set
+    for any inputs (adversarial short strings over a tiny alphabet
+    maximize near-collisions)."""
+    from pipeline_dataengineer_spark.operators.joins import fuzzy_join
+
+    a = spark.createDataFrame(list(enumerate(left)), "id: long, name: string")
+    b = spark.createDataFrame(
+        [(i + 1000, s) for i, s in enumerate(right)], "id: long, name: string"
+    )
+    expect = {
+        (i, j + 1000)
+        for i, x in enumerate(left)
+        for j, y in enumerate(right)
+        if _py_lev(x, y) <= k
+    }
+    got = {
+        (r["id"], r["id_r"])
+        for r in fuzzy_join(
+            a, b, "name", "name", max_distance=k, left_id="id", right_id="id"
+        ).collect()
+    }
+    assert got == expect

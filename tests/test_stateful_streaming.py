@@ -84,3 +84,62 @@ def test_partitioned_sink_round_trip(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_gap_sessions_close_on_gap_and_timeout(spark, tmp_path):
+    from pipeline_dataengineer_spark.streaming.stateful import gap_sessions
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "src_sess"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_sess")
+
+    def run():
+        collected = []
+
+        def collect(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+        )
+        out = gap_sessions(stream, "user_id", "ts", gap="30 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    # batch 0: u1 has two events 10 min apart (one session), then an
+    # event 2 hours later -> the first session closes in-batch
+    _write(src, "b0.json", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00"},
+        {"user_id": 1, "ts": "2024-01-01T02:00:00"},
+    ])
+    got = run()
+    assert len(got) == 1
+    s = got[0]
+    assert s["user_id"] == 1 and s["n_events"] == 2
+    assert s["session_start"].minute == 0 and s["session_end"].minute == 10
+
+    # batch 1: only u2 events far in the future -> watermark passes
+    # u1's open-session timeout, closing it via EventTimeTimeout
+    _write(src, "b1.json", [
+        {"user_id": 2, "ts": "2024-01-01T06:00:00"},
+        {"user_id": 2, "ts": "2024-01-01T06:01:00"},
+    ])
+    got = run()
+    u1_closed = [r for r in got if r["user_id"] == 1]
+    assert len(u1_closed) == 1 and u1_closed[0]["n_events"] == 1
