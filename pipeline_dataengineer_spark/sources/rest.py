@@ -29,7 +29,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 try:  # PySpark >= 4
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     _HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - PySpark 3.x fallback
@@ -120,8 +125,56 @@ if _HAS_DATASOURCE_API:
                         continue
                 yield tuple(rec.get(f) for f in fields)
 
+    class _RestStreamReader(SimpleDataSourceStreamReader):
+        """Incremental streaming read: the reference's watermark file
+        (A3, ``data/last_processed.json``) becomes the STREAM OFFSET —
+        checkpoint-managed, exactly-once-tracked by Spark instead of a
+        hand-rolled JSON file. Each micro-batch fetches one day's
+        pages (keyset pagination inside), and the next offset is the
+        following date; ``readBetweenOffsets`` replays a committed
+        range deterministically for recovery."""
+
+        def __init__(self, schema: T.StructType, options: dict):
+            self.schema_ = schema
+            self.options = options
+
+        def initialOffset(self) -> dict:
+            return {"since": self.options.get("since", "1970-01-01")}
+
+        def _rows_for(self, since: str) -> list[tuple]:
+            fields = [f.name for f in self.schema_.fields]
+            return [
+                tuple(rec.get(f) for f in fields)
+                for rec in fetch_all_since(since)
+            ]
+
+        def read(self, start: dict):
+            import datetime as dt
+
+            since = start["since"]
+            until = self.options.get("until")
+            if until is not None and since >= until:
+                return iter([]), start
+            nxt = (
+                dt.date.fromisoformat(since) + dt.timedelta(days=1)
+            ).isoformat()
+            return iter(self._rows_for(since)), {"since": nxt}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            import datetime as dt
+
+            d = dt.date.fromisoformat(start["since"])
+            stop = dt.date.fromisoformat(end["since"])
+            rows: list[tuple] = []
+            while d < stop:
+                rows.extend(self._rows_for(d.isoformat()))
+                d += dt.timedelta(days=1)
+            return iter(rows)
+
     class RestPaginatedSource(DataSource):
-        """``spark.read.format("rest_paginated")`` source."""
+        """``spark.read.format("rest_paginated")`` source (batch) and
+        ``spark.readStream.format("rest_paginated")`` (incremental
+        stream with checkpointed date offsets)."""
 
         @classmethod
         def name(cls) -> str:
@@ -135,6 +188,9 @@ if _HAS_DATASOURCE_API:
 
         def reader(self, schema: T.StructType) -> DataSourceReader:
             return _RestReader(schema, self.options)
+
+        def simpleStreamReader(self, schema: T.StructType):
+            return _RestStreamReader(schema, self.options)
 
 else:  # pragma: no cover
 
