@@ -1313,3 +1313,24 @@ SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png'
 FROM documents
 GROUP BY 1
 """
+
+ORACLES["q_ngram_jaccard"] = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substring(lower(text), i, 3)
+                        FOR i IN generate_series(1, greatest(len(text) - 2, 1))])
+           AS s
+  FROM documents WHERE doc_id < 50
+), shm AS (
+  SELECT doc_id AS mut_id,
+         list_distinct([substring(lower(text || ' extra tail words'), i, 3)
+                        FOR i IN generate_series(1,
+                          greatest(len(text || ' extra tail words') - 2, 1))])
+           AS s
+  FROM documents WHERE doc_id < 50
+)
+SELECT sh.doc_id,
+       round(CAST(len(list_intersect(sh.s, shm.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh.s, shm.s))), 4) AS jaccard
+FROM sh JOIN shm ON sh.doc_id = shm.mut_id
+"""

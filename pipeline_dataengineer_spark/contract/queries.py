@@ -2446,3 +2446,38 @@ def q_pretraining_pipeline(spark, sf_dir):
         min_quality=0.2,
         max_per_source=20,
     ).orderBy("doc_id")
+
+
+@query("q_ngram_jaccard")
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact character-trigram Jaccard (operators/dedup.py:shingles +
+    JVM set ops) between each of 50 docs and its lightly mutated copy
+    — the exact-verification kernel that ngram_jaccard_pairs runs on
+    LSH candidates, hash-checked directly here against DuckDB's list
+    algebra on identically built shingle sets."""
+    from pipeline_dataengineer_spark.operators.dedup import shingles
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    )
+    m = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("mut_id"),
+            shingles(F.concat(F.col("text"), F.lit(" extra tail words")), 3).alias(
+                "sh_m"
+            ),
+        )
+    )
+    inter = F.size(F.array_intersect("sh", "sh_m")).cast("double")
+    union = F.size(F.array_union("sh", "sh_m"))
+    return (
+        d.join(m, d.doc_id == m.mut_id)
+        .select(
+            "doc_id",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+    )
