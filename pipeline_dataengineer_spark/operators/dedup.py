@@ -361,6 +361,44 @@ def embedding_cosine_near_duplicates(
     )
 
 
+def _token_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int,
+    hash_grams: bool,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, start_pos, gram) rows of token n-grams, 1-based
+    positions. Built with ml.feature.NGram (JVM-compiled sliding
+    join) instead of a transform+slice expression tree — identical
+    output, ~3× less cold codegen and faster execution (same fix as
+    the trigram counter, see SCALE_NOTES). scale_out keeps the
+    CPU-heavy tokenize stage off a one-task scan."""
+    from pyspark.ml.feature import NGram
+
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    base = scale_out(df).select(
+        F.col(id_col).alias(out_id),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias(
+            "__toks"
+        ),
+    )
+    ng = NGram(n=n_tokens, inputCol="__toks", outputCol="__grams")
+    out = ng.transform(base).select(
+        out_id, F.posexplode("__grams").alias("__p", "gram")
+    )
+    out = out.select(
+        out_id,
+        (F.col("__p") + 1).cast("long").alias("start_pos"),
+        "gram",
+    )
+    if hash_grams:
+        out = out.withColumn("gram", F.xxhash64("gram"))
+    return out
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str,
@@ -389,31 +427,7 @@ def duplicate_ngram_spans(
     gram shuffle, window shuffle on doc, final groupBy on (doc,
     island) reuses the window partitioning (no third exchange).
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    npos = F.size(toks) - F.lit(n_tokens - 1)
-    seq = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-        F.array().cast("array<int>")
-    )
-    gram_str = lambda i: F.concat_ws(" ", F.slice(toks, i, n_tokens))
-    gram = (lambda i: F.xxhash64(gram_str(i))) if hash_grams else gram_str
-    from pipeline_dataengineer_spark.catalog import scale_out
-
-    # scale_out: tokenize+n-gram is CPU-heavy; on a single-row-group
-    # file it would otherwise run in the one-task scan stage
-    # (measured 31.6s single-file vs 7.4s on a 10-file input 10×
-    # the size). No-op when the scan already has >= core partitions.
-    df = scale_out(df)
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                seq,
-                lambda i: F.struct(
-                    i.cast("long").alias("start_pos"), gram(i).alias("gram")
-                ),
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.start_pos", "g.gram")
+    grams = _token_ngrams(df, id_col, text_col, n_tokens, hash_grams, "doc_id")
     dup = grams.withColumn(
         "__n", F.count("*").over(Window.partitionBy("gram"))
     ).filter(F.col("__n") > 1)
@@ -464,21 +478,9 @@ def cross_corpus_contamination(
     keys instead of strings through the shuffle/broadcast; set False
     when hash-checking against another engine."""
     def grams_of(df: DataFrame, label: str) -> DataFrame:
-        toks = F.split(F.lower(F.col(text_col)), r"\s+")
-        npos = F.size(toks) - F.lit(n_tokens - 1)
-        seq = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-            F.array().cast("array<int>")
-        )
-        gram_str = lambda i: F.concat_ws(" ", F.slice(toks, i, n_tokens))
-        gram = (lambda i: F.xxhash64(gram_str(i))) if hash_grams else gram_str
-        from pipeline_dataengineer_spark.catalog import scale_out
-
         return (
-            scale_out(df)
-            .select(
-                F.col(id_col).alias(label),
-                F.explode(F.transform(seq, gram)).alias("gram"),
-            )
+            _token_ngrams(df, id_col, text_col, n_tokens, hash_grams, label)
+            .select(label, "gram")
             .distinct()
         )
 
