@@ -81,6 +81,20 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftSemi", "LeftAnti"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    # fuzzy join: FastSS blocking must yield an EQUI hash join on the
+    # variant key — a nested-loop would mean the blocking collapsed
+    # to the O(n^2) pair space it exists to avoid.
+    "q_fuzzy_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # k-NN join: the query side is an explicit broadcast cross join
+    # (BNLJ is the INTENDED strategy); the corpus must never reach a
+    # CartesianProduct (both sides shuffled).
+    "q_knn_join": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # interval join: equi key + range residual -> hash/merge join.
+    "q_interval_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # MERGE upsert: the not-matched leg is an anti hash join.
+    "q_upsert": (["LeftAnti"], ["BroadcastNestedLoopJoin"]),
+    # funnel: one aggregation pass, NO self-joins per step.
+    "q_funnel": (["HashAggregate"], ["Join"]),
 }
 
 
