@@ -1334,3 +1334,25 @@ SELECT sh.doc_id,
              / len(list_distinct(list_concat(sh.s, shm.s))), 4) AS jaccard
 FROM sh JOIN shm ON sh.doc_id = shm.mut_id
 """
+
+ORACLES["q_sessionize_batch"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                   - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""

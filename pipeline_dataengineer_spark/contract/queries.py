@@ -2481,3 +2481,21 @@ def q_ngram_jaccard(spark, sf_dir):
             F.round(inter / union, 4).alias("jaccard"),
         )
     )
+
+
+@query("q_sessionize_batch")
+def q_sessionize_batch(spark, sf_dir):
+    """Gaps-and-islands sessionization in batch
+    (operators/events.py:sessionize): 30-minute gap sessions per
+    user with bounds + counts; timestamps formatted (ns/us rule)."""
+    from pipeline_dataengineer_spark.operators.events import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return s.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+    )

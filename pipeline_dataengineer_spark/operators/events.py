@@ -10,7 +10,7 @@ self-joins shuffles the event table k times; this shuffles it once).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,3 +111,42 @@ def cohort_retention(
         .groupBy("cohort", "period_n")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): one session row per
+    run of events where consecutive gaps are <= gap_seconds. Batch
+    parity of streaming/stateful.py:gap_sessions — the session
+    boundaries are identical, so the stateful operator can be
+    regression-checked against this plan on the same data.
+
+    One shuffle on the entity; the session id is a running sum of
+    gap-break flags (lag + cumsum), the per-session stats one further
+    partial+final aggregate keyed by (entity, session) which reuses
+    the entity partitioning."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    gap_break = (
+        F.when(
+            F.col(ts_col).cast("double")
+            - F.lag(F.col(ts_col)).over(w).cast("double")
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_session = df.withColumn(
+        "__sess",
+        F.sum(gap_break).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_session.groupBy(entity_col, "__sess").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).drop("__sess")

@@ -143,3 +143,71 @@ def test_gap_sessions_close_on_gap_and_timeout(spark, tmp_path):
     got = run()
     u1_closed = [r for r in got if r["user_id"] == 1]
     assert len(u1_closed) == 1 and u1_closed[0]["n_events"] == 1
+
+
+def test_gap_sessions_stream_matches_batch_sessionize(spark, tmp_path):
+    """The stateful streaming sessionizer and the batch gaps-and-
+    islands plan must produce identical CLOSED sessions."""
+    from pipeline_dataengineer_spark.operators.events import sessionize
+    from pipeline_dataengineer_spark.streaming.stateful import gap_sessions
+
+    events = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:20:00"},
+        {"user_id": 1, "ts": "2024-01-01T02:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T02:10:00"},
+        {"user_id": 2, "ts": "2024-01-01T01:00:00"},
+        # late sentinel events push the watermark far past every
+        # session's timeout so ALL sessions close in the stream
+        {"user_id": 9, "ts": "2024-02-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-02-02T00:00:00"},
+        {"user_id": 2, "ts": "2024-02-02T00:00:00"},
+        {"user_id": 9, "ts": "2024-02-03T00:00:00"},
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "src_parity"
+    src.mkdir()
+    # two batches so sessions also survive a checkpoint hop
+    _write(src, "b0.json", events[:5])
+    _write(src, "b1.json", events[5:])
+    collected = []
+
+    def collect(batch_df, epoch_id):
+        collected.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withWatermark("ts", "1 minute")
+        .transform(lambda d: gap_sessions(d, "user_id", "ts", gap="30 minutes"))
+        .writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt_parity"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in collected
+    }
+    batch_df = spark.createDataFrame(
+        [(e["user_id"], e["ts"]) for e in events], ["user_id", "ts_s"]
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    batch_sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_df, "user_id", "ts", 1800).collect()
+    }
+    # every batch session whose end precedes the final watermark must
+    # have been emitted by the stream; sentinel tail sessions may stay
+    # open, so compare on the closed subset
+    closed_batch = {
+        s for s in batch_sessions if s[2].year == 2024 and s[2].month == 1
+    }
+    assert closed_batch <= stream_sessions
+    assert all(s in batch_sessions for s in stream_sessions)
