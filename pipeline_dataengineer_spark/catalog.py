@@ -76,8 +76,24 @@ def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     32). The shuffle moved is the raw input rows — cheap relative to
     the projection it parallelizes. On production inputs with at least
     one split per core this is a no-op: no shuffle is inserted.
+
+    Width probes deliberately avoid ``df.rdd`` (which forces physical
+    planning into RDDs and does not exist under Spark Connect):
+    ``inputFiles()`` approximates the scan's split count for
+    file-backed plans; for non-file plans (in-memory test frames) we
+    insert the repartition — a few extra milliseconds on inputs that
+    small, and never wrong.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism * multiple
+    except Exception:  # Spark Connect: no SparkContext handle
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        target *= multiple
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)

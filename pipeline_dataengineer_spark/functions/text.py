@@ -12,49 +12,116 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Accented-Latin transliteration map, same effect as the reference's
-# unidecode call (``src/kafka_client/transformations.py:44-48``) on
-# the Latin-1/Latin-Extended ranges. Generated from NFD decomposition
-# (char → ASCII base letter) so the `translate` src/dst stay in sync;
-# non-decomposable letters and multi-char expansions (æ→ae, œ→oe,
-# ß→ss) are listed explicitly and handled with regexp_replace.
+# Transliteration maps matching the breadth of the reference's
+# unidecode call (``src/kafka_client/transformations.py:44-48``).
+# The 1:1 map is generated from full NFD over the whole BMP (char →
+# stripped base letter), so Latin Extended Additional, precomposed
+# Greek (ά…), and precomposed Cyrillic (й, ё…) all resolve to their
+# base letters; Greek and Cyrillic base letters then transliterate to
+# Latin through explicit ALA-LC-style tables. Multi-char expansions
+# (æ→ae, θ→th, щ→shch, …) go through chained literal `replace`s.
+# Documented divergences from unidecode: ё→e and й→i (NFD base wins
+# over unidecode's io/i); ъ/ь are dropped instead of apostrophes;
+# uppercase digraphs are title-case (Th, Sh).
+
+_GREEK_1TO1 = {
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "e",
+    "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x", "ο": "o",
+    "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "u", "ω": "o",
+}
+_GREEK_MULTI = {"θ": "th", "φ": "ph", "χ": "kh", "ψ": "ps"}
+_CYRILLIC_1TO1 = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "з": "z",
+    "и": "i", "й": "i", "к": "k", "л": "l", "м": "m", "н": "n", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "у": "u", "ф": "f", "ы": "y",
+    "э": "e",
+}
+_CYRILLIC_MULTI = {
+    "ж": "zh", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ю": "iu", "я": "ia", "ё": "io",
+}
+_CYRILLIC_DROP = {"ъ", "ь"}
+
+_EXTRA_1TO1 = {"ł": "l", "Ł": "L", "ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
+               "ħ": "h", "Ħ": "H", "ŧ": "t", "Ŧ": "T", "ı": "i"}
 
 
-def _build_accent_map() -> tuple[str, str]:
+def _build_translit_maps() -> tuple[str, str, list[tuple[str, str]]]:
+    """(translate_src, translate_dst, multi_replacements).
+
+    translate_src may be LONGER than translate_dst: Spark's
+    `translate` deletes src chars with no dst counterpart, which
+    handles combining diacritical marks (so decomposed input like
+    'e'+U+0301 also normalizes) and the dropped Cyrillic signs.
+    """
     import unicodedata
 
-    src, dst = [], []
-    extra_1to1 = {"ł": "l", "Ł": "L", "ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
-                  "ħ": "h", "Ħ": "H", "ŧ": "t", "Ŧ": "T", "ı": "i"}
-    for cp in range(0x00C0, 0x024F + 1):
+    base_map: dict[str, str] = {}
+    for d in (_GREEK_1TO1, _CYRILLIC_1TO1, _GREEK_MULTI, _CYRILLIC_MULTI):
+        base_map.update(d)
+    for ch in _CYRILLIC_DROP:
+        base_map[ch] = ""
+    for k, v in list(base_map.items()):
+        ku = k.upper()
+        if ku != k and len(ku) == 1 and ku not in base_map:
+            base_map[ku] = v.upper() if len(v) <= 1 else v.capitalize()
+
+    one: dict[str, str] = dict(_EXTRA_1TO1)
+    multi: dict[str, str] = {}
+    drop: list[str] = []
+    for cp in range(0x00A0, 0x10000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
         ch = chr(cp)
-        decomp = unicodedata.normalize("NFD", ch)
-        if len(decomp) > 1 and decomp[0].isascii() and decomp[0].isalpha():
-            src.append(ch)
-            dst.append(decomp[0])
-    for ch, repl in extra_1to1.items():
-        src.append(ch)
-        dst.append(repl)
-    return "".join(src), "".join(dst)
+        cat = unicodedata.category(ch)
+        if cat == "Mn":
+            # Delete combining diacritics (the classic block covers
+            # Latin/Greek/Cyrillic text); deleting Indic/Arabic marks
+            # would destroy meaning, so leave other blocks alone.
+            if 0x0300 <= cp <= 0x036F:
+                drop.append(ch)
+            continue
+        base = "".join(
+            c
+            for c in unicodedata.normalize("NFD", ch)
+            if unicodedata.category(c) != "Mn"
+        )
+        if len(base) != 1 or ch in one or ch in multi:
+            continue
+        if base.isascii():
+            if base != ch and base.isalpha():
+                one[ch] = base
+        elif base in base_map:
+            t = base_map[base]
+            if len(t) == 1:
+                one[ch] = t
+            elif t == "":
+                drop.append(ch)
+            else:
+                multi[ch] = t
+    src = "".join(one) + "".join(drop)
+    dst = "".join(one.values())
+    multis = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "ss")]
+    multis += sorted(multi.items())
+    return src, dst, multis
 
 
-_ACCENT_SRC, _ACCENT_DST = _build_accent_map()
-
-_MULTI = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "ss")]
+_ACCENT_SRC, _ACCENT_DST, _MULTI = _build_translit_maps()
 
 
 def strip_accents(col: Column | str) -> Column:
-    """Accent transliteration (reference A6,
+    """Accent/script transliteration (reference A6,
     ``src/kafka_client/transformations.py:44-48``).
 
-    JVM-side: `translate` for 1:1 diacritics + `regexp_replace` for the
-    few multi-char expansions. No Python UDF — at 100 TB the per-row
-    Python serde of unidecode would dominate; `translate` stays inside
-    whole-stage codegen.
+    JVM-side: one `translate` for 1:1 mappings and combining-mark
+    deletion + literal `replace`s for the multi-char expansions. No
+    Python UDF — at 100 TB the per-row Python serde of unidecode
+    would dominate; `translate`/`replace` stay inside whole-stage
+    codegen.
     """
     c = F.col(col) if isinstance(col, str) else col
     for src, dst in _MULTI:
-        c = F.regexp_replace(c, src, dst)
+        c = F.replace(c, F.lit(src), F.lit(dst))
     return F.translate(c, _ACCENT_SRC, _ACCENT_DST)
 
 

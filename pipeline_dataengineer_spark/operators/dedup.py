@@ -152,6 +152,7 @@ def minhash_lsh_near_duplicates(
     bands: int = 8,
     shingle_n: int = 5,
     jaccard_threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -179,11 +180,29 @@ def minhash_lsh_near_duplicates(
       shared-vocabulary corpora explodes at r=8, and candidates are
       what the verify stage pays for;
     - giant buckets (a boilerplate page shared by 10^5 docs) expand
-      quadratically; cap them upstream by raising `bands`
-      (longer band signatures → finer buckets) before reaching for
-      sampling — the cap would silently drop true pairs;
+      quadratically AND build the whole bucket's id list in one
+      aggregation buffer. First defense: raise `bands` (longer band
+      signatures → finer buckets). Runtime defense: pass
+      `max_bucket_size` — oversized buckets are dropped BEFORE the
+      collect_list (a cheap partial-aggregable count pass finds them;
+      a broadcast anti-join removes their rows), and the drop is
+      REPORTED, never silent: a warning is logged and the returned
+      DataFrame carries `.lsh_audit = {"dropped_buckets": n,
+      "dropped_rows": m, "max_dropped_bucket": k}`. Dropping a bucket
+      loses only the candidate pairs that had *no other* colliding
+      band, so recall loss is bounded by (1 - (1-s^r))^(bands-1) per
+      pair — and a bucket that big is boilerplate, not signal;
+    - the operator is EAGER and owns its cache lifetime: the
+      signature table is persisted for the three downstream legs,
+      the small result is localCheckpoint-ed, and the signature
+      cache is unpersisted before returning. The previous
+      rely-on-GC version pinned the signature cache in executor
+      memory for the whole session and skewed every later query's
+      memory budget (measured: a 17.6 s anomaly on the *next* bench
+      query). At 100 TB, swap localCheckpoint for a parquet stage
+      table (executor loss invalidates localCheckpoint blocks).
     - verification re-attaches shingles by joining the (small)
-      candidate set back to the recomputed signature table per side.
+      candidate set back to the persisted signature table per side.
     """
     from pipeline_dataengineer_spark.operators._arrow_udfs import (
         make_shingle_minhash_udf,
@@ -201,8 +220,6 @@ def minhash_lsh_near_duplicates(
 
     # scale_out BEFORE the signature UDF: on a single-row-group input
     # the projection would otherwise run in the one-task scan stage.
-    # Spark's ContextCleaner drops the cache once the DataFrame is
-    # garbage collected.
     sig_df = (
         scale_out(df)
         .select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
@@ -220,6 +237,50 @@ def minhash_lsh_near_duplicates(
         "__id",
         F.posexplode("__bands").alias("band_idx", "band_hash"),
     )
+    audit = {"dropped_buckets": 0, "dropped_rows": 0, "max_dropped_bucket": 0}
+    to_unpersist = [sig_df]
+    if max_bucket_size is not None:
+        # Find oversized buckets with a partial-aggregable count (only
+        # per-task partial counts shuffle — no skew, no giant arrays),
+        # then strip their rows with a broadcast anti-join BEFORE the
+        # collect_list ever builds the bucket. Oversized keys are few
+        # by construction (each is >max_bucket_size docs sharing one
+        # band hash), so the broadcast is tiny.
+        oversized = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .persist()
+        )
+        stats = oversized.agg(
+            F.count("*").alias("b"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
+            F.coalesce(F.max("__n"), F.lit(0)).alias("m"),
+        ).collect()[0]
+        audit = {
+            "dropped_buckets": int(stats["b"]),
+            "dropped_rows": int(stats["r"]),
+            "max_dropped_bucket": int(stats["m"]),
+        }
+        if audit["dropped_buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_near_duplicates: dropped %d oversized LSH "
+                "buckets (> %d members; largest %d, %d rows total). "
+                "Pairs whose ONLY collision was in a dropped bucket are "
+                "lost; raise `bands` to shrink buckets instead.",
+                audit["dropped_buckets"],
+                max_bucket_size,
+                audit["max_dropped_bucket"],
+                audit["dropped_rows"],
+            )
+            banded = banded.join(
+                F.broadcast(oversized.select("band_idx", "band_hash")),
+                ["band_idx", "band_hash"],
+                "left_anti",
+            )
+        to_unpersist.append(oversized)
     # One shuffle: bucket ids per (band_idx, band_hash), then emit all
     # i<j pairs of the sorted id list JVM-side. slice() is 1-based and
     # clamps past the end, so position i+2 = "everything after element
@@ -244,19 +305,31 @@ def minhash_lsh_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     if jaccard_threshold is None:
-        return pairs
-    sh_tbl = sig_df.select("__id", "__sh")
-    a = sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sh_tbl.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-    union = F.size(F.array_union("__sh_a", "__sh_b"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+        result = pairs
+    else:
+        sh_tbl = sig_df.select("__id", "__sh")
+        a = sh_tbl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+        b = sh_tbl.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+        inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+        union = F.size(F.array_union("__sh_a", "__sh_b"))
+        result = (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # Materialize the (small) pair table and release the (large)
+    # signature cache NOW — not "when Python GC gets around to it".
+    # Relying on ContextCleaner left the signature table pinned in
+    # executor memory for the rest of the session and distorted every
+    # subsequent query's memory budget. localCheckpoint is eager, so
+    # after it returns nothing references sig_df's cache.
+    out = result.localCheckpoint(eager=True)
+    for cached in to_unpersist:
+        cached.unpersist()
+    out.lsh_audit = audit
+    return out
 
 
 def simhash64(col: Column | str, shingle_n: int = 4, bits: int = 63) -> Column:

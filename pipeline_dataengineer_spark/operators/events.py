@@ -92,16 +92,25 @@ def cohort_retention(
     cohort map is one row per entity, which at 100 TB co-partitions
     with the activity aggregate on the entity key (both shuffles hash
     the same column, so the join itself is exchange-free)."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(
+            f"cohort_retention: period must be 'day', 'week' or 'month', got {period!r}"
+        )
     active = df.select(
         F.col(entity_col).alias("__e"),
         F.date_trunc(period, F.col(ts_col)).alias("__p"),
     ).distinct()
     first = active.groupBy("__e").agg(F.min("__p").alias("__cohort"))
     joined = active.join(first, "__e")
-    period_n = (
-        F.datediff(F.col("__p"), F.col("__cohort"))
-        / F.lit(7 if period == "week" else 1)
-    ).cast("long")
+    if period == "month":
+        # datediff/30 would drift; month-truncated timestamps differ
+        # by an exact whole number of months.
+        period_n = F.months_between(F.col("__p"), F.col("__cohort")).cast("long")
+    else:
+        period_n = (
+            F.datediff(F.col("__p"), F.col("__cohort"))
+            / F.lit(7 if period == "week" else 1)
+        ).cast("long")
     return (
         joined.select(
             F.date_format("__cohort", "yyyy-MM-dd").alias("cohort"),

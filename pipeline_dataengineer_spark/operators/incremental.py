@@ -95,21 +95,27 @@ def snapshot_diff(
     Unchanged keys are dropped. This is how a warehouse without a
     native CDC log reconstructs a change stream — feed the output to
     scd2_from_changes for history."""
+    # Synthetic presence markers, NOT isNotNull() on a key column: a
+    # legitimately-NULL key never matches the equality join (it lands
+    # as two unmatched rows) but must still classify by which side it
+    # came from, not be misread as "absent on both sides".
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
     )
     cond = None
     for k in keys:
         eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
-    old_present = F.col(f"__ok_{keys[0]}").isNotNull()
-    new_present = F.col(f"__nk_{keys[0]}").isNotNull()
+    old_present = F.col("__o_present").isNotNull()
+    new_present = F.col("__n_present").isNotNull()
     same = None
     for c in compare_cols:
         eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

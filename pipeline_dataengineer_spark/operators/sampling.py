@@ -37,9 +37,14 @@ def portable_bucket(key: Column | str, buckets: int) -> Column:
 
 def bucket_sql(key_expr: str, buckets: int) -> str:
     """The same bucket function as ANSI SQL text (for oracles and for
-    pushing the sample predicate into non-Spark engines)."""
-    return (f"((({key_expr}) % {MERSENNE_31}) * {LEHMER_MULT})"
-            f" % {MERSENNE_31} % {buckets}")
+    pushing the sample predicate into non-Spark engines).
+
+    Spark's pmod is always non-negative but SQL ``%`` is
+    sign-preserving in most engines (DuckDB, Postgres), so the first
+    step wraps to ``((x % P) + P) % P``; every later operand is then
+    already non-negative and plain ``%`` matches pmod."""
+    nonneg = f"(((({key_expr}) % {MERSENNE_31}) + {MERSENNE_31}) % {MERSENNE_31})"
+    return f"(({nonneg} * {LEHMER_MULT}) % {MERSENNE_31}) % {buckets}"
 
 
 def deterministic_sample(

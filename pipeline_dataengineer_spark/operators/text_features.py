@@ -3,15 +3,15 @@
 The per-document stats in ``functions/textstats.py`` are narrow maps;
 TF-IDF is the first *corpus-relative* feature — a term's weight
 depends on how many documents contain it. Shape: one explode, one
-(id, term) aggregate, one window count over ``term`` for document
-frequency (no docfreq join — the tf table shuffles exactly once per
-key set), and one broadcast of the (tiny) corpus size.
+(id, term) aggregate, a partial-aggregable document-frequency
+aggregate joined back on ``term``, and one broadcast of the (tiny)
+corpus size.
 North-star text-analysis extension (no analog in the reference).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,11 +38,15 @@ def tf_idf(
     """
     t = terms(df, id_col, text_col)
     tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # document frequency as a window count over term — one shuffle of
-    # the tf table, no docfreq aggregate and no term equi-join (the
-    # join formulation shuffled tf a second time and measured 2×
-    # slower steady-state at sf0.1).
-    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    # Document frequency as a groupBy aggregate joined back on term —
+    # NOT a window count. A window over `term` has no partial
+    # aggregation: every (id, term) row for a stopword lands in one
+    # task's buffer, the classic skew killer on exactly the hottest
+    # keys. The groupBy is map-side combinable (only partial counts
+    # shuffle), and the join back on term is AQE-skew-splittable,
+    # which a window exchange never is.
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = tf.join(docfreq, "term")
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).cast("double").alias("_n")
     )

@@ -97,7 +97,12 @@ def gap_sessions(
                 n = 0
             events = []
             for pdf in pdfs:
-                events.extend(pdf[ts_col].tolist())
+                events.extend(pdf[ts_col].dropna().tolist())
+            if not events and last_seen is None:
+                # A batch of only-null timestamps for a brand-new key:
+                # nothing to track, and updating state would later call
+                # .timestamp() on a None last_seen.
+                return
             for ts in sorted(events):
                 if last_seen is not None and (
                     (ts - last_seen).total_seconds() * 1000 > gap_ms
@@ -127,12 +132,21 @@ def gap_sessions(
     )
 
 
+_DURATION_MULT_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+    "week": 604_800_000, "weeks": 604_800_000,
+}
+
+
 def _duration_ms(s: str) -> int:
-    n, unit = s.split()
-    mult = {
-        "millisecond": 1, "milliseconds": 1,
-        "second": 1000, "seconds": 1000,
-        "minute": 60_000, "minutes": 60_000,
-        "hour": 3_600_000, "hours": 3_600_000,
-    }[unit]
-    return int(n) * mult
+    parts = s.split()
+    if len(parts) != 2 or parts[1] not in _DURATION_MULT_MS:
+        raise ValueError(
+            f"unsupported duration {s!r}: expected '<n> <unit>' with unit in "
+            f"{sorted(set(_DURATION_MULT_MS))}"
+        )
+    return int(parts[0]) * _DURATION_MULT_MS[parts[1]]

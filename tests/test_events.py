@@ -47,3 +47,30 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 2): 1,
     }
+
+
+def test_cohort_retention_month_periods_are_month_numbers(spark):
+    import pytest
+
+    rows = [
+        # u1 first active Jan, returns Mar -> period_n 0 and 2
+        ("u1", "2024-01-15 10:00:00"), ("u1", "2024-03-02 10:00:00"),
+        # u2 Feb only -> its own cohort, period 0
+        ("u2", "2024-02-28 23:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_str"]).selectExpr(
+        "user_id", "CAST(ts_str AS TIMESTAMP) AS ts"
+    )
+    got = {
+        (r["cohort"], r["period_n"]): r["n_active"]
+        for r in cohort_retention(df, "user_id", "ts", period="month").collect()
+    }
+    # datediff/1 would have produced day offsets like 47; months_between
+    # gives true month numbers.
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-02-01", 0): 1,
+    }
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, "user_id", "ts", period="quarter")

@@ -102,6 +102,62 @@ def test_minhash_finds_near_dups_not_distinct(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_releases_signature_cache(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared boilerplate words") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    def non_checkpoint_cached():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return [
+            str(rdd.toString())
+            for rdd in jmap.values()
+            if "localCheckpoint" not in str(rdd.toString())
+        ]
+
+    before = len(non_checkpoint_cached())
+    out = minhash_lsh_near_duplicates(docs, "doc_id", "text", num_hashes=32, bands=8)
+    out.count()
+    # The operator owns its cache lifetime: everything it persisted is
+    # unpersisted before return; only the localCheckpoint of the small
+    # result may remain.
+    assert len(non_checkpoint_cached()) <= before
+
+
+def test_minhash_bucket_cap_drops_boilerplate_and_reports(spark):
+    # 1000 docs sharing one exact boilerplate page → every band hash
+    # collides → one 1000-member bucket per band → ~500k pairs per
+    # band without the cap. Plus one genuine near-dup pair of unique
+    # docs that must survive the cap.
+    boiler = "terms of service apply to all users of this site without exception"
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [
+        (2001, "a rare unique document about distributed query engines and planners"),
+        (2002, "a rare unique document about distributed query engines and schedulers"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, max_bucket_size=100
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # No silent truncation: the audit reports exactly what was dropped.
+    assert capped.lsh_audit["dropped_buckets"] >= 1
+    assert capped.lsh_audit["max_dropped_bucket"] >= 1000
+    assert capped.lsh_audit["dropped_rows"] >= 1000
+    # Boilerplate pairs are gone, the genuine unique near-dup survives.
+    assert (2001, 2002) in pairs
+    assert (1, 2) not in pairs
+    # Uncapped path still reports a zeroed audit (API uniform).
+    uncapped = minhash_lsh_near_duplicates(
+        docs.filter(F.col("doc_id") > 2000), "doc_id", "text", num_hashes=32, bands=8
+    )
+    assert uncapped.lsh_audit == {
+        "dropped_buckets": 0,
+        "dropped_rows": 0,
+        "max_dropped_bucket": 0,
+    }
+
+
 def test_simhash_similar_texts_close(spark):
     df = spark.createDataFrame(
         [

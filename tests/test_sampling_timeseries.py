@@ -70,6 +70,28 @@ def test_bucket_matches_duckdb_formula(spark):
     assert got == want
 
 
+def test_bucket_matches_duckdb_formula_negative_keys(spark):
+    # DuckDB's % is sign-preserving; Spark's pmod is not. bucket_sql
+    # must wrap to a pmod-equivalent so NEGATIVE keys agree too.
+    import duckdb
+
+    from pipeline_dataengineer_spark.operators.sampling import bucket_sql
+
+    got = {
+        r.k: r.b
+        for r in spark.range(-500, 500)
+        .select(F.col("id").alias("k"), portable_bucket("id", 97).alias("b"))
+        .collect()
+    }
+    want = dict(
+        duckdb.connect()
+        .execute(f"SELECT k, {bucket_sql('k', 97)} FROM range(-500, 500) t(k)")
+        .fetchall()
+    )
+    assert got == want
+    assert all(0 <= b < 97 for b in got.values())
+
+
 def test_resample_fills_gaps_with_zero(spark):
     rows = [
         ("a", dt.date(2024, 1, 1), 10.0),

@@ -145,6 +145,70 @@ def test_gap_sessions_close_on_gap_and_timeout(spark, tmp_path):
     assert len(u1_closed) == 1 and u1_closed[0]["n_events"] == 1
 
 
+def test_gap_sessions_null_ts_only_batch_for_new_key(spark, tmp_path):
+    """A micro-batch delivering ONLY null timestamps for a brand-new
+    key must not crash the state UDF (previously: AttributeError on
+    None.timestamp()) and must not create state for that key."""
+    from pipeline_dataengineer_spark.streaming.stateful import gap_sessions
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "src_nullts"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_nullts")
+
+    def run():
+        collected = []
+
+        def collect(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+        )
+        out = gap_sessions(stream, "user_id", "ts", gap="30 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    # u9 arrives with only a null ts; u1 provides valid events so the
+    # batch itself is non-trivial.
+    _write(src, "b0.json", [
+        {"user_id": 9, "ts": None},
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T02:00:00"},
+    ])
+    got = run()  # must not raise
+    # u1's first event closed by the in-batch 2h gap; u9 never appears.
+    assert [r["user_id"] for r in got] == [1]
+
+
+def test_duration_ms_units():
+    import pytest
+
+    from pipeline_dataengineer_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("30 minutes") == 1_800_000
+    assert _duration_ms("1 day") == 86_400_000
+    assert _duration_ms("2 weeks") == 1_209_600_000
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_ms("3 fortnights")
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_ms("nonsense")
+
+
 def test_gap_sessions_stream_matches_batch_sessionize(spark, tmp_path):
     """The stateful streaming sessionizer and the batch gaps-and-
     islands plan must produce identical CLOSED sessions."""

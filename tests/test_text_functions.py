@@ -35,6 +35,54 @@ def test_strip_accents_passthrough(spark):
     assert _one(spark, strip_accents(F.lit("plain ASCII 123!"))) == "plain ASCII 123!"
 
 
+def test_strip_accents_greek(spark):
+    # full-BMP NFD + Greek base-letter table (unidecode breadth)
+    assert _one(spark, strip_accents(F.lit("Ελληνικά κείμενα"))) == "Ellenika keimena"
+    assert _one(spark, strip_accents(F.lit("Θεσσαλονίκη"))) == "Thessalonike"
+    assert _one(spark, strip_accents(F.lit("φυσική ψυχή"))) == "phusike psukhe"
+
+
+def test_strip_accents_cyrillic(spark):
+    assert (
+        _one(spark, strip_accents(F.lit("Москва и Санкт-Петербург")))
+        == "Moskva i Sankt-Peterburg"
+    )
+    # documented divergences from unidecode: ё→e (NFD base), ъ dropped
+    assert _one(spark, strip_accents(F.lit("Хрущёв объявил"))) == "Khrushchev obiavil"
+
+
+def test_strip_accents_decomposed_input(spark):
+    # NFD-decomposed input (base letter + combining mark) normalizes
+    # identically to the precomposed form: the combining block 0300-036F
+    # is deleted by the translate map.
+    decomposed = "étude"  # e + COMBINING ACUTE
+    assert _one(spark, strip_accents(F.lit(decomposed))) == "etude"
+
+
+def test_strip_accents_matches_unidecode_when_available(spark):
+    # Property check vs the reference's actual library, gated on its
+    # presence (not in the pinned container). Divergences documented in
+    # text.py are excluded.
+    try:
+        from unidecode import unidecode
+    except ImportError:
+        import pytest
+
+        pytest.skip("unidecode not installed in this container")
+    samples = [
+        "Épicerie sucrée à côté", "œuf Æon straße", "Žluťoučký kůň",
+        "Ελληνικά κείμενα", "Москва и Петербург", "naïve façade",
+    ]
+    got = [
+        r["v"]
+        for r in spark.createDataFrame([(s,) for s in samples], ["s"])
+        .select(strip_accents("s").alias("v"))
+        .collect()
+    ]
+    for s, g in zip(samples, got):
+        assert g == unidecode(s), s
+
+
 def test_empty_to_null(spark):
     # transformations.py:56-58 — falsy → None, not ""
     assert _one(spark, normalize_empty_to_null(F.lit(""))) is None

@@ -39,3 +39,15 @@ def test_snapshot_diff_null_safe_compare(spark):
     old = spark.createDataFrame([(1, None)], "k: long, s: string")
     new = spark.createDataFrame([(1, None)], "k: long, s: string")
     assert snapshot_diff(old, new, ["k"], ["s"]).count() == 0
+
+
+def test_snapshot_diff_null_key_rows_classified_by_side(spark):
+    # A NULL key never matches the equality join, so a NULL-keyed old
+    # row must classify as 'delete' (present only on the old side) and
+    # a NULL-keyed new row as 'insert' — not both as 'insert', which
+    # is what isNotNull()-based presence detection produced.
+    old = spark.createDataFrame([(None, "gone")], "k: long, s: string")
+    new = spark.createDataFrame([(None, "fresh")], "k: long, s: string")
+    got = {(r["change_type"], r["old_s"], r["new_s"])
+           for r in snapshot_diff(old, new, ["k"], ["s"]).collect()}
+    assert got == {("delete", "gone", None), ("insert", None, "fresh")}

@@ -54,8 +54,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "q_train_split": ([], ["Exchange"]),
     # TF-IDF: the corpus-size scalar must arrive by broadcast, never a
-    # cartesian; the tf→df join is an equi hash join on term.
-    "q_tfidf": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # cartesian; document frequency must be a partial-aggregable
+    # HashAggregate joined back on term — a Window over `term` has no
+    # map-side combine and funnels every stopword row into one task.
+    "q_tfidf": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["CartesianProduct", "Window"],
+    ),
     # corpus clean: lang/token/quality filters run in the scan stage
     # (before the dedup window's exchange) — the Filter must sit below
     # the one Exchange in the tree, which formatted-explain renders as
