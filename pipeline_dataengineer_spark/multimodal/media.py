@@ -11,15 +11,21 @@ North-star component (not in the reference). Design contract:
   sampling) runs inside ``mapInPandas``: one Python worker per
   partition, Arrow record batches in/out, so the per-row overhead is
   amortized and memory is bounded by the Arrow batch size;
-- the actual codec calls are STUBBED behind ``_decode_image_bytes``
-  (no image/audio libraries in this container): deterministic fakes
-  keyed off the payload hash, with the real seam marked — swap the
-  stub for PIL/ffmpeg in a real deployment without touching any
-  Spark plumbing.
+- codec calls sit behind ``_decode_image_bytes``. PNG decode is REAL
+  (stdlib-only: IHDR header parse, zlib IDAT inflate, full scanline
+  defiltering — no imaging library needed), so the mapInPandas path
+  is exercised by genuine pixels. JPEG/audio/video remain
+  deterministic fakes keyed off the payload hash (their codecs are
+  not in this container) — swap those for PIL/ffmpeg in a real
+  deployment without touching any Spark plumbing. The pure-Python
+  defilter is fine for the metadata/feature shapes tested here; a
+  production deployment replaces it with PIL for throughput.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -62,13 +68,90 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, defiltered pixel bytes) from a real
+    PNG — stdlib only. Supports 8-bit non-interlaced gray/RGB/alpha
+    (palette and 16-bit variants raise; the caller treats any raise as
+    an undecodable blob)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat = 8, b""
+    w = h = color_type = None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _ in range(h):
+        f = raw[i]
+        i += 1
+        line = bytearray(raw[i : i + stride])
+        i += stride
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out += line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
-    """REAL-DECODER SEAM. In production: PIL.Image.open → size +
-    pixel stats. This container has no imaging libraries, so a
-    deterministic fake derived from the payload hash keeps the
-    pipeline testable end-to-end."""
+    """Image decode: REAL for PNG (``_decode_png``); deterministic
+    fake for other formats (their codecs — PIL/ffmpeg — are not in
+    this container; swap here). Features are 8 mean-intensity buckets
+    over the pixel buffer for real decodes, hash-derived for fakes."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
+    if payload[:8] == _PNG_MAGIC:
+        w, h, _ch, pixels = _decode_png(payload)
+        n = len(pixels)
+        step = max(1, n // 8)
+        feats = [
+            (sum(chunk) / len(chunk)) / 255.0
+            for chunk in (pixels[k : k + step] for k in range(0, n, step))
+            if chunk
+        ][:8]
+        feats += [0.0] * (8 - len(feats))
+        return w, h, feats
     h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False)
     width = 16 + (h % 1024)
     height = 16 + ((h >> 10) % 1024)

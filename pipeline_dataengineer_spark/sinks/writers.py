@@ -27,14 +27,25 @@ def write_parquet(
     writer.parquet(path)
 
 
-def write_kafka_json(df: DataFrame, brokers: str, topic: str, key_col: str | None = None) -> None:
-    """Every row → one JSON message (reference A11, distributed)."""
-    out = df.select(
-        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
+def kafka_json_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """The exact DataFrame a Kafka sink serializes: optional string
+    ``key`` plus a ``value`` column holding each row as one JSON
+    object — the distributed equivalent of the reference producer's
+    per-row ``json.dumps(row)`` loop
+    (``src/kafka_client/kafka_stream_data.py:117-125``). Split out
+    from the sink so the payload shape is testable without broker
+    jars."""
+    return df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
         F.to_json(F.struct(*df.columns)).alias("value"),
     )
+
+
+def write_kafka_json(df: DataFrame, brokers: str, topic: str, key_col: str | None = None) -> None:
+    """Every row → one JSON message (reference A11, distributed)."""
     (
-        out.write.format("kafka")
+        kafka_json_payload(df, key_col)
+        .write.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
         .save()

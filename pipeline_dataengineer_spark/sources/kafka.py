@@ -16,6 +16,20 @@ def _kafka_reader(spark: SparkSession, stream: bool):
     return (spark.readStream if stream else spark.read).format("kafka")
 
 
+def kafka_stream_options(
+    brokers: str, topic: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The consumer option set, exactly the reference's
+    (``src/spark_pgsql/spark_streaming.py:36-42``: bootstrap servers,
+    subscribe, startingOffsets=earliest). Split out so the contract is
+    golden-testable without broker jars."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -27,9 +41,7 @@ def read_kafka_stream(
     ``pipelines.recall_ingest.parse_json_records`` for the JSON path."""
     return (
         _kafka_reader(spark, stream=True)
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_stream_options(brokers, topic, starting_offsets))
         .load()
     )
 

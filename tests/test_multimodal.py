@@ -1,8 +1,12 @@
-"""Multimodal plumbing tests: binary columns + mapInPandas pipelines
-(decode is a deterministic stub; the Spark-side schema/partitioning/
-batching is the real subject)."""
+"""Multimodal tests: binary columns + mapInPandas pipelines. PNG
+decode is REAL (stdlib inflate + defilter) and exercised with
+genuine encoded pixels below; JPEG/audio remain deterministic
+stubs."""
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 from pyspark.sql import functions as F
 
@@ -12,6 +16,49 @@ from pipeline_dataengineer_spark.multimodal.media import (
     extract_image_features,
     sample_video_frames,
 )
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, pixel_fn, filter_type: int = 0) -> bytes:
+    """A real, spec-compliant 8-bit RGB PNG built with stdlib only.
+    pixel_fn(x, y) -> (r, g, b). Encodes every scanline with the given
+    filter type (0=None, 1=Sub, 2=Up) so the decoder's defilter paths
+    get genuine coverage."""
+    raw = bytearray()
+    prev = bytearray(width * 3)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line.extend(pixel_fn(x, y))
+        if filter_type == 0:
+            enc = bytes(line)
+        elif filter_type == 1:
+            enc = bytes(
+                (line[i] - (line[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        elif filter_type == 2:
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        else:
+            raise ValueError(filter_type)
+        raw.append(filter_type)
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
 
 
 def _media_df(spark):
@@ -37,8 +84,48 @@ def test_mime_sniffing(spark):
 
 def test_decode_images_null_safe(spark):
     got = {r["media_id"]: r["width"] for r in decode_images(_media_df(spark)).collect()}
-    assert got[1] is not None and got[2] is not None
+    # row 1 is PNG magic + garbage: the REAL decoder correctly reports
+    # it undecodable (None), it doesn't invent dimensions.
+    assert got[1] is None
+    assert got[2] is not None  # jpeg path is still the deterministic fake
     assert got[4] is None and got[5] is None  # corrupt rows don't fail the job
+
+
+def test_decode_real_png_dimensions_and_pixels(spark):
+    # Genuine PNGs through the mapInPandas path: exact dimensions and
+    # feature values derived from REAL decoded pixels, one per filter
+    # type (None/Sub/Up) to cover the defilter branches.
+    white = make_png(20, 10, lambda x, y: (255, 255, 255), filter_type=0)
+    black = make_png(7, 5, lambda x, y: (0, 0, 0), filter_type=1)
+    grad = make_png(16, 16, lambda x, y: (x * 16 % 256, y * 16 % 256, 128), filter_type=2)
+    df = spark.createDataFrame(
+        [(1, white), (2, black), (3, grad)], ["media_id", "payload"]
+    )
+    dims = {r["media_id"]: (r["width"], r["height"]) for r in decode_images(df).collect()}
+    assert dims == {1: (20, 10), 2: (7, 5), 3: (16, 16)}
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_image_features(df, dim=8).collect()
+    }
+    # all-white pixels -> every intensity bucket is exactly 1.0;
+    # all-black -> 0.0. Only a real decode produces these.
+    assert all(abs(v - 1.0) < 1e-6 for v in feats[1])
+    assert all(abs(v) < 1e-6 for v in feats[2])
+    assert any(0.05 < v < 0.95 for v in feats[3])
+
+
+def test_decode_rejects_malformed_png_variants(spark):
+    # 16-bit and interlaced PNGs are outside the stdlib decoder's
+    # support: must yield NULL dims, not wrong ones (and not crash).
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr16)
+        + _chunk(b"IDAT", zlib.compress(b"\0" * 100))
+        + _chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, bad16)], ["media_id", "payload"])
+    assert decode_images(df).collect()[0]["width"] is None
 
 
 def test_decode_deterministic(spark):
@@ -50,8 +137,9 @@ def test_decode_deterministic(spark):
 def test_feature_extraction_shape(spark):
     rows = extract_image_features(_media_df(spark), dim=8).collect()
     feats = {r["media_id"]: r["features"] for r in rows}
-    assert len(feats[1]) == 8
-    assert all(0.0 <= x <= 1.0 for x in feats[1])
+    assert feats[1] is None  # PNG magic + garbage = undecodable
+    assert len(feats[2]) == 8  # jpeg fake path
+    assert all(0.0 <= x <= 1.0 for x in feats[2])
     assert feats[4] is None
 
 
