@@ -1288,6 +1288,63 @@ SELECT doc_id, bucket, before // 2048 AS seq_id, before % 2048 AS seq_offset
 FROM c
 """
 
+ORACLES["q_boilerplate_segments"] = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' subscribe to our newsletter for updates terms apply all rights reserved contact us today'
+              ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM docs
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(words[i*10+1 : i*10+10], ' ') AS segment
+  FROM (SELECT doc_id, words,
+               CAST(ceil(len(words)/10.0) AS BIGINT) AS nseg FROM w) t,
+       unnest(generate_series(0, nseg - 1)) AS u(i)
+), freq AS (
+  SELECT segment FROM segs GROUP BY segment
+  HAVING count(DISTINCT doc_id) >
+         (SELECT count(DISTINCT doc_id) FROM docs) * 0.02
+), kept AS (
+  SELECT * FROM segs WHERE segment NOT IN (SELECT segment FROM freq)
+), tot AS (
+  SELECT doc_id, count(*) AS n_total FROM segs GROUP BY doc_id
+)
+SELECT k.doc_id,
+       string_agg(k.segment, ' ' ORDER BY k.seg_idx) AS clean_text,
+       count(*) AS n_kept,
+       any_value(t.n_total) - count(*) AS n_removed
+FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+"""
+
+ORACLES["q_chunk_docs"] = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS words
+  FROM documents WHERE doc_id % 5 = 0
+), c AS (
+  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n,
+         greatest(1, CAST(ceil((len(words) - 16)/48.0) AS BIGINT)) AS nc
+  FROM d
+)
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(words[i*48+1 : i*48+64], ' ') AS chunk_text,
+       least(64, n - i*48) AS chunk_n_tokens
+FROM c, unnest(generate_series(0, nc - 1)) AS u(i)
+"""
+
+ORACLES["q_inverted_index"] = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE doc_id < 200
+)
+SELECT term, count(DISTINCT doc_id) AS doc_freq,
+       list_sort(list(DISTINCT doc_id)) AS postings
+FROM t WHERE term <> '' GROUP BY term
+"""
+
 ORACLES["q_fuzzy_join"] = """
 WITH r AS (
   SELECT p_partkey + 9000000 AS rk, substring(p_name, 2) AS rname

@@ -2424,6 +2424,64 @@ def q_media_stats(spark, sf_dir):
     )
 
 
+@query("q_boilerplate_segments")
+def q_boilerplate_segments(spark, sf_dir):
+    """Cross-document boilerplate removal
+    (operators/corpus.py:remove_boilerplate_segments): 10-word
+    segments present in >2% of documents are struck from every doc,
+    survivors reassembled in order. A synthetic boilerplate footer is
+    appended to every 3rd document so the rule has something real to
+    strike. Hash compares clean_text end-to-end, so segmentation,
+    doc-frequency, the strike filter, AND ordered reassembly must all
+    match the oracle."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        remove_boilerplate_segments,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" subscribe to our newsletter for updates terms apply "
+                      "all rights reserved contact us today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_boilerplate_segments(
+        d, "doc_id", "text", words_per_segment=10, max_doc_frac=0.02
+    )
+
+
+@query("q_chunk_docs")
+def q_chunk_docs(spark, sf_dir):
+    """Context-window chunking (operators/corpus.py:chunk_documents):
+    64-token windows, 16-token overlap — a narrow no-shuffle fan-out
+    (sequence + slice per row, riding the scan). Hash covers chunk
+    text and boundaries."""
+    from pipeline_dataengineer_spark.operators.corpus import chunk_documents
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@query("q_inverted_index")
+def q_inverted_index(spark, sf_dir):
+    """Posting lists (operators/text_features.py:inverted_index):
+    term → (doc_freq, sorted distinct doc ids). Nested-array output
+    hash-checked against DuckDB list aggregation; map-side-combinable
+    collect_set is the only wide stage."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        inverted_index,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return inverted_index(d, "doc_id", "text")
+
+
 @query("q_pretraining_pipeline")
 def q_pretraining_pipeline(spark, sf_dir):
     """The full pretraining-corpus composition

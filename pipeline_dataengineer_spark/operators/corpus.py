@@ -55,6 +55,173 @@ def clean_corpus(
     )
 
 
+def remove_boilerplate_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_segment: int = 10,
+    max_doc_frac: float = 0.05,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/Dolma line-dedup
+    rule, generalized to fixed-width word segments since web text's
+    "lines" are a delimiter choice): any segment appearing in more
+    than ``max_doc_frac`` of documents is struck from every document;
+    survivors are reassembled in order.
+
+    Returns (id, clean_text, n_kept, n_removed).
+
+    Scale shape: segmentization is a JVM-side explode (no Python);
+    segment document-frequency is a partial-aggregable groupBy on the
+    segment key (hashed to 8 bytes so the wide shuffle never carries
+    segment text); the filter joins doc-frequency back on the hash
+    (AQE-skew-splittable — boilerplate keys are by definition the hot
+    ones); reassembly is one groupBy(id) with an order-carrying
+    struct sort, reusing nothing wider than the (id, seg) rows that
+    survived. Total: three shuffles, none carrying full documents.
+    """
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    words = F.split(F.col(text_col), r"\s+")
+    n_segs = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
+    segs = (
+        scale_out(df.select(id_col, text_col))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.array_join(
+                        F.slice(
+                            words,
+                            i * words_per_segment + 1,
+                            words_per_segment,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("seg_idx", "segment"),
+        )
+        .withColumn("seg_hash", F.xxhash64("segment"))
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n")
+    )
+    docfreq = (
+        segs.groupBy("seg_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") > F.col("_n") * max_doc_frac)
+        .select("seg_hash")
+    )
+    kept = segs.join(docfreq, "seg_hash", "left_anti")
+    total = segs.groupBy(id_col).agg(F.count("*").alias("_n_total"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "segment"))
+                    ),
+                    lambda s: s["segment"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(total, id_col)
+        .select(
+            id_col,
+            "clean_text",
+            "n_kept",
+            (F.col("_n_total") - F.col("n_kept")).alias("n_removed"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-window chunking step feeding training/embedding: chunk i
+    covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap. Every document yields ≥1 chunk.
+
+    Returns (id, chunk_idx, chunk_text, chunk_n_tokens).
+
+    Narrow plan: tokenize + sequence + slice are all per-row JVM
+    expressions — NO shuffle at all; the fan-out rides the scan and
+    downstream operators see pre-partitioned chunks. (Token unit =
+    whitespace word, same as pack_sequences; swap the splitter for a
+    real tokenizer UDF without touching the window arithmetic.)"""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    step = chunk_tokens - overlap
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(words, i * step + 1, chunk_tokens), " "
+            ).alias("txt"),
+            F.least(
+                F.lit(chunk_tokens), n - i * step
+            ).cast("long").alias("ntok"),
+        ),
+    )
+    return scale_out(df.select(id_col, text_col)).select(
+        id_col, F.explode(chunk).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.idx").cast("long").alias("chunk_idx"),
+        F.col("_c.txt").alias("chunk_text"),
+        F.col("_c.ntok").alias("chunk_n_tokens"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Training-mixture construction: keep a per-stratum fraction of
+    rows (e.g. {"web": 0.3, "code": 1.0, "forums": 0.6}), chosen by
+    the deterministic Lehmer key hash — membership is stable across
+    runs, engines, and repartitioning, so a rebuilt corpus reproduces
+    the same mixture. Strata absent from ``weights`` are dropped
+    (explicit budget: what is not weighted is not trained on).
+
+    Plan: a narrow CASE + hash filter riding the scan — NO shuffle,
+    NO sampling pass; at 100 TB the mixture costs a predicate."""
+    from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+
+    for s, frac in weights.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0,1], got {frac}")
+    b = portable_bucket(key_col, buckets)
+    threshold = None
+    for s, frac in weights.items():
+        cond = F.when(F.col(strata_col) == s, F.lit(int(frac * buckets)))
+        threshold = cond if threshold is None else threshold.when(
+            F.col(strata_col) == s, F.lit(int(frac * buckets))
+        )
+    threshold = threshold.otherwise(F.lit(0))
+    return df.filter(b < threshold)
+
+
 def cap_per_key(
     df: DataFrame,
     key_cols: list[str],

@@ -64,6 +64,25 @@ def tf_idf(
     )
 
 
+def inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Posting lists: (term, doc_freq, postings) with postings the
+    sorted distinct doc ids containing the term — the retrieval-side
+    complement of tf_idf.
+
+    One shuffle on term with partial aggregation (collect_set combines
+    map-side). Posting lists for stopword-grade terms are the classic
+    giant-row risk at 100 TB; cap them by pre-filtering high-df terms
+    with a first cheap count pass (same two-phase shape as the LSH
+    bucket cap) when the corpus is web-scale."""
+    t = terms(df, id_col, text_col)
+    return t.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        F.sort_array(F.collect_set(F.col(id_col))).alias("postings"),
+    )
+
+
 def word_repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
 ) -> DataFrame:

@@ -46,3 +46,73 @@ def test_cap_per_key_deterministic(spark):
     out_d = cap_per_key(df, ["src"], 2, "rank_key", descending=True)
     got_d = {(r["src"], r["rank_key"]) for r in out_d.collect()}
     assert got_d == {("big", 19), ("big", 18), ("small", 24), ("small", 23)}
+
+
+def test_remove_boilerplate_segments_strikes_and_reassembles(spark):
+    from pipeline_dataengineer_spark.operators.corpus import (
+        remove_boilerplate_segments,
+    )
+
+    footer = "subscribe now terms apply"
+    rows = [
+        (1, f"alpha beta gamma delta {footer}"),
+        (2, f"epsilon zeta eta theta {footer}"),
+        (3, f"iota kappa lam mu {footer}"),
+        (4, "unique words only here nothing shared at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_segments(
+            df, words_per_segment=4, max_doc_frac=0.5
+        ).collect()
+    }
+    # the 4-word footer segment appears in 3/4 docs (>50%) -> struck
+    # everywhere; leading segments survive in order.
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 1
+    assert out[4]["n_removed"] == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from pipeline_dataengineer_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "tiny doc")], ["doc_id", "text"])
+    chunks = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    }
+    # 100 tokens, step 48: chunks at 0 and 48 -> ceil((100-16)/48) = 2
+    assert {k for k in chunks if k[0] == 1} == {(1, 0), (1, 1)}
+    c0, c1 = chunks[(1, 0)], chunks[(1, 1)]
+    assert c0["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert c0["chunk_n_tokens"] == 64
+    # overlap: chunk 1 starts at token 48, i.e. 16 tokens before c0's end
+    assert c1["chunk_text"].split()[0] == "w48"
+    assert c1["chunk_n_tokens"] == 52  # 100 - 48
+    # short docs still yield one chunk
+    assert chunks[(2, 0)]["chunk_text"] == "tiny doc"
+    assert chunks[(2, 0)]["chunk_n_tokens"] == 2
+
+
+def test_mixture_sample_deterministic_and_drops_unlisted(spark):
+    from pipeline_dataengineer_spark.operators.corpus import mixture_sample
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, ["web", "code", "junk"][i % 3]) for i in range(3000)],
+        ["k", "src"],
+    )
+    out = mixture_sample(df, "k", "src", {"web": 0.5, "code": 1.0})
+    got = out.groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in got}
+    assert "junk" not in counts  # unlisted strata dropped
+    assert counts["code"] == 1000  # weight 1.0 keeps everything
+    assert 350 < counts["web"] < 650  # ~0.5 of 1000
+    # deterministic: same membership on re-run
+    again = mixture_sample(df, "k", "src", {"web": 0.5, "code": 1.0})
+    assert out.exceptAll(again).count() == 0
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample(df, "k", "src", {"web": 1.5})

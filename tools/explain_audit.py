@@ -98,6 +98,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_interval_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     # MERGE upsert: the not-matched leg is an anti hash join.
     "q_upsert": (["LeftAnti"], ["BroadcastNestedLoopJoin"]),
+    # chunking is a narrow per-row fan-out: the only Exchange allowed
+    # is scale_out's input widening — nothing downstream of the
+    # explode may shuffle, and no join/window/agg appears at all.
+    "q_chunk_docs": ([], ["Window", "SortMergeJoin", "HashAggregate"]),
+    # boilerplate strike: docfreq is a partial-aggregable
+    # HashAggregate; the strike is an anti HASH join (the only BNLJ
+    # in the tree is the intended 1-row corpus-size scalar broadcast,
+    # same shape as q_tfidf); never a CartesianProduct.
+    "q_boilerplate_segments": (
+        ["HashAggregate", "LeftAnti"],
+        ["CartesianProduct"],
+    ),
+    # posting lists: one wide stage (HashAggregate w/ partial
+    # combine), no window, no join.
+    "q_inverted_index": (["HashAggregate"], ["Window", "SortMergeJoin"]),
     # funnel: one aggregation pass, NO self-joins per step.
     "q_funnel": (["HashAggregate"], ["Join"]),
 }
