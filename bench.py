@@ -38,6 +38,10 @@ HEADLINE = [
     "q_winsorize",
     "q_tpch_q9_shape",
     "q_tpch_q21_shape",
+    # round 2 additions (new operator families)
+    "q_boilerplate_segments",
+    "q_chunk_docs",
+    "q_inverted_index",
 ]
 
 

@@ -13,15 +13,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
-    """Broadcast only under an explicit row-count gate.
+def broadcast_if_small(
+    df: DataFrame,
+    max_rows: int = 1_000_000,
+    max_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Broadcast only under an explicit size gate.
 
     At cluster scale a blind ``F.broadcast`` on a 'small' side that
-    turned out to be 50 GB OOMs every executor; counting first costs
-    one cheap job on a dimension table. (AQE also auto-broadcasts
-    under spark.sql.autoBroadcastJoinThreshold; this is the explicit
-    variant for when the caller knows better.)
+    turned out to be 50 GB OOMs every executor. The gate uses the
+    optimizer's sizeInBytes ESTIMATE (file sizes + column stats —
+    free, no job) when the plan exposes one; only when no statistics
+    are available (pure in-memory frames, Spark Connect) does it fall
+    back to a count job. At 100 TB the estimate path means gating a
+    maybe-small dimension never costs a scan of it. (AQE also
+    auto-broadcasts under spark.sql.autoBroadcastJoinThreshold; this
+    is the explicit variant for when the caller knows better.)
     """
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # Catalyst reports Long.MaxValue-ish sentinels when it has no
+        # real statistics; treat absurd values as "unknown".
+        if 0 <= size < (1 << 60):
+            return F.broadcast(df) if size <= max_bytes else df
+    except Exception:
+        pass
     return F.broadcast(df) if df.count() <= max_rows else df
 
 

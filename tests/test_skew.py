@@ -32,3 +32,25 @@ def test_salted_join_equals_plain(spark):
     plain = sorted(map(tuple, big.join(small, "k").collect()))
     salted = sorted(map(tuple, salted_join(big, small, on="k", salt=4).select("k", "v", "tag").collect()))
     assert plain == salted
+
+
+def test_broadcast_if_small_uses_plan_stats(spark):
+    from pipeline_dataengineer_spark.operators.joins import broadcast_if_small
+
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # file-backed plan => sizeInBytes estimate available, no count job
+    small = broadcast_if_small(nation)
+    plan = orders.join(
+        small, orders.o_orderkey % 25 == small.n_nationkey
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # a 1-byte budget must refuse to broadcast via the stats path
+    not_small = broadcast_if_small(nation, max_bytes=1)
+    plan2 = orders.join(
+        not_small, orders.o_orderkey % 25 == not_small.n_nationkey
+    )._jdf.queryExecution().executedPlan().toString()
+    # hint absent -> Catalyst may still pick broadcast on its own
+    # threshold, so assert on the HINT, not the strategy: re-check via
+    # the logical plan string.
+    assert "ResolvedHint" not in not_small._jdf.queryExecution().logical().toString()
