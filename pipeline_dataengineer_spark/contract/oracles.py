@@ -1413,3 +1413,23 @@ SELECT user_id,
        count(*) AS n_events
 FROM sess GROUP BY user_id, sid
 """
+
+ORACLES["q_ngram_lm_ppl"] = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 3
+), grams AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), 3) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM docs)
+), cnt AS (
+  SELECT gram, count(*) AS c FROM grams GROUP BY gram
+), ctx AS (
+  SELECT substring(gram, 1, 2) AS pfx, sum(c) AS cc FROM cnt GROUP BY pfx
+), lm AS (
+  SELECT gram, ln(c * 1.0 / cc) AS logp
+  FROM cnt JOIN ctx ON substring(cnt.gram, 1, 2) = ctx.pfx
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       round(exp(-avg(coalesce(lm.logp, -16.11809565095832))), 4) AS ppl
+FROM grams g LEFT JOIN lm USING (gram)
+GROUP BY g.doc_id
+"""

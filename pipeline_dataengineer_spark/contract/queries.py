@@ -2557,3 +2557,19 @@ def q_sessionize_batch(spark, sf_dir):
         F.date_format("session_end", fmt).alias("session_end"),
         "n_events",
     )
+
+
+@query("q_ngram_lm_ppl")
+def q_ngram_lm_ppl(spark, sf_dir):
+    """CCNet-style quality filter: train a char-trigram LM on the
+    corpus, score every document's perplexity against it
+    (operators/text_features.py:train_char_trigram_lm/perplexity).
+    The LM is bounded (≤|charset|³ rows) hence broadcast; the corpus
+    is never shuffled for the scoring join."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        perplexity,
+        train_char_trigram_lm,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return perplexity(docs, train_char_trigram_lm(docs))

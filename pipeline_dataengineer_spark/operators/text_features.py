@@ -103,3 +103,81 @@ def word_repetition_stats(
         F.round(F.lit(1.0) - F.count("*") / total, round_to).alias("dup_word_frac"),
         F.round(F.max("cnt") / total, round_to).alias("top_word_frac"),
     )
+
+
+def char_trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) rows: every sliding 3-char window of the lowercased
+    text. Pure codegen (`transform(sequence(...))` + explode) — no
+    Python, no shuffle; gram rows stay co-located with their document.
+    Docs shorter than 3 chars produce no grams (the `sequence` guard
+    matters: Spark's sequence(1, 0) counts *down*, so the length
+    filter is load-bearing, not cosmetic)."""
+    t = F.lower(F.col(text_col))
+    return (
+        df.select(id_col, t.alias("__t"))
+        .filter(F.length("__t") >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.expr("transform(sequence(1, length(__t) - 2),"
+                       " i -> substring(__t, i, 3))")
+            ).alias("gram"),
+        )
+    )
+
+
+def train_char_trigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Char-trigram language model: (gram, logp) with
+    logp = ln(count(gram) / count(2-char context)), the context count
+    derived from the same trigram table (sum over shared prefix) so
+    the model is self-consistent and engine-portable.
+
+    The CCNet/KenLM-style quality-filter recipe: train on a reference
+    corpus, score candidate documents by perplexity, drop the tail.
+    Scale shape: both aggregates are map-side combinable groupBys on
+    the gram key, and the result is BOUNDED — at most |charset|³ rows
+    regardless of corpus size — which is what makes the scoring join
+    broadcastable at 100 TB."""
+    cnt = char_trigrams(df, id_col, text_col).groupBy("gram").agg(
+        F.count("*").alias("__c")
+    )
+    ctx = cnt.groupBy(F.substring("gram", 1, 2).alias("__pfx")).agg(
+        F.sum("__c").alias("__cc")
+    )
+    return cnt.join(ctx, F.substring("gram", 1, 2) == F.col("__pfx")).select(
+        "gram", F.log(F.col("__c") / F.col("__cc")).alias("logp")
+    )
+
+
+def perplexity(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_logp: float = -16.11809565095832,  # ln(1e-7)
+    round_to: int = 4,
+) -> DataFrame:
+    """Score documents against a trigram LM: (id, n_grams, ppl) with
+    ppl = exp(-mean logp); unseen grams get `unk_logp` (a flat unknown
+    penalty — enough for filtering, no backoff chain to shuffle).
+
+    The LM side is explicitly broadcast (bounded size, see
+    train_char_trigram_lm), so the corpus is never shuffled for the
+    join; the per-doc mean partial-aggregates before its one exchange
+    because a document's grams are born co-located with it."""
+    grams = char_trigrams(df, id_col, text_col)
+    scored = grams.join(F.broadcast(lm), "gram", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.avg(F.coalesce("logp", F.lit(unk_logp))).alias("__avglp"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.exp(-F.col("__avglp")), round_to).alias("ppl"),
+        )
+    )

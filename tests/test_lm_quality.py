@@ -1,0 +1,73 @@
+"""Char-trigram LM training + perplexity scoring
+(operators/text_features.py). Model properties, not golden numbers:
+probabilities per context sum to 1, in-distribution text scores lower
+perplexity than out-of-distribution text, short docs produce no score.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.operators.text_features import (
+    char_trigrams,
+    perplexity,
+    train_char_trigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "the cat sat on the mat " * 5) for i in range(20)]
+    rows += [(100 + i, "a dog ran to the dog bed " * 5) for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_trigram_extraction_exact(spark):
+    df = spark.createDataFrame([(1, "AbCd"), (2, "xy"), (3, None)],
+                               "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["gram"])
+        for r in char_trigrams(df, "doc_id", "text").collect()
+    }
+    # lowercased, sliding windows; len<3 and null docs vanish
+    assert got == {(1, "abc"), (1, "bcd")}
+
+
+def test_lm_probabilities_normalize(corpus):
+    lm = train_char_trigram_lm(corpus)
+    sums = (
+        lm.groupBy(F.substring("gram", 1, 2).alias("ctx"))
+        .agg(F.sum(F.exp("logp")).alias("psum"))
+        .collect()
+    )
+    assert sums, "LM is empty"
+    for r in sums:
+        assert math.isclose(r["psum"], 1.0, rel_tol=1e-9), r
+
+
+def test_in_distribution_scores_lower(spark, corpus):
+    lm = train_char_trigram_lm(corpus)
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zqxj vwpf kgzz qqqq")],
+        "doc_id long, text string",
+    )
+    ppl = {r["doc_id"]: r["ppl"] for r in perplexity(probe, lm).collect()}
+    assert ppl[1] < ppl[2]
+    # the OOV probe is dominated by the flat unknown penalty
+    assert ppl[2] > 1000
+
+
+def test_short_docs_unscored(spark, corpus):
+    lm = train_char_trigram_lm(corpus)
+    probe = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert perplexity(probe, lm).count() == 0
+
+
+def test_ngram_counts(spark, corpus):
+    lm = train_char_trigram_lm(corpus)
+    probe = spark.createDataFrame([(7, "abcde")], "doc_id long, text string")
+    row = perplexity(probe, lm).collect()[0]
+    assert row["n_grams"] == 3

@@ -115,6 +115,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_inverted_index": (["HashAggregate"], ["Window", "SortMergeJoin"]),
     # funnel: one aggregation pass, NO self-joins per step.
     "q_funnel": (["HashAggregate"], ["Join"]),
+    # perplexity scoring: the (bounded) LM table must arrive at the
+    # corpus by broadcast hash join — the corpus is never sorted or
+    # shuffled for the scoring join; the per-doc mean is a
+    # partial-aggregable HashAggregate.
+    "q_ngram_lm_ppl": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "Window"],
+    ),
 }
 
 
