@@ -2573,3 +2573,23 @@ def q_ngram_lm_ppl(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return perplexity(docs, train_char_trigram_lm(docs))
+
+
+@query("q_semantic_dedup")
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py:semantic_dedup): k-means the
+    embeddings, drop within-cluster cosine near-dups keeping min id
+    (rows-only — k-means assignments are engine-specific). Near-dups
+    manufactured by unioning a scaled copy of the corpus (cosine is
+    scale-invariant, so every original/copy pair is an exact hit)."""
+    from pipeline_dataengineer_spark.operators.dedup import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = e.unionByName(
+        e.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda v: v * F.lit(2.0)).alias("embedding"),
+        )
+    )
+    kept = semantic_dedup(doubled, "vec_id", "embedding", threshold=0.9999, k=8)
+    return kept.select("vec_id", "cluster")

@@ -564,3 +564,63 @@ def cross_corpus_contamination(
         .groupBy("corpus_id", "bench_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k: int = 8,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, compare
+    pairs ONLY within a cluster, drop every document that has a
+    near-duplicate (cosine ≥ threshold) with a smaller id. Returns the
+    kept rows with their ``cluster`` assignment.
+
+    Divergence from the paper: the keep-rule is min-id, not
+    closest-to-centroid — deterministic under repartition and
+    equality-testable, which matters more here than the paper's tie
+    heuristic.
+
+    Scale shape: assignment is an Arrow matmul against broadcast
+    centroids (k·d floats); the pair join is an equi-join on the
+    cluster id, so the candidate count is Σ|cluster|² — choose
+    k ≈ n/⟨cluster⟩ to bound it, exactly the LSH-bucket trade. The
+    drop set carries ids only, and the final filter is a LEFT ANTI
+    equi-join, never a shuffle of the vectors themselves."""
+    from pipeline_dataengineer_spark.functions.vectors import (
+        cosine_similarity,
+        l2_norm,
+    )
+    from pipeline_dataengineer_spark.operators.clustering import kmeans
+
+    # Cluster on L2-NORMALIZED vectors (as the paper does): k-means is
+    # Euclidean, and without this a parallel pair of different
+    # magnitudes — an exact cosine duplicate — can land in different
+    # clusters and never be compared.
+    unit = df.withColumn(
+        "__unit",
+        F.transform(vec_col, lambda v: v.cast("double") / l2_norm(F.col(vec_col))),
+    )
+    assigned = kmeans(
+        unit, vec_col="__unit", id_col=id_col, k=k, max_iterations=max_iterations
+    ).drop("__unit")
+    slim = assigned.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cluster"
+    )
+    l, r = slim.alias("l"), slim.alias("r")
+    dropped = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .filter(
+            cosine_similarity(F.col("l.__v"), F.col("r.__v")) >= F.lit(threshold)
+        )
+        .select(F.col("r.__id").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti")

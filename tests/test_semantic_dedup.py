@@ -1,0 +1,59 @@
+"""SemDeDup composition (operators/dedup.py:semantic_dedup): known
+duplicate groups in well-separated clusters -> exact kept set."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        # cluster around +x: ids 1,2 duplicates (parallel), 3 distinct
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (3, [0.9, 0.5, 0.0]),
+        # cluster around +y: ids 10,11,12 all mutually parallel
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 3.0, 0.0]),
+        (12, [0.0, 0.5, 0.0]),
+        # isolated direction
+        (20, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_keeps_min_id_per_dup_group(vecs):
+    from pipeline_dataengineer_spark.operators.dedup import semantic_dedup
+
+    kept = semantic_dedup(vecs, threshold=0.999, k=3)
+    assert {r["vec_id"] for r in kept.collect()} == {1, 3, 10, 20}
+
+
+def test_threshold_one_keeps_nonparallel(vecs):
+    from pipeline_dataengineer_spark.operators.dedup import semantic_dedup
+
+    # cos(1,3) < 0.999 => 3 survives; raise threshold so only exact
+    # parallels drop, regardless of cluster layout
+    kept = semantic_dedup(vecs, threshold=0.9999999, k=2)
+    assert {r["vec_id"] for r in kept.collect()} == {1, 3, 10, 20}
+
+
+def test_deterministic_under_repartition(vecs):
+    from pipeline_dataengineer_spark.operators.dedup import semantic_dedup
+
+    a = {r["vec_id"] for r in semantic_dedup(vecs, threshold=0.999, k=3).collect()}
+    b = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            vecs.repartition(7), threshold=0.999, k=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_output_keeps_all_columns(vecs):
+    from pipeline_dataengineer_spark.operators.dedup import semantic_dedup
+
+    kept = semantic_dedup(vecs, threshold=0.999, k=3)
+    assert set(kept.columns) == {"vec_id", "embedding", "cluster"}
