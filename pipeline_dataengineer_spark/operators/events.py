@@ -139,11 +139,13 @@ def sessionize(
     partial+final aggregate keyed by (entity, session) which reuses
     the entity partitioning."""
     w = Window.partitionBy(entity_col).orderBy(ts_col)
+    # Timestamp subtraction (a day-time interval in Spark 4) works for
+    # both TIMESTAMP and TIMESTAMP_NTZ columns; casting NTZ to double
+    # is a DATATYPE_MISMATCH error, so the gap compares intervals.
     gap_break = (
         F.when(
-            F.col(ts_col).cast("double")
-            - F.lag(F.col(ts_col)).over(w).cast("double")
-            > gap_seconds,
+            F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+            > F.expr(f"make_dt_interval(0, 0, 0, {gap_seconds})"),
             1,
         )
         .otherwise(0)
