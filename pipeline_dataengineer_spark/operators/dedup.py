@@ -194,13 +194,15 @@ def minhash_lsh_near_duplicates(
       pair — and a bucket that big is boilerplate, not signal;
     - the operator is EAGER and owns its cache lifetime: the
       signature table is persisted for the three downstream legs,
-      the small result is localCheckpoint-ed, and the signature
-      cache is unpersisted before returning. The previous
-      rely-on-GC version pinned the signature cache in executor
-      memory for the whole session and skewed every later query's
-      memory budget (measured: a 17.6 s anomaly on the *next* bench
-      query). At 100 TB, swap localCheckpoint for a parquet stage
-      table (executor loss invalidates localCheckpoint blocks).
+      the small result is persisted and counted (NOT
+      localCheckpoint-ed — that materializes through the RDD path,
+      bypassing AQE and re-executing the plan; measured 8x the wall),
+      and the signature cache is unpersisted before returning. The
+      previous rely-on-GC version pinned the signature cache in
+      executor memory for the whole session and skewed every later
+      query's memory budget (measured: a 17.6 s anomaly on the *next*
+      bench query). At 100 TB, write the result to a parquet stage
+      table instead of executor cache.
     - verification re-attaches shingles by joining the (small)
       candidate set back to the persisted signature table per side.
     """
@@ -323,9 +325,17 @@ def minhash_lsh_near_duplicates(
     # signature cache NOW — not "when Python GC gets around to it".
     # Relying on ContextCleaner left the signature table pinned in
     # executor memory for the rest of the session and distorted every
-    # subsequent query's memory budget. localCheckpoint is eager, so
-    # after it returns nothing references sig_df's cache.
-    out = result.localCheckpoint(eager=True)
+    # subsequent query's memory budget. persist+count rather than
+    # localCheckpoint: localCheckpoint materializes through the RDD
+    # path, which bypasses AQE (static 32-partition SMJs instead of
+    # runtime broadcasts on the verify legs) and re-executes the plan
+    # on top of the normal compute — measured 38.7 s vs 4.9 s for the
+    # whole operator at sf0.1. With every partition of the small
+    # result cached, later actions never re-enter the lineage, so
+    # unpersisting the signature table below is safe (a lost cache
+    # partition merely recomputes through the unpersisted plan).
+    out = result.persist()
+    out.count()
     for cached in to_unpersist:
         cached.unpersist()
     out.lsh_audit = audit

@@ -107,21 +107,20 @@ def test_minhash_releases_signature_cache(spark):
         [(i, f"document number {i} with some shared boilerplate words") for i in range(20)],
         ["doc_id", "text"],
     )
-    def non_checkpoint_cached():
+    def cached():
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return [
-            str(rdd.toString())
-            for rdd in jmap.values()
-            if "localCheckpoint" not in str(rdd.toString())
-        ]
+        return [str(rdd.toString()) for rdd in jmap.values()]
 
-    before = len(non_checkpoint_cached())
+    before = len(cached())
     out = minhash_lsh_near_duplicates(docs, "doc_id", "text", num_hashes=32, bands=8)
     out.count()
-    # The operator owns its cache lifetime: everything it persisted is
-    # unpersisted before return; only the localCheckpoint of the small
-    # result may remain.
-    assert len(non_checkpoint_cached()) <= before
+    # The operator owns its cache lifetime: the large signature cache
+    # is unpersisted before return; only the cache of the SMALL result
+    # table (which the operator materialized so the lineage never
+    # re-runs) may remain.
+    assert len(cached()) <= before + 1
+    out.unpersist()
+    assert len(cached()) <= before
 
 
 def test_minhash_bucket_cap_drops_boilerplate_and_reports(spark):
