@@ -1433,3 +1433,51 @@ SELECT g.doc_id, count(*) AS n_grams,
 FROM grams g LEFT JOIN lm USING (gram)
 GROUP BY g.doc_id
 """
+
+
+ORACLES["q_incremental_agg"] = """
+SELECT o_orderpriority, count(o_totalprice) AS cnt,
+       round(sum(o_totalprice), 2) AS total,
+       round(min(o_totalprice), 2) AS vmin,
+       round(max(o_totalprice), 2) AS vmax,
+       round(avg(o_totalprice), 4) AS avg_v,
+       round(stddev_samp(o_totalprice), 2) AS stddev_v
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["q_url_normalize"] = """
+SELECT doc_id,
+  CASE doc_id % 3
+    WHEN 0 THEN 'https://' || lower(source) || '.example.com/a/b?q=1'
+    WHEN 1 THEN 'http://' || lower(source) || '.example.com:8080/path'
+    ELSE 'http://' || lower(source) || '.example.com/'
+  END AS url_norm
+FROM documents
+"""
+
+ORACLES["q_domain_stats"] = """
+SELECT lower(source) || '.com' AS domain,
+       count(*) AS n_pages,
+       count(DISTINCT CASE WHEN doc_id % 2 = 0
+             THEN 'www.' || lower(source) || '.com'
+             ELSE 'img.' || lower(source) || '.com' END) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       round(avg(n_chars), 4) AS avg_n_chars
+FROM documents GROUP BY lower(source)
+"""
+
+ORACLES["q_mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - med.m) AS dev
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS md
+  FROM d GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       d.dev > 2.0 * 1.4826 * mad.md AS is_outlier
+FROM d JOIN mad USING (event_type)
+"""

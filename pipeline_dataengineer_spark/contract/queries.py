@@ -2593,3 +2593,136 @@ def q_semantic_dedup(spark, sf_dir):
     )
     kept = semantic_dedup(doubled, "vec_id", "embedding", threshold=0.9999, k=8)
     return kept.select("vec_id", "cluster")
+
+
+@query("q_incremental_agg")
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance
+    (operators/incremental.py:partial_agg_state/merge_agg_states/
+    finalize_agg_state): mergeable (n, sum, min, max, sumsq) states
+    built on two disjoint date slices of orders, monoid-merged, then
+    finalized — must equal the direct one-pass aggregate the oracle
+    computes. The delta-update shape for materialized aggregates at
+    100 TB: only the new slice is scanned, the merge touches
+    dimension-sized state."""
+    from pipeline_dataengineer_spark.operators.incremental import (
+        finalize_agg_state,
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < "1997-01-01")
+    new = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    keys = ["o_orderpriority"]
+    state = merge_agg_states(
+        partial_agg_state(old, keys, "o_totalprice"),
+        partial_agg_state(new, keys, "o_totalprice"),
+        keys=keys,
+    )
+    fin = finalize_agg_state(state, keys)
+    return fin.select(
+        "o_orderpriority",
+        "cnt",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+        F.round("avg_v", 4).alias("avg_v"),
+        F.round("stddev_v", 2).alias("stddev_v"),
+    )
+
+
+@query("q_url_normalize")
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (operators/web.py:normalize_urls): case
+    folding, www./default-port stripping, fragment drop, tracking-param
+    removal, trailing-slash trim — one fused codegen projection. URLs
+    are synthesized deterministically from documents so all branches
+    are exercised; the oracle states the expected canonical form."""
+    from pipeline_dataengineer_spark.operators.web import normalize_urls
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.col("source"),
+                F.lit(".Example.COM:443/a/b/?utm_source=x&q=1&utm_campaign=c#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("http://"), F.upper("source"), F.lit(".EXAMPLE.com:8080/path")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://www."), F.col("source"), F.lit(".example.com:80/"))
+        )
+    )
+    out = normalize_urls(d.withColumn("url", url), "url")
+    return out.select("doc_id", "url_norm")
+
+
+@query("q_domain_stats")
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus stats (operators/web.py:
+    domain_stats): page count, distinct hosts, sum/avg of a value
+    column — ONE map-side-combinable groupBy on the domain key.
+    Hosts are synthesized two-per-domain to exercise the host/domain
+    distinction."""
+    from pipeline_dataengineer_spark.operators.web import domain_stats
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    host = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(F.lit("www."), F.col("source"), F.lit(".com")),
+    ).otherwise(F.concat(F.lit("img."), F.col("source"), F.lit(".com")))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id"))
+    out = domain_stats(d.withColumn("url", url), "url", value_cols=["n_chars"])
+    return out.select(
+        "domain",
+        "n_pages",
+        "n_hosts",
+        F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
+        F.round("avg_n_chars", 4).alias("avg_n_chars"),
+    )
+
+
+@query("q_mad_outliers")
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier flagging (operators/robust.py:mad_outliers):
+    per-group median + MAD via exact interpolated percentiles
+    (quantile_cont semantics), flag |x - med| > k*1.4826*MAD. Both
+    group aggregates broadcast back — the fact side never shuffles."""
+    from pipeline_dataengineer_spark.operators.robust import mad_outliers
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = mad_outliers(ev, "value", group_cols=["event_type"], k=2.0)
+    return out.select("event_id", "event_type", "value", "is_outlier")
+
+
+@query("q_hll_merge")
+def q_hll_merge(spark, sf_dir):
+    """Mergeable HLL distinct-count sketches (functions/sketches.py):
+    per-lang sketches built independently on two halves of documents,
+    union-merged, estimated. Rows-only — sketch estimates are
+    engine-specific; the merge==single-pass identity and accuracy
+    bounds are pytest-checked."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        hll_estimate,
+        hll_sketches,
+        merge_hll,
+    )
+
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    half_a = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    half_b = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    merged = merge_hll(
+        hll_sketches(half_a, ["lang"], "doc_id"),
+        hll_sketches(half_b, ["lang"], "doc_id"),
+        keys=["lang"],
+    )
+    return hll_estimate(merged, ["lang"]).orderBy("lang")

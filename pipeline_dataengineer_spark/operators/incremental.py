@@ -62,6 +62,68 @@ def idempotent_append(
     return new_rows
 
 
+def partial_agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Map a raw slice to its mergeable aggregate state: per key,
+    ``(n, s, mn, mx, ss)`` = count / sum / min / max / sum-of-squares
+    of the non-null values. These five are commutative monoids, so
+    states built from disjoint slices can be combined without ever
+    re-reading the slices — the foundation of incremental aggregate
+    maintenance (a materialized-view delta update).
+
+    Scale shape: ONE map-side-combinable groupBy over the slice; the
+    resulting state table is |keys|-sized (dimension-sized), so at
+    100 TB the nightly delta scans only the new partition and the
+    merge touches two small state tables."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.sum(v * v).alias("ss"),
+    )
+
+
+def merge_agg_states(*states: DataFrame, keys: list[str]) -> DataFrame:
+    """Combine any number of partial states (same schema as
+    ``partial_agg_state`` output) into one: union, then re-aggregate
+    with each field's own monoid (sum for n/s/ss, min/max for bounds).
+    The union is a no-shuffle concatenation; the groupBy shuffles only
+    dimension-sized state rows."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("ss").alias("ss"),
+    )
+
+
+def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the user-facing aggregates from a state table:
+    count / sum / min / max / avg / sample stddev. Runs on the
+    dimension-sized state, not the raw data.
+
+    stddev via the textbook ``(ss - s²/n) / (n-1)`` identity — the
+    price of mergeability is one catastrophic-cancellation hazard,
+    clamped at 0 for the n==1 / constant-column cases where float
+    round-off can go slightly negative."""
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = F.when(n > 1, F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0)))
+    return state.select(
+        *keys,
+        n.alias("cnt"),
+        s.alias("total"),
+        F.col("mn").alias("vmin"),
+        F.col("mx").alias("vmax"),
+        (s / n).alias("avg_v"),
+        F.sqrt(var).alias("stddev_v"),
+    )
+
+
 def upsert_snapshot(
     target: DataFrame, source: DataFrame, keys: list[str]
 ) -> DataFrame:

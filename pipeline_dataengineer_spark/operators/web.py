@@ -1,0 +1,125 @@
+"""Web-corpus URL operators: parse, normalize, per-domain stats.
+
+A crawl-scale training pipeline keys almost everything on the URL —
+dedup by canonical URL, per-domain caps and quality priors, host-level
+language mixes. These operators canonicalize messy URLs with pure
+JVM-side expressions (regexp + array higher-order functions — no
+Python in the hot path, the whole thing fuses into one codegen stage
+riding the scan).
+
+Portability note: parsing uses one RFC-3986-shaped regex via
+``regexp_extract`` rather than Spark's ``parse_url`` so the DuckDB
+oracle can run the *identical* pattern — the contract checks the
+canonicalization semantics, not a JVM library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port]/path[?query][#fragment] — anchored, greedy host
+# up to the first /?#, query up to #. Same regex runs in DuckDB.
+URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+
+# Tracking params stripped by normalize_urls (CommonCrawl-style).
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def parse_urls(df: DataFrame, url_col: str) -> DataFrame:
+    """Split ``url_col`` into scheme, host, port, path, query,
+    fragment columns (empty string when absent, matching regex
+    group semantics in both engines). Narrow projection — no shuffle."""
+    u = F.col(url_col)
+    hostport = F.regexp_extract(u, URL_RE, 2)
+    return df.withColumns(
+        {
+            "scheme": F.lower(F.regexp_extract(u, URL_RE, 1)),
+            "host": F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+            "port": F.regexp_extract(hostport, r":(\d+)$", 1),
+            "path": F.regexp_extract(u, URL_RE, 3),
+            "query": F.regexp_extract(u, URL_RE, 4),
+            "fragment": F.regexp_extract(u, URL_RE, 5),
+        }
+    )
+
+
+def _clean_query(query):
+    """Drop tracking params from an already-split query string."""
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: ~F.coalesce(
+            F.lower(F.split(kv, "=")[0]).rlike(
+                "^(" + "|".join(p.rstrip("_") + ("_.*" if p.endswith("_") else "") for p in TRACKING_PREFIXES) + ")$"
+            ),
+            F.lit(False),
+        ),
+    )
+    return F.array_join(kept, "&")
+
+
+def normalize_urls(df: DataFrame, url_col: str, out_col: str = "url_norm") -> DataFrame:
+    """Canonicalize a URL for dedup keys:
+
+    - scheme and host lowercased; leading ``www.`` stripped;
+    - default ports (``:80`` http, ``:443`` https) stripped, others kept;
+    - fragment dropped (never reaches the server);
+    - tracking query params (utm_*, fbclid, gclid, ...) removed,
+      remaining params kept in original order; '?' dropped if none
+      survive;
+    - trailing slash trimmed from non-root paths; empty path → ``/``.
+
+    One fused projection (regexp + array filter, all codegen) — at
+    crawl scale this rides the scan and the canonical key feeds
+    dedup_exact / cap_per_key with no extra pass."""
+    parsed = parse_urls(df, url_col)
+    host = F.regexp_replace(F.col("host"), r"^www\.", "")
+    port = F.col("port")
+    keep_port = (
+        (port != "")
+        & ~((F.col("scheme") == "http") & (port == "80"))
+        & ~((F.col("scheme") == "https") & (port == "443"))
+    )
+    path = F.col("path")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.expr("substring(path, 1, length(path) - 1)"),
+        ).otherwise(path)
+    )
+    q = _clean_query(F.col("query"))
+    norm = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return parsed.withColumn(out_col, norm).drop(
+        "scheme", "host", "port", "path", "query", "fragment"
+    )
+
+
+def registered_domain(host):
+    """Last two labels of the host — an eTLD-1 approximation (a real
+    public-suffix list is a broadcast join against its ~10k rows; the
+    two-label cut is the standard fallback when the list isn't
+    shipped). Pure string expression."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def domain_stats(df: DataFrame, url_col: str, value_cols: list[str] | None = None) -> DataFrame:
+    """Per-registered-domain corpus stats: page count, distinct hosts,
+    plus sum/avg of any ``value_cols`` (e.g. doc length, quality
+    score). ONE map-side-combinable groupBy on a low-cardinality key —
+    the canonical shape for per-domain caps and priors at 100 TB."""
+    parsed = parse_urls(df, url_col)
+    dom = registered_domain(F.regexp_replace(F.col("host"), r"^www\.", ""))
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+    ]
+    for c in value_cols or []:
+        aggs += [F.sum(c).alias(f"sum_{c}"), F.avg(c).alias(f"avg_{c}")]
+    return parsed.groupBy(dom.alias("domain")).agg(*aggs)

@@ -1,0 +1,143 @@
+"""Incremental aggregate states, URL canonicalization, HLL sketches,
+MAD outliers — unit-level checks beyond the oracle queries."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.functions.sketches import (
+    approx_distinct_by,
+    hll_estimate,
+    hll_sketches,
+    merge_hll,
+)
+from pipeline_dataengineer_spark.operators.incremental import (
+    finalize_agg_state,
+    merge_agg_states,
+    partial_agg_state,
+)
+from pipeline_dataengineer_spark.operators.robust import mad_outliers
+from pipeline_dataengineer_spark.operators.web import (
+    domain_stats,
+    normalize_urls,
+    parse_urls,
+)
+
+
+def test_merged_states_equal_direct_aggregate(spark):
+    rows = [(i % 3, float((i * 7) % 23) - 5.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"]).withColumn(
+        "v", F.when(F.col("v") == -5.0, None).otherwise(F.col("v"))
+    )
+    # three disjoint slices, merged out of order
+    s1 = partial_agg_state(df.filter("v < 3"), ["k"], "v")
+    s2 = partial_agg_state(df.filter("v >= 3 and v < 10"), ["k"], "v")
+    s3 = partial_agg_state(df.filter("v >= 10 or v is null"), ["k"], "v")
+    merged = finalize_agg_state(
+        merge_agg_states(s3, s1, s2, keys=["k"]), ["k"]
+    ).collect()
+    direct = (
+        df.groupBy("k")
+        .agg(
+            F.count("v").alias("cnt"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.avg("v").alias("avg_v"),
+            F.stddev_samp("v").alias("stddev_v"),
+        )
+        .collect()
+    )
+    got = {r["k"]: r for r in merged}
+    for r in direct:
+        g = got[r["k"]]
+        assert g["cnt"] == r["cnt"]
+        for f in ("total", "vmin", "vmax", "avg_v", "stddev_v"):
+            assert math.isclose(g[f], r[f], rel_tol=1e-9), (f, g[f], r[f])
+
+
+def test_url_normalize_cases(spark):
+    cases = [
+        # (raw, expected)
+        ("HTTPS://WWW.Site.COM:443/a/b/?utm_source=x&q=1#frag",
+         "https://site.com/a/b?q=1"),
+        ("http://site.com:8080/path", "http://site.com:8080/path"),
+        ("http://www.site.com:80/", "http://site.com/"),
+        ("https://site.com", "https://site.com/"),
+        ("http://site.com/p?fbclid=abc&gclid=1&utm_campaign=z",
+         "http://site.com/p"),
+        ("http://site.com/p?a=1&b=2", "http://site.com/p?a=1&b=2"),
+        ("https://sub.www-like.site.com/x/", "https://sub.www-like.site.com/x"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], ["i", "url"])
+    got = {r["i"]: r["url_norm"] for r in normalize_urls(df, "url").collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_parse_urls_components(spark):
+    df = spark.createDataFrame(
+        [(1, "https://Host.Example.org:9443/p/q?x=1&y=2#sec")], ["i", "url"]
+    )
+    r = parse_urls(df, "url").collect()[0]
+    assert (r["scheme"], r["host"], r["port"]) == ("https", "host.example.org", "9443")
+    assert (r["path"], r["query"], r["fragment"]) == ("/p/q", "x=1&y=2", "sec")
+
+
+def test_domain_stats_groups_hosts_under_domain(spark):
+    urls = [
+        (1, "https://www.a.com/1", 10),
+        (2, "https://img.a.com/2", 20),
+        (3, "https://a.com/3", 30),
+        (4, "https://b.org/1", 5),
+    ]
+    df = spark.createDataFrame(urls, ["id", "url", "sz"])
+    got = {r["domain"]: r for r in domain_stats(df, "url", ["sz"]).collect()}
+    assert got["a.com"]["n_pages"] == 3
+    # hosts are counted raw (www.a.com, img.a.com, a.com all distinct);
+    # only the DOMAIN key folds www
+    assert got["a.com"]["n_hosts"] == 3
+    assert got["a.com"]["sum_sz"] == 60
+    assert got["b.org"]["n_pages"] == 1
+
+
+def test_hll_merge_equals_single_pass_and_is_accurate(spark):
+    df = spark.createDataFrame(
+        [(i % 4, i % 997) for i in range(20000)], ["k", "v"]
+    )
+    single = {
+        r["k"]: r["approx_distinct"]
+        for r in approx_distinct_by(df, ["k"], "v").collect()
+    }
+    halves = [df.filter(F.pmod("v", F.lit(2)) == p) for p in (0, 1)]
+    merged_states = merge_hll(
+        hll_sketches(halves[0], ["k"], "v"),
+        hll_sketches(halves[1], ["k"], "v"),
+        keys=["k"],
+    )
+    merged = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_estimate(merged_states, ["k"]).collect()
+    }
+    exact = {
+        r["k"]: r["d"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    for k in exact:
+        # sketch merge is lossless: sharded build == one-pass build
+        assert merged[k] == single[k]
+        assert abs(merged[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_mad_outliers_flags_only_the_planted_point(spark):
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 500])]
+    rows += [(100 + i, "b", 5.0) for i in range(5)]  # constant group: MAD 0
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    got = {r["id"]: r["is_outlier"] for r in
+           mad_outliers(df, "v", group_cols=["g"], k=3.0).collect()}
+    assert got[7] is True  # the 500
+    assert all(got[i] is False for i in range(7))
+    # all-constant group flags nothing (0 > 0 is false)
+    assert all(got[100 + i] is False for i in range(5))
