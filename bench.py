@@ -78,6 +78,14 @@ def main() -> None:
     for name in HEADLINE:
         per_run = []
         for _ in range(2):
+            # Both reps start cache-clean so the warm number measures
+            # the PLAN re-executed end-to-end, not residency of a
+            # cache an eager operator happened to leave behind; the
+            # GC hint keeps heap creep from earlier queries out of
+            # this query's measurement (measured: late-in-run queries
+            # inflated 2-9x from accumulated session state).
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
             t0 = time.time()
             # count() forces full execution without driver collect cost.
             QUERIES[name](spark, sf_dir).count()

@@ -2726,3 +2726,25 @@ def q_hll_merge(spark, sf_dir):
         keys=["lang"],
     )
     return hll_estimate(merged, ["lang"]).orderBy("lang")
+
+
+@query("q_pagerank")
+def q_pagerank(spark, sf_dir):
+    """PageRank (operators/graph.py:pagerank) over the bipartite
+    customer→nation membership graph — rows-only (iterative float
+    fixpoint is engine-specific; the algorithm is pytest-checked
+    against an independent power iteration). One join + one
+    map-side-combinable aggregate per round, localCheckpoint-bounded
+    plans, only one-row aggregates reach the driver."""
+    from pipeline_dataengineer_spark.operators.graph import pagerank
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("src"),
+        # offset nation ids out of the custkey range so node ids are
+        # distinct across the two classes
+        (F.col("c_nationkey") + 10_000_000).alias("dst"),
+    )
+    # 8 rounds ≈ 1e-3 L1 residual here; row count (the rows-only
+    # check) is iteration-independent, so keep the contract run cheap.
+    ranks = pagerank(c, max_iterations=8, tol=1e-9)
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

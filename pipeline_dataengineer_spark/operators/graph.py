@@ -83,3 +83,86 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(non_canonical, on=id_col, how="left_anti")
+
+
+def pagerank(
+    edges_df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank over a directed edge list → (node, rank), ranks
+    summing to ~1. The canonical importance prior for web-corpus
+    curation (rank-weighted sampling, per-domain quality priors).
+
+    Power iteration in pure relational form: contributions =
+    rank/out_degree joined through the edge list, summed per dst —
+    one join + one map-side-combinable aggregate (two shuffles) per
+    iteration, the same bounded-plan shape as connected_components
+    (localCheckpoint per round keeps planning O(1); at 100 TB,
+    pre-partition edges by src so the join never reshuffles the edge
+    table — it is loop-invariant).
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    the standard stochastic-matrix completion — so total rank is
+    conserved and results match NetworkX's pagerank for the same
+    damping/tolerance. Convergence = L1 delta < tol, checked with a
+    one-row aggregate per round (no data collects to the driver).
+    """
+    edges = (
+        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    # Loop-invariant: (src, dst, 1/deg) — checkpoint once, reuse.
+    weighted_edges = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(max_iterations):
+        contribs = (
+            weighted_edges.join(ranks, weighted_edges.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("__w")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # Mass sitting on dangling nodes this round, spread uniformly.
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "__old"), "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks.select("node", "rank")

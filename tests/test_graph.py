@@ -38,3 +38,38 @@ def test_dedup_keep_canonical(spark):
     )
     # cluster {1,3,5} -> keep 1; untouched 0,2,4 pass through
     assert kept == [0, 1, 2, 4]
+
+
+def _reference_pagerank(edges, damping=0.85, iters=200):
+    """Independent pure-Python power iteration (NetworkX semantics)."""
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: (1.0 - damping) / n for v in nodes}
+        dangling = sum(ranks[v] for v in nodes if v not in out)
+        for v in nodes:
+            nxt[v] += damping * dangling / n
+        for s, ds in out.items():
+            share = ranks[s] / len(ds)
+            for d in ds:
+                nxt[d] += damping * share
+        ranks = nxt
+    return ranks
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from pipeline_dataengineer_spark.operators.graph import pagerank
+
+    # has a cycle, a hub, and a dangling node (4)
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2), (3, 0), (2, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, max_iterations=100, tol=1e-12).collect()}
+    want = _reference_pagerank(edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for v, w in want.items():
+        assert abs(got[v] - w) < 1e-6, (v, got[v], w)
