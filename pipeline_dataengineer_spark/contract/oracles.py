@@ -1481,3 +1481,10 @@ SELECT d.event_id, d.event_type, d.value,
        d.dev > 2.0 * 1.4826 * mad.md AS is_outlier
 FROM d JOIN mad USING (event_type)
 """
+
+ORACLES["q_variant"] = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""

@@ -2748,3 +2748,22 @@ def q_pagerank(spark, sf_dir):
     # check) is iteration-independent, so keep the contract run cheap.
     ranks = pagerank(c, max_iterations=8, tol=1e-9)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+@query("q_variant")
+def q_variant(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured path: parse_json → open
+    binary-encoded variant → typed variant_get extraction, then a
+    relational aggregate over the extracted key. The Variant encoding
+    is columnar-shreddable at the scan at scale; the oracle reads the
+    same JSON with DuckDB's json extraction."""
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select(k.alias("k_val"), "value")
+        .groupBy("k_val")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

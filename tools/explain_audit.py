@@ -123,6 +123,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "Window"],
     ),
+    # MAD outliers: both group-sized aggregates (median, MAD) come
+    # back by broadcast hash join — the fact side must never sort or
+    # shuffle for them.
+    "q_mad_outliers": (
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "Window"],
+    ),
+    # URL canonicalization is ONE fused projection riding the scan:
+    # no shuffle, no join, no aggregate anywhere in the tree.
+    "q_url_normalize": ([], ["Exchange", "Join", "HashAggregate"]),
+    # incremental agg maintenance: every stage is a map-side-combinable
+    # HashAggregate (partial_* then merge); no window, no sort-merge.
+    "q_incremental_agg": (["HashAggregate"], ["Window", "SortMergeJoin"]),
+    # per-domain stats: one combinable aggregate, no join.
+    "q_domain_stats": (["HashAggregate"], ["Join", "Window"]),
 }
 
 
