@@ -42,6 +42,11 @@ HEADLINE = [
     "q_boilerplate_segments",
     "q_chunk_docs",
     "q_inverted_index",
+    "q_mad_outliers",
+    "q_incremental_agg",
+    "q_url_normalize",
+    "q_variant",
+    "q_zorder_layout",
 ]
 
 

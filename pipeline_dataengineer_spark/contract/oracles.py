@@ -1488,3 +1488,7 @@ SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1
 """
+
+ORACLES["q_zorder_layout"] = """
+SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
+"""

@@ -2767,3 +2767,19 @@ def q_variant(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query("q_zorder_layout")
+def q_zorder_layout(spark, sf_dir):
+    """Z-order re-clustering (operators/layout.py:zorder_layout):
+    Morton-interleaved multi-column sort so file min/max stats prune
+    multi-column filters. Content is untouched — the oracle is the
+    identity projection (the driver's order-insensitive hash proves
+    the operator only MOVES rows); the pruning effect itself is
+    pytest-checked on real parquet file stats."""
+    from pipeline_dataengineer_spark.operators.layout import zorder_layout
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    return zorder_layout(li, ["l_orderkey", "l_partkey"], num_files=8)
