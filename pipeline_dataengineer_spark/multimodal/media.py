@@ -14,12 +14,15 @@ North-star component (not in the reference). Design contract:
 - codec calls sit behind ``_decode_image_bytes``. PNG decode is REAL
   (stdlib-only: IHDR header parse, zlib IDAT inflate, full scanline
   defiltering — no imaging library needed), so the mapInPandas path
-  is exercised by genuine pixels. JPEG/audio/video remain
-  deterministic fakes keyed off the payload hash (their codecs are
-  not in this container) — swap those for PIL/ffmpeg in a real
-  deployment without touching any Spark plumbing. The pure-Python
-  defilter is fine for the metadata/feature shapes tested here; a
-  production deployment replaces it with PIL for throughput.
+  is exercised by genuine pixels. JPEG DIMENSIONS are REAL (marker-
+  stream parse to SOF — how production reads dims without entropy
+  decode) and WAV METADATA is REAL (RIFF chunk walk: sample rate,
+  channels, PCM duration). Only JPEG pixel decode, audio samples and
+  video frames remain deterministic fakes (libjpeg/ffmpeg are not in
+  this container) — swap behind the same seams in a real deployment
+  without touching any Spark plumbing. The pure-Python defilter is
+  fine for the metadata/feature shapes tested here; a production
+  deployment replaces it with PIL for throughput.
 """
 
 from __future__ import annotations
@@ -134,11 +137,68 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, ch, bytes(out)
 
 
+# SOF markers carrying frame dimensions: C0-CF minus DHT(C4),
+# JPG-extension(C8), DAC(CC).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a real JPEG by walking the marker stream
+    to the SOF segment — stdlib only. This is exactly how production
+    metadata extraction reads dimensions WITHOUT entropy-decoding the
+    image (the expensive part that genuinely needs libjpeg)."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers have no length field
+            continue
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            # segment: precision(1) height(2) width(2) ...
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return w, h
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: dims must precede
+            break
+        pos += 2 + length
+    raise ValueError("no SOF segment found")
+
+
+def _wav_metadata(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, channels, duration_ms) from a real RIFF/WAVE
+    header — stdlib only, no audio codec needed (PCM duration is
+    data_bytes / byte_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    sample_rate = channels = bits = data_size = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        if cid == b"fmt ":
+            channels, sample_rate = struct.unpack(
+                "<HI", payload[pos + 10 : pos + 16]
+            )
+            (bits,) = struct.unpack("<H", payload[pos + 22 : pos + 24])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not sample_rate or not channels or not bits or data_size is None:
+        raise ValueError("truncated WAV")
+    byte_rate = sample_rate * channels * (bits // 8)
+    return sample_rate, channels, data_size * 1000 // byte_rate
+
+
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
-    """Image decode: REAL for PNG (``_decode_png``); deterministic
-    fake for other formats (their codecs — PIL/ffmpeg — are not in
-    this container; swap here). Features are 8 mean-intensity buckets
-    over the pixel buffer for real decodes, hash-derived for fakes."""
+    """Image decode: REAL for PNG (``_decode_png``: full pixel
+    defilter) and REAL dimensions for JPEG (``_jpeg_dimensions``:
+    marker-stream parse — pixel decode still needs libjpeg, so JPEG
+    features stay hash-derived behind this seam). Unknown formats get
+    a deterministic fake. Features are 8 mean-intensity buckets over
+    the pixel buffer for real decodes, hash-derived otherwise."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
     if payload[:8] == _PNG_MAGIC:
@@ -152,10 +212,13 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
         ][:8]
         feats += [0.0] * (8 - len(feats))
         return w, h, feats
-    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False)
-    width = 16 + (h % 1024)
-    height = 16 + ((h >> 10) % 1024)
-    feats = [((h >> (8 * i)) & 0xFF) / 255.0 for i in range(8)]
+    hsh = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False)
+    feats = [((hsh >> (8 * i)) & 0xFF) / 255.0 for i in range(8)]
+    if payload[:3] == b"\xff\xd8\xff":
+        w, h = _jpeg_dimensions(payload)
+        return w, h, feats
+    width = 16 + (hsh % 1024)
+    height = 16 + ((hsh >> 10) % 1024)
     return width, height, feats
 
 
@@ -210,6 +273,40 @@ def extract_image_features(
                 except Exception:
                     feats.append(None)
             yield pdf.assign(features=feats)
+
+    return df.mapInPandas(op, out_schema)
+
+
+def audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """WAV payload → (sample_rate, channels, duration_ms) via
+    mapInPandas — REAL RIFF header parsing (``_wav_metadata``), no
+    audio codec involved; undecodable rows get NULLs (same corrupt-
+    blob tolerance as decode_images)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sr, ch, dur = [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    s, c, d = _wav_metadata(payload)
+                    sr.append(s)
+                    ch.append(c)
+                    dur.append(d)
+                except Exception:
+                    sr.append(None)
+                    ch.append(None)
+                    dur.append(None)
+            yield pdf.assign(sample_rate=sr, channels=ch, duration_ms=dur)
 
     return df.mapInPandas(op, out_schema)
 

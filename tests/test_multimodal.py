@@ -84,10 +84,11 @@ def test_mime_sniffing(spark):
 
 def test_decode_images_null_safe(spark):
     got = {r["media_id"]: r["width"] for r in decode_images(_media_df(spark)).collect()}
-    # row 1 is PNG magic + garbage: the REAL decoder correctly reports
-    # it undecodable (None), it doesn't invent dimensions.
+    # rows 1/2 are PNG/JPEG magic + garbage: the REAL parsers report
+    # them undecodable (None), they don't invent dimensions.
     assert got[1] is None
-    assert got[2] is not None  # jpeg path is still the deterministic fake
+    assert got[2] is None
+    assert got[3] is not None  # unknown format → deterministic fake dims
     assert got[4] is None and got[5] is None  # corrupt rows don't fail the job
 
 
@@ -138,8 +139,9 @@ def test_feature_extraction_shape(spark):
     rows = extract_image_features(_media_df(spark), dim=8).collect()
     feats = {r["media_id"]: r["features"] for r in rows}
     assert feats[1] is None  # PNG magic + garbage = undecodable
-    assert len(feats[2]) == 8  # jpeg fake path
-    assert all(0.0 <= x <= 1.0 for x in feats[2])
+    assert feats[2] is None  # JPEG magic + garbage = undecodable
+    assert len(feats[3]) == 8  # unknown format → deterministic fake
+    assert all(0.0 <= x <= 1.0 for x in feats[3])
     assert feats[4] is None
 
 
@@ -153,3 +155,66 @@ def test_video_frame_sampling_fanout(spark):
     assert 2 not in by_id  # null payload → no rows
     assert [r["frame_ts_ms"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 500, 1000, 1500]
     assert "payload" not in frames[0].asDict()  # big blob dropped from fan-out
+
+
+def _real_wav_bytes(seconds: float = 0.25, rate: int = 8000, channels: int = 1) -> bytes:
+    """A genuine RIFF/WAVE file via the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = int(rate * seconds)
+        w.writeframes(b"".join(
+            (i % 251 - 125).to_bytes(2, "little", signed=True) for i in range(n * channels)
+        ))
+    return buf.getvalue()
+
+
+def _real_jpeg_header(width: int, height: int) -> bytes:
+    """A structurally valid JPEG prefix: SOI, APP0/JFIF, SOF0 carrying
+    the frame dimensions, SOS. Dimension parsing never needs the
+    entropy-coded scan data, same as production metadata extractors."""
+    import struct as _s
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = _s.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _s.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + _s.pack(">H", 2 + len(sof0)) + sof0
+        + b"\xff\xda" + _s.pack(">H", 4) + b"\x01\x00"
+    )
+
+
+def test_real_jpeg_dimensions(spark):
+    from pipeline_dataengineer_spark.multimodal.media import decode_images
+
+    df = spark.createDataFrame(
+        [(1, _real_jpeg_header(640, 480)), (2, _real_jpeg_header(31, 7)),
+         (3, b"\xff\xd8\xff\x00garbage")],
+        ["media_id", "payload"],
+    )
+    got = {r["media_id"]: (r["width"], r["height"]) for r in decode_images(df).collect()}
+    assert got[1] == (640, 480)
+    assert got[2] == (31, 7)
+    assert got[3] == (None, None)  # malformed marker stream → null, not crash
+
+
+def test_real_wav_metadata(spark):
+    from pipeline_dataengineer_spark.multimodal.media import audio_metadata
+
+    df = spark.createDataFrame(
+        [(1, _real_wav_bytes(seconds=0.5, rate=16000, channels=2)),
+         (2, _real_wav_bytes(seconds=1.0, rate=8000, channels=1)),
+         (3, b"RIFFxxxxNOPE")],
+        ["media_id", "payload"],
+    )
+    got = {r["media_id"]: (r["sample_rate"], r["channels"], r["duration_ms"])
+           for r in audio_metadata(df).collect()}
+    assert got[1] == (16000, 2, 500)
+    assert got[2] == (8000, 1, 1000)
+    assert got[3] == (None, None, None)
