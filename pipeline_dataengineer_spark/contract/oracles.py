@@ -1492,3 +1492,16 @@ FROM events GROUP BY 1
 ORACLES["q_zorder_layout"] = """
 SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
 """
+
+ORACLES["q_interval_join_left"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id
+ AND b.ts >= c.ts
+ AND b.ts <= c.ts + INTERVAL 30 MINUTE
+"""

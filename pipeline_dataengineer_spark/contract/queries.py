@@ -2783,3 +2783,31 @@ def q_zorder_layout(spark, sf_dir):
         "l_orderkey", "l_partkey", "l_extendedprice"
     )
     return zorder_layout(li, ["l_orderkey", "l_partkey"], num_files=8)
+
+
+@query("q_interval_join_left")
+def q_interval_join_left(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join, batch parity
+    (streaming/joins.py:stream_stream_interval_join how='left_outer'):
+    every click appears, with null buy columns when no purchase lands
+    in the window. On a stream the same plan emits the null rows only
+    once the watermark closes the bound (pytest-proven on a live
+    two-drain stream); on batch it is this left join."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    out = stream_stream_interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        lower="0 seconds", upper="30 minutes", how="left_outer",
+    )
+    return out.select(
+        F.col("l.user_id").alias("user_id"), "click_id", "buy_id"
+    )

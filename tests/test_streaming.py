@@ -219,3 +219,70 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(60)
     rows = {(r["k"], r["lv"], r["rv"]) for r in spark.sql("select * from ssj_out").collect()}
     assert rows == {("u1", 1.0, 10.0)}
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unmatched left row may only
+    emit (with null right columns) once the watermark proves no match
+    can still arrive — Structured Streaming's outer-join contract.
+    Drain 1: no output for the unmatched row. Drain 2 (later events
+    advance the watermark past the join bound): the null row appears."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    left_dir = tmp_path / "lo_left"
+    right_dir = tmp_path / "lo_right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_lo")
+
+    def drain(name):
+        collected = []
+
+        def collect(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        left = spark.readStream.schema(SCHEMA).json(str(left_dir)).select(
+            F.col("k"), F.col("ts").alias("lts"), F.col("v").alias("lv")
+        )
+        right = spark.readStream.schema(SCHEMA).json(str(right_dir)).select(
+            F.col("k"), F.col("ts").alias("rts"), F.col("v").alias("rv")
+        )
+        joined = stream_stream_interval_join(
+            left, right, "k", "lts", "rts",
+            lower="0 seconds", upper="10 minutes",
+            watermark="5 minutes", how="left_outer",
+        ).select(F.col("l.k").alias("k"), "lv", "rv")
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["k"], r["lv"], r["rv"]) for r in collected}
+
+    _write_json(left_dir, "b0.json", [
+        {"k": "u1", "ts": "2024-01-01T00:00:00", "v": 1.0},   # will match
+        {"k": "u2", "ts": "2024-01-01T00:00:00", "v": 2.0},   # never matches
+    ])
+    _write_json(right_dir, "b0.json", [
+        {"k": "u1", "ts": "2024-01-01T00:05:00", "v": 10.0},
+    ])
+    got1 = drain("d1")
+    # matched row may emit immediately; the unmatched one must NOT yet
+    assert ("u1", 1.0, 10.0) in got1
+    assert not any(k == "u2" for k, _, _ in got1)
+
+    # advance event time well past u2's bound on BOTH sides (each
+    # stream's watermark is the min over inputs)
+    _write_json(left_dir, "b1.json", [
+        {"k": "u9", "ts": "2024-01-01T03:00:00", "v": 9.0},
+    ])
+    _write_json(right_dir, "b1.json", [
+        {"k": "u8", "ts": "2024-01-01T03:00:00", "v": 8.0},
+    ])
+    got2 = drain("d2")
+    assert ("u2", 2.0, None) in got2
