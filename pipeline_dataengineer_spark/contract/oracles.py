@@ -1505,3 +1505,45 @@ LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
  AND b.ts >= c.ts
  AND b.ts <= c.ts + INTERVAL 30 MINUTE
 """
+
+ORACLES["q_apply_cdc"] = """
+SELECT o_orderkey,
+       round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+             ELSE o_totalprice END, 2) AS o_totalprice,
+       o_orderstatus
+FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+ORACLES["q_dq_checks"] = """
+SELECT 'not_null:o_custkey' AS rule,
+       CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_violations,
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS passed FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(o_orderkey) - count(DISTINCT o_orderkey) = 0 FROM orders
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT),
+       count(CASE WHEN o_orderstatus IS NOT NULL
+             AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0 FROM orders
+UNION ALL
+SELECT 'min:o_totalprice>=0',
+       CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT),
+       count(CASE WHEN o_totalprice < 0 THEN 1 END) = 0 FROM orders
+UNION ALL
+SELECT 'max:o_totalprice<=1000000',
+       CAST(count(CASE WHEN o_totalprice > 1000000 THEN 1 END) AS BIGINT),
+       count(CASE WHEN o_totalprice > 1000000 THEN 1 END) = 0 FROM orders
+UNION ALL
+SELECT 'referential:o_custkey->c_custkey',
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+"""

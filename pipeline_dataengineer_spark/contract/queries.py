@@ -2811,3 +2811,63 @@ def q_interval_join_left(spark, sf_dir):
     return out.select(
         F.col("l.user_id").alias("user_id"), "click_id", "buy_id"
     )
+
+
+@query("q_apply_cdc")
+def q_apply_cdc(spark, sf_dir):
+    """CDC round trip (operators/incremental.py:snapshot_diff →
+    apply_cdc): diff two snapshot variants of orders, apply the
+    change stream back onto the old snapshot — the result must equal
+    the new snapshot exactly (the oracle computes the new snapshot
+    directly). Inserts, updates and deletes all exercised via key
+    arithmetic."""
+    from pipeline_dataengineer_spark.operators.incremental import (
+        apply_cdc,
+        snapshot_diff,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    value_cols = ["o_totalprice", "o_orderstatus"]
+    old = o.filter(F.pmod("o_orderkey", F.lit(7)) != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderstatus"
+    )
+    new = o.filter(F.pmod("o_orderkey", F.lit(5)) != 0).select(
+        "o_orderkey",
+        F.round(
+            F.when(
+                F.pmod("o_orderkey", F.lit(3)) == 0,
+                F.col("o_totalprice") * 2,
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    changes = snapshot_diff(old, new, ["o_orderkey"], value_cols)
+    return apply_cdc(old, changes, ["o_orderkey"], value_cols)
+
+
+@query("q_dq_checks")
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality report (operators/quality.py): five
+    rule kinds compiled into ONE aggregate pass over orders, plus a
+    referential-integrity anti-join against customer — output is the
+    (rule, n_violations, passed) gate table."""
+    from pipeline_dataengineer_spark.operators.quality import (
+        check_referential,
+        run_checks,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    report = run_checks(
+        o,
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("accepted_values", "o_orderstatus", ["O", "F", "P"]),
+            ("min", "o_totalprice", 0),
+            ("max", "o_totalprice", 1_000_000),
+        ],
+    )
+    ri = check_referential(o, c, "o_custkey", "c_custkey")
+    return report.unionByName(ri)

@@ -51,3 +51,56 @@ def test_snapshot_diff_null_key_rows_classified_by_side(spark):
     got = {(r["change_type"], r["old_s"], r["new_s"])
            for r in snapshot_diff(old, new, ["k"], ["s"]).collect()}
     assert got == {("delete", "gone", None), ("insert", None, "fresh")}
+
+
+def test_apply_cdc_round_trip_reconstructs_new_snapshot(spark):
+    """apply_cdc(old, snapshot_diff(old, new)) == new, with all three
+    change types present."""
+    from pipeline_dataengineer_spark.operators.incremental import (
+        apply_cdc,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        ["k", "v", "s"],
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),      # unchanged
+         (2, 99.0, "b"),      # update
+         (4, 40.0, "d")],     # insert; 3 deleted
+        ["k", "v", "s"],
+    )
+    changes = snapshot_diff(old, new, ["k"], ["v", "s"])
+    kinds = {r["change_type"] for r in changes.collect()}
+    assert kinds == {"insert", "update", "delete"}
+    applied = apply_cdc(old, changes, ["k"], ["v", "s"])
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_run_checks_counts_planted_violations(spark):
+    from pipeline_dataengineer_spark.operators.quality import (
+        check_referential,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "x", -1.0), (2, "y", 7.0), (None, "z", 3.0)],
+        ["id", "cat", "v"],
+    )
+    got = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in run_checks(df, [
+               ("not_null", "id"),
+               ("unique", "id"),
+               ("accepted_values", "cat", ["x", "y"]),
+               ("min", "v", 0),
+           ]).collect()}
+    assert got["not_null:id"] == (1, False)
+    assert got["unique:id"] == (1, False)       # id=2 twice
+    assert got["accepted_values:cat"] == (1, False)  # "z"
+    assert got["min:v>=0"] == (1, False)        # -1.0
+    parent = spark.createDataFrame([(1,), (2,)], ["pid"])
+    ri = check_referential(
+        spark.createDataFrame([(1,), (9,), (None,)], ["id"]), parent, "id", "pid"
+    ).collect()[0]
+    assert (ri["n_violations"], ri["passed"]) == (1, False)  # 9 orphaned, NULL exempt
