@@ -48,3 +48,20 @@ def read_json(
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media/blob ingestion via Spark's built-in ``binaryFile``
+    source: one row per file with (path, modificationTime, length,
+    content). The front door for the multimodal pipeline — feed
+    ``content`` straight into ``multimodal.media`` as the payload
+    column. File listing parallelizes on the driver and rows
+    distribute by file; filters on path/length/modificationTime prune
+    BEFORE bytes load (the source skips content for pruned rows), so
+    metadata-only queries never read payloads."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

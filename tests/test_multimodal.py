@@ -218,3 +218,27 @@ def test_real_wav_metadata(spark):
     assert got[1] == (16000, 2, 500)
     assert got[2] == (8000, 1, 1000)
     assert got[3] == (None, None, None)
+
+
+def test_binary_file_source_feeds_decode_pipeline(spark, tmp_path):
+    """End-to-end media ingestion: real PNG FILES on disk → built-in
+    binaryFile source → mapInPandas decode — the front door a 100 TB
+    media corpus actually uses, with path/length pruning before any
+    payload bytes load."""
+    from pipeline_dataengineer_spark.sources.files import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.png").write_bytes(make_png(12, 8, lambda x, y: (255, 0, 0)))
+    (media / "b.png").write_bytes(make_png(30, 20, lambda x, y: (0, 255, 0), filter_type=2))
+    (media / "skip.txt").write_bytes(b"not an image")
+
+    files = read_binary_files(spark, str(media), glob="*.png")
+    assert files.count() == 2  # pathGlobFilter pruned the .txt
+    payloads = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    got = {r["media_id"]: (r["width"], r["height"])
+           for r in decode_images(payloads).collect()}
+    assert got == {"a.png": (12, 8), "b.png": (30, 20)}
