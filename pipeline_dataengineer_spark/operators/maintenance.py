@@ -1,0 +1,77 @@
+"""Table-maintenance operators: small-file compaction, schema
+conformance.
+
+The operational half of a 100 TB lake: streaming sinks and
+fine-grained partition overwrites accumulate small files (every one
+is a task, an open, a footer parse — a million 1 MB files makes the
+LISTing alone the bottleneck), and long-lived tables accumulate
+schema drift across ingest batches. Both fixes are plain DataFrame
+plans."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a parquet directory into files of ~``target_file_bytes``
+    (the row-group-friendly size Spark's scan planner slices cleanly).
+    Sizing comes from the actual input file sizes; the rewrite is a
+    ``coalesce`` — a NARROW dependency, no shuffle: output tasks
+    concatenate input partitions. Writes to ``dst`` (never in place —
+    readers of ``src`` stay consistent; swap directories at the
+    catalog/metastore layer). Returns an audit dict.
+
+    At real scale run this per partition-directory so compaction
+    parallelizes across partitions and respects partition pruning."""
+    df = spark.read.parquet(src)
+    files = df.inputFiles()
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return {
+        "files_before": len(files),
+        "files_after": n_out,
+        "bytes": total,
+    }
+
+
+def conform_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``target``: missing columns appear as
+    typed NULLs, present columns cast to the target type, extra
+    columns drop, order matches the target — the step that makes
+    heterogeneous ingest batches unionable and lets old readers
+    survive added fields. Pure projection (codegen, no shuffle)."""
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for field in target.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def union_conformed(dfs: list[DataFrame], target: T.StructType) -> DataFrame:
+    """Union any number of drifted batches under one target schema —
+    each is conformed first, so the union is position-safe."""
+    out = conform_schema(dfs[0], target)
+    for d in dfs[1:]:
+        out = out.unionByName(conform_schema(d, target))
+    return out

@@ -1,0 +1,58 @@
+"""Small-file compaction and schema conformance."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_dataengineer_spark.operators.maintenance import (
+    compact_parquet,
+    conform_schema,
+    union_conformed,
+)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(20).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 20
+
+    audit = compact_parquet(spark, src, dst, target_file_bytes=10**9)
+    assert audit["files_before"] == 20
+    out_files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(out_files) == 1  # everything fits one target-sized file
+    # content identical
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))
+
+
+def test_conform_schema_adds_casts_drops_and_orders(spark):
+    target = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    drifted = spark.createDataFrame(
+        [(1, 3, "x", "extra")], ["score", "id", "name", "legacy"]
+    )  # wrong order, int score, extra col
+    out = conform_schema(drifted, target)
+    assert out.columns == ["id", "name", "score"]
+    assert dict(out.dtypes)["score"] == "double"
+    r = out.collect()[0]
+    assert (r["id"], r["name"], r["score"]) == (3, "x", 1.0)
+
+
+def test_union_conformed_merges_drifted_batches(spark):
+    target = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    old_batch = spark.createDataFrame([(1, 1.5)], ["id", "v"])  # no tag yet
+    new_batch = spark.createDataFrame([(2, 2.5, "t")], ["id", "v", "tag"])
+    got = {r["id"]: (r["v"], r["tag"])
+           for r in union_conformed([old_batch, new_batch], target).collect()}
+    assert got == {1: (1.5, None), 2: (2.5, "t")}
