@@ -1547,3 +1547,8 @@ SELECT 'referential:o_custkey->c_custkey',
           AND NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o.o_custkey)) = 0
 """
+
+ORACLES["q_resolve_entities"] = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY source) AS entity_id
+FROM documents
+"""

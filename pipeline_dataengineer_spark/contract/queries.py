@@ -2871,3 +2871,27 @@ def q_dq_checks(spark, sf_dir):
     )
     ri = check_referential(o, c, "o_custkey", "c_custkey")
     return report.unionByName(ri)
+
+
+@query("q_resolve_entities")
+def q_resolve_entities(spark, sf_dir):
+    """Entity resolution (operators/graph.py:resolve_entities):
+    FastSS fuzzy self-join → connected components → cluster id.
+    Names are synthesized so each source forms exactly one typo
+    cluster (bases from different sources are >max_distance apart),
+    which gives a closed-form oracle: entity_id == min doc_id of the
+    source group."""
+    from pipeline_dataengineer_spark.operators.graph import resolve_entities
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = F.concat(F.col("source"), F.lit("_corporation_"), F.col("source"))
+    m = F.pmod("doc_id", F.lit(3))
+    name = (
+        F.when(m == 0, base)
+        .when(m == 1, F.concat(base, F.lit("x")))
+        .otherwise(F.concat(F.lit("x"), base))
+    )
+    out = resolve_entities(
+        d.withColumn("ent_name", name), "doc_id", "ent_name", max_distance=1
+    )
+    return out.select("doc_id", "entity_id")

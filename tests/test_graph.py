@@ -73,3 +73,22 @@ def test_pagerank_matches_reference_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     for v, w in want.items():
         assert abs(got[v] - w) < 1e-6, (v, got[v], w)
+
+
+def test_resolve_entities_clusters_typos_and_keeps_singletons(spark):
+    from pipeline_dataengineer_spark.operators.graph import resolve_entities
+
+    rows = [
+        (1, "acme corporation"),
+        (2, "acme corporation."),   # 1 edit from 1
+        (3, "acme corporations."),  # 1 edit from 2, 2 edits from 1 → chains in
+        (4, "zenith holdings"),     # singleton
+        (5, "zenith holding"),      # 1 edit from 4
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {r["id"]: r["entity_id"]
+           for r in resolve_entities(df, "id", "name").collect()}
+    assert got[1] == got[2] == got[3] == 1   # transitive cluster, min id
+    assert got[4] == got[5] == 4
+    # totality: every input row appears exactly once
+    assert sorted(got) == [1, 2, 3, 4, 5]
