@@ -1552,3 +1552,38 @@ ORACLES["q_resolve_entities"] = """
 SELECT doc_id, min(doc_id) OVER (PARTITION BY source) AS entity_id
 FROM documents
 """
+
+ORACLES["q_quantile_bins"] = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.50) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       CAST((CASE WHEN value > q1 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > q2 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > q3 THEN 1 ELSE 0 END) AS BIGINT) AS value_bucket
+FROM events e JOIN b USING (event_type)
+"""
+
+ORACLES["q_corr_matrix"] = """
+SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+       round(corr(l_quantity, l_quantity), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_extendedprice',
+       round(corr(l_quantity, l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_extendedprice',
+       round(corr(l_extendedprice, l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_discount',
+       round(corr(l_discount, l_discount), 6) FROM lineitem
+"""

@@ -2895,3 +2895,30 @@ def q_resolve_entities(spark, sf_dir):
         d.withColumn("ent_name", name), "doc_id", "ent_name", max_distance=1
     )
     return out.select("doc_id", "entity_id")
+
+
+@query("q_quantile_bins")
+def q_quantile_bins(spark, sf_dir):
+    """Equal-frequency binning (operators/robust.py:quantile_bucketize):
+    quartile bucket per event within its event_type. Boundaries are
+    quantile_cont percentiles broadcast back; bucket id is a fan of
+    comparisons (deterministic, unlike ntile) — the oracle computes
+    the identical arithmetic."""
+    from pipeline_dataengineer_spark.operators.robust import quantile_bucketize
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = quantile_bucketize(ev, "value", n_buckets=4, group_cols=["event_type"])
+    return out.select("event_id", "event_type", F.col("value_bucket"))
+
+
+@query("q_corr_matrix")
+def q_corr_matrix(spark, sf_dir):
+    """One-scan Pearson correlation matrix
+    (operators/profiling.py:corr_matrix) over three lineitem
+    measures — all pairs in a single partial+final aggregate pass,
+    unpivoted to tidy (col_a, col_b, corr) form."""
+    from pipeline_dataengineer_spark.operators.profiling import corr_matrix
+
+    li = table(spark, sf_dir, "lineitem")
+    out = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("col_a", "col_b", F.round("corr", 6).alias("corr"))

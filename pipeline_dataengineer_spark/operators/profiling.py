@@ -80,3 +80,28 @@ def approx_profile(df: DataFrame, columns: list[str] | None = None,
         ]
     )
     return summary.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def corr_matrix(df, cols: list[str]):
+    """Pearson correlation matrix of ``cols`` in ONE scan: every
+    pairwise corr is an aggregate expression in a single agg() call
+    (Spark computes all of them in one partial+final pass — no
+    per-pair rescans, no driver loop over the data), then the one
+    summary row unpivots to (col_a, col_b, corr) tidy form covering
+    the upper triangle incl. the diagonal."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            name = f"{a}|{b}"
+            aggs.append(F.corr(a, b).alias(name))
+            names.append(name)
+    row = df.agg(*aggs)
+    tidy = row.unpivot([], names, "pair", "corr")
+    return tidy.select(
+        F.split("pair", r"\|")[0].alias("col_a"),
+        F.split("pair", r"\|")[1].alias("col_b"),
+        F.col("corr"),
+    )

@@ -79,3 +79,40 @@ def mad_outliers(
         j = with_med.join(F.broadcast(with_med.agg(mad)))
     flag = dev > F.lit(k) * F.lit(consistency) * F.col("__mad")
     return j.withColumn(flag_col, flag).drop("__med", "__mad")
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning — the ML-feature staple:
+    bucket i collects values in (q_i, q_{i+1}]. Boundaries are exact
+    interpolated percentiles at 1/n .. (n-1)/n computed in one
+    group-sized aggregate and broadcast back; the bucket id is
+    ``sum(value > boundary_i)`` — a fixed fan of comparisons, no
+    window, no sort of the fact table (same shape as winsorize;
+    swap approx_percentile in at 100 TB). Deterministic and
+    SQL-portable, unlike ntile, whose tie-breaking is row-order
+    dependent."""
+    out = out_col or f"{value_col}_bucket"
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    aggs = [
+        F.percentile(value_col, F.lit(q)).alias(f"__qb_{i}")
+        for i, q in enumerate(qs)
+    ]
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(*aggs)
+        joined = df.join(F.broadcast(bounds), group_cols)
+    else:
+        joined = df.join(F.broadcast(df.agg(*aggs)))
+    bucket = F.lit(0)
+    for i in range(len(qs)):
+        bucket = bucket + F.when(
+            F.col(value_col) > F.col(f"__qb_{i}"), 1
+        ).otherwise(0)
+    return joined.withColumn(out, bucket.cast("long")).drop(
+        *[f"__qb_{i}" for i in range(len(qs))]
+    )

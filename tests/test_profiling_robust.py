@@ -110,3 +110,28 @@ def test_cross_corpus_contamination(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["corpus_id"], r["bench_id"], r["n_shared_grams"]) == (1, 100, 1)
+
+
+def test_quantile_bucketize_balances_buckets(spark):
+    from pipeline_dataengineer_spark.operators.robust import quantile_bucketize
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "v"])
+    out = quantile_bucketize(df, "v", n_buckets=4)
+    sizes = {r["v_bucket"]: r["n"] for r in
+             out.groupBy("v_bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(20 <= n <= 30 for n in sizes.values())  # ~equal frequency
+
+
+def test_corr_matrix_one_pass_values(spark):
+    from pipeline_dataengineer_spark.operators.profiling import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i)) for i in range(50)], ["a", "b", "c"]
+    )
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert abs(got[("a", "b")] - 1.0) < 1e-9   # perfectly correlated
+    assert abs(got[("a", "c")] + 1.0) < 1e-9   # perfectly anti-correlated
+    assert abs(got[("a", "a")] - 1.0) < 1e-9
+    assert len(got) == 6  # upper triangle incl. diagonal
