@@ -1587,3 +1587,8 @@ UNION ALL
 SELECT 'l_discount', 'l_discount',
        round(corr(l_discount, l_discount), 6) FROM lineitem
 """
+
+ORACLES["q_auto_skew_join"] = """
+SELECT l_orderkey, l_partkey AS p_partkey, l_quantity, p_name
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""

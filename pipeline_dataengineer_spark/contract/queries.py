@@ -2922,3 +2922,24 @@ def q_corr_matrix(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     out = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
     return out.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
+@query("q_auto_skew_join")
+def q_auto_skew_join(spark, sf_dir):
+    """Hybrid skew join (operators/skew.py:auto_skew_join): heavy
+    keys detected by count, salted; cold keys take the plain join
+    unsalted. Salting reshapes only the shuffle, so the oracle is
+    the plain SQL join. The threshold is set low enough that real
+    hot keys exist at sf0.01."""
+    from pipeline_dataengineer_spark.operators.skew import auto_skew_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = auto_skew_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"),
+        p,
+        "p_partkey",
+        hot_key_threshold=20,
+        salt=4,
+    )
+    return out.select("l_orderkey", "p_partkey", "l_quantity", "p_name")

@@ -63,3 +63,43 @@ def salted_join(
     )
     out = big_salted.join(small_exploded, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def auto_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    hot_key_threshold: int = 100_000,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hybrid skew join — the production pattern when only SOME keys
+    are hot: detect heavy keys with one map-side-combinable count
+    over the big side, then run the plain join for the cold keys and
+    the salted join for the hot ones, union the halves. Cold rows
+    (the vast majority) pay zero salting overhead — no explode
+    multiplication of their dimension rows — while each hot key
+    spreads over ``salt`` tasks instead of melting one reducer.
+
+    The hot-key table is by definition tiny (keys with >threshold
+    rows), so both the split filters and the salted join's small side
+    use broadcasts. Results are IDENTICAL to the plain join (salting
+    reshapes the shuffle, never multiplicity) — oracle-checked.
+
+    At 100 TB prefer AQE's runtime skew splitting first
+    (spark.sql.adaptive.skewJoin); reach for this when skew is known
+    ahead of time (power-law web domains) or the join sits under an
+    operator AQE can't split."""
+    hot = (
+        big.groupBy(on)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > hot_key_threshold)
+        .select(on)
+    )
+    big_cold = big.join(F.broadcast(hot), on, "left_anti")
+    big_hot = big.join(F.broadcast(hot), on, "left_semi")
+    small_cold = small.join(F.broadcast(hot), on, "left_anti")
+    small_hot = small.join(F.broadcast(hot), on, "left_semi")
+    cold = big_cold.join(small_cold, on, how)
+    hot_joined = salted_join(big_hot, small_hot, on, salt=salt, how=how)
+    return cold.unionByName(hot_joined)

@@ -54,3 +54,27 @@ def test_broadcast_if_small_uses_plan_stats(spark):
     # threshold, so assert on the HINT, not the strategy: re-check via
     # the logical plan string.
     assert "ResolvedHint" not in not_small._jdf.queryExecution().logical().toString()
+
+
+def test_auto_skew_join_equals_plain_join_on_skewed_data(spark):
+    from pipeline_dataengineer_spark.operators.skew import auto_skew_join
+
+    # one pathological key (0) with 2000 rows, 50 cold keys
+    big = spark.createDataFrame(
+        [(0, i) for i in range(2000)] + [(k, k) for k in range(1, 51)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(60)], ["k", "name"])
+    hybrid = auto_skew_join(big, small, "k", hot_key_threshold=100, salt=4)
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, hybrid.select("k", "v", "name").collect())) == \
+        sorted(map(tuple, plain.select("k", "v", "name").collect()))
+
+
+def test_auto_skew_join_no_hot_keys_degenerates_cleanly(spark):
+    from pipeline_dataengineer_spark.operators.skew import auto_skew_join
+
+    big = spark.createDataFrame([(k, k) for k in range(20)], ["k", "v"])
+    small = spark.createDataFrame([(k, f"d{k}") for k in range(20)], ["k", "name"])
+    out = auto_skew_join(big, small, "k", hot_key_threshold=5)
+    assert out.count() == 20
