@@ -30,7 +30,7 @@ def hll_sketches(
     )
 
 
-def merge_hll(*states: DataFrame, keys: list[str], lg_k: int = 12) -> DataFrame:
+def merge_hll(*states: DataFrame, keys: list[str]) -> DataFrame:
     """Union any number of per-key sketch states into one (same
     schema). Sketch union is the monoid merge — row traffic is
     |keys| x ~4 KB regardless of how much raw data built each state."""

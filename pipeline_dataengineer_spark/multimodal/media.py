@@ -153,6 +153,9 @@ def _jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # spec allows any number of 0xFF fill bytes before a marker
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2  # standalone markers have no length field

@@ -334,6 +334,12 @@ def minhash_lsh_near_duplicates(
     # result cached, later actions never re-enter the lineage, so
     # unpersisting the signature table below is safe (a lost cache
     # partition merely recomputes through the unpersisted plan).
+    # The returned (small) pair table stays persisted so downstream
+    # actions never re-enter the lineage; the CALLER owns that cache
+    # and releases it with `result.unpersist()` when done (long-lived
+    # sessions running many operators should do so — leftover caches
+    # measurably skew later queries' memory budget; bench.py clears
+    # between measurements for exactly this reason).
     out = result.persist()
     out.count()
     for cached in to_unpersist:

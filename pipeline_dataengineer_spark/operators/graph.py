@@ -130,6 +130,8 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
         .localCheckpoint()
     )
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(max_iterations):

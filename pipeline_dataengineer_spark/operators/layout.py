@@ -36,6 +36,16 @@ def zvalue(cols: list[Column | str], bits: int = 12) -> Column:
     Inputs must be non-negative ints in [0, 2^bits); bucketize skewed
     or non-integer data first (``zorder_layout`` does)."""
     ncols = len(cols)
+    if bits * ncols > 63:
+        # JVM shiftleft masks the shift amount mod 64 — shifts >= 64
+        # would silently wrap high interleave bits onto low positions
+        # and corrupt the ordering instead of erroring.
+        raise ValueError(
+            f"zvalue: {ncols} cols x {bits} bits = {bits * ncols} "
+            "interleave bits exceeds the 63 available in a signed "
+            "long; lower `bits` (pruning granularity degrades "
+            "gracefully) or split the column set."
+        )
     terms = []
     for ci, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c

@@ -53,7 +53,22 @@ def salted_join(
     in [0, salt); the small side is exploded once per salt value, so
     the join key becomes (on, salt) and a hot key's rows spread over
     `salt` tasks. Row multiplicity is unchanged → results identical
-    to the plain join."""
+    to the plain join.
+
+    Join types where the SMALL side can emit unmatched rows
+    (right/full outer) are rejected: an exploded small-side copy
+    whose salt bucket happens to receive no big-side rows would emit
+    a spurious null-extended row. Inner/left/semi/anti are safe (the
+    exploded side never emits unmatched)."""
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti", "cross",
+    ):
+        raise ValueError(
+            f"salted_join: how={how!r} can emit unmatched rows from the "
+            "exploded small side (spurious null rows for salt buckets the "
+            "hot key never hashed into); use the plain join for "
+            "right/full outer."
+        )
     big_salted = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)),

@@ -26,20 +26,25 @@ URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))
 TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
 
 
-def parse_urls(df: DataFrame, url_col: str) -> DataFrame:
+def parse_urls(df: DataFrame, url_col: str, prefix: str = "") -> DataFrame:
     """Split ``url_col`` into scheme, host, port, path, query,
     fragment columns (empty string when absent, matching regex
-    group semantics in both engines). Narrow projection — no shuffle."""
+    group semantics in both engines). Narrow projection — no shuffle.
+
+    The output column names are ``prefix + name``; withColumns
+    REPLACES same-named existing columns, so pass a prefix when the
+    input may already carry columns like ``host`` or ``path`` (the
+    internal callers use ``__u_`` to stay collision-free)."""
     u = F.col(url_col)
     hostport = F.regexp_extract(u, URL_RE, 2)
     return df.withColumns(
         {
-            "scheme": F.lower(F.regexp_extract(u, URL_RE, 1)),
-            "host": F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
-            "port": F.regexp_extract(hostport, r":(\d+)$", 1),
-            "path": F.regexp_extract(u, URL_RE, 3),
-            "query": F.regexp_extract(u, URL_RE, 4),
-            "fragment": F.regexp_extract(u, URL_RE, 5),
+            f"{prefix}scheme": F.lower(F.regexp_extract(u, URL_RE, 1)),
+            f"{prefix}host": F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+            f"{prefix}port": F.regexp_extract(hostport, r":(\d+)$", 1),
+            f"{prefix}path": F.regexp_extract(u, URL_RE, 3),
+            f"{prefix}query": F.regexp_extract(u, URL_RE, 4),
+            f"{prefix}fragment": F.regexp_extract(u, URL_RE, 5),
         }
     )
 
@@ -71,25 +76,27 @@ def normalize_urls(df: DataFrame, url_col: str, out_col: str = "url_norm") -> Da
 
     One fused projection (regexp + array filter, all codegen) — at
     crawl scale this rides the scan and the canonical key feeds
-    dedup_exact / cap_per_key with no extra pass."""
-    parsed = parse_urls(df, url_col)
-    host = F.regexp_replace(F.col("host"), r"^www\.", "")
-    port = F.col("port")
+    dedup_exact / cap_per_key with no extra pass. Internals use
+    ``__u_``-prefixed temporaries, so caller columns named host/path/
+    etc. survive untouched."""
+    parsed = parse_urls(df, url_col, prefix="__u_")
+    host = F.regexp_replace(F.col("__u_host"), r"^www\.", "")
+    port = F.col("__u_port")
     keep_port = (
         (port != "")
-        & ~((F.col("scheme") == "http") & (port == "80"))
-        & ~((F.col("scheme") == "https") & (port == "443"))
+        & ~((F.col("__u_scheme") == "http") & (port == "80"))
+        & ~((F.col("__u_scheme") == "https") & (port == "443"))
     )
-    path = F.col("path")
+    path = F.col("__u_path")
     path = F.when(path == "", F.lit("/")).otherwise(
         F.when(
             (F.length(path) > 1) & path.endswith("/"),
-            F.expr("substring(path, 1, length(path) - 1)"),
+            F.expr("substring(__u_path, 1, length(__u_path) - 1)"),
         ).otherwise(path)
     )
-    q = _clean_query(F.col("query"))
+    q = _clean_query(F.col("__u_query"))
     norm = F.concat(
-        F.col("scheme"),
+        F.col("__u_scheme"),
         F.lit("://"),
         host,
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
@@ -97,7 +104,7 @@ def normalize_urls(df: DataFrame, url_col: str, out_col: str = "url_norm") -> Da
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
     return parsed.withColumn(out_col, norm).drop(
-        "scheme", "host", "port", "path", "query", "fragment"
+        "__u_scheme", "__u_host", "__u_port", "__u_path", "__u_query", "__u_fragment"
     )
 
 
@@ -114,11 +121,11 @@ def domain_stats(df: DataFrame, url_col: str, value_cols: list[str] | None = Non
     plus sum/avg of any ``value_cols`` (e.g. doc length, quality
     score). ONE map-side-combinable groupBy on a low-cardinality key —
     the canonical shape for per-domain caps and priors at 100 TB."""
-    parsed = parse_urls(df, url_col)
-    dom = registered_domain(F.regexp_replace(F.col("host"), r"^www\.", ""))
+    parsed = parse_urls(df, url_col, prefix="__u_")
+    dom = registered_domain(F.regexp_replace(F.col("__u_host"), r"^www\.", ""))
     aggs = [
         F.count(F.lit(1)).alias("n_pages"),
-        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("__u_host").alias("n_hosts"),
     ]
     for c in value_cols or []:
         aggs += [F.sum(c).alias(f"sum_{c}"), F.avg(c).alias(f"avg_{c}")]

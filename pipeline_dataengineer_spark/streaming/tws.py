@@ -74,10 +74,22 @@ def running_totals_tws(
     """Running (n, total) per key on the transformWithState API.
     Output schema/semantics identical to
     ``streaming/stateful.py:running_totals``; use outputMode
-    'update' and the RocksDB state store provider."""
+    'update' and the RocksDB state store provider. The key column
+    keeps its incoming type (string keys work — the output schema is
+    derived from the input, not hardcoded)."""
+    from pyspark.sql import types as T
+
+    key_field = stream_df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType, True),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("total", T.DoubleType(), True),
+        ]
+    )
     return stream_df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=RunningTotalsProcessor(key_col, value_col),
-        outputStructType=f"{key_col} LONG, n LONG, total DOUBLE",
+        outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
     )

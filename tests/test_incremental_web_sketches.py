@@ -141,3 +141,16 @@ def test_mad_outliers_flags_only_the_planted_point(spark):
     assert all(got[i] is False for i in range(7))
     # all-constant group flags nothing (0 > 0 is false)
     assert all(got[100 + i] is False for i in range(5))
+
+
+def test_normalize_urls_preserves_caller_columns_named_like_parts(spark):
+    """A crawl record often already has host/path columns; the
+    canonicalizer must not clobber them (internals are prefixed)."""
+    df = spark.createDataFrame(
+        [(1, "https://www.A.com/x/?utm_source=s", "keep-host", "keep-path")],
+        ["i", "url", "host", "path"],
+    )
+    out = normalize_urls(df, "url").collect()[0]
+    assert out["url_norm"] == "https://a.com/x"
+    assert out["host"] == "keep-host"
+    assert out["path"] == "keep-path"

@@ -63,3 +63,10 @@ def test_zorder_files_prune_secondary_column(spark, tmp_path):
     x_hit = files_intersecting(xdir, 8, 15)
     assert x_hit == 16  # x-sorted layout: every file spans all y
     assert z_hit <= 8, z_hit  # z-order: at most half the files
+
+
+def test_zvalue_rejects_overflowing_interleave():
+    import pytest
+
+    with pytest.raises(ValueError, match="63"):
+        zvalue(["a", "b", "c", "d", "e", "f"], bits=12)

@@ -78,3 +78,14 @@ def test_auto_skew_join_no_hot_keys_degenerates_cleanly(spark):
     small = spark.createDataFrame([(k, f"d{k}") for k in range(20)], ["k", "name"])
     out = auto_skew_join(big, small, "k", hot_key_threshold=5)
     assert out.count() == 20
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 1)], ["k", "v"])
+    small = spark.createDataFrame([(1, "d")], ["k", "name"])
+    with pytest.raises(ValueError, match="full outer"):
+        salted_join(big, small, "k", how="full")
