@@ -75,3 +75,17 @@ def union_conformed(dfs: list[DataFrame], target: T.StructType) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(conform_schema(d, target))
     return out
+
+
+def materialize_stage(df: DataFrame, path: str, spark: SparkSession | None = None) -> DataFrame:
+    """Write ``df`` to a parquet stage table and return a fresh scan
+    of it — the durable lineage cut for long pipelines. Unlike
+    persist() (executor-memory, lost on executor death) or
+    localCheckpoint (RDD-path, AQE-bypassing, non-durable), a stage
+    table survives restarts, is readable by other jobs, and resets
+    the plan to a plain columnar scan with its own pushdown/pruning.
+    This is the documented at-scale swap for the in-memory caches the
+    sketch/dedup operators use below cluster scale."""
+    df.write.mode("overwrite").parquet(path)
+    s = spark or df.sparkSession
+    return s.read.parquet(path)

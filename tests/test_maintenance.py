@@ -56,3 +56,46 @@ def test_union_conformed_merges_drifted_batches(spark):
     got = {r["id"]: (r["v"], r["tag"])
            for r in union_conformed([old_batch, new_batch], target).collect()}
     assert got == {1: (1.5, None), 2: (2.5, "t")}
+
+
+def test_materialize_stage_cuts_lineage_and_round_trips(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.maintenance import materialize_stage
+
+    df = spark.range(100).withColumn("v", F.col("id") * 3)
+    staged = materialize_stage(df, str(tmp_path / "stage"))
+    assert sorted(r["v"] for r in staged.collect()) == [3 * i for i in range(100)]
+    # plan is a plain scan of the stage table, not the original lineage
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Schema-on-read resilience: PERMISSIVE captures bad lines in
+    _corrupt_record; DROPMALFORMED silently drops them — at corpus
+    scale some malformed lines are a certainty and a job that dies
+    at 99% is the wrong behavior."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1, "v": 2.5}\n{BROKEN\n{"id": 2, "v": 3.5}\n')
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    # Spark disallows filtering on ONLY the corrupt-record column of a
+    # raw scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # caching the parsed frame first is the documented pattern.
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(p)).cache()
+    try:
+        bad = perm.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == 1 and perm.count() == 3
+    finally:
+        perm.unpersist()
+    dropm = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+        .filter(F.col("id").isNotNull())
+    )
+    assert dropm.count() == 2
