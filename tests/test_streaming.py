@@ -286,3 +286,43 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     ])
     got2 = drain("d2")
     assert ("u2", 2.0, None) in got2
+
+
+def test_progress_ledger_captures_batch_metrics(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    from pipeline_dataengineer_spark.streaming.monitoring import ProgressLedger
+
+    spool = str(tmp_path / "progress.jsonl")
+    ledger = ProgressLedger(path=spool)
+    spark.streams.addListener(ledger)
+    try:
+        src = tmp_path / "mon_src"
+        src.mkdir()
+        _write_json(src, "b0.json", [
+            {"k": "a", "ts": "2024-01-01T00:00:00", "v": 1.0},
+            {"k": "b", "ts": "2024-01-01T00:01:00", "v": 2.0},
+        ])
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "mon_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener events are delivered async on the event bus
+        for _ in range(50):
+            if ledger.total_input_rows() >= 2 and any(
+                r["event"] == "terminated" for r in ledger.records
+            ):
+                break
+            _time.sleep(0.2)
+        assert ledger.total_input_rows() == 2
+        kinds = {r["event"] for r in ledger.records}
+        assert {"started", "progress", "terminated"} <= kinds
+        spooled = [_json.loads(l) for l in open(spool) if l.strip()]
+        assert len(spooled) == len(ledger.records)
+    finally:
+        spark.streams.removeListener(ledger)
