@@ -28,7 +28,12 @@ import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -106,6 +111,35 @@ class WebhookWriter(DataSourceWriter):
                     os.remove(m.target)
 
 
+class WebhookStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: same executor-side partition writes, but the
+    driver's commit/abort receives the micro-batch id — the epoch
+    ledger a real endpoint uses for exactly-once idempotence (replayed
+    batch ids can be skipped server-side). The file transport appends
+    one manifest line per committed epoch."""
+
+    def __init__(self, options):
+        self._w = WebhookWriter(options)
+        self.endpoint = self._w.endpoint
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        if self.endpoint.startswith("file://"):
+            d = self.endpoint.removeprefix("file://")
+            os.makedirs(d, exist_ok=True)
+            rec = {
+                "batch_id": batchId,
+                "total_rows": sum(m.rows for m in messages if m is not None),
+            }
+            with open(os.path.join(d, "_EPOCHS.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort([m for m in messages if m is not None])
+
+
 class WebhookDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -113,6 +147,9 @@ class WebhookDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return WebhookWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return WebhookStreamWriter(self.options)
 
 
 def register_webhook_sink(spark) -> None:

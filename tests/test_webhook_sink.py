@@ -31,3 +31,43 @@ def test_webhook_sink_writes_all_rows_with_manifest(spark, tmp_path):
     manifest = json.load(open(f"{out}/_MANIFEST.json"))
     assert manifest["total_rows"] == 1000
     assert len(manifest["partitions"]) == 4
+
+
+def test_webhook_stream_writer_commits_epochs(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    register_webhook_sink(spark)
+    out = tmp_path / "hook_stream"
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.format("webhook")
+            .option("endpoint", f"file://{out}")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b0.json").write_text("\n".join(_json.dumps({"id": i}) for i in range(50)))
+    drain()
+    (src / "b1.json").write_text("\n".join(_json.dumps({"id": i}) for i in range(50, 80)))
+    drain()
+
+    import glob as _glob
+
+    rows = []
+    for f in _glob.glob(f"{out}/part-*.jsonl"):
+        with open(f) as fh:
+            rows += [_json.loads(line) for line in fh if line.strip()]
+    assert {r["id"] for r in rows} == set(range(80))
+    epochs = [_json.loads(l) for l in open(f"{out}/_EPOCHS.jsonl") if l.strip()]
+    # one committed epoch per drained micro-batch, with its row audit
+    assert sorted(e["total_rows"] for e in epochs) == [30, 50]
+    assert len({e["batch_id"] for e in epochs}) == 2
