@@ -154,3 +154,34 @@ def test_normalize_urls_preserves_caller_columns_named_like_parts(spark):
     assert out["url_norm"] == "https://a.com/x"
     assert out["host"] == "keep-host"
     assert out["path"] == "keep-path"
+
+
+def test_normalize_urls_is_idempotent_on_fuzzed_urls(spark):
+    """Canonicalization must be a projection onto its own image:
+    normalize(normalize(u)) == normalize(u). 200 seeded-random URLs
+    across schemes/hosts/ports/paths/params/fragments, one Spark job."""
+    import random
+
+    rng = random.Random(42)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "https", "HTTP", "HtTpS"])
+        host = rng.choice(["www.", "", "sub."]) + rng.choice(
+            ["ex.com", "A-b.Example.ORG", "x.y.z.io"]
+        )
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/a", "/a/b/", "/a%20b/"])
+        params = "&".join(
+            rng.sample(
+                ["utm_source=x", "q=1", "fbclid=z", "a=2", "utm_campaign=c", "b="],
+                rng.randint(0, 4),
+            )
+        )
+        frag = rng.choice(["", "#f", "#sec-2"])
+        urls.append(f"{scheme}://{host}{port}{path}"
+                    + (f"?{params}" if params else "") + frag)
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "url"])
+    once = normalize_urls(df, "url", out_col="n1")
+    twice = normalize_urls(once, "n1", out_col="n2")
+    bad = twice.filter(F.col("n1") != F.col("n2")).collect()
+    assert bad == [], bad[:5]
