@@ -2943,3 +2943,31 @@ def q_auto_skew_join(spark, sf_dir):
         salt=4,
     )
     return out.select("l_orderkey", "p_partkey", "l_quantity", "p_name")
+
+
+@query("q_incremental_corpus")
+def q_incremental_corpus(spark, sf_dir):
+    """Incremental corpus append (pipelines/pretraining_corpus.py:
+    incremental_corpus_append): documents is the existing corpus; the
+    batch is a near-dup mutation of it (must all die) plus the same
+    docs under fresh ids with reversed text (must survive cleaning
+    thresholds or die deterministically). Rows-only — components are
+    individually oracle-checked; this pins the composition's count."""
+    from pipeline_dataengineer_spark.pipelines.pretraining_corpus import (
+        incremental_corpus_append,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    near = d.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing token")).alias("text"),
+        "lang",
+    )
+    fresh = d.select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+        "lang",
+    )
+    batch = near.unionByName(fresh)
+    out = incremental_corpus_append(d, batch, jaccard_threshold=0.6)
+    return out.select("doc_id").orderBy("doc_id")

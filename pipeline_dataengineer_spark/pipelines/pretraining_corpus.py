@@ -73,3 +73,74 @@ def build_pretraining_corpus(
     return split.select(
         "doc_id", "lang", "source", "n_tokens", "quality", "split"
     ).join(packed, "doc_id")
+
+
+def incremental_corpus_append(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: list[str] | None = None,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """The reference's incremental-ingest loop lifted to corpus scale:
+    given the EXISTING corpus and a new crawl batch, return only the
+    batch rows worth appending —
+
+    1. clean the batch (language / quality / token gates + exact
+       dedup within the batch; `operators/corpus.py:clean_corpus`);
+    2. drop batch docs that are near-duplicates OF THE EXISTING
+       corpus or of each other: MinHash-LSH over the tagged union,
+       keeping the union single-shuffle design — only pairs touching
+       a batch doc matter, and the existing side always wins;
+    3. idempotent-append semantics on the id (LEFT ANTI vs existing
+       ids — re-delivered batches, the reference's A17 bug, drop out).
+
+    The existing corpus is never rewritten — the output is the delta,
+    ready for an append write (or `apply_cdc` if ids can mutate).
+
+    Scale notes: the signature/banding cost is paid over
+    |existing| + |batch| per call; at a steady 100 TB corpus persist
+    the existing side's signatures to a stage table
+    (`operators/maintenance.py:materialize_stage`) and only compute
+    the batch's — the bucket join shape is unchanged."""
+    from pipeline_dataengineer_spark.operators.corpus import clean_corpus
+    from pipeline_dataengineer_spark.operators.dedup import (
+        minhash_lsh_near_duplicates,
+    )
+
+    cleaned = clean_corpus(
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        langs=langs,
+        min_quality=min_quality,
+    ).select(batch.columns)
+    tagged = existing.select(id_col, text_col).withColumn(
+        "__is_new", F.lit(False)
+    ).unionByName(
+        cleaned.select(id_col, text_col).withColumn("__is_new", F.lit(True))
+    )
+    pairs = minhash_lsh_near_duplicates(
+        tagged, id_col, text_col, jaccard_threshold=jaccard_threshold
+    )
+    new_ids = cleaned.select(F.col(id_col))
+    # a batch doc dies if it pairs with ANY lower-precedence partner:
+    # an existing doc (either side), or a smaller-id batch doc.
+    is_new = new_ids.withColumnRenamed(id_col, "__nid")
+    a_new = pairs.join(is_new, pairs.id_a == F.col("__nid"), "left_semi")
+    b_new = pairs.join(is_new, pairs.id_b == F.col("__nid"), "left_semi")
+    # pairs with id_b new: id_a < id_b (operator contract) → id_b loses
+    drop_b = b_new.select(F.col("id_b").alias(id_col))
+    # pairs with id_a new and id_b existing: the existing doc wins
+    not_new = pairs.join(is_new, pairs.id_b == F.col("__nid"), "left_anti")
+    drop_a = not_new.join(is_new, not_new.id_a == F.col("__nid"), "left_semi").select(
+        F.col("id_a").alias(id_col)
+    )
+    survivors = cleaned.join(
+        drop_a.unionByName(drop_b).distinct(), id_col, "left_anti"
+    )
+    return survivors.join(
+        existing.select(id_col), id_col, "left_anti"
+    )

@@ -57,3 +57,38 @@ def test_pipeline_quarantines_contaminated_docs(spark):
         docs, benchmark=bench, min_quality=0.0, context_len=64, pack_buckets=4
     )
     assert out.filter(F.col("doc_id") == 3).count() == 0
+
+
+def test_incremental_corpus_append_delta_semantics(spark):
+    """New-batch delta: near-dups of the existing corpus die, the
+    existing side never rewrites, within-batch dups keep min id,
+    re-delivered ids drop (idempotence), fresh docs survive."""
+    from pipeline_dataengineer_spark.pipelines.pretraining_corpus import (
+        incremental_corpus_append,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far across the wide green meadow looking for food")
+    existing = spark.createDataFrame(
+        [(1, base, "en"), (2, "an entirely different document about "
+          "shipping routes and customs declarations in winter", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " tail", "en"),          # near-dup of existing 1 → dies
+            (11, "completely novel content on glacier hydrology and "
+                 "seasonal meltwater variation measured over decades", "en"),
+            (12, "completely novel content on glacier hydrology and "
+                 "seasonal meltwater variation measured over decade", "en"),
+            # 12 ~ 11 within batch → 12 dies (min id wins)
+            (2, "an entirely different document about shipping routes "
+                "and customs declarations in winter", "en"),  # re-delivered id
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = incremental_corpus_append(
+        existing, batch, jaccard_threshold=0.5
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [11]
