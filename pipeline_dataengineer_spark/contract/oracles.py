@@ -1592,3 +1592,12 @@ ORACLES["q_auto_skew_join"] = """
 SELECT l_orderkey, l_partkey AS p_partkey, l_quantity, p_name
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
+
+ORACLES["q_explode_outer"] = """
+SELECT c_custkey, CAST(NULL AS BIGINT) AS e
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey, c_custkey * 10 AS e FROM customer WHERE c_custkey % 3 <> 0
+UNION ALL
+SELECT c_custkey, c_custkey * 10 + 1 AS e FROM customer WHERE c_custkey % 3 <> 0
+"""

@@ -2971,3 +2971,18 @@ def q_incremental_corpus(spark, sf_dir):
     batch = near.unionByName(fresh)
     out = incremental_corpus_append(d, batch, jaccard_threshold=0.6)
     return out.select("doc_id").orderBy("doc_id")
+
+
+@query("q_explode_outer")
+def q_explode_outer(spark, sf_dir):
+    """Outer explode: rows whose array is empty (or null) survive
+    with a NULL element instead of vanishing — the LEFT-JOIN-shaped
+    fan-out a document pipeline needs when per-doc annotations may be
+    absent. Arrays are synthesized from customer keys: every third
+    customer gets an empty array."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    arr = F.when(
+        F.pmod("c_custkey", F.lit(3)) == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.array(F.col("c_custkey") * 10, F.col("c_custkey") * 10 + 1))
+    out = c.withColumn("e", F.explode_outer(arr))
+    return out.select("c_custkey", F.col("e").cast("long").alias("e"))
