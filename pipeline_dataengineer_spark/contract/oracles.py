@@ -1601,3 +1601,26 @@ SELECT c_custkey, c_custkey * 10 AS e FROM customer WHERE c_custkey % 3 <> 0
 UNION ALL
 SELECT c_custkey, c_custkey * 10 + 1 AS e FROM customer WHERE c_custkey % 3 <> 0
 """
+
+ORACLES["q_max_by"] = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT r.o_orderpriority, r.o_orderkey AS top_order,
+       round(m.mx, 2) AS top_price
+FROM ranked r
+JOIN (SELECT o_orderpriority, max(o_totalprice) AS mx
+      FROM orders GROUP BY o_orderpriority) m USING (o_orderpriority)
+WHERE r.rn = 1
+"""
+
+ORACLES["q_bool_aggs"] = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 150000) AS all_big,
+       bool_or(o_totalprice > 150000) AS any_big,
+       CAST(count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS n_big
+FROM orders GROUP BY o_orderpriority
+"""

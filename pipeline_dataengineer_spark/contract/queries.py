@@ -2986,3 +2986,33 @@ def q_explode_outer(spark, sf_dir):
     ).otherwise(F.array(F.col("c_custkey") * 10, F.col("c_custkey") * 10 + 1))
     out = c.withColumn("e", F.explode_outer(arr))
     return out.select("c_custkey", F.col("e").cast("long").alias("e"))
+
+
+@query("q_max_by")
+def q_max_by(spark, sf_dir):
+    """Aggregate top-1 per group via max_by — map-side combinable,
+    unlike the window-rank formulation (no per-group sort, partial
+    aggregation on every partition; the k=1 scale path for "top
+    order per priority"). Struct ordering breaks totalprice ties by
+    orderkey so the result is deterministic; the oracle states the
+    same pick with a window."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("top_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@query("q_bool_aggs")
+def q_bool_aggs(spark, sf_dir):
+    """Boolean aggregate family: bool_and / bool_or / count_if per
+    group — the predicate-summary shapes DQ gates and monitors use."""
+    o = table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150_000
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(big).alias("all_big"),
+        F.bool_or(big).alias("any_big"),
+        F.count_if(big).alias("n_big"),
+    )
