@@ -1624,3 +1624,10 @@ SELECT o_orderpriority,
        CAST(count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS n_big
 FROM orders GROUP BY o_orderpriority
 """
+
+ORACLES["q_string_agg"] = """
+SELECT substring(n_name, 1, 1) AS initial,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n
+FROM nation GROUP BY substring(n_name, 1, 1)
+"""

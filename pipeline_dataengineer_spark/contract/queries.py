@@ -3016,3 +3016,22 @@ def q_bool_aggs(spark, sf_dir):
         F.bool_or(big).alias("any_big"),
         F.count_if(big).alias("n_big"),
     )
+
+
+@query("q_string_agg")
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG family): region name list
+    per nation prefix via sort_array(collect_list) + array_join —
+    deterministic ordering makes the concatenation hash-stable across
+    engines (an unordered string_agg is nondeterministic by
+    definition and would never oracle-match)."""
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.substring("n_name", 1, 1).alias("initial"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count("*").alias("n"),
+        )
+    )
