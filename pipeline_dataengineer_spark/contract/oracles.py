@@ -1631,3 +1631,30 @@ SELECT substring(n_name, 1, 1) AS initial,
        count(*) AS n
 FROM nation GROUP BY substring(n_name, 1, 1)
 """
+
+ORACLES["q_nullsafe_join"] = """
+WITH l AS (
+  SELECT c_custkey AS cust,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS k
+  FROM customer
+), r AS (
+  SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS k,
+         n_name
+  FROM nation
+)
+SELECT l.cust, l.k, r.n_name
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+ORACLES["q_asof_forward"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT c.user_id, c.event_id AS click_id,
+       (SELECT b.event_id FROM e b
+        WHERE b.event_type = 'purchase' AND b.user_id = c.user_id
+          AND b.ts >= c.ts
+        ORDER BY b.ts, b.event_id LIMIT 1) AS buy_id
+FROM e c WHERE c.event_type = 'click'
+"""

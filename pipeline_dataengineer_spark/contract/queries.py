@@ -3035,3 +3035,47 @@ def q_string_agg(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@query("q_nullsafe_join")
+def q_nullsafe_join(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics a
+    CDC compare or a dimension with an explicit 'unknown' bucket
+    needs. Keys are synthesized with every 7th customer NULLed on
+    both sides."""
+    c = table(spark, sf_dir, "customer")
+    k = F.when(F.pmod("c_custkey", F.lit(7)) == 0, None).otherwise(
+        F.col("c_nationkey")
+    )
+    left = c.select(F.col("c_custkey").alias("cust"), k.alias("k"))
+    right = (
+        table(spark, sf_dir, "nation")
+        .select(
+            F.when(F.pmod("n_nationkey", F.lit(7)) == 0, None)
+            .otherwise(F.col("n_nationkey"))
+            .alias("k"),
+            F.col("n_name"),
+        )
+    )
+    out = left.join(right, left.k.eqNullSafe(right.k), "inner")
+    return out.select("cust", left.k.alias("k"), "n_name")
+
+
+@query("q_asof_forward")
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (operators/joins.py:asof_join
+    direction='forward'): each click matched to the EARLIEST purchase
+    at or after it by the same user — the complement of the backward
+    q_asof_join, same single-shuffle union+window plan."""
+    from pipeline_dataengineer_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    out = asof_join(clicks, buys, "user_id", "click_ts", "buy_ts", direction="forward")
+    return out.select("user_id", "click_id", "buy_id")
