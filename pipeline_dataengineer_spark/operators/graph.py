@@ -200,9 +200,17 @@ def resolve_entities(
     rows join their name's component → min row id per component via
     one dimension-sized aggregate broadcast back. Rows with no fuzzy
     partner keep their name as its own component, so the output is
-    total over the input."""
+    total over the input. NULL names cannot match anything under
+    edit distance, so those rows are split off up front and come
+    back as singleton entities (``entity_id`` = their own id) —
+    without the split they would vanish at the component equi-join,
+    which never matches NULL keys."""
     from pipeline_dataengineer_spark.operators.joins import fuzzy_join
 
+    null_rows = df.filter(F.col(name_col).isNull()).withColumn(
+        "entity_id", F.col(id_col)
+    )
+    df = df.filter(F.col(name_col).isNotNull())
     names = (
         df.select(name_col)
         .distinct()
@@ -225,8 +233,9 @@ def resolve_entities(
         comps.withColumnRenamed("node", name_col), name_col, "left"
     ).withColumn("__comp", F.coalesce(F.col("component"), F.col(name_col)))
     ents = rowc.groupBy("__comp").agg(F.min(id_col).alias("entity_id"))
-    return (
+    resolved = (
         rowc.join(F.broadcast(ents), "__comp")
         .drop("__comp", "component")
         .select(*df.columns, "entity_id")
     )
+    return resolved.unionByName(null_rows.select(*df.columns, "entity_id"))

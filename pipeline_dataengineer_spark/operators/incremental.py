@@ -108,9 +108,11 @@ def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
     dimension-sized state, not the raw data.
 
     stddev via the textbook ``(ss - s²/n) / (n-1)`` identity — the
-    price of mergeability is one catastrophic-cancellation hazard,
-    clamped at 0 for the n==1 / constant-column cases where float
-    round-off can go slightly negative."""
+    price of mergeability is one catastrophic-cancellation hazard.
+    n==1 yields NULL (``stddev_samp`` semantics — the ``F.when`` has
+    no ``otherwise``); the ``greatest(..., 0)`` clamp only guards
+    float round-off going slightly negative on n>1 constant
+    columns."""
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     var = F.when(n > 1, F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0)))
     return state.select(

@@ -59,6 +59,16 @@ def asof_join(
     the key partition by (ts, side), and carry the last-seen right row
     forward with a window ``last(ignorenulls=True)``. ONE shuffle on
     the key (the window), no range explosion — the scalable shape.
+
+    Ties between right rows sharing (key, ts) are broken
+    deterministically: the window ordering ends with the whole right
+    struct descending, so ``last()`` lands on the LEXICOGRAPHICALLY
+    SMALLEST right row (field order = right's column order) — the
+    same row ``ORDER BY ts, <first col> LIMIT 1`` picks. Without the
+    tie-break the carried match depended on partition-internal order
+    and could flake run to run. (Requires right's columns to be
+    orderable types — true for anything parquet-relational; a map
+    column would need an explicit id tie-break instead.)
     """
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]
@@ -80,13 +90,21 @@ def asof_join(
     if direction == "backward":
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .orderBy(
+                F.col("__ts").asc(),
+                F.col("__side").asc(),
+                F.col("__r").desc_nulls_first(),
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     elif direction == "forward":
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+            .orderBy(
+                F.col("__ts").desc(),
+                F.col("__side").asc(),
+                F.col("__r").desc_nulls_first(),
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:

@@ -11,7 +11,6 @@ plans."""
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,18 +35,36 @@ def compact_parquet(
     parallelizes across partitions and respects partition pruning."""
     df = spark.read.parquet(src)
     files = df.inputFiles()
+    # Size inputs via the Hadoop FileSystem API so hdfs:// and s3a://
+    # paths size correctly — os.path.getsize only understands the
+    # local filesystem and would silently yield total=0 → coalesce(1),
+    # a single-task rewrite of the whole table.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     total = 0
+    sized = 0
     for f in files:
-        p = f.removeprefix("file:")
+        jpath = jvm.org.apache.hadoop.fs.Path(f)
+        fs = jpath.getFileSystem(hconf)
         try:
-            total += os.path.getsize(p)
-        except OSError:
+            total += fs.getFileStatus(jpath).getLen()
+            sized += 1
+        except Exception:
             pass
+    if files and sized == 0:
+        raise IOError(
+            f"compact_parquet: could not size any of {len(files)} input "
+            f"files under {src!r}; refusing to guess an output layout"
+        )
     n_out = max(1, math.ceil(total / target_file_bytes))
     df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    # coalesce cannot INCREASE partition count, so the requested n_out
+    # is only an upper bound — report what actually landed.
+    files_after = len(spark.read.parquet(dst).inputFiles())
     return {
         "files_before": len(files),
-        "files_after": n_out,
+        "files_after": files_after,
+        "files_requested": n_out,
         "bytes": total,
     }
 

@@ -57,6 +57,11 @@ def build_pretraining_corpus(
         cleaned, "doc_id", "text", jaccard_threshold=jaccard_threshold
     )
     surviving = dedup_keep_canonical(cleaned, pairs, "doc_id")
+    # dedup_keep_canonical runs connected_components EAGERLY (the
+    # label tables are localCheckpoint-ed, truncating lineage), so the
+    # persisted pair table minhash returned is no longer referenced —
+    # release it now rather than leaking one cache per pipeline run.
+    pairs.unpersist()
     if benchmark is not None:
         contaminated = cross_corpus_contamination(
             surviving, benchmark, "doc_id", "text"
@@ -138,9 +143,22 @@ def incremental_corpus_append(
     drop_a = not_new.join(is_new, not_new.id_a == F.col("__nid"), "left_semi").select(
         F.col("id_a").alias(id_col)
     )
-    survivors = cleaned.join(
-        drop_a.unionByName(drop_b).distinct(), id_col, "left_anti"
-    )
-    return survivors.join(
+    # minhash_lsh_near_duplicates returns a PERSISTED pair table whose
+    # cache the caller owns. This is the nightly-ingest loop, so a
+    # leaked cache per batch compounds into exactly the session-skew
+    # problem the eager-cache redesign fixed. Materialize the (small,
+    # batch-bounded) drop-id set, release the pair cache, then
+    # materialize the delta and release the drop-id cache — the
+    # operator exits with only the returned delta cached, and the
+    # CALLER releases that with `.unpersist()` when done (same
+    # contract as minhash_lsh_near_duplicates itself).
+    drop_ids = drop_a.unionByName(drop_b).distinct().persist()
+    drop_ids.count()
+    pairs.unpersist()
+    survivors = cleaned.join(drop_ids, id_col, "left_anti")
+    delta = survivors.join(
         existing.select(id_col), id_col, "left_anti"
-    )
+    ).persist()
+    delta.count()
+    drop_ids.unpersist()
+    return delta

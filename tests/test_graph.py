@@ -92,3 +92,16 @@ def test_resolve_entities_clusters_typos_and_keeps_singletons(spark):
     assert got[4] == got[5] == 4
     # totality: every input row appears exactly once
     assert sorted(got) == [1, 2, 3, 4, 5]
+
+
+def test_resolve_entities_keeps_null_name_rows(spark):
+    from pipeline_dataengineer_spark.operators.graph import resolve_entities
+
+    rows = [(1, "acme corp"), (2, "acme corp."), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {r["id"]: r["entity_id"]
+           for r in resolve_entities(df, "id", "name").collect()}
+    # totality: NULL-name rows survive as their own singleton entities
+    assert sorted(got) == [1, 2, 3, 4]
+    assert got[1] == got[2] == 1
+    assert got[3] == 3 and got[4] == 4

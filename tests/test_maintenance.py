@@ -99,3 +99,16 @@ def test_json_corrupt_record_modes(spark, tmp_path):
         .filter(F.col("id").isNotNull())
     )
     assert dropm.count() == 2
+
+
+def test_compact_parquet_reports_actual_output_files(spark, tmp_path):
+    # coalesce cannot INCREASE partitions: asking for more output files
+    # than input partitions must report what actually landed, not the
+    # request.
+    src = str(tmp_path / "two")
+    dst = str(tmp_path / "out")
+    spark.range(1_000).coalesce(2).write.parquet(src)
+    audit = compact_parquet(spark, src, dst, target_file_bytes=1)
+    assert audit["files_requested"] > 2
+    assert audit["files_after"] == len(glob.glob(f"{dst}/part-*.parquet")) == 2
+    assert audit["bytes"] > 0

@@ -260,3 +260,18 @@ def test_fuzzy_join_matches_brute_force(spark):
             ).collect()
         }
         assert got == expect, (k, got, expect)
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    # multiple right rows share (k, rts): the lexicographically
+    # smallest right row (by column order: rts, then rid) must win,
+    # for both directions — matching ORDER BY ts, rid LIMIT 1.
+    left = spark.createDataFrame([(1, 10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 8, 7, "late"), (1, 8, 3, "early"), (1, 12, 9, "b"), (1, 12, 2, "a")],
+        ["k", "rts", "rid", "val"],
+    )
+    back = asof_join(left, right, "k", "ts", "rts").collect()[0]
+    assert (back["rts"], back["rid"], back["val"]) == (8, 3, "early")
+    fwd = asof_join(left, right, "k", "ts", "rts", direction="forward").collect()[0]
+    assert (fwd["rts"], fwd["rid"], fwd["val"]) == (12, 2, "a")
