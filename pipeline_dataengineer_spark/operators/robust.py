@@ -5,15 +5,82 @@ the [lower_q, upper_q] percentile band, optionally per group. Bounds
 are computed with EXACT interpolated percentiles (same definition as
 DuckDB ``quantile_cont``, so the whole operator oracle-checks), then
 attached with a broadcast join — the bounds table has one row per
-group, so the fact side never shuffles. At 100 TB swap
-``F.percentile`` for ``approx_percentile`` (t-digest sketch, no
-sort-by-group memory) and keep the identical join shape.
+group, so the fact side never shuffles.
+
+Exact percentile buffers every group's values in ONE aggregation
+buffer — correct and oracle-matching at test scale, an OOM on a hot
+group at 100 TB. Every operator here therefore carries a RUNTIME size
+switch (``max_exact_rows``): a cheap map-side-combinable count pass
+finds the largest group, and when it exceeds the threshold the
+operator transparently swaps ``F.percentile`` for
+``F.percentile_approx`` (t-digest-style sketch: fixed-size state,
+mergeable, no per-group value buffering) while keeping the identical
+broadcast-join shape. The decision is REPORTED, never silent: the
+returned DataFrame carries ``.robust_audit = {"mode",
+"max_group_rows", "max_exact_rows"}`` and a warning is logged on the
+approx path. ``max_exact_rows=None`` forces exact (skips the count
+pass); ``0`` forces approx.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Above this many rows in a single group, the exact percentile's
+# sort-buffer (~8 B/row/column in one aggregation buffer) becomes an
+# executor-memory hazard; the sketch path is indistinguishable for
+# clipping/binning purposes at that scale.
+DEFAULT_MAX_EXACT_ROWS = 5_000_000
+
+
+def _percentile_mode(
+    df: DataFrame,
+    group_cols: list[str] | None,
+    max_exact_rows: int | None,
+) -> tuple[bool, int | None]:
+    """Decide exact vs approx: (is_exact, max_group_rows).
+
+    The probe is one count-only aggregation — partial-aggregable
+    (only per-task partial counts shuffle), so it is skew-proof even
+    when the data itself is skewed; that is the whole point."""
+    if max_exact_rows is None:
+        return True, None
+    if max_exact_rows <= 0:
+        return False, None
+    if group_cols:
+        counts = df.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    else:
+        counts = df.agg(F.count("*").alias("__n"))
+    row = counts.agg(F.max("__n").alias("m")).collect()[0]
+    mx = int(row["m"] or 0)
+    exact = mx <= max_exact_rows
+    if not exact:
+        logging.getLogger(__name__).warning(
+            "robust-stats: largest group has %d rows (> max_exact_rows=%d); "
+            "switching to approx_percentile sketches. Results are "
+            "approximate; pass max_exact_rows=None to force exact.",
+            mx,
+            max_exact_rows,
+        )
+    return exact, mx
+
+
+def _pct(exact: bool, col: Column | str, q: float, accuracy: int) -> Column:
+    if exact:
+        return F.percentile(col, F.lit(q))
+    return F.percentile_approx(col, F.lit(q), F.lit(accuracy))
+
+
+def _audited(df: DataFrame, exact: bool, mx: int | None, thr: int | None) -> DataFrame:
+    df.robust_audit = {
+        "mode": "exact" if exact else "approx",
+        "max_group_rows": mx,
+        "max_exact_rows": thr,
+    }
+    return df
 
 
 def winsorize(
@@ -23,21 +90,31 @@ def winsorize(
     upper_q: float = 0.95,
     group_cols: list[str] | None = None,
     out_col: str | None = None,
+    max_exact_rows: int | None = DEFAULT_MAX_EXACT_ROWS,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Clip ``value_col`` into its [lower_q, upper_q] percentile band
     (per group when ``group_cols`` given). Adds ``out_col`` (default
-    ``<value_col>_w``); original column is preserved."""
+    ``<value_col>_w``); original column is preserved. See module
+    docstring for the ``max_exact_rows`` exact/approx switch."""
     out = out_col or f"{value_col}_w"
-    lo = F.percentile(value_col, F.lit(lower_q)).alias("__lo")
-    hi = F.percentile(value_col, F.lit(upper_q)).alias("__hi")
+    exact, mx = _percentile_mode(df, group_cols, max_exact_rows)
+    lo = _pct(exact, value_col, lower_q, accuracy).alias("__lo")
+    hi = _pct(exact, value_col, upper_q, accuracy).alias("__hi")
     if group_cols:
         bounds = df.groupBy(*group_cols).agg(lo, hi)
         joined = df.join(F.broadcast(bounds), group_cols)
     else:
         bounds = df.agg(lo, hi)
         joined = df.join(F.broadcast(bounds))
-    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
-    return joined.withColumn(out, clipped).drop("__lo", "__hi")
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("__lo").cast("double")),
+        F.col("__hi").cast("double"),
+    )
+    return _audited(
+        joined.withColumn(out, clipped).drop("__lo", "__hi"),
+        exact, mx, max_exact_rows,
+    )
 
 
 def mad_outliers(
@@ -47,6 +124,8 @@ def mad_outliers(
     k: float = 3.0,
     consistency: float = 1.4826,
     flag_col: str = "is_outlier",
+    max_exact_rows: int | None = DEFAULT_MAX_EXACT_ROWS,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Robust outlier flagging by median absolute deviation: a row is
     an outlier when ``|x - median| > k * consistency * MAD`` (the
@@ -57,28 +136,34 @@ def mad_outliers(
     Two group-sized aggregates (median, then MAD of the residuals),
     each broadcast-joined back — the fact table never shuffles, same
     shape as winsorize. Exact interpolated ``F.percentile`` matches
-    DuckDB ``quantile_cont`` for the oracle; at 100 TB swap in
-    ``approx_percentile`` with the join shape unchanged.
+    DuckDB ``quantile_cont`` for the oracle; past ``max_exact_rows``
+    the operator swaps in sketch percentiles at the SAME join shape
+    (one size probe covers both aggregates — the residual table has
+    the same group sizes as the input).
 
     Degenerate groups: all-constant values give MAD == 0 and flag
     nothing (0 > 0 is false); a majority-constant group flags every
     value off the median, which is the intended reading of a
     zero-spread distribution."""
-    med = F.percentile(value_col, F.lit(0.5)).alias("__med")
+    exact, mx = _percentile_mode(df, group_cols, max_exact_rows)
+    med = _pct(exact, value_col, 0.5, accuracy).alias("__med")
     if group_cols:
         meds = df.groupBy(*group_cols).agg(med)
         with_med = df.join(F.broadcast(meds), group_cols)
     else:
         with_med = df.join(F.broadcast(df.agg(med)))
     dev = F.abs(F.col(value_col) - F.col("__med"))
-    mad = F.percentile(dev, F.lit(0.5)).alias("__mad")
+    mad = _pct(exact, dev, 0.5, accuracy).alias("__mad")
     if group_cols:
         mads = with_med.groupBy(*group_cols).agg(mad)
         j = with_med.join(F.broadcast(mads), group_cols)
     else:
         j = with_med.join(F.broadcast(with_med.agg(mad)))
     flag = dev > F.lit(k) * F.lit(consistency) * F.col("__mad")
-    return j.withColumn(flag_col, flag).drop("__med", "__mad")
+    return _audited(
+        j.withColumn(flag_col, flag).drop("__med", "__mad"),
+        exact, mx, max_exact_rows,
+    )
 
 
 def quantile_bucketize(
@@ -87,20 +172,23 @@ def quantile_bucketize(
     n_buckets: int = 4,
     group_cols: list[str] | None = None,
     out_col: str | None = None,
+    max_exact_rows: int | None = DEFAULT_MAX_EXACT_ROWS,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Equal-frequency (quantile) binning — the ML-feature staple:
     bucket i collects values in (q_i, q_{i+1}]. Boundaries are exact
     interpolated percentiles at 1/n .. (n-1)/n computed in one
     group-sized aggregate and broadcast back; the bucket id is
     ``sum(value > boundary_i)`` — a fixed fan of comparisons, no
-    window, no sort of the fact table (same shape as winsorize;
-    swap approx_percentile in at 100 TB). Deterministic and
-    SQL-portable, unlike ntile, whose tie-breaking is row-order
-    dependent."""
+    window, no sort of the fact table (same shape as winsorize; past
+    ``max_exact_rows`` boundaries come from sketch percentiles, join
+    shape unchanged). Deterministic and SQL-portable, unlike ntile,
+    whose tie-breaking is row-order dependent."""
     out = out_col or f"{value_col}_bucket"
+    exact, mx = _percentile_mode(df, group_cols, max_exact_rows)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     aggs = [
-        F.percentile(value_col, F.lit(q)).alias(f"__qb_{i}")
+        _pct(exact, value_col, q, accuracy).alias(f"__qb_{i}")
         for i, q in enumerate(qs)
     ]
     if group_cols:
@@ -113,6 +201,9 @@ def quantile_bucketize(
         bucket = bucket + F.when(
             F.col(value_col) > F.col(f"__qb_{i}"), 1
         ).otherwise(0)
-    return joined.withColumn(out, bucket.cast("long")).drop(
-        *[f"__qb_{i}" for i in range(len(qs))]
+    return _audited(
+        joined.withColumn(out, bucket.cast("long")).drop(
+            *[f"__qb_{i}" for i in range(len(qs))]
+        ),
+        exact, mx, max_exact_rows,
     )

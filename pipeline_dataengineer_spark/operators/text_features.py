@@ -65,7 +65,10 @@ def tf_idf(
 
 
 def inverted_index(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Posting lists: (term, doc_freq, postings) with postings the
     sorted distinct doc ids containing the term — the retrieval-side
@@ -73,14 +76,54 @@ def inverted_index(
 
     One shuffle on term with partial aggregation (collect_set combines
     map-side). Posting lists for stopword-grade terms are the classic
-    giant-row risk at 100 TB; cap them by pre-filtering high-df terms
-    with a first cheap count pass (same two-phase shape as the LSH
-    bucket cap) when the corpus is web-scale."""
+    giant-row risk at 100 TB: a web corpus puts every doc id for "the"
+    into ONE collect_set buffer. ``max_posting_size`` is the enforced
+    defense (same two-phase shape as the LSH bucket cap): a cheap
+    partial-aggregable distinct-count pass finds over-the-cap terms,
+    and a broadcast anti-join strips their rows BEFORE the collect_set
+    ever builds the list. Dropped terms are REPORTED, never silent:
+    the returned DataFrame carries ``.index_audit =
+    {"dropped_terms", "max_dropped_doc_freq"}`` and a warning is
+    logged. A term that frequent is a stopword, not a retrieval
+    signal — classic IR systems stoplist it for the same reason."""
     t = terms(df, id_col, text_col)
-    return t.groupBy("term").agg(
+    audit = {"dropped_terms": 0, "max_dropped_doc_freq": 0}
+    if max_posting_size is not None:
+        # Not cached: the audit collect below and the anti-join each
+        # run this count pass once — it is map-side-combinable and
+        # cheap, and a persist here would either leak (the returned
+        # plan is lazy) or be released before the anti-join runs.
+        hot = (
+            t.groupBy("term")
+            .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+            .filter(F.col("__df") > max_posting_size)
+        )
+        stats = hot.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.max("__df"), F.lit(0)).alias("m"),
+        ).collect()[0]
+        audit = {
+            "dropped_terms": int(stats["n"]),
+            "max_dropped_doc_freq": int(stats["m"]),
+        }
+        if audit["dropped_terms"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "inverted_index: dropped %d terms with doc_freq > %d "
+                "(largest %d) — stopword-grade posting lists exceed the "
+                "cap and are excluded from the index.",
+                audit["dropped_terms"],
+                max_posting_size,
+                audit["max_dropped_doc_freq"],
+            )
+            t = t.join(F.broadcast(hot.select("term")), "term", "left_anti")
+    out = t.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("doc_freq"),
         F.sort_array(F.collect_set(F.col(id_col))).alias("postings"),
     )
+    out.index_audit = audit
+    return out
 
 
 def word_repetition_stats(

@@ -71,3 +71,24 @@ def test_ngram_counts(spark, corpus):
     probe = spark.createDataFrame([(7, "abcde")], "doc_id long, text string")
     row = perplexity(probe, lm).collect()[0]
     assert row["n_grams"] == 3
+
+
+def test_inverted_index_posting_cap_drops_stopword_terms(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.text_features import inverted_index
+
+    # "the" appears in all 50 docs (the manufactured stopword);
+    # "rare<i>" in exactly one each.
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the rare"), F.col("id").cast("string")).alias("text"),
+    )
+    capped = inverted_index(docs, max_posting_size=10)
+    assert capped.index_audit == {"dropped_terms": 1, "max_dropped_doc_freq": 50}
+    terms_left = {r["term"] for r in capped.select("term").collect()}
+    assert "the" not in terms_left and len(terms_left) == 50
+    # uncapped keeps everything and reports a clean audit
+    full = inverted_index(docs)
+    assert full.index_audit == {"dropped_terms": 0, "max_dropped_doc_freq": 0}
+    assert full.count() == 51

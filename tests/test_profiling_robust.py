@@ -135,3 +135,45 @@ def test_corr_matrix_one_pass_values(spark):
     assert abs(got[("a", "c")] + 1.0) < 1e-9   # perfectly anti-correlated
     assert abs(got[("a", "a")] - 1.0) < 1e-9
     assert len(got) == 6  # upper triangle incl. diagonal
+
+
+def test_percentile_size_switch_fires_on_hot_group(spark):
+    # manufactured hot group: max_exact_rows=10 forces the sketch path;
+    # the audit must report the switch and results must stay sane.
+    from pipeline_dataengineer_spark.operators.robust import (
+        mad_outliers,
+        quantile_bucketize,
+        winsorize,
+    )
+
+    df = spark.range(1_000).select(
+        (F.col("id") % 2).alias("grp"), F.col("id").cast("double").alias("v")
+    )
+    w = winsorize(df, "v", 0.05, 0.95, group_cols=["grp"], max_exact_rows=10)
+    assert w.robust_audit["mode"] == "approx"
+    assert w.robust_audit["max_group_rows"] == 500
+    vals = [r["v_w"] for r in w.collect()]
+    assert len(vals) == 1_000
+    # clipped into roughly the 5–95% band of each 500-row group
+    assert min(vals) >= 0 and max(vals) <= 999
+    assert max(vals) - min(vals) < 999  # something actually clipped
+
+    m = mad_outliers(df, "v", group_cols=["grp"], max_exact_rows=10)
+    assert m.robust_audit["mode"] == "approx"
+    assert m.count() == 1_000
+
+    b = quantile_bucketize(df, "v", n_buckets=4, max_exact_rows=10)
+    assert b.robust_audit["mode"] == "approx"
+    counts = {r["v_bucket"]: r["n"] for r in b.groupBy("v_bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    # equal-frequency within sketch tolerance
+    assert all(abs(c - 250) < 30 for c in counts.values())
+
+
+def test_percentile_default_stays_exact(spark):
+    from pipeline_dataengineer_spark.operators.robust import winsorize
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    w = winsorize(df, "v")
+    assert w.robust_audit["mode"] == "exact"
+    assert w.robust_audit["max_group_rows"] == 100
