@@ -563,6 +563,11 @@ def q_minhash_neardup(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" suffix token")).alias("text"),
     )
     corpus = d.unionByName(mutated)
+    # Signatures spill to a parquet stage table (the 100-TB path, and
+    # also the measured-faster one at sf0.1: cold 12.4s→5.0s, warm
+    # 3.4s→2.8s — each downstream leg column-prunes the scan, which
+    # the all-columns memory cache cannot). Fixed overwrite path →
+    # idempotent, no tmp accumulation across runs.
     pairs = minhash_lsh_near_duplicates(
         corpus,
         "doc_id",
@@ -571,6 +576,7 @@ def q_minhash_neardup(spark, sf_dir):
         bands=8,
         shingle_n=5,
         jaccard_threshold=0.7,
+        signature_stage_path="/tmp/spark_graft_stage/minhash_sig",
     )
     return pairs.orderBy("id_a", "id_b")
 

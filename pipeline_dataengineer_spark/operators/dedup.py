@@ -153,6 +153,7 @@ def minhash_lsh_near_duplicates(
     shingle_n: int = 5,
     jaccard_threshold: float | None = None,
     max_bucket_size: int | None = None,
+    signature_stage_path: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -174,8 +175,14 @@ def minhash_lsh_near_duplicates(
       ~3× the cache build (measured both ways at sf0.1; beware that
       timing the UDF under a bare count() measures nothing — the
       deterministic projection gets pruned and the UDF never runs).
-      At 100 TB, checkpoint signatures to a parquet stage table
-      instead of executor memory;
+      Pass ``signature_stage_path`` to spill the signature table to a
+      PARQUET STAGE TABLE instead of executor memory — the 100-TB
+      path: the UDF still runs exactly once (in the write job), but
+      the three downstream legs become plain columnar scans that (a)
+      survive executor loss, (b) hold no executor memory hostage, and
+      (c) COLUMN-PRUNE per leg — the bucket leg reads only
+      (__id, __bands), the verify legs only (__id, __sh), which the
+      all-columns memory cache can never do;
     - rows-per-band defaults to 16 (128/8): candidate volume on
       shared-vocabulary corpora explodes at r=8, and candidates are
       what the verify stage pays for;
@@ -222,25 +229,33 @@ def minhash_lsh_near_duplicates(
 
     # scale_out BEFORE the signature UDF: on a single-row-group input
     # the projection would otherwise run in the one-task scan stage.
-    sig_df = (
+    sig_plan = (
         scale_out(df)
         .select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
         .select("__id", F.col("__s.sh").alias("__sh"), F.col("__s.bands").alias("__bands"))
-        .persist()
     )
-    # Materialize the cache EAGERLY: the downstream job has three
-    # independent shuffle-map stages referencing sig_df (bucket leg +
-    # two verify legs). Spark submits them concurrently, and on a
-    # cache miss each recomputes the UDF in parallel (measured 3×
-    # wall on the signature phase). One up-front pass removes the
-    # race; every later stage reads the cache.
-    sig_df.count()
+    to_unpersist = []
+    if signature_stage_path is not None:
+        # Durable spill: one write job runs the UDF, every downstream
+        # leg is a pruned parquet scan. No executor memory pinned, no
+        # cache-lifetime bookkeeping needed.
+        sig_plan.write.mode("overwrite").parquet(signature_stage_path)
+        sig_df = df.sparkSession.read.parquet(signature_stage_path)
+    else:
+        sig_df = sig_plan.persist()
+        # Materialize the cache EAGERLY: the downstream job has three
+        # independent shuffle-map stages referencing sig_df (bucket leg
+        # + two verify legs). Spark submits them concurrently, and on a
+        # cache miss each recomputes the UDF in parallel (measured 3×
+        # wall on the signature phase). One up-front pass removes the
+        # race; every later stage reads the cache.
+        sig_df.count()
+        to_unpersist.append(sig_df)
     banded = sig_df.select(
         "__id",
         F.posexplode("__bands").alias("band_idx", "band_hash"),
     )
     audit = {"dropped_buckets": 0, "dropped_rows": 0, "max_dropped_bucket": 0}
-    to_unpersist = [sig_df]
     if max_bucket_size is not None:
         # Find oversized buckets with a partial-aggregable count (only
         # per-task partial counts shuffle — no skew, no giant arrays),

@@ -275,3 +275,32 @@ def test_asof_join_tie_break_deterministic(spark):
     assert (back["rts"], back["rid"], back["val"]) == (8, 3, "early")
     fwd = asof_join(left, right, "k", "ts", "rts", direction="forward").collect()[0]
     assert (fwd["rts"], fwd["rid"], fwd["val"]) == (12, 2, "a")
+
+
+def test_minhash_signature_stage_path_matches_persist(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (3, "completely unrelated text about database query optimization today"),
+            (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def pairs(**kw):
+        out = minhash_lsh_near_duplicates(
+            docs, "doc_id", "text", num_hashes=64, bands=16,
+            jaccard_threshold=0.5, **kw
+        )
+        got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()}
+        out.unpersist()
+        return got
+
+    via_persist = pairs()
+    via_stage = pairs(signature_stage_path=str(tmp_path / "sig"))
+    assert via_stage == via_persist and via_stage
+    # the stage table is durable and readable after the operator ran
+    staged = spark.read.parquet(str(tmp_path / "sig"))
+    assert staged.count() == 4
+    assert set(staged.columns) == {"__id", "__sh", "__bands"}
