@@ -195,31 +195,49 @@ def _wav_metadata(payload: bytes) -> tuple[int, int, int]:
     return sample_rate, channels, data_size * 1000 // byte_rate
 
 
+def _mean_intensity_features(pixels: bytes) -> list[float]:
+    """8 mean-intensity buckets over a raw pixel buffer — the feature
+    vector real decodes produce (plug into operators/similarity)."""
+    n = len(pixels)
+    step = max(1, n // 8)
+    feats = [
+        (sum(chunk) / len(chunk)) / 255.0
+        for chunk in (pixels[k : k + step] for k in range(0, n, step))
+        if chunk
+    ][:8]
+    return feats + [0.0] * (8 - len(feats))
+
+
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
-    """Image decode: REAL for PNG (``_decode_png``: full pixel
-    defilter) and REAL dimensions for JPEG (``_jpeg_dimensions``:
-    marker-stream parse — pixel decode still needs libjpeg, so JPEG
-    features stay hash-derived behind this seam). Unknown formats get
-    a deterministic fake. Features are 8 mean-intensity buckets over
-    the pixel buffer for real decodes, hash-derived otherwise."""
+    """Image decode: REAL pixels for PNG (``_decode_png``: full
+    scanline defilter) AND for baseline JPEG
+    (``jpeg.decode_baseline_jpeg``: Huffman entropy decode + numpy
+    IDCT + chroma upsample — no libjpeg needed). Non-baseline JPEGs
+    (progressive etc.) fall back to real DIMENSIONS via the marker
+    walk with hash-derived features. Unknown formats get a
+    deterministic fake. Features are 8 mean-intensity buckets over
+    the decoded pixel buffer for real decodes, hash-derived
+    otherwise."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
     if payload[:8] == _PNG_MAGIC:
         w, h, _ch, pixels = _decode_png(payload)
-        n = len(pixels)
-        step = max(1, n // 8)
-        feats = [
-            (sum(chunk) / len(chunk)) / 255.0
-            for chunk in (pixels[k : k + step] for k in range(0, n, step))
-            if chunk
-        ][:8]
-        feats += [0.0] * (8 - len(feats))
-        return w, h, feats
+        return w, h, _mean_intensity_features(pixels)
     hsh = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False)
     feats = [((hsh >> (8 * i)) & 0xFF) / 255.0 for i in range(8)]
     if payload[:3] == b"\xff\xd8\xff":
-        w, h = _jpeg_dimensions(payload)
-        return w, h, feats
+        try:
+            from pipeline_dataengineer_spark.multimodal.jpeg import (
+                decode_baseline_jpeg,
+            )
+
+            w, h, rgb = decode_baseline_jpeg(payload)
+            return w, h, _mean_intensity_features(rgb.tobytes())
+        except Exception:
+            # progressive/arithmetic/12-bit: dims still real via the
+            # marker walk; features stay hash-derived.
+            w, h = _jpeg_dimensions(payload)
+            return w, h, feats
     width = 16 + (hsh % 1024)
     height = 16 + ((hsh >> 10) % 1024)
     return width, height, feats
