@@ -1658,3 +1658,30 @@ SELECT c.user_id, c.event_id AS click_id,
         ORDER BY b.ts, b.event_id LIMIT 1) AS buy_id
 FROM e c WHERE c.event_type = 'click'
 """
+
+ORACLES["q_interval_join_right"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT b.user_id, c.event_id AS click_id, b.event_id AS buy_id
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+RIGHT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id
+ AND b.ts >= c.ts
+ AND b.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+ORACLES["q_interval_join_full"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT coalesce(c.user_id, b.user_id) AS user_id,
+       c.event_id AS click_id, b.event_id AS buy_id
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id
+ AND b.ts >= c.ts
+ AND b.ts <= c.ts + INTERVAL 30 MINUTE
+"""

@@ -3085,3 +3085,61 @@ def q_asof_forward(spark, sf_dir):
     )
     out = asof_join(clicks, buys, "user_id", "click_ts", "buy_ts", direction="forward")
     return out.select("user_id", "click_id", "buy_id")
+
+
+@query("q_interval_join_right")
+def q_interval_join_right(spark, sf_dir):
+    """RIGHT OUTER stream-stream interval join, batch parity
+    (streaming/joins.py:stream_stream_interval_join how='right_outer'):
+    every purchase appears, with null click columns when no click
+    preceded it within the window. On a stream the null rows emit only
+    after the watermark closes the bound (two-drain pytest in
+    test_streaming.py); on batch it is this right join."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    out = stream_stream_interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        lower="0 seconds", upper="30 minutes", how="right_outer",
+    )
+    return out.select(
+        F.col("r.user_id").alias("user_id"), "click_id", "buy_id"
+    )
+
+
+@query("q_interval_join_full")
+def q_interval_join_full(spark, sf_dir):
+    """FULL OUTER stream-stream interval join, batch parity
+    (streaming/joins.py:stream_stream_interval_join how='full_outer'):
+    unmatched rows from BOTH sides survive with nulls opposite. The
+    streaming plan emits each side's null rows as its watermark
+    expires (two-drain pytest); batch parity is this full join.
+    user_id comes from whichever side is present (coalesce)."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    out = stream_stream_interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        lower="0 seconds", upper="30 minutes", how="full_outer",
+    )
+    return out.select(
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        "click_id",
+        "buy_id",
+    )

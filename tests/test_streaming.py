@@ -326,3 +326,72 @@ def test_progress_ledger_captures_batch_metrics(spark, tmp_path):
         assert len(spooled) == len(ledger.records)
     finally:
         spark.streams.removeListener(ledger)
+
+
+def test_stream_stream_full_outer_emits_both_sides_after_watermark(spark, tmp_path):
+    """FULL OUTER stream-stream join: unmatched rows from BOTH sides
+    may only emit (nulls opposite) once the watermark proves no match
+    can still arrive. Drain 1: only the matched pair. Drain 2 (event
+    time advanced far past the bound on both inputs): the left-null
+    AND right-null rows appear."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    left_dir = tmp_path / "fo_left"
+    right_dir = tmp_path / "fo_right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_fo")
+
+    def drain():
+        collected = []
+
+        def collect(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        left = spark.readStream.schema(SCHEMA).json(str(left_dir)).select(
+            F.col("k"), F.col("ts").alias("lts"), F.col("v").alias("lv")
+        )
+        right = spark.readStream.schema(SCHEMA).json(str(right_dir)).select(
+            F.col("k"), F.col("ts").alias("rts"), F.col("v").alias("rv")
+        )
+        joined = stream_stream_interval_join(
+            left, right, "k", "lts", "rts",
+            lower="0 seconds", upper="10 minutes",
+            watermark="5 minutes", how="full_outer",
+        ).select(
+            F.coalesce(F.col("l.k"), F.col("r.k")).alias("k"), "lv", "rv"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["k"], r["lv"], r["rv"]) for r in collected}
+
+    _write_json(left_dir, "b0.json", [
+        {"k": "u1", "ts": "2024-01-01T00:00:00", "v": 1.0},   # will match
+        {"k": "u2", "ts": "2024-01-01T00:00:00", "v": 2.0},   # left-only
+    ])
+    _write_json(right_dir, "b0.json", [
+        {"k": "u1", "ts": "2024-01-01T00:05:00", "v": 10.0},
+        {"k": "u7", "ts": "2024-01-01T00:05:00", "v": 70.0},  # right-only
+    ])
+    got1 = drain()
+    assert ("u1", 1.0, 10.0) in got1
+    # neither unmatched side may emit before the watermark closes
+    assert not any(k in ("u2", "u7") for k, _, _ in got1)
+
+    _write_json(left_dir, "b1.json", [
+        {"k": "u9", "ts": "2024-01-01T03:00:00", "v": 9.0},
+    ])
+    _write_json(right_dir, "b1.json", [
+        {"k": "u8", "ts": "2024-01-01T03:00:00", "v": 8.0},
+    ])
+    got2 = drain()
+    assert ("u2", 2.0, None) in got2   # left-null row
+    assert ("u7", None, 70.0) in got2  # right-null row
