@@ -1,0 +1,106 @@
+"""Versioned snapshot/manifest layer (operators/snapshots.py):
+atomic publish, crash safety, time travel, rollback, and the
+idempotent durable corpus-append loop."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.operators.snapshots import (
+    _write_data_dir,
+    append_snapshot,
+    current_version,
+    history,
+    read_manifest,
+    read_snapshot,
+    rollback,
+    snapshot_corpus_append,
+    write_snapshot,
+)
+
+
+def test_write_read_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    m0 = write_snapshot(spark.range(5).withColumn("v", F.lit("a")), root)
+    assert m0["version"] == 0 and m0["parent"] is None
+    m1 = write_snapshot(spark.range(3).withColumn("v", F.lit("b")), root)
+    assert m1["version"] == 1 and m1["parent"] == 0
+    assert read_snapshot(spark, root).count() == 3          # current
+    assert read_snapshot(spark, root, version=0).count() == 5  # time travel
+    assert [m["version"] for m in history(root)] == [0, 1]
+
+
+def test_append_is_logical_and_crash_safe(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(spark.range(4), root)
+    m = append_snapshot(spark.range(100, 103), root)
+    assert m["version"] == 1 and len(m["data_paths"]) == 2
+    got = sorted(r["id"] for r in read_snapshot(spark, root).collect())
+    assert got == [0, 1, 2, 3, 100, 101, 102]
+
+    # CRASH between data write and pointer swap: a new data directory
+    # exists on disk, but no manifest/pointer references it — readers
+    # still see version 1 intact.
+    _write_data_dir(spark.range(900, 999), root)
+    assert current_version(root) == 1
+    assert read_snapshot(spark, root).count() == 7
+    # and the next successful publish is unaffected
+    m2 = append_snapshot(spark.range(200, 201), root)
+    assert m2["version"] == 2
+    assert read_snapshot(spark, root).count() == 8
+
+
+def test_rollback_preserves_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(spark.range(5), root)
+    append_snapshot(spark.range(10, 12), root)
+    m = rollback(root, 0)
+    assert m["version"] == 2  # roll-forward-to-the-past, history kept
+    assert read_snapshot(spark, root).count() == 5
+    assert read_snapshot(spark, root, version=1).count() == 7
+
+
+def test_empty_append_publishes_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(spark.range(3), root)
+    m = append_snapshot(spark.range(0), root)  # empty df
+    assert m["version"] == 0
+    assert current_version(root) == 0
+
+
+def test_snapshot_corpus_append_idempotent_through_manifest(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river", "en", "web"),
+        (2, "completely different text about query engines and storage", "en", "web"),
+    ]
+    batch = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    m0 = snapshot_corpus_append(spark, root, batch, min_quality=0.0)
+    assert m0["version"] == 0
+    assert read_snapshot(spark, root).count() == 2
+
+    # re-deliver the SAME batch: empty delta -> no new version
+    m1 = snapshot_corpus_append(spark, root, batch, min_quality=0.0)
+    assert m1["version"] == 0 and current_version(root) == 0
+    assert read_snapshot(spark, root).count() == 2
+
+    # a batch with one near-dup (of doc 1), one exact redelivery (2)
+    # and one genuinely new doc: only the new doc lands
+    batch2 = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog by the rivers", "en", "web"),
+            (2, "completely different text about query engines and storage", "en", "web"),
+            (9, "a genuinely novel document with entirely fresh content here", "en", "web"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    m2 = snapshot_corpus_append(spark, root, batch2, min_quality=0.0)
+    assert m2["version"] == 1
+    got = sorted(r["doc_id"] for r in read_snapshot(spark, root).collect())
+    assert got == [1, 2, 9]
+    # the orphanless invariant: every published path exists
+    for m in history(root):
+        for p in m["data_paths"]:
+            assert os.path.isdir(p)
