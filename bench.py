@@ -1,21 +1,82 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a
+10x tier (sf1 when the base is sf0.1) built once into /tmp so
+round-over-round scaling regressions are visible, not anecdotal.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "queries_cold": {...}, "queries_10x": {...}, "scale_10x": {...},
+   "sf": ...}
+
+Set SPARK_GRAFT_10X=0 to skip the 10x tier.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import string
 import sys
 import time
+from functools import reduce
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pipeline_dataengineer_spark.contract import QUERIES
 from pipeline_dataengineer_spark.session import get_spark
+
+# 10x tier: replicate the base tables 10x with shifted keys (join
+# integrity preserved: lineitem and orders shift o_orderkey by the
+# same per-replica offset) and per-replica alphabet-rotated document
+# text (replicas are DISTINCT documents, not 10-way near-dup clusters
+# — the honest scaling case for the dedup family; identical copies
+# would collapse into giant LSH buckets and measure the cap, not the
+# operator).
+REPLICAS = 10
+KEY_OFFSET = 10_000_000
+
+
+def ensure_10x(spark, base_dir: str, out_dir: str) -> None:
+    ready = os.path.join(out_dir, "_READY")
+    if os.path.exists(ready):
+        return
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.catalog import table
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def replicate(name: str, shift_cols: list[str], text_col: str | None = None):
+        base = table(spark, base_dir, name)
+        parts = []
+        alpha = string.ascii_lowercase
+        for i in range(REPLICAS):
+            rep = base
+            for c in shift_cols:
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * KEY_OFFSET))
+            if text_col is not None and i:
+                rot = alpha[i:] + alpha[:i]
+                rep = rep.withColumn(text_col, F.translate(F.col(text_col), alpha, rot))
+            parts.append(rep)
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+    replicate("lineitem", ["l_orderkey"])
+    replicate("orders", ["o_orderkey"])
+    replicate("events", ["event_id"])
+    replicate("documents", ["doc_id"], text_col="text")
+    replicate("embeddings", ["vec_id"])
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        src = os.path.join(base_dir, f"{dim}.parquet")
+        dst = os.path.join(out_dir, f"{dim}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+    with open(ready, "w") as fh:
+        fh.write("ok")
 
 # Headline set: one per operator family, heaviest variants included.
 HEADLINE = [
@@ -98,6 +159,27 @@ def main() -> None:
         cold[name] = per_run[0]
         times[name] = per_run[1]
         total += per_run[1]
+
+    times_10x: dict[str, float] = {}
+    scale_10x: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_10X", "1") != "0":
+        dir_10x = os.path.join(
+            "/tmp", f"spark_graft_10x_{os.path.basename(base := sf_dir.rstrip('/'))}"
+        )
+        ensure_10x(spark, sf_dir, dir_10x)
+        for name in HEADLINE:
+            per_run = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.time()
+                QUERIES[name](spark, dir_10x).count()
+                per_run.append(round(time.time() - t0, 3))
+            times_10x[name] = per_run[1]
+            # wall-clock ratio for 10x the data; > ~2.5 needs a written
+            # explanation (SCALE_NOTES.md)
+            scale_10x[name] = round(per_run[1] / max(times[name], 1e-3), 2)
+
     print(
         json.dumps(
             {
@@ -106,6 +188,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_cold": cold,
+                "queries_10x": times_10x,
+                "scale_10x": scale_10x,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
