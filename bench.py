@@ -108,6 +108,10 @@ HEADLINE = [
     "q_url_normalize",
     "q_variant",
     "q_zorder_layout",
+    # round 3 additions
+    "q_interval_join_full",
+    "q_prune_semi_join",
+    "q_lateral_topn",
 ]
 
 

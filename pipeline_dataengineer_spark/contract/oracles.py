@@ -1685,3 +1685,81 @@ FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
  AND b.ts >= c.ts
  AND b.ts <= c.ts + INTERVAL 30 MINUTE
 """
+
+ORACLES["q_prune_semi_join"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+ORACLES["q_prune_anti_join"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+ORACLES["q_regr"] = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q_date_spine"] = """
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '1994-01-01', DATE '1994-03-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN daily d ON s.day = d.d
+"""
+
+ORACLES["q_lateral_topn"] = """
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n,
+LATERAL (
+  SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+"""
+
+ORACLES["q_array_setops"] = """
+SELECT doc_id,
+       list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+                                ['the','a','of','and'])) AS stops_present,
+       len(list_filter(list_distinct(string_split(text, ' ')),
+                       x -> NOT list_contains(['the','a','of','and'], x))) AS n_content_tokens
+FROM documents
+"""
+
+ORACLES["q_split_pad"] = """
+SELECT p_partkey,
+       split_part(p_type, ' ', 1) AS type_head,
+       lpad(p_brand, 12, '*') AS brand_l,
+       rpad(p_brand, 12, '#') AS brand_r,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_tr
+FROM part
+"""
+
+ORACLES["q_extract_words"] = """
+SELECT doc_id,
+       list_sort(list_distinct(regexp_extract_all(text, '[a-z]{7,}'))) AS long_words
+FROM documents
+"""
+
+ORACLES["q_nth_ignore_nulls"] = """
+SELECT event_id, user_id,
+       round(nth_value(value, 2) OVER w, 4) AS second_val,
+       round(first_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+             OVER w, 4) AS first_nonclick
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

@@ -3143,3 +3143,173 @@ def q_interval_join_full(spark, sf_dir):
         "click_id",
         "buy_id",
     )
+
+
+@query("q_prune_semi_join")
+def q_prune_semi_join(spark, sf_dir):
+    """Semi join with a broadcast key-bucket prefilter
+    (operators/prune.py:semi_join_with_key_prune — the explicit
+    runtime-bloom plan shape: big side pruned map-side BEFORE its
+    shuffle). Oracle = the plain semi join, because the exact join
+    after the digest makes pruning invisible to the result."""
+    from pipeline_dataengineer_spark.operators.prune import (
+        semi_join_with_key_prune,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey"))
+    return semi_join_with_key_prune(
+        li, urgent, on="l_orderkey", small_on="o_orderkey"
+    )
+
+
+@query("q_prune_anti_join")
+def q_prune_anti_join(spark, sf_dir):
+    """Anti join with the digest shortcut
+    (operators/prune.py:anti_join_with_key_prune): bucket misses are
+    PROVEN anti-matches and skip the exact join entirely; only bucket
+    hits pay the shuffle. Oracle = plain anti join."""
+    from pipeline_dataengineer_spark.operators.prune import (
+        anti_join_with_key_prune,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey"))
+    return anti_join_with_key_prune(
+        li, urgent, on="l_orderkey", small_on="o_orderkey"
+    )
+
+
+@query("q_regr")
+def q_regr(spark, sf_dir):
+    """Linear-regression aggregates (regr_slope/intercept/r2/count) —
+    the summary-statistics family both engines define identically."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@query("q_date_spine")
+def q_date_spine(spark, sf_dir):
+    """Calendar-spine generation + gap-filled daily counts: the date
+    dimension every warehouse builds. sequence() generates the spine
+    JVM-side (no driver loop); orders-per-day left-joins onto it so
+    empty days survive as zeros."""
+    o = table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1994-01-01").cast("date"),
+                F.lit("1994-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = o.groupBy("d").agg(F.count("*").alias("n"))
+    return spine.join(daily, spine.day == daily.d, "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )
+
+
+@query("q_lateral_topn")
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 3.2+/DuckDB parity): top-2
+    orders by value among each nation's customers — the per-group
+    top-n shape expressed as the SQL standard writes it. Catalyst
+    decorrelates to a ranked window, so the plan is the same as
+    q_window_rank's, not a nested loop."""
+    from pipeline_dataengineer_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM nation n,
+        LATERAL (
+          SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+        """,
+        sf_dir,
+    )
+
+
+@query("q_array_setops")
+def q_array_setops(spark, sf_dir):
+    """Array set algebra on tokenized text: distinct-token vocabulary
+    intersected/differenced against a literal stopword set — all
+    JVM-side array kernels, no explode/shuffle."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(x) for x in ["the", "a", "of", "and"]])
+    vocab = F.array_distinct(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        F.sort_array(F.array_intersect(vocab, stop)).alias("stops_present"),
+        F.size(F.array_except(vocab, stop)).alias("n_content_tokens"),
+    )
+
+
+@query("q_split_pad")
+def q_split_pad(spark, sf_dir):
+    """String structuring kernels: split_part / lpad / rpad /
+    translate — the fixed-format parsing family."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_l"),
+        F.rpad(F.col("p_brand"), 12, "#").alias("brand_r"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("name_tr"),
+    )
+
+
+@query("q_extract_words")
+def q_extract_words(spark, sf_dir):
+    """regexp_extract_all → per-document sorted distinct long words
+    (the link/entity-extraction shape: pattern → array → set ops,
+    no explode until the caller wants rows)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(F.regexp_extract_all("text", F.lit("[a-z]{7,}"), 0))
+        ).alias("long_words"),
+    )
+
+
+@query("q_nth_ignore_nulls")
+def q_nth_ignore_nulls(spark, sf_dir):
+    """Window navigation extras: nth_value over the full frame and
+    first_value(..., ignorenulls) skipping manufactured NULLs (every
+    click's value is NULLed, so the first non-null per user is its
+    first purchase-like event)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.nth_value("value", 2).over(w), 4).alias("second_val"),
+        F.round(F.first(v, ignorenulls=True).over(w), 4).alias("first_nonclick"),
+    )

@@ -304,3 +304,24 @@ def test_minhash_signature_stage_path_matches_persist(spark, tmp_path):
     staged = spark.read.parquet(str(tmp_path / "sig"))
     assert staged.count() == 4
     assert set(staged.columns) == {"__id", "__sh", "__bands"}
+
+
+def test_key_prune_joins_match_plain_joins_under_collisions(spark):
+    from pipeline_dataengineer_spark.operators.prune import (
+        anti_join_with_key_prune,
+        semi_join_with_key_prune,
+    )
+
+    big = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    small = spark.createDataFrame([(3,), (77,), (300,), (999,)], ["sk"])
+    # num_buckets=4 forces massive bucket collisions: false positives
+    # everywhere, so only the exact second stage keeps this correct
+    for nb in (4, 1 << 20):
+        semi = semi_join_with_key_prune(big, small, "k", "sk", num_buckets=nb)
+        assert sorted(r["k"] for r in semi.collect()) == [3, 77, 300]
+        anti = anti_join_with_key_prune(big, small, "k", "sk", num_buckets=nb)
+        assert anti.count() == 497
+        assert not {3, 77, 300} & {r["k"] for r in anti.collect()}
+    # prefilter really is a broadcast (no shuffle of `big` before it)
+    plan = semi_join_with_key_prune(big, small, "k", "sk")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

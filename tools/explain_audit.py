@@ -138,6 +138,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_incremental_agg": (["HashAggregate"], ["Window", "SortMergeJoin"]),
     # per-domain stats: one combinable aggregate, no join.
     "q_domain_stats": (["HashAggregate"], ["Join", "Window"]),
+    # digest-pruned semi join: the bucket prefilter must be a
+    # BROADCAST semi join (map-side, before lineitem's exchange);
+    # nothing may degrade to a nested loop.
+    "q_prune_semi_join": (["BroadcastHashJoin"], ["BroadcastNestedLoopJoin"]),
+    # LATERAL top-n must decorrelate to a ranked window, not execute
+    # as a per-row nested-loop subquery.
+    "q_lateral_topn": (["Window"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # date spine rides sequence(): no per-day driver loop, and the
+    # probe-side daily aggregate stays a combinable HashAggregate.
+    "q_date_spine": (["HashAggregate"], []),
+    # array set-ops are pure JVM kernels riding the scan: no explode
+    # (Generate), no shuffle, no join.
+    "q_array_setops": ([], ["Exchange", "Generate", "Join"]),
 }
 
 
