@@ -1763,3 +1763,55 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+ORACLES["q_html_to_text"] = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><script>var t=1;</script><title>doc ' ||
+         CAST(doc_id AS VARCHAR) || '</title></head><body><p>' || text ||
+         '</p><!-- c --></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(html,
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           '(?is)<!--.*?-->', ' ', 'g'),
+           '(?is)<[^>]+>', ' ', 'g'),
+           '&nbsp;', ' ', 'g'),
+           '&amp;', '&', 'g'),
+           '&lt;', '<', 'g'),
+           '&gt;', '>', 'g'),
+           '&quot;', '"', 'g'),
+           '&#39;', CHR(39), 'g'),
+           '\\s+', ' ', 'g')) AS clean_text,
+         regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS rawtitle
+  FROM h
+)
+SELECT doc_id, clean_text,
+       CASE WHEN rawtitle <> '' THEN
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(rawtitle,
+           '&nbsp;', ' ', 'g'),
+           '&amp;', '&', 'g'),
+           '&lt;', '<', 'g'),
+           '&gt;', '>', 'g'),
+           '&quot;', '"', 'g'),
+           '&#39;', CHR(39), 'g'),
+           '\\s+', ' ', 'g'))
+       END AS title,
+       CASE WHEN length(html) > 0
+            THEN round(CAST(length(clean_text) AS DOUBLE) / length(html), 4)
+       END AS text_ratio
+FROM stripped
+"""
+
+ORACLES["q_group_by_all"] = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY ALL
+"""

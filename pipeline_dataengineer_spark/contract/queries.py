@@ -3313,3 +3313,71 @@ def q_nth_ignore_nulls(spark, sf_dir):
         F.round(F.nth_value("value", 2).over(w), 4).alias("second_val"),
         F.round(F.first(v, ignorenulls=True).over(w), 4).alias("first_nonclick"),
     )
+
+
+@query("q_html_to_text")
+def q_html_to_text(spark, sf_dir):
+    """HTML → visible text + title + text ratio (functions/html.py):
+    the Common Crawl extraction step as one fused codegen regexp
+    chain — no UDF, rides the scan. HTML is synthesized from
+    documents in-query (script boilerplate + title + body) so the
+    oracle can build the identical input; every pattern is
+    Java-regex/RE2-portable (no backreferences), which is what makes
+    this hash-checkable against DuckDB."""
+    from pipeline_dataengineer_spark.functions.html import (
+        html_title,
+        html_to_text,
+        visible_text_ratio,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var t=1;</script><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><!-- c --></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_to_text(html).alias("clean_text"),
+        html_title(html).alias("title"),
+        visible_text_ratio(html).alias("text_ratio"),
+    )
+
+
+@query("q_group_by_all")
+def q_group_by_all(spark, sf_dir):
+    """Modern SQL surface: GROUP BY ALL (Spark 4 / DuckDB parity) —
+    every non-aggregate select item becomes a grouping key."""
+    from pipeline_dataengineer_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY ALL
+        """,
+        sf_dir,
+    )
+
+
+@query("q_bpe_tokens")
+def q_bpe_tokens(spark, sf_dir):
+    """BPE tokenization (operators/bpe.py): merge table learned on a
+    bounded sample driver-side, applied corpus-wide via broadcast
+    closure + mapInPandas — the corpus never shuffles. Rows-only
+    check (the token stream is vocabulary-specific); distributed vs
+    driver-encoder parity is pytest-proven."""
+    from pipeline_dataengineer_spark.operators.bpe import (
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe_merges(d, num_merges=100, max_sample_rows=2_000)
+    return bpe_tokenize(d, merges).select(
+        "doc_id", "n_bpe_tokens", F.slice("bpe_tokens", 1, 5).alias("head_tokens")
+    )
