@@ -84,8 +84,11 @@ def history(root: str) -> list[dict]:
 
 
 def _publish(root: str, data_paths: list[str], schema_ddl: str,
-             watermark: str | None, parent: int | None) -> dict:
-    """Steps (2)+(3) of the protocol: manifest file, then pointer swap."""
+             watermark: str | None, parent: int | None,
+             extra: dict | None = None) -> dict:
+    """Steps (2)+(3) of the protocol: manifest file, then pointer
+    swap. ``extra`` fields (e.g. a stream-epoch ledger) ride the SAME
+    manifest, so data visibility and bookkeeping commit atomically."""
     version = 0 if parent is None else parent + 1
     manifest = {
         "version": version,
@@ -94,6 +97,7 @@ def _publish(root: str, data_paths: list[str], schema_ddl: str,
         "schema": schema_ddl,
         "watermark": watermark,
         "created_utc": time.time(),
+        **(extra or {}),
     }
     os.makedirs(_manifest_dir(root), exist_ok=True)
     mpath = os.path.join(_manifest_dir(root), f"v{version:06d}.json")
@@ -112,13 +116,24 @@ def _write_data_dir(df: DataFrame, root: str) -> str:
     return path
 
 
+def _carry_streams(root: str) -> dict:
+    """Preserve the stream-epoch ledger (snapshot_sink) across batch
+    publishes — losing it would let a retried epoch double-apply."""
+    v = current_version(root)
+    if v is None:
+        return {}
+    streams = read_manifest(root).get("streams")
+    return {"streams": streams} if streams else {}
+
+
 def write_snapshot(df: DataFrame, root: str, watermark: str | None = None) -> dict:
     """Publish ``df`` as the next full snapshot (REPLACE semantics:
     the new version lists only the new directory). Returns the
     manifest. Crash-safe per the module protocol."""
     path = _write_data_dir(df, root)
     return _publish(
-        root, [path], df.schema.simpleString(), watermark, current_version(root)
+        root, [path], df.schema.simpleString(), watermark,
+        current_version(root), extra=_carry_streams(root),
     )
 
 
@@ -135,7 +150,8 @@ def append_snapshot(df: DataFrame, root: str, watermark: str | None = None) -> d
     path = _write_data_dir(df, root)
     prev_paths = read_manifest(root)["data_paths"] if prev_v is not None else []
     return _publish(
-        root, prev_paths + [path], df.schema.simpleString(), watermark, prev_v
+        root, prev_paths + [path], df.schema.simpleString(), watermark,
+        prev_v, extra=_carry_streams(root),
     )
 
 
@@ -148,6 +164,23 @@ def read_snapshot(
     if not m["data_paths"]:
         return spark.createDataFrame([], m["schema"])
     return spark.read.parquet(*m["data_paths"])
+
+
+def merge_into_snapshot(
+    spark: SparkSession, root: str, source: DataFrame, keys: list[str]
+) -> dict:
+    """MERGE (upsert) semantics against a snapshot table: matched
+    keys take the source row, unmatched target rows survive, new
+    source keys insert — then the result publishes as the next FULL
+    version (a merge rewrites matched rows, so the logical-append
+    shortcut doesn't apply; at partition scale, rewrite only the
+    partitions the source touches and carry the rest forward by
+    path, same manifest mechanics). Time travel keeps the pre-merge
+    version addressable."""
+    from pipeline_dataengineer_spark.operators.incremental import upsert_snapshot
+
+    target = read_snapshot(spark, root)
+    return write_snapshot(upsert_snapshot(target, source, keys), root)
 
 
 def rollback(root: str, version: int) -> dict:

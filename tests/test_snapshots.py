@@ -104,3 +104,66 @@ def test_snapshot_corpus_append_idempotent_through_manifest(spark, tmp_path):
     for m in history(root):
         for p in m["data_paths"]:
             assert os.path.isdir(p)
+
+
+def test_merge_into_snapshot_upserts_and_time_travels(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        merge_into_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), root
+    )
+    m = merge_into_snapshot(
+        spark,
+        root,
+        spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+        keys=["k"],
+    )
+    assert m["version"] == 1
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, root).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    old = {r["k"]: r["v"] for r in read_snapshot(spark, root, version=0).collect()}
+    assert old == {1: "a", 2: "b"}
+
+
+def test_snapshot_epoch_sink_exactly_once_on_retry(spark, tmp_path):
+    """Epoch ledger in the manifest: a live availableNow stream lands
+    its epochs; directly re-invoking the foreachBatch fn with an
+    already-applied epoch id (what a post-failure retry does)
+    publishes nothing."""
+    from pipeline_dataengineer_spark.streaming.snapshot_sink import (
+        last_applied_epoch,
+        snapshot_epoch_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    root = str(tmp_path / "snap")
+    fn = snapshot_epoch_sink(root, stream_id="s1")
+    stream = spark.readStream.schema("k long, v string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert read_snapshot(spark, root).count() == 2
+    e0 = last_applied_epoch(root, "s1")
+    v0 = current_version(root)
+
+    # simulate the at-least-once retry: same epoch id re-delivered
+    fn(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), e0)
+    assert current_version(root) == v0  # nothing published
+    assert read_snapshot(spark, root).count() == 2
+
+    # a genuinely new epoch appends, carries the ledger forward
+    fn(spark.createDataFrame([(3, "c")], "k long, v string"), e0 + 1)
+    assert last_applied_epoch(root, "s1") == e0 + 1
+    assert read_snapshot(spark, root).count() == 3
+    # batch publishes preserve the ledger
+    append_snapshot(spark.createDataFrame([(9, "z")], "k long, v string"), root)
+    assert last_applied_epoch(root, "s1") == e0 + 1
