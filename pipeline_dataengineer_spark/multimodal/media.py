@@ -11,18 +11,24 @@ North-star component (not in the reference). Design contract:
   sampling) runs inside ``mapInPandas``: one Python worker per
   partition, Arrow record batches in/out, so the per-row overhead is
   amortized and memory is bounded by the Arrow batch size;
-- codec calls sit behind ``_decode_image_bytes``. PNG decode is REAL
-  (stdlib-only: IHDR header parse, zlib IDAT inflate, full scanline
-  defiltering — no imaging library needed), so the mapInPandas path
-  is exercised by genuine pixels. JPEG DIMENSIONS are REAL (marker-
-  stream parse to SOF — how production reads dims without entropy
-  decode) and WAV METADATA is REAL (RIFF chunk walk: sample rate,
-  channels, PCM duration). Only JPEG pixel decode, audio samples and
-  video frames remain deterministic fakes (libjpeg/ffmpeg are not in
-  this container) — swap behind the same seams in a real deployment
-  without touching any Spark plumbing. The pure-Python defilter is
-  fine for the metadata/feature shapes tested here; a production
-  deployment replaces it with PIL for throughput.
+- codec calls sit behind ``_decode_image_bytes``. REAL decodes, no
+  imaging/audio/video library needed: PNG pixels (stdlib zlib IDAT
+  inflate + full scanline defilter), baseline-JPEG pixels
+  (``multimodal/jpeg.py``: Huffman entropy decode + numpy IDCT +
+  chroma upsample), JPEG dimensions (marker walk to SOF), WAV
+  metadata (RIFF chunk walk), WAV PCM SAMPLES
+  (``_wav_pcm_samples``: numpy frombuffer, all uncompressed sample
+  formats incl. 24-bit and IEEE float), and AVI VIDEO FRAMES
+  (``_avi_mjpeg_frames``: RIFF tree walk to the ##dc frame chunks;
+  Motion-JPEG frames then decode through the in-repo JPEG decoder —
+  container and codec end-to-end). Remaining fakes are only formats
+  whose codecs genuinely aren't reimplementable here (progressive
+  JPEG pixels fall back to real dims, mp4/h264 frames to a
+  deterministic stub) — swap behind the same seams in a real
+  deployment without touching any Spark plumbing. The pure-Python
+  paths are fine for the metadata/feature shapes tested here; a
+  production deployment replaces them with PIL/ffmpeg for
+  throughput.
 """
 
 from __future__ import annotations
@@ -59,9 +65,14 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     """Cheap metadata sniffing from magic bytes — JVM-side (no Python):
     enough to route rows to the right decoder without decoding."""
     p = F.col(payload_col)
+    riff_type = F.substring(p, 9, 4)  # RIFF is a family: WAVE vs AVI
     mime = (
         F.when(F.startswith(p, F.lit(b"\x89PNG")), "image/png")
         .when(F.startswith(p, F.lit(b"\xff\xd8\xff")), "image/jpeg")
+        .when(
+            F.startswith(p, F.lit(b"RIFF")) & (riff_type == F.lit(b"AVI ")),
+            "video/x-msvideo",
+        )
         .when(F.startswith(p, F.lit(b"RIFF")), "audio/wav")
         .when(F.startswith(p, F.lit(b"\x00\x00\x00\x18ftyp")), "video/mp4")
         .otherwise("application/octet-stream")
@@ -171,28 +182,93 @@ def _jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     raise ValueError("no SOF segment found")
 
 
+def _wav_chunks(payload: bytes):
+    """RIFF/WAVE chunk walk → (fmt_code, sample_rate, channels, bits,
+    data_offset, data_size). Shared by the metadata and sample paths."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt_code = sample_rate = channels = bits = None
+    data_off = data_size = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        if cid == b"fmt ":
+            fmt_code, channels, sample_rate = struct.unpack(
+                "<HHI", payload[pos + 8 : pos + 16]
+            )
+            (bits,) = struct.unpack("<H", payload[pos + 22 : pos + 24])
+        elif cid == b"data":
+            data_off, data_size = pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not sample_rate or not channels or not bits or data_off is None:
+        raise ValueError("truncated WAV")
+    return fmt_code, sample_rate, channels, bits, data_off, data_size
+
+
 def _wav_metadata(payload: bytes) -> tuple[int, int, int]:
     """(sample_rate, channels, duration_ms) from a real RIFF/WAVE
     header — stdlib only, no audio codec needed (PCM duration is
     data_bytes / byte_rate)."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV")
-    pos = 12
-    sample_rate = channels = bits = data_size = None
-    while pos + 8 <= len(payload):
-        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
-        if cid == b"fmt ":
-            channels, sample_rate = struct.unpack(
-                "<HI", payload[pos + 10 : pos + 16]
-            )
-            (bits,) = struct.unpack("<H", payload[pos + 22 : pos + 24])
-        elif cid == b"data":
-            data_size = size
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if not sample_rate or not channels or not bits or data_size is None:
-        raise ValueError("truncated WAV")
+    _fmt, sample_rate, channels, bits, _off, data_size = _wav_chunks(payload)
     byte_rate = sample_rate * channels * (bits // 8)
     return sample_rate, channels, data_size * 1000 // byte_rate
+
+
+def _wav_pcm_samples(payload: bytes):
+    """REAL audio-sample decode for RIFF/WAVE — numpy only, no codec
+    library. Returns (sample_rate, float32 array of shape
+    (n_frames, channels), samples normalized to [-1, 1]).
+
+    Covers the formats WAV actually carries uncompressed: PCM
+    (format code 1) at 8/16/24/32 bits and IEEE float (code 3) at
+    32/64 bits. Anything else (ADPCM, mp3-in-wav) raises and the
+    caller NULLs the row — same corrupt-blob tolerance as images."""
+    import numpy as np
+
+    fmt, rate, ch, bits, off, size = _wav_chunks(payload)
+    raw = payload[off : off + size]
+    if fmt == 1 and bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif fmt == 1 and bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif fmt == 1 and bits == 24:
+        n = len(raw) // 3
+        b = np.frombuffer(raw[: n * 3], dtype=np.uint8).reshape(n, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float32) / float(1 << 23)
+    elif fmt == 1 and bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
+    elif fmt == 3 and bits == 32:
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    elif fmt == 3 and bits == 64:
+        x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format code={fmt} bits={bits}")
+    n_frames = len(x) // ch
+    return rate, x[: n_frames * ch].reshape(n_frames, ch)
+
+
+def _waveform_envelope(mono, points: int):
+    """Fixed-length mean-|amplitude| envelope — the bounded feature a
+    variable-length signal reduces to (plug into operators/similarity
+    like any other embedding)."""
+    import numpy as np
+
+    n = len(mono)
+    if n == 0:
+        return [0.0] * points
+    edges = np.linspace(0, n, points + 1, dtype=np.int64)
+    out = []
+    a = np.abs(mono)
+    for i in range(points):
+        seg = a[edges[i] : edges[i + 1]]
+        out.append(float(seg.mean()) if len(seg) else 0.0)
+    return out
 
 
 def _mean_intensity_features(pixels: bytes) -> list[float]:
@@ -332,6 +408,84 @@ def audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(op, out_schema)
 
 
+def _avi_mjpeg_frames(payload: bytes) -> tuple[int, list[bytes]]:
+    """REAL video-frame extraction for RIFF/AVI — stdlib only.
+    Returns (frame_duration_ms, [frame_bytes, ...]).
+
+    Walks the RIFF chunk tree: ``avih`` (inside LIST hdrl) carries
+    dwMicroSecPerFrame; the LIST ``movi`` body carries one ``##dc`` /
+    ``##db`` chunk per video frame. For Motion-JPEG AVIs each frame
+    chunk IS a complete JPEG, which ``jpeg.decode_baseline_jpeg``
+    turns into pixels — a full container→codec path with no ffmpeg."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    usec_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal usec_per_frame
+        while pos + 8 <= end:
+            cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+            body = pos + 8
+            if cid == b"LIST":
+                if payload[body : body + 4] in (b"hdrl", b"movi", b"rec "):
+                    walk(body + 4, min(body + size, end))
+            elif cid == b"avih" and size >= 4:
+                (usec_per_frame,) = struct.unpack("<I", payload[body : body + 4])
+            elif cid[2:4] in (b"dc", b"db") and size:
+                frames.append(payload[body : body + size])
+            pos = body + size + (size & 1)  # word-aligned chunks
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("no video frames in AVI")
+    return max(1, usec_per_frame // 1000) if usec_per_frame else 33, frames
+
+
+def decode_audio_samples(
+    df: DataFrame, payload_col: str = "payload", waveform_points: int = 64
+) -> DataFrame:
+    """WAV payload → REAL decoded PCM samples via mapInPandas
+    (``_wav_pcm_samples``: numpy frombuffer over the data chunk, all
+    uncompressed WAV sample formats). Emits bounded per-row features —
+    n_samples, rms, peak, and a fixed-length mean-|amplitude| envelope
+    (``array<float>``) — NOT the raw sample array, so output row width
+    is constant regardless of clip length (a 10-hour clip and a 1-s
+    clip cost the same downstream). Undecodable rows get NULLs."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("rms", T.FloatType(), True),
+            T.StructField("peak", T.FloatType(), True),
+            T.StructField("waveform", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rms, peak, wf = [], [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    _rate, frames = _wav_pcm_samples(payload)
+                    mono = frames.mean(axis=1)
+                    ns.append(len(frames))
+                    rms.append(float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0)
+                    peak.append(float(np.max(np.abs(mono))) if len(mono) else 0.0)
+                    wf.append(_waveform_envelope(mono, waveform_points))
+                except Exception:
+                    ns.append(None)
+                    rms.append(None)
+                    peak.append(None)
+                    wf.append(None)
+            yield pdf.assign(n_samples=ns, rms=rms, peak=peak, waveform=wf)
+
+    return df.mapInPandas(op, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     payload_col: str = "payload",
@@ -341,8 +495,15 @@ def sample_video_frames(
     """video payload → exploded (frame_idx, frame_ts_ms, frame) rows.
     One input row fans out to ≤ max_frames rows — size Arrow batches
     accordingly (spark.sql.execution.arrow.maxRecordsPerBatch).
-    Frame extraction itself is the ffmpeg seam, faked deterministically
-    here (frame = first 16 payload bytes tagged with the index)."""
+
+    REAL for RIFF/AVI: ``_avi_mjpeg_frames`` walks the container to
+    the per-frame ``##dc``/``##db`` chunks, picks frames at ~every_ms
+    spacing using the avih frame rate, and emits the actual frame
+    bytes (for Motion-JPEG each one is a complete JPEG the in-repo
+    ``jpeg.decode_baseline_jpeg`` turns into pixels — container AND
+    codec with no ffmpeg). Non-AVI containers (mp4/h264 genuinely
+    need a codec library) fall back to a deterministic fake
+    (frame = first 16 payload bytes tagged with the index)."""
     import pandas as pd
 
     out_schema = T.StructType(
@@ -366,6 +527,19 @@ def sample_video_frames(
                 payload = row[payload_col]
                 if payload is None:
                     continue
+                try:
+                    frame_ms, all_frames = _avi_mjpeg_frames(payload)
+                    step = max(1, round(every_ms / frame_ms))
+                    picks = list(range(0, len(all_frames), step))[:max_frames]
+                    for j, src_idx in enumerate(picks):
+                        out = {c: row[c] for c in keep_cols}
+                        out["frame_idx"] = j
+                        out["frame_ts_ms"] = src_idx * frame_ms
+                        out["frame"] = all_frames[src_idx]
+                        rows.append(out)
+                    continue
+                except Exception:
+                    pass  # not an AVI (or corrupt) → deterministic fake
                 n = min(max_frames, 1 + len(payload) // 64)
                 for i in range(n):
                     out = {c: row[c] for c in keep_cols}

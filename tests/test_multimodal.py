@@ -305,3 +305,154 @@ def test_jpeg_pixels_flow_through_spark_decode(spark):
     assert np.allclose(feats, expect, atol=1e-6)
     # features track real image content: a gradient is not flat
     assert max(feats) - min(feats) > 0.05
+
+
+def _mjpeg_avi(jpeg_frames: list[bytes], fps: int = 10) -> bytes:
+    """A genuine RIFF/AVI Motion-JPEG file — independent container
+    writer (spec chunk layout: LIST hdrl{avih} + LIST movi{00dc...})."""
+    import struct as _s
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + _s.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = _s.pack("<IIIIIIII", 1_000_000 // fps, 0, 0, 0, len(jpeg_frames),
+                   0, 1, 0) + b"\x00" * 24
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_avi_mime_sniffing(spark):
+    from pipeline_dataengineer_spark.multimodal.media import attach_media_metadata
+
+    avi = _mjpeg_avi([b"\xff\xd8\xff\xdb fake"])
+    df = spark.createDataFrame(
+        [(1, avi), (2, _real_wav_bytes(0.1))], ["media_id", "payload"]
+    )
+    got = {r["media_id"]: r["sniffed_mime"]
+           for r in attach_media_metadata(df).collect()}
+    assert got[1] == "video/x-msvideo"
+    assert got[2] == "audio/wav"  # RIFF family disambiguated by form type
+
+
+def test_real_avi_mjpeg_frame_extraction(spark):
+    """Container AND codec end-to-end: MJPEG AVI → sample_video_frames
+    pulls the real per-frame chunks → each frame is a complete JPEG the
+    in-repo decoder turns back into the encoded pixels."""
+    import numpy as np
+
+    from pipeline_dataengineer_spark.multimodal.jpeg import decode_baseline_jpeg
+    from pipeline_dataengineer_spark.multimodal.media import sample_video_frames
+    from tests.jpeg_encoder import encode_jpeg
+
+    imgs = [np.full((16, 24, 3), 30 * (i + 1), dtype=np.uint8) for i in range(6)]
+    frames = [encode_jpeg(img, subsampling="444") for img in imgs]
+    avi = _mjpeg_avi(frames, fps=10)  # 100 ms per frame
+
+    df = spark.createDataFrame([(1, avi)], ["media_id", "payload"])
+    # every_ms=200 at 10 fps -> every 2nd frame: sources 0, 2, 4
+    out = sample_video_frames(df, every_ms=200, max_frames=8).collect()
+    assert [(r["frame_idx"], r["frame_ts_ms"]) for r in out] == [
+        (0, 0), (1, 200), (2, 400)
+    ]
+    for r, src_idx in zip(out, [0, 2, 4]):
+        assert bytes(r["frame"]) == frames[src_idx]  # REAL frame bytes
+        w, h, rgb = decode_baseline_jpeg(bytes(r["frame"]))
+        assert (w, h) == (24, 16)
+        assert abs(int(rgb.mean()) - 30 * (src_idx + 1)) < 4
+
+
+def test_avi_max_frames_cap_and_fallback(spark):
+    from pipeline_dataengineer_spark.multimodal.media import sample_video_frames
+    from tests.jpeg_encoder import encode_jpeg
+    import numpy as np
+
+    frames = [encode_jpeg(np.full((8, 8), 99, dtype=np.uint8)) for _ in range(5)]
+    avi = _mjpeg_avi(frames, fps=10)
+    df = spark.createDataFrame(
+        [(1, avi), (2, bytes(range(200)))], ["media_id", "payload"]
+    )
+    out = sample_video_frames(df, every_ms=100, max_frames=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 2  # cap respected on the real path
+    assert bytes(by_id[1][0]["frame"]) == frames[0]
+    # non-AVI payload falls back to the deterministic stub, still ≤ cap
+    assert len(by_id[2]) == 2
+    assert bytes(by_id[2][0]["frame"]) == bytes(range(16)) + b"\x00"
+
+
+def test_decode_audio_samples_real_pcm(spark):
+    """REAL PCM sample decode: RMS/peak/envelope computed from the
+    actual int16 samples written by the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pipeline_dataengineer_spark.multimodal.media import decode_audio_samples
+
+    rate, n = 8000, 2000
+    t = np.arange(n)
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 0.5 * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sine.tobytes())
+
+    df = spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"RIFF????NOPE"), (3, None)],
+        ["media_id", "payload"],
+    )
+    got = {r["media_id"]: r for r in decode_audio_samples(df, waveform_points=16).collect()}
+    r1 = got[1]
+    assert r1["n_samples"] == n
+    expect = sine.astype(np.float64) / 32768.0
+    assert abs(r1["rms"] - float(np.sqrt((expect**2).mean()))) < 1e-4
+    assert abs(r1["peak"] - float(np.abs(expect).max())) < 1e-4
+    assert len(r1["waveform"]) == 16
+    # constant-amplitude sine -> near-flat envelope at 2/pi * peak
+    env = np.array(r1["waveform"])
+    assert np.all(np.abs(env - env.mean()) < 0.05)
+    assert got[2]["rms"] is None and got[3]["rms"] is None
+
+
+def test_decode_audio_samples_float_and_24bit():
+    """The sample decoder covers the uncompressed formats wave.open
+    can't even write: IEEE float32 and 24-bit PCM."""
+    import struct as _s
+
+    import numpy as np
+
+    from pipeline_dataengineer_spark.multimodal.media import _wav_pcm_samples
+
+    def wav(fmt_code, bits, payload_bytes, rate=8000, ch=1):
+        fmt = _s.pack("<HHIIHH", fmt_code, ch, rate, rate * ch * bits // 8,
+                      ch * bits // 8, bits)
+        body = (b"WAVE"
+                + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(payload_bytes)) + payload_bytes)
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    vals = np.array([0.0, 0.25, -0.5, 1.0, -1.0], dtype="<f4")
+    _, frames = _wav_pcm_samples(wav(3, 32, vals.tobytes()))
+    assert np.allclose(frames[:, 0], vals)
+
+    ints = [0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)]
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True) for v in ints)
+    _, frames24 = _wav_pcm_samples(wav(1, 24, raw))
+    assert np.allclose(frames24[:, 0], np.array(ints) / (1 << 23), atol=1e-6)
+
+    try:
+        _wav_pcm_samples(wav(2, 4, b"\x00" * 8))  # ADPCM: no codec
+        raise AssertionError("expected unsupported-format error")
+    except ValueError:
+        pass
