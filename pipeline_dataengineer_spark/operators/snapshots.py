@@ -137,33 +137,142 @@ def write_snapshot(df: DataFrame, root: str, watermark: str | None = None) -> di
     )
 
 
-def append_snapshot(df: DataFrame, root: str, watermark: str | None = None) -> dict:
+def append_snapshot(
+    df: DataFrame,
+    root: str,
+    watermark: str | None = None,
+    evolve_schema: bool = False,
+) -> dict:
     """Publish a LOGICAL append: previous directories + one new delta
     directory. Existing data is never rewritten. An EMPTY df is a
     no-op returning the current manifest unchanged (idempotent
-    re-runs publish nothing)."""
+    re-runs publish nothing).
+
+    Schema evolution: by default a delta whose schema differs from
+    the table's is REJECTED (the common production guard — silent
+    drift corrupts downstream readers). With ``evolve_schema=True``
+    the append publishes and the manifest records the evolved union
+    schema plus ``mixed_schemas: true``, which tells ``read_snapshot``
+    to turn on parquet schema merging for this table (columns absent
+    in older directories read as NULL — same additive-column
+    semantics as Delta's mergeSchema). The flag is sticky: once a
+    table holds mixed directory schemas, every later version carries
+    it."""
     prev_v = current_version(root)
     if df.isEmpty():
         return read_manifest(root) if prev_v is not None else _publish(
             root, [], df.schema.simpleString(), watermark, None
         )
+    extra = _carry_streams(root)
+    schema_ddl = df.schema.simpleString()
+    prev_paths: list[str] = []
+    if prev_v is not None:
+        prev = read_manifest(root)
+        prev_paths = prev["data_paths"]
+        if prev_paths and prev["schema"] != schema_ddl:
+            if not evolve_schema:
+                raise ValueError(
+                    f"append schema {schema_ddl} != table schema "
+                    f"{prev['schema']}; pass evolve_schema=True to evolve"
+                )
+            extra["mixed_schemas"] = True
+            schema_ddl = _union_schema_ddl(prev["schema"], df)
+        if prev.get("mixed_schemas"):
+            extra["mixed_schemas"] = True
     path = _write_data_dir(df, root)
-    prev_paths = read_manifest(root)["data_paths"] if prev_v is not None else []
     return _publish(
-        root, prev_paths + [path], df.schema.simpleString(), watermark,
-        prev_v, extra=_carry_streams(root),
+        root, prev_paths + [path], schema_ddl, watermark, prev_v, extra=extra,
     )
+
+
+def _union_schema_ddl(prev_ddl: str, delta: DataFrame) -> str:
+    """Evolved table schema = previous columns (order kept) + columns
+    only the delta has. Column type CHANGES are left to the parquet
+    merge to accept (upcast) or reject (conflict) at read time."""
+    from pyspark.sql import types as T
+
+    prev = T._parse_datatype_string(prev_ddl)
+    fields = list(prev.fields)
+    have = {f.name for f in fields}
+    fields += [f for f in delta.schema.fields if f.name not in have]
+    return T.StructType(fields).simpleString()
 
 
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Scan a snapshot (current, or ``version`` for time travel) as a
-    plain multi-path parquet read — pushdown and pruning intact."""
+    plain multi-path parquet read — pushdown and pruning intact.
+    Tables that ever took an evolved-schema append scan with parquet
+    ``mergeSchema`` (footer-merge cost paid only by such tables)."""
     m = read_manifest(root, version)
     if not m["data_paths"]:
         return spark.createDataFrame([], m["schema"])
-    return spark.read.parquet(*m["data_paths"])
+    reader = spark.read
+    if m.get("mixed_schemas"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*m["data_paths"])
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> dict:
+    """VACUUM: drop all but the newest ``keep_last`` versions and
+    delete every data directory no RETAINED manifest references
+    (logical appends share directories across versions, so a dir is
+    removable only when the LAST retained version that listed it is
+    gone). Orphan dirs from crashed writes (referenced by no manifest
+    at all) are collected too. The current version is always
+    retained. Returns an audit dict — never silent."""
+    import shutil
+
+    cur = current_version(root)
+    if cur is None:
+        return {"removed_versions": [], "removed_dirs": [], "kept_versions": []}
+    versions = sorted(m["version"] for m in history(root))
+    keep = set(versions[-max(1, keep_last):]) | {cur}
+    drop = [v for v in versions if v not in keep]
+    live: set[str] = set()
+    for v in keep:
+        live.update(read_manifest(root, v)["data_paths"])
+    removed_dirs: list[str] = []
+    data_root = os.path.join(root, "data")
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            path = os.path.join(data_root, name)
+            if path not in live:
+                shutil.rmtree(path, ignore_errors=True)
+                removed_dirs.append(path)
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(root), f"v{v:06d}.json"))
+    return {
+        "removed_versions": drop,
+        "removed_dirs": sorted(removed_dirs),
+        "kept_versions": sorted(keep),
+    }
+
+
+def compact_snapshot(
+    spark: SparkSession, root: str, target_mb: int = 128
+) -> dict:
+    """OPTIMIZE: rewrite the current snapshot's directories into one
+    fresh directory with ~target_mb files (small-file compaction) and
+    publish it as the next FULL version — content identical, layout
+    better; the pre-compaction version stays addressable until
+    ``expire_snapshots``. Sizing uses the bytes the retained
+    manifest's directories actually hold, not a guess."""
+    m = read_manifest(root)
+    total = 0
+    for d in m["data_paths"]:
+        for base, _dirs, files in os.walk(d):
+            total += sum(
+                os.path.getsize(os.path.join(base, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    n_out = max(1, total // (target_mb * 1024 * 1024) + 1)
+    df = read_snapshot(spark, root).coalesce(int(n_out))
+    out = write_snapshot(df, root, watermark=m.get("watermark"))
+    out["compacted_from"] = m["version"]
+    return out
 
 
 def merge_into_snapshot(

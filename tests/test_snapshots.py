@@ -167,3 +167,97 @@ def test_snapshot_epoch_sink_exactly_once_on_retry(spark, tmp_path):
     # batch publishes preserve the ledger
     append_snapshot(spark.createDataFrame([(9, "z")], "k long, v string"), root)
     assert last_applied_epoch(root, "s1") == e0 + 1
+
+
+def test_schema_evolution_gated_then_merged(spark, tmp_path):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.snapshots import expire_snapshots
+
+    root = str(tmp_path / "t")
+    write_snapshot(spark.range(3).withColumn("v", F.lit("a")), root)
+    drifted = spark.range(10, 12).withColumn("v", F.lit("b")).withColumn(
+        "lang", F.lit("en")
+    )
+    # default: drift is rejected, table untouched
+    with pytest.raises(ValueError, match="evolve_schema"):
+        append_snapshot(drifted, root)
+    assert current_version(root) == 0
+
+    m = append_snapshot(drifted, root, evolve_schema=True)
+    assert m["mixed_schemas"] is True
+    assert "lang" in m["schema"]
+    cur = read_snapshot(spark, root)
+    assert set(cur.columns) == {"id", "v", "lang"}
+    by_id = {r["id"]: r["lang"] for r in cur.collect()}
+    assert by_id[0] is None and by_id[10] == "en"  # old rows NULL-fill
+    # time travel to v0 reads the ORIGINAL narrow schema
+    assert set(read_snapshot(spark, root, version=0).columns) == {"id", "v"}
+    # stickiness: later same-schema-as-evolved appends keep the flag
+    m2 = append_snapshot(cur.limit(1), root, evolve_schema=True)
+    assert m2["mixed_schemas"] is True
+    expire_snapshots(root, keep_last=1)
+    assert read_snapshot(spark, root).count() == 6
+
+
+def test_expire_snapshots_vacuum(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import expire_snapshots
+
+    root = str(tmp_path / "t")
+    write_snapshot(spark.range(2), root)            # v0 (dir replaced by v1)
+    write_snapshot(spark.range(4), root)            # v1 full rewrite
+    append_snapshot(spark.range(10, 12), root)      # v2 shares v1's dir
+    append_snapshot(spark.range(20, 21), root)      # v3 shares v1+v2 dirs
+    orphan = _write_data_dir(spark.range(99), root)  # crashed write
+
+    audit = expire_snapshots(root, keep_last=2)
+    assert audit["removed_versions"] == [0, 1]
+    assert audit["kept_versions"] == [2, 3]
+    # v0's dir and the orphan are gone; every dir v2/v3 list survives
+    assert orphan in audit["removed_dirs"]
+    assert not os.path.isdir(orphan)
+    for d in read_manifest(root)["data_paths"]:
+        assert os.path.isdir(d)
+    assert sorted(r["id"] for r in read_snapshot(spark, root).collect()) == [
+        0, 1, 2, 3, 10, 11, 20
+    ]
+    # expired versions are no longer addressable
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        read_manifest(root, 0)
+
+
+def test_compact_snapshot_preserves_content(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        compact_snapshot,
+        expire_snapshots,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(spark.range(50).repartition(8), root)
+    for k in range(3):
+        append_snapshot(spark.range(100 + k, 101 + k).repartition(2), root)
+    n_files_before = sum(
+        1
+        for d in read_manifest(root)["data_paths"]
+        for base, _s, files in os.walk(d)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    before = sorted(r["id"] for r in read_snapshot(spark, root).collect())
+
+    m = compact_snapshot(spark, root, target_mb=128)
+    assert m["compacted_from"] == 3 and m["version"] == 4
+    assert len(m["data_paths"]) == 1  # one fresh dir, tiny table -> 1 file
+    n_files_after = sum(
+        1
+        for base, _s, files in os.walk(m["data_paths"][0])
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert n_files_after < n_files_before
+    assert sorted(r["id"] for r in read_snapshot(spark, root).collect()) == before
+    # pre-compaction version still time-travels until vacuumed
+    assert read_snapshot(spark, root, version=3).count() == len(before)
+    expire_snapshots(root, keep_last=1)
+    assert sorted(r["id"] for r in read_snapshot(spark, root).collect()) == before
