@@ -1,10 +1,14 @@
-"""Pure-Python/numpy baseline JPEG (SOF0) pixel decoder — stdlib + numpy only.
+"""Pure-Python/numpy JPEG pixel decoder — stdlib + numpy only.
 
-Decodes baseline sequential DCT JPEGs: DQT / DHT / SOF0 / SOS / DRI
-segments, Huffman entropy decode of interleaved MCUs, dequantization,
-8x8 inverse DCT (vectorized numpy, orthonormal DCT-III via matrix
-multiply), chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, YCbCr -> RGB.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise —
+Decodes baseline sequential (SOF0/1) AND progressive (SOF2) DCT
+JPEGs: DQT / DHT / SOF / SOS / DRI segments, Huffman entropy decode,
+dequantization, 8x8 inverse DCT (vectorized numpy, orthonormal
+DCT-III via matrix multiply), chroma upsampling for 4:4:4 / 4:2:2 /
+4:2:0, YCbCr -> RGB. Progressive decode follows ITU T.81 Annex G:
+per-component coefficient accumulation across scans with spectral
+selection (Ss..Se bands) and successive approximation (DC bit
+refinement, AC significance + correction-bit refinement, EOB runs).
+Arithmetic coding, hierarchical, and 12-bit precision raise —
 callers treat any raise as an undecodable blob.
 
 Exists because this container has no libjpeg/PIL: it makes the
@@ -152,9 +156,10 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     """payload -> (width, height, RGB uint8 array of shape (h, w, 3)).
-    Grayscale JPEGs replicate luma into all three channels."""
+    Baseline sequential and progressive. Grayscale JPEGs replicate
+    luma into all three channels."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -163,6 +168,8 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     comps = None  # list of (cid, h, v, tq)
     w = h = None
     restart_interval = 0
+    progressive = False
+    coef = None  # progressive: per-comp (pby, pbx, 64) zigzag coefficients
     pos = 2
     data = payload
     while pos + 4 <= len(data):
@@ -195,10 +202,11 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 values = seg[i + 17 : i + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -206,26 +214,46 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 cid = seg[6 + c * 3]
                 hv = seg[7 + c * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + c * 3]))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/lossless/arithmetic)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG (lossless/arithmetic/hierarchical)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for s in range(ns):
                 cs = seg[1 + s * 2]
                 td_ta = seg[2 + s * 2]
-                scan_tables[cs] = (td_ta >> 4, td_ta & 0xF)
+                scan_comps.append((cs, td_ta >> 4, td_ta & 0xF))
             scan_start = pos + 2 + seglen
-            return _decode_scan(
-                data, scan_start, w, h, comps, qt, huff_dc, huff_ac,
-                scan_tables, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, scan_start, w, h, comps,
+                    qt, huff_dc, huff_ac,
+                    {cs: (td, ta) for cs, td, ta in scan_comps},
+                    restart_interval,
+                )
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            if coef is None:
+                coef = _alloc_coef(w, h, comps)
+            ss, se, ah_al = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
+            pos = _progressive_scan(
+                data, scan_start, w, h, comps, coef, huff_dc, huff_ac,
+                scan_comps, ss, se, ah_al >> 4, ah_al & 0xF,
+                restart_interval,
             )
+            continue
         elif marker == 0xD9:
             break
         pos += 2 + seglen
+    if progressive and coef is not None:
+        return _finish_progressive(w, h, comps, coef, qt)
     raise ValueError("no scan data found")
+
+
+# the historical name (pre-progressive support) — same full decoder
+decode_baseline_jpeg = decode_jpeg
 
 
 def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac,
@@ -284,7 +312,12 @@ def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac,
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    # level shift + upsample to full resolution + color convert
+    return _planes_to_rgb(planes, comps, hmax, vmax, w, h)
+
+
+def _planes_to_rgb(planes, comps, hmax, vmax, w, h):
+    """Level shift + upsample subsampled chroma to full resolution +
+    YCbCr->RGB (shared by the sequential and progressive paths)."""
     full = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         p = planes[ci] + 128.0
@@ -300,3 +333,206 @@ def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return w, h, np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+def _geometry(w, h, comps):
+    """(hmax, vmax, mcus_x, mcus_y, per-comp padded/actual block dims).
+    Interleaved scans cover MCU-padded block grids; non-interleaved
+    progressive scans cover only each component's ACTUAL block grid."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    dims = []
+    for cid, ch, cv, tq in comps:
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        dims.append({
+            "pbx": mcus_x * ch, "pby": mcus_y * cv,
+            "abx": (cw + 7) // 8, "aby": (chh + 7) // 8,
+        })
+    return hmax, vmax, mcus_x, mcus_y, dims
+
+
+def _alloc_coef(w, h, comps):
+    """Per-component zigzag coefficient store for progressive decode,
+    sized to the MCU-padded block grid."""
+    _hmax, _vmax, _mx, _my, dims = _geometry(w, h, comps)
+    return [
+        np.zeros((d["pby"], d["pbx"], 64), dtype=np.int32) for d in dims
+    ]
+
+
+def _progressive_scan(data, pos, w, h, comps, coef, huff_dc, huff_ac,
+                      scan_comps, ss, se, ah, al, restart_interval):
+    """One progressive SOS (T.81 G.1.2): DC first/refine scans may be
+    interleaved over MCUs; AC scans are single-component over the
+    component's own block raster. Returns the stream position of the
+    next marker."""
+    hmax, vmax, mcus_x, mcus_y, dims = _geometry(w, h, comps)
+    comp_idx = {c[0]: i for i, c in enumerate(comps)}
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = [0] * len(comps)
+
+    def restart():
+        br.sync_restart()
+        state["eobrun"] = 0
+        for i in range(len(pred)):
+            pred[i] = 0
+
+    if ss == 0:  # DC scan (interleaved if ns > 1)
+        if len(scan_comps) > 1:
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for cs, td, _ta in scan_comps:
+                        ci = comp_idx[cs]
+                        _cid, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blocks.append(
+                                    (ci, td, my * cv + by, mx * ch + bx)
+                                )
+                    units.append(blocks)
+        else:
+            cs, td, _ta = scan_comps[0]
+            ci = comp_idx[cs]
+            d = dims[ci]
+            units = [
+                [(ci, td, by, bx)]
+                for by in range(d["aby"])
+                for bx in range(d["abx"])
+            ]
+        for n, blocks in enumerate(units):
+            if restart_interval and n and n % restart_interval == 0:
+                restart()
+            for ci, td, by, bx in blocks:
+                c = coef[ci][by, bx]
+                if ah == 0:  # first DC scan: diff accumulation << Al
+                    t = _decode_huff(br, huff_dc[td])
+                    pred[ci] += _extend(br.bits(t), t) if t else 0
+                    c[0] = pred[ci] << al
+                else:  # refinement: one bit per block
+                    if br.bit():
+                        c[0] |= 1 << al
+        return _next_marker_pos(data, br.pos)
+
+    # AC scan: spec requires exactly one component
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    cs, _td, ta = scan_comps[0]
+    ci = comp_idx[cs]
+    actab = huff_ac[ta]
+    d = dims[ci]
+    n = 0
+    for by in range(d["aby"]):
+        for bx in range(d["abx"]):
+            if restart_interval and n and n % restart_interval == 0:
+                restart()
+            n += 1
+            c = coef[ci][by, bx]
+            if ah == 0:
+                _ac_first_block(br, actab, c, ss, se, al, state)
+            else:
+                _ac_refine_block(br, actab, c, ss, se, al, state)
+    return _next_marker_pos(data, br.pos)
+
+
+def _ac_first_block(br, actab, c, ss, se, al, state):
+    """First AC scan for a band (G.1.2.2): zero runs, EOB runs, new
+    coefficients at magnitude << Al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, actab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.bits(r)
+                return
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC index past band end")
+            c[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+
+def _ac_refine_block(br, actab, c, ss, se, al, state):
+    """AC refinement scan (G.1.2.3): already-nonzero coefficients take
+    correction bits; zero-history runs position newly significant
+    ±1<<Al coefficients; EOB runs correct the rest of the band."""
+    bit = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(br, actab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:  # EOB run: correct the remainder, then done
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    r = 64  # run past band end -> pure correction sweep
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = bit if br.bit() else -bit
+            while k <= se:
+                if c[k] != 0:
+                    if br.bit() and not (c[k] & bit):
+                        c[k] += bit if c[k] > 0 else -bit
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                c[k] = val
+            k += 1
+    else:
+        state["eobrun"] -= 1
+        while k <= se:  # EOB-run block: corrections only
+            if c[k] != 0 and br.bit() and not (c[k] & bit):
+                c[k] += bit if c[k] > 0 else -bit
+            k += 1
+
+
+def _next_marker_pos(data, pos):
+    """Skip any remaining entropy bytes/RSTs to the next real marker."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _finish_progressive(w, h, comps, coef, qt):
+    """All scans applied: dequantize, un-zigzag, batched IDCT, place
+    blocks, upsample + color convert."""
+    hmax, vmax, _mx, _my, dims = _geometry(w, h, comps)
+    idct_c = _C.astype(np.float32)
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        d = dims[ci]
+        q = qt[tq].astype(np.float32)
+        deq = coef[ci].astype(np.float32) * q  # (pby, pbx, 64) zigzag
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq  # scatter into natural order
+        blocks = nat.reshape(d["pby"], d["pbx"], 8, 8)
+        pix = np.einsum("ki,ABkl,lj->ABij", idct_c, blocks, idct_c)
+        plane = pix.transpose(0, 2, 1, 3).reshape(d["pby"] * 8, d["pbx"] * 8)
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, hmax, vmax, w, h)

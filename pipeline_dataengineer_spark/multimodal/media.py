@@ -13,8 +13,9 @@ North-star component (not in the reference). Design contract:
   amortized and memory is bounded by the Arrow batch size;
 - codec calls sit behind ``_decode_image_bytes``. REAL decodes, no
   imaging/audio/video library needed: PNG pixels (stdlib zlib IDAT
-  inflate + full scanline defilter), baseline-JPEG pixels
-  (``multimodal/jpeg.py``: Huffman entropy decode + numpy IDCT +
+  inflate + full scanline defilter), JPEG pixels — baseline AND
+  progressive (``multimodal/jpeg.py``: Huffman entropy decode with
+  T.81 Annex G multi-scan successive approximation + numpy IDCT +
   chroma upsample), JPEG dimensions (marker walk to SOF), WAV
   metadata (RIFF chunk walk), WAV PCM SAMPLES
   (``_wav_pcm_samples``: numpy frombuffer, all uncompressed sample
@@ -22,10 +23,10 @@ North-star component (not in the reference). Design contract:
   (``_avi_mjpeg_frames``: RIFF tree walk to the ##dc frame chunks;
   Motion-JPEG frames then decode through the in-repo JPEG decoder —
   container and codec end-to-end). Remaining fakes are only formats
-  whose codecs genuinely aren't reimplementable here (progressive
-  JPEG pixels fall back to real dims, mp4/h264 frames to a
-  deterministic stub) — swap behind the same seams in a real
-  deployment without touching any Spark plumbing. The pure-Python
+  whose codecs genuinely aren't reimplementable here
+  (arithmetic-coded/12-bit JPEG pixels fall back to real dims,
+  mp4/h264 frames to a deterministic stub) — swap behind the same
+  seams in a real deployment without touching any Spark plumbing. The pure-Python
   paths are fine for the metadata/feature shapes tested here; a
   production deployment replaces them with PIL/ffmpeg for
   throughput.
@@ -286,11 +287,11 @@ def _mean_intensity_features(pixels: bytes) -> list[float]:
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
     """Image decode: REAL pixels for PNG (``_decode_png``: full
-    scanline defilter) AND for baseline JPEG
-    (``jpeg.decode_baseline_jpeg``: Huffman entropy decode + numpy
-    IDCT + chroma upsample — no libjpeg needed). Non-baseline JPEGs
-    (progressive etc.) fall back to real DIMENSIONS via the marker
-    walk with hash-derived features. Unknown formats get a
+    scanline defilter) AND for JPEG (``jpeg.decode_jpeg``: Huffman
+    entropy decode + numpy IDCT + chroma upsample, baseline AND
+    progressive — no libjpeg needed). JPEGs the decoder can't handle
+    (arithmetic coding, 12-bit) fall back to real DIMENSIONS via the
+    marker walk with hash-derived features. Unknown formats get a
     deterministic fake. Features are 8 mean-intensity buckets over
     the decoded pixel buffer for real decodes, hash-derived
     otherwise."""
@@ -303,15 +304,13 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
     feats = [((hsh >> (8 * i)) & 0xFF) / 255.0 for i in range(8)]
     if payload[:3] == b"\xff\xd8\xff":
         try:
-            from pipeline_dataengineer_spark.multimodal.jpeg import (
-                decode_baseline_jpeg,
-            )
+            from pipeline_dataengineer_spark.multimodal.jpeg import decode_jpeg
 
-            w, h, rgb = decode_baseline_jpeg(payload)
+            w, h, rgb = decode_jpeg(payload)
             return w, h, _mean_intensity_features(rgb.tobytes())
         except Exception:
-            # progressive/arithmetic/12-bit: dims still real via the
-            # marker walk; features stay hash-derived.
+            # arithmetic-coded/12-bit: dims still real via the marker
+            # walk; features stay hash-derived.
             w, h = _jpeg_dimensions(payload)
             return w, h, feats
     width = 16 + (hsh % 1024)

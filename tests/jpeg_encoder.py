@@ -273,3 +273,268 @@ def encode_jpeg(rgb: np.ndarray, subsampling: str = "444",
     out += bw_.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — spectral selection + successive approximation
+# with EOB-run and buffered-correction-bit emission per T.81 Annex G.
+# ---------------------------------------------------------------------------
+
+
+# Progressive AC scans emit EOBn symbols ((r<<4)|0 for r=1..14) that the
+# baseline Annex K tables don't contain. A uniform 9-bit table over all
+# 256 symbols (255 at 9 bits + 1 at 10 — DHT counts are bytes) is
+# spec-valid (Kraft < 1; the all-ones code stays unused) and keeps the
+# encoder table-complete for any scan script.
+PROG_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def _quant_zigzag_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Padded pixel plane -> (by, bx, 64) quantized zigzag coefficients."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    qz = q.flatten()[ZIGZAG]
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coeffs = C @ (block - 128.0) @ C.T
+            out[by, bx] = np.round(coeffs.flatten()[ZIGZAG] / qz).astype(np.int64)
+    return out
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, truncation toward zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + EOB-run / buffered-correction-bit state for one scan."""
+
+    def __init__(self, ac_codes=None):
+        super().__init__()
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.corr = []  # correction bits buffered behind a pending EOB run
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            c, ln = self.ac[nbits << 4]
+            self.put(c, ln)
+            if nbits:
+                self.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.corr:
+            self.put(b, 1)
+        self.corr = []
+
+
+def _enc_ac_first(pw: _ProgWriter, band: np.ndarray, ss: int, se: int, al: int):
+    r = 0
+    for k in range(ss, se + 1):
+        t = _pt_ac(int(band[k]), al)
+        if t == 0:
+            r += 1
+            continue
+        pw.emit_eobrun()
+        while r > 15:
+            c, ln = pw.ac[0xF0]
+            pw.put(c, ln)
+            r -= 16
+        s, bits = _mag(t)
+        c, ln = pw.ac[(r << 4) | s]
+        pw.put(c, ln)
+        pw.put(bits, s)
+        r = 0
+    if r > 0:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.emit_eobrun()
+
+
+def _enc_ac_refine(pw: _ProgWriter, band: np.ndarray, ss: int, se: int, al: int):
+    absv = [abs(int(band[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-significant coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    pending = []  # correction bits owed to the next emitted symbol
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            pw.emit_eobrun()
+            c, ln = pw.ac[0xF0]
+            pw.put(c, ln)
+            r -= 16
+            for b in pending:
+                pw.put(b, 1)
+            pending = []
+        if t > 1:  # previously significant: correction bit only
+            pending.append(t & 1)
+            continue
+        pw.emit_eobrun()
+        c, ln = pw.ac[(r << 4) | 1]
+        pw.put(c, ln)
+        pw.put(1 if int(band[ss + i]) > 0 else 0, 1)
+        for b in pending:
+            pw.put(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        pw.eobrun += 1
+        pw.corr.extend(pending)
+        if pw.eobrun == 0x7FFF or len(pw.corr) > 937:
+            pw.emit_eobrun()
+
+
+def encode_progressive_jpeg(rgb: np.ndarray, subsampling: str = "444") -> bytes:
+    """rgb uint8 (h, w, 3) or gray (h, w) -> progressive JPEG bytes,
+    using the classic multi-scan script (interleaved DC with Al=1,
+    banded luma AC, chroma AC, successive-approximation refinements,
+    DC refinement)."""
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+
+    def pad(plane, bw_, bh_):
+        ph = ((plane.shape[0] + bh_ - 1) // bh_) * bh_
+        pw_ = ((plane.shape[1] + bw_ - 1) // bw_) * bw_
+        out_p = np.empty((ph, pw_))
+        out_p[: plane.shape[0], : plane.shape[1]] = plane
+        out_p[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]
+        out_p[:, plane.shape[1] :] = out_p[:, plane.shape[1] - 1 : plane.shape[1]]
+        return out_p
+
+    if gray:
+        y = rgb.astype(np.float64)
+        planes = [(pad(y, 8, 8), 1, 1, QL)]
+    else:
+        r, g, b = [rgb[..., i].astype(np.float64) for i in range(3)]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "444":
+            planes = [(pad(y, 8, 8), 1, 1, QL), (pad(cb, 8, 8), 1, 1, QC),
+                      (pad(cr, 8, 8), 1, 1, QC)]
+        elif subsampling == "420":
+            yp = pad(y, 16, 16)
+            cbf, crf = pad(cb, 16, 16), pad(cr, 16, 16)
+            cbs = cbf.reshape(cbf.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            crs = crf.reshape(crf.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            planes = [(yp, 2, 2, QL), (cbs, 1, 1, QC), (crs, 1, 1, QC)]
+        else:
+            raise ValueError(subsampling)
+
+    coef = [_quant_zigzag_blocks(p, q) for p, _ch, _cv, q in planes]
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # actual (non-MCU-padded) per-component block dims for AC scans
+    actual = []
+    for _p, ch, cv, _q in planes:
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        actual.append(((chh + 7) // 8, (cw + 7) // 8))
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, QL)
+    if not gray:
+        out += _dqt(1, QC)
+    ncomp = 1 if gray else 3
+    sof_comps = (bytes([1, 0x11, 0]) if gray else
+                 bytes([1, (hmax << 4) | vmax, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    out += _dht(0, 0, DC_L) + _dht(1, 0, PROG_AC)
+    if not gray:
+        out += _dht(0, 1, DC_C) + _dht(1, 1, PROG_AC)
+
+    dc_codes = [_huff_codes(*DC_L)] + ([] if gray else [_huff_codes(*DC_C)] * 2)
+    ac_codes = [_huff_codes(*PROG_AC)] * 3
+
+    def sos(scan_cis, ss, se, ah, al):
+        body = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            td = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | td])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_scan(scan_cis, ah, al):
+        pw = _ProgWriter()
+        dcl = _huff_codes(*DC_L)
+        preds = {ci: 0 for ci in scan_cis}
+        if len(scan_cis) > 1:
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in scan_cis:
+                        _p, ch, cv, _q = planes[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                units.append((ci, my * cv + by, mx * ch + bx))
+        else:
+            ci = scan_cis[0]
+            aby, abx = actual[ci]
+            units = [(ci, by, bx) for by in range(aby) for bx in range(abx)]
+        for ci, by, bx in units:
+            v = int(coef[ci][by, bx, 0]) >> al
+            if ah == 0:
+                diff = v - preds[ci]
+                preds[ci] = v
+                s, bits = _mag(diff)
+                codes = dcl if ci == 0 else dc_codes[ci]
+                c, ln = codes[s]
+                pw.put(c, ln)
+                if s:
+                    pw.put(bits, s)
+            else:
+                pw.put(v & 1, 1)
+        pw.flush()
+        return bytes(pw.out)
+
+    def ac_scan(ci, ss, se, ah, al):
+        pw = _ProgWriter(ac_codes[ci])
+        aby, abx = actual[ci]
+        for by in range(aby):
+            for bx in range(abx):
+                band = coef[ci][by, bx]
+                if ah == 0:
+                    _enc_ac_first(pw, band, ss, se, al)
+                else:
+                    _enc_ac_refine(pw, band, ss, se, al)
+        pw.emit_eobrun()
+        pw.flush()
+        return bytes(pw.out)
+
+    all_cis = list(range(ncomp))
+    if gray:
+        script = [
+            ("dc", all_cis, 0, 0, 0, 1),
+            ("ac", 0, 1, 63, 0, 1),
+            ("dc", all_cis, 0, 0, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", all_cis, 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", all_cis, 0, 0, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    for kind, who, ss, se, ah, al in script:
+        if kind == "dc":
+            out += sos(who, ss, se, ah, al)
+            out += dc_scan(who, ah, al)
+        else:
+            out += sos([who], ss, se, ah, al)
+            out += ac_scan(who, ss, se, ah, al)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -456,3 +456,65 @@ def test_decode_audio_samples_float_and_24bit():
         raise AssertionError("expected unsupported-format error")
     except ValueError:
         pass
+
+
+def test_progressive_jpeg_pixel_decode():
+    """Progressive (SOF2) decode: multi-scan spectral selection +
+    successive approximation reconstructs the SAME pixels as the
+    baseline path for identical coefficients (encoder =
+    tests/jpeg_encoder.encode_progressive_jpeg, classic scan script
+    incl. interleaved+non-interleaved DC, banded AC, EOB runs, DC/AC
+    refinement)."""
+    import numpy as np
+
+    from pipeline_dataengineer_spark.multimodal.jpeg import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg, encode_progressive_jpeg
+
+    cases = [
+        ("gray", _gradient_rgb(23, 17)[..., 0], {}),
+        ("444", _gradient_rgb(48, 64), {"subsampling": "444"}),
+        ("420-padded", _gradient_rgb(38, 50), {"subsampling": "420"}),
+    ]
+    for name, img, kw in cases:
+        data = encode_progressive_jpeg(img, **kw)
+        w, h, rgb = decode_jpeg(data)
+        assert (w, h) == (img.shape[1], img.shape[0]), name
+        ref = img if img.ndim == 3 else np.stack([img] * 3, axis=-1)
+        err = np.abs(rgb.astype(int) - ref.astype(int)).mean()
+        assert err < 12, (name, err)
+
+    # adversarial: random noise (dense coefficients, ZRL + refinement
+    # churn) and a near-empty image (long EOB runs) must decode
+    # BIT-IDENTICALLY to the baseline encoding of the same picture
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(56, 72, 3), dtype=np.uint8)
+    sparse = np.zeros((80, 80), dtype=np.uint8)
+    sparse[40, 40] = 255
+    for img, kw in [(noise, {"subsampling": "444"}),
+                    (noise, {"subsampling": "420"}), (sparse, {})]:
+        _, _, prog = decode_jpeg(encode_progressive_jpeg(img, **kw))
+        _, _, base = decode_jpeg(encode_jpeg(img, **kw))
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_jpeg_through_spark_seam(spark):
+    """Progressive payloads flow through decode_images with REAL dims
+    and pixel-derived features (no hash fallback)."""
+    import numpy as np
+
+    from pipeline_dataengineer_spark.multimodal.media import (
+        _mean_intensity_features,
+        decode_images,
+        extract_image_features,
+    )
+    from pipeline_dataengineer_spark.multimodal.jpeg import decode_jpeg
+    from tests.jpeg_encoder import encode_progressive_jpeg
+
+    img = _gradient_rgb(24, 40)
+    payload = encode_progressive_jpeg(img, subsampling="420")
+    df = spark.createDataFrame([(1, payload)], ["media_id", "payload"])
+    dims = decode_images(df).collect()[0]
+    assert (dims["width"], dims["height"]) == (40, 24)
+    feats = extract_image_features(df).collect()[0]["features"]
+    _, _, rgb = decode_jpeg(payload)
+    assert np.allclose(feats, _mean_intensity_features(rgb.tobytes()), atol=1e-6)
