@@ -1815,3 +1815,20 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ALL
 """
+
+
+ORACLES["q_heavy_hitters"] = """
+WITH t AS (SELECT count(*) AS total FROM orders),
+c AS (SELECT o_custkey AS item, count(*) AS cnt FROM orders GROUP BY 1)
+SELECT CAST(item AS BIGINT) AS item, cnt,
+       round(cnt / (SELECT total FROM t), 6) AS share
+FROM c WHERE cnt >= (SELECT total FROM t) * 0.0005
+ORDER BY item
+"""
+
+ORACLES["q_approx_topk"] = """
+SELECT p_brand AS item, count(*) AS est_count
+FROM part GROUP BY 1
+ORDER BY est_count DESC, item
+LIMIT 10
+"""

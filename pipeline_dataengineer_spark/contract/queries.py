@@ -3381,3 +3381,69 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_tokenize(d, merges).select(
         "doc_id", "n_bpe_tokens", F.slice("bpe_tokens", 1, 5).alias("head_tokens")
     )
+
+
+@query("q_heavy_hitters")
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters (operators/profiling.py:heavy_hitters):
+    customers holding >= 0.05% of all orders. One combinable groupBy
+    on the item + a broadcast 1-row total — the fact table shuffles
+    once. (Sketch path for cardinality-bomb columns:
+    functions/sketches.py:topk_states.)"""
+    from pipeline_dataengineer_spark.operators.profiling import heavy_hitters
+
+    o = table(spark, sf_dir, "orders")
+    hh = heavy_hitters(o, "o_custkey", min_share=0.0005)
+    return hh.select(
+        F.col("item").cast("long").alias("item"), "cnt", "share"
+    ).orderBy("item")
+
+
+@query("q_approx_topk")
+def q_approx_topk(spark, sf_dir):
+    """Mergeable frequent-items sketches (functions/sketches.py:
+    topk_states/merge_topk/topk_estimate — Spark 4.1 approx_top_k_*
+    family): states built independently on two halves of part,
+    combined, estimated. Hash-checkable BECAUSE the sketch is exact
+    below its max_items bound (25 brands << 10k tracked) and the
+    estimate is cut to k only after a deterministic (count, item)
+    sort — the oracle is the plain exact-count SQL."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        merge_topk,
+        topk_estimate,
+        topk_states,
+    )
+
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    half_a = p.filter(F.pmod(F.col("p_partkey"), F.lit(2)) == 0)
+    half_b = p.filter(F.pmod(F.col("p_partkey"), F.lit(2)) == 1)
+    merged = merge_topk(
+        topk_states(half_a, [], "p_brand"),
+        topk_states(half_b, [], "p_brand"),
+        keys=[],
+    )
+    return topk_estimate(merged, [], k=10).orderBy("item")
+
+
+@query("q_kll_quantiles")
+def q_kll_quantiles(spark, sf_dir):
+    """Mergeable KLL quantile states (functions/sketches.py:
+    kll_states/merge_kll/kll_quantiles): per-event-type sketches over
+    two halves of events, merged, quantiles estimated. Rows-only —
+    KLL compaction is randomized so estimates are engine-specific;
+    accuracy and the exact-n invariant are pytest-checked."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        kll_quantiles,
+        kll_states,
+        merge_kll,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    half_a = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    half_b = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    merged = merge_kll(
+        kll_states(half_a, ["event_type"], "value"),
+        kll_states(half_b, ["event_type"], "value"),
+        keys=["event_type"],
+    )
+    return kll_quantiles(merged, ["event_type"], [0.5, 0.95]).orderBy("event_type")

@@ -1,4 +1,5 @@
-"""Mergeable sketch aggregates: HyperLogLog distinct counts.
+"""Mergeable sketch aggregates: HLL distinct counts, frequent-items
+(approx_top_k), and KLL quantiles.
 
 The scale story for COUNT(DISTINCT) at 100 TB: an exact distinct
 count shuffles every distinct value; a Datasketches HLL sketch is a
@@ -7,9 +8,13 @@ day, or each source shard) builds its own sketch and union-merge runs
 over dimension-sized state — the same incremental-maintenance shape
 as operators/incremental.py:merge_agg_states, but for cardinality.
 
-Built on Spark 3.5+ ``hll_sketch_agg`` / ``hll_union_agg`` /
-``hll_sketch_estimate`` (JVM Datasketches, codegen-friendly — no
-Python in the loop).
+Built on Spark's JVM Datasketches expressions (``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate``; Spark 4.1
+``approx_top_k_accumulate/_combine/_estimate``;
+``kll_sketch_agg_double`` family) — no Python in the loop. All three
+families follow the same build/merge/estimate trio: per-shard states
+merge over dimension-sized rows, the incremental-maintenance shape of
+operators/incremental.py:merge_agg_states.
 """
 
 from __future__ import annotations
@@ -57,3 +62,125 @@ def approx_distinct_by(
     ``approx_count_distinct`` the intermediate state is exportable,
     which is what makes the incremental variant possible."""
     return hll_estimate(hll_sketches(df, keys, value_col, lg_k), keys)
+
+
+# ------------------------------------------------------------------
+# Frequent items (Datasketches approx_top_k, Spark 4.1) — same
+# build/merge/estimate trio as HLL: per-shard states merge over
+# dimension-sized rows, so "top URLs yesterday + today" never
+# re-reads yesterday's raw data.
+# ------------------------------------------------------------------
+
+
+def topk_states(
+    df: DataFrame, keys: list[str], value_col: str,
+    k: int = 10, max_items: int = 10_000,
+) -> DataFrame:
+    """Per-key frequent-items sketch state (mergeable binary-struct
+    column). ``max_items`` bounds the sketch: counts are EXACT while
+    distinct values per key stay under it, approximate (guaranteed
+    over-estimates, Misra-Gries family) beyond."""
+    cols = [F.col(c) for c in keys]
+    return df.groupBy(*cols).agg(
+        F.expr(
+            f"approx_top_k_accumulate({value_col}, {int(max_items)})"
+        ).alias("topk_state")
+    )
+
+
+def merge_topk(*states: DataFrame, keys: list[str]) -> DataFrame:
+    """Combine any number of per-key frequent-items states."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.expr("approx_top_k_combine(topk_state)").alias("topk_state")
+    )
+
+
+def topk_estimate(
+    state: DataFrame, keys: list[str], k: int = 10, max_items: int = 10_000
+) -> DataFrame:
+    """Finalize: explode each key's sketch into (item, est_count)
+    rows, deterministically ordered (count desc, then item) — ties at
+    the k boundary never flap between runs. ``max_items`` must match
+    the build-side value (the estimate is asked for the sketch's full
+    tracked set, then cut to k AFTER the deterministic sort, so the
+    sketch's own tie order never leaks into results)."""
+    from pyspark.sql import Window
+
+    est = state.select(
+        *keys,
+        F.explode(
+            F.expr(f"approx_top_k_estimate(topk_state, {int(max_items)})")
+        ).alias("e"),
+    ).select(
+        *keys,
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("est_count"),
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("est_count").desc(), F.col("item"))
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------------------------
+# KLL quantile sketches (Spark 4.1) — mergeable quantile state: the
+# partial-aggregate form of approx_percentile, for incremental
+# maintenance of percentile dashboards over append-only data.
+# ------------------------------------------------------------------
+
+
+def kll_states(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """Per-key KLL(double) quantile sketch state. k=200 → ~1.65%
+    worst-case rank error, a few KB per key."""
+    return df.groupBy(*keys).agg(
+        F.expr(
+            f"kll_sketch_agg_double(CAST({value_col} AS DOUBLE), {int(k)})"
+        ).alias("kll_state")
+    )
+
+
+def merge_kll(*states: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge per-key KLL states (rank-error bounds compose). Spark
+    exposes KLL merge as a BINARY SCALAR (``kll_sketch_merge_double``)
+    rather than an aggregate, so the group-wise merge is a
+    collect_list + reduce fold: the per-key buffer holds one ~KB
+    sketch per INPUT STATE (shard/day), not per raw row — bounded by
+    how many states are being merged, which is the point."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    fold = (
+        "reduce(slice(sketches, 2, size(sketches) - 1), sketches[0], "
+        "(acc, x) -> kll_sketch_merge_double(acc, x))"
+    )
+    return (
+        merged.groupBy(*keys)
+        .agg(F.collect_list("kll_state").alias("sketches"))
+        .select(*keys, F.expr(fold).alias("kll_state"))
+    )
+
+
+def kll_quantiles(
+    state: DataFrame, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """Finalize: one row per key with a quantile estimate per q in
+    ``qs`` (columns q_50 style) plus the exact row count the sketch
+    saw (KLL tracks n exactly — a free consistency check)."""
+    cols = [
+        F.expr(f"kll_sketch_get_quantile_double(kll_state, {q})").alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in qs
+    ]
+    return state.select(
+        *keys,
+        F.expr("kll_sketch_get_n_double(kll_state)").alias("n"),
+        *cols,
+    )

@@ -105,3 +105,40 @@ def corr_matrix(df, cols: list[str]):
         F.split("pair", r"\|")[1].alias("col_b"),
         F.col("corr"),
     )
+
+
+def heavy_hitters(
+    df, col: str, min_share: float = 0.01, by: list[str] | None = None
+):
+    """EXACT heavy hitters: values of ``col`` holding at least
+    ``min_share`` of rows (optionally within each ``by`` group).
+
+    Shape at scale: one map-side-combinable groupBy over (by, col) —
+    the result is |distinct| rows — then the group totals (|by| rows)
+    come back via a broadcast join. The fact table is scanned once
+    and shuffles once, on the grouping key. For columns whose
+    cardinality itself is the problem (no groupBy result fits),
+    use the sketch path (``functions.sketches.topk_states``) instead:
+    fixed-size state, approximate counts.
+
+    Returns (by..., item, cnt, share) ordered nowhere — callers sort.
+    """
+    from pyspark.sql import functions as F
+
+    by = by or []
+    counts = df.groupBy(*by, F.col(col).alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if by:
+        totals = df.groupBy(*by).agg(F.count(F.lit(1)).alias("__total"))
+        joined = counts.join(F.broadcast(totals), by)
+    else:
+        totals = df.agg(F.count(F.lit(1)).alias("__total"))
+        joined = counts.crossJoin(F.broadcast(totals))
+    return (
+        joined.withColumn(
+            "share", F.round(F.col("cnt") / F.col("__total"), 6)
+        )
+        .filter(F.col("cnt") >= F.col("__total") * min_share)
+        .drop("__total")
+    )

@@ -185,3 +185,100 @@ def test_normalize_urls_is_idempotent_on_fuzzed_urls(spark):
     twice = normalize_urls(once, "n1", out_col="n2")
     bad = twice.filter(F.col("n1") != F.col("n2")).collect()
     assert bad == [], bad[:5]
+
+
+def test_topk_sketch_merge_equals_single_pass_below_capacity(spark):
+    """approx_top_k states: counts are EXACT below max_items, so a
+    two-shard merge must equal both the single-pass sketch AND the
+    plain exact groupBy count."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        merge_topk,
+        topk_estimate,
+        topk_states,
+    )
+
+    rows = [(f"u{i % 13}", i) for i in range(2600)]
+    df = spark.createDataFrame(rows, ["item", "i"])
+    a = df.filter(F.col("i") < 900)
+    b = df.filter(F.col("i") >= 900)
+    merged = merge_topk(
+        topk_states(a, [], "item"), topk_states(b, [], "item"), keys=[]
+    )
+    got = {
+        r["item"]: r["est_count"]
+        for r in topk_estimate(merged, [], k=13).collect()
+    }
+    single = {
+        r["item"]: r["est_count"]
+        for r in topk_estimate(topk_states(df, [], "item"), [], k=13).collect()
+    }
+    exact = {
+        r["item"]: r["cnt"]
+        for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == single == exact and len(got) == 13
+
+
+def test_topk_estimate_cut_is_deterministic_on_ties(spark):
+    from pipeline_dataengineer_spark.functions.sketches import (
+        topk_estimate,
+        topk_states,
+    )
+
+    # 6 items, all with identical counts: k=3 must pick the 3 smallest
+    # item strings (count desc, item asc), never the sketch's order
+    rows = [(f"it{j}", i) for j in range(6) for i in range(10)]
+    df = spark.createDataFrame(rows, ["item", "i"])
+    got = [
+        r["item"]
+        for r in topk_estimate(topk_states(df, [], "item"), [], k=3)
+        .orderBy("item")
+        .collect()
+    ]
+    assert got == ["it0", "it1", "it2"]
+
+
+def test_kll_merge_n_exact_and_quantiles_within_rank_error(spark):
+    from pipeline_dataengineer_spark.functions.sketches import (
+        kll_quantiles,
+        kll_states,
+        merge_kll,
+    )
+
+    n = 3000
+    df = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), float(i)) for i in range(n)], ["g", "v"]
+    )
+    shards = [
+        df.filter(F.pmod(F.col("v").cast("long"), F.lit(3)) == k)
+        for k in range(3)
+    ]
+    merged = merge_kll(
+        *[kll_states(s, ["g"], "v") for s in shards], keys=["g"]
+    )
+    out = {r["g"]: r for r in kll_quantiles(merged, ["g"], [0.5, 0.9]).collect()}
+    for g in ("a", "b"):
+        assert out[g]["n"] == n // 2  # KLL tracks n exactly through merges
+        # values are 0..2999 split even/odd: true q50 ~ 1500, q90 ~ 2700
+        assert abs(out[g]["q_0_5"] - 1500) < n * 0.02
+        assert abs(out[g]["q_0_9"] - 2700) < n * 0.02
+
+
+def test_heavy_hitters_exact_grouped(spark):
+    from pipeline_dataengineer_spark.operators.profiling import heavy_hitters
+
+    rows = (
+        [("g1", "hot")] * 60 + [("g1", f"c{i}") for i in range(40)]
+        + [("g2", "warm")] * 10 + [("g2", "hot2")] * 85
+        + [("g2", f"d{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    got = {
+        (r["grp"], r["item"]): (r["cnt"], r["share"])
+        for r in heavy_hitters(df, "item", min_share=0.1, by=["grp"]).collect()
+    }
+    assert got == {
+        ("g1", "hot"): (60, 0.6),
+        ("g2", "hot2"): (85, 0.85),
+        ("g2", "warm"): (10, 0.1),  # boundary: >= min_share stays
+    }
