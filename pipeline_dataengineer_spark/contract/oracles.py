@@ -1832,3 +1832,19 @@ FROM part GROUP BY 1
 ORDER BY est_count DESC, item
 LIMIT 10
 """
+
+
+ORACLES["q_interval_join_semi"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT c.user_id, c.event_id AS click_id
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+WHERE EXISTS (
+  SELECT 1 FROM (SELECT * FROM e WHERE event_type = 'purchase') b
+  WHERE b.user_id = c.user_id
+    AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE
+)
+ORDER BY click_id
+"""

@@ -3447,3 +3447,31 @@ def q_kll_quantiles(spark, sf_dir):
         keys=["event_type"],
     )
     return kll_quantiles(merged, ["event_type"], [0.5, 0.95]).orderBy("event_type")
+
+
+@query("q_interval_join_semi")
+def q_interval_join_semi(spark, sf_dir):
+    """Stream-stream LEFT SEMI interval join, batch parity
+    (streaming/joins.py:stream_stream_interval_join how=left_semi):
+    clicks that were followed by a purchase from the same user within
+    30 minutes — each click once, no purchase columns. On a stream the
+    same plan keeps only the left row and drops join state as the
+    watermark passes; completes the join matrix (inner, left/right/
+    full outer, semi)."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("buy_ts")
+    )
+    out = stream_stream_interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        lower="0 seconds", upper="30 minutes", how="left_semi",
+    )
+    return out.select(F.col("user_id"), "click_id").orderBy("click_id")

@@ -395,3 +395,61 @@ def test_stream_stream_full_outer_emits_both_sides_after_watermark(spark, tmp_pa
     got2 = drain()
     assert ("u2", 2.0, None) in got2   # left-null row
     assert ("u7", None, 70.0) in got2  # right-null row
+
+
+def test_stream_stream_left_semi_join(spark, tmp_path):
+    """LEFT SEMI stream-stream join: matched left rows emit ONCE (even
+    with several in-window right matches) with no right columns;
+    unmatched left rows never emit."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    left_dir = tmp_path / "src_left"
+    right_dir = tmp_path / "src_right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    _write_json(
+        left_dir,
+        "batch0.json",
+        [
+            {"k": "u1", "ts": "2024-01-01T00:00:00", "v": 1.0},
+            {"k": "u2", "ts": "2024-01-01T02:00:00", "v": 2.0},
+        ],
+    )
+    _write_json(
+        right_dir,
+        "batch0.json",
+        [
+            # TWO in-window matches for u1 -> still one semi row
+            {"k": "u1", "ts": "2024-01-01T00:10:00", "v": 10.0},
+            {"k": "u1", "ts": "2024-01-01T00:20:00", "v": 11.0},
+            # out-of-window for u2
+            {"k": "u2", "ts": "2024-01-01T03:30:00", "v": 20.0},
+        ],
+    )
+    left = spark.readStream.schema(SCHEMA).json(str(left_dir)).select(
+        F.col("k"), F.col("ts").alias("lts"), F.col("v").alias("lv")
+    )
+    right = spark.readStream.schema(SCHEMA).json(str(right_dir)).select(
+        F.col("k"), F.col("ts").alias("rts"), F.col("v").alias("rv")
+    )
+    joined = stream_stream_interval_join(
+        left, right, "k", "lts", "rts",
+        lower="0 seconds", upper="30 minutes", how="left_semi",
+    )
+    assert set(joined.columns) == {"k", "lts", "lv"}  # left columns only
+    q = (
+        joined.select("k", "lv").writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_semi_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_semi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = [
+        (r["k"], r["lv"])
+        for r in spark.sql("select * from ssj_semi_out").collect()
+    ]
+    assert rows == [("u1", 1.0)]  # once, despite two matches
