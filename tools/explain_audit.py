@@ -151,6 +151,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # array set-ops are pure JVM kernels riding the scan: no explode
     # (Generate), no shuffle, no join.
     "q_array_setops": ([], ["Exchange", "Generate", "Join"]),
+    # exact heavy hitters: one combinable HashAggregate over the item;
+    # the 1-row total arrives by broadcast (BNLJ on a single row is
+    # the intended scalar-broadcast shape, same as q_tfidf) — the
+    # fact side must never sort-merge.
+    "q_heavy_hitters": (["HashAggregate"], ["SortMergeJoin"]),
+    # sketch trios: build/merge are partial-aggregable HashAggregates;
+    # nothing may sort-merge (state rows are dimension-sized).
+    "q_approx_topk": (["HashAggregate"], ["SortMergeJoin"]),
+    "q_kll_quantiles": (["HashAggregate"], ["SortMergeJoin"]),
+    # semi interval join: equi key + range residual -> hash/merge
+    # join keeping only left rows; never a nested loop.
+    "q_interval_join_semi": (
+        ["LeftSemi"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
 }
 
 
