@@ -1848,3 +1848,31 @@ WHERE EXISTS (
 )
 ORDER BY click_id
 """
+
+
+ORACLES["q_array_overlap_join"] = """
+WITH p AS (
+  SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS w
+  FROM part
+)
+SELECT a.p_partkey AS p_partkey,
+       b.p_partkey AS p_partkey_r,
+       CAST(len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS overlap
+FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+WHERE len(list_distinct(list_intersect(a.w, b.w))) >= 2
+ORDER BY 1, 2
+"""
+
+
+ORACLES["q_weighted_sample"] = """
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w FROM documents
+)
+SELECT doc_id, w AS weight
+FROM d
+WHERE w IS NOT NULL AND w > 0
+  AND ((((((doc_id) % 2147483647) + 2147483647) % 2147483647)
+        * 48271) % 2147483647) % 1000000
+      < least(1.0, 0.25 * w / 500.0) * 1000000
+ORDER BY doc_id
+"""

@@ -3475,3 +3475,48 @@ def q_interval_join_semi(spark, sf_dir):
         lower="0 seconds", upper="30 minutes", how="left_semi",
     )
     return out.select(F.col("user_id"), "click_id").orderBy("click_id")
+
+
+@query("q_array_overlap_join")
+def q_array_overlap_join(spark, sf_dir):
+    """Set-similarity join (operators/joins.py:array_overlap_join):
+    part pairs whose name word-sets share >= 2 words. Candidates come
+    from ONE equi-join on exploded tags (linear in total tags, a pair
+    materializes only if it shares a tag — never the cross join the
+    predicate implies); overlap is then recomputed exactly via
+    array_intersect on candidates. Stopword-grade tags are droppable
+    via the enforced max_tag_df cap (pytest-covered)."""
+    from pipeline_dataengineer_spark.operators.joins import array_overlap_join
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.split(F.col("p_name"), " ").alias("name_words")
+    )
+    out = array_overlap_join(
+        p, p, "p_partkey", "p_partkey", "name_words", "name_words",
+        min_overlap=2,
+    )
+    return out.filter(F.col("p_partkey") < F.col("p_partkey_r")).orderBy(
+        "p_partkey", "p_partkey_r"
+    )
+
+
+@query("q_weighted_sample")
+def q_weighted_sample(spark, sf_dir):
+    """Weight-proportional deterministic sampling
+    (operators/sampling.py:weighted_sample): documents kept with
+    probability min(1, frac * weight / ref) — doc length as the
+    stand-in weight, an explicit ref normalizer so the threshold is
+    the same elementwise IEEE754 expression on both engines (a
+    data-computed mean can differ in the last ulp and flip a
+    boundary row). Kept SET is hash-checked, not just its size; the
+    whole plan is a narrow filter riding the scan."""
+    from pipeline_dataengineer_spark.operators.sampling import weighted_sample
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("w")
+    )
+    return weighted_sample(
+        d, "doc_id", "w", target_frac=0.25, ref_weight=500.0
+    ).select(
+        "doc_id", F.col("w").alias("weight")
+    ).orderBy("doc_id")

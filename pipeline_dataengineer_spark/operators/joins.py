@@ -234,3 +234,87 @@ def fuzzy_join(
             F.col("distance").cast("long").alias("distance"),
         )
     )
+
+
+def array_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_tags: str,
+    right_tags: str,
+    min_overlap: int = 2,
+    max_tag_df: int | None = None,
+) -> DataFrame:
+    """Set-similarity join: pairs whose tag arrays share at least
+    ``min_overlap`` distinct elements. Returns
+    (left_id, right_id, overlap).
+
+    Shape at scale: NEVER the cross join the predicate naively
+    implies. Each side explodes to (id, tag) — linear in total tags —
+    and candidates come from ONE equi-join on the tag value, so a
+    pair is generated once per shared tag and a combinable
+    count-distinct-free groupBy (tags are already distinct per id
+    after the dedup in explode) counts shared tags per pair. Only
+    pairs sharing >= 1 tag ever materialize.
+
+    The failure mode is a stopword-grade tag held by everything: its
+    posting list self-joins quadratically. ``max_tag_df`` caps it —
+    tags held by more than that many left ids are broadcast-anti-
+    joined out of BOTH sides before candidate generation (the same
+    enforced-cap shape as the LSH bucket and posting-list caps).
+    The reported overlap stays EXACT regardless: it is recomputed
+    via array_intersect on the surviving candidate pairs, so the cap
+    only affects which pairs can be FOUND (a pair sharing nothing
+    but capped tags is missed — by design), never the count."""
+    l_ex = (
+        left.select(F.col(left_id).alias("__lid"), F.col(left_tags).alias("__ltags"))
+        .withColumn("__tag", F.explode(F.array_distinct(F.col("__ltags"))))
+    )
+    r_ex = (
+        right.select(
+            F.col(right_id).alias("__rid"), F.col(right_tags).alias("__rtags")
+        )
+        .withColumn("__tag", F.explode(F.array_distinct(F.col("__rtags"))))
+    )
+    if max_tag_df is not None:
+        # one combinable count over the smaller exploded side, tags
+        # over the cap broadcast-anti-joined out of BOTH sides
+        hot = (
+            l_ex.groupBy("__tag").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_tag_df)
+            .select("__tag")
+        )
+        l_ex = l_ex.join(F.broadcast(hot), "__tag", "left_anti")
+        r_ex = r_ex.join(F.broadcast(hot), "__tag", "left_anti")
+    cands = (
+        l_ex.select("__lid", "__tag")
+        .join(r_ex.select("__rid", "__tag"), "__tag")
+        .select("__lid", "__rid")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    # exact overlap on surviving candidates only (arrays travel once,
+    # attached by id join — the tag-candidate join never carries them)
+    lt = left.select(F.col(left_id).alias("__lid"), F.col(left_tags).alias("__ltags"))
+    rt = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_tags).alias("__rtags")
+    )
+    out_rid = right_id + "_r" if right_id == left_id else right_id
+    return (
+        cands.join(lt, "__lid")
+        .join(rt, "__rid")
+        .withColumn(
+            "overlap",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct("__ltags"), F.array_distinct("__rtags")
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(out_rid),
+            "overlap",
+        )
+    )

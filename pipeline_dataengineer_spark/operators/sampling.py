@@ -111,3 +111,56 @@ def stratified_sample(
         else thresh.otherwise(F.lit(int(default_fraction * buckets)))
     )
     return df.filter(b < thresh)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_frac: float,
+    resolution: int = 1_000_000,
+    ref_weight: float | None = None,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: row i survives with
+    probability ``min(1, target_frac * w_i / mean(w))`` — the expected
+    kept fraction is ~target_frac while up/down-weighting rows by
+    ``weight_col`` (the training-mixture shape: quality-weighted
+    document retention instead of uniform).
+
+    Same scale contract as the uniform sampler: the keep decision is
+    ``portable_bucket(key, resolution) < threshold_i``, a pure narrow
+    projection — stable under repartitioning, no shuffle of the fact
+    table. The only non-narrow step is ONE scalar aggregate for
+    mean(w), which arrives back by broadcast (1-row cross join —
+    Catalyst folds it into the filter stage), so the plan is
+    scan → broadcast scalar → filter.
+
+    NULL or non-positive weights drop the row (a weight of 0 means
+    "never sample"), keeping semantics total and explicit.
+
+    ``ref_weight`` replaces the computed mean with an explicit
+    normalizer. Besides skipping the scalar aggregate, it makes the
+    kept SET exactly portable across engines: with a constant
+    normalizer every row's threshold is the same elementwise IEEE754
+    expression everywhere, whereas a data-computed mean can differ in
+    the last ulp with summation order and flip a boundary row."""
+    if ref_weight is not None:
+        base = df
+        norm = F.lit(float(ref_weight))
+    else:
+        mean_w = df.select(F.avg(F.col(weight_col)).alias("__mean_w"))
+        base = df.crossJoin(F.broadcast(mean_w))
+        norm = F.col("__mean_w")
+    thresh = (
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_frac)) * F.col(weight_col) / norm,
+        )
+        * resolution
+    )
+    out = base.filter(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & (portable_bucket(key_col, resolution) < thresh)
+    )
+    return out if ref_weight is not None else out.drop("__mean_w")

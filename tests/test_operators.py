@@ -325,3 +325,33 @@ def test_key_prune_joins_match_plain_joins_under_collisions(spark):
     # prefilter really is a broadcast (no shuffle of `big` before it)
     plan = semi_join_with_key_prune(big, small, "k", "sk")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_array_overlap_join_exact_and_capped(spark):
+    from pipeline_dataengineer_spark.operators.joins import array_overlap_join
+
+    rows = [
+        (1, ["a", "b", "c"]),
+        (2, ["b", "c", "d"]),      # shares b,c with 1
+        (3, ["x", "y"]),           # shares nothing >= 2
+        (4, ["a", "b", "c", "c"]), # duplicate tag: counted once
+    ]
+    df = spark.createDataFrame(rows, ["id", "tags"])
+    out = array_overlap_join(df, df, "id", "id", "tags", "tags", min_overlap=2)
+    pairs = {
+        (r["id"], r["id_r"]): r["overlap"]
+        for r in out.filter(F.col("id") < F.col("id_r")).collect()
+    }
+    assert pairs == {(1, 2): 2, (1, 4): 3, (2, 4): 2}
+
+    # cap: 'b' and 'c' are on 3 of 4 ids; max_tag_df=2 removes them
+    # from blocking. (1,4) still found via 'a' and keeps EXACT
+    # overlap 3; (1,2)/(2,4) shared only capped tags -> missed.
+    capped = array_overlap_join(
+        df, df, "id", "id", "tags", "tags", min_overlap=2, max_tag_df=2
+    )
+    got = {
+        (r["id"], r["id_r"]): r["overlap"]
+        for r in capped.filter(F.col("id") < F.col("id_r")).collect()
+    }
+    assert got == {(1, 4): 3}

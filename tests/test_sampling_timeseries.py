@@ -163,3 +163,30 @@ def test_pack_sequences_offsets_and_determinism(spark):
     )
     rows2 = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in out2.collect()}
     assert rows == rows2
+
+
+def test_weighted_sample_proportions_and_determinism(spark):
+    from pipeline_dataengineer_spark.operators.sampling import weighted_sample
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        # half the rows weight 1, half weight 3
+        F.when(F.pmod("id", F.lit(2)) == 0, 1.0).otherwise(3.0).alias("w"),
+    )
+    kept = weighted_sample(df, "id", "w", target_frac=0.2)
+    rows = kept.groupBy("w").count().collect()
+    by_w = {r["w"]: r["count"] for r in rows}
+    # mean weight = 2 -> keep prob 0.1 for w=1, 0.3 for w=3
+    assert abs(by_w[1.0] / (n / 2) - 0.1) < 0.02
+    assert abs(by_w[3.0] / (n / 2) - 0.3) < 0.02
+    # deterministic and layout-independent
+    a = {r["id"] for r in kept.collect()}
+    b = {r["id"] for r in weighted_sample(df.repartition(13), "id", "w", 0.2).collect()}
+    assert a == b
+    # weight > mean/frac saturates at keep-everything
+    allkeep = weighted_sample(df, "id", "w", target_frac=1.0, ref_weight=0.5)
+    assert allkeep.count() == n
+    # zero/NULL weights never sample
+    z = spark.createDataFrame([(1, 0.0), (2, None), (3, 5.0)], ["id", "w"])
+    assert [r["id"] for r in weighted_sample(z, "id", "w", 1.0, ref_weight=5.0).collect()] == [3]
