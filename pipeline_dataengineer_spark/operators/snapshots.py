@@ -116,6 +116,29 @@ def _write_data_dir(df: DataFrame, root: str) -> str:
     return path
 
 
+def _dir_stats(df: DataFrame, stat_cols: list[str]) -> dict:
+    """Per-directory min/max for the manifest, computed by re-reading
+    the JUST-WRITTEN parquet directory (not the input plan — a
+    non-deterministic plan could stat differently than it wrote; and
+    the footer-backed scan makes min/max nearly free). Nulls are
+    ignored by min/max; an all-null or empty column stats as
+    None/None, which the pruner treats as 'cannot exclude'."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    row = df.agg(*aggs).collect()[0]
+
+    def plain(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    return {
+        c: [plain(row[f"__min_{c}"]), plain(row[f"__max_{c}"])]
+        for c in stat_cols
+    }
+
+
 def _carry_streams(root: str) -> dict:
     """Preserve the stream-epoch ledger (snapshot_sink) across batch
     publishes — losing it would let a retried epoch double-apply."""
@@ -126,14 +149,38 @@ def _carry_streams(root: str) -> dict:
     return {"streams": streams} if streams else {}
 
 
-def write_snapshot(df: DataFrame, root: str, watermark: str | None = None) -> dict:
+def _inherit_stat_cols(root: str, stat_cols: list[str] | None) -> list[str]:
+    if stat_cols is not None:
+        return stat_cols
+    v = current_version(root)
+    return read_manifest(root).get("stat_cols", []) if v is not None else []
+
+
+def write_snapshot(
+    df: DataFrame,
+    root: str,
+    watermark: str | None = None,
+    stat_cols: list[str] | None = None,
+) -> dict:
     """Publish ``df`` as the next full snapshot (REPLACE semantics:
     the new version lists only the new directory). Returns the
-    manifest. Crash-safe per the module protocol."""
+    manifest. Crash-safe per the module protocol.
+
+    ``stat_cols`` (inherited from the previous manifest when omitted)
+    records per-directory min/max in the manifest — the data-skipping
+    index ``read_snapshot(..., prune=...)`` uses to drop whole
+    directories before Spark ever lists a file."""
+    stat_cols = _inherit_stat_cols(root, stat_cols)
     path = _write_data_dir(df, root)
+    extra = _carry_streams(root)
+    if stat_cols:
+        extra["stat_cols"] = stat_cols
+        extra["dir_stats"] = {
+            path: _dir_stats(df.sparkSession.read.parquet(path), stat_cols)
+        }
     return _publish(
         root, [path], df.schema.simpleString(), watermark,
-        current_version(root), extra=_carry_streams(root),
+        current_version(root), extra=extra,
     )
 
 
@@ -142,6 +189,7 @@ def append_snapshot(
     root: str,
     watermark: str | None = None,
     evolve_schema: bool = False,
+    stat_cols: list[str] | None = None,
 ) -> dict:
     """Publish a LOGICAL append: previous directories + one new delta
     directory. Existing data is never rewritten. An EMPTY df is a
@@ -163,12 +211,15 @@ def append_snapshot(
         return read_manifest(root) if prev_v is not None else _publish(
             root, [], df.schema.simpleString(), watermark, None
         )
+    stat_cols = _inherit_stat_cols(root, stat_cols)
     extra = _carry_streams(root)
     schema_ddl = df.schema.simpleString()
     prev_paths: list[str] = []
+    dir_stats: dict = {}
     if prev_v is not None:
         prev = read_manifest(root)
         prev_paths = prev["data_paths"]
+        dir_stats = dict(prev.get("dir_stats", {}))
         if prev_paths and prev["schema"] != schema_ddl:
             if not evolve_schema:
                 raise ValueError(
@@ -180,6 +231,12 @@ def append_snapshot(
         if prev.get("mixed_schemas"):
             extra["mixed_schemas"] = True
     path = _write_data_dir(df, root)
+    if stat_cols:
+        dir_stats[path] = _dir_stats(
+            df.sparkSession.read.parquet(path), stat_cols
+        )
+        extra["stat_cols"] = stat_cols
+        extra["dir_stats"] = dir_stats
     return _publish(
         root, prev_paths + [path], schema_ddl, watermark, prev_v, extra=extra,
     )
@@ -199,19 +256,47 @@ def _union_schema_ddl(prev_ddl: str, delta: DataFrame) -> str:
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Scan a snapshot (current, or ``version`` for time travel) as a
     plain multi-path parquet read — pushdown and pruning intact.
     Tables that ever took an evolved-schema append scan with parquet
-    ``mergeSchema`` (footer-merge cost paid only by such tables)."""
+    ``mergeSchema`` (footer-merge cost paid only by such tables).
+
+    ``prune=(col, lo, hi)`` is MANIFEST-LEVEL data skipping: data
+    directories whose recorded [min, max] for ``col`` cannot
+    intersect [lo, hi] are dropped before Spark lists a single file —
+    the Iceberg/Delta stats-pruning shape, one manifest read instead
+    of a footer per file. Either bound may be None (one-sided). It
+    only SKIPS directories; apply the row-level filter on the result
+    as usual (parquet row-group pruning then handles the rest). A
+    directory with no recorded stats for the column is always kept
+    (correctness over optimism)."""
     m = read_manifest(root, version)
-    if not m["data_paths"]:
+    paths = m["data_paths"]
+    if prune is not None and paths:
+        col, lo, hi = prune
+        stats = m.get("dir_stats", {})
+        kept = []
+        for p in paths:
+            mn_mx = stats.get(p, {}).get(col)
+            if mn_mx is None or mn_mx[0] is None or mn_mx[1] is None:
+                kept.append(p)
+                continue
+            mn, mx = mn_mx
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                continue  # provably disjoint -> skip whole directory
+            kept.append(p)
+        paths = kept
+    if not paths:
         return spark.createDataFrame([], m["schema"])
     reader = spark.read
     if m.get("mixed_schemas"):
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*m["data_paths"])
+    return reader.parquet(*paths)
 
 
 def expire_snapshots(root: str, keep_last: int = 2) -> dict:

@@ -261,3 +261,40 @@ def test_compact_snapshot_preserves_content(spark, tmp_path):
     assert read_snapshot(spark, root, version=3).count() == len(before)
     expire_snapshots(root, keep_last=1)
     assert sorted(r["id"] for r in read_snapshot(spark, root).collect()) == before
+
+
+def test_manifest_stats_prune_directories(spark, tmp_path):
+    """Manifest-level data skipping: per-directory min/max recorded at
+    write time lets read_snapshot drop whole directories for a
+    disjoint predicate range — before Spark lists a single file."""
+    from pipeline_dataengineer_spark.operators.snapshots import read_snapshot
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(0, 100).withColumn("day", F.lit(1)),
+        root, stat_cols=["id"],
+    )
+    # appends inherit stat_cols from the table
+    append_snapshot(spark.range(100, 200).withColumn("day", F.lit(2)), root)
+    append_snapshot(spark.range(200, 300).withColumn("day", F.lit(3)), root)
+    m = read_manifest(root)
+    assert m["stat_cols"] == ["id"]
+    assert len(m["dir_stats"]) == 3
+    assert sorted(v["id"] for v in m["dir_stats"].values()) == [
+        [0, 99], [100, 199], [200, 299]
+    ]
+
+    pruned = read_snapshot(spark, root, prune=("id", 120, 180))
+    # exactly ONE directory survives the manifest cut
+    assert len(pruned.inputFiles()) == len(
+        read_snapshot(spark, root).inputFiles()
+    ) // 3
+    # row-level filter still applies on top; results are correct
+    got = sorted(
+        r["id"] for r in pruned.filter(F.col("id").between(120, 180)).collect()
+    )
+    assert got == list(range(120, 181))
+    # one-sided bounds and unknown-stats safety
+    assert read_snapshot(spark, root, prune=("id", None, 99)).count() == 100
+    assert read_snapshot(spark, root, prune=("id", 300, None)).count() == 0
+    assert read_snapshot(spark, root, prune=("day", 5, 9)).count() == 300  # no stats for day -> keep all
