@@ -1876,3 +1876,22 @@ WHERE w IS NOT NULL AND w > 0
       < least(1.0, 0.25 * w / 500.0) * 1000000
 ORDER BY doc_id
 """
+
+
+ORACLES["q_pseudonymize"] = """
+SELECT o_orderkey,
+       CASE WHEN o_custkey IS NOT NULL THEN
+         'cust_' || substring(sha256('s3cr3t' || CAST(o_custkey AS VARCHAR)), 1, 16)
+       END AS cust_token
+FROM orders
+ORDER BY o_orderkey
+"""
+
+ORACLES["q_event_sequences"] = """
+SELECT user_id, event_id,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event,
+       event_type AS next_event
+FROM events
+QUALIFY prev_event IS NOT NULL
+ORDER BY user_id, event_id
+"""

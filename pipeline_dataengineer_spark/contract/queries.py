@@ -3520,3 +3520,39 @@ def q_weighted_sample(spark, sf_dir):
     ).select(
         "doc_id", F.col("w").alias("weight")
     ).orderBy("doc_id")
+
+
+@query("q_pseudonymize")
+def q_pseudonymize(spark, sf_dir):
+    """Keyed deterministic tokenization (functions/pii.py:pseudonymize):
+    customer keys become salted sha256 tokens — joinability preserved
+    (same key → same token), reversal requires the salt. One fused
+    codegen projection; the oracle runs the identical sha256
+    arithmetic, proving engine portability of the token space."""
+    from pipeline_dataengineer_spark.functions.pii import pseudonymize
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        pseudonymize("o_custkey", salt="s3cr3t", prefix="cust_").alias("cust_token"),
+    ).orderBy("o_orderkey")
+
+
+@query("q_event_sequences")
+def q_event_sequences(spark, sf_dir):
+    """Next-event training pairs from clickstreams: per-user events
+    ordered by time become (prev_event -> next_event) rows via lag
+    over the user window — ONE shuffle on user_id builds every pair
+    regardless of sequence length (the sequence-model feature-prep
+    shape). event_id tie-break keeps the oracle deterministic."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.lag("event_type").over(w).alias("prev_event"),
+            F.col("event_type").alias("next_event"),
+        )
+        .filter(F.col("prev_event").isNotNull())
+        .orderBy("user_id", "event_id")
+    )

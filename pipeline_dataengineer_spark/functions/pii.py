@@ -53,3 +53,23 @@ def pii_counts(col: Column | str) -> Column:
         F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
         F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), F.lit(0))).cast("long").alias("n_ips"),
     )
+
+
+def pseudonymize(col: Column | str, salt: str, prefix: str = "id_") -> Column:
+    """Deterministic keyed tokenization: value → ``prefix`` + first 16
+    hex chars of sha256(salt || value). The GDPR-grade middle ground
+    between redaction (loses joinability) and plaintext: the same
+    input under the same salt always maps to the same token, so
+    joins/groupBys on the pseudonym still work across tables and
+    days, while reversal requires the salt. NULL stays NULL.
+
+    Pure codegen projection (sha2 + substr + concat) — rides the
+    scan, portable to any engine with sha256."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull(),
+        F.concat(
+            F.lit(prefix),
+            F.substring(F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, 16),
+        ),
+    )

@@ -277,6 +277,12 @@ def read_snapshot(
     (correctness over optimism)."""
     m = read_manifest(root, version)
     paths = m["data_paths"]
+    merge_keys = m.get("merge_keys")
+    if prune is not None and merge_keys:
+        # dropping a directory can resurrect a row it shadows —
+        # stats pruning is only sound on append-only tables
+        raise ValueError("prune= is not supported on a merge-on-read "
+                         "table; compact_snapshot first")
     if prune is not None and paths:
         col, lo, hi = prune
         stats = m.get("dir_stats", {})
@@ -296,6 +302,26 @@ def read_snapshot(
     reader = spark.read
     if m.get("mixed_schemas"):
         reader = reader.option("mergeSchema", "true")
+    if merge_keys:
+        # merge-on-read resolve: later directories win per key. Each
+        # directory keeps its position as __ord (a literal riding each
+        # scan — no extra pass), one key-window picks the survivor.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        parts = [
+            reader.parquet(p).withColumn("__ord", F.lit(i))
+            for i, p in enumerate(paths)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy(*merge_keys).orderBy(F.col("__ord").desc())
+        return (
+            u.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__ord", "__rn")
+        )
     return reader.parquet(*paths)
 
 
@@ -426,3 +452,45 @@ def snapshot_corpus_append(
         return append_snapshot(delta, root)
     finally:
         delta.unpersist()
+
+
+def upsert_append(
+    spark: SparkSession, root: str, source: DataFrame, keys: list[str]
+) -> dict:
+    """MERGE-ON-READ upsert: publish ``source`` as a logical append
+    whose rows SHADOW earlier rows with the same key at read time —
+    write cost is one delta directory (vs ``merge_into_snapshot``'s
+    full rewrite), read cost is a key window until
+    ``compact_snapshot`` folds the shadowing back into one plain
+    directory (exactly the Hudi MOR / Delta deletion-vector trade).
+
+    The manifest records ``merge_keys``; ``read_snapshot`` sees it
+    and resolves last-writer-wins by directory order. ``source``
+    must be key-unique within the batch (dedup upstream — ordering
+    inside one directory is not defined). Schema must match the
+    table (no evolution through the MOR path; compact first)."""
+    m = read_manifest(root)
+    if m.get("merge_keys") not in (None, keys):
+        raise ValueError(
+            f"table already has merge_keys={m.get('merge_keys')}; "
+            f"got {keys}"
+        )
+    if source.isEmpty():
+        return m
+    if m["data_paths"] and m["schema"] != source.schema.simpleString():
+        raise ValueError("upsert schema must match table schema")
+    path = _write_data_dir(source, root)
+    extra = _carry_streams(root)
+    extra["merge_keys"] = keys
+    stat_cols = m.get("stat_cols", [])
+    if stat_cols:
+        ds = dict(m.get("dir_stats", {}))
+        ds[path] = _dir_stats(spark.read.parquet(path), stat_cols)
+        extra["stat_cols"] = stat_cols
+        extra["dir_stats"] = ds
+    if m.get("mixed_schemas"):
+        extra["mixed_schemas"] = True
+    return _publish(
+        root, m["data_paths"] + [path], m["schema"], m.get("watermark"),
+        m["version"], extra=extra,
+    )

@@ -61,3 +61,21 @@ def test_redact_pii_clean_text_is_identity(spark):
     s = "no pii here, just words and numbers 12 34"
     df = spark.createDataFrame([(s,)], ["t"])
     assert df.select(redact_pii("t").alias("r")).first().r == s
+
+
+def test_pseudonymize_deterministic_joinable_and_keyed(spark):
+    from pipeline_dataengineer_spark.functions.pii import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "alice"), (4, None)], ["id", "user"]
+    )
+    out = df.select("id", pseudonymize("user", salt="k1").alias("tok")).collect()
+    toks = {r["id"]: r["tok"] for r in out}
+    assert toks[1] == toks[3]                 # same input -> same token (joinable)
+    assert toks[1] != toks[2]
+    assert toks[4] is None                    # NULL stays NULL
+    assert toks[1].startswith("id_") and len(toks[1]) == 19
+    # different salt -> disjoint token space
+    other = {r["id"]: r["tok"] for r in
+             df.select("id", pseudonymize("user", salt="k2").alias("tok")).collect()}
+    assert other[1] != toks[1]

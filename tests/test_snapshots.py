@@ -298,3 +298,47 @@ def test_manifest_stats_prune_directories(spark, tmp_path):
     assert read_snapshot(spark, root, prune=("id", None, 99)).count() == 100
     assert read_snapshot(spark, root, prune=("id", 300, None)).count() == 0
     assert read_snapshot(spark, root, prune=("day", 5, 9)).count() == 300  # no stats for day -> keep all
+
+
+def test_merge_on_read_upsert_and_compaction_folds(spark, tmp_path):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        upsert_append,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "n"]
+    )
+    write_snapshot(base, root)
+    # upsert: update k=2, insert k=4 — ONE delta dir, no rewrite
+    m1 = upsert_append(
+        spark, root,
+        spark.createDataFrame([(2, "B", 21), (4, "d", 40)], ["k", "v", "n"]),
+        keys=["k"],
+    )
+    assert len(m1["data_paths"]) == 2 and m1["merge_keys"] == ["k"]
+    got = {r["k"]: (r["v"], r["n"]) for r in read_snapshot(spark, root).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 21), 3: ("c", 30), 4: ("d", 40)}
+    # second upsert shadows the first (latest dir wins)
+    upsert_append(
+        spark, root,
+        spark.createDataFrame([(2, "BB", 22)], ["k", "v", "n"]), keys=["k"],
+    )
+    got2 = {r["k"]: r["n"] for r in read_snapshot(spark, root).collect()}
+    assert got2 == {1: 10, 2: 22, 3: 30, 4: 40}
+    # pre-upsert version time-travels to the un-merged base
+    assert read_snapshot(spark, root, version=0).count() == 3
+    # key mismatch and prune-on-MOR are rejected
+    with pytest.raises(ValueError, match="merge_keys"):
+        upsert_append(spark, root, base, keys=["v"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        read_snapshot(spark, root, prune=("k", 0, 1))
+    # compaction folds the shadowing into one plain directory
+    mc = compact_snapshot(spark, root)
+    assert "merge_keys" not in mc and len(mc["data_paths"]) == 1
+    got3 = {r["k"]: r["n"] for r in read_snapshot(spark, root).collect()}
+    assert got3 == got2
