@@ -112,6 +112,10 @@ HEADLINE = [
     "q_interval_join_full",
     "q_prune_semi_join",
     "q_lateral_topn",
+    "q_heavy_hitters",
+    "q_approx_topk",
+    "q_event_sequences",
+    "q_weighted_sample",
 ]
 
 

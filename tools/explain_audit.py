@@ -166,6 +166,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftSemi"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    # pseudonymization is one fused codegen projection riding the
+    # scan: no shuffle, no join, no aggregate.
+    "q_pseudonymize": ([], ["Exchange", "Join", "HashAggregate"]),
+    # weighted sampling with an explicit ref normalizer is a narrow
+    # filter riding the scan — not even the mean's scalar broadcast.
+    "q_weighted_sample": ([], ["Exchange", "Join", "HashAggregate"]),
+    # event sequences: ONE exchange (the user window), no join.
+    "q_event_sequences": (["Window"], ["Join"]),
+    # overlap join: exploded-tag blocking must stay an EQUI hash join
+    # — a nested loop would mean the blocking collapsed to the
+    # cross join it exists to avoid.
+    "q_array_overlap_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
 }
 
 
