@@ -220,6 +220,12 @@ def append_snapshot(
         prev = read_manifest(root)
         prev_paths = prev["data_paths"]
         dir_stats = dict(prev.get("dir_stats", {}))
+        if prev.get("merge_keys"):
+            # a plain append to a merge-on-read table must keep the
+            # resolve metadata or deleted/shadowed keys resurrect
+            extra["merge_keys"] = prev["merge_keys"]
+            if prev.get("tombstone_dirs"):
+                extra["tombstone_dirs"] = prev["tombstone_dirs"]
         if prev_paths and prev["schema"] != schema_ddl:
             if not evolve_schema:
                 raise ValueError(
@@ -306,21 +312,26 @@ def read_snapshot(
         # merge-on-read resolve: later directories win per key. Each
         # directory keeps its position as __ord (a literal riding each
         # scan — no extra pass), one key-window picks the survivor.
+        # Tombstone dirs (delete_append) carry only key columns; their
+        # rows join the race with __tomb=1 and, when they win, the key
+        # is filtered out entirely.
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        parts = [
-            reader.parquet(p).withColumn("__ord", F.lit(i))
-            for i, p in enumerate(paths)
-        ]
+        tombs = set(m.get("tombstone_dirs", []))
+        parts = []
+        for i, p in enumerate(paths):
+            part = reader.parquet(p).withColumn("__ord", F.lit(i))
+            part = part.withColumn("__tomb", F.lit(1 if p in tombs else 0))
+            parts.append(part)
         u = parts[0]
         for p in parts[1:]:
-            u = u.unionByName(p)
+            u = u.unionByName(p, allowMissingColumns=True)
         w = Window.partitionBy(*merge_keys).orderBy(F.col("__ord").desc())
         return (
             u.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__ord", "__rn")
+            .filter((F.col("__rn") == 1) & (F.col("__tomb") == 0))
+            .drop("__ord", "__rn", "__tomb")
         )
     return reader.parquet(*paths)
 
@@ -482,12 +493,53 @@ def upsert_append(
     path = _write_data_dir(source, root)
     extra = _carry_streams(root)
     extra["merge_keys"] = keys
+    if m.get("tombstone_dirs"):
+        extra["tombstone_dirs"] = m["tombstone_dirs"]
     stat_cols = m.get("stat_cols", [])
     if stat_cols:
         ds = dict(m.get("dir_stats", {}))
         ds[path] = _dir_stats(spark.read.parquet(path), stat_cols)
         extra["stat_cols"] = stat_cols
         extra["dir_stats"] = ds
+    if m.get("mixed_schemas"):
+        extra["mixed_schemas"] = True
+    return _publish(
+        root, m["data_paths"] + [path], m["schema"], m.get("watermark"),
+        m["version"], extra=extra,
+    )
+
+
+def delete_append(
+    spark: SparkSession, root: str, keys_df: DataFrame, keys: list[str]
+) -> dict:
+    """MERGE-ON-READ delete (the GDPR-erasure shape): publish a
+    tombstone directory holding ONLY the key columns; at read time a
+    tombstone shadows every earlier row with that key, exactly like
+    an upsert whose payload is "gone". Write cost is one tiny
+    directory — no rewrite of the data being deleted; readers stop
+    seeing the rows at the next manifest resolve, and
+    ``compact_snapshot`` + ``expire_snapshots`` later remove the
+    bytes themselves (erasure becomes physical once the old versions
+    are vacuumed).
+
+    Ordering composes with ``upsert_append``: directories resolve in
+    publish order, so delete-then-reinsert and upsert-then-delete
+    both do what they say."""
+    m = read_manifest(root)
+    if m.get("merge_keys") not in (None, keys):
+        raise ValueError(
+            f"table already has merge_keys={m.get('merge_keys')}; got {keys}"
+        )
+    tomb = keys_df.select(*keys).distinct()
+    if tomb.isEmpty():
+        return m
+    path = _write_data_dir(tomb, root)
+    extra = _carry_streams(root)
+    extra["merge_keys"] = keys
+    extra["tombstone_dirs"] = m.get("tombstone_dirs", []) + [path]
+    if m.get("stat_cols"):
+        extra["stat_cols"] = m["stat_cols"]
+        extra["dir_stats"] = m.get("dir_stats", {})
     if m.get("mixed_schemas"):
         extra["mixed_schemas"] = True
     return _publish(

@@ -342,3 +342,43 @@ def test_merge_on_read_upsert_and_compaction_folds(spark, tmp_path):
     assert "merge_keys" not in mc and len(mc["data_paths"]) == 1
     got3 = {r["k"]: r["n"] for r in read_snapshot(spark, root).collect()}
     assert got3 == got2
+
+
+def test_tombstone_deletes_and_ordering(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        compact_snapshot,
+        delete_append,
+        read_snapshot,
+        upsert_append,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]), root
+    )
+    delete_append(spark, root, spark.createDataFrame([(2,)], ["k"]), keys=["k"])
+    assert {r["k"] for r in read_snapshot(spark, root).collect()} == {1, 3}
+    # delete-then-reinsert: later upsert wins over the tombstone
+    upsert_append(
+        spark, root, spark.createDataFrame([(2, "b2")], ["k", "v"]), keys=["k"]
+    )
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, root).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # upsert-then-delete: tombstone wins
+    delete_append(spark, root, spark.createDataFrame([(1,), (2,)], ["k"]), keys=["k"])
+    assert {r["k"] for r in read_snapshot(spark, root).collect()} == {3}
+    # plain logical append to the MOR table keeps the resolve metadata
+    append_snapshot(spark.createDataFrame([(5, "e")], ["k", "v"]), root)
+    assert {r["k"] for r in read_snapshot(spark, root).collect()} == {3, 5}
+    # physical erasure: compaction folds, vacuum removes the bytes
+    mc = compact_snapshot(spark, root)
+    assert "merge_keys" not in mc and "tombstone_dirs" not in mc
+    from pipeline_dataengineer_spark.operators.snapshots import expire_snapshots
+    expire_snapshots(root, keep_last=1)
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, root).collect()} == {
+        3: "c", 5: "e"
+    }
+    # time travel to expired deleted versions is gone (erasure complete)
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        read_manifest(root, 0)
