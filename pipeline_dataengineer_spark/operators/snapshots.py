@@ -373,14 +373,22 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
 
 
 def compact_snapshot(
-    spark: SparkSession, root: str, target_mb: int = 128
+    spark: SparkSession, root: str, target_mb: int = 128,
+    zorder_by: list[str] | None = None, num_files: int | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite the current snapshot's directories into one
     fresh directory with ~target_mb files (small-file compaction) and
     publish it as the next FULL version — content identical, layout
     better; the pre-compaction version stays addressable until
     ``expire_snapshots``. Sizing uses the bytes the retained
-    manifest's directories actually hold, not a guess."""
+    manifest's directories actually hold, not a guess.
+
+    ``zorder_by`` re-clusters rows along the Morton curve of those
+    columns during the rewrite (OPTIMIZE ZORDER BY): each output file
+    then covers a compact bounding box in that column space, so
+    multi-column filters prune files via parquet min/max — and the
+    manifest-level ``stat_cols`` skipping composes on top for the
+    directory level."""
     m = read_manifest(root)
     total = 0
     for d in m["data_paths"]:
@@ -390,8 +398,14 @@ def compact_snapshot(
                 for f in files
                 if f.endswith(".parquet")
             )
-    n_out = max(1, total // (target_mb * 1024 * 1024) + 1)
-    df = read_snapshot(spark, root).coalesce(int(n_out))
+    n_out = num_files or max(1, total // (target_mb * 1024 * 1024) + 1)
+    df = read_snapshot(spark, root)
+    if zorder_by:
+        from pipeline_dataengineer_spark.operators.layout import zorder_layout
+
+        df = zorder_layout(df, zorder_by, num_files=int(n_out))
+    else:
+        df = df.coalesce(int(n_out))
     out = write_snapshot(df, root, watermark=m.get("watermark"))
     out["compacted_from"] = m["version"]
     return out

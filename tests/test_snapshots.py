@@ -382,3 +382,46 @@ def test_tombstone_deletes_and_ordering(spark, tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         read_manifest(root, 0)
+
+
+def test_compact_with_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: compaction re-clusters along the Morton
+    curve so per-file min/max bounding boxes prune multi-column
+    filters (checked at the parquet-footer level, the stats real
+    engines prune with)."""
+    import glob
+
+    import pandas as pd
+
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    write_snapshot(
+        spark.createDataFrame(rows, ["x", "y"]).repartition(8), root
+    )
+    before = sorted((r["x"], r["y"]) for r in read_snapshot(spark, root).collect())
+
+    m = compact_snapshot(spark, root, zorder_by=["x", "y"], num_files=16)
+    assert m["compacted_from"] == 0 and len(m["data_paths"]) == 1
+
+    # content unchanged, rows only MOVED
+    after = sorted((r["x"], r["y"]) for r in read_snapshot(spark, root).collect())
+    assert after == before
+
+    def files_intersecting(path, col, lo, hi):
+        hit = tot = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            tot += 1
+            pdf = pd.read_parquet(f, columns=[col])
+            if not (pdf[col].max() < lo or pdf[col].min() > hi):
+                hit += 1
+        return hit, tot
+
+    zdir = m["data_paths"][0]
+    hit, tot = files_intersecting(zdir, "y", 8, 15)
+    assert tot >= 4  # compaction produced a multi-file z-clustered layout
+    assert hit <= tot / 2, (hit, tot)  # second-column filter prunes files
