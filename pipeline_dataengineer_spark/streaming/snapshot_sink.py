@@ -38,9 +38,22 @@ def snapshot_epoch_sink(
     root: str,
     stream_id: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    keys: list[str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function appending every micro-batch
-    to the snapshot table at ``root`` exactly once per epoch."""
+    to the snapshot table at ``root`` exactly once per epoch.
+
+    ``keys`` turns the sink into a streaming UPSERT: each epoch's
+    directory shadows earlier rows with the same key at read time
+    (merge-on-read, ``operators/snapshots.upsert_append`` semantics),
+    so a CDC stream materializes a current-state table with
+    exactly-once epochs AND last-writer-wins keys — compaction folds
+    the read-side window away whenever convenient.
+
+    All table metadata the manifest carries (merge keys, tombstones,
+    stat cols, schema-evolution flag) is preserved across stream
+    publishes — a streaming epoch must never make deleted keys
+    resurrect or stats pruning forget a directory."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         last = last_applied_epoch(root, stream_id)
@@ -48,24 +61,39 @@ def snapshot_epoch_sink(
             return  # retried epoch: already visible, publish nothing
         out = transform(batch_df) if transform is not None else batch_df
         prev_v = snap.current_version(root)
-        prev_paths = snap.read_manifest(root)["data_paths"] if prev_v is not None else []
-        streams = (
-            dict(snap.read_manifest(root).get("streams", {}))
-            if prev_v is not None
-            else {}
-        )
+        prev = snap.read_manifest(root) if prev_v is not None else {}
+        prev_paths = prev.get("data_paths", [])
+        streams = dict(prev.get("streams", {}))
         streams[stream_id] = epoch_id
+        extra = {"streams": streams}
+        for carried in ("merge_keys", "tombstone_dirs", "stat_cols",
+                        "dir_stats", "mixed_schemas"):
+            if prev.get(carried):
+                extra[carried] = prev[carried]
+        if keys is not None:
+            if extra.get("merge_keys") not in (None, keys):
+                raise ValueError(
+                    f"table merge_keys={extra['merge_keys']} != sink keys={keys}"
+                )
+            extra["merge_keys"] = keys
         new_paths = prev_paths
         if not out.isEmpty():
-            new_paths = prev_paths + [snap._write_data_dir(out, root)]
+            path = snap._write_data_dir(out, root)
+            new_paths = prev_paths + [path]
+            if extra.get("stat_cols"):
+                ds = dict(extra.get("dir_stats", {}))
+                ds[path] = snap._dir_stats(
+                    out.sparkSession.read.parquet(path), extra["stat_cols"]
+                )
+                extra["dir_stats"] = ds
         # ONE publish carries the new data paths AND the ledger.
         snap._publish(
             root,
             new_paths,
             out.schema.simpleString(),
-            None,
+            prev.get("watermark"),
             prev_v,
-            extra={"streams": streams},
+            extra=extra,
         )
 
     return fn

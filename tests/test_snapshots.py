@@ -425,3 +425,49 @@ def test_compact_with_zorder_clusters_files(spark, tmp_path):
     hit, tot = files_intersecting(zdir, "y", 8, 15)
     assert tot >= 4  # compaction produced a multi-file z-clustered layout
     assert hit <= tot / 2, (hit, tot)  # second-column filter prunes files
+
+
+def test_streaming_upsert_sink_materializes_current_state(spark, tmp_path):
+    """CDC stream → current-state table: snapshot_epoch_sink(keys=...)
+    upserts each epoch exactly once; later epochs shadow earlier
+    rows per key; a retried epoch publishes nothing; tombstones laid
+    down between epochs survive stream publishes."""
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        delete_append,
+        read_snapshot,
+    )
+    from pipeline_dataengineer_spark.streaming.snapshot_sink import (
+        last_applied_epoch,
+        snapshot_epoch_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text('{"k": 1, "v": "a1"}\n{"k": 2, "v": "b1"}\n')
+    root = str(tmp_path / "snap")
+    fn = snapshot_epoch_sink(root, stream_id="cdc", keys=["k"])
+    stream = spark.readStream.schema("k long, v string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    e0 = last_applied_epoch(root, "cdc")
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, root).collect()} == {
+        1: "a1", 2: "b1"
+    }
+    # next epoch updates k=1, inserts k=3 -> last-writer-wins state
+    fn(spark.createDataFrame([(1, "a2"), (3, "c1")], "k long, v string"), e0 + 1)
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, root).collect()}
+    assert got == {1: "a2", 2: "b1", 3: "c1"}
+    # retry of that epoch is invisible
+    v = current_version(root)
+    fn(spark.createDataFrame([(1, "SHOULD_NOT_APPLY")], "k long, v string"), e0 + 1)
+    assert current_version(root) == v
+    # a tombstone between epochs survives the next stream publish
+    delete_append(spark, root, spark.createDataFrame([(2,)], ["k"]), keys=["k"])
+    fn(spark.createDataFrame([(4, "d1")], "k long, v string"), e0 + 2)
+    got2 = {r["k"]: r["v"] for r in read_snapshot(spark, root).collect()}
+    assert got2 == {1: "a2", 3: "c1", 4: "d1"}  # k=2 stays deleted
