@@ -471,3 +471,57 @@ def test_streaming_upsert_sink_materializes_current_state(spark, tmp_path):
     fn(spark.createDataFrame([(4, "d1")], "k long, v string"), e0 + 2)
     got2 = {r["k"]: r["v"] for r in read_snapshot(spark, root).collect()}
     assert got2 == {1: "a2", 3: "c1", 4: "d1"}  # k=2 stays deleted
+
+
+def test_lakehouse_lifecycle_end_to_end(spark, tmp_path):
+    """The whole table lifecycle composed: corpus ingest (near-dup
+    delta, idempotent) → stats-tracked appends → MOR upsert + delete →
+    zorder compaction folds everything → vacuum leaves one pruned,
+    correct, stats-indexed version."""
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        compact_snapshot,
+        delete_append,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_corpus_append,
+        upsert_append,
+    )
+
+    root = str(tmp_path / "corpus")
+    batch1 = spark.createDataFrame(
+        [(i, f"document body number {i} with plenty of distinct words {i*7}", "en")
+         for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    snapshot_corpus_append(spark, root, batch1, min_quality=0.0)
+    n1 = read_snapshot(spark, root).count()
+    assert n1 == 40
+    # re-delivery: no new version (idempotent through the manifest)
+    v_before = current_version(root)
+    snapshot_corpus_append(spark, root, batch1, min_quality=0.0)
+    assert current_version(root) == v_before
+
+    # curation: upsert a corrected doc, erase another
+    fixed = spark.createDataFrame(
+        [(3, "corrected text for document three entirely", "en")],
+        read_snapshot(spark, root).schema,
+    )
+    upsert_append(spark, root, fixed, keys=["doc_id"])
+    delete_append(spark, root, spark.createDataFrame([(7,)], ["doc_id"]), keys=["doc_id"])
+    cur = {r["doc_id"]: r["text"] for r in read_snapshot(spark, root).collect()}
+    assert 7 not in cur and cur[3].startswith("corrected")
+    assert len(cur) == n1 - 1
+
+    # compact with zorder + declare stats; then vacuum everything old
+    compact_snapshot(spark, root, zorder_by=["doc_id"], num_files=4)
+    # stats join the table on the next full write cycle
+    from pipeline_dataengineer_spark.operators.snapshots import write_snapshot
+    write_snapshot(read_snapshot(spark, root), root, stat_cols=["doc_id"])
+    audit = expire_snapshots(root, keep_last=1)
+    assert audit["removed_versions"]
+    final = read_snapshot(spark, root, prune=("doc_id", 0, 5))
+    got = {r["doc_id"]: r["text"] for r in read_snapshot(spark, root).collect()}
+    assert got == cur  # lifecycle preserved exactly the curated state
+    assert {r["doc_id"] for r in final.filter(F.col("doc_id") <= 5).collect()} == {
+        0, 1, 2, 3, 4, 5
+    }
