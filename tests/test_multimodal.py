@@ -518,3 +518,57 @@ def test_progressive_jpeg_through_spark_seam(spark):
     feats = extract_image_features(df).collect()[0]["features"]
     _, _, rgb = decode_jpeg(payload)
     assert np.allclose(feats, _mean_intensity_features(rgb.tobytes()), atol=1e-6)
+
+
+def test_progressive_equals_baseline_property():
+    """Property: for ANY image content, the progressive encoding of a
+    picture decodes to EXACTLY the pixels of its baseline encoding
+    (identical coefficients through two entirely different entropy
+    paths — spectral selection + successive approximation vs one
+    sequential scan)."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pipeline_dataengineer_spark.multimodal.jpeg import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg, encode_progressive_jpeg
+
+    @given(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=9, max_value=40),
+        st.integers(min_value=9, max_value=40),
+        st.sampled_from(["gray", "444", "420"]),
+        st.sampled_from(["noise", "gradient", "blocks", "sparse"]),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(seed, h, w, mode, content):
+        rng = np.random.default_rng(seed)
+        if content == "noise":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        elif content == "gradient":
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 7 + seed) % 256, (yy * 5) % 256, (xx + yy) % 256], axis=-1
+            ).astype(np.uint8)
+        elif content == "blocks":
+            img = np.kron(
+                rng.integers(0, 256, size=(max(1, h // 8), max(1, w // 8), 3)),
+                np.ones((8, 8, 1)),
+            )[:h, :w].astype(np.uint8)
+        else:  # sparse: long EOB runs
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[rng.integers(0, h), rng.integers(0, w)] = 255
+        if mode == "gray":
+            img = img[..., 0]
+            kw = {}
+        else:
+            kw = {"subsampling": mode}
+        _, _, prog = decode_jpeg(encode_progressive_jpeg(img, **kw))
+        _, _, base = decode_jpeg(encode_jpeg(img, **kw))
+        assert np.array_equal(prog, base)
+
+    check()
