@@ -560,3 +560,21 @@ def delete_append(
         root, m["data_paths"] + [path], m["schema"], m.get("watermark"),
         m["version"], extra=extra,
     )
+
+
+def register_snapshot(
+    spark: SparkSession,
+    name: str,
+    root: str,
+    version: int | None = None,
+    prune: tuple | None = None,
+) -> DataFrame:
+    """Expose a snapshot (current or time-travel, optionally
+    manifest-pruned) as a temp view so plain ``spark.sql`` works over
+    it — MOR resolution and schema merging included, since the view
+    wraps ``read_snapshot``'s plan. Re-registering the same name
+    repoints it (each call resolves the manifest fresh; a long-lived
+    session sees new versions by re-registering)."""
+    df = read_snapshot(spark, root, version=version, prune=prune)
+    df.createOrReplaceTempView(name)
+    return df

@@ -525,3 +525,23 @@ def test_lakehouse_lifecycle_end_to_end(spark, tmp_path):
     assert {r["doc_id"] for r in final.filter(F.col("doc_id") <= 5).collect()} == {
         0, 1, 2, 3, 4, 5
     }
+
+
+def test_register_snapshot_sql_view(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        register_snapshot,
+        upsert_append,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), root)
+    register_snapshot(spark, "snap_t", root)
+    assert spark.sql("SELECT count(*) c FROM snap_t").collect()[0]["c"] == 2
+    # MOR shadowing shows through SQL after re-registering
+    upsert_append(spark, root, spark.createDataFrame([(2, "B")], ["k", "v"]), keys=["k"])
+    register_snapshot(spark, "snap_t", root)
+    got = {r["k"]: r["v"] for r in spark.sql("SELECT k, v FROM snap_t").collect()}
+    assert got == {1: "a", 2: "B"}
+    # time travel through SQL
+    register_snapshot(spark, "snap_t_v0", root, version=0)
+    assert spark.sql("SELECT v FROM snap_t_v0 WHERE k = 2").collect()[0]["v"] == "b"
