@@ -1895,3 +1895,47 @@ FROM events
 QUALIFY prev_event IS NOT NULL
 ORDER BY user_id, event_id
 """
+
+
+ORACLES["q_mom_growth"] = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, revenue,
+       round((revenue - prev_revenue) / prev_revenue, 4) AS growth
+FROM (
+  SELECT *, lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY month)
+            AS prev_revenue
+  FROM monthly
+) WHERE prev_revenue IS NOT NULL
+"""
+
+ORACLES["q_topk_per_group"] = """
+WITH rev AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand, p_partkey, revenue, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT p.p_brand, p.p_partkey, r.revenue,
+         row_number() OVER (PARTITION BY p.p_brand
+                            ORDER BY r.revenue DESC, p.p_partkey) AS rk
+  FROM rev r JOIN part p ON r.l_partkey = p.p_partkey
+) WHERE rk <= 3
+"""
+
+ORACLES["q_market_share"] = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderpriority,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY month), 4) AS share
+FROM monthly
+"""

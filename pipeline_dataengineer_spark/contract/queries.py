@@ -3557,3 +3557,63 @@ def q_event_sequences(spark, sf_dir):
         .filter(F.col("prev_event").isNotNull())
         .orderBy("user_id", "event_id")
     )
+
+
+@query("q_mom_growth")
+def q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per order priority: aggregate
+    first (map-side-combinable), THEN lag over the month window — the
+    window runs on |priorities × months| rows, never on the fact
+    table. Ratio rounded on both engines."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return (
+        monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn(
+            "growth",
+            F.round((F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"), 4),
+        )
+        .filter(F.col("prev_revenue").isNotNull())
+        .select("o_orderpriority", "month", "revenue", "growth")
+    )
+
+
+@query("q_topk_per_group")
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 parts by revenue per brand: combinable aggregate first,
+    then rank over the brand window (group-sized input) with a
+    deterministic (revenue desc, partkey) tie-break. The k=1 scale
+    shortcut is q_max_by; this is the general-k window form."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@query("q_market_share")
+def q_market_share(spark, sf_dir):
+    """Per-month market share by order priority: one aggregate pass,
+    then a window SUM over the month partition (month-cardinality
+    rows) turns counts into shares — no second scan, no self-join."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_orderpriority",
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("month")
+    return monthly.select(
+        "month", "o_orderpriority", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias("share"),
+    )
