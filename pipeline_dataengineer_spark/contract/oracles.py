@@ -1939,3 +1939,36 @@ SELECT month, o_orderpriority, revenue,
        round(revenue / sum(revenue) OVER (PARTITION BY month), 4) AS share
 FROM monthly
 """
+
+
+ORACLES["q_triangle_count"] = """
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+edges_raw AS (
+  SELECT a.c_custkey AS src, b.c_custkey AS dst
+  FROM ranked a JOIN ranked b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey
+  FROM ranked a JOIN ranked b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 2
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM edges_raw WHERE src <> dst
+)
+SELECT count(*) AS triangles
+FROM e ab JOIN e bc ON ab.hi = bc.lo
+WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.lo = ab.lo AND ac.hi = bc.hi)
+"""
+
+ORACLES["q_co_occurrence"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 50)
+SELECT l.it AS item_a, r.it AS item_b, count(*) AS n_baskets
+FROM b l JOIN keep USING (bk) JOIN b r ON l.bk = r.bk AND l.it < r.it
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""

@@ -3617,3 +3617,45 @@ def q_market_share(spark, sf_dir):
         "month", "o_orderpriority", "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias("share"),
     )
+
+
+@query("q_triangle_count")
+def q_triangle_count(spark, sf_dir):
+    """Relational triangle counting (operators/graph.py:triangle_count)
+    over a customer co-nation neighbor graph (customers adjacent when
+    consecutive by key within a nation — a deterministic sparse graph
+    with real triangles via the wrap-around edge)."""
+    from pipeline_dataengineer_spark.operators.graph import triangle_count
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    # ring edges rn -> rn+1 and a chord rn -> rn+2: guarantees triangles
+    e1 = ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    e2 = ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 2),
+    ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    return triangle_count(e1.unionByName(e2))
+
+
+@query("q_co_occurrence")
+def q_co_occurrence(spark, sf_dir):
+    """Market-basket co-occurrence (operators/graph.py:co_occurrence):
+    part pairs ordered together in >= 3 orders — one self-equi-join on
+    the order key plus a combinable count, with the giant-basket cap
+    enforced (a no-op on this data; pytest proves it fires)."""
+    from pipeline_dataengineer_spark.operators.graph import co_occurrence
+
+    li = table(spark, sf_dir, "lineitem")
+    out = co_occurrence(
+        li, "l_orderkey", "l_partkey", min_count=3, max_basket_size=50
+    )
+    return out.select(
+        "item_a", "item_b", F.col("n_baskets").cast("long").alias("n_baskets")
+    )

@@ -239,3 +239,82 @@ def resolve_entities(
         .select(*df.columns, "entity_id")
     )
     return resolved.unionByName(null_rows.select(*df.columns, "entity_id"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
+    """Global triangle count over an undirected graph — the relational
+    formulation (no vertex programs): canonicalize each edge to
+    (lo, hi), dedup, then count paths lo→mid→hi whose closing edge
+    (lo, hi) exists. Each triangle {a<b<c} is counted exactly once as
+    the join (a,b)+(b,c) closed by (a,c).
+
+    Scale shape: two equi-joins on vertex keys. The classic skew bomb
+    is a celebrity vertex (degree d → d² path candidates through it);
+    production runs cut it with degree ordering — orienting every
+    edge from the LOWER-degree endpoint bounds candidates by
+    Σ min-degree² — which here falls out of the id-canonicalization
+    when ids correlate with degree, and composes with AQE skew splits
+    on the join keys otherwise."""
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))  # drop self-loops
+        .distinct()
+    )
+    paths = e.alias("ab").join(
+        e.alias("bc"), F.col("ab.hi") == F.col("bc.lo")
+    ).select(
+        F.col("ab.lo").alias("a"), F.col("ab.hi").alias("b"), F.col("bc.hi").alias("c")
+    )
+    closed = paths.join(
+        e.alias("ac"),
+        (F.col("a") == F.col("ac.lo")) & (F.col("c") == F.col("ac.hi")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def co_occurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_basket_size: int | None = None,
+):
+    """Item co-occurrence counts (market-basket / co-click): pairs of
+    distinct items sharing a basket, with support counts. Returns
+    (item_a, item_b, n_baskets) with item_a < item_b.
+
+    ONE self-equi-join on the basket key generates pairs, then a
+    combinable groupBy counts them — never an all-pairs cross join.
+    The quadratic bomb is a giant basket (a crawler session with 10^5
+    items → 10^10 pairs): ``max_basket_size`` drops oversized baskets
+    BEFORE pair expansion via a count + broadcast anti-join, same
+    enforced-cap shape as the LSH bucket and tag-df caps."""
+    from pyspark.sql import functions as F
+
+    b = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        big = (
+            b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_basket_size)
+            .select("__b")
+        )
+        b = b.join(F.broadcast(big), "__b", "left_anti")
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), "__b")
+        .filter(F.col("l.__i") < F.col("r.__i"))
+        .select(F.col("l.__i").alias("item_a"), F.col("r.__i").alias("item_b"))
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )

@@ -105,3 +105,40 @@ def test_resolve_entities_keeps_null_name_rows(spark):
     assert sorted(got) == [1, 2, 3, 4]
     assert got[1] == got[2] == 1
     assert got[3] == 3 and got[4] == 4
+
+
+def test_triangle_count_known_graph(spark):
+    from pipeline_dataengineer_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; plus a dangling pendant edge and a self-loop
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(3, 9), (2, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["triangles"] == 4
+    # direction/duplicates don't double-count
+    rev = spark.createDataFrame(edges + [(b, a) for a, b in edges], ["src", "dst"])
+    assert triangle_count(rev).collect()[0]["triangles"] == 4
+    # triangle-free graph
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert triangle_count(path).collect()[0]["triangles"] == 0
+
+
+def test_co_occurrence_counts_and_basket_cap(spark):
+    from pipeline_dataengineer_spark.operators.graph import co_occurrence
+
+    rows = (
+        [("b1", "x"), ("b1", "y"), ("b1", "z"),
+         ("b2", "x"), ("b2", "y"),
+         ("b3", "x"), ("b3", "y"), ("b3", "x")]  # dup item in basket: once
+        + [("huge", f"i{k}") for k in range(20)]
+    )
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in co_occurrence(df, "basket", "item").collect()
+    }
+    assert got[("x", "y")] == 3 and got[("x", "z")] == 1 and got[("y", "z")] == 1
+    # cap: the 20-item basket is dropped BEFORE pair expansion
+    capped = co_occurrence(df, "basket", "item", max_basket_size=10)
+    pairs = {(r["item_a"], r["item_b"]) for r in capped.collect()}
+    assert pairs == {("x", "y"), ("x", "z"), ("y", "z")}
