@@ -178,6 +178,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # — a nested loop would mean the blocking collapsed to the
     # cross join it exists to avoid.
     "q_array_overlap_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # triangle closure is a LEFT SEMI hash join on the canonical edge
+    # pair — never a nested loop over paths.
+    "q_triangle_count": (["LeftSemi"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # basket pairs come from ONE equi-join on the basket key; the
+    # inequality is a residual, not a join condition.
+    "q_co_occurrence": (["HashAggregate"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # window-over-aggregate family: the window input is the AGGREGATE
+    # (group-sized), so a HashAggregate must appear below the Window.
+    "q_mom_growth": (["HashAggregate", "Window"], []),
+    "q_topk_per_group": (["HashAggregate", "Window"], ["SortMergeJoin"]),
+    "q_market_share": (["HashAggregate", "Window"], []),
 }
 
 
