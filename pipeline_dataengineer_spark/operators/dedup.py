@@ -144,6 +144,36 @@ def lsh_band_hashes(sig_col: Column | str, num_hashes: int, bands: int) -> Colum
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Signature table (__id, __sh, __bands) for MinHash-LSH — the
+    expensive, EMBARRASSINGLY-INCREMENTAL part of near-dup detection:
+    a document's signature never changes, so persist this table and
+    pay the Arrow UDF only for NEW documents (feed it back through
+    ``minhash_lsh_near_duplicates(precomputed_signatures=...)``).
+    Lazy plan; parameters must match the consuming call."""
+    from pipeline_dataengineer_spark.catalog import scale_out
+    from pipeline_dataengineer_spark.operators._arrow_udfs import (
+        make_shingle_minhash_udf,
+    )
+
+    mults, adds = _permutation_constants(num_hashes)
+    sm_udf = make_shingle_minhash_udf(mults, adds, shingle_n, num_hashes, bands)
+    return (
+        scale_out(df)
+        .select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
+        .select(
+            "__id", F.col("__s.sh").alias("__sh"), F.col("__s.bands").alias("__bands")
+        )
+    )
+
+
 def minhash_lsh_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -154,6 +184,7 @@ def minhash_lsh_near_duplicates(
     jaccard_threshold: float | None = None,
     max_bucket_size: int | None = None,
     signature_stage_path: str | None = None,
+    precomputed_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -213,27 +244,32 @@ def minhash_lsh_near_duplicates(
     - verification re-attaches shingles by joining the (small)
       candidate set back to the persisted signature table per side.
     """
-    from pipeline_dataengineer_spark.operators._arrow_udfs import (
-        make_shingle_minhash_udf,
-    )
-
     # Shingling + minhash + banding all run in one vectorized Arrow
     # UDF (byte-level numpy; shingles pack injectively into int64 for
     # n<=8) — the JVM higher-order formulation is interpreted per
     # element and was the dominant cost. The exact-Jaccard verify
     # reuses the packed shingle codes (array<long> compares, not
-    # strings).
-    mults, adds = _permutation_constants(num_hashes)
-    sm_udf = make_shingle_minhash_udf(mults, adds, shingle_n, num_hashes, bands)
-    from pipeline_dataengineer_spark.catalog import scale_out
-
-    # scale_out BEFORE the signature UDF: on a single-row-group input
-    # the projection would otherwise run in the one-task scan stage.
-    sig_plan = (
-        scale_out(df)
-        .select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
-        .select("__id", F.col("__s.sh").alias("__sh"), F.col("__s.bands").alias("__bands"))
-    )
+    # strings). scale_out runs BEFORE the signature UDF inside
+    # minhash_signatures: on a single-row-group input the projection
+    # would otherwise run in the one-task scan stage.
+    sig_plan = minhash_signatures(df, id_col, text_col, num_hashes, bands, shingle_n)
+    if precomputed_signatures is not None:
+        # Incremental path: signatures are content-addressed (a doc's
+        # signature never changes), so rows present in the store skip
+        # the UDF entirely — the per-call cost becomes O(new docs),
+        # not O(corpus). The store is AUTHORITATIVE for its ids; the
+        # UDF runs only for ids it lacks.
+        store = precomputed_signatures.select("__id", "__sh", "__bands")
+        missing = df.join(
+            store.select("__id"),
+            df[id_col] == F.col("__id"),
+            "left_anti",
+        )
+        sig_plan = store.unionByName(
+            minhash_signatures(
+                missing, id_col, text_col, num_hashes, bands, shingle_n
+            )
+        )
     to_unpersist = []
     if signature_stage_path is not None:
         # Durable spill: one write job runs the UDF, every downstream

@@ -88,6 +88,7 @@ def incremental_corpus_append(
     langs: list[str] | None = None,
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.7,
+    signature_store: str | None = None,
 ) -> DataFrame:
     """The reference's incremental-ingest loop lifted to corpus scale:
     given the EXISTING corpus and a new crawl batch, return only the
@@ -105,11 +106,17 @@ def incremental_corpus_append(
     The existing corpus is never rewritten — the output is the delta,
     ready for an append write (or `apply_cdc` if ids can mutate).
 
-    Scale notes: the signature/banding cost is paid over
-    |existing| + |batch| per call; at a steady 100 TB corpus persist
-    the existing side's signatures to a stage table
-    (`operators/maintenance.py:materialize_stage`) and only compute
-    the batch's — the bucket join shape is unchanged."""
+    Scale notes: pass ``signature_store`` (a parquet directory) and
+    the signature/banding UDF cost becomes O(batch) instead of
+    O(existing + batch) per call: signatures are content-addressed,
+    so the store serves the existing side, the UDF runs only for ids
+    the store lacks, and the surviving delta's signatures append to
+    the store afterwards. The store is a derived cache — ids no
+    longer in the corpus are filtered out on read (semi-join against
+    existing), and a missing/partial store self-heals by computing
+    whatever is absent. Without a store the cost is
+    |existing| + |batch| per call (fine at test scale)."""
+    import os
     from pipeline_dataengineer_spark.operators.corpus import clean_corpus
     from pipeline_dataengineer_spark.operators.dedup import (
         minhash_lsh_near_duplicates,
@@ -127,8 +134,24 @@ def incremental_corpus_append(
     ).unionByName(
         cleaned.select(id_col, text_col).withColumn("__is_new", F.lit(True))
     )
+    spark = batch.sparkSession
+    store_df = None
+    if signature_store is not None and os.path.isdir(signature_store):
+        # only ids still in the corpus may come from the store (docs
+        # deleted since the store was written must not resurrect), and
+        # only existing-side ids (a re-delivered batch id must be
+        # re-signed from the BATCH text, not trusted from the store)
+        store_df = (
+            spark.read.parquet(signature_store)
+            .join(
+                existing.select(F.col(id_col).alias("__id")),
+                "__id",
+                "left_semi",
+            )
+        )
     pairs = minhash_lsh_near_duplicates(
-        tagged, id_col, text_col, jaccard_threshold=jaccard_threshold
+        tagged, id_col, text_col, jaccard_threshold=jaccard_threshold,
+        precomputed_signatures=store_df,
     )
     new_ids = cleaned.select(F.col(id_col))
     # a batch doc dies if it pairs with ANY lower-precedence partner:
@@ -161,4 +184,23 @@ def incremental_corpus_append(
     ).persist()
     delta.count()
     drop_ids.unpersist()
+    if signature_store is not None:
+        from pipeline_dataengineer_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        if store_df is None:
+            # bootstrap: one full pass seeds the store with the whole
+            # new corpus (existing + delta); every later call is
+            # O(batch)
+            seed = existing.select(id_col, text_col).unionByName(
+                delta.select(id_col, text_col)
+            )
+            minhash_signatures(seed, id_col, text_col).write.mode(
+                "overwrite"
+            ).parquet(signature_store)
+        else:
+            minhash_signatures(delta, id_col, text_col).write.mode(
+                "append"
+            ).parquet(signature_store)
     return delta

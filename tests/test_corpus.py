@@ -116,3 +116,105 @@ def test_mixture_sample_deterministic_and_drops_unlisted(spark):
     assert out.exceptAll(again).count() == 0
     with pytest.raises(ValueError, match="weight"):
         mixture_sample(df, "k", "src", {"web": 1.5})
+
+
+def test_minhash_precomputed_signatures_are_authoritative(spark):
+    """precomputed_signatures short-circuits the UDF for stored ids:
+    matching store → identical pairs; a deliberately corrupted store
+    row CHANGES the result (proof the store is actually read, not
+    silently recomputed)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.dedup import (
+        minhash_lsh_near_duplicates,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox document number shared prefix {i % 3}")
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+    base = minhash_lsh_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.9)
+    expect = {(r["id_a"], r["id_b"]) for r in base.collect()}
+    base.unpersist()
+    assert expect  # the %3 groups are exact dup families
+
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    via_store = minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", jaccard_threshold=0.9,
+        precomputed_signatures=sigs,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in via_store.collect()}
+    via_store.unpersist()
+    assert got == expect
+
+    # corrupt doc 0's stored shingles -> its pairs must disappear
+    mangled = sigs.withColumn(
+        "__sh",
+        F.when(F.col("__id") == 0, F.array(F.lit(999999))).otherwise(F.col("__sh")),
+    )
+    broken = minhash_lsh_near_duplicates(
+        docs, "doc_id", "text", jaccard_threshold=0.9,
+        precomputed_signatures=mangled,
+    )
+    got_b = {(r["id_a"], r["id_b"]) for r in broken.collect()}
+    broken.unpersist()
+    assert all(0 not in p for p in got_b) and got_b != expect
+
+
+def test_incremental_append_signature_store(spark, tmp_path):
+    """signature_store makes the ingest loop O(batch): bootstrap seeds
+    the store, later calls append only the delta's signatures, results
+    match the storeless path, and store ids absent from the corpus are
+    ignored."""
+    import pyarrow.parquet as pq
+
+    from pipeline_dataengineer_spark.pipelines.pretraining_corpus import (
+        incremental_corpus_append,
+    )
+
+    store = str(tmp_path / "sigs")
+    corpus = spark.createDataFrame(
+        [(i, f"existing corpus document with distinct content piece {i}")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    batch1 = spark.createDataFrame(
+        [(100, "a genuinely new document about topic alpha beta gamma"),
+         (101, "existing corpus document with distinct content piece 5"),  # near-dup of 5
+         (102, "another new unique document mentioning deltas and offsets")],
+        ["doc_id", "text"],
+    )
+    d_plain = incremental_corpus_append(corpus, batch1, min_quality=0.0)
+    plain_ids = sorted(r["doc_id"] for r in d_plain.collect())
+    d_plain.unpersist()
+
+    d1 = incremental_corpus_append(
+        corpus, batch1, min_quality=0.0, signature_store=store
+    )
+    ids1 = sorted(r["doc_id"] for r in d1.collect())
+    d1.unpersist()
+    assert ids1 == plain_ids and 101 not in ids1
+    n_store = spark.read.parquet(store).count()
+    assert n_store == 30 + len(ids1)  # bootstrap = corpus + delta
+
+    # next batch: store path used; only delta-2 signatures appended
+    corpus2 = corpus.unionByName(
+        spark.createDataFrame(
+            [(i, t) for i, t in [(100, "a genuinely new document about topic alpha beta gamma"),
+                                 (102, "another new unique document mentioning deltas and offsets")]],
+            ["doc_id", "text"])
+    )
+    batch2 = spark.createDataFrame(
+        [(200, "fresh second-wave document with novel words entirely"),
+         (201, "a genuinely new document about topic alpha beta gamma")],  # dup of 100
+        ["doc_id", "text"],
+    )
+    d2 = incremental_corpus_append(
+        corpus2, batch2, min_quality=0.0, signature_store=store
+    )
+    ids2 = sorted(r["doc_id"] for r in d2.collect())
+    d2.unpersist()
+    assert ids2 == [200]
+    assert spark.read.parquet(store).count() == n_store + 1
