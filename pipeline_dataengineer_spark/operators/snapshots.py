@@ -460,16 +460,27 @@ def snapshot_corpus_append(
         incremental_corpus_append,
     )
 
+    signature_store = clean_kwargs.pop("signature_store", None)
     if current_version(root) is None:
         from pipeline_dataengineer_spark.operators.corpus import clean_corpus
 
         first = clean_corpus(
             batch, text_col=text_col, id_col=id_col, **clean_kwargs
         ).select(batch.columns)
-        return write_snapshot(first, root)
+        m0 = write_snapshot(first, root)
+        if signature_store is not None:
+            from pipeline_dataengineer_spark.operators.dedup import (
+                minhash_signatures,
+            )
+
+            minhash_signatures(
+                read_snapshot(spark, root), id_col, text_col
+            ).write.mode("overwrite").parquet(signature_store)
+        return m0
     existing = read_snapshot(spark, root)
     delta = incremental_corpus_append(
-        existing, batch, id_col=id_col, text_col=text_col, **clean_kwargs
+        existing, batch, id_col=id_col, text_col=text_col,
+        signature_store=signature_store, **clean_kwargs
     )
     try:
         if delta.isEmpty():

@@ -545,3 +545,34 @@ def test_register_snapshot_sql_view(spark, tmp_path):
     # time travel through SQL
     register_snapshot(spark, "snap_t_v0", root, version=0)
     assert spark.sql("SELECT v FROM snap_t_v0 WHERE k = 2").collect()[0]["v"] == "b"
+
+
+def test_snapshot_corpus_append_with_signature_store(spark, tmp_path):
+    """Durable ingest with the O(batch) signature store threaded
+    through: bootstrap seeds store from the published snapshot, later
+    batches append only their delta's signatures, dedup still works."""
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_corpus_append,
+    )
+
+    root = str(tmp_path / "c")
+    store = str(tmp_path / "sigs")
+    b1 = spark.createDataFrame(
+        [(i, f"unique seed document body number {i} entirely", "en")
+         for i in range(20)],
+        ["doc_id", "text", "lang"],
+    )
+    snapshot_corpus_append(spark, root, b1, min_quality=0.0,
+                           signature_store=store)
+    assert spark.read.parquet(store).count() == 20
+    b2 = spark.createDataFrame(
+        [(50, "a brand new follow-up document with fresh words", "en"),
+         (51, "unique seed document body number 3 entirely", "en")],  # near-dup
+        ["doc_id", "text", "lang"],
+    )
+    snapshot_corpus_append(spark, root, b2, min_quality=0.0,
+                           signature_store=store)
+    ids = {r["doc_id"] for r in read_snapshot(spark, root).collect()}
+    assert 50 in ids and 51 not in ids and len(ids) == 21
+    assert spark.read.parquet(store).count() == 21  # grew by the delta only
