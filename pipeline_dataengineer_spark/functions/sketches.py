@@ -73,8 +73,7 @@ def approx_distinct_by(
 
 
 def topk_states(
-    df: DataFrame, keys: list[str], value_col: str,
-    k: int = 10, max_items: int = 10_000,
+    df: DataFrame, keys: list[str], value_col: str, max_items: int = 10_000
 ) -> DataFrame:
     """Per-key frequent-items sketch state (mergeable binary-struct
     column). ``max_items`` bounds the sketch: counts are EXACT while
