@@ -1972,3 +1972,23 @@ SELECT l.it AS item_a, r.it AS item_b, count(*) AS n_baskets
 FROM b l JOIN keep USING (bk) JOIN b r ON l.bk = r.bk AND l.it < r.it
 GROUP BY 1, 2 HAVING count(*) >= 3
 """
+
+
+ORACLES["q_ivf_exact"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS score
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, score, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""

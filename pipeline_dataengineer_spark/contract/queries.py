@@ -3659,3 +3659,23 @@ def q_co_occurrence(spark, sf_dir):
     return out.select(
         "item_a", "item_b", F.col("n_baskets").cast("long").alias("n_baskets")
     )
+
+
+@query("q_ivf_exact")
+def q_ivf_exact(spark, sf_dir):
+    """IVF ANN with nprobe == num_centroids: every bucket is probed,
+    so the result is EXACTLY brute-force top-k — which makes the
+    whole IVF machinery (centroid ranking, probe join, within-bucket
+    scoring, rank cut) hash-checkable against plain SQL, complementing
+    q_ivf_topk's rows-only recall check of the approximate path."""
+    from pipeline_dataengineer_spark.operators.similarity import ivf_build, ivf_search
+
+    e = table(spark, sf_dir, "embeddings")
+    query_vecs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids, assigned = ivf_build(e, num_centroids=8)
+    out = ivf_search(centroids, assigned, query_vecs, k=5, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
