@@ -1992,3 +1992,82 @@ FROM (
   FROM scored
 ) WHERE rk <= 5
 """
+
+
+ORACLES["q_spatial_join"] = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         {_bucket_sql('c_custkey', 1000)} / 10.0 AS x,
+         {_bucket_sql('c_custkey + 777777', 1000)} / 10.0 AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 3)
+         AS dist
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= 2.47 * 2.47
+"""
+
+ORACLES["q_interval_overlap"] = """
+WITH iv AS (
+  SELECT s_suppkey AS sid, s_acctbal AS lo, s_acctbal + 300.0 AS hi
+  FROM supplier
+)
+SELECT a.sid AS s_a, b.sid AS s_b, round(a.hi - b.lo, 2) AS a_over_b
+FROM iv a JOIN iv b
+  ON a.sid < b.sid AND a.lo <= b.hi AND b.lo <= a.hi
+"""
+
+ORACLES["q_pit_lookup"] = """
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+), versions AS (
+  SELECT user_id, event_id AS valid_from, event_type,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS valid_to
+  FROM base
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+)
+SELECT f.user_id, f.event_id AS fact_id,
+       round(f.value, 2) AS purchase_value,
+       v.event_type AS type_as_of, v.valid_from
+FROM events f
+LEFT JOIN versions v
+  ON f.user_id = v.user_id
+  AND f.event_id >= v.valid_from
+  AND (v.valid_to IS NULL OR f.event_id < v.valid_to)
+WHERE f.event_type = 'purchase'
+"""
+
+ORACLES["q_lexicon_score"] = r"""
+WITH lex(term, weight) AS (
+  VALUES ('fast', 1.0), ('slow', -1.0), ('join', 0.5),
+         ('scan', -0.25), ('hash', 0.75)
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+')) AS term
+  FROM documents
+), hits AS (
+  SELECT t.doc_id, round(sum(l.weight), 6) AS score
+  FROM toks t JOIN lex l USING (term)
+  WHERE t.term <> ''
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(h.score, 0.0) AS score
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLES["q_regr_aggs"] = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -3679,3 +3679,140 @@ def q_ivf_exact(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+# ------------------------------------------------ spatial / interval / PIT
+
+
+@query("q_spatial_join")
+def q_spatial_join(spark, sf_dir):
+    """Grid-bucketed distance self-join (operators/spatial.py): all
+    customer-point pairs within Euclidean radius 2.47. Coordinates are
+    derived with the engine-portable Lehmer bucket so the oracle can
+    rebuild them exactly; the plan is an equi-join on 3x3 grid cells
+    (no BNLJ), with the exact distance re-check on candidates."""
+    from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+    from pipeline_dataengineer_spark.operators.spatial import grid_distance_join
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (portable_bucket(F.col("c_custkey"), 1000) / 10.0).alias("x"),
+        (portable_bucket(F.col("c_custkey") + 777_777, 1000) / 10.0).alias("y"),
+    )
+    left = pts.select(
+        F.col("id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = grid_distance_join(
+        left, right, ("xa", "ya"), ("xb", "yb"), radius=2.47
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.sqrt(
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            ),
+            3,
+        ).alias("dist"),
+    )
+
+
+@query("q_interval_overlap")
+def q_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap self-join via dual-sided bucketing
+    with first-shared-bucket dedup (operators/joins.py:
+    interval_overlap_join) — supplier account-balance windows of width
+    300 that intersect. Oracle is the naive theta join."""
+    from pipeline_dataengineer_spark.operators.joins import interval_overlap_join
+
+    s = table(spark, sf_dir, "supplier")
+    iv = s.select(
+        F.col("s_suppkey").alias("sid"),
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 300.0).alias("hi"),
+    )
+    left = iv.select(
+        F.col("sid").alias("s_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
+    )
+    right = iv.select(
+        F.col("sid").alias("s_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
+    )
+    out = interval_overlap_join(
+        left, right, ("lo_a", "hi_a"), ("lo_b", "hi_b"), bucket_width=500.0
+    ).filter(F.col("s_a") < F.col("s_b"))
+    return out.select(
+        "s_a", "s_b", F.round(F.col("hi_a") - F.col("lo_b"), 2).alias("a_over_b")
+    )
+
+
+@query("q_pit_lookup")
+def q_pit_lookup(spark, sf_dir):
+    """Point-in-time (as-at) lookup: SCD2 versions built from each
+    user's event-type change stream (scd2_from_changes), then every
+    purchase event joined to the version valid at its event_id
+    (operators/scd.py:scd2_lookup) — the no-leakage feature-backfill
+    join. Equi-join on user_id with the interval residual; per-key
+    version history is small, so the key shuffle IS the scale plan."""
+    from pipeline_dataengineer_spark.operators.scd import (
+        scd2_from_changes,
+        scd2_lookup,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    dim = scd2_from_changes(ev, "user_id", "event_id", ["event_type"])
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("fact_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    out = scd2_lookup(facts, dim, "user_id", "fact_id", how="left")
+    return out.select(
+        "user_id",
+        "fact_id",
+        "purchase_value",
+        F.col("event_type").alias("type_as_of"),
+        "valid_from",
+    )
+
+
+@query("q_lexicon_score")
+def q_lexicon_score(spark, sf_dir):
+    """Interpretable linear text scoring (operators/text_model.py:
+    lexicon_score): broadcast term-weight join + one combinable sum
+    per doc — the corpus-scale apply plan of the fastText-family
+    quality filter, hash-checked term-for-term against DuckDB."""
+    from pipeline_dataengineer_spark.operators.text_model import lexicon_score
+
+    d = table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [
+            ("fast", 1.0),
+            ("slow", -1.0),
+            ("join", 0.5),
+            ("scan", -0.25),
+            ("hash", 0.75),
+        ],
+        "term string, weight double",
+    )
+    return lexicon_score(d, "doc_id", "text", lex)
+
+
+@query("q_regr_aggs")
+def q_regr_aggs(spark, sf_dir):
+    """Grouped least-squares aggregates (regr_slope / regr_intercept /
+    regr_r2) — one combinable aggregation pass, the relational form of
+    per-group linear model fitting."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )

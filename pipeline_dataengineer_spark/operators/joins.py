@@ -318,3 +318,61 @@ def array_overlap_join(
             "overlap",
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    bucket_width: float,
+) -> DataFrame:
+    """Interval x interval overlap join without the cross product.
+
+    ``range_join`` above handles point-in-interval; this handles the
+    general case — all (left, right) pairs whose ranges intersect
+    (``l_lo <= r_hi AND r_lo <= l_hi``). The naive theta join is a
+    nested loop; instead BOTH sides explode into the integer buckets
+    their ranges cover and meet on an equi bucket key. An overlapping
+    pair shares every bucket their intersection covers, which would
+    duplicate it — so the join keeps a pair only in the FIRST shared
+    bucket, ``floor(greatest(l_lo, r_lo) / w)``, making the result
+    duplicate-free with no distinct pass.
+
+    Scale: shuffle key is the bucket, so cost tracks interval density
+    per bucket; the explode factor is ceil(range_len / w) + 1 per row
+    — pick ``bucket_width`` near the TYPICAL range length so it stays
+    a small constant. Degenerate hot buckets are ordinary skewed join
+    keys (AQE splits them). Column collisions must be resolved by the
+    caller, as with any self-join.
+    """
+    l_lo, l_hi = left_range
+    r_lo, r_hi = right_range
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / bucket_width),
+                F.floor(F.col(l_hi) / bucket_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / bucket_width),
+                F.floor(F.col(r_hi) / bucket_width),
+            )
+        ),
+    )
+    first_shared = F.floor(
+        F.greatest(lb[l_lo], rb[r_lo]) / bucket_width
+    )
+    cond = (
+        (lb["__bucket"] == rb["__bucket"])
+        & (lb[l_lo] <= rb[r_hi])
+        & (rb[r_lo] <= lb[l_hi])
+        & (lb["__bucket"] == first_shared)
+    )
+    return lb.join(rb, cond, "inner").drop("__bucket")

@@ -58,3 +58,49 @@ def scd2_from_changes(
     return versions.withColumn(
         valid_to, F.lead(valid_from).over(w2)
     ).withColumn(current_col, F.col(valid_to).isNull())
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-at) join: attach to each fact row the dim
+    version whose half-open validity interval ``[valid_from,
+    valid_to)`` contains the fact's ``ts_col`` (open version matches
+    everything at or after its valid_from).
+
+    This is the lookup side of SCD2 — the fact stream never sees
+    future attribute values (no leakage), the standard requirement
+    for training-feature backfills. Implementation is a plain
+    equi-join on the business key with the interval predicate as a
+    residual: per-key version counts are small and bounded (version
+    history, not data volume), so the equi-join shuffle on ``key`` IS
+    the scale plan — no bucketing machinery needed, unlike the
+    unkeyed ``range_join``. Validity intervals per key are disjoint
+    by construction (scd2_from_changes), so each fact matches at most
+    one version and row multiplicity is preserved.
+
+    ``how='left'`` keeps facts dated before their key's first version
+    (dim columns NULL), matching LEFT JOIN semantics in the oracle.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    # alias both sides: facts and dim often share lineage (dim built
+    # from the same base frame), which otherwise makes facts[k] ==
+    # dim[k] ambiguous / trivially-true in Spark's resolver
+    f = facts.alias("__scd_f")
+    d = dim.alias("__scd_d")
+    cond = None
+    for k in keys:
+        c = F.col(f"__scd_f.{k}") == F.col(f"__scd_d.{k}")
+        cond = c if cond is None else cond & c
+    ts = F.col(f"__scd_f.{ts_col}")
+    vf = F.col(f"__scd_d.{valid_from}")
+    vt = F.col(f"__scd_d.{valid_to}")
+    cond = cond & (ts >= vf) & (vt.isNull() | (ts < vt))
+    out = f.join(d, cond, how)
+    return out.drop(*[F.col(f"__scd_d.{k}") for k in keys])

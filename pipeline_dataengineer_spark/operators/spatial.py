@@ -1,0 +1,96 @@
+"""Grid-bucketed spatial joins — distance joins without the
+cross-product trap.
+
+A naive ``dist(l, r) <= radius`` join condition has no equi-join key,
+so Spark plans a broadcast-nested-loop (or worse, a cartesian) —
+quadratic at corpus scale. The standard fix (used by every spatial
+engine: PostGIS, Sedona, DBSCAN partitioners) is grid bucketing:
+
+- choose cell width = ``radius``;
+- map every LEFT point to the single cell containing it;
+- map every RIGHT point to its cell plus the 8 neighbors (a fixed 9x
+  explode factor, independent of data size);
+- equi-join on the cell key — a plain shuffle hash/sort-merge join —
+  then re-check the EXACT distance predicate on the candidates.
+
+Any pair within ``radius`` differs by at most one cell per axis, so
+the neighbor expansion is complete; the exact re-check makes the
+bucketing invisible to the result. Each qualifying pair meets in
+exactly one cell (the left point's own cell), so no dedup pass is
+needed.
+
+At 100 TB: the shuffle key is the cell id, so cost tracks point
+*density* per cell, not corpus size squared. Hot cells (urban-core
+skew) are ordinary hot join keys — AQE skew-join splitting applies,
+and the fixed 9x right-side expansion stays a constant factor. The
+reference has no spatial operator (SURVEY.md §2); this is a
+north-star extension in the same family as ``range_join``
+(operators/joins.py) — bucketize an inequality predicate into an
+equi-join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_xy: tuple[str, str],
+    right_xy: tuple[str, str],
+    radius: float,
+    how: str = "inner",
+) -> DataFrame:
+    """All (left, right) pairs with Euclidean distance <= ``radius``.
+
+    Column name collisions between the two sides must be resolved by
+    the caller (select/alias) before the call, as with any self-join.
+    ``how='inner'`` returns matching pairs; ``how='left_semi'`` /
+    ``'left_anti'`` return left rows with / without a neighbor.
+    """
+    lx, ly = left_xy
+    rx, ry = right_xy
+    lb = left.withColumn(
+        "__cx", F.floor(F.col(lx) / radius)
+    ).withColumn("__cy", F.floor(F.col(ly) / radius))
+    # Fixed 3x3 neighborhood explode on the right side only: the
+    # blow-up is a constant 9x regardless of scale, and every pair
+    # within radius shares the LEFT point's own cell with one of the
+    # right replicas — complete, and duplicate-free without a
+    # distinct.
+    rb = (
+        right.withColumn(
+            "__dx", F.explode(F.sequence(F.lit(-1), F.lit(1)))
+        )
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__cx", F.floor(F.col(rx) / radius) + F.col("__dx"))
+        .withColumn("__cy", F.floor(F.col(ry) / radius) + F.col("__dy"))
+        .drop("__dx", "__dy")
+    )
+    dist2 = (lb[lx] - rb[rx]) ** 2 + (lb[ly] - rb[ry]) ** 2
+    cond = (
+        (lb["__cx"] == rb["__cx"])
+        & (lb["__cy"] == rb["__cy"])
+        & (dist2 <= F.lit(float(radius) ** 2))
+    )
+    out = lb.join(rb, cond, how)
+    return out.drop("__cx", "__cy")
+
+
+def distance_semi_filter(
+    points: DataFrame,
+    anchors: DataFrame,
+    point_xy: tuple[str, str],
+    anchor_xy: tuple[str, str],
+    radius: float,
+    keep_near: bool = True,
+) -> DataFrame:
+    """Keep points within (or beyond) ``radius`` of ANY anchor —
+    the geofence filter, as a semi/anti grid join. Output schema is
+    exactly ``points``; no anchor columns, no duplicate points."""
+    how = "left_semi" if keep_near else "left_anti"
+    return grid_distance_join(
+        points, anchors, point_xy, anchor_xy, radius, how=how
+    )

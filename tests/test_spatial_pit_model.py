@@ -1,0 +1,208 @@
+"""Tests: grid spatial join, interval-overlap join, SCD2 point-in-time
+lookup, and the linear text classifier (train + apply + lexicon)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.operators.joins import interval_overlap_join
+from pipeline_dataengineer_spark.operators.scd import (
+    scd2_from_changes,
+    scd2_lookup,
+)
+from pipeline_dataengineer_spark.operators.spatial import (
+    distance_semi_filter,
+    grid_distance_join,
+)
+from pipeline_dataengineer_spark.operators.text_model import (
+    apply_linear_text_model,
+    lexicon_score,
+    train_linear_classifier,
+)
+
+
+# ---------------------------------------------------------------- spatial
+def _points(spark, rows, prefix):
+    return spark.createDataFrame(
+        rows, f"{prefix}id long, {prefix}x double, {prefix}y double"
+    )
+
+
+def test_grid_distance_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    lrows = [(i, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(60)]
+    rrows = [(i, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(60)]
+    left = _points(spark, lrows, "l")
+    right = _points(spark, rrows, "r")
+    radius = 1.3
+    got = {
+        (r["lid"], r["rid"])
+        for r in grid_distance_join(
+            left, right, ("lx", "ly"), ("rx", "ry"), radius
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for (li, lx, ly) in lrows
+        for (ri, rx, ry) in rrows
+        if math.hypot(lx - rx, ly - ry) <= radius
+    }
+    assert got == want and len(want) > 20
+
+
+def test_grid_distance_join_cell_boundary_pairs(spark):
+    # pair straddling a cell boundary must be found via the neighbor
+    # explode; pair exactly at distance == radius is included
+    left = _points(spark, [(1, 0.99, 0.5)], "l")
+    right = _points(spark, [(1, 1.01, 0.5), (2, 1.99, 0.5), (3, 3.0, 0.5)], "r")
+    got = {
+        r["rid"]
+        for r in grid_distance_join(
+            left, right, ("lx", "ly"), ("rx", "ry"), 1.0
+        ).collect()
+    }
+    assert got == {1, 2}  # dist 0.02 and 1.0 in; 2.01 out
+
+
+def test_distance_semi_filter_keeps_schema_and_rows(spark):
+    pts = _points(spark, [(1, 0.0, 0.0), (2, 5.0, 5.0), (3, 0.4, 0.0)], "p")
+    anchors = _points(spark, [(9, 0.1, 0.0)], "a")
+    near = distance_semi_filter(pts, anchors, ("px", "py"), ("ax", "ay"), 1.0)
+    far = distance_semi_filter(
+        pts, anchors, ("px", "py"), ("ax", "ay"), 1.0, keep_near=False
+    )
+    assert near.columns == pts.columns
+    assert {r["pid"] for r in near.collect()} == {1, 3}
+    assert {r["pid"] for r in far.collect()} == {2}
+
+
+# ------------------------------------------------------- interval overlap
+def test_interval_overlap_join_matches_bruteforce_no_dups(spark):
+    import random
+
+    rng = random.Random(3)
+    lrows = [
+        (i, a := rng.uniform(0, 50), a + rng.uniform(0, 8)) for i in range(80)
+    ]
+    rrows = [
+        (i, a := rng.uniform(0, 50), a + rng.uniform(0, 8)) for i in range(80)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, llo double, lhi double")
+    right = spark.createDataFrame(rrows, "rid long, rlo double, rhi double")
+    out = interval_overlap_join(
+        left, right, ("llo", "lhi"), ("rlo", "rhi"), bucket_width=5.0
+    ).collect()
+    got = [(r["lid"], r["rid"]) for r in out]
+    want = {
+        (li, ri)
+        for (li, llo, lhi) in lrows
+        for (ri, rlo, rhi) in rrows
+        if llo <= rhi and rlo <= lhi
+    }
+    assert set(got) == want
+    assert len(got) == len(want)  # duplicate-free without distinct
+    assert len(want) > 100
+
+
+def test_interval_overlap_join_touching_endpoints(spark):
+    left = spark.createDataFrame([(1, 0.0, 2.0)], "lid long, llo double, lhi double")
+    right = spark.createDataFrame(
+        [(1, 2.0, 3.0), (2, 2.1, 3.0)], "rid long, rlo double, rhi double"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, ("llo", "lhi"), ("rlo", "rhi"), 1.0
+        ).collect()
+    }
+    assert got == {(1, 1)}  # closed-interval touch overlaps; 2.1 does not
+
+
+# ----------------------------------------------------------- PIT lookup
+def test_scd2_lookup_point_in_time(spark):
+    changes = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 15, "x")],
+        "k long, seq long, attr string",
+    )
+    dim = scd2_from_changes(changes, "k", "seq", ["attr"])
+    facts = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 25), (102, 1, 99), (103, 2, 5), (104, 3, 50)],
+        "fid long, k long, ts long",
+    )
+    out = {
+        r["fid"]: r["attr"]
+        for r in scd2_lookup(facts, dim, "k", "ts", how="left").collect()
+    }
+    # ts=10 → version 'a' (inclusive from); 25 → 'b'; 99 → open 'c';
+    # fact before first version (103) and unknown key (104) → NULL
+    assert out == {100: "a", 101: "b", 102: "c", 103: None, 104: None}
+    # row multiplicity preserved: disjoint versions → one match max
+    assert scd2_lookup(facts, dim, "k", "ts", how="inner").count() == 3
+
+
+# ----------------------------------------------------------- text model
+def test_lexicon_score_counts_multiplicity_and_zero_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "Good good BAD"), (2, "neutral words only"), (3, "")],
+        "doc_id long, text string",
+    )
+    lex = spark.createDataFrame(
+        [("good", 1.0), ("bad", -2.0)], "term string, weight double"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in lexicon_score(docs, "doc_id", "text", lex).collect()
+    }
+    # doc 1: 2*1.0 + (-2.0) = 0.0; docs 2 and 3 have no lexicon hits
+    assert got == {1: 0.0, 2: 0.0, 3: 0.0}
+
+    lex2 = spark.createDataFrame(
+        [("good", 1.0), ("bad", -0.5)], "term string, weight double"
+    )
+    got2 = {
+        r["doc_id"]: r["score"]
+        for r in lexicon_score(docs, "doc_id", "text", lex2).collect()
+    }
+    assert got2[1] == 1.5
+
+
+def test_train_then_apply_separates_classes(spark):
+    good_words = ["excellent", "great", "wonderful", "superb", "amazing"]
+    bad_words = ["terrible", "awful", "horrible", "dreadful", "worst"]
+    rows = []
+    for i in range(120):
+        w = good_words if i % 2 == 0 else bad_words
+        text = " ".join(w[(i + j) % 5] for j in range(6)) + " filler common"
+        rows.append((i, text, 1 if i % 2 == 0 else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, bias = train_linear_classifier(
+        spark, df, "doc_id", "text", "label", dim=2**12, sample_n=100
+    )
+    scored = apply_linear_text_model(
+        df, "doc_id", "text", weights, bias=bias, dim=2**12
+    )
+    got = {r["doc_id"]: r["score"] for r in scored.collect()}
+    acc = sum(
+        1 for i, _, lab in rows if (got[i] >= 0.5) == bool(lab)
+    ) / len(rows)
+    assert acc >= 0.95
+    assert len(got) == 120  # every doc scored exactly once
+
+
+def test_apply_linear_model_scores_tokenless_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "...")], "doc_id long, text string"
+    )
+    w = spark.createDataFrame([(0, 0.0)], "feature long, weight double")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in apply_linear_text_model(
+            df, "doc_id", "text", w, bias=2.0, dim=16
+        ).collect()
+    }
+    assert abs(got[2] - 1.0 / (1.0 + math.exp(-2.0))) < 1e-9
+    assert set(got) == {1, 2}

@@ -189,6 +189,22 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_mom_growth": (["HashAggregate", "Window"], []),
     "q_topk_per_group": (["HashAggregate", "Window"], ["SortMergeJoin"]),
     "q_market_share": (["HashAggregate", "Window"], []),
+    # spatial pairs meet on grid-cell equi keys; the distance
+    # predicate is a residual — never a nested loop over points.
+    "q_spatial_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # interval overlap meets on the bucket equi key, same rule.
+    "q_interval_overlap": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # PIT lookup is an equi-join on the business key (residual range
+    # predicate), not a range nested loop.
+    "q_pit_lookup": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # lexicon weights are dictionary-sized: must broadcast; the
+    # per-doc sum must be a partial-aggregable HashAggregate.
+    "q_lexicon_score": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin"],
+    ),
+    # regression aggregates compile to one combinable agg pass.
+    "q_regr_aggs": (["HashAggregate"], ["Window"]),
 }
 
 
