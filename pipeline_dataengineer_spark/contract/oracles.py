@@ -1998,7 +1998,8 @@ ORACLES["q_spatial_join"] = f"""
 WITH pts AS (
   SELECT c_custkey AS id,
          {_bucket_sql('c_custkey', 1000)} / 10.0 AS x,
-         {_bucket_sql('c_custkey + 777777', 1000)} / 10.0 AS y
+         {_bucket_sql(f"({_bucket_sql('c_custkey', 1_000_000)}) + 13", 1000)}
+           / 10.0 AS y
   FROM customer
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -2070,4 +2071,55 @@ SELECT l_returnflag,
        round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
        regr_count(l_extendedprice, l_quantity) AS n
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+ORACLES["q_item_similarity"] = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey % 50 AS item
+  FROM lineitem
+), pairs AS (
+  SELECT l.item AS item_a, r.item AS item_b, count(*) AS n_baskets
+  FROM b l JOIN b r ON l.basket = r.basket AND l.item < r.item
+  GROUP BY l.item, r.item
+  HAVING count(*) >= 3
+), counts AS (
+  SELECT item, count(*) AS n FROM b GROUP BY item
+)
+SELECT p.item_a, p.item_b, p.n_baskets,
+       round(p.n_baskets / sqrt(ca.n * cb.n), 6) AS sim
+FROM pairs p
+JOIN counts ca ON p.item_a = ca.item
+JOIN counts cb ON p.item_b = cb.item
+"""
+
+ORACLES["q_rolling_zscore"] = """
+WITH scored AS (
+  SELECT user_id, event_id,
+         count(value) OVER w AS n,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+       CASE WHEN n >= 5 AND sd > 0
+            THEN round((value - mu) / sd, 4) END AS zscore,
+       coalesce(abs(CASE WHEN n >= 5 AND sd > 0
+                         THEN round((value - mu) / sd, 4) END) > 2.0,
+                false) AS is_outlier
+FROM scored
+"""
+
+ORACLES["q_scale_features"] = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(CASE WHEN sd > 0 THEN (l_quantity - mu) / sd END, 6) AS q_z
+FROM (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         avg(l_quantity) OVER (PARTITION BY l_returnflag) AS mu,
+         stddev_samp(l_quantity) OVER (PARTITION BY l_returnflag) AS sd
+  FROM lineitem
+)
 """

@@ -3695,10 +3695,19 @@ def q_spatial_join(spark, sf_dir):
     from pipeline_dataengineer_spark.operators.spatial import grid_distance_join
 
     c = table(spark, sf_dir, "customer").select("c_custkey")
+    # y is a NESTED Lehmer bucket: a single step is affine in the key
+    # below the modulus wrap, which would collapse the cloud onto
+    # diagonal lattice lines; the second round decorrelates it into a
+    # real 2-D scatter (the oracle nests the same SQL).
     pts = c.select(
         F.col("c_custkey").alias("id"),
         (portable_bucket(F.col("c_custkey"), 1000) / 10.0).alias("x"),
-        (portable_bucket(F.col("c_custkey") + 777_777, 1000) / 10.0).alias("y"),
+        (
+            portable_bucket(
+                portable_bucket(F.col("c_custkey"), 1_000_000) + 13, 1000
+            )
+            / 10.0
+        ).alias("y"),
     )
     left = pts.select(
         F.col("id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
@@ -3815,4 +3824,98 @@ def q_regr_aggs(spark, sf_dir):
         ),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@query("q_item_similarity")
+def q_item_similarity(spark, sf_dir):
+    """Item-based collaborative filtering kernel (operators/graph.py:
+    item_similarity): cosine over basket co-occurrence — one
+    self-equi-join on the basket key + combinable counts, item-count
+    join-back. Baskets = orders, items = part groups."""
+    from pipeline_dataengineer_spark.operators.graph import item_similarity
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 50).alias("item"),
+    )
+    return item_similarity(li, "basket", "item", min_count=3)
+
+
+@query("q_rolling_zscore")
+def q_rolling_zscore(spark, sf_dir):
+    """Trailing-window anomaly detection (operators/timeseries.py:
+    rolling_zscore_outliers): each event scored against the PRECEDING
+    20 events of its user — leak-free, O(window) state per key, one
+    shuffle."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        rolling_zscore_outliers,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = rolling_zscore_outliers(
+        ev, ["user_id"], "event_id", "value",
+        window=20, threshold=2.0, min_history=5,
+    )
+    return out.select(
+        "user_id", "event_id", "zscore", "is_outlier"
+    )
+
+
+@query("q_scale_features")
+def q_scale_features(spark, sf_dir):
+    """Per-group feature scaling (operators/scaling.py): z-score and
+    the stats come from ONE combinable aggregate joined back broadcast
+    — the fact table never shuffles (vs the window-over-facts naive
+    plan)."""
+    from pipeline_dataengineer_spark.operators.scaling import scale_features
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = scale_features(li, ["l_quantity"], ["l_returnflag"], "zscore")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity_scaled").alias("q_z"),
+    )
+
+
+@query("q_dbscan")
+def q_dbscan(spark, sf_dir):
+    """DBSCAN density clustering (operators/spatial.py:dbscan) over
+    Lehmer-derived customer points: grid-join neighbors → core count →
+    connected components → border attach. Cluster labels are
+    deterministic (min core id) but need transitive closure, so this
+    is rows-only; the exact kernel is pytest-verified on closed-form
+    blobs and the membership pipeline reuses oracle-checked pieces
+    (grid join: q_spatial_join; CC: q_connected_components)."""
+    from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+    from pipeline_dataengineer_spark.operators.spatial import dbscan
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    # y goes through a SECOND bucket round: one Lehmer step is affine
+    # in the key below the modulus wrap, which would put every point
+    # on a diagonal lattice line; the nested bucket destroys the
+    # correlation so the point cloud is a genuine 2-D scatter.
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (portable_bucket(F.col("c_custkey"), 1000) / 10.0).alias("x"),
+        (
+            portable_bucket(
+                portable_bucket(F.col("c_custkey"), 1_000_000) + 13, 1000
+            )
+            / 10.0
+        ).alias("y"),
+    )
+    out = dbscan(pts, "id", ("x", "y"), eps=2.5, min_pts=4)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum((F.col("role") == "core").cast("long")).alias("n_core"),
+        )
+        .orderBy(F.col("n_points").desc(), "cluster")
+        .limit(20)
     )

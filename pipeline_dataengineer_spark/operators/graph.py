@@ -318,3 +318,59 @@ def co_occurrence(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_count)
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence (the classic
+    item-based collaborative-filtering kernel): for items a, b with
+    basket sets A, B over binary incidence,
+
+        sim(a, b) = |A ∩ B| / sqrt(|A| * |B|)
+
+    Returns (item_a, item_b, n_baskets, sim) with item_a < item_b.
+
+    Built on ``co_occurrence`` (one self-equi-join on the basket key +
+    combinable count — never all-pairs), then the per-item basket
+    counts — an item-cardinality-sized aggregate — are joined back to
+    the pair table twice. Item counts are dimension-sized relative to
+    the pair table, and the optimizer broadcasts them when small;
+    either way the joins are on single item keys, AQE-splittable if a
+    mega-popular item makes a hot key. Same giant-basket cap story as
+    ``co_occurrence``.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = co_occurrence(
+        df, basket_col, item_col, min_count=min_count,
+        max_basket_size=max_basket_size,
+    )
+    counts = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    ca = counts.select(F.col("__i").alias("item_a"), F.col("__n").alias("__na"))
+    cb = counts.select(F.col("__i").alias("item_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            F.round(
+                F.col("n_baskets")
+                / F.sqrt(F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("sim"),
+        )
+    )

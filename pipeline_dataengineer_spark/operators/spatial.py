@@ -94,3 +94,108 @@ def distance_semi_filter(
     return grid_distance_join(
         points, anchors, point_xy, anchor_xy, radius, how=how
     )
+
+
+def dbscan(
+    points: DataFrame,
+    id_col: str,
+    xy: tuple[str, str],
+    eps: float,
+    min_pts: int,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """DBSCAN density clustering, fully relational — the composition
+    the grid join exists for.
+
+    1. Neighbor pairs within ``eps`` via ``grid_distance_join`` (the
+       point itself counts as its own neighbor, standard DBSCAN);
+    2. core points = ``>= min_pts`` neighbors (one combinable count);
+    3. clusters = connected components over core-core edges
+       (operators/graph.py min-label propagation — deterministic
+       labels: the min core id of the cluster);
+    4. border points attach to the min cluster label among their core
+       neighbors (deterministic tie-break where classic DBSCAN is
+       arbitrary); everything else is noise.
+
+    Returns (id_col, cluster, role) with cluster NULL for noise and
+    role in ('core', 'border', 'noise') — total over the input.
+
+    Scale: neighbor generation is the grid equi-join (density-bounded,
+    no BNLJ); the CC iteration count is bounded by cluster diameter in
+    graph hops, and every other step is a combinable aggregate or a
+    key join. The classic single-machine DBSCAN is O(n^2) or needs an
+    R-tree; this is the MR-DBSCAN-family formulation.
+    """
+    from pipeline_dataengineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    x, y = xy
+    pts = points.select(
+        F.col(id_col).alias("__pid"), F.col(x).alias("__px"), F.col(y).alias("__py")
+    )
+    a = pts.select(
+        F.col("__pid").alias("id_a"),
+        F.col("__px").alias("__ax"),
+        F.col("__py").alias("__ay"),
+    )
+    b = pts.select(
+        F.col("__pid").alias("id_b"),
+        F.col("__px").alias("__bx"),
+        F.col("__py").alias("__by"),
+    )
+    pairs = grid_distance_join(
+        a, b, ("__ax", "__ay"), ("__bx", "__by"), eps
+    ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint()  # reused 3x below; cut the grid-join plan
+
+    core = (
+        pairs.groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .filter(F.col("__deg") >= min_pts)
+        .select(F.col("id_a").alias("__cid"))
+    )
+    core_edges = (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .join(core.withColumnRenamed("__cid", "id_a"), "id_a")
+        .join(core.withColumnRenamed("__cid", "id_b"), "id_b")
+    )
+    # singleton cores (no core neighbor) still form their own cluster:
+    # union self-loops so every core node enters the component table
+    comp = connected_components(
+        core_edges.select("id_a", "id_b").union(
+            core.select(
+                F.col("__cid").alias("id_a"), F.col("__cid").alias("id_b")
+            )
+        ),
+        max_iterations=max_iterations,
+    )  # (node, component)
+
+    core_lab = comp.select(
+        F.col("node").alias("__pid"), F.col("component").alias("__cluster")
+    )
+    # border: non-core with >= 1 core neighbor — min core-cluster label
+    border_lab = (
+        pairs.join(
+            core_lab.withColumnRenamed("__pid", "id_b").withColumnRenamed(
+                "__cluster", "__nblab"
+            ),
+            "id_b",
+        )
+        .join(core_lab.withColumnRenamed("__pid", "id_a"), "id_a", "left_anti")
+        .groupBy("id_a")
+        .agg(F.min("__nblab").alias("__cluster"))
+        .withColumnRenamed("id_a", "__pid")
+    )
+    labels = core_lab.withColumn("role", F.lit("core")).union(
+        border_lab.withColumn("role", F.lit("border"))
+    )
+    return (
+        pts.select("__pid")
+        .join(labels, "__pid", "left")
+        .select(
+            F.col("__pid").alias(id_col),
+            F.col("__cluster").alias("cluster"),
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+        )
+    )

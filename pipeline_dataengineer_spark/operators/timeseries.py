@@ -112,3 +112,42 @@ def ewma(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)
+
+
+def rolling_zscore_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int = 20,
+    threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Streaming-style anomaly flags: each row's value scored against
+    the mean/stddev of the PRECEDING ``window`` rows of its key (the
+    row itself excluded — no self-contamination, no future leakage).
+
+    Adds ``zscore`` (NULL until ``min_history`` prior points exist or
+    when the trailing stddev is 0) and ``is_outlier``. One shuffle on
+    the key for the window sort; the frame is row-bounded so state per
+    key is O(window) — the same plan a 100x corpus needs. For the
+    unkeyed global case pass key_cols=[] consciously (single-task
+    sort; prefer a key).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(value_col).over(w)
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.when(
+        (n >= min_history) & (sd > 0),
+        (F.col(value_col) - mu) / sd,
+    )
+    return df.withColumn("zscore", F.round(z, 4)).withColumn(
+        "is_outlier", F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False))
+    )

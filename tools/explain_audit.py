@@ -205,6 +205,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # regression aggregates compile to one combinable agg pass.
     "q_regr_aggs": (["HashAggregate"], ["Window"]),
+    # item-item cosine: pair generation is the basket equi-join, item
+    # counts join back — never an all-pairs product.
+    "q_item_similarity": (
+        ["HashAggregate"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # feature scaling: stats are a combinable aggregate broadcast
+    # back — NOT a window over the fact table.
+    "q_scale_features": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Window"],
+    ),
+    # rolling z-score is a row-bounded frame over the key window —
+    # one Exchange on the key, no self-join.
+    "q_rolling_zscore": (["Window"], ["SortMergeJoin"]),
 }
 
 
