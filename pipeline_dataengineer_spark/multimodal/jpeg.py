@@ -265,14 +265,14 @@ def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac,
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
-    # per-component coefficient planes (blocks laid out spatially)
-    planes = []
-    for cid, ch, cv, tq in comps:
-        pw, ph = mcus_x * ch * 8, mcus_y * cv * 8
-        planes.append(np.zeros((ph, pw), dtype=np.float32))
+    # Per-component zigzag coefficient store; the pixel stage is shared
+    # with the progressive path (_finish_progressive) so identical
+    # coefficients are guaranteed to produce bit-identical pixels —
+    # separate per-block vs batched IDCT float orderings once flipped a
+    # +0.5 rounding boundary between the two decoders.
+    coef = _alloc_coef(w, h, comps)
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
-    idct_c = _C.astype(np.float32)
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -282,10 +282,9 @@ def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac,
             for ci, (cid, ch, cv, tq) in enumerate(comps):
                 td, ta = scan_tables[cid]
                 dctab, actab = huff_dc[td], huff_ac[ta]
-                q = qt[tq]
                 for by in range(cv):
                     for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = coef[ci][my * cv + by, mx * ch + bx]
                         t = _decode_huff(br, dctab)
                         diff = _extend(br.bits(t), t) if t else 0
                         pred[ci] += diff
@@ -304,15 +303,8 @@ def _decode_scan(data, pos, w, h, comps, qt, huff_dc, huff_ac,
                                 raise ValueError("AC index overflow")
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
-                        block = np.zeros(64, dtype=np.float32)
-                        block[_ZIGZAG] = (zz * q).astype(np.float32)
-                        block = block.reshape(8, 8)
-                        pix = idct_c.T @ block @ idct_c
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    return _planes_to_rgb(planes, comps, hmax, vmax, w, h)
+    return _finish_progressive(w, h, comps, coef, qt)
 
 
 def _planes_to_rgb(planes, comps, hmax, vmax, w, h):
