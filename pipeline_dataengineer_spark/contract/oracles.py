@@ -2123,3 +2123,36 @@ FROM (
   FROM lineitem
 )
 """
+
+ORACLES["q_bfs_distance"] = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS s, doc_id * 2 AS d FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT max(doc_id) FROM documents)
+  UNION ALL
+  SELECT doc_id, doc_id * 2 + 1 FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 + 1 <= (SELECT max(doc_id) FROM documents)
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents
+  WHERE doc_id >= 1 AND doc_id % 7 = 0
+    AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+),
+bfs(node, dist) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT e.d, b.dist + 1 FROM bfs b JOIN edges e ON e.s = b.node
+  WHERE b.dist < 30
+)
+SELECT node, min(dist) AS dist FROM bfs GROUP BY node
+"""
+
+ORACLES["q_skyline"] = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_orderpriority = a.o_orderpriority
+    AND b.o_totalprice >= a.o_totalprice
+    AND b.o_orderdate <= a.o_orderdate
+    AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate)
+)
+"""

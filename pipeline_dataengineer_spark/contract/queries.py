@@ -3919,3 +3919,54 @@ def q_dbscan(spark, sf_dir):
         .orderBy(F.col("n_points").desc(), "cluster")
         .limit(20)
     )
+
+
+@query("q_bfs_distance")
+def q_bfs_distance(spark, sf_dir):
+    """Multi-source BFS / recursive-CTE parity (operators/graph.py:
+    bfs_shortest_paths): minimum hop distance from node 1 over a
+    synthetic DAG on doc ids (binary-tree child edges plus +1 skip
+    edges every 7th node — multiple paths of different lengths reach
+    the same node, so min-over-arrival-round is genuinely exercised).
+    Frontier-sized work per round, localCheckpoint-bounded plans.
+    The oracle is DuckDB's actual WITH RECURSIVE — engine-independent
+    fixpoint semantics, hash-checked."""
+    from pipeline_dataengineer_spark.operators.graph import bfs_shortest_paths
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    inner = d.filter(F.col("doc_id") >= 1)
+    e1 = inner.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") * 2).alias("dst")
+    )
+    e2 = inner.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") * 2 + 1).alias("dst")
+    )
+    e3 = inner.filter(F.pmod("doc_id", F.lit(7)) == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    edges = e1.union(e2).union(e3).filter(F.col("dst") <= mx)
+    sources = spark.range(1, 2).select(F.col("id").alias("node"))
+    out = bfs_shortest_paths(edges, sources, max_depth=30)
+    return out.select("node", "dist")
+
+
+@query("q_skyline")
+def q_skyline(spark, sf_dir):
+    """Pareto frontier / skyline (operators/skyline.py:skyline_2d):
+    per order priority, orders not strictly dominated on
+    (totalprice maximize, orderdate minimize). Spark runs the exact
+    2-D sweep (class aggregate + class-sized window); the oracle is
+    the independent quadratic NOT EXISTS dominance anti-join —
+    different algorithm, hash-identical result."""
+    from pipeline_dataengineer_spark.operators.skyline import skyline_2d
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    out = skyline_2d(
+        o, "o_totalprice", "o_orderdate", ["o_orderpriority"]
+    )
+    return out.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"
+    )

@@ -374,3 +374,61 @@ def item_similarity(
             ).alias("sim"),
         )
     )
+
+
+def bfs_shortest_paths(
+    edges_df: DataFrame,
+    sources_df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_depth: int = 30,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from ANY source to every
+    reachable node → (node, dist). The relational fixpoint behind
+    recursive-CTE workloads (org-chart rollups, BOM explosion, link
+    distance from seed domains in a web crawl frontier).
+
+    Level-synchronous frontier expansion — the standard distributed
+    BFS (Pregel's default traversal) expressed purely relationally:
+    each round joins the CURRENT frontier (nodes first reached last
+    round) through the edge list, then LEFT ANTI joins against the
+    settled set so only newly reached nodes survive. Work per round
+    is frontier-edge-sized, not graph-sized; the edge table is
+    loop-invariant (checkpointed once — at 100 TB pre-partition it
+    by ``src`` so the per-round join reuses one shuffle layout and
+    only the small frontier moves). Rounds = eccentricity of the
+    source set, each a bounded O(1)-plan step via localCheckpoint
+    (same plan-truncation discipline as connected_components above —
+    without it, Catalyst re-analyzes a plan that doubles per round).
+
+    Early exit on an empty frontier costs one one-row count per
+    round; no row data ever reaches the driver. BFS distance is
+    deterministic (min over arrival rounds) regardless of partition
+    scheduling, unlike label-propagation intermediate states."""
+    e = edges_df.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.union(edges_df.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    e = e.distinct().localCheckpoint()
+    settled = (
+        sources_df.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e.s == frontier.node)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.union(nxt).localCheckpoint()
+        frontier = nxt
+    return settled

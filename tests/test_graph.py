@@ -142,3 +142,43 @@ def test_co_occurrence_counts_and_basket_cap(spark):
     capped = co_occurrence(df, "basket", "item", max_basket_size=10)
     pairs = {(r["item_a"], r["item_b"]) for r in capped.collect()}
     assert pairs == {("x", "y"), ("x", "z"), ("y", "z")}
+
+
+def test_bfs_shortest_paths_directed(spark):
+    from pipeline_dataengineer_spark.operators.graph import bfs_shortest_paths
+
+    # 1->2->3->4 chain plus shortcut 1->3; node 9 unreachable; edge
+    # 5->1 points INTO the source (must not be traversed backwards).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 1), (9, 9)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_shortest_paths(edges, sources).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_undirected_and_multisource(spark):
+    from pipeline_dataengineer_spark.operators.graph import bfs_shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(4,), (11,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_shortest_paths(edges, sources, directed=False).collect()
+    }
+    # undirected: traverses 4->3->2->1; multi-source: 11 seeds its island
+    assert got == {4: 0, 11: 0, 3: 1, 10: 1, 2: 2, 1: 3}
+
+
+def test_bfs_max_depth_truncates(spark):
+    from pipeline_dataengineer_spark.operators.graph import bfs_shortest_paths
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    sources = spark.createDataFrame([(0,)], ["node"])
+    got = bfs_shortest_paths(edges, sources, max_depth=2).collect()
+    assert {r["node"]: r["dist"] for r in got} == {0: 0, 1: 1, 2: 2}
