@@ -2156,3 +2156,9 @@ WHERE NOT EXISTS (
     AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate)
 )
 """
+
+ORACLES["q_join_view_maintenance"] = """
+SELECT o.o_orderkey AS okey, l.l_linenumber, o.o_totalprice,
+       l.l_extendedprice
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""

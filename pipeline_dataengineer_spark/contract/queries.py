@@ -3970,3 +3970,31 @@ def q_skyline(spark, sf_dir):
     return out.select(
         "o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"
     )
+
+
+@query("q_join_view_maintenance")
+def q_join_view_maintenance(spark, sf_dir):
+    """Incremental view maintenance for a join view
+    (operators/incremental.py:maintain_join_view): the stored view
+    A_old ⨝ B_old is advanced by the delta rule
+    ΔA⨝B_old ∪ A_old⨝ΔB ∪ ΔA⨝ΔB instead of recomputed. Splits are
+    chosen so all three delta terms are non-empty (orders split on
+    key mod, lineitem on line number). Oracle = full recompute of
+    the joined new state — the IVM correctness law, hash-checked."""
+    from pipeline_dataengineer_spark.operators.incremental import (
+        maintain_join_view,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_extendedprice"
+    )
+    a_old = o.filter(F.pmod("okey", F.lit(10)) < 8)
+    a_delta = o.filter(F.pmod("okey", F.lit(10)) >= 8)
+    b_old = li.filter(F.col("l_linenumber") <= 3)
+    b_delta = li.filter(F.col("l_linenumber") > 3)
+    view_old = a_old.join(b_old, ["okey"])
+    out = maintain_join_view(view_old, a_old, a_delta, b_old, b_delta, ["okey"])
+    return out.select("okey", "l_linenumber", "o_totalprice", "l_extendedprice")

@@ -228,3 +228,51 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*out_keys, F.col("change_type"), *out_vals)
     )
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Delta of an inner-join view under inserts: with A' = A ∪ ΔA
+    and B' = B ∪ ΔB,
+
+        Δ(A ⨝ B) = (ΔA ⨝ B_old) ∪ (A_old ⨝ ΔB) ∪ (ΔA ⨝ ΔB)
+
+    — the classical delta rule for incremental view maintenance
+    (each term exactly once; using B' in the first term and A_old in
+    the second is the standard double-count-free split). Appending
+    this delta to the stored view equals a full recompute of
+    A' ⨝ B' — the law the oracle and pytest check.
+
+    Why it matters at 100 TB: the nightly batch is tiny next to the
+    accumulated view, and every term has a DELTA side — broadcast the
+    delta when it fits and NEITHER accumulated table reshuffles
+    (equi-join on the view key against the delta's layout); the full
+    A' ⨝ B' recompute shuffles both full tables every run. Callers
+    maintaining a join view over streaming upserts should key their
+    stored tables (bucketed or snapshot-partitioned) on ``on`` so
+    the old-side scans prune to matching buckets."""
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )
+
+
+def maintain_join_view(
+    view_old: DataFrame,
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """New state of the maintained inner-join view: old view plus the
+    insert delta. Column order follows ``a ⨝ b`` (join keys first,
+    Spark equi-join layout); ``view_old`` must carry that layout."""
+    delta = incremental_join_delta(a_old, a_delta, b_old, b_delta, on)
+    return view_old.unionByName(delta)

@@ -104,3 +104,37 @@ def test_run_checks_counts_planted_violations(spark):
         spark.createDataFrame([(1,), (9,), (None,)], ["id"]), parent, "id", "pid"
     ).collect()[0]
     assert (ri["n_violations"], ri["passed"]) == (1, False)  # 9 orphaned, NULL exempt
+
+
+def test_incremental_join_delta_equals_recompute(spark):
+    from pipeline_dataengineer_spark.operators.incremental import (
+        maintain_join_view,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3"), (2, "a2b")], ["k", "av"]
+    )
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (4, "b4"), (1, "b1b")], ["k", "bv"]
+    )
+    a_old, a_delta = a.filter("k <= 2"), a.filter("k > 2")
+    b_old, b_delta = b.filter("bv like '%b'"), b.filter("bv not like '%b'")
+    view_old = a_old.join(b_old, ["k"])
+    got = sorted(
+        map(tuple, maintain_join_view(
+            view_old, a_old, a_delta, b_old, b_delta, ["k"]
+        ).collect())
+    )
+    want = sorted(map(tuple, a.join(b, ["k"]).collect()))
+    assert got == want
+
+
+def test_incremental_join_delta_empty_deltas_noop(spark):
+    from pipeline_dataengineer_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    a = spark.createDataFrame([(1, "x")], ["k", "av"])
+    b = spark.createDataFrame([(1, "y")], ["k", "bv"])
+    empty_a, empty_b = a.filter("k < 0"), b.filter("k < 0")
+    assert incremental_join_delta(a, empty_a, b, empty_b, ["k"]).count() == 0
