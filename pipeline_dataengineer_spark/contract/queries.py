@@ -3998,3 +3998,56 @@ def q_join_view_maintenance(spark, sf_dir):
     view_old = a_old.join(b_old, ["okey"])
     out = maintain_join_view(view_old, a_old, a_delta, b_old, b_delta, ["okey"])
     return out.select("okey", "l_linenumber", "o_totalprice", "l_extendedprice")
+
+
+@query("q_pq_exact")
+def q_pq_exact(spark, sf_dir):
+    """Product quantization, lossless configuration (operators/pq.py):
+    corpus capped at 250 vectors so every subspace's distinct
+    subvectors fit the 256-entry codebook — the quantizer is then
+    exact and ADC equals true squared L2, making the ENTIRE PQ
+    machinery (train, byte encode, LUT build, gather-scoring, rank
+    cut) hash-checkable against plain SQL. Complements q_pq_topk's
+    rows-only recall check of the genuinely lossy path (same
+    pattern as q_ivf_exact / q_ivf_topk)."""
+    from pipeline_dataengineer_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
+    books = pq_train(e, m=8, codebook_size=256, sample_size=250)
+    enc = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(enc, books, q, k=5)
+    return out.select(
+        "query_id", "vec_id", "dist2", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query("q_pq_topk")
+def q_pq_topk(spark, sf_dir):
+    """Compressed ANN at the honest setting (operators/pq.py): 64
+    float32 dims → 8 one-byte codes (32× smaller — the difference
+    between scanning 100 TB of floats and 3 TB of codes), ADC
+    scoring with zero per-row float math. Lossy → rows-only; the
+    recall floor vs exact search is pytest-enforced."""
+    from pipeline_dataengineer_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, codebook_size=64, sample_size=4096)
+    enc = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(enc, books, q, k=10)
+    return out.select(
+        "query_id", "vec_id", "dist2", F.col("rank").cast("long").alias("rank")
+    )

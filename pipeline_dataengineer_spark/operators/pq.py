@@ -1,0 +1,171 @@
+"""Product quantization (PQ) for embedding columns.
+
+The embedding-compression half of billion-scale ANN (FAISS's IVF-PQ
+family): split each d-dim vector into ``m`` subvectors, learn a
+small per-subspace codebook, and store each vector as ``m`` one-byte
+codes — 64 float32 dims become 8 bytes (32× smaller), which is what
+makes a 100-TB embedding corpus scannable at all. Search uses
+asymmetric distance computation (ADC): per query, precompute the
+``m × codebook_size`` table of exact subspace distances once, then
+score every corpus vector with ``m`` table lookups — no float math
+per row, no decompression.
+
+Spark shape:
+
+- **train** is driver-side numpy k-means per subspace over a bounded,
+  deterministic, ordered sample (the FAISS practice — codebooks are
+  k·d-sized constants, training data never needs the cluster);
+- **encode** is one vectorized Arrow UDF pass — ``(batch, m, dsub)``
+  against the broadcast codebook tensor, emitting a BinaryType code
+  of exactly ``m`` bytes per row; the corpus is never shuffled;
+- **search** broadcasts the per-query lookup tables in the UDF
+  closure (``nq · m · kc`` doubles — small by construction), scores
+  code bytes with pure numpy gathers, and cuts top-k with the same
+  window as brute-force search. The only shuffle is the per-query
+  top-k.
+
+Determinism: ordered sample, first-k-unique init, argmin ties to the
+lowest index — reruns agree bit-for-bit. When every distinct
+subvector fits in the codebook the quantizer is lossless and ADC
+equals exact squared L2 — ``q_pq_exact`` hash-checks the whole
+machinery against plain SQL that way (same trick as ``q_ivf_exact``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    codebook_size: int = 16,
+    sample_size: int = 4096,
+    max_iterations: int = 15,
+) -> np.ndarray:
+    """Learn per-subspace codebooks → ``(m, codebook_size, d/m)``
+    float64 tensor. Trains on the ``sample_size`` smallest-id vectors
+    (deterministic; codebook quality needs a representative sample,
+    not the full corpus). If a subspace has ≤ codebook_size distinct
+    subvectors they become the codebook verbatim (lossless)."""
+    if codebook_size > 256:
+        raise ValueError("codebook_size must fit one byte (≤ 256)")
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, codebook_size, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        uniq = np.unique(sub, axis=0)  # sorted → deterministic
+        if len(uniq) <= codebook_size:
+            books[j, : len(uniq)] = uniq
+            # pad with the first centroid so unused codes are valid
+            books[j, len(uniq) :] = uniq[0] if len(uniq) else 0.0
+            continue
+        cents = uniq[:codebook_size].copy()
+        for _ in range(max_iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            new = cents.copy()
+            for c in range(codebook_size):
+                mask = assign == c
+                if mask.any():
+                    new[c] = sub[mask].mean(axis=0)
+            if np.abs(new - cents).max() < 1e-9:
+                cents = new
+                break
+            cents = new
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add a BinaryType ``code_col`` of exactly ``m`` bytes per row
+    (code j = nearest codebook entry of subspace j)."""
+    books = codebooks  # (m, kc, dsub)
+    m, _, dsub = books.shape
+    sq = (books * books).sum(axis=2)  # (m, kc)
+
+    @pandas_udf(BinaryType())
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # (b, d)
+        b = x.shape[0]
+        xs = x.reshape(b, m, dsub)
+        codes = np.empty((b, m), dtype=np.uint8)
+        for j in range(m):
+            # argmin ||x-c||² = argmin ||c||² - 2 x·c per subspace
+            d2 = sq[j][None, :] - 2.0 * (xs[:, j, :] @ books[j].T)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.Series(list(codes.tobytes(order="C")[i * m : (i + 1) * m]
+                              for i in range(b)))
+
+    return df.withColumn(code_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    code_col: str = "pq_code",
+    k: int = 10,
+    score_round: int = 4,
+) -> DataFrame:
+    """ADC top-k: (query_id, vec_id, dist2, rank), dist2 ascending =
+    approximate squared L2. Ranking uses the ROUNDED score (+ id
+    tie-break) so results are engine-portable."""
+    books = codebooks
+    m, kc, dsub = books.shape
+    q_rows = query.select(query_id_col, vec_col).collect()
+    qids = [r[query_id_col] for r in q_rows]
+    qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    # (nq, m, kc) exact subspace distances query→centroid
+    qs = qmat.reshape(len(qids), m, dsub)
+    lut = ((qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    qindex = {q: i for i, q in enumerate(qids)}
+
+    @pandas_udf(DoubleType())
+    def adc(codes: pd.Series, qid: pd.Series) -> pd.Series:
+        cs = np.frombuffer(b"".join(codes.to_numpy()), dtype=np.uint8)
+        cs = cs.reshape(len(codes), m)
+        qi = qid.map(qindex).to_numpy(dtype=np.int64)
+        scores = lut[qi[:, None], np.arange(m)[None, :], cs].sum(axis=1)
+        return pd.Series(scores)
+
+    qd = query.select(F.col(query_id_col).alias("__qid"))
+    scored = (
+        encoded.select(id_col, code_col)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(adc(F.col(code_col), F.col("__qid")), score_round).alias(
+                "dist2"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,78 @@
+"""Product quantization: lossless exactness, recall floor, code size."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _exact_topk(rows, qvecs, k):
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    out = {}
+    for qid, qv in qvecs:
+        d2 = ((mat - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        out[qid] = set(ids[order[:k]].tolist())
+    return out
+
+
+def test_pq_codes_are_m_bytes(spark):
+    e = _emb(spark)
+    books = pq_train(e, m=8, codebook_size=16, sample_size=64)
+    enc = pq_encode(e, books)
+    lens = enc.select(F.length("pq_code").alias("n")).distinct().collect()
+    assert [r["n"] for r in lens] == [8]  # 64 float32 dims -> 8 bytes
+
+
+def test_pq_lossless_matches_exact(spark):
+    # codebook big enough for every distinct subvector -> ADC == L2²
+    e = _emb(spark).filter(F.col("vec_id") < 200)
+    books = pq_train(e, m=8, codebook_size=256, sample_size=200)
+    enc = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk(enc, books, q, k=5)
+    rows = [(r["vec_id"], r["embedding"]) for r in e.collect()]
+    qvecs = [(r["query_id"], r["embedding"]) for r in q.collect()]
+    want = _exact_topk(rows, qvecs, 5)
+    for qid, ids in want.items():
+        got_ids = {
+            r["vec_id"] for r in got.collect() if r["query_id"] == qid
+        }
+        assert got_ids == ids
+
+
+def test_pq_lossy_recall_floor(spark):
+    e = _emb(spark)
+    books = pq_train(e, m=8, codebook_size=16, sample_size=4096)
+    enc = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk(enc, books, q, k=10).collect()
+    rows = [(r["vec_id"], r["embedding"]) for r in e.collect()]
+    qvecs = [(r["query_id"], r["embedding"]) for r in q.collect()]
+    want = _exact_topk(rows, qvecs, 10)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(by_q[qid] & ids) / 10 for qid, ids in want.items()]
+    # random embeddings are PQ's worst case; still must beat chance by far
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_pq_deterministic_across_runs(spark):
+    e = _emb(spark)
+    b1 = pq_train(e, m=4, codebook_size=8, sample_size=32)
+    b2 = pq_train(e, m=4, codebook_size=8, sample_size=32)
+    assert np.array_equal(b1, b2)
