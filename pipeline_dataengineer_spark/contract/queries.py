@@ -2332,7 +2332,10 @@ def q_ewma(spark, sf_dir):
     """Per-user EWMA of event values (operators/timeseries.py:ewma,
     applyInPandas — the recursion e_t = a*x_t + (1-a)*e_{t-1} is not
     window-expressible, so this is the sanctioned Arrow grouped-map
-    path; rows-only check by design)."""
+    path). Upgraded from rows-only to hash-checked: the oracle
+    replays the recursion itself with WITH RECURSIVE, which is
+    bit-identical to pandas ewm(adjust=False) — IEEE754 ops on the
+    same operands in the same order agree across engines."""
     from pipeline_dataengineer_spark.operators.timeseries import ewma
 
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
