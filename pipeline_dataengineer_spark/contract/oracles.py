@@ -2230,3 +2230,38 @@ WITH RECURSIVE seq AS (
 )
 SELECT event_id, user_id, round(e, 4) AS ewma FROM rec
 """
+
+# q_lang_id: full SQL replay of the stopword-profile heuristic —
+# identical tokenization (regex \s+ split of trimmed text, lowered),
+# identical integer-hit / token-count double arithmetic, and the same
+# deterministic argmax (score, then lang string) that Spark's
+# array_max-over-struct computes. Upgrades q_lang_id from rows-only
+# to hash-checked.
+ORACLES["q_lang_id"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_transform(string_split_regex(trim(text), '\\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, lang, cand,
+         CAST(len(list_filter(toks, x -> list_contains(words, x))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS score
+  FROM t, (VALUES
+    ('en', ['the','a','of','and','to','in','is']),
+    ('es', ['el','la','de','y','que','en','los']),
+    ('fr', ['le','la','de','et','les','des','un']),
+    ('de', ['der','die','das','und','ist','ein','nicht']),
+    ('zh', ['的','是','了','在','和'])
+  ) AS p(cand, words)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand DESC) AS rk
+  FROM sc
+)
+SELECT doc_id, lang,
+       CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred
+FROM ranked WHERE rk = 1
+"""

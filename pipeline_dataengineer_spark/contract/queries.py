@@ -767,9 +767,11 @@ def q_token_counts(spark, sf_dir):
 
 @query("q_lang_id")
 def q_lang_id(spark, sf_dir):
-    """North star: heuristic language ID vs the labeled lang column
-    (rows-only: argmax tie-breaking is engine-specific). Emits
-    accuracy-checkable (doc_id, lang, lang_pred)."""
+    """North star: heuristic language ID vs the labeled lang column.
+    Hash-checked: the argmax over struct(score, lang) that array_max
+    computes is deterministic (score, then lang string), and the
+    oracle replays the full scoring pass in SQL — tokenization,
+    hit-ratio arithmetic, and tie-break included."""
     from pipeline_dataengineer_spark.functions.textstats import language_id
 
     d = table(spark, sf_dir, "documents")
