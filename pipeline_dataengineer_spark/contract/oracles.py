@@ -2265,3 +2265,18 @@ SELECT doc_id, lang,
        CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred
 FROM ranked WHERE rk = 1
 """
+
+ORACLES["q_cep_pattern"] = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END, '' ORDER BY event_id) AS sym
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT user_id, regexp_extract_all(sym, 'v+c*p') AS ms FROM s
+)
+SELECT user_id, CAST(generate_subscripts(ms, 1) AS BIGINT) AS match_seq,
+       unnest(ms) AS matched
+FROM m
+"""

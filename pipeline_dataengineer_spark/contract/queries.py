@@ -4056,3 +4056,28 @@ def q_pq_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", "dist2", F.col("rank").cast("long").alias("rank")
     )
+
+
+@query("q_cep_pattern")
+def q_cep_pattern(spark, sf_dir):
+    """CEP / MATCH_RECOGNIZE-style regex over event streams
+    (operators/cep.py:match_event_pattern): every non-overlapping
+    'views, optional clicks, then purchase' (v+c*p) occurrence per
+    user. Symbol classification is a codegen'd CASE; matching is one
+    shuffle + C-speed regex per key. Oracle replays it with
+    string_agg + regexp_extract_all — leftmost-greedy semantics
+    agree between Python re and RE2 for this pattern class."""
+    from pipeline_dataengineer_spark.operators.cep import match_event_pattern
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+        .alias("sym"),
+    )
+    out = match_event_pattern(ev, ["user_id"], "event_id", "sym", "v+c*p")
+    return out.select("user_id", "match_seq", "matched")
