@@ -2280,3 +2280,29 @@ SELECT user_id, CAST(generate_subscripts(ms, 1) AS BIGINT) AS match_seq,
        unnest(ms) AS matched
 FROM m
 """
+
+# q_holt_linear: coupled level/trend recursion replayed bit-exactly —
+# same constants ((1 - 0.3), (1 - 0.1) fold to the identical doubles),
+# same operand order as the operator's numpy loop.
+ORACLES["q_holt_linear"] = """
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+  FROM events
+), rec(user_id, t, event_id, l, b) AS (
+  SELECT user_id, t, event_id, value,
+         CASE WHEN n > 1 THEN nxt - value ELSE 0.0 END
+  FROM seq WHERE t = 0
+  UNION ALL
+  SELECT s.user_id, s.t, s.event_id,
+         0.3 * s.value + (1 - 0.3) * (r.l + r.b),
+         0.1 * ((0.3 * s.value + (1 - 0.3) * (r.l + r.b)) - r.l)
+           + (1 - 0.1) * r.b
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.t = r.t + 1
+)
+SELECT event_id, user_id, l AS level, b AS trend,
+       l + 3 * b AS forecast
+FROM rec
+"""

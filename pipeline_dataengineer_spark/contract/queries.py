@@ -4081,3 +4081,24 @@ def q_cep_pattern(spark, sf_dir):
     )
     out = match_event_pattern(ev, ["user_id"], "event_id", "sym", "v+c*p")
     return out.select("user_id", "match_seq", "matched")
+
+
+@query("q_holt_linear")
+def q_holt_linear(spark, sf_dir):
+    """Holt double exponential smoothing per user
+    (operators/timeseries.py:holt_linear): level + trend recursion
+    with a 3-step-ahead forecast. Hash-checked the same way as
+    q_ewma: the oracle replays the COUPLED recursion with WITH
+    RECURSIVE carrying both accumulators, in the identical IEEE754
+    operand order, so values agree bit-for-bit before rounding."""
+    from pipeline_dataengineer_spark.operators.timeseries import holt_linear
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = holt_linear(
+        ev, ["user_id"], "event_id", "value", alpha=0.3, beta=0.1, horizon=3
+    )
+    # NO rounding: both engines compute bit-identical doubles, and
+    # round() itself is the only divergence risk (Spark rounds the
+    # shortest decimal string, DuckDB rounds x*10^d — they disagree on
+    # values like 444.63374999999996 whose float multiple lands on .5).
+    return out.select("event_id", "user_id", "level", "trend", "forecast")

@@ -151,3 +151,67 @@ def rolling_zscore_outliers(
     return df.withColumn("zscore", F.round(z, 4)).withColumn(
         "is_outlier", F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False))
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 0,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    forecast_col: str = "forecast",
+) -> DataFrame:
+    """Holt double exponential smoothing per key (level + trend):
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    seeded l_0 = x_0, b_0 = x_1 - x_0 (b_0 = 0 for singleton keys).
+    Emits per-row level/trend plus the h-step-ahead forecast
+    l_t + h·b_t — the grouped forecasting primitive (capacity
+    planning per tenant, per-domain crawl-volume projection).
+
+    Same execution contract as ewma above: the coupled recursion is
+    not window-expressible, so it runs as ONE shuffle on the key and
+    a per-key numpy loop inside Arrow. The recursion is evaluated in
+    a FIXED operand order (two multiplies + one add per equation), so
+    results are bit-deterministic and an engine replaying the same
+    ops (the q_holt_linear recursive-CTE oracle) agrees exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(level_col, T.DoubleType()),
+            T.StructField(trend_col, T.DoubleType()),
+            T.StructField(forecast_col, T.DoubleType()),
+        ]
+    )
+    a, b = float(alpha), float(beta)
+    h = float(horizon)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        lev = np.empty(n)
+        tr = np.empty(n)
+        lev[0] = x[0]
+        tr[0] = (x[1] - x[0]) if n > 1 else 0.0
+        for i in range(1, n):
+            prev = lev[i - 1] + tr[i - 1]
+            lev[i] = a * x[i] + (1.0 - a) * prev
+            tr[i] = b * (lev[i] - lev[i - 1]) + (1.0 - b) * tr[i - 1]
+        pdf[level_col] = lev
+        pdf[trend_col] = tr
+        pdf[forecast_col] = lev + h * tr
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)

@@ -190,3 +190,25 @@ def test_weighted_sample_proportions_and_determinism(spark):
     # zero/NULL weights never sample
     z = spark.createDataFrame([(1, 0.0), (2, None), (3, 5.0)], ["id", "w"])
     assert [r["id"] for r in weighted_sample(z, "id", "w", 1.0, ref_weight=5.0).collect()] == [3]
+
+
+def test_holt_linear_tracks_linear_series_exactly(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import holt_linear
+
+    # on a perfect line l_t converges with trend == slope; with the
+    # b0 = x1 - x0 seed the recursion is exact from the start
+    rows = [("k", t, 10.0 + 2.0 * t) for t in range(20)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = holt_linear(df, ["k"], "t", "v", alpha=0.3, beta=0.1, horizon=5)
+    last = sorted(out.collect(), key=lambda r: r["t"])[-1]
+    assert abs(last["trend"] - 2.0) < 1e-9
+    assert abs(last["level"] - (10.0 + 2.0 * 19)) < 1e-9
+    assert abs(last["forecast"] - (10.0 + 2.0 * 24)) < 1e-9
+
+
+def test_holt_linear_singleton_key(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import holt_linear
+
+    df = spark.createDataFrame([("k", 1, 7.5)], ["k", "t", "v"])
+    r = holt_linear(df, ["k"], "t", "v").collect()[0]
+    assert (r["level"], r["trend"], r["forecast"]) == (7.5, 0.0, 7.5)
