@@ -116,6 +116,9 @@ HEADLINE = [
     "q_approx_topk",
     "q_event_sequences",
     "q_weighted_sample",
+    # round 3 continuation (new operator families)
+    "q_skyline",
+    "q_cep_pattern",
 ]
 
 

@@ -220,6 +220,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # rolling z-score is a row-bounded frame over the key window —
     # one Exchange on the key, no self-join.
     "q_rolling_zscore": (["Window"], ["SortMergeJoin"]),
+    # skyline: class aggregate + class-sized window + broadcast join
+    # back to facts — never a quadratic dominance join
+    "q_skyline": (
+        ["HashAggregate", "Window", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # IVM delta rule: every term joins against a delta side — all
+    # broadcastable at batch scale, no full-table sort-merge
+    "q_join_view_maintenance": (
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # grouped sequence recursions: ONE shuffle + Arrow grouped map
+    "q_holt_linear": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
+    "q_cep_pattern": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
 }
 
 
