@@ -2306,3 +2306,25 @@ SELECT event_id, user_id, l AS level, b AS trend,
        l + 3 * b AS forecast
 FROM rec
 """
+
+ORACLES["q_sssp_distance"] = """
+WITH RECURSIVE edges AS (
+  SELECT s, d, CAST(1 + d % 3 AS DOUBLE) AS w FROM (
+    SELECT doc_id AS s, doc_id * 2 AS d FROM documents
+    WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT max(doc_id) FROM documents)
+    UNION ALL
+    SELECT doc_id, doc_id * 2 + 1 FROM documents
+    WHERE doc_id >= 1 AND doc_id * 2 + 1 <= (SELECT max(doc_id) FROM documents)
+    UNION ALL
+    SELECT doc_id, doc_id + 1 FROM documents
+    WHERE doc_id >= 1 AND doc_id % 7 = 0
+      AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+  )
+),
+walk(node, cost) AS (
+  SELECT CAST(1 AS BIGINT), CAST(0 AS DOUBLE)
+  UNION
+  SELECT e.d, wk.cost + e.w FROM walk wk JOIN edges e ON e.s = wk.node
+)
+SELECT node, min(cost) AS dist FROM walk GROUP BY node
+"""

@@ -4102,3 +4102,42 @@ def q_holt_linear(spark, sf_dir):
     # shortest decimal string, DuckDB rounds x*10^d — they disagree on
     # values like 444.63374999999996 whose float multiple lands on .5).
     return out.select("event_id", "user_id", "level", "trend", "forecast")
+
+
+@query("q_sssp_distance")
+def q_sssp_distance(spark, sf_dir):
+    """Weighted shortest paths (operators/graph.py:
+    weighted_shortest_paths, distributed Bellman-Ford with
+    improved-only frontiers) over the same doc-id DAG as
+    q_bfs_distance, with integer edge weights 1 + dst%3 — cheap skip
+    edges vs expensive tree edges make the weighted optimum differ
+    from the hop-count optimum. Oracle enumerates all path costs
+    with WITH RECURSIVE and takes the min — exact because integer
+    sums are float-exact both sides."""
+    from pipeline_dataengineer_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    inner = d.filter(F.col("doc_id") >= 1)
+    e1 = inner.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") * 2).alias("dst")
+    )
+    e2 = inner.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") * 2 + 1).alias("dst")
+    )
+    e3 = inner.filter(F.pmod("doc_id", F.lit(7)) == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    edges = (
+        e1.union(e2)
+        .union(e3)
+        .filter(F.col("dst") <= mx)
+        .withColumn(
+            "weight", (F.lit(1) + F.pmod("dst", F.lit(3))).cast("double")
+        )
+    )
+    sources = spark.range(1, 2).select(F.col("id").alias("node"))
+    out = weighted_shortest_paths(edges, sources, max_iterations=40)
+    return out.select("node", "dist")

@@ -432,3 +432,72 @@ def bfs_shortest_paths(
         settled = settled.union(nxt).localCheckpoint()
         frontier = nxt
     return settled
+
+
+def weighted_shortest_paths(
+    edges_df: DataFrame,
+    sources_df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node: str = "node",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Single/multi-source weighted shortest paths (non-negative
+    weights) → (node, dist). Distributed Bellman-Ford: each round
+    relaxes every edge out of the nodes improved last round —
+    dist'[v] = min(dist[v], min over improved u of dist[u] + w(u,v))
+    — one frontier⨝edges join + one map-side-combinable min
+    aggregate per round, the weighted generalization of
+    bfs_shortest_paths above (same localCheckpoint plan bounding,
+    same loop-invariant edge table; at 100 TB pre-partition edges by
+    ``src`` and only frontier rows move per round).
+
+    Delta-stepping discipline: only nodes whose distance IMPROVED
+    join the next frontier, so rounds needed = longest shortest-path
+    hop count, and work per round is frontier-edge-sized. Converges
+    exactly (no float tolerance: improvement is strict <) and
+    deterministically — min over candidate path lengths is
+    order-independent for doubles only when sums are identical, so
+    weights should be exact-in-binary (ints, or k/2^m) when
+    cross-engine hash parity matters; the q_sssp_distance contract
+    uses integer weights for that reason."""
+    e = edges_df.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
+    ).localCheckpoint()
+    dist = (
+        sources_df.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("double"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            e.join(frontier, e.s == frontier.node)
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("__nd"))
+            .groupBy("node")
+            .agg(F.min("__nd").alias("__nd"))
+        )
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("__nd"), F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("__nd") < F.col("dist"))
+                ).alias("__improved"),
+            )
+            .localCheckpoint()
+        )
+        frontier = (
+            merged.filter("__improved").select("node", "dist").localCheckpoint()
+        )
+        dist = merged.select("node", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

@@ -182,3 +182,38 @@ def test_bfs_max_depth_truncates(spark):
     sources = spark.createDataFrame([(0,)], ["node"])
     got = bfs_shortest_paths(edges, sources, max_depth=2).collect()
     assert {r["node"]: r["dist"] for r in got} == {0: 0, 1: 1, 2: 2}
+
+
+def test_weighted_shortest_paths_prefers_cheap_long_path(spark):
+    from pipeline_dataengineer_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    # direct 1->4 costs 10; the 3-hop detour costs 3
+    edges = spark.createDataFrame(
+        [(1, 4, 10.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 5, 2.0)],
+        ["src", "dst", "weight"],
+    )
+    sources = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(edges, sources).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0, 5: 5.0}
+
+
+def test_weighted_shortest_paths_handles_cycles(spark):
+    from pipeline_dataengineer_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    sources = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(edges, sources).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
