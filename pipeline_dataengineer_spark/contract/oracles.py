@@ -2328,3 +2328,50 @@ walk(node, cost) AS (
 )
 SELECT node, min(cost) AS dist FROM walk GROUP BY node
 """
+
+# q_bootstrap_ci: identical Lehmer uniform + Poisson(1) CDF ladder +
+# weighted means + quantile_cont — the determinism makes a bootstrap
+# hash-checkable across engines.
+ORACLES["q_bootstrap_ci"] = """
+WITH reps AS (
+  SELECT e.event_type, e.event_id, e.value, g.r AS rep
+  FROM events e, generate_series(0, 199) AS g(r)
+),
+w AS (
+  SELECT event_type, rep, value,
+         CAST(((((event_id * 200 + rep) % 2147483647 + 2147483647)
+                 % 2147483647 * 48271) % 2147483647) % 1000000
+              AS DOUBLE) / 1000000 AS u
+  FROM reps
+),
+wm AS (
+  SELECT event_type, rep, value,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.9999167588507119 THEN 6
+              WHEN u < 0.9999897508033253 THEN 7
+              ELSE 8 END AS wt
+  FROM w
+),
+rep_means AS (
+  SELECT event_type, rep,
+         sum(wt * value) / sum(wt) AS m
+  FROM wm GROUP BY event_type, rep
+),
+cis AS (
+  SELECT event_type,
+         round(quantile_cont(m, 0.025), 4) AS ci_lo,
+         round(quantile_cont(m, 0.975), 4) AS ci_hi,
+         count(m) AS n_replicates_used
+  FROM rep_means GROUP BY event_type
+)
+SELECT p.event_type, round(p.mean_raw, 4) AS mean,
+       c.ci_lo, c.ci_hi, c.n_replicates_used
+FROM (SELECT event_type, avg(value) AS mean_raw FROM events
+      GROUP BY event_type) p
+JOIN cis c USING (event_type)
+"""

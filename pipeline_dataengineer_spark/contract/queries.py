@@ -4141,3 +4141,23 @@ def q_sssp_distance(spark, sf_dir):
     sources = spark.range(1, 2).select(F.col("id").alias("node"))
     out = weighted_shortest_paths(edges, sources, max_iterations=40)
     return out.select("node", "dist")
+
+
+@query("q_bootstrap_ci")
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson bootstrap (operators/bootstrap.py):
+    95% CI for the mean event value per event type, B=200
+    replicates as ONE exploded combinable aggregate. The 'random'
+    resamples are Lehmer-hash-derived and the Poisson(1) CDF ladder
+    uses exact double literals, so DuckDB replays the identical
+    resamples and the interval hash-checks."""
+    from pipeline_dataengineer_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return bootstrap_mean_ci(
+        ev, ["event_type"], "event_id", "value", n_replicates=200
+    )
