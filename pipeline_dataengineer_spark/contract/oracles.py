@@ -2375,3 +2375,93 @@ FROM (SELECT event_type, avg(value) AS mean_raw FROM events
       GROUP BY event_type) p
 JOIN cis c USING (event_type)
 """
+
+ORACLES["q_target_encode"] = """
+WITH folds AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST((((o_orderkey % 2147483647 + 2147483647) % 2147483647
+                * 48271) % 2147483647) % 5 AS BIGINT) AS fold
+  FROM orders
+),
+stats AS (
+  SELECT o_orderpriority, sum(o_totalprice) AS s, count(*) AS n
+  FROM orders GROUP BY o_orderpriority
+),
+per_fold AS (
+  SELECT o_orderpriority, fold, sum(o_totalprice) AS fs, count(*) AS fn
+  FROM folds GROUP BY o_orderpriority, fold
+)
+SELECT f.o_orderkey, f.o_orderpriority, f.fold,
+       round(CASE WHEN st.n - 1 > 0
+                  THEN (st.s - f.o_totalprice) / (st.n - 1) END, 4) AS te_loo,
+       round(CASE WHEN st.n - pf.fn > 0
+                  THEN (st.s - pf.fs) / (st.n - pf.fn) END, 4) AS te_kf
+FROM folds f
+JOIN stats st USING (o_orderpriority)
+JOIN per_fold pf ON pf.o_orderpriority = f.o_orderpriority
+                AND pf.fold = f.fold
+"""
+
+ORACLES["q_chi2_assoc"] = """
+WITH f AS (
+  SELECT event_type, user_id % 3 AS cohort FROM events
+),
+cells AS (
+  SELECT event_type, cohort, CAST(count(*) AS DOUBLE) AS o
+  FROM f GROUP BY event_type, cohort
+),
+n AS (SELECT sum(o) AS n FROM cells),
+rm AS (SELECT event_type, sum(o) AS ra FROM cells GROUP BY event_type),
+cm AS (SELECT cohort, sum(o) AS cb FROM cells GROUP BY cohort),
+chi AS (
+  SELECT sum(c.o * c.o / (rm.ra * cm.cb / n.n)) - max(n.n) AS chi2,
+         count(DISTINCT c.event_type) AS la,
+         count(DISTINCT c.cohort) AS lb,
+         max(n.n) AS nn
+  FROM cells c
+  JOIN rm USING (event_type) JOIN cm USING (cohort)
+  CROSS JOIN n
+)
+SELECT round(chi2, 4) AS chi2,
+       CAST((la - 1) * (lb - 1) AS BIGINT) AS dof,
+       round(sqrt(chi2 / (nn * least(la, lb) - nn)), 4) AS cramers_v,
+       CAST(nn AS BIGINT) AS n
+FROM chi
+"""
+
+ORACLES["q_mann_whitney"] = """
+WITH two AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('click', 'view')
+),
+ranked AS (
+  SELECT g, v,
+         rank() OVER (ORDER BY v) AS r,
+         count(*) OVER (PARTITION BY v) AS cnt
+  FROM two
+),
+agg AS (
+  SELECT sum(CASE WHEN g = 'click' THEN r + (cnt - 1) / 2.0 END) AS ra,
+         sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS n_b
+  FROM ranked
+),
+ties AS (
+  SELECT sum(c * c * c - c) AS t3
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM two GROUP BY v)
+),
+u AS (
+  SELECT ra - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0 AS u_a,
+         n_a, n_b, t3
+  FROM agg, ties
+)
+SELECT round(u_a, 2) AS u_a,
+       round(CAST(n_a AS DOUBLE) * n_b - u_a, 2) AS u_b,
+       round((u_a - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((n_a + n_b + 1)
+                       - t3 / (CAST(n_a + n_b AS DOUBLE)
+                               * (n_a + n_b - 1)))), 4) AS z,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM u
+"""

@@ -4161,3 +4161,63 @@ def q_bootstrap_ci(spark, sf_dir):
     return bootstrap_mean_ci(
         ev, ["event_type"], "event_id", "value", n_replicates=200
     )
+
+
+@query("q_target_encode")
+def q_target_encode(spark, sf_dir):
+    """Leakage-safe target encoding (operators/encoding.py): orders'
+    priority encoded by leave-one-out mean of totalprice, plus the
+    deterministic 5-fold out-of-fold encoding — both as combinable
+    aggregates broadcast back (the fact table never shuffles).
+    Oracle replays sum/count arithmetic and the Lehmer fold
+    assignment in SQL."""
+    from pipeline_dataengineer_spark.operators.encoding import (
+        target_encode_kfold,
+        target_encode_loo,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    loo = target_encode_loo(o, "o_orderpriority", "o_totalprice", "te_loo")
+    kf = target_encode_kfold(
+        o, "o_orderpriority", "o_orderkey", "o_totalprice", 5, "te_kf"
+    ).select("o_orderkey", "te_kf", F.col("fold").cast("long").alias("fold"))
+    return loo.join(kf, "o_orderkey").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "fold",
+        F.round("te_loo", 4).alias("te_loo"),
+        F.round("te_kf", 4).alias("te_kf"),
+    )
+
+
+@query("q_chi2_assoc")
+def q_chi2_assoc(spark, sf_dir):
+    """Chi-square association + Cramér's V between event type and a
+    derived user cohort (operators/stats_tests.py:chi2_association):
+    contingency cells in one combinable groupBy, margins from the
+    CELLS (never re-scanning facts), empty-cell handling via the
+    Σo²/e − N identity. Oracle replays the identical arithmetic."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        chi2_association,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.pmod("user_id", F.lit(3)).alias("cohort")
+    )
+    return chi2_association(ev, "event_type", "cohort")
+
+
+@query("q_mann_whitney")
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test, click vs view event values
+    (operators/stats_tests.py:mann_whitney_u): average ranks for
+    ties, tie-corrected normal z. Oracle replays rank + tie
+    arithmetic in SQL."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        mann_whitney_u,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "event_type", "value", "click", "view")

@@ -1,0 +1,92 @@
+"""Leakage-safe categorical feature encoding.
+
+Target (mean) encoding replaces a high-cardinality categorical with
+the mean of the label within its category — the workhorse encoding
+for tree models on web-scale categoricals (domains, publishers, user
+cohorts) where one-hot would explode. Done naively it LEAKS: a row's
+own label contributes to its own feature. Both standard remedies are
+implemented, each as combinable aggregates joined back broadcast —
+the fact table never shuffles (same plan discipline as
+``operators/scaling.py``):
+
+- **leave-one-out**: (category sum − own label) / (category count −
+  1); NULL for singleton categories (no peer information exists).
+- **K-fold**: a row's feature uses only OTHER folds' statistics;
+  fold assignment is the deterministic Lehmer bucket so reruns and
+  other engines agree exactly. Per-(category, fold) partials are one
+  aggregate; the out-of-fold statistic is the category total minus
+  the own-fold partial — no per-fold scan repetition.
+
+Smoothing (``prior_weight``) shrinks small categories toward the
+global prior — the standard variance control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+    out_col: str = "te",
+    prior_weight: float = 0.0,
+) -> DataFrame:
+    """Leave-one-out target encoding with optional smoothing toward
+    the global mean: ((sum−own) + w·prior) / ((n−1) + w). With
+    w = 0, singleton categories yield NULL."""
+    stats = df.groupBy(category_col).agg(
+        F.sum(label_col).alias("__s"), F.count(label_col).alias("__n")
+    )
+    prior = df.agg(F.avg(label_col)).collect()[0][0]
+    enc = df.join(F.broadcast(stats), category_col)
+    num = (F.col("__s") - F.col(label_col)) + F.lit(prior_weight) * F.lit(prior)
+    den = (F.col("__n") - 1) + F.lit(prior_weight)
+    return enc.withColumn(
+        out_col, F.when(den > 0, num / den)
+    ).drop("__s", "__n")
+
+
+def target_encode_kfold(
+    df: DataFrame,
+    category_col: str,
+    id_col: str,
+    label_col: str,
+    n_folds: int = 5,
+    out_col: str = "te",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """K-fold target encoding: each row's feature is the category
+    mean over the OTHER folds. Deterministic folds (Lehmer bucket of
+    ``id_col``); categories entirely inside one fold yield NULL for
+    that fold's rows."""
+    with_fold = df.withColumn(
+        fold_col, portable_bucket(F.col(id_col), n_folds)
+    )
+    per_fold = with_fold.groupBy(category_col, fold_col).agg(
+        F.sum(label_col).alias("__fs"), F.count(label_col).alias("__fn")
+    )
+    totals = per_fold.groupBy(category_col).agg(
+        F.sum("__fs").alias("__s"), F.sum("__fn").alias("__n")
+    )
+    oof = (
+        per_fold.join(F.broadcast(totals), category_col)
+        .select(
+            category_col,
+            fold_col,
+            (F.col("__s") - F.col("__fs")).alias("__oof_s"),
+            (F.col("__n") - F.col("__fn")).alias("__oof_n"),
+        )
+    )
+    return (
+        with_fold.join(F.broadcast(oof), [category_col, fold_col])
+        .withColumn(
+            out_col,
+            F.when(F.col("__oof_n") > 0, F.col("__oof_s") / F.col("__oof_n")),
+        )
+        .drop("__oof_s", "__oof_n")
+    )

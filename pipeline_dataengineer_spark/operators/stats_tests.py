@@ -1,0 +1,131 @@
+"""Distributed hypothesis tests / association measures.
+
+The experiment-analysis pair every event pipeline eventually needs,
+each expressed as combinable aggregates (no windows over the fact
+table, no collects beyond the final statistic rows):
+
+- **chi² association** between two categoricals: contingency counts
+  (one groupBy), margins derived FROM the cell counts (two more
+  tiny aggregates over cells, not over facts), expected = row·col/N,
+  χ² = Σ (obs−exp)²/exp, plus Cramér's V effect size. The cell table
+  is |A|×|B|-sized — the only thing that ever reaches a join.
+- **Mann-Whitney U** (two-sample rank test): ranks via ONE window
+  over the pooled values — average ranks for ties, the standard
+  tie-corrected normal approximation for z. The window is the
+  honest cost; at 100 TB swap the exact rank for a KLL-sketch rank
+  (functions/sketches.py) — documented trade, same output shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chi2_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One row: (chi2, dof, cramers_v, n). NULL categories count as
+    their own level (they are real levels operationally)."""
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    row_m = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    col_m = cells.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    n = cells.agg(F.sum("__o")).collect()[0][0]
+    joined = (
+        cells.join(F.broadcast(row_m), col_a, "left")
+        .join(F.broadcast(col_m), col_b, "left")
+        .withColumn(
+            "__e", F.col("__ra").cast("double") * F.col("__cb") / F.lit(float(n))
+        )
+    )
+    # chi2 must also count EMPTY cells' expected? No: empty cells
+    # contribute (0-e)²/e = e; sum of expected over ALL cells = N and
+    # over observed cells = N - sum(missing e). Accounting identity:
+    # chi2 = Σ_observed (o²/e) - 2N + Σ_all e = Σ_observed (o²/e) - N.
+    stats = joined.agg(
+        (F.sum(F.col("__o") * F.col("__o") / F.col("__e")) - F.lit(float(n))).alias(
+            "chi2"
+        ),
+        F.countDistinct(col_a).alias("__la"),
+        F.countDistinct(col_b).alias("__lb"),
+    )
+    return stats.select(
+        F.round("chi2", 4).alias("chi2"),
+        ((F.col("__la") - 1) * (F.col("__lb") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.lit(float(n)) * F.least(F.col("__la"), F.col("__lb")).cast("double") - F.lit(float(n)))
+            ),
+            4,
+        ).alias("cramers_v"),
+        F.lit(n).cast("long").alias("n"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """One row: (u_a, u_b, z, n_a, n_b) for the two-sided rank-sum
+    test of ``group_a`` vs ``group_b`` values. Average ranks for
+    ties; z uses the tie-corrected variance (normal approximation —
+    exact tables only matter below n≈20)."""
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        group_col, F.col(value_col).alias("__v")
+    )
+    # average rank = (rank_first + rank_last)/2 over the pooled sort:
+    # avg(row_number) per tie class, computed without a per-row window
+    # via min_rank + (cnt-1)/2.
+    w = Window.orderBy("__v")
+    ranked = two.withColumn("__r", F.rank().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__v"))
+    )
+    ranked = ranked.withColumn(
+        "__avg_r", F.col("__r") + (F.col("__cnt") - 1) / 2.0
+    )
+    agg = ranked.groupBy().agg(
+        F.sum(F.when(F.col(group_col) == group_a, F.col("__avg_r"))).alias(
+            "__ra"
+        ),
+        F.sum((F.col(group_col) == group_a).cast("long")).alias("n_a"),
+        F.sum((F.col(group_col) == group_b).cast("long")).alias("n_b"),
+    )
+    # tie correction term Σ(c³-c) over tie CLASSES (not rows):
+    ties = (
+        two.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum(
+                F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+            ).alias("__t3")
+        )
+    )
+    out = agg.crossJoin(F.broadcast(ties)).select(
+        (
+            F.col("__ra")
+            - F.col("n_a").cast("double") * (F.col("n_a") + 1) / 2.0
+        ).alias("u_a"),
+        "n_a",
+        "n_b",
+        "__t3",
+    )
+    n_ab = F.col("n_a").cast("double") * F.col("n_b")
+    n_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    mu = n_ab / 2.0
+    var = (
+        n_ab
+        / 12.0
+        * (
+            (n_tot + 1)
+            - F.col("__t3") / (n_tot * (n_tot - 1))
+        )
+    )
+    return out.select(
+        F.round("u_a", 2).alias("u_a"),
+        F.round(n_ab - F.col("u_a"), 2).alias("u_b"),
+        # try_divide: all-tied samples have exactly zero variance →
+        # NULL z (ANSI mode would throw on the /0)
+        F.round(F.try_divide(F.col("u_a") - mu, F.sqrt(var)), 4).alias("z"),
+        "n_a",
+        "n_b",
+    )

@@ -1,0 +1,81 @@
+"""Chi-square association, Mann-Whitney U, target encoding."""
+
+from __future__ import annotations
+
+import math
+
+from pipeline_dataengineer_spark.operators.encoding import (
+    target_encode_kfold,
+    target_encode_loo,
+)
+from pipeline_dataengineer_spark.operators.stats_tests import (
+    chi2_association,
+    mann_whitney_u,
+)
+
+
+def test_chi2_matches_scipy_formula(spark):
+    # 2x2 table: [[10, 20], [30, 40]] — chi2 by hand (no correction)
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 30 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = chi2_association(df, "u", "v").collect()[0]
+    n, e_ax = 100, 30 * 40 / 100
+    exp = [(10, 12), (20, 18), (30, 28), (40, 42)]
+    chi2 = sum((o - e) ** 2 / e for o, e in exp)
+    assert abs(r["chi2"] - round(chi2, 4)) < 1e-9
+    assert r["dof"] == 1
+    assert abs(r["cramers_v"] - round(math.sqrt(chi2 / 100), 4)) < 1e-9
+
+
+def test_chi2_independent_is_zero(spark):
+    rows = [(a, b) for a in "ab" for b in "xy" for _ in range(25)]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = chi2_association(df, "u", "v").collect()[0]
+    assert r["chi2"] == 0.0
+
+
+def test_mann_whitney_no_overlap_extreme_u(spark):
+    rows = [("a", float(i)) for i in range(10)] + [
+        ("b", float(100 + i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (r["u_a"], r["u_b"]) == (0.0, 100.0)
+    assert r["z"] < -3.7  # far in the tail
+
+
+def test_mann_whitney_ties_average_ranks(spark):
+    # all values equal: U = n_a*n_b/2, z undefined (var 0 → null)
+    rows = [("a", 5.0)] * 4 + [("b", 5.0)] * 4
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r["u_a"] == 8.0 and r["u_b"] == 8.0
+    assert r["z"] is None  # tie-corrected variance is exactly 0
+
+
+def test_target_encode_loo(spark):
+    rows = [("c1", 1, 10.0), ("c1", 2, 20.0), ("c1", 3, 30.0), ("c2", 4, 5.0)]
+    df = spark.createDataFrame(rows, ["cat", "id", "y"])
+    got = {
+        r["id"]: r["te"] for r in target_encode_loo(df, "cat", "y").collect()
+    }
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] is None  # singleton: no peers
+
+
+def test_target_encode_kfold_excludes_own_fold(spark):
+    rows = [("c", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["cat", "id", "y"])
+    out = target_encode_kfold(df, "cat", "id", "y", n_folds=4).collect()
+    total = sum(range(100))
+    by_fold = {}
+    for r in out:
+        by_fold.setdefault(r["fold"], []).append(r)
+    for fold, rows_f in by_fold.items():
+        fold_sum = sum(r["y"] for r in rows_f)
+        fold_n = len(rows_f)
+        want = (total - fold_sum) / (100 - fold_n)
+        for r in rows_f:
+            assert abs(r["te"] - want) < 1e-9
