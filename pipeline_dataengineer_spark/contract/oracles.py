@@ -2465,3 +2465,14 @@ SELECT round(u_a, 2) AS u_a,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
 FROM u
 """
+
+ORACLES["q_sorted_neighborhood"] = """
+WITH idx AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS i
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+FROM idx a JOIN idx b
+  ON b.i > a.i AND b.i - a.i <= 3
+"""

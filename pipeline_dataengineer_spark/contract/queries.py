@@ -4221,3 +4221,21 @@ def q_mann_whitney(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return mann_whitney_u(ev, "event_type", "value", "click", "view")
+
+
+@query("q_sorted_neighborhood")
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (operators/order.py): customer
+    pairs within 3 positions of the account-balance total order. The
+    global index is the two-phase distributed sort (range partition +
+    per-partition offsets) — NEVER row_number over an unpartitioned
+    window — and pair generation is an equi-join on index blocks.
+    Oracle uses the single-node row_number formulation."""
+    from pipeline_dataengineer_spark.operators.order import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return sorted_neighborhood_pairs(
+        c, "c_custkey", F.col("c_acctbal"), window=3
+    )
