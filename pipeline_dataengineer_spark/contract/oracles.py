@@ -2476,3 +2476,42 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
 FROM idx a JOIN idx b
   ON b.i > a.i AND b.i - a.i <= 3
 """
+
+ORACLES["q_attribution"] = """
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         first_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM events
+)
+SELECT user_id, event_id, first_touch, last_touch
+FROM t WHERE event_type = 'purchase'
+"""
+
+ORACLES["q_attribution_linear"] = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM events
+),
+journeys AS (
+  SELECT user_id, jid, sum(1 - conv) AS n_touch, max(conv) AS converted
+  FROM marked GROUP BY user_id, jid
+)
+SELECT m.event_type, round(sum(1.0 / j.n_touch), 4) AS credit
+FROM marked m
+JOIN journeys j ON j.user_id = m.user_id AND j.jid = m.jid
+WHERE m.conv = 0 AND j.converted = 1 AND j.n_touch > 0
+GROUP BY m.event_type
+"""

@@ -4239,3 +4239,47 @@ def q_sorted_neighborhood(spark, sf_dir):
     return sorted_neighborhood_pairs(
         c, "c_custkey", F.col("c_acctbal"), window=3
     )
+
+
+@query("q_attribution")
+def q_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution (operators/
+    attribution.py): per purchase event, the first and most recent
+    preceding non-purchase touch — PRECEDING-only frames, one user
+    shuffle. Oracle = identical window formulation in SQL."""
+    from pipeline_dataengineer_spark.operators.attribution import (
+        touch_attribution,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    out = touch_attribution(
+        ev,
+        ["user_id"],
+        "event_id",
+        "event_type",
+        F.col("event_type") == "purchase",
+    )
+    return out.select("user_id", "event_id", "first_touch", "last_touch")
+
+
+@query("q_attribution_linear")
+def q_attribution_linear(spark, sf_dir):
+    """Linear (equal-split) attribution: journeys via cumulative
+    conversion count (gaps-and-islands), credit 1/touches per
+    converting journey, one combinable aggregate per channel."""
+    from pipeline_dataengineer_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    return linear_attribution(
+        ev,
+        ["user_id"],
+        "event_id",
+        "event_type",
+        F.col("event_type") == "purchase",
+    )

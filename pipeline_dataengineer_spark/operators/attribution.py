@@ -1,0 +1,90 @@
+"""Marketing-style conversion attribution over event streams.
+
+Which touch (channel/event) gets credit for a conversion? The three
+standard models, all pure window/aggregate plans over ONE shuffle on
+the user key:
+
+- **first-touch / last-touch**: per conversion event, the
+  first/most-recent preceding non-conversion touch — `first`/`last`
+  with ignorenulls over a PRECEDING-only frame (no future leakage,
+  no self-attribution).
+- **linear**: every touch in the journey (the run of events since
+  the previous conversion) splits the conversion's credit equally.
+  Journeys fall out of a cumulative count of conversions over the
+  user window — the same gaps-and-islands move as sessionization —
+  then credit = 1/journey-touch-count, aggregated per channel with
+  one combinable pass.
+
+At 100 TB these are one user-key shuffle each; journeys never
+materialize driver-side and per-journey state is O(1) columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def touch_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    channel_col: str,
+    is_conversion: Column,
+) -> DataFrame:
+    """One row per conversion event: input columns plus
+    ``first_touch`` / ``last_touch`` (NULL when no touch precedes).
+    Touches are the non-conversion events."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_channel = F.when(~is_conversion, F.col(channel_col))
+    out = df.withColumn(
+        "first_touch", F.first(touch_channel, ignorenulls=True).over(w)
+    ).withColumn(
+        "last_touch", F.last(touch_channel, ignorenulls=True).over(w)
+    )
+    return out.filter(is_conversion)
+
+
+def linear_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    channel_col: str,
+    is_conversion: Column,
+) -> DataFrame:
+    """(channel, credit): each conversion distributes 1.0 equally
+    over the touches of its journey (events after the previous
+    conversion, before this one). Journeys with zero touches drop
+    their credit (no touch to blame — reported nowhere by design);
+    touch runs that never convert earn nothing."""
+    w_order = Window.partitionBy(*key_cols).orderBy(order_col)
+    # journey id = number of conversions STRICTLY BEFORE this event:
+    # a conversion closes its own journey, the next event starts a new
+    # one. rowsBetween(…, -1) keeps the conversion with its journey.
+    jid = F.coalesce(
+        F.sum(is_conversion.cast("long")).over(
+            w_order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    marked = df.withColumn("__jid", jid).withColumn(
+        "__conv", is_conversion.cast("long")
+    )
+    journeys = marked.groupBy(*key_cols, "__jid").agg(
+        F.sum(1 - F.col("__conv")).alias("__n_touch"),
+        F.max("__conv").alias("__converted"),
+    )
+    credited = (
+        marked.filter(~is_conversion)
+        .join(journeys, [*key_cols, "__jid"])
+        .filter((F.col("__converted") == 1) & (F.col("__n_touch") > 0))
+        .withColumn("__credit", F.lit(1.0) / F.col("__n_touch"))
+    )
+    return (
+        credited.groupBy(channel_col)
+        .agg(F.round(F.sum("__credit"), 4).alias("credit"))
+    )
