@@ -2515,3 +2515,19 @@ JOIN journeys j ON j.user_id = m.user_id AND j.jid = m.jid
 WHERE m.conv = 0 AND j.converted = 1 AND j.n_touch > 0
 GROUP BY m.event_type
 """
+
+ORACLES["q_clamped_balance"] = """
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, value - 25.0 AS delta,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t
+  FROM events
+), rec(user_id, t, event_id, bal) AS (
+  SELECT user_id, t, event_id, least(greatest(0.0 + delta, 0.0), 100.0)
+  FROM seq WHERE t = 0
+  UNION ALL
+  SELECT s.user_id, s.t, s.event_id,
+         least(greatest(r.bal + s.delta, 0.0), 100.0)
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.t = r.t + 1
+)
+SELECT event_id, user_id, bal AS balance FROM rec
+"""

@@ -4283,3 +4283,24 @@ def q_attribution_linear(spark, sf_dir):
         "event_type",
         F.col("event_type") == "purchase",
     )
+
+
+@query("q_clamped_balance")
+def q_clamped_balance(spark, sf_dir):
+    """Saturating running balance (operators/timeseries.py:
+    clamped_running_sum): per-user inventory in [0, 100] driven by
+    value−25 deltas. The clamp destroys the prefix-sum structure, so
+    this is a true recursion — replayed bit-exactly by the oracle's
+    WITH RECURSIVE (add → greatest → least, identical operand
+    order), unrounded doubles like q_holt_linear."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        clamped_running_sum,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("value") - 25.0).alias("delta")
+    )
+    out = clamped_running_sum(
+        ev, ["user_id"], "event_id", "delta", lo=0.0, hi=100.0
+    )
+    return out.select("event_id", "user_id", "balance")

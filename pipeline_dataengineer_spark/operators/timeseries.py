@@ -215,3 +215,47 @@ def holt_linear(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)
+
+
+def clamped_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    delta_col: str,
+    lo: float = 0.0,
+    hi: float | None = None,
+    out_col: str = "balance",
+) -> DataFrame:
+    """Running balance with saturation per key:
+    ``bal_t = clamp(bal_{t-1} + delta_t, lo, hi)``, ``bal_{-1} = 0``
+    — inventory levels (can't go negative, capacity-capped), token
+    buckets / rate-limit counters, battery state of charge. The
+    clamp makes this a GENUINE recursion: unlike a plain cumsum the
+    window rewrite does not exist (each clamp discards information),
+    so this is the sanctioned grouped-map path — one shuffle on the
+    key, a numpy loop per key, fixed operand order
+    (add, then greatest, then least) so the q_clamped_balance
+    recursive-CTE oracle replays it bit-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    lo_f = float(lo)
+    hi_f = float(hi) if hi is not None else float("inf")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        d = pdf[delta_col].to_numpy(dtype=np.float64)
+        out = np.empty(len(d))
+        acc = 0.0
+        for i, x in enumerate(d):
+            acc = min(max(acc + x, lo_f), hi_f)
+            out[i] = acc
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)

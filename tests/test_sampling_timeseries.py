@@ -212,3 +212,32 @@ def test_holt_linear_singleton_key(spark):
     df = spark.createDataFrame([("k", 1, 7.5)], ["k", "t", "v"])
     r = holt_linear(df, ["k"], "t", "v").collect()[0]
     assert (r["level"], r["trend"], r["forecast"]) == (7.5, 0.0, 7.5)
+
+
+def test_clamped_running_sum_saturates_both_ends(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        clamped_running_sum,
+    )
+
+    rows = [("k", 1, 60.0), ("k", 2, 60.0), ("k", 3, -150.0), ("k", 4, 30.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "d"])
+    got = {
+        r["t"]: r["balance"]
+        for r in clamped_running_sum(df, ["k"], "t", "d", 0.0, 100.0).collect()
+    }
+    # 60 -> cap 100 -> floor 0 -> 30; the cap/floor LOSE the overshoot
+    assert got == {1: 60.0, 2: 100.0, 3: 0.0, 4: 30.0}
+
+
+def test_clamped_running_sum_unbounded_top(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        clamped_running_sum,
+    )
+
+    rows = [("k", 1, 50.0), ("k", 2, 500.0), ("k", 3, -10.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "d"])
+    got = {
+        r["t"]: r["balance"]
+        for r in clamped_running_sum(df, ["k"], "t", "d", lo=0.0).collect()
+    }
+    assert got == {1: 50.0, 2: 550.0, 3: 540.0}
