@@ -2531,3 +2531,11 @@ WITH RECURSIVE seq AS (
 )
 SELECT event_id, user_id, bal AS balance FROM rec
 """
+
+# q_kcore: closed form — even 5-blocks are 5-cycles (every node degree
+# exactly 2 in the core), odd blocks are chains and peel to nothing.
+ORACLES["q_kcore"] = """
+SELECT doc_id AS node, CAST(2 AS BIGINT) AS degree
+FROM documents
+WHERE (doc_id // 5) % 2 = 0
+"""

@@ -4304,3 +4304,24 @@ def q_clamped_balance(spark, sf_dir):
         ev, ["user_id"], "event_id", "delta", lo=0.0, hi=100.0
     )
     return out.select("event_id", "user_id", "balance")
+
+
+@query("q_kcore")
+def q_kcore(spark, sf_dir):
+    """2-core decomposition (operators/graph.py:k_core) over doc-id
+    5-blocks where EVEN blocks close into 5-cycles and odd blocks
+    stay chains: the 2-core is exactly the even blocks (cycles),
+    chains peel away completely. Closed-form oracle (same trick as
+    q_connected_components) makes the iterative peel hash-checkable."""
+    from pipeline_dataengineer_spark.operators.graph import k_core
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    chain = d.filter(F.pmod("doc_id", F.lit(5)) < 4).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    closing = d.filter(
+        (F.pmod("doc_id", F.lit(5)) == 4)
+        & (F.pmod(F.floor(F.col("doc_id") / 5), F.lit(2)) == 0)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") - 4).alias("dst"))
+    out = k_core(chain.union(closing), k=2)
+    return out.select("node", "degree")

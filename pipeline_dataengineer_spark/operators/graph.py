@@ -501,3 +501,43 @@ def weighted_shortest_paths(
         if frontier.limit(1).count() == 0:
             break
     return dist
+
+
+def k_core(
+    edges_df: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree
+    ≥ k (undirected; self-loops ignored). Returns (node, degree)
+    with degree measured INSIDE the core. The classic graph-cleanup
+    pass before community detection / web-graph corpus curation
+    (peel low-degree fringe; what survives is densely connected).
+
+    Iterative peeling, relationally: per round one combinable degree
+    aggregate, one broadcast-able weak-node set, one anti-join on
+    each endpoint — edge-table-sized work per round, and the edge
+    table SHRINKS monotonically (unlike BFS's growing settled set).
+    Rounds = peel depth (rarely more than a few dozen even on web
+    graphs); localCheckpoint bounds plans as in the other iterative
+    operators. Termination: each round either removes a node or
+    stops, so ≤ |V| rounds worst case; the loop runs to fixpoint."""
+    e = (
+        edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint()
+    while True:
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+        weak = deg.filter(F.col("__deg") < k).select("a").localCheckpoint()
+        if weak.limit(1).count() == 0:
+            return deg.select(F.col("a").alias("node"), F.col("__deg").cast("long").alias("degree"))
+        e = (
+            e.join(weak, "a", "left_anti")
+            .join(weak.withColumnRenamed("a", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )

@@ -217,3 +217,25 @@ def test_weighted_shortest_paths_handles_cycles(spark):
         for r in weighted_shortest_paths(edges, sources).collect()
     }
     assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_k_core_peels_tail_keeps_triangle(spark):
+    from pipeline_dataengineer_spark.operators.graph import k_core
+
+    # triangle {1,2,3} with a tail 3-4-5: 2-core is the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    got = {r["node"]: r["degree"] for r in k_core(edges, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_cascading_peel(spark):
+    from pipeline_dataengineer_spark.operators.graph import k_core
+
+    # star: center degree 4 but leaves degree 1 — peeling the leaves
+    # empties the graph (the center's degree collapses), needs rounds
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["src", "dst"]
+    )
+    assert k_core(edges, 2).count() == 0
