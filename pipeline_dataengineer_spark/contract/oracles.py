@@ -2539,3 +2539,16 @@ SELECT doc_id AS node, CAST(2 AS BIGINT) AS degree
 FROM documents
 WHERE (doc_id // 5) % 2 = 0
 """
+
+ORACLES["q_recursive_cte"] = """
+WITH RECURSIVE walk(doc_id, node, depth) AS (
+  SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(FLOOR(node / 2) AS BIGINT), depth + 1
+  FROM walk WHERE node > 1
+)
+SELECT doc_id,
+       CAST(MAX(depth) AS BIGINT) AS chain_depth,
+       CAST(SUM(node) AS BIGINT) AS ancestor_sum
+FROM walk GROUP BY doc_id
+"""

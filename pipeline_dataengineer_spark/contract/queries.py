@@ -4325,3 +4325,34 @@ def q_kcore(spark, sf_dir):
     ).select(F.col("doc_id").alias("src"), (F.col("doc_id") - 4).alias("dst"))
     out = k_core(chain.union(closing), k=2)
     return out.select("node", "degree")
+
+
+@query("q_recursive_cte")
+def q_recursive_cte(spark, sf_dir):
+    """Native WITH RECURSIVE SQL surface (Spark 4.1 recursive CTE).
+
+    The engine-level recursion the operators in graph.py implement
+    manually (bfs_shortest_paths and friends) is ALSO available
+    straight from SQL since Spark 4: a parent-chain walk over the
+    implicit binary-heap hierarchy on doc ids (parent = floor(n/2)),
+    rolled up per document into chain depth and ancestor-id sum.
+    Recursion depth is log2(max doc_id) (~16 at sf0.1), and each
+    round's frame is at most one row per document, so the fixpoint
+    work is documents x log(documents) — the same bound as the
+    hand-built BFS. The oracle runs the identical ANSI recursion in
+    DuckDB: engine-independent fixpoint semantics, hash-checked."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(doc_id, node, depth) AS (
+          SELECT doc_id, doc_id AS node, 0 AS depth FROM documents_rc
+          UNION ALL
+          SELECT doc_id, CAST(FLOOR(node / 2) AS BIGINT), depth + 1
+          FROM walk WHERE node > 1
+        )
+        SELECT doc_id,
+               CAST(MAX(depth) AS BIGINT) AS chain_depth,
+               CAST(SUM(node) AS BIGINT) AS ancestor_sum
+        FROM walk GROUP BY doc_id
+        """
+    )
