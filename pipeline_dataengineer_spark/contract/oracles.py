@@ -2552,3 +2552,14 @@ SELECT doc_id,
        CAST(SUM(node) AS BIGINT) AS ancestor_sum
 FROM walk GROUP BY doc_id
 """
+
+ORACLES["q_pca_cov"] = """
+WITH dims AS (SELECT unnest(range(1, 17)) AS p),
+     e AS (SELECT vec_id, p - 1 AS idx,
+                  CAST(embedding[p] AS DOUBLE) AS x
+           FROM embeddings CROSS JOIN dims)
+SELECT CAST(a.idx AS BIGINT) AS i, CAST(b.idx AS BIGINT) AS j,
+       round(covar_samp(a.x, b.x), 4) AS cov
+FROM e a JOIN e b USING (vec_id)
+GROUP BY a.idx, b.idx
+"""

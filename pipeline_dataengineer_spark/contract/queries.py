@@ -4356,3 +4356,27 @@ def q_recursive_cte(spark, sf_dir):
         FROM walk GROUP BY doc_id
         """
     )
+
+
+@query("q_pca_cov")
+def q_pca_cov(spark, sf_dir):
+    """PCA covariance kernel (operators/decomposition.py:
+    covariance_matrix): the sample covariance of the first 16
+    embedding dims, computed as ONE Arrow partial-moment pass (n,
+    sum, outer-product sum per batch) merged relationally — the
+    corpus is never self-joined (the naive (i,j) pair formulation
+    would blow rows up d^2 = 256x before aggregating). The oracle is
+    DuckDB's covar_samp over an explicit dimension cross join —
+    completely different algorithm (streaming per-pair covariance),
+    hash-identical after round(4)."""
+    from pipeline_dataengineer_spark.operators.decomposition import (
+        covariance_matrix,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+    out = covariance_matrix(e, "embedding", dim=16)
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round("cov", 4).alias("cov"),
+    )

@@ -1,0 +1,174 @@
+"""PCA / covariance decomposition over embedding columns.
+
+The 100-TB shape: the covariance matrix of an n x d embedding table
+is a MONOID — per-partition partials (n, sum vector, sum of outer
+products) merge by plain addition — so one Arrow pass over the data
+reduces everything to d + d^2 numbers, and only those reach the
+driver (same bounded-driver-traffic contract as clustering.kmeans's
+k*d centroid pull). The corpus is never shuffled and never collected;
+the eigendecomposition runs on the d x d matrix driver-side (d is a
+model constant, 64 here), and the projection back over the corpus is
+a broadcast matmul in one vectorized Arrow batch pass.
+
+The naive relational alternative (explode + self-join on row id to
+form (i, j, xi*xj) pairs) multiplies the corpus by d^2 before
+aggregating — 4096x row blowup at d=64 — which is exactly what the
+partial-aggregate formulation avoids.
+
+Reference parity: the reference engine has no decomposition ops; this
+belongs to the LLM-data-pipeline surface (embedding whitening /
+dimensionality reduction before ANN and clustering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),  # sum vector, d
+        StructField("ss", ArrayType(DoubleType())),  # outer-product sums, d*d
+    ]
+)
+
+
+def _partial_moments(vec_col: str, dim: int):
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if dim is not None:
+                x = x[:, :dim]
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0)],
+                    "ss": [(x.T @ x).ravel()],
+                }
+            )
+
+    return gen
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Long-form sample covariance: one row per (i, j) with
+    ``cov = (ss_ij - s_i*s_j/n) / (n-1)``.
+
+    One Arrow pass emits a (n, sum, outer-sum) partial per batch; the
+    partials merge RELATIONALLY (posexplode to (idx, val) and a
+    combinable groupBy-sum — never a driver collect), so the result
+    is itself a small lazy DataFrame usable inside larger plans.
+    """
+    partials = df.select(vec_col).mapInPandas(
+        _partial_moments(vec_col, dim), schema=_PARTIAL_SCHEMA
+    )
+    # merge: total n broadcast-joined onto the exploded per-index sums
+    totals = partials.groupBy().agg(F.sum("n").alias("n"))
+    s_long = (
+        partials.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+    )
+    ss_long = (
+        partials.select(F.posexplode("ss").alias("k", "v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("ss"))
+    )
+    d_expr = F.round(F.sqrt(F.max("k") + 1)).cast("int")
+    d = ss_long.agg(d_expr.alias("d"))
+    ss_ij = ss_long.crossJoin(F.broadcast(d)).select(
+        F.floor(F.col("k") / F.col("d")).cast("int").alias("i"),
+        F.pmod("k", F.col("d")).cast("int").alias("j"),
+        "ss",
+    )
+    si = s_long.select(F.col("i"), F.col("s").alias("s_i"))
+    sj = s_long.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        ss_ij.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("ss") - F.col("s_i") * F.col("s_j") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    out_col: str = "pca",
+    center: bool = True,
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Project ``vec_col`` onto its top-k principal components.
+
+    Returns ``(projected df, components (k, d), explained_variance (k,))``.
+    The covariance collect is d^2 doubles (bounded by the model dim,
+    not the data); the projection is a broadcast matmul Arrow pass —
+    the corpus itself is never shuffled.
+
+    Determinism: numpy ``eigh`` on the same d x d matrix is
+    reproducible; the sign of each component is canonicalized so the
+    largest-|coefficient| entry is positive (eigenvector sign is
+    otherwise arbitrary).
+    """
+    cov_rows = covariance_matrix(df, vec_col).collect()  # d^2 doubles
+    d = max(r["i"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    mean_rows = (
+        df.select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )  # d doubles
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r["i"]] = r["m"]
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, d)
+    # canonical sign: largest-magnitude coefficient positive
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    evr = w[order]
+    comps_c = comps.copy()
+    mu_c = mu if center else np.zeros(d)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = (x - mu_c) @ comps_c.T
+            out = pdf.drop(columns=[vec_col])
+            out[out_col] = list(p)
+            yield out
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != vec_col]
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    return df.mapInPandas(project, schema=out_schema), comps, evr
