@@ -2563,3 +2563,9 @@ SELECT CAST(a.idx AS BIGINT) AS i, CAST(b.idx AS BIGINT) AS j,
 FROM e a JOIN e b USING (vec_id)
 GROUP BY a.idx, b.idx
 """
+
+ORACLES["q_kmv_distinct"] = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""

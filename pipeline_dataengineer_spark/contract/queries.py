@@ -4380,3 +4380,27 @@ def q_pca_cov(spark, sf_dir):
         F.col("j").cast("long").alias("j"),
         F.round("cov", 4).alias("cov"),
     )
+
+
+@query("q_kmv_distinct")
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch (functions/sketches.py:kmv_states): per
+    order priority, the k-minimum-values estimate of distinct
+    customers. k=4096 exceeds the sf0.01 per-priority customer
+    cardinality, so the sketch is in its EXACT regime and the oracle
+    is plain COUNT(DISTINCT) — same exact-below-threshold contract as
+    q_approx_topk. Above k the estimator is the (k-1)/u_(k) order
+    statistic (pytest covers that regime). The build is two bounded
+    stages (salted partial k-min, then a salts x k fold) — no
+    unbounded collect_set buffer on a hot key."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_states,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    st = kmv_states(o, ["o_orderpriority"], "o_custkey", k=4096)
+    return kmv_estimate(st, ["o_orderpriority"], k=4096).select(
+        "o_orderpriority",
+        F.col("approx_distinct").cast("long").alias("n_customers"),
+    )
