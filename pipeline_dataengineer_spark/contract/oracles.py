@@ -2569,3 +2569,26 @@ SELECT o_orderpriority,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
 FROM orders GROUP BY o_orderpriority
 """
+
+ORACLES["q_haversine_join"] = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         35.0 + ({_bucket_sql('c_custkey', 1000)}) * 0.02 AS lat,
+         -5.0 + ({_bucket_sql(f"({_bucket_sql('c_custkey', 1_000_000)}) + 13",
+                              1000)}) * 0.03 AS lon
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         12742.0176 * asin(sqrt(
+           sin((radians(b.lat) - radians(a.lat)) / 2)
+             * sin((radians(b.lat) - radians(a.lat)) / 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin((radians(b.lon) - radians(a.lon)) / 2)
+             * sin((radians(b.lon) - radians(a.lon)) / 2)
+         )) AS d
+  FROM pts a JOIN pts b ON a.id < b.id
+)
+SELECT id_a, id_b, round(d, 3) AS dist_km
+FROM pairs WHERE d <= 30.0
+"""

@@ -4404,3 +4404,62 @@ def q_kmv_distinct(spark, sf_dir):
         "o_orderpriority",
         F.col("approx_distinct").cast("long").alias("n_customers"),
     )
+
+
+@query("q_haversine_join")
+def q_haversine_join(spark, sf_dir):
+    """Great-circle distance self-join (operators/spatial.py:
+    haversine_join): customer pairs within 30 km, coordinates a
+    Lehmer-derived scatter over [35, 55) lat x [-5, 25) lon. The
+    plan is the lat/lon grid equi-join (cell height exact, width
+    sized at the declared max_abs_lat=55 bound) — never a BNLJ; the
+    oracle is the quadratic theta join with the IDENTICAL haversine
+    arithmetic, hash-checked after round(3)."""
+    from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+    from pipeline_dataengineer_spark.operators.spatial import (
+        haversine_join,
+        haversine_km,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(35.0) + portable_bucket(F.col("c_custkey"), 1000) * 0.02).alias(
+            "lat"
+        ),
+        (
+            F.lit(-5.0)
+            + portable_bucket(
+                portable_bucket(F.col("c_custkey"), 1_000_000) + 13, 1000
+            )
+            * 0.03
+        ).alias("lon"),
+    )
+    left = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    pairs = haversine_join(
+        left,
+        right,
+        ("lat_a", "lon_a"),
+        ("lat_b", "lon_b"),
+        radius_km=30.0,
+        max_abs_lat=55.0,
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            haversine_km(
+                F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+            ),
+            3,
+        ).alias("dist_km"),
+    )

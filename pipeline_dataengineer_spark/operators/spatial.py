@@ -199,3 +199,81 @@ def dbscan(
             F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Great-circle (haversine) variant — lat/lon degrees, radius in km.
+# ------------------------------------------------------------------
+
+_EARTH_R_KM = 6371.0088
+_KM_PER_DEG = 111.19492664455873  # _EARTH_R_KM * pi / 180
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km between two (lat, lon) degree
+    pairs, as a codegen column expression (no UDF)."""
+    import math
+
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2) - F.radians(lat1)
+    dlmb = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+    )
+    return F.lit(2.0 * _EARTH_R_KM) * F.asin(F.sqrt(a))
+
+
+def haversine_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ll: tuple[str, str],
+    right_ll: tuple[str, str],
+    radius_km: float,
+    max_abs_lat: float = 70.0,
+    how: str = "inner",
+) -> DataFrame:
+    """All (left, right) pairs within great-circle ``radius_km``.
+
+    Same complete-and-duplicate-free grid scheme as
+    ``grid_distance_join`` but with per-axis cell widths in degrees:
+    height = radius / km-per-degree-latitude (an exact bound), width
+    = radius / (km-per-degree * cos(max_abs_lat)) — the worst-case
+    longitude shrink over the data's latitude range. ``max_abs_lat``
+    is a declared data bound (default 70°): points poleward of it can
+    silently miss pairs, so the caller owns the promise — the same
+    contract a fixed-grid spatial index (S2/geohash level choice)
+    imposes. The exact haversine residual on candidates makes the
+    bucketing invisible to the result.
+
+    At 100 TB this is the same story as the Euclidean join: shuffle
+    key = grid cell, urban-core hot cells are ordinary AQE-splittable
+    skew, and the 9x right-side explode is a constant.
+    """
+    import math
+
+    llat, llon = left_ll
+    rlat, rlon = right_ll
+    h_deg = radius_km / _KM_PER_DEG
+    w_deg = radius_km / (
+        _KM_PER_DEG * math.cos(math.radians(max_abs_lat))
+    )
+    lb = left.withColumn(
+        "__cy", F.floor(F.col(llat) / h_deg)
+    ).withColumn("__cx", F.floor(F.col(llon) / w_deg))
+    rb = (
+        right.withColumn(
+            "__dx", F.explode(F.sequence(F.lit(-1), F.lit(1)))
+        )
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__cy", F.floor(F.col(rlat) / h_deg) + F.col("__dy"))
+        .withColumn("__cx", F.floor(F.col(rlon) / w_deg) + F.col("__dx"))
+        .drop("__dx", "__dy")
+    )
+    d = haversine_km(lb[llat], lb[llon], rb[rlat], rb[rlon])
+    cond = (
+        (lb["__cx"] == rb["__cx"])
+        & (lb["__cy"] == rb["__cy"])
+        & (d <= F.lit(float(radius_km)))
+    )
+    return lb.join(rb, cond, how).drop("__cx", "__cy")
