@@ -2592,3 +2592,15 @@ pairs AS (
 SELECT id_a, id_b, round(d, 3) AS dist_km
 FROM pairs WHERE d <= 30.0
 """
+
+ORACLES["q_group_sample"] = f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY {_bucket_sql('o_orderkey', 1_000_000)}, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 40
+"""

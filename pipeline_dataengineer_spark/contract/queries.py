@@ -4463,3 +4463,20 @@ def q_haversine_join(spark, sf_dir):
             3,
         ).alias("dist_km"),
     )
+
+
+@query("q_group_sample")
+def q_group_sample(spark, sf_dir):
+    """Fixed-count per-group sample (operators/sampling.py:
+    group_sample): exactly 40 orders per priority, the 40
+    bucket-smallest rows. The plan is the two-phase shape (count →
+    narrow prefilter → rank over ~oversample*k survivors per group,
+    with the exactness guard), NOT a rank window over every group's
+    full rows; the oracle is the naive full row_number formulation —
+    different plan, identical defined result, hash-checked."""
+    from pipeline_dataengineer_spark.operators.sampling import group_sample
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return group_sample(o, ["o_orderpriority"], "o_orderkey", k=40)

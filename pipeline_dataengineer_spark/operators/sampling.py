@@ -19,7 +19,7 @@ extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE_31 = 2_147_483_647  # 2^31 - 1, the Lehmer modulus
@@ -164,3 +164,67 @@ def weighted_sample(
         & (portable_bucket(key_col, resolution) < thresh)
     )
     return out if ref_weight is not None else out.drop("__mean_w")
+
+
+def group_sample(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    k: int,
+    oversample: float = 4.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group — the k rows whose
+    Lehmer bucket (tie-broken by ``id_col``) is smallest. The
+    fixed-count analogue of ``stratified_sample``'s fixed-fraction:
+    "give me 1000 documents per language", reproducibly, independent
+    of layout.
+
+    Definition first, plan second: the SAMPLE is defined as the k
+    bucket-smallest rows per group, so the result is engine-portable
+    and layout-stable. The naive plan — rank window over every group
+    — funnels each group's FULL row set through one task (a hot
+    group at 100 TB is a straggler/OOM). Instead:
+
+    1. per-group counts (combinable aggregate, dimension-sized);
+    2. narrow prefilter keeping each group's smallest-bucket slice,
+       thresholded at ``oversample * k / n`` of the bucket space —
+       survivors are group-count-independent (~oversample*k);
+    3. exact rank window over survivors only;
+    4. EXACTNESS GUARD: any group whose survivor count came up short
+       of min(k, n) (possible only by bucket-collision bad luck at
+       P < Chernoff-tail levels) is re-ranked over its full rows and
+       unioned back. The guard keeps the operator exactly equal to
+       its definition while the fast path does ~oversample*k work
+       per group regardless of group size.
+    """
+    b = portable_bucket(F.col(id_col), buckets)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("__n"))
+    with_b = df.withColumn("__b", b)
+    joined = with_b.join(F.broadcast(counts), keys)
+    thresh = F.least(
+        F.lit(buckets),
+        F.ceil(F.lit(float(oversample) * k * buckets) / F.col("__n")),
+    )
+    survivors = joined.filter(F.col("__b") < thresh)
+    w = Window.partitionBy(*keys).orderBy("__b", id_col)
+    ranked = survivors.withColumn("__rn", F.row_number().over(w))
+    # guard: groups where the prefilter kept fewer than min(k, n)
+    got = survivors.groupBy(*keys).agg(F.count("*").alias("__got"))
+    short = (
+        counts.join(got, keys, "left")
+        .filter(
+            F.coalesce(F.col("__got"), F.lit(0))
+            < F.least(F.lit(k), F.col("__n"))
+        )
+        .select(*keys)
+    )
+    fast = ranked.join(F.broadcast(short), keys, "left_anti")
+    slow = (
+        with_b.join(F.broadcast(short), keys, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    out = fast.select(df.columns + ["__rn"]).unionByName(
+        slow.select(df.columns + ["__rn"])
+    )
+    return out.filter(F.col("__rn") <= k).drop("__rn")
