@@ -4480,3 +4480,39 @@ def q_group_sample(spark, sf_dir):
         "o_orderpriority", "o_orderkey", "o_totalprice"
     )
     return group_sample(o, ["o_orderpriority"], "o_orderkey", k=40)
+
+
+@query("q_als_topk")
+def q_als_topk(spark, sf_dir):
+    """ALS recommender (operators/recommender.py): customers x parts
+    implicit ratings (summed lineitem quantity), one alternating
+    iteration (both half-solves) at rank 4, then broadcast top-3
+    parts per customer.
+    Deterministic end-to-end (Lehmer factor init + fixed solve
+    order), but the factor VALUES are engine-specific — rows-only by
+    design, like the other iterative/sketch queries; the algebraic
+    laws are pytest-proven (test_recommender.py: planted low-rank
+    recovery, bit-exact layout determinism, top-k == argmax law)."""
+    from pipeline_dataengineer_spark.operators.recommender import (
+        als,
+        recommend_top_k,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    ratings = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("rating"))
+    )
+    uf, itf = als(ratings, rank=4, iterations=1)
+    recs = recommend_top_k(uf, itf, k=3)
+    return recs.select(
+        "user_id",
+        "item_id",
+        F.round("prediction", 3).alias("prediction"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -1,0 +1,81 @@
+"""ALS (operators/recommender.py): reconstruction quality on a
+planted low-rank matrix, bit-exact determinism across layouts, and
+scoring/top-k consistency."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.operators.recommender import (
+    als,
+    predict_ratings,
+    recommend_top_k,
+)
+
+
+def _planted(spark, n_users=30, n_items=20, rank=3, seed=5, keep=0.7):
+    rng = np.random.default_rng(seed)
+    u = rng.normal(scale=1.0, size=(n_users, rank))
+    v = rng.normal(scale=1.0, size=(n_items, rank))
+    full = u @ v.T
+    rows = [
+        (ui, ii, float(full[ui, ii]))
+        for ui in range(n_users)
+        for ii in range(n_items)
+        if rng.random() < keep
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, item_id long, rating double"
+    )
+    return df, full
+
+
+def test_als_reconstructs_low_rank(spark):
+    df, full = _planted(spark)
+    uf, itf = als(df, rank=4, reg=0.05, iterations=8)
+    pred = predict_ratings(df, uf, itf).collect()
+    err = np.sqrt(
+        np.mean([(r["prediction"] - r["rating"]) ** 2 for r in pred])
+    )
+    scale = np.sqrt(np.mean(full**2))
+    assert err < 0.15 * scale, f"rmse {err} vs signal {scale}"
+
+
+def test_als_deterministic_across_layouts(spark):
+    df, _ = _planted(spark, n_users=12, n_items=8)
+    uf1, _ = als(df.repartition(13), rank=3, iterations=3)
+    uf2, _ = als(df.coalesce(1), rank=3, iterations=3)
+    a = {r["user_id"]: list(r["factors"]) for r in uf1.collect()}
+    b = {r["user_id"]: list(r["factors"]) for r in uf2.collect()}
+    assert a == b  # bit-exact
+
+
+def test_predict_matches_manual_dot(spark):
+    df, _ = _planted(spark, n_users=6, n_items=5)
+    uf, itf = als(df, rank=2, iterations=2)
+    u = {r["user_id"]: np.array(r["factors"]) for r in uf.collect()}
+    v = {r["item_id"]: np.array(r["factors"]) for r in itf.collect()}
+    for r in predict_ratings(df, uf, itf).collect():
+        want = float(u[r["user_id"]] @ v[r["item_id"]])
+        assert r["prediction"] == pytest.approx(want, rel=1e-12)
+
+
+def test_recommend_top_k(spark):
+    df, _ = _planted(spark, n_users=8, n_items=10)
+    uf, itf = als(df, rank=3, iterations=3)
+    u = {r["user_id"]: np.array(r["factors"]) for r in uf.collect()}
+    v_rows = itf.collect()
+    vids = [r["item_id"] for r in v_rows]
+    v = np.stack([np.array(r["factors"]) for r in v_rows])
+    recs = recommend_top_k(uf, itf, k=3)
+    got = {}
+    for r in recs.collect():
+        got.setdefault(r["user_id"], []).append((r["rank"], r["item_id"], r["prediction"]))
+    assert set(got) == set(u)
+    for uid, lst in got.items():
+        lst.sort()
+        assert len(lst) == 3
+        scores = u[uid] @ v.T
+        best = sorted(zip(scores, vids), key=lambda t: -t[0])[:3]
+        assert [i for _, i, _ in lst] == [i for _, i in best]
+        assert lst[0][2] == pytest.approx(best[0][0], rel=1e-12)
