@@ -2604,3 +2604,27 @@ FROM (
   FROM orders
 ) WHERE rn <= 40
 """
+
+ORACLES["q_hamming_neardup"] = f"""
+WITH fp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN
+           xor(
+             (({_bucket_sql('CAST(floor(doc_id / 2) AS BIGINT) + 7', 1 << 21)}) << 42)
+             + (({_bucket_sql('CAST(floor(doc_id / 2) AS BIGINT) + 11', 1 << 21)}) << 21)
+             + ({_bucket_sql('CAST(floor(doc_id / 2) AS BIGINT) + 13', 1 << 21)}),
+             ((1::BIGINT << CAST(doc_id % 19 AS INT))
+              | (1::BIGINT << CAST(20 + doc_id % 17 AS INT)))
+           )
+         ELSE
+           (({_bucket_sql('CAST(floor(doc_id / 2) AS BIGINT) + 7', 1 << 21)}) << 42)
+           + (({_bucket_sql('CAST(floor(doc_id / 2) AS BIGINT) + 11', 1 << 21)}) << 21)
+           + ({_bucket_sql('CAST(floor(doc_id / 2) AS BIGINT) + 13', 1 << 21)})
+         END AS h
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming_distance
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 2
+"""

@@ -4516,3 +4516,43 @@ def q_als_topk(spark, sf_dir):
         F.round("prediction", 3).alias("prediction"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@query("q_hamming_neardup")
+def q_hamming_neardup(spark, sf_dir):
+    """Banded Hamming near-duplicate join (operators/dedup.py:
+    hamming_near_duplicates — the candidate join behind simhash text
+    dedup and dHash image dedup). Fingerprints are CONSTRUCTED to be
+    engine-portable: a 63-bit word from three stacked Lehmer buckets
+    of floor(doc_id/2), with odd doc ids XOR-flipping two disjoint
+    bit positions — so consecutive even/odd docs are planted
+    distance-2 pairs and everything else is ~random-far. Spark runs
+    the pigeonhole band join (3 bands for d=2, one shuffle, popcount
+    residual); the oracle is DuckDB's quadratic xor/bit_count brute
+    force — different algorithm, hash-identical pairs."""
+    from pipeline_dataengineer_spark.operators.dedup import (
+        hamming_near_duplicates,
+    )
+    from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    base = F.floor(F.col("doc_id") / 2).cast("long")
+    m = 1 << 21
+    h_base = (
+        F.shiftleft(portable_bucket(base + 7, m).cast("long"), 42)
+        + F.shiftleft(portable_bucket(base + 11, m).cast("long"), 21)
+        + portable_bucket(base + 13, m).cast("long")
+    )
+    flip = F.expr(
+        "shiftleft(1L, CAST(doc_id % 19 AS INT)) | "
+        "shiftleft(1L, CAST(20 + doc_id % 17 AS INT))"
+    )
+    h = F.when(F.pmod("doc_id", F.lit(2)) == 1, h_base.bitwiseXOR(flip)).otherwise(
+        h_base
+    )
+    fp = d.select("doc_id", h.alias("h"))
+    return hamming_near_duplicates(fp, "doc_id", "h", max_distance=2).select(
+        "id_a",
+        "id_b",
+        F.col("hamming_distance").cast("long").alias("hamming_distance"),
+    )

@@ -551,3 +551,85 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(op, out_schema)
+
+
+# ------------------------------------------------------------------
+# Perceptual image hashing (dHash) → near-duplicate image detection.
+# ------------------------------------------------------------------
+
+
+def _gray_pixels(payload: bytes):
+    """Decode to a float64 grayscale matrix (h, w), real pixels only
+    (PNG scanline decode or the pure-Python JPEG decoder); raises on
+    anything the decoders can't produce pixels for."""
+    import numpy as np
+
+    if payload[:8] == _PNG_MAGIC:
+        w, h, ch, pixels = _decode_png(payload)
+        a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+        if ch == 2:  # gray + alpha
+            a = a[:, :, :1]
+        elif ch == 4:
+            a = a[:, :, :3]
+        return a.mean(axis=2, dtype=np.float64)
+    if payload[:3] == b"\xff\xd8\xff":
+        from pipeline_dataengineer_spark.multimodal.jpeg import decode_jpeg
+
+        _w, _h, rgb = decode_jpeg(payload)
+        return rgb.astype(np.float64).mean(axis=2)
+    raise ValueError("no pixel decoder for payload")
+
+
+def _dhash64(gray) -> int:
+    """Classic difference hash: block-mean resize to 9 x 8, then one
+    bit per horizontal gradient sign — 64 bits packed little-endian
+    (row-major), returned as a signed int64."""
+    import numpy as np
+
+    h, w = gray.shape
+    # block-mean resample to 8 rows x 9 cols via index-sliced means
+    ys = (np.arange(9) * h / 8).astype(np.int64)  # 8 row strips
+    xs = (np.arange(10) * w / 9).astype(np.int64)  # 9 col strips
+    ys[-1], xs[-1] = h, w
+    small = np.empty((8, 9))
+    for i in range(8):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(9):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            small[i, j] = gray[y0:y1, x0:x1].mean()
+    bits = (small[:, 1:] > small[:, :-1]).ravel()  # 8 x 8 gradients
+    acc = 0
+    for k, b in enumerate(bits):
+        if b:
+            acc |= 1 << k
+    if acc >= 1 << 63:
+        acc -= 1 << 64
+    return acc
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """payload → ``dhash`` (nullable long): the 64-bit perceptual
+    difference hash of the decoded pixels. Rows whose payload can't
+    be pixel-decoded get NULL (same corrupt-blob tolerance as
+    decode_images). Feed the output to
+    ``operators.dedup.hamming_near_duplicates`` for near-duplicate
+    image pairs — the image twin of simhash-over-text: brightness
+    shifts, recompression and small blurs move few gradient signs,
+    so perceptual duplicates land within a small Hamming radius."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("dhash", T.LongType(), True)]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                try:
+                    hashes.append(_dhash64(_gray_pixels(bytes(payload))))
+                except Exception:
+                    hashes.append(None)
+            yield pdf.assign(dhash=pd.array(hashes, dtype="Int64"))
+
+    return df.mapInPandas(op, out_schema)

@@ -691,3 +691,76 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti")
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """All (id_a, id_b) pairs whose ``hash_col`` fingerprints differ
+    in at most ``max_distance`` bits — the candidate join for ANY
+    64-bit locality-preserving fingerprint (``simhash64`` text
+    fingerprints, ``multimodal.media.image_dhash`` perceptual image
+    hashes).
+
+    Pigeonhole banding: split the word into ``max_distance + 1``
+    bands; a pair within distance d must agree EXACTLY on at least
+    one band, so an equi-join on (band index, band value) finds every
+    qualifying pair — one ordinary shuffle, never the all-pairs
+    product. Candidates are re-checked with the exact popcount
+    residual (``bit_count(a XOR b)``), and a pair that agrees on
+    several bands is kept once via a groupBy on the pair key (the
+    dedup is over candidate pairs — band-count-bounded — not over
+    the corpus).
+
+    At 100 TB: same scale story as the MinHash LSH join — shuffle
+    tracks band-bucket density; a degenerate bucket (all-zero hashes
+    from blank images) is the usual hot-key/AQE story, and the
+    popcount residual is codegen, not Python.
+    """
+    nbands = int(max_distance) + 1
+    if nbands > bits:
+        raise ValueError("max_distance must be < bits")
+    base_w, extra = divmod(bits, nbands)
+    widths = [base_w + (1 if i < extra else 0) for i in range(nbands)]
+    starts = [sum(widths[:i]) for i in range(nbands)]
+    h = F.col(hash_col)
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(h, starts[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("bval"),
+            )
+            for i in range(nbands)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), h.alias("__h"), F.explode(band_vals).alias("bk")
+    ).select(
+        id_col, "__h", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__h").alias("__ha"),
+        "band",
+        "bval",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__h").alias("__hb"),
+        "band",
+        "bval",
+    )
+    dist = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= max_distance)
+        .groupBy("id_a", "id_b")
+        .agg(F.min(dist).alias("hamming_distance"))
+    )
