@@ -2628,3 +2628,32 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= 2
 """
+
+ORACLES["q_seasonal_decompose"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS pri, o_orderdate AS d,
+         round(sum(o_totalprice), 2) AS v
+  FROM orders GROUP BY pri, d
+), pos AS (
+  SELECT pri, d, v,
+         row_number() OVER (PARTITION BY pri ORDER BY d) - 1 AS p
+  FROM daily
+), tr AS (
+  SELECT pri, d, v, p % 7 AS phase,
+         CASE WHEN count(v) OVER w7 = 7 THEN avg(v) OVER w7 END AS trend
+  FROM pos
+  WINDOW w7 AS (PARTITION BY pri ORDER BY p
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), pm AS (
+  SELECT pri, phase, avg(v - trend) AS pmv
+  FROM tr GROUP BY pri, phase
+), pmc AS (
+  SELECT pri, phase,
+         pmv - avg(pmv) OVER (PARTITION BY pri) AS pm0
+  FROM pm
+)
+SELECT t.pri AS o_orderpriority, t.d AS o_orderdate, t.v AS daily_total,
+       round(t.trend, 3) AS trend, round(c.pm0, 3) AS seasonal,
+       round(t.v - t.trend - c.pm0, 3) AS resid
+FROM tr t LEFT JOIN pmc c ON t.pri = c.pri AND t.phase = c.phase
+"""

@@ -4556,3 +4556,38 @@ def q_hamming_neardup(spark, sf_dir):
         "id_b",
         F.col("hamming_distance").cast("long").alias("hamming_distance"),
     )
+
+
+@query("q_seasonal_decompose")
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition (operators/
+    timeseries.py:seasonal_decompose): per order priority, the daily
+    revenue series split into centered-MA(7) trend, re-centered
+    per-weekday-phase seasonal, and residual — all window/groupBy
+    relational algebra (series shuffled once; phase means are a
+    key x 7 combinable aggregate broadcast back). Oracle = full SQL
+    window replay in DuckDB, hash-checked after round(3)."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("daily_total"))
+    )
+    out = seasonal_decompose(
+        daily,
+        ["o_orderpriority"],
+        "o_orderdate",
+        "daily_total",
+        period=7,
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "daily_total",
+        F.round("trend", 3).alias("trend"),
+        F.round("seasonal", 3).alias("seasonal"),
+        F.round("resid", 3).alias("resid"),
+    )

@@ -259,3 +259,79 @@ def clamped_running_sum(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive decomposition value = trend + seasonal +
+    resid (the moving-average core of STL, without STL's loess
+    robustness loop) — entirely window/groupBy relational algebra, no
+    Python in the path.
+
+    - ``trend``: centered moving average of length ``period`` (for
+      even periods the standard 2 x p double average), NULL where the
+      window is not full — classical-decomposition edge semantics;
+    - ``seasonal``: per-phase mean of the detrended series
+      (phase = 0-based position mod period), re-centered so one full
+      cycle of seasonals sums to ~0;
+    - ``resid``: value - trend - seasonal (NULL where trend is).
+
+    Scale: one shuffle on the key for the window sort, then a
+    phase-level (key x period sized) combinable aggregate broadcast
+    back — the series itself is shuffled once and never again. Per-key
+    state is the window frame (period rows), so a million keys x
+    arbitrary history stream through without hot-task risk; a SINGLE
+    key's series does sort in one task chain, the inherent cost of an
+    ordered per-key decomposition (same story as holt_linear).
+    """
+    half = period // 2
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    pos = F.row_number().over(w) - 1
+    dfp = df.withColumn("__pos", pos)
+    wo = Window.partitionBy(*key_cols).orderBy("__pos")
+    if period % 2 == 1:
+        frame = wo.rowsBetween(-half, half)
+        full = (
+            F.count(value_col).over(frame) == period
+        )
+        trend = F.when(full, F.avg(value_col).over(frame))
+    else:
+        f1 = wo.rowsBetween(-half, half - 1)
+        f2 = wo.rowsBetween(-half + 1, half)
+        full = (F.count(value_col).over(f1) == period) & (
+            F.count(value_col).over(f2) == period
+        )
+        trend = F.when(
+            full,
+            (F.avg(value_col).over(f1) + F.avg(value_col).over(f2)) / 2,
+        )
+    t = dfp.withColumn("__trend", trend).withColumn(
+        "__phase", F.pmod("__pos", F.lit(period))
+    )
+    detr = (F.col(value_col) - F.col("__trend")).alias("__detr")
+    phase_means = (
+        t.select(*key_cols, "__phase", detr)
+        .groupBy(*key_cols, "__phase")
+        .agg(F.avg("__detr").alias("__pm"))
+    )
+    centered = phase_means.withColumn(
+        "__pm0",
+        F.col("__pm")
+        - F.avg("__pm").over(Window.partitionBy(*key_cols)),
+    ).select(*key_cols, "__phase", "__pm0")
+    out = t.join(F.broadcast(centered), [*key_cols, "__phase"], "left")
+    return (
+        out.select(
+            *df.columns,
+            F.col("__trend").alias("trend"),
+            F.col("__pm0").alias("seasonal"),
+            (
+                F.col(value_col) - F.col("__trend") - F.col("__pm0")
+            ).alias("resid"),
+        )
+    )
