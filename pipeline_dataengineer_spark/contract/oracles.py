@@ -2657,3 +2657,43 @@ SELECT t.pri AS o_orderpriority, t.d AS o_orderdate, t.v AS daily_total,
        round(t.v - t.trend - c.pm0, 3) AS resid
 FROM tr t LEFT JOIN pmc c ON t.pri = c.pri AND t.phase = c.phase
 """
+
+ORACLES["q_clustering_coeff"] = """
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+), raw AS (
+  SELECT a.c_custkey AS src, b.c_custkey AS dst
+  FROM ranked a JOIN ranked b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey
+  FROM ranked a JOIN ranked b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 2
+), e AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src <> dst
+), tris AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM e ab JOIN e bc ON ab.hi = bc.lo
+  WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.lo = ab.lo AND ac.hi = bc.hi)
+), pertri AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+), deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+  ) GROUP BY node
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 4) AS coefficient
+FROM deg d LEFT JOIN pertri t ON d.node = t.node
+"""

@@ -4591,3 +4591,36 @@ def q_seasonal_decompose(spark, sf_dir):
         F.round("seasonal", 3).alias("seasonal"),
         F.round("resid", 3).alias("resid"),
     )
+
+
+@query("q_clustering_coeff")
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (operators/graph.py:
+    clustering_coefficient) over the same ring+chord co-nation graph
+    as q_triangle_count. Oracle = independent DuckDB SQL: triangles
+    per node via a three-way join over the canonical edge list,
+    degrees from an endpoint union — hash-checked per node."""
+    from pipeline_dataengineer_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    e1 = ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    e2 = ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 2),
+    ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    out = clustering_coefficient(e1.unionByName(e2))
+    return out.select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.round("coefficient", 4).alias("coefficient"),
+    )

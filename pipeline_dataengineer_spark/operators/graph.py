@@ -541,3 +541,66 @@ def k_core(
             .select("a", "b")
             .localCheckpoint()
         )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected
+    graph: 2 * triangles(v) / (deg(v) * (deg(v) - 1)); 0.0 for
+    degree < 2 nodes. Returns (node, degree, triangles, coefficient)
+    — total over the graph's vertex set.
+
+    Same relational skeleton as ``triangle_count`` (canonical edges,
+    path join, closing semi-check) but keeping the closed (a, b, c)
+    rows and crediting each to its three corners with one explode +
+    combinable count — no vertex program, and the scale story
+    (degree-ordered candidates, AQE on celebrity keys) is inherited
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    paths = e.alias("ab").join(
+        e.alias("bc"), F.col("ab.hi") == F.col("bc.lo")
+    ).select(
+        F.col("ab.lo").alias("a"),
+        F.col("ab.hi").alias("b"),
+        F.col("bc.hi").alias("c"),
+    )
+    closed = paths.join(
+        e.alias("ac"),
+        (F.col("a") == F.col("ac.lo")) & (F.col("c") == F.col("ac.hi")),
+        "left_semi",
+    )
+    tri = (
+        closed.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce("triangles", F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("coefficient"),
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pipeline_dataengineer_spark.operators.graph import (
     connected_components,
     dedup_keep_canonical,
@@ -239,3 +241,36 @@ def test_k_core_cascading_peel(spark):
         [(0, i) for i in range(1, 5)], ["src", "dst"]
     )
     assert k_core(edges, 2).count() == 0
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """K3 plus a pendant: triangle nodes have coeff 1 (or 1/3 for the
+    node that also holds the pendant), pendant has 0."""
+    from pipeline_dataengineer_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["coefficient"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, pytest.approx(1 / 3))
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_clustering_coefficient_square_no_triangles(spark):
+    from pipeline_dataengineer_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    rows = clustering_coefficient(edges).collect()
+    assert all(r["coefficient"] == 0.0 and r["triangles"] == 0 for r in rows)
+    assert all(r["degree"] == 2 for r in rows)
