@@ -576,3 +576,80 @@ def test_snapshot_corpus_append_with_signature_store(spark, tmp_path):
     ids = {r["doc_id"] for r in read_snapshot(spark, root).collect()}
     assert 50 in ids and 51 not in ids and len(ids) == 21
     assert spark.read.parquet(store).count() == 21  # grew by the delta only
+
+
+def test_table_changes_append_only(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        table_changes,
+    )
+
+    root = str(tmp_path / "cdf")
+    write_snapshot(spark.range(0, 3).withColumn("v", F.lit("a")), root)
+    append_snapshot(spark.range(10, 12).withColumn("v", F.lit("b")), root)
+    append_snapshot(spark.range(20, 21).withColumn("v", F.lit("c")), root)
+    ch = table_changes(spark, root, 0)  # v0 -> current (v2)
+    rows = {(r["id"], r["v"], r["change_type"]) for r in ch.collect()}
+    assert rows == {
+        (10, "b", "insert"),
+        (11, "b", "insert"),
+        (20, "c", "insert"),
+    }
+    # sub-range v1 -> v2
+    ch12 = table_changes(spark, root, 1, 2)
+    assert {r["id"] for r in ch12.collect()} == {20}
+    # empty range
+    assert table_changes(spark, root, 2, 2).count() == 0
+
+
+def test_table_changes_keyed_mor(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        delete_append,
+        table_changes,
+        upsert_append,
+    )
+
+    root = str(tmp_path / "cdfk")
+    base = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, v string"
+    )
+    write_snapshot(base, root)  # v0
+    upsert_append(
+        spark,
+        root,
+        spark.createDataFrame([(2, "Y2"), (4, "w")], "id long, v string"),
+        keys=["id"],
+    )  # v1: update 2, insert 4
+    delete_append(spark, root, spark.createDataFrame([(1,)], "id long"), keys=["id"])  # v2
+    ch = table_changes(spark, root, 0, 2)
+    got = {r["id"]: r["change_type"] for r in ch.collect()}
+    assert got == {1: "delete", 2: "update", 4: "insert"}
+    by_id = {r["id"]: r for r in ch.collect()}
+    assert by_id[2]["old_v"] == "y" and by_id[2]["new_v"] == "Y2"
+    assert by_id[1]["old_v"] == "x" and by_id[1]["new_v"] is None
+
+
+def test_table_changes_replace_raises(spark, tmp_path):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        table_changes,
+    )
+
+    root = str(tmp_path / "cdfr")
+    write_snapshot(spark.range(3), root)
+    write_snapshot(spark.range(5), root)  # replace, not append
+    with pytest.raises(ValueError, match="replace/compact"):
+        table_changes(spark, root, 0, 1)
+
+
+def test_table_changes_bad_range(spark, tmp_path):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        table_changes,
+    )
+
+    root = str(tmp_path / "cdfb")
+    write_snapshot(spark.range(3), root)
+    with pytest.raises(ValueError, match="bad version range"):
+        table_changes(spark, root, 0, 5)
