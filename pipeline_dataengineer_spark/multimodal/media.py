@@ -75,6 +75,8 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
             "video/x-msvideo",
         )
         .when(F.startswith(p, F.lit(b"RIFF")), "audio/wav")
+        .when(F.startswith(p, F.lit(b"GIF8")), "image/gif")
+        .when(F.startswith(p, F.lit(b"BM")), "image/bmp")
         .when(F.startswith(p, F.lit(b"\x00\x00\x00\x18ftyp")), "video/mp4")
         .otherwise("application/octet-stream")
     )
@@ -299,6 +301,12 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, list[float]]:
         raise ValueError("empty payload")
     if payload[:8] == _PNG_MAGIC:
         w, h, _ch, pixels = _decode_png(payload)
+        return w, h, _mean_intensity_features(pixels)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, _ch, pixels = _decode_gif(payload)
+        return w, h, _mean_intensity_features(pixels)
+    if payload[:2] == b"BM":
+        w, h, _ch, pixels = _decode_bmp(payload)
         return w, h, _mean_intensity_features(pixels)
     hsh = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False)
     feats = [((hsh >> (8 * i)) & 0xFF) / 255.0 for i in range(8)]
@@ -577,6 +585,14 @@ def _gray_pixels(payload: bytes):
 
         _w, _h, rgb = decode_jpeg(payload)
         return rgb.astype(np.float64).mean(axis=2)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, _ch, pixels = _decode_gif(payload)
+        a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+        return a.mean(axis=2, dtype=np.float64)
+    if payload[:2] == b"BM":
+        w, h, _ch, pixels = _decode_bmp(payload)
+        a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+        return a.mean(axis=2, dtype=np.float64)
     raise ValueError("no pixel decoder for payload")
 
 
@@ -633,3 +649,154 @@ def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pdf.assign(dhash=pd.array(hashes, dtype="Int64"))
 
     return df.mapInPandas(op, out_schema)
+
+
+# ------------------------------------------------------------------
+# GIF (LZW) and BMP — two more REAL pure-Python pixel decoders.
+# ------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """LZW decompression per GIF89a appendix F: variable-width codes
+    LSB-first, clear/end codes, dictionary capped at 4096."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if (
+                len(table) == (1 << width)
+                and width < 12
+            ):
+                width += 1
+    return out
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, 3, RGB bytes) of the FIRST frame of a real
+    GIF87a/89a — full LZW decode, global/local palettes, interlace
+    deinterlacing. Later animation frames are out of scope (frame
+    sampling belongs to sample_video_frames semantics)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: introducer, label, sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if not palette:
+                raise ValueError("GIF without a color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_code, bytes(lzw))
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF image data")
+            idx = idx[: w * h]
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                un = [None] * h
+                for src_i, dst_r in enumerate(order):
+                    un[dst_r] = rows[src_i]
+                idx = [p for row in un for p in row]
+            out = bytearray()
+            npal = len(palette) // 3
+            for p in idx:
+                if p >= npal:
+                    raise ValueError("GIF pixel index outside palette")
+                out += palette[3 * p : 3 * p + 3]
+            return w, h, 3, bytes(out)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, 3, RGB bytes top-down) from an uncompressed
+    24/32-bit BMP (BITMAPINFOHEADER family, the overwhelmingly common
+    on-disk shape)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if comp not in (0, 3) or bpp not in (24, 32) or planes != 1 or w <= 0:
+        raise ValueError("unsupported BMP variant")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    out = bytearray()
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = pix_off + src_row * stride
+        line = payload[base : base + w * nch]
+        if len(line) < w * nch:
+            raise ValueError("truncated BMP")
+        for x in range(w):
+            b, g, r = line[x * nch], line[x * nch + 1], line[x * nch + 2]
+            out += bytes((r, g, b))
+    return w, h, 3, bytes(out)
