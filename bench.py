@@ -119,6 +119,14 @@ HEADLINE = [
     # round 3 continuation (new operator families)
     "q_skyline",
     "q_cep_pattern",
+    "q_recursive_cte",
+    "q_haversine_join",
+    "q_hamming_neardup",
+    "q_group_sample",
+    "q_kmv_distinct",
+    "q_pca_cov",
+    "q_seasonal_decompose",
+    "q_clustering_coeff",
 ]
 
 

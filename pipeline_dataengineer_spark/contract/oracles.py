@@ -2697,3 +2697,47 @@ SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
                   ELSE 0.0 END, 4) AS coefficient
 FROM deg d LEFT JOIN pertri t ON d.node = t.node
 """
+
+ORACLES["q_mutual_info"] = """
+WITH cells AS (
+  SELECT o_orderpriority a, o_orderstatus b, count(*)::DOUBLE AS o
+  FROM orders GROUP BY a, b
+), n AS (SELECT sum(o) AS n FROM cells),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+mi AS (
+  SELECT sum((c.o / n.n) * ln(c.o * n.n / (ra.ra * cb.cb))) AS mi
+  FROM cells c, n JOIN ra ON c.a = ra.a JOIN cb ON c.b = cb.b
+),
+ha AS (SELECT -sum((ra / n.n) * ln(ra / n.n)) AS h FROM ra, n),
+hb AS (SELECT -sum((cb / n.n) * ln(cb / n.n)) AS h FROM cb, n)
+SELECT round(mi.mi, 6) AS mi_nats,
+       round(CASE WHEN ha.h > 0 AND hb.h > 0
+                  THEN mi.mi / sqrt(ha.h * hb.h) ELSE 0.0 END, 6) AS nmi,
+       CAST(n.n AS BIGINT) AS n
+FROM mi, ha, hb, n
+"""
+
+ORACLES["q_ks_test"] = """
+WITH two AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), cum AS (
+  SELECT
+    sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+      OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS ca,
+    sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+      OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cb
+  FROM two
+), ns AS (
+  SELECT sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS nb
+  FROM two
+)
+SELECT round(max(abs(ca / (na * 1.0) - cb / (nb * 1.0))), 6) AS ks_stat,
+       CAST(any_value(na) AS BIGINT) AS n_a,
+       CAST(any_value(nb) AS BIGINT) AS n_b
+FROM cum, ns
+"""

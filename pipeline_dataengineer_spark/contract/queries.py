@@ -4624,3 +4624,39 @@ def q_clustering_coeff(spark, sf_dir):
         F.col("triangles").cast("long").alias("triangles"),
         F.round("coefficient", 4).alias("coefficient"),
     )
+
+
+@query("q_mutual_info")
+def q_mutual_info(spark, sf_dir):
+    """Mutual information (operators/stats_tests.py:
+    mutual_information) between order priority and order status —
+    one fact-table pass builds the cell table, margins/entropies are
+    cell-derived. Oracle = the identical MI/NMI formula replayed in
+    SQL over the same contingency construction, hash-checked after
+    round(6)."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        mutual_information,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    out = mutual_information(o, "o_orderpriority", "o_orderstatus")
+    return out.select(
+        F.round("mi_nats", 6).alias("mi_nats"),
+        F.round("nmi", 6).alias("nmi"),
+        "n",
+    )
+
+
+@query("q_ks_test")
+def q_ks_test(spark, sf_dir):
+    """Two-sample KS statistic (operators/stats_tests.py:ks_test)
+    between URGENT and LOW order totalprice distributions — pooled
+    single window with a RANGE (tie-absorbing) cumulative frame.
+    Oracle = same ECDF construction in DuckDB SQL, round(6)."""
+    from pipeline_dataengineer_spark.operators.stats_tests import ks_test
+
+    o = table(spark, sf_dir, "orders")
+    out = ks_test(o, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW")
+    return out.select(
+        F.round("ks_stat", 6).alias("ks_stat"), "n_a", "n_b"
+    )

@@ -1,0 +1,91 @@
+"""Isotonic regression (pool-adjacent-violators) — the standard
+model-calibration fit (map raw model scores to calibrated
+probabilities under a monotonicity constraint).
+
+Shape: one shuffle on the group key, then PAV inside a grouped Arrow
+map — PAV is inherently sequential in the sort order of ONE group's
+points (stack-based pooling, O(n) after the sort), which is exactly
+the applyInPandas contract: per-key state bounded by that key's row
+count, a million keys stream through independently. Calibration
+groups (model version, segment) are naturally bounded; for a single
+giant group the documented preconditioner is score-quantile
+pre-binning (robust.quantile_bucketize) to a fixed number of
+weighted points — the standard industrial reduction, which PAV then
+pools exactly.
+
+Determinism: points sort by (x, y, weight) so pooling order — and
+therefore every fitted value — is layout-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _pav(y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Weighted PAV over y in given order: non-decreasing fit that
+    minimizes weighted squared error. Returns the fitted values."""
+    # each stack block: [sum_w, sum_wy, count]
+    blocks: list[list[float]] = []
+    for yi, wi in zip(y, w):
+        blocks.append([wi, wi * yi, 1])
+        while len(blocks) > 1:
+            bw, bwy, bc = blocks[-1]
+            aw, awy, ac = blocks[-2]
+            if bwy / bw < awy / aw:  # violator: pool
+                blocks.pop()
+                blocks[-1] = [aw + bw, awy + bwy, ac + bc]
+            else:
+                break
+    out = np.empty(len(y))
+    i = 0
+    for bw, bwy, bc in blocks:
+        out[i : i + bc] = bwy / bw
+        i += bc
+    return out
+
+
+def isotonic_regression(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-key isotonic fit: adds ``fitted`` — the non-decreasing (in
+    ``x_col``) least-squares approximation of ``y_col``. Equal-x
+    points receive equal fitted values (they are pre-pooled, the
+    standard primary treatment of ties)."""
+    cols = list(df.columns)
+    out_schema = StructType(
+        df.schema.fields + [StructField("fitted", DoubleType())]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [x_col, y_col], kind="mergesort"
+        ).reset_index(drop=True)
+        w = (
+            pdf[weight_col].to_numpy(dtype=np.float64)
+            if weight_col
+            else np.ones(len(pdf))
+        )
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        # pre-pool ties in x to one weighted point each
+        ux, inv = np.unique(x, return_inverse=True)
+        wsum = np.bincount(inv, weights=w)
+        wy = np.bincount(inv, weights=w * y)
+        pooled = _pav(wy / wsum, wsum)
+        pdf["fitted"] = pooled[inv]
+        return pdf[cols + ["fitted"]]
+
+    if key_cols:
+        return df.groupBy(*key_cols).applyInPandas(fit, out_schema)
+    return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda p: fit(p.drop(columns="__g")), out_schema
+    )

@@ -129,3 +129,94 @@ def mann_whitney_u(
         "n_a",
         "n_b",
     )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str, normalized: bool = True
+) -> DataFrame:
+    """One row: (mi_nats, nmi, n) — mutual information between two
+    categorical columns, plus the [0,1] normalized variant
+    (MI / sqrt(H(A)·H(B)), 0 when either entropy is 0).
+
+    Same scale shape as ``chi2_association``: ONE groupBy over the
+    facts builds the |A| x |B| cell table; margins and entropies are
+    derived from the CELLS (dimension-sized aggregates), so the fact
+    table is touched exactly once. NULL categories are real levels.
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    row_m = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    col_m = cells.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    n_row = cells.agg(F.sum("__o").alias("__n"))
+    j = (
+        cells.join(F.broadcast(row_m), col_a, "left")
+        .join(F.broadcast(col_m), col_b, "left")
+        .crossJoin(F.broadcast(n_row))
+    )
+    pxy = F.col("__o") / F.col("__n")
+    mi_term = pxy * F.log(
+        F.col("__o").cast("double")
+        * F.col("__n")
+        / (F.col("__ra").cast("double") * F.col("__cb"))
+    )
+    ha_term = (F.col("__ra") / F.col("__n")) * F.log(
+        F.col("__ra") / F.col("__n")
+    )
+    hb_term = (F.col("__cb") / F.col("__n")) * F.log(
+        F.col("__cb") / F.col("__n")
+    )
+    mi = j.agg(F.sum(mi_term).alias("mi")).collect()[0]["mi"]
+    ha = -row_m.crossJoin(F.broadcast(n_row)).agg(F.sum(ha_term)).collect()[0][0]
+    hb = -col_m.crossJoin(F.broadcast(n_row)).agg(F.sum(hb_term)).collect()[0][0]
+    n = n_row.collect()[0]["__n"]
+    spark = df.sparkSession
+    nmi = mi / (ha * hb) ** 0.5 if ha > 0 and hb > 0 else 0.0
+    return spark.createDataFrame(
+        [(float(mi), float(nmi) if normalized else None, n)],
+        "mi_nats double, nmi double, n long",
+    )
+
+
+def ks_test(
+    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: one row (ks_stat, n_a, n_b) —
+    the max gap between the two empirical CDFs, computed relationally:
+    pool both samples, ONE window over the pooled order accumulating
+    per-side running counts, max of |F_a - F_b|. Ties are handled by
+    evaluating the CDFs AFTER all equal values are absorbed (the
+    range-frame cumulative count), which is the correct ECDF value at
+    each distinct point.
+
+    The single global-order window is the honest cost (same as
+    mann_whitney_u); the 100-TB swap is the same KLL-sketch CDF
+    documented there."""
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    counts = two.groupBy("__g").agg(F.count("*").alias("__n"))
+    # range frame: cumulative count INCLUDING all ties at this value
+    w = Window.orderBy("__v").rangeBetween(Window.unboundedPreceding, 0)
+    marked = two.select(
+        "__v",
+        F.when(F.col("__g") == group_a, 1).otherwise(0).alias("__ia"),
+        F.when(F.col("__g") == group_b, 1).otherwise(0).alias("__ib"),
+    )
+    cum = marked.select(
+        F.sum("__ia").over(w).alias("__ca"),
+        F.sum("__ib").over(w).alias("__cb"),
+    )
+    na_nb = {r["__g"]: r["__n"] for r in counts.collect()}
+    na, nb = na_nb.get(group_a, 0), na_nb.get(group_b, 0)
+    if na == 0 or nb == 0:
+        raise ValueError("both groups must be non-empty")
+    ks = cum.agg(
+        F.max(
+            F.abs(
+                F.col("__ca") / F.lit(float(na))
+                - F.col("__cb") / F.lit(float(nb))
+            )
+        ).alias("ks")
+    ).collect()[0]["ks"]
+    return df.sparkSession.createDataFrame(
+        [(float(ks), na, nb)], "ks_stat double, n_a long, n_b long"
+    )

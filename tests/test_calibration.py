@@ -1,0 +1,92 @@
+"""Isotonic regression (operators/calibration.py): monotonicity,
+mean preservation, exactness on monotone input, pooling law vs an
+independent O(n^2) reference implementation, tie handling."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pipeline_dataengineer_spark.operators.calibration import (
+    isotonic_regression,
+)
+
+
+def _ref_pav(y, w):
+    """Independent quadratic reference: repeatedly merge any adjacent
+    violating blocks until monotone."""
+    blocks = [[wi, wi * yi, [i]] for i, (yi, wi) in enumerate(zip(y, w))]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][1] / blocks[i][0] > blocks[i + 1][1] / blocks[i + 1][0] + 1e-15:
+                a, b = blocks[i], blocks[i + 1]
+                blocks[i : i + 2] = [[a[0] + b[0], a[1] + b[1], a[2] + b[2]]]
+                changed = True
+                break
+    out = np.empty(len(y))
+    for bw, bwy, idx in blocks:
+        out[idx] = bwy / bw
+    return out
+
+
+def test_isotonic_matches_reference(spark):
+    rng = random.Random(17)
+    rows = [
+        ("g", float(i), rng.uniform(0, 1) + 0.02 * i) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = (
+        isotonic_regression(df, ["k"], "x", "y")
+        .orderBy("x")
+        .toPandas()
+    )
+    want = _ref_pav(got["y"].to_numpy(), np.ones(len(got)))
+    assert np.allclose(got["fitted"].to_numpy(), want, atol=1e-12)
+    f = got["fitted"].to_numpy()
+    assert (np.diff(f) >= -1e-12).all()
+    assert np.average(f) == pytest.approx(np.average(got["y"]), rel=1e-12)
+
+
+def test_isotonic_exact_on_monotone(spark):
+    rows = [("g", float(i), float(i * 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = isotonic_regression(df, ["k"], "x", "y").collect()
+    assert all(r["fitted"] == r["y"] for r in got)
+
+
+def test_isotonic_ties_pool_first(spark):
+    rows = [("g", 1.0, 0.0), ("g", 1.0, 10.0), ("g", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = sorted(
+        (r["x"], r["y"], r["fitted"])
+        for r in isotonic_regression(df, ["k"], "x", "y").collect()
+    )
+    # x=1 ties pool to mean 5; then 5 > 4 violates -> all pool to 14/3
+    assert got[0][2] == pytest.approx(14 / 3)
+    assert got[1][2] == pytest.approx(14 / 3)
+    assert got[2][2] == pytest.approx(14 / 3)
+
+
+def test_isotonic_weighted(spark):
+    rows = [("g", 1.0, 0.0, 3.0), ("g", 2.0, -3.0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double, w double")
+    got = {
+        r["x"]: r["fitted"]
+        for r in isotonic_regression(df, ["k"], "x", "y", "w").collect()
+    }
+    # pooled weighted mean = (3*0 + 1*(-3)) / 4
+    assert got[1.0] == pytest.approx(-0.75) and got[2.0] == pytest.approx(-0.75)
+
+
+def test_isotonic_per_group_independent(spark):
+    rows = [("a", 1.0, 5.0), ("a", 2.0, 1.0), ("b", 1.0, 0.0), ("b", 2.0, 9.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {
+        (r["k"], r["x"]): r["fitted"]
+        for r in isotonic_regression(df, ["k"], "x", "y").collect()
+    }
+    assert got[("a", 1.0)] == pytest.approx(3.0)
+    assert got[("a", 2.0)] == pytest.approx(3.0)
+    assert got[("b", 1.0)] == 0.0 and got[("b", 2.0)] == 9.0
