@@ -2741,3 +2741,53 @@ SELECT round(max(abs(ca / (na * 1.0) - cb / (nb * 1.0))), 6) AS ks_stat,
        CAST(any_value(nb) AS BIGINT) AS n_b
 FROM cum, ns
 """
+
+ORACLES["q_kaplan_meier"] = f"""
+WITH subjects AS (
+  SELECT c_mktsegment AS k,
+         {_bucket_sql('c_custkey', 40)} AS t,
+         CASE WHEN ({_bucket_sql('c_custkey + 3', 10)}) < 8
+              THEN 1 ELSE 0 END AS ev
+  FROM customer
+), cells AS (
+  SELECT k, t, sum(ev) AS d, sum(1 - ev) AS c
+  FROM subjects GROUP BY k, t
+), risk AS (
+  SELECT k, t, d, c,
+         sum(d + c) OVER (PARTITION BY k)
+           - coalesce(sum(d + c) OVER (
+               PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n
+  FROM cells
+), curve AS (
+  SELECT k, t, d, n,
+         CASE WHEN min(1.0 - d / (n * 1.0)) OVER w <= 0.0 THEN 0.0
+              ELSE exp(sum(ln(nullif(1.0 - d / (n * 1.0), 0.0))) OVER w) END AS s
+  FROM risk
+  WINDOW w AS (PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT k AS c_mktsegment, CAST(t AS BIGINT) AS duration,
+       CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_event,
+       round(s, 6) AS survival
+FROM curve WHERE d > 0
+"""
+
+ORACLES["q_rfm"] = """
+WITH rfm AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_order, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score,
+       concat_ws('-',
+         ntile(5) OVER (ORDER BY last_order, o_custkey),
+         ntile(5) OVER (ORDER BY frequency, o_custkey),
+         ntile(5) OVER (ORDER BY monetary, o_custkey)) AS segment
+FROM rfm
+"""

@@ -4660,3 +4660,68 @@ def q_ks_test(spark, sf_dir):
     return out.select(
         F.round("ks_stat", 6).alias("ks_stat"), "n_a", "n_b"
     )
+
+
+@query("q_kaplan_meier")
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curves (operators/survival.py:
+    kaplan_meier) per market segment, with Lehmer-derived durations
+    (0-39) and an ~80% event / 20% censor mix. One subject-table
+    pass; everything after is per-(segment, distinct-time) cells.
+    Oracle = the full estimator replayed in DuckDB SQL windows
+    (at-risk via descending cumulative, product via exp-sum-ln with
+    the same zero-factor guard), hash-checked after round(6)."""
+    from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+    from pipeline_dataengineer_spark.operators.survival import kaplan_meier
+
+    c = table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    subjects = c.select(
+        "c_mktsegment",
+        portable_bucket(F.col("c_custkey"), 40).alias("duration"),
+        (portable_bucket(F.col("c_custkey") + 3, 10) < 8)
+        .cast("int")
+        .alias("event"),
+    )
+    out = kaplan_meier(subjects, ["c_mktsegment"], "duration", "event")
+    return out.select(
+        "c_mktsegment",
+        F.col("duration").cast("long").alias("duration"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.round("survival", 6).alias("survival"),
+    )
+
+
+@query("q_rfm")
+def q_rfm(spark, sf_dir):
+    """RFM customer segmentation: recency/frequency/monetary per
+    customer (one combinable aggregate over orders), quintile scores
+    via ntile windows over the customer-sized aggregate (never over
+    the fact table), and the composite segment code. A standard
+    customer-analytics mart shape; oracle = identical SQL."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("last_order").asc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("o_custkey"))
+    scored = (
+        rfm.withColumn("r_score", F.ntile(5).over(w_r).cast("long"))
+        .withColumn("f_score", F.ntile(5).over(w_f).cast("long"))
+        .withColumn("m_score", F.ntile(5).over(w_m).cast("long"))
+    )
+    return scored.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )

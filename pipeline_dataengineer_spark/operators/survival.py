@@ -1,0 +1,80 @@
+"""Kaplan-Meier survival estimation — churn/retention curves over
+duration data, as pure relational algebra.
+
+The estimator at each distinct event time t is
+S(t) = prod_{t' <= t} (1 - d_t' / n_t') with d = events (deaths /
+churns) at t' and n = subjects still at risk entering t' (duration
+>= t', censored subjects count toward risk until their censor time).
+
+Relational formulation — no Python, no per-subject state:
+
+1. ONE groupBy over subjects builds the per-(key, time) table of
+   event counts d and censor counts c — dimension-sized from here on;
+2. at-risk n via a cumulative window DESCENDING over time:
+   n_t = total - (all d + c at strictly earlier times);
+3. the running product becomes exp(cumsum(ln(1 - d/n))) — the
+   classic log-space trick that turns a product into a combinable
+   window sum. A factor of exactly 0 (everyone remaining dies) makes
+   ln NULL; since SQL SUM skips NULLs, survival is forced to 0 from
+   that point with an explicit running-min guard instead.
+
+Scale: the subject table is touched once; everything after is
+per-(key, distinct-time) — the same cells-not-facts shape as
+stats_tests. One shuffle on the group key for the time windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key_cols: list[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Survival curve per key: one row per (key, distinct duration
+    with >= 1 observed event) with (n_risk, n_event, survival).
+    ``event_col``: 1/true = event observed at ``duration_col``;
+    0/false = censored then (still at risk up to that time).
+    """
+    ev = F.col(event_col).cast("int")
+    cells = (
+        df.groupBy(*key_cols, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(ev).alias("d"),
+            F.sum(1 - ev).alias("c"),
+        )
+    )
+    wk = Window.partitionBy(*key_cols)
+    w_before = (
+        Window.partitionBy(*key_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_upto = (
+        Window.partitionBy(*key_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum(F.col("d") + F.col("c")).over(wk)
+    left_before = F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_before), F.lit(0)
+    )
+    at_risk = cells.withColumn("n", total - left_before)
+    factor = 1.0 - F.col("d") / F.col("n")
+    curve = at_risk.withColumn(
+        "survival",
+        F.when(
+            F.min(factor).over(w_upto) <= 0.0, F.lit(0.0)
+        ).otherwise(F.exp(F.sum(F.log(factor)).over(w_upto))),
+    )
+    return curve.filter(F.col("d") > 0).select(
+        *key_cols,
+        F.col("t").alias(duration_col),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_event"),
+        "survival",
+    )

@@ -1,0 +1,61 @@
+"""Kaplan-Meier (operators/survival.py) vs hand-computed curves."""
+
+import pytest
+
+from pipeline_dataengineer_spark.operators.survival import kaplan_meier
+
+
+def test_km_textbook_example(spark):
+    """Classic small cohort: deaths at t=1 (2 of 10), t=3 (1 of 7),
+    censors at t=2 (one subject). S(1)=0.8, S(3)=0.8*(6/7)."""
+    rows = (
+        [("g", 1, 1)] * 2
+        + [("g", 2, 0)]
+        + [("g", 3, 1)]
+        + [("g", 5, 0)] * 6
+    )
+    df = spark.createDataFrame(rows, "k string, duration int, event int")
+    got = {
+        r["duration"]: (r["n_risk"], r["n_event"], r["survival"])
+        for r in kaplan_meier(df, ["k"], "duration", "event").collect()
+    }
+    assert set(got) == {1, 3}  # censor-only times emit no curve row
+    assert got[1][0] == 10 and got[1][1] == 2
+    assert got[1][2] == pytest.approx(0.8)
+    assert got[3][0] == 7 and got[3][1] == 1
+    assert got[3][2] == pytest.approx(0.8 * 6 / 7)
+
+
+def test_km_everyone_dies_reaches_zero(spark):
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 2, 1)]
+    df = spark.createDataFrame(rows, "k string, duration int, event int")
+    got = {
+        r["duration"]: r["survival"]
+        for r in kaplan_meier(df, ["k"], "duration", "event").collect()
+    }
+    assert got[1] == pytest.approx(2 / 3)
+    assert got[2] == 0.0
+
+
+def test_km_groups_independent(spark):
+    rows = [("a", 1, 1), ("a", 2, 0), ("b", 1, 0), ("b", 2, 1)]
+    df = spark.createDataFrame(rows, "k string, duration int, event int")
+    got = {
+        (r["k"], r["duration"]): r["survival"]
+        for r in kaplan_meier(df, ["k"], "duration", "event").collect()
+    }
+    assert got[("a", 1)] == pytest.approx(0.5)
+    assert got[("b", 2)] == pytest.approx(0.0)  # 1 at risk, 1 dies
+
+
+def test_km_censoring_keeps_at_risk_until_censor_time(spark):
+    """A subject censored at t=5 still counts toward n at t<=5."""
+    rows = [("g", 2, 1), ("g", 5, 0), ("g", 5, 1)]
+    df = spark.createDataFrame(rows, "k string, duration int, event int")
+    got = {
+        r["duration"]: (r["n_risk"], r["survival"])
+        for r in kaplan_meier(df, ["k"], "duration", "event").collect()
+    }
+    assert got[2][0] == 3
+    assert got[5][0] == 2
+    assert got[5][1] == pytest.approx((2 / 3) * (1 / 2))
