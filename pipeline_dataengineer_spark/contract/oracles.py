@@ -2791,3 +2791,28 @@ SELECT o_custkey, last_order, frequency, monetary,
          ntile(5) OVER (ORDER BY monetary, o_custkey)) AS segment
 FROM rfm
 """
+
+ORACLES["q_cuped"] = """
+WITH joined AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice, c_acctbal
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), st AS (
+  SELECT o_orderpriority,
+         count(*)::DOUBLE AS n, sum(c_acctbal) AS sx,
+         sum(o_totalprice) AS sy,
+         sum(c_acctbal * c_acctbal) AS sxx,
+         sum(c_acctbal * o_totalprice) AS sxy
+  FROM joined GROUP BY o_orderpriority
+), th AS (
+  SELECT o_orderpriority,
+         CASE WHEN sxx - sx * sx / n > 0
+              THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+              ELSE 0.0 END AS theta,
+         sx / n AS mx
+  FROM st
+)
+SELECT j.o_orderkey, j.o_orderpriority,
+       round(j.o_totalprice - th.theta * (j.c_acctbal - th.mx), 2)
+         AS adjusted
+FROM joined j JOIN th USING (o_orderpriority)
+"""

@@ -4725,3 +4725,28 @@ def q_rfm(spark, sf_dir):
             "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
     )
+
+
+@query("q_cuped")
+def q_cuped(spark, sf_dir):
+    """CUPED covariate adjustment (operators/stats_tests.py:
+    cuped_adjust): order totalprice adjusted by the customer's
+    account balance as the pre-period covariate, theta per order
+    priority from ONE combinable aggregate broadcast back — facts
+    never shuffle. Oracle replays the identical moment arithmetic in
+    SQL, hash-checked after round(2)."""
+    from pipeline_dataengineer_spark.operators.stats_tests import cuped_adjust
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "c_acctbal"
+    )
+    out = cuped_adjust(joined, "o_totalprice", "c_acctbal", "o_orderpriority")
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice_cuped", 2).alias("adjusted"),
+    )

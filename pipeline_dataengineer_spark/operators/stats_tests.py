@@ -220,3 +220,45 @@ def ks_test(
     return df.sparkSession.createDataFrame(
         [(float(ks), na, nb)], "ks_stat double, n_a long, n_b long"
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    pre-experiment-covariate adjustment every experimentation
+    platform runs): adds ``<metric>_cuped`` =
+    y - theta * (x - mean(x)) with theta = cov(x, y) / var(x)
+    estimated from THIS data in one combinable aggregate pass
+    (sums of x, y, x², xy — the same monoid shape as
+    incremental.merge_agg_states). ``group_col`` computes theta per
+    group (per-experiment adjustment) via a broadcast join-back; the
+    fact table is never shuffled in either mode. Zero-variance x
+    leaves the metric unadjusted (theta undefined -> 0)."""
+    y, x = F.col(metric_col), F.col(covariate_col)
+    keys = [group_col] if group_col else []
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n")
+    covxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / F.col("__n")
+    theta = F.when(varx > 0, covxy / varx).otherwise(F.lit(0.0))
+    st = stats.select(
+        *keys,
+        theta.alias("__theta"),
+        (F.col("__sx") / F.col("__n")).alias("__mx"),
+    )
+    joined = (
+        df.join(F.broadcast(st), keys) if keys else df.crossJoin(F.broadcast(st))
+    )
+    return joined.withColumn(
+        f"{metric_col}_cuped",
+        y - F.col("__theta") * (x - F.col("__mx")),
+    ).drop("__theta", "__mx")

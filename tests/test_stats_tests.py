@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pipeline_dataengineer_spark.operators.encoding import (
     target_encode_kfold,
     target_encode_loo,
@@ -79,3 +81,53 @@ def test_target_encode_kfold_excludes_own_fold(spark):
         want = (total - fold_sum) / (100 - fold_n)
         for r in rows_f:
             assert abs(r["te"] - want) < 1e-9
+
+
+def test_cuped_reduces_variance_preserves_mean(spark):
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        cuped_adjust,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=400)
+    y = 3.0 * x + rng.normal(scale=0.5, size=400) + 10.0
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    out = cuped_adjust(df, "y", "x").select("y", "y_cuped").toPandas()
+    assert out["y_cuped"].mean() == pytest.approx(out["y"].mean(), rel=1e-9)
+    assert out["y_cuped"].var() < 0.1 * out["y"].var()
+
+
+def test_cuped_zero_variance_covariate_noop(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        cuped_adjust,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (1.0, 7.0), (1.0, 9.0)], "x double, y double"
+    )
+    out = cuped_adjust(df, "y", "x").collect()
+    assert all(r["y_cuped"] == r["y"] for r in out)
+
+
+def test_cuped_per_group_theta(spark):
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        cuped_adjust,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for g, slope in (("a", 2.0), ("b", -5.0)):
+        for _ in range(200):
+            x = rng.normal()
+            rows.append((g, float(x), float(slope * x + rng.normal(0, 0.1))))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = cuped_adjust(df, "y", "x", "g").toPandas()
+    for g in ("a", "b"):
+        sub = out[out["g"] == g]
+        assert sub["y_cuped"].var() < 0.05 * sub["y"].var()
