@@ -2816,3 +2816,19 @@ SELECT j.o_orderkey, j.o_orderpriority,
          AS adjusted
 FROM joined j JOIN th USING (o_orderpriority)
 """
+
+ORACLES["q_quantile_normalize"] = """
+WITH qs AS (
+  SELECT quantile_cont(o_totalprice,
+           [x / 100.0 for x in range(0, 101)]) AS q
+  FROM orders
+), ranked AS (
+  SELECT o_orderkey, o_orderpriority,
+         percent_rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice) AS r
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       round(qs.q[CAST(round(r * 100) AS INT) + 1], 2) AS qnorm
+FROM ranked, qs
+"""

@@ -4750,3 +4750,28 @@ def q_cuped(spark, sf_dir):
         "o_orderpriority",
         F.round("o_totalprice_cuped", 2).alias("adjusted"),
     )
+
+
+@query("q_quantile_normalize")
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization (operators/scaling.py:
+    quantile_normalize): per-priority order totals mapped onto the
+    global totalprice distribution via a 101-point exact quantile
+    grid (broadcast) + percent_rank. Oracle replays the identical
+    grid/rank/index arithmetic with DuckDB quantile_cont — same
+    interpolation definition — hash-checked after round(2)."""
+    from pipeline_dataengineer_spark.operators.scaling import (
+        quantile_normalize,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = quantile_normalize(
+        o, ["o_orderpriority"], "o_totalprice", grid=101
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice_qnorm", 2).alias("qnorm"),
+    )

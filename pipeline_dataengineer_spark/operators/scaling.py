@@ -15,7 +15,7 @@ feature pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,50 @@ def scale_features(
         out = out.withColumn(c + out_suffix, F.round(expr, 6))
     drop = [col for col in out.columns if col.startswith("__")]
     return out.drop(*drop)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    grid: int = 1001,
+    out_col: str | None = None,
+    max_exact_rows: int | None = 2_000_000,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Map each group's values onto the GLOBAL distribution — the
+    cross-batch drift corrector (microarray quantile normalization /
+    feature-store distribution alignment): a value at percentile r of
+    its group maps to the global distribution's quantile at r, so
+    every group ends up identically distributed while preserving
+    within-group order.
+
+    Plan: the global quantile GRID (``grid`` equally spaced exact
+    interpolated percentiles — one bounded array, broadcast) + one
+    percent_rank window per group + an element_at lookup. Facts
+    shuffle once for the rank window; the grid is ``grid`` doubles
+    regardless of data size. Above ``max_exact_rows`` total rows the
+    grid switches to approx_percentile sketches (same audited
+    size-switch contract as operators/robust.py — exact at oracle
+    scale, sketch at 100 TB)."""
+    from pipeline_dataengineer_spark.operators.robust import (
+        _percentile_mode,
+    )
+
+    out_col = out_col or f"{value_col}_qnorm"
+    exact, _mx = _percentile_mode(df, None, max_exact_rows)
+    fracs = F.array(*[F.lit(i / (grid - 1)) for i in range(grid)])
+    if exact:
+        qcol = F.percentile(value_col, fracs)
+    else:
+        qcol = F.percentile_approx(value_col, fracs, F.lit(accuracy))
+    qs = df.agg(qcol.alias("__q"))
+    w = Window.partitionBy(*key_cols).orderBy(value_col)
+    idx = (
+        F.round(F.percent_rank().over(w) * (grid - 1)).cast("int") + 1
+    )
+    return (
+        df.crossJoin(F.broadcast(qs))
+        .withColumn(out_col, F.element_at("__q", idx))
+        .drop("__q")
+    )

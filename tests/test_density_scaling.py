@@ -130,3 +130,43 @@ def test_scale_features_zscore_and_minmax(spark):
         for r in scale_features(df, ["a"], None, "minmax").collect()
     }
     assert g[1.0] == 0.0 and g[30.0] == 1.0
+
+
+def test_quantile_normalize_aligns_groups(spark):
+    """Two differently-scaled groups end up with the same empirical
+    distribution after mapping through the global grid."""
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.scaling import (
+        quantile_normalize,
+    )
+
+    rng = np.random.default_rng(2)
+    rows = [("a", float(v)) for v in rng.normal(0, 1, 500)] + [
+        ("b", float(v)) for v in rng.normal(50, 10, 500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize(df, ["g"], "v", grid=201).toPandas()
+    qa = np.quantile(out[out.g == "a"]["v_qnorm"], [0.1, 0.5, 0.9])
+    qb = np.quantile(out[out.g == "b"]["v_qnorm"], [0.1, 0.5, 0.9])
+    assert np.allclose(qa, qb, atol=0.5)
+    # order preserved within group
+    sub = out[out.g == "a"].sort_values("v")
+    assert (np.diff(sub["v_qnorm"]) >= -1e-12).all()
+
+
+def test_quantile_normalize_approx_switch_fires(spark):
+    from pipeline_dataengineer_spark.operators.scaling import (
+        quantile_normalize,
+    )
+
+    df = spark.range(0, 5000).selectExpr(
+        "CAST(id % 3 AS STRING) g", "CAST(id AS DOUBLE) v"
+    )
+    exact = quantile_normalize(df, ["g"], "v", grid=101)
+    approx = quantile_normalize(
+        df, ["g"], "v", grid=101, max_exact_rows=100
+    )
+    a = exact.agg(F.round(F.avg("v_qnorm"), 0)).collect()[0][0]
+    b = approx.agg(F.round(F.avg("v_qnorm"), 0)).collect()[0][0]
+    assert abs(a - b) <= 50  # sketch grid stays close to exact
