@@ -2832,3 +2832,22 @@ SELECT o_orderkey, o_orderpriority,
        round(qs.q[CAST(round(r * 100) AS INT) + 1], 2) AS qnorm
 FROM ranked, qs
 """
+
+ORACLES["q_pareto_share"] = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, revenue,
+       CAST(row_number() OVER wr AS BIGINT) AS rank,
+       round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+             / sum(revenue) OVER (), 6) AS cum_share,
+       round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+             / sum(revenue) OVER (), 6) <= 0.8 AS is_top80
+FROM rev
+WINDOW wr AS (ORDER BY revenue DESC, o_custkey)
+"""

@@ -4775,3 +4775,62 @@ def q_quantile_normalize(spark, sf_dir):
         "o_orderpriority",
         F.round("o_totalprice_qnorm", 2).alias("qnorm"),
     )
+
+
+@query("q_pareto_share")
+def q_pareto_share(spark, sf_dir):
+    """Pareto / cumulative-contribution analysis: customers ranked by
+    revenue, running share of total, and the top-80% contributor flag
+    (the '80/20' curve every revenue dashboard draws). One combinable
+    aggregate to customer grain, then windows over the aggregate —
+    never over the fact table. Oracle = identical SQL."""
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    wt = Window.partitionBy()
+    out = rev.select(
+        "o_custkey",
+        "revenue",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.round(
+            F.sum("revenue").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.sum("revenue").over(wt),
+            6,
+        ).alias("cum_share"),
+    )
+    return out.withColumn("is_top80", F.col("cum_share") <= 0.8)
+
+
+@query("q_label_propagation")
+def q_label_propagation(spark, sf_dir):
+    """Label-propagation communities (operators/graph.py:
+    label_propagation) over doc-id 6-blocks shaped as two triangles
+    joined by one bridge edge — LPA must keep each triangle its own
+    community while connected components would merge them (that
+    contrast is pytest-proven; q_connected_components covers the CC
+    side). Iterative fixpoint with engine-specific labels — rows-only
+    by design; determinism and community structure are pytest laws
+    (test_graph.py)."""
+    from pipeline_dataengineer_spark.operators.graph import label_propagation
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    base = F.floor(F.col("doc_id") / 6) * 6
+    off = F.pmod("doc_id", F.lit(6))
+    # triangle edges within each half-block + one bridge per block
+    e1 = d.select(
+        F.col("doc_id").alias("src"),
+        (base + F.pmod(off + 1, F.lit(3)) + F.when(off >= 3, 3).otherwise(0)).alias("dst"),
+    )
+    bridge = d.filter(off == 2).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    edges = e1.union(bridge).filter(
+        (F.col("dst") <= mx) & (F.col("src") <= mx)
+    )
+    out = label_propagation(edges, max_iterations=4)
+    return out.select("node", "label")

@@ -604,3 +604,68 @@ def clustering_coefficient(
         .otherwise(0.0)
         .alias("coefficient"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation:
+    every node starts as its own label; each round a node adopts the
+    most frequent label among its neighbors (ties broken toward the
+    SMALLEST label — the deterministic variant; classic LPA breaks
+    ties randomly and is layout-dependent). Returns (node, label)
+    over the full vertex set. Communities are denser-than-cut groups
+    — unlike connected_components, bridges between dense clusters do
+    NOT merge them.
+
+    Per round: one join of current labels to the (undirected) edge
+    list + one (node, label) count aggregate + one max_by per node —
+    all combinable shuffles keyed by node; localCheckpoint bounds the
+    iterative plan exactly as in connected_components/PageRank. Work
+    per round is O(edges); rounds are a fixed small constant (LPA
+    converges in a handful — and synchronous LPA can two-cycle on
+    bipartite-ish graphs, so a hard iteration cap IS the convergence
+    rule, not a timeout)."""
+    from pyspark.sql import functions as F
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        votes = neigh.groupBy("node", "label").agg(
+            F.count("*").alias("__n")
+        )
+        new_labels = votes.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("__n")).alias("__neg"), F.col("label").alias("l")
+                )
+            )["l"].alias("label")
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels

@@ -274,3 +274,45 @@ def test_clustering_coefficient_square_no_triangles(spark):
     rows = clustering_coefficient(edges).collect()
     assert all(r["coefficient"] == 0.0 and r["triangles"] == 0 for r in rows)
     assert all(r["degree"] == 2 for r in rows)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA keeps them as two
+    communities (CC would merge them)."""
+    from pipeline_dataengineer_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cliq1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    cliq2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(
+        cliq1 + cliq2 + [(4, 10)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, max_iterations=8).collect()
+    }
+    left = {got[n] for n in range(1, 5)}
+    right = {got[n] for n in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_total_and_deterministic(spark):
+    from pipeline_dataengineer_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    a = {
+        (r["node"], r["label"])
+        for r in label_propagation(edges.repartition(7)).collect()
+    }
+    b = {
+        (r["node"], r["label"])
+        for r in label_propagation(edges.coalesce(1)).collect()
+    }
+    assert a == b
+    assert {n for n, _ in a} == {1, 2, 3, 5, 6}
