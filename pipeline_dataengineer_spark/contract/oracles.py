@@ -2851,3 +2851,24 @@ SELECT o_custkey, revenue,
 FROM rev
 WINDOW wr AS (ORDER BY revenue DESC, o_custkey)
 """
+
+ORACLES["q_skew_report"] = """
+WITH freq AS (
+  SELECT l_suppkey, count(*) AS key_rows FROM lineitem GROUP BY l_suppkey
+), st AS (
+  SELECT sum(key_rows) AS total, count(*) AS dk, max(key_rows) AS mx,
+         quantile_disc(key_rows, 0.99) AS p99,
+         quantile_disc(key_rows, 0.5) AS med
+  FROM freq
+)
+SELECT l_suppkey, CAST(key_rows AS BIGINT) AS key_rows,
+       round(key_rows / (st.total * 1.0), 6) AS row_share,
+       CAST(st.total AS BIGINT) AS total_rows,
+       CAST(st.dk AS BIGINT) AS distinct_keys,
+       round(st.mx / (st.total * 1.0), 6) AS max_share,
+       round(st.p99 / (st.med * 1.0), 2) AS p99_med_ratio,
+       CAST(ceil(key_rows / (st.total / 32.0)) AS BIGINT) AS suggested_salt
+FROM freq, st
+ORDER BY key_rows DESC, l_suppkey
+LIMIT 10
+"""

@@ -4834,3 +4834,28 @@ def q_label_propagation(spark, sf_dir):
     )
     out = label_propagation(edges, max_iterations=4)
     return out.select("node", "label")
+
+
+@query("q_skew_report")
+def q_skew_report(spark, sf_dir):
+    """Shuffle-skew pre-flight report (operators/profiling.py:
+    skew_report) for lineitem's supplier key: the 10 heaviest
+    suppliers with row shares and the key-space summary that decides
+    plain-shuffle vs broadcast vs salt. Oracle = identical SQL over
+    the frequency table (quantiles are exact there: DuckDB's
+    quantile_disc == percentile_approx at the key-table scale where
+    the sketch is exact)."""
+    from pipeline_dataengineer_spark.operators.profiling import skew_report
+
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey")
+    out = skew_report(li, ["l_suppkey"], top=10)
+    return out.select(
+        "l_suppkey",
+        F.col("key_rows").cast("long").alias("key_rows"),
+        "row_share",
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.col("distinct_keys").cast("long").alias("distinct_keys"),
+        "max_share",
+        "p99_med_ratio",
+        F.col("suggested_salt").cast("long").alias("suggested_salt"),
+    )

@@ -142,3 +142,48 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.col("__total") * min_share)
         .drop("__total")
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Pre-flight shuffle-skew diagnosis for a planned join/groupBy
+    key: the ``top`` heaviest key values with their row share, plus
+    per-key-space summary columns (total rows, distinct keys, max
+    share, the p99-to-median frequency ratio) — the numbers that
+    decide between a plain shuffle, a broadcast, AQE skew splits, or
+    an explicit salt factor (operators/skew.py).
+
+    ONE combinable groupBy builds the frequency table; everything
+    after runs on the key-sized table (top-k via one bounded sort,
+    quantiles over frequencies). Emitting the report as a DataFrame
+    keeps it composable — land it next to the job's metrics or gate
+    on it in a DQ check."""
+    freq = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    stats = freq.agg(
+        F.sum("key_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+        F.max("key_rows").alias("__max"),
+        F.percentile_approx("key_rows", F.lit(0.99), F.lit(10_000)).alias(
+            "__p99"
+        ),
+        F.percentile_approx("key_rows", F.lit(0.5), F.lit(10_000)).alias(
+            "__med"
+        ),
+    )
+    topk = freq.orderBy(F.col("key_rows").desc(), *key_cols).limit(top)
+    return topk.crossJoin(F.broadcast(stats)).select(
+        *key_cols,
+        "key_rows",
+        F.round(F.col("key_rows") / F.col("__total"), 6).alias("row_share"),
+        F.col("__total").alias("total_rows"),
+        F.col("__distinct").alias("distinct_keys"),
+        F.round(F.col("__max") / F.col("__total"), 6).alias("max_share"),
+        F.round(F.col("__p99") / F.col("__med"), 2).alias("p99_med_ratio"),
+        F.ceil(
+            F.col("key_rows")
+            / (F.col("__total") / F.lit(32))
+        ).cast("int").alias("suggested_salt"),
+    )

@@ -177,3 +177,29 @@ def test_percentile_default_stays_exact(spark):
     w = winsorize(df, "v")
     assert w.robust_audit["mode"] == "exact"
     assert w.robust_audit["max_group_rows"] == 100
+
+
+def test_skew_report_flags_hot_key(spark):
+    from pipeline_dataengineer_spark.operators.profiling import skew_report
+
+    hot = spark.range(0, 9000).selectExpr("'hot' AS k")
+    cold = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS k")
+    rep = skew_report(hot.union(cold), ["k"], top=3).collect()
+    assert rep[0]["k"] == "hot"
+    assert rep[0]["row_share"] == 0.9
+    assert rep[0]["total_rows"] == 10000
+    assert rep[0]["distinct_keys"] == 1001
+    assert rep[0]["max_share"] == 0.9
+    assert rep[0]["suggested_salt"] >= 28  # ~9000/(10000/32)
+    # cold keys suggest no salting
+    assert all(r["suggested_salt"] == 1 for r in rep[1:])
+
+
+def test_skew_report_uniform_keys(spark):
+    from pipeline_dataengineer_spark.operators.profiling import skew_report
+
+    df = spark.range(0, 4000).selectExpr("CAST(id % 40 AS STRING) AS k")
+    rep = skew_report(df, ["k"], top=5).collect()
+    assert len(rep) == 5
+    assert all(r["key_rows"] == 100 for r in rep)
+    assert rep[0]["p99_med_ratio"] == 1.0
