@@ -129,3 +129,56 @@ def ivf_search(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def mips_transform(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Reduce maximum-inner-product search to cosine/L2 search — the
+    standard norm-augmentation trick (Bachrach et al., RecSys'14 /
+    Shrivastava-Li asymmetric LSH): append one extra dimension
+    sqrt(M^2 - ||x||^2) to every corpus vector, where M is the max
+    corpus norm. Augmented corpus vectors all have norm exactly M, so
+    for a QUERY padded with a 0 in that slot, cosine order ==
+    inner-product order — which lets ALS factor tables (whose scores
+    are dot products, see operators/recommender.py) ride the existing
+    cosine_topk_bruteforce / IVF machinery unchanged.
+
+    One aggregate pass finds M (a scalar), one fused codegen
+    projection appends the dimension (F.aggregate for the norm,
+    concat for the slot — no Python). Use ``pad_query`` for the
+    query side."""
+    out_col = out_col or vec_col
+    sq = F.aggregate(
+        F.transform(vec_col, lambda v: v * v),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    m2 = corpus.agg(F.max(sq).alias("__m2"))
+    return (
+        corpus.crossJoin(F.broadcast(m2))
+        .withColumn(
+            out_col,
+            F.concat(
+                F.col(vec_col).cast("array<double>"),
+                F.array(F.sqrt(F.greatest(F.col("__m2") - sq, F.lit(0.0)))),
+            ),
+        )
+        .drop("__m2")
+    )
+
+
+def pad_query(
+    query: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Append the 0 slot that pairs a query with a mips_transform'd
+    corpus."""
+    out_col = out_col or vec_col
+    return query.withColumn(
+        out_col,
+        F.concat(
+            F.col(vec_col).cast("array<double>"), F.array(F.lit(0.0))
+        ),
+    )

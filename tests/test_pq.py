@@ -76,3 +76,42 @@ def test_pq_deterministic_across_runs(spark):
     b1 = pq_train(e, m=4, codebook_size=8, sample_size=32)
     b2 = pq_train(e, m=4, codebook_size=8, sample_size=32)
     assert np.array_equal(b1, b2)
+
+
+def test_mips_transform_orders_by_inner_product(spark):
+    """Cosine top-k over the augmented space == exact inner-product
+    top-k, even when norms disagree with angles (the case plain
+    cosine gets wrong)."""
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mips_transform,
+        pad_query,
+    )
+
+    rng = np.random.default_rng(6)
+    corpus = [(i, [float(v) for v in rng.normal(size=4) * rng.uniform(0.2, 5)]) for i in range(50)]
+    queries = [(100, [float(v) for v in rng.normal(size=4)])]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "query_id long, embedding array<double>")
+    aug_c = mips_transform(cdf)
+    aug_q = pad_query(qdf)
+    got = [
+        r["vec_id"]
+        for r in cosine_topk_bruteforce(aug_c, aug_q, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    q = np.array(queries[0][1])
+    ips = sorted(
+        ((np.dot(np.array(v), q), i) for i, v in corpus), reverse=True
+    )
+    want = [i for _, i in ips[:5]]
+    assert got == want
+    # augmented corpus vectors share one norm (= max original norm)
+    norms = {
+        round(float(np.linalg.norm(r["embedding"])), 9)
+        for r in aug_c.collect()
+    }
+    assert len(norms) == 1
