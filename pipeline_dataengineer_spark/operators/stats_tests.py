@@ -164,15 +164,29 @@ def mutual_information(
     hb_term = (F.col("__cb") / F.col("__n")) * F.log(
         F.col("__cb") / F.col("__n")
     )
-    mi = j.agg(F.sum(mi_term).alias("mi")).collect()[0]["mi"]
-    ha = -row_m.crossJoin(F.broadcast(n_row)).agg(F.sum(ha_term)).collect()[0][0]
-    hb = -col_m.crossJoin(F.broadcast(n_row)).agg(F.sum(hb_term)).collect()[0][0]
-    n = n_row.collect()[0]["__n"]
-    spark = df.sparkSession
-    nmi = mi / (ha * hb) ** 0.5 if ha > 0 and hb > 0 else 0.0
-    return spark.createDataFrame(
-        [(float(mi), float(nmi) if normalized else None, n)],
-        "mi_nats double, nmi double, n long",
+    mi_df = j.agg(F.sum(mi_term).alias("mi_nats"))
+    ha_df = (
+        row_m.crossJoin(F.broadcast(n_row))
+        .agg((-F.sum(ha_term)).alias("__ha"))
+    )
+    hb_df = (
+        col_m.crossJoin(F.broadcast(n_row))
+        .agg((-F.sum(hb_term)).alias("__hb"))
+    )
+    nmi = F.when(
+        (F.col("__ha") > 0) & (F.col("__hb") > 0),
+        F.col("mi_nats") / F.sqrt(F.col("__ha") * F.col("__hb")),
+    ).otherwise(F.lit(0.0))
+    # three 1-row aggregates composed lazily — ONE plan, zero collects
+    return (
+        mi_df.crossJoin(F.broadcast(ha_df))
+        .crossJoin(F.broadcast(hb_df))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "mi_nats",
+            (nmi if normalized else F.lit(None).cast("double")).alias("nmi"),
+            F.col("__n").cast("long").alias("n"),
+        )
     )
 
 

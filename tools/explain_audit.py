@@ -235,6 +235,26 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # grouped sequence recursions: ONE shuffle + Arrow grouped map
     "q_holt_linear": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
     "q_cep_pattern": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
+    # round-3 continuation, second half
+    # haversine/hamming joins: grid/band equi-joins, never BNLJ
+    "q_haversine_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    "q_hamming_neardup": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # PCA covariance: one Arrow pass + relational merge, no self-join
+    # of the corpus (no SortMergeJoin anywhere in the plan)
+    "q_pca_cov": (["MapInPandas"], ["SortMergeJoin", "CartesianProduct"]),
+    # group sample: rank window runs over prefiltered survivors;
+    # counts broadcast back (no SMJ)
+    "q_group_sample": (["Window"], ["SortMergeJoin"]),
+    # KMV build: two bounded aggregate stages, JVM-side only
+    "q_kmv_distinct": (["HashAggregate"], ["MapInPandas", "ArrowEvalPython"]),
+    # seasonal decompose: windows + a broadcast phase-mean join-back
+    "q_seasonal_decompose": (["Window", "BroadcastHashJoin"], ["SortMergeJoin"]),
+    # stats: cells-not-facts aggregates
+    "q_mutual_info": (["HashAggregate"], ["Window"]),
+    "q_cuped": (["BroadcastHashJoin"], []),
+    "q_kaplan_meier": (["Window", "HashAggregate"], ["SortMergeJoin"]),
+    "q_skew_report": (["HashAggregate"], ["Window"]),
+    "q_pareto_share": (["Window"], ["SortMergeJoin"]),
 }
 
 
