@@ -2872,3 +2872,25 @@ FROM freq, st
 ORDER BY key_rows DESC, l_suppkey
 LIMIT 10
 """
+
+
+ORACLES["q_random_projection"] = """
+WITH proj AS (
+SELECT vec_id, 0 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (1.0) + CAST(embedding[2] AS DOUBLE) * (1.0) + CAST(embedding[3] AS DOUBLE) * (1.0) + CAST(embedding[4] AS DOUBLE) * (1.0) + CAST(embedding[5] AS DOUBLE) * (-1.0) + CAST(embedding[6] AS DOUBLE) * (-1.0) + CAST(embedding[7] AS DOUBLE) * (-1.0) + CAST(embedding[8] AS DOUBLE) * (1.0) + CAST(embedding[9] AS DOUBLE) * (-1.0) + CAST(embedding[10] AS DOUBLE) * (-1.0) + CAST(embedding[11] AS DOUBLE) * (1.0) + CAST(embedding[12] AS DOUBLE) * (1.0) + CAST(embedding[13] AS DOUBLE) * (1.0) + CAST(embedding[14] AS DOUBLE) * (-1.0) + CAST(embedding[15] AS DOUBLE) * (1.0) + CAST(embedding[16] AS DOUBLE) * (-1.0) + CAST(embedding[17] AS DOUBLE) * (-1.0) + CAST(embedding[18] AS DOUBLE) * (1.0) + CAST(embedding[19] AS DOUBLE) * (-1.0) + CAST(embedding[20] AS DOUBLE) * (-1.0) + CAST(embedding[21] AS DOUBLE) * (-1.0) + CAST(embedding[22] AS DOUBLE) * (1.0) + CAST(embedding[23] AS DOUBLE) * (-1.0) + CAST(embedding[24] AS DOUBLE) * (-1.0) + CAST(embedding[25] AS DOUBLE) * (1.0) + CAST(embedding[26] AS DOUBLE) * (1.0) + CAST(embedding[27] AS DOUBLE) * (1.0) + CAST(embedding[28] AS DOUBLE) * (1.0) + CAST(embedding[29] AS DOUBLE) * (1.0) + CAST(embedding[30] AS DOUBLE) * (-1.0) + CAST(embedding[31] AS DOUBLE) * (1.0) + CAST(embedding[32] AS DOUBLE) * (1.0) + CAST(embedding[33] AS DOUBLE) * (-1.0) + CAST(embedding[34] AS DOUBLE) * (-1.0) + CAST(embedding[35] AS DOUBLE) * (1.0) + CAST(embedding[36] AS DOUBLE) * (-1.0) + CAST(embedding[37] AS DOUBLE) * (-1.0) + CAST(embedding[38] AS DOUBLE) * (1.0) + CAST(embedding[39] AS DOUBLE) * (-1.0) + CAST(embedding[40] AS DOUBLE) * (-1.0) + CAST(embedding[41] AS DOUBLE) * (-1.0) + CAST(embedding[42] AS DOUBLE) * (-1.0) + CAST(embedding[43] AS DOUBLE) * (-1.0) + CAST(embedding[44] AS DOUBLE) * (-1.0) + CAST(embedding[45] AS DOUBLE) * (-1.0) + CAST(embedding[46] AS DOUBLE) * (-1.0) + CAST(embedding[47] AS DOUBLE) * (-1.0) + CAST(embedding[48] AS DOUBLE) * (-1.0) + CAST(embedding[49] AS DOUBLE) * (1.0) + CAST(embedding[50] AS DOUBLE) * (-1.0) + CAST(embedding[51] AS DOUBLE) * (1.0) + CAST(embedding[52] AS DOUBLE) * (-1.0) + CAST(embedding[53] AS DOUBLE) * (-1.0) + CAST(embedding[54] AS DOUBLE) * (-1.0) + CAST(embedding[55] AS DOUBLE) * (1.0) + CAST(embedding[56] AS DOUBLE) * (1.0) + CAST(embedding[57] AS DOUBLE) * (1.0) + CAST(embedding[58] AS DOUBLE) * (1.0) + CAST(embedding[59] AS DOUBLE) * (-1.0) + CAST(embedding[60] AS DOUBLE) * (1.0) + CAST(embedding[61] AS DOUBLE) * (-1.0) + CAST(embedding[62] AS DOUBLE) * (1.0) + CAST(embedding[63] AS DOUBLE) * (1.0) + CAST(embedding[64] AS DOUBLE) * (-1.0)) * 0.35355339059327373 AS raw FROM embeddings
+UNION ALL
+SELECT vec_id, 1 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (-1.0) + CAST(embedding[2] AS DOUBLE) * (-1.0) + CAST(embedding[3] AS DOUBLE) * (1.0) + CAST(embedding[4] AS DOUBLE) * (1.0) + CAST(embedding[5] AS DOUBLE) * (-1.0) + CAST(embedding[6] AS DOUBLE) * (-1.0) + CAST(embedding[7] AS DOUBLE) * (1.0) + CAST(embedding[8] AS DOUBLE) * (-1.0) + CAST(embedding[9] AS DOUBLE) * (-1.0) + CAST(embedding[10] AS DOUBLE) * (1.0) + CAST(embedding[11] AS DOUBLE) * (-1.0) + CAST(embedding[12] AS DOUBLE) * (-1.0) + CAST(embedding[13] AS DOUBLE) * (-1.0) + CAST(embedding[14] AS DOUBLE) * (1.0) + CAST(embedding[15] AS DOUBLE) * (1.0) + CAST(embedding[16] AS DOUBLE) * (-1.0) + CAST(embedding[17] AS DOUBLE) * (1.0) + CAST(embedding[18] AS DOUBLE) * (-1.0) + CAST(embedding[19] AS DOUBLE) * (1.0) + CAST(embedding[20] AS DOUBLE) * (1.0) + CAST(embedding[21] AS DOUBLE) * (-1.0) + CAST(embedding[22] AS DOUBLE) * (-1.0) + CAST(embedding[23] AS DOUBLE) * (1.0) + CAST(embedding[24] AS DOUBLE) * (1.0) + CAST(embedding[25] AS DOUBLE) * (1.0) + CAST(embedding[26] AS DOUBLE) * (-1.0) + CAST(embedding[27] AS DOUBLE) * (1.0) + CAST(embedding[28] AS DOUBLE) * (1.0) + CAST(embedding[29] AS DOUBLE) * (-1.0) + CAST(embedding[30] AS DOUBLE) * (1.0) + CAST(embedding[31] AS DOUBLE) * (1.0) + CAST(embedding[32] AS DOUBLE) * (1.0) + CAST(embedding[33] AS DOUBLE) * (1.0) + CAST(embedding[34] AS DOUBLE) * (-1.0) + CAST(embedding[35] AS DOUBLE) * (1.0) + CAST(embedding[36] AS DOUBLE) * (-1.0) + CAST(embedding[37] AS DOUBLE) * (1.0) + CAST(embedding[38] AS DOUBLE) * (-1.0) + CAST(embedding[39] AS DOUBLE) * (1.0) + CAST(embedding[40] AS DOUBLE) * (-1.0) + CAST(embedding[41] AS DOUBLE) * (1.0) + CAST(embedding[42] AS DOUBLE) * (1.0) + CAST(embedding[43] AS DOUBLE) * (1.0) + CAST(embedding[44] AS DOUBLE) * (1.0) + CAST(embedding[45] AS DOUBLE) * (-1.0) + CAST(embedding[46] AS DOUBLE) * (-1.0) + CAST(embedding[47] AS DOUBLE) * (1.0) + CAST(embedding[48] AS DOUBLE) * (1.0) + CAST(embedding[49] AS DOUBLE) * (-1.0) + CAST(embedding[50] AS DOUBLE) * (-1.0) + CAST(embedding[51] AS DOUBLE) * (1.0) + CAST(embedding[52] AS DOUBLE) * (-1.0) + CAST(embedding[53] AS DOUBLE) * (-1.0) + CAST(embedding[54] AS DOUBLE) * (1.0) + CAST(embedding[55] AS DOUBLE) * (-1.0) + CAST(embedding[56] AS DOUBLE) * (-1.0) + CAST(embedding[57] AS DOUBLE) * (-1.0) + CAST(embedding[58] AS DOUBLE) * (-1.0) + CAST(embedding[59] AS DOUBLE) * (1.0) + CAST(embedding[60] AS DOUBLE) * (1.0) + CAST(embedding[61] AS DOUBLE) * (-1.0) + CAST(embedding[62] AS DOUBLE) * (-1.0) + CAST(embedding[63] AS DOUBLE) * (-1.0) + CAST(embedding[64] AS DOUBLE) * (1.0)) * 0.35355339059327373 AS raw FROM embeddings
+UNION ALL
+SELECT vec_id, 2 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (1.0) + CAST(embedding[2] AS DOUBLE) * (-1.0) + CAST(embedding[3] AS DOUBLE) * (1.0) + CAST(embedding[4] AS DOUBLE) * (-1.0) + CAST(embedding[5] AS DOUBLE) * (1.0) + CAST(embedding[6] AS DOUBLE) * (-1.0) + CAST(embedding[7] AS DOUBLE) * (1.0) + CAST(embedding[8] AS DOUBLE) * (-1.0) + CAST(embedding[9] AS DOUBLE) * (1.0) + CAST(embedding[10] AS DOUBLE) * (1.0) + CAST(embedding[11] AS DOUBLE) * (1.0) + CAST(embedding[12] AS DOUBLE) * (-1.0) + CAST(embedding[13] AS DOUBLE) * (-1.0) + CAST(embedding[14] AS DOUBLE) * (-1.0) + CAST(embedding[15] AS DOUBLE) * (-1.0) + CAST(embedding[16] AS DOUBLE) * (-1.0) + CAST(embedding[17] AS DOUBLE) * (-1.0) + CAST(embedding[18] AS DOUBLE) * (1.0) + CAST(embedding[19] AS DOUBLE) * (-1.0) + CAST(embedding[20] AS DOUBLE) * (-1.0) + CAST(embedding[21] AS DOUBLE) * (1.0) + CAST(embedding[22] AS DOUBLE) * (-1.0) + CAST(embedding[23] AS DOUBLE) * (-1.0) + CAST(embedding[24] AS DOUBLE) * (1.0) + CAST(embedding[25] AS DOUBLE) * (1.0) + CAST(embedding[26] AS DOUBLE) * (1.0) + CAST(embedding[27] AS DOUBLE) * (1.0) + CAST(embedding[28] AS DOUBLE) * (1.0) + CAST(embedding[29] AS DOUBLE) * (1.0) + CAST(embedding[30] AS DOUBLE) * (1.0) + CAST(embedding[31] AS DOUBLE) * (-1.0) + CAST(embedding[32] AS DOUBLE) * (-1.0) + CAST(embedding[33] AS DOUBLE) * (1.0) + CAST(embedding[34] AS DOUBLE) * (-1.0) + CAST(embedding[35] AS DOUBLE) * (1.0) + CAST(embedding[36] AS DOUBLE) * (1.0) + CAST(embedding[37] AS DOUBLE) * (1.0) + CAST(embedding[38] AS DOUBLE) * (1.0) + CAST(embedding[39] AS DOUBLE) * (1.0) + CAST(embedding[40] AS DOUBLE) * (1.0) + CAST(embedding[41] AS DOUBLE) * (1.0) + CAST(embedding[42] AS DOUBLE) * (1.0) + CAST(embedding[43] AS DOUBLE) * (1.0) + CAST(embedding[44] AS DOUBLE) * (-1.0) + CAST(embedding[45] AS DOUBLE) * (1.0) + CAST(embedding[46] AS DOUBLE) * (1.0) + CAST(embedding[47] AS DOUBLE) * (-1.0) + CAST(embedding[48] AS DOUBLE) * (1.0) + CAST(embedding[49] AS DOUBLE) * (-1.0) + CAST(embedding[50] AS DOUBLE) * (-1.0) + CAST(embedding[51] AS DOUBLE) * (1.0) + CAST(embedding[52] AS DOUBLE) * (1.0) + CAST(embedding[53] AS DOUBLE) * (1.0) + CAST(embedding[54] AS DOUBLE) * (1.0) + CAST(embedding[55] AS DOUBLE) * (-1.0) + CAST(embedding[56] AS DOUBLE) * (1.0) + CAST(embedding[57] AS DOUBLE) * (1.0) + CAST(embedding[58] AS DOUBLE) * (1.0) + CAST(embedding[59] AS DOUBLE) * (-1.0) + CAST(embedding[60] AS DOUBLE) * (-1.0) + CAST(embedding[61] AS DOUBLE) * (-1.0) + CAST(embedding[62] AS DOUBLE) * (1.0) + CAST(embedding[63] AS DOUBLE) * (-1.0) + CAST(embedding[64] AS DOUBLE) * (-1.0)) * 0.35355339059327373 AS raw FROM embeddings
+UNION ALL
+SELECT vec_id, 3 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (-1.0) + CAST(embedding[2] AS DOUBLE) * (-1.0) + CAST(embedding[3] AS DOUBLE) * (1.0) + CAST(embedding[4] AS DOUBLE) * (1.0) + CAST(embedding[5] AS DOUBLE) * (1.0) + CAST(embedding[6] AS DOUBLE) * (1.0) + CAST(embedding[7] AS DOUBLE) * (-1.0) + CAST(embedding[8] AS DOUBLE) * (-1.0) + CAST(embedding[9] AS DOUBLE) * (1.0) + CAST(embedding[10] AS DOUBLE) * (-1.0) + CAST(embedding[11] AS DOUBLE) * (-1.0) + CAST(embedding[12] AS DOUBLE) * (1.0) + CAST(embedding[13] AS DOUBLE) * (1.0) + CAST(embedding[14] AS DOUBLE) * (-1.0) + CAST(embedding[15] AS DOUBLE) * (-1.0) + CAST(embedding[16] AS DOUBLE) * (1.0) + CAST(embedding[17] AS DOUBLE) * (1.0) + CAST(embedding[18] AS DOUBLE) * (-1.0) + CAST(embedding[19] AS DOUBLE) * (1.0) + CAST(embedding[20] AS DOUBLE) * (-1.0) + CAST(embedding[21] AS DOUBLE) * (-1.0) + CAST(embedding[22] AS DOUBLE) * (1.0) + CAST(embedding[23] AS DOUBLE) * (-1.0) + CAST(embedding[24] AS DOUBLE) * (1.0) + CAST(embedding[25] AS DOUBLE) * (-1.0) + CAST(embedding[26] AS DOUBLE) * (1.0) + CAST(embedding[27] AS DOUBLE) * (-1.0) + CAST(embedding[28] AS DOUBLE) * (-1.0) + CAST(embedding[29] AS DOUBLE) * (-1.0) + CAST(embedding[30] AS DOUBLE) * (1.0) + CAST(embedding[31] AS DOUBLE) * (1.0) + CAST(embedding[32] AS DOUBLE) * (1.0) + CAST(embedding[33] AS DOUBLE) * (1.0) + CAST(embedding[34] AS DOUBLE) * (1.0) + CAST(embedding[35] AS DOUBLE) * (1.0) + CAST(embedding[36] AS DOUBLE) * (-1.0) + CAST(embedding[37] AS DOUBLE) * (1.0) + CAST(embedding[38] AS DOUBLE) * (1.0) + CAST(embedding[39] AS DOUBLE) * (-1.0) + CAST(embedding[40] AS DOUBLE) * (1.0) + CAST(embedding[41] AS DOUBLE) * (1.0) + CAST(embedding[42] AS DOUBLE) * (-1.0) + CAST(embedding[43] AS DOUBLE) * (1.0) + CAST(embedding[44] AS DOUBLE) * (-1.0) + CAST(embedding[45] AS DOUBLE) * (-1.0) + CAST(embedding[46] AS DOUBLE) * (-1.0) + CAST(embedding[47] AS DOUBLE) * (-1.0) + CAST(embedding[48] AS DOUBLE) * (-1.0) + CAST(embedding[49] AS DOUBLE) * (1.0) + CAST(embedding[50] AS DOUBLE) * (1.0) + CAST(embedding[51] AS DOUBLE) * (-1.0) + CAST(embedding[52] AS DOUBLE) * (-1.0) + CAST(embedding[53] AS DOUBLE) * (-1.0) + CAST(embedding[54] AS DOUBLE) * (1.0) + CAST(embedding[55] AS DOUBLE) * (1.0) + CAST(embedding[56] AS DOUBLE) * (1.0) + CAST(embedding[57] AS DOUBLE) * (1.0) + CAST(embedding[58] AS DOUBLE) * (1.0) + CAST(embedding[59] AS DOUBLE) * (-1.0) + CAST(embedding[60] AS DOUBLE) * (-1.0) + CAST(embedding[61] AS DOUBLE) * (1.0) + CAST(embedding[62] AS DOUBLE) * (-1.0) + CAST(embedding[63] AS DOUBLE) * (-1.0) + CAST(embedding[64] AS DOUBLE) * (-1.0)) * 0.35355339059327373 AS raw FROM embeddings
+UNION ALL
+SELECT vec_id, 4 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (-1.0) + CAST(embedding[2] AS DOUBLE) * (1.0) + CAST(embedding[3] AS DOUBLE) * (1.0) + CAST(embedding[4] AS DOUBLE) * (1.0) + CAST(embedding[5] AS DOUBLE) * (-1.0) + CAST(embedding[6] AS DOUBLE) * (1.0) + CAST(embedding[7] AS DOUBLE) * (1.0) + CAST(embedding[8] AS DOUBLE) * (-1.0) + CAST(embedding[9] AS DOUBLE) * (1.0) + CAST(embedding[10] AS DOUBLE) * (1.0) + CAST(embedding[11] AS DOUBLE) * (1.0) + CAST(embedding[12] AS DOUBLE) * (1.0) + CAST(embedding[13] AS DOUBLE) * (1.0) + CAST(embedding[14] AS DOUBLE) * (-1.0) + CAST(embedding[15] AS DOUBLE) * (-1.0) + CAST(embedding[16] AS DOUBLE) * (1.0) + CAST(embedding[17] AS DOUBLE) * (-1.0) + CAST(embedding[18] AS DOUBLE) * (1.0) + CAST(embedding[19] AS DOUBLE) * (-1.0) + CAST(embedding[20] AS DOUBLE) * (1.0) + CAST(embedding[21] AS DOUBLE) * (1.0) + CAST(embedding[22] AS DOUBLE) * (1.0) + CAST(embedding[23] AS DOUBLE) * (-1.0) + CAST(embedding[24] AS DOUBLE) * (1.0) + CAST(embedding[25] AS DOUBLE) * (-1.0) + CAST(embedding[26] AS DOUBLE) * (-1.0) + CAST(embedding[27] AS DOUBLE) * (-1.0) + CAST(embedding[28] AS DOUBLE) * (1.0) + CAST(embedding[29] AS DOUBLE) * (-1.0) + CAST(embedding[30] AS DOUBLE) * (-1.0) + CAST(embedding[31] AS DOUBLE) * (1.0) + CAST(embedding[32] AS DOUBLE) * (-1.0) + CAST(embedding[33] AS DOUBLE) * (1.0) + CAST(embedding[34] AS DOUBLE) * (1.0) + CAST(embedding[35] AS DOUBLE) * (-1.0) + CAST(embedding[36] AS DOUBLE) * (-1.0) + CAST(embedding[37] AS DOUBLE) * (-1.0) + CAST(embedding[38] AS DOUBLE) * (1.0) + CAST(embedding[39] AS DOUBLE) * (-1.0) + CAST(embedding[40] AS DOUBLE) * (-1.0) + CAST(embedding[41] AS DOUBLE) * (-1.0) + CAST(embedding[42] AS DOUBLE) * (-1.0) + CAST(embedding[43] AS DOUBLE) * (-1.0) + CAST(embedding[44] AS DOUBLE) * (-1.0) + CAST(embedding[45] AS DOUBLE) * (1.0) + CAST(embedding[46] AS DOUBLE) * (1.0) + CAST(embedding[47] AS DOUBLE) * (-1.0) + CAST(embedding[48] AS DOUBLE) * (-1.0) + CAST(embedding[49] AS DOUBLE) * (-1.0) + CAST(embedding[50] AS DOUBLE) * (-1.0) + CAST(embedding[51] AS DOUBLE) * (-1.0) + CAST(embedding[52] AS DOUBLE) * (1.0) + CAST(embedding[53] AS DOUBLE) * (-1.0) + CAST(embedding[54] AS DOUBLE) * (1.0) + CAST(embedding[55] AS DOUBLE) * (1.0) + CAST(embedding[56] AS DOUBLE) * (-1.0) + CAST(embedding[57] AS DOUBLE) * (-1.0) + CAST(embedding[58] AS DOUBLE) * (-1.0) + CAST(embedding[59] AS DOUBLE) * (1.0) + CAST(embedding[60] AS DOUBLE) * (-1.0) + CAST(embedding[61] AS DOUBLE) * (1.0) + CAST(embedding[62] AS DOUBLE) * (1.0) + CAST(embedding[63] AS DOUBLE) * (-1.0) + CAST(embedding[64] AS DOUBLE) * (-1.0)) * 0.35355339059327373 AS raw FROM embeddings
+UNION ALL
+SELECT vec_id, 5 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (-1.0) + CAST(embedding[2] AS DOUBLE) * (-1.0) + CAST(embedding[3] AS DOUBLE) * (1.0) + CAST(embedding[4] AS DOUBLE) * (-1.0) + CAST(embedding[5] AS DOUBLE) * (-1.0) + CAST(embedding[6] AS DOUBLE) * (1.0) + CAST(embedding[7] AS DOUBLE) * (-1.0) + CAST(embedding[8] AS DOUBLE) * (-1.0) + CAST(embedding[9] AS DOUBLE) * (-1.0) + CAST(embedding[10] AS DOUBLE) * (-1.0) + CAST(embedding[11] AS DOUBLE) * (-1.0) + CAST(embedding[12] AS DOUBLE) * (1.0) + CAST(embedding[13] AS DOUBLE) * (1.0) + CAST(embedding[14] AS DOUBLE) * (-1.0) + CAST(embedding[15] AS DOUBLE) * (1.0) + CAST(embedding[16] AS DOUBLE) * (1.0) + CAST(embedding[17] AS DOUBLE) * (-1.0) + CAST(embedding[18] AS DOUBLE) * (-1.0) + CAST(embedding[19] AS DOUBLE) * (-1.0) + CAST(embedding[20] AS DOUBLE) * (1.0) + CAST(embedding[21] AS DOUBLE) * (-1.0) + CAST(embedding[22] AS DOUBLE) * (1.0) + CAST(embedding[23] AS DOUBLE) * (1.0) + CAST(embedding[24] AS DOUBLE) * (-1.0) + CAST(embedding[25] AS DOUBLE) * (1.0) + CAST(embedding[26] AS DOUBLE) * (-1.0) + CAST(embedding[27] AS DOUBLE) * (-1.0) + CAST(embedding[28] AS DOUBLE) * (1.0) + CAST(embedding[29] AS DOUBLE) * (-1.0) + CAST(embedding[30] AS DOUBLE) * (-1.0) + CAST(embedding[31] AS DOUBLE) * (1.0) + CAST(embedding[32] AS DOUBLE) * (1.0) + CAST(embedding[33] AS DOUBLE) * (1.0) + CAST(embedding[34] AS DOUBLE) * (-1.0) + CAST(embedding[35] AS DOUBLE) * (1.0) + CAST(embedding[36] AS DOUBLE) * (-1.0) + CAST(embedding[37] AS DOUBLE) * (1.0) + CAST(embedding[38] AS DOUBLE) * (-1.0) + CAST(embedding[39] AS DOUBLE) * (1.0) + CAST(embedding[40] AS DOUBLE) * (-1.0) + CAST(embedding[41] AS DOUBLE) * (1.0) + CAST(embedding[42] AS DOUBLE) * (1.0) + CAST(embedding[43] AS DOUBLE) * (-1.0) + CAST(embedding[44] AS DOUBLE) * (1.0) + CAST(embedding[45] AS DOUBLE) * (-1.0) + CAST(embedding[46] AS DOUBLE) * (-1.0) + CAST(embedding[47] AS DOUBLE) * (-1.0) + CAST(embedding[48] AS DOUBLE) * (1.0) + CAST(embedding[49] AS DOUBLE) * (1.0) + CAST(embedding[50] AS DOUBLE) * (-1.0) + CAST(embedding[51] AS DOUBLE) * (1.0) + CAST(embedding[52] AS DOUBLE) * (1.0) + CAST(embedding[53] AS DOUBLE) * (-1.0) + CAST(embedding[54] AS DOUBLE) * (-1.0) + CAST(embedding[55] AS DOUBLE) * (-1.0) + CAST(embedding[56] AS DOUBLE) * (1.0) + CAST(embedding[57] AS DOUBLE) * (-1.0) + CAST(embedding[58] AS DOUBLE) * (1.0) + CAST(embedding[59] AS DOUBLE) * (1.0) + CAST(embedding[60] AS DOUBLE) * (1.0) + CAST(embedding[61] AS DOUBLE) * (1.0) + CAST(embedding[62] AS DOUBLE) * (1.0) + CAST(embedding[63] AS DOUBLE) * (1.0) + CAST(embedding[64] AS DOUBLE) * (1.0)) * 0.35355339059327373 AS raw FROM embeddings
+UNION ALL
+SELECT vec_id, 6 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (-1.0) + CAST(embedding[2] AS DOUBLE) * (-1.0) + CAST(embedding[3] AS DOUBLE) * (1.0) + CAST(embedding[4] AS DOUBLE) * (-1.0) + CAST(embedding[5] AS DOUBLE) * (1.0) + CAST(embedding[6] AS DOUBLE) * (1.0) + CAST(embedding[7] AS DOUBLE) * (1.0) + CAST(embedding[8] AS DOUBLE) * (-1.0) + CAST(embedding[9] AS DOUBLE) * (1.0) + CAST(embedding[10] AS DOUBLE) * (1.0) + CAST(embedding[11] AS DOUBLE) * (-1.0) + CAST(embedding[12] AS DOUBLE) * (1.0) + CAST(embedding[13] AS DOUBLE) * (1.0) + CAST(embedding[14] AS DOUBLE) * (-1.0) + CAST(embedding[15] AS DOUBLE) * (-1.0) + CAST(embedding[16] AS DOUBLE) * (-1.0) + CAST(embedding[17] AS DOUBLE) * (1.0) + CAST(embedding[18] AS DOUBLE) * (1.0) + CAST(embedding[19] AS DOUBLE) * (1.0) + CAST(embedding[20] AS DOUBLE) * (1.0) + CAST(embedding[21] AS DOUBLE) * (1.0) + CAST(embedding[22] AS DOUBLE) * (-1.0) + CAST(embedding[23] AS DOUBLE) * (1.0) + CAST(embedding[24] AS DOUBLE) * (-1.0) + CAST(embedding[25] AS DOUBLE) * (1.0) + CAST(embedding[26] AS DOUBLE) * (-1.0) + CAST(embedding[27] AS DOUBLE) * (-1.0) + CAST(embedding[28] AS DOUBLE) * (1.0) + CAST(embedding[29] AS DOUBLE) * (-1.0) + CAST(embedding[30] AS DOUBLE) * (-1.0) + CAST(embedding[31] AS DOUBLE) * (-1.0) + CAST(embedding[32] AS DOUBLE) * (1.0) + CAST(embedding[33] AS DOUBLE) * (1.0) + CAST(embedding[34] AS DOUBLE) * (1.0) + CAST(embedding[35] AS DOUBLE) * (-1.0) + CAST(embedding[36] AS DOUBLE) * (-1.0) + CAST(embedding[37] AS DOUBLE) * (1.0) + CAST(embedding[38] AS DOUBLE) * (-1.0) + CAST(embedding[39] AS DOUBLE) * (1.0) + CAST(embedding[40] AS DOUBLE) * (-1.0) + CAST(embedding[41] AS DOUBLE) * (-1.0) + CAST(embedding[42] AS DOUBLE) * (-1.0) + CAST(embedding[43] AS DOUBLE) * (-1.0) + CAST(embedding[44] AS DOUBLE) * (1.0) + CAST(embedding[45] AS DOUBLE) * (-1.0) + CAST(embedding[46] AS DOUBLE) * (-1.0) + CAST(embedding[47] AS DOUBLE) * (-1.0) + CAST(embedding[48] AS DOUBLE) * (-1.0) + CAST(embedding[49] AS DOUBLE) * (-1.0) + CAST(embedding[50] AS DOUBLE) * (-1.0) + CAST(embedding[51] AS DOUBLE) * (1.0) + CAST(embedding[52] AS DOUBLE) * (-1.0) + CAST(embedding[53] AS DOUBLE) * (1.0) + CAST(embedding[54] AS DOUBLE) * (1.0) + CAST(embedding[55] AS DOUBLE) * (-1.0) + CAST(embedding[56] AS DOUBLE) * (-1.0) + CAST(embedding[57] AS DOUBLE) * (-1.0) + CAST(embedding[58] AS DOUBLE) * (-1.0) + CAST(embedding[59] AS DOUBLE) * (-1.0) + CAST(embedding[60] AS DOUBLE) * (-1.0) + CAST(embedding[61] AS DOUBLE) * (-1.0) + CAST(embedding[62] AS DOUBLE) * (1.0) + CAST(embedding[63] AS DOUBLE) * (1.0) + CAST(embedding[64] AS DOUBLE) * (1.0)) * 0.35355339059327373 AS raw FROM embeddings
+UNION ALL
+SELECT vec_id, 7 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (1.0) + CAST(embedding[2] AS DOUBLE) * (1.0) + CAST(embedding[3] AS DOUBLE) * (-1.0) + CAST(embedding[4] AS DOUBLE) * (-1.0) + CAST(embedding[5] AS DOUBLE) * (-1.0) + CAST(embedding[6] AS DOUBLE) * (-1.0) + CAST(embedding[7] AS DOUBLE) * (1.0) + CAST(embedding[8] AS DOUBLE) * (-1.0) + CAST(embedding[9] AS DOUBLE) * (-1.0) + CAST(embedding[10] AS DOUBLE) * (1.0) + CAST(embedding[11] AS DOUBLE) * (-1.0) + CAST(embedding[12] AS DOUBLE) * (1.0) + CAST(embedding[13] AS DOUBLE) * (-1.0) + CAST(embedding[14] AS DOUBLE) * (-1.0) + CAST(embedding[15] AS DOUBLE) * (-1.0) + CAST(embedding[16] AS DOUBLE) * (-1.0) + CAST(embedding[17] AS DOUBLE) * (1.0) + CAST(embedding[18] AS DOUBLE) * (-1.0) + CAST(embedding[19] AS DOUBLE) * (1.0) + CAST(embedding[20] AS DOUBLE) * (1.0) + CAST(embedding[21] AS DOUBLE) * (-1.0) + CAST(embedding[22] AS DOUBLE) * (1.0) + CAST(embedding[23] AS DOUBLE) * (1.0) + CAST(embedding[24] AS DOUBLE) * (-1.0) + CAST(embedding[25] AS DOUBLE) * (1.0) + CAST(embedding[26] AS DOUBLE) * (1.0) + CAST(embedding[27] AS DOUBLE) * (-1.0) + CAST(embedding[28] AS DOUBLE) * (-1.0) + CAST(embedding[29] AS DOUBLE) * (1.0) + CAST(embedding[30] AS DOUBLE) * (-1.0) + CAST(embedding[31] AS DOUBLE) * (1.0) + CAST(embedding[32] AS DOUBLE) * (-1.0) + CAST(embedding[33] AS DOUBLE) * (1.0) + CAST(embedding[34] AS DOUBLE) * (-1.0) + CAST(embedding[35] AS DOUBLE) * (-1.0) + CAST(embedding[36] AS DOUBLE) * (-1.0) + CAST(embedding[37] AS DOUBLE) * (1.0) + CAST(embedding[38] AS DOUBLE) * (1.0) + CAST(embedding[39] AS DOUBLE) * (1.0) + CAST(embedding[40] AS DOUBLE) * (-1.0) + CAST(embedding[41] AS DOUBLE) * (-1.0) + CAST(embedding[42] AS DOUBLE) * (1.0) + CAST(embedding[43] AS DOUBLE) * (1.0) + CAST(embedding[44] AS DOUBLE) * (-1.0) + CAST(embedding[45] AS DOUBLE) * (1.0) + CAST(embedding[46] AS DOUBLE) * (-1.0) + CAST(embedding[47] AS DOUBLE) * (1.0) + CAST(embedding[48] AS DOUBLE) * (1.0) + CAST(embedding[49] AS DOUBLE) * (-1.0) + CAST(embedding[50] AS DOUBLE) * (-1.0) + CAST(embedding[51] AS DOUBLE) * (-1.0) + CAST(embedding[52] AS DOUBLE) * (1.0) + CAST(embedding[53] AS DOUBLE) * (-1.0) + CAST(embedding[54] AS DOUBLE) * (-1.0) + CAST(embedding[55] AS DOUBLE) * (-1.0) + CAST(embedding[56] AS DOUBLE) * (1.0) + CAST(embedding[57] AS DOUBLE) * (1.0) + CAST(embedding[58] AS DOUBLE) * (1.0) + CAST(embedding[59] AS DOUBLE) * (-1.0) + CAST(embedding[60] AS DOUBLE) * (-1.0) + CAST(embedding[61] AS DOUBLE) * (-1.0) + CAST(embedding[62] AS DOUBLE) * (1.0) + CAST(embedding[63] AS DOUBLE) * (-1.0) + CAST(embedding[64] AS DOUBLE) * (1.0)) * 0.35355339059327373 AS raw FROM embeddings
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(raw, 6) AS val FROM proj
+"""

@@ -4859,3 +4859,31 @@ def q_skew_report(spark, sf_dir):
         "p99_med_ratio",
         F.col("suggested_salt").cast("long").alias("suggested_salt"),
     )
+
+
+@query("q_random_projection")
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection (functions/vectors.py:
+    random_projection): embeddings 64 -> 8 dims through the
+    deterministic Lehmer ±1 sign matrix, entirely in whole-stage
+    codegen (zip_with multiply + left-fold sum per output coord; no
+    Python, no shuffle — a narrow projection riding the scan). The
+    oracle replays the IDENTICAL sign matrix and left-associative
+    sum chain in DuckDB, hash-checked per (vec, dim) after
+    round(6)."""
+    from pipeline_dataengineer_spark.functions.vectors import (
+        random_projection,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = e.select(
+        "vec_id",
+        random_projection("embedding", in_dim=64, out_dim=8).alias("p"),
+    )
+    return proj.select(
+        "vec_id", F.posexplode("p").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 6).alias("val"),
+    )

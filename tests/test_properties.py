@@ -168,3 +168,44 @@ def test_fuzzy_join_complete_vs_bruteforce(spark, left, right, k):
         ).collect()
     }
     assert got == expect
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL law: pairwise distances in the projected space stay within
+    the expected distortion band (loose 3-sigma bound at k=32)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.functions.vectors import (
+        projection_signs_sql,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(size=(40, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = (
+        df.select(
+            "vec_id",
+            random_projection("embedding", 64, 32, seed=3).alias("p"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    p = np.stack([np.array(r["p"]) for r in out])
+    # parity with the exported sign matrix
+    signs = np.array(projection_signs_sql(64, 32, seed=3))
+    want = vecs @ signs.T / np.sqrt(32)
+    assert np.allclose(p, want, atol=1e-9)
+    # distance preservation on a sample of pairs
+    ratios = []
+    for a in range(0, 40, 5):
+        for b in range(a + 1, 40, 7):
+            d0 = np.linalg.norm(vecs[a] - vecs[b])
+            d1 = np.linalg.norm(p[a] - p[b])
+            ratios.append(d1 / d0)
+    r = np.array(ratios)
+    assert 0.5 < r.min() and r.max() < 1.6
