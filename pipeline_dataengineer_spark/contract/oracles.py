@@ -2894,3 +2894,42 @@ SELECT vec_id, 7 AS dim, (0.0 + CAST(embedding[1] AS DOUBLE) * (1.0) + CAST(embe
 )
 SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(raw, 6) AS val FROM proj
 """
+
+ORACLES["q_interpolate"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS k, o_orderdate AS d,
+         round(sum(o_totalprice), 2) AS v0,
+         CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS t
+  FROM orders GROUP BY k, d
+), masked AS (
+  SELECT k, d, t, CASE WHEN t % 3 <> 0 THEN v0 END AS v FROM daily
+), wins AS (
+  SELECT k, d, t, v,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN t * 1.0 END IGNORE NULLS)
+           OVER wb AS pt,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN t * 1.0 END IGNORE NULLS)
+           OVER wf AS nt
+  FROM masked
+  WINDOW wb AS (PARTITION BY k ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY k ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT k AS o_orderpriority, d AS o_orderdate, round(v, 3) AS v,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (t * 1.0 - pt) / (nt - pt)
+             END, 3) AS v_filled
+FROM wins
+"""
+
+ORACLES["q_debounce"] = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         lag(event_id) OVER (PARTITION BY user_id, event_type
+                             ORDER BY event_id) AS prev
+  FROM events
+) WHERE prev IS NULL OR (event_id * 1.0 - prev) > 3.0
+"""

@@ -4340,7 +4340,13 @@ def q_recursive_cte(spark, sf_dir):
     round's frame is at most one row per document, so the fixpoint
     work is documents x log(documents) — the same bound as the
     hand-built BFS. The oracle runs the identical ANSI recursion in
-    DuckDB: engine-independent fixpoint semantics, hash-checked."""
+    DuckDB: engine-independent fixpoint semantics, hash-checked.
+    Spark guards runaway recursion with a cumulative ROW limit
+    (default 1M — a safety net, not a resource bound); the walk's
+    total is documents x depth, so size it from the data rather than
+    letting the default kill legitimate depth (hit at the bench 10x
+    tier: 600k docs x 27 levels)."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 200_000_000)
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents_rc")
     return spark.sql(
         """
@@ -4887,3 +4893,50 @@ def q_random_projection(spark, sf_dir):
         F.col("dim").cast("long").alias("dim"),
         F.round("val", 6).alias("val"),
     )
+
+
+@query("q_interpolate")
+def q_interpolate(spark, sf_dir):
+    """Linear gap interpolation (operators/timeseries.py:
+    interpolate_linear): per-priority daily revenue with every 3rd
+    observation masked NULL, then rebuilt by interpolating between
+    the surviving neighbors. Two IGNORE-NULLS windows per direction,
+    one shuffle. Oracle replays the identical window arithmetic,
+    round(3)."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+        .withColumn("t", F.unix_date("o_orderdate").cast("long"))
+    )
+    masked = daily.withColumn(
+        "v", F.when(F.pmod("t", F.lit(3)) != 0, F.col("v"))
+    )
+    out = interpolate_linear(
+        masked, ["o_orderpriority"], "t", "v", out_col="v_filled"
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.round("v", 3).alias("v"),
+        F.round("v_filled", 3).alias("v_filled"),
+    )
+
+
+@query("q_debounce")
+def q_debounce(spark, sf_dir):
+    """Event debouncing (operators/events.py:debounce): per (user,
+    event type), drop events arriving within 3 ids of their
+    predecessor. Lag window, one shuffle. Oracle = identical lag
+    formulation in SQL."""
+    from pipeline_dataengineer_spark.operators.events import debounce
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    out = debounce(ev, ["user_id", "event_type"], "event_id", tolerance=3.0)
+    return out.select("user_id", "event_type", "event_id")

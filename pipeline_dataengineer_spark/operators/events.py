@@ -161,3 +161,29 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     ).drop("__sess")
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tolerance: float,
+) -> DataFrame:
+    """Drop events that fire within ``tolerance`` of the PREVIOUS
+    event of the same key — sensor/UI debouncing (duplicate webhook
+    deliveries, double-clicks, chattering monitors). Lag semantics:
+    an event is dropped iff its immediate same-key predecessor is
+    closer than ``tolerance`` — a pure window formulation (one
+    shuffle, no sequential scan-state), which thins a burst to its
+    spaced-out survivors. (The alternative "relative to the last
+    KEPT event" is inherently sequential — that recursion lives in
+    the CEP/stateful-streaming operators, not here.)
+
+    The batch twin of streaming/dedup.py's watermark
+    deduplication."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    prev = F.lag(F.col(order_col).cast("double")).over(w)
+    keep = prev.isNull() | (
+        (F.col(order_col).cast("double") - prev) > tolerance
+    )
+    return df.withColumn("__keep", keep).filter("__keep").drop("__keep")

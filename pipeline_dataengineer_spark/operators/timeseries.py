@@ -335,3 +335,46 @@ def seasonal_decompose(
             ).alias("resid"),
         )
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULL gaps by linear interpolation between the nearest
+    known neighbors (the Timescale/Influx ``interpolate`` gap-fill,
+    the value-correct upgrade over forward_fill for sampled
+    metrics): for a NULL at t between known (t0, v0) and (t1, v1),
+    value = v0 + (v1 - v0) * (t - t0) / (t1 - t0). Leading/trailing
+    NULLs (no neighbor on one side) stay NULL.
+
+    Two IGNORE-NULLS windows per direction (value + its timestamp) —
+    one shuffle on the key, frame state O(1) per row; numeric
+    ``order_col`` (epoch/sequence) keeps the arithmetic portable."""
+    out_col = out_col or value_col
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.col(order_col).cast("double")
+    t_of_val = F.when(F.col(value_col).isNotNull(), t)
+    pv = F.last(value_col, ignorenulls=True).over(w_back)
+    pt = F.last(t_of_val, ignorenulls=True).over(w_back)
+    nv = F.first(value_col, ignorenulls=True).over(w_fwd)
+    nt = F.first(t_of_val, ignorenulls=True).over(w_fwd)
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv + (nv - pv) * (t - pt) / (nt - pt),
+        )
+    )
+    return df.withColumn(out_col, interp)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pipeline_dataengineer_spark.operators.sampling import (
@@ -241,3 +243,73 @@ def test_clamped_running_sum_unbounded_top(spark):
         for r in clamped_running_sum(df, ["k"], "t", "d", lo=0.0).collect()
     }
     assert got == {1: 50.0, 2: 550.0, 3: 540.0}
+
+
+def test_interpolate_linear_fills_gaps(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 1, None),
+        ("a", 2, None),
+        ("a", 3, 40.0),
+        ("a", 5, None),  # trailing gap stays NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        r["t"]: r["v_f"]
+        for r in interpolate_linear(df, ["k"], "t", "v", "v_f").collect()
+    }
+    assert got[0] == 10.0 and got[3] == 40.0
+    assert got[1] == pytest.approx(20.0) and got[2] == pytest.approx(30.0)
+    assert got[5] is None
+
+
+def test_interpolate_linear_uneven_spacing(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [("a", 0, 0.0), ("a", 10, None), ("a", 40, 80.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        r["t"]: r["vf"]
+        for r in interpolate_linear(df, ["k"], "t", "v", "vf").collect()
+    }
+    assert got[10] == pytest.approx(20.0)  # 10/40 of the way
+
+
+def test_interpolate_leading_null_stays(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [("a", 0, None), ("a", 1, 5.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        r["t"]: r["vf"]
+        for r in interpolate_linear(df, ["k"], "t", "v", "vf").collect()
+    }
+    assert got[0] is None and got[1] == 5.0
+
+
+def test_debounce_thins_bursts(spark):
+    from pipeline_dataengineer_spark.operators.events import debounce
+
+    rows = [("u", t) for t in [0, 1, 2, 10, 11, 20]]
+    df = spark.createDataFrame(rows, "k string, t long")
+    kept = sorted(
+        r["t"] for r in debounce(df, ["k"], "t", tolerance=3.0).collect()
+    )
+    # 1, 2 within 3 of predecessor; 11 within 3 of 10
+    assert kept == [0, 10, 20]
+
+
+def test_debounce_keys_independent(spark):
+    from pipeline_dataengineer_spark.operators.events import debounce
+
+    rows = [("a", 0), ("b", 1)]
+    df = spark.createDataFrame(rows, "k string, t long")
+    assert debounce(df, ["k"], "t", tolerance=5.0).count() == 2
