@@ -156,11 +156,19 @@ def _inherit_stat_cols(root: str, stat_cols: list[str] | None) -> list[str]:
     return read_manifest(root).get("stat_cols", []) if v is not None else []
 
 
+def _inherit_bloom_cols(root: str, bloom_cols: list[str] | None) -> list[str]:
+    if bloom_cols is not None:
+        return bloom_cols
+    v = current_version(root)
+    return read_manifest(root).get("bloom_cols", []) if v is not None else []
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
     watermark: str | None = None,
     stat_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Publish ``df`` as the next full snapshot (REPLACE semantics:
     the new version lists only the new directory). Returns the
@@ -171,12 +179,18 @@ def write_snapshot(
     index ``read_snapshot(..., prune=...)`` uses to drop whole
     directories before Spark ever lists a file."""
     stat_cols = _inherit_stat_cols(root, stat_cols)
+    bloom_cols = _inherit_bloom_cols(root, bloom_cols)
     path = _write_data_dir(df, root)
     extra = _carry_streams(root)
     if stat_cols:
         extra["stat_cols"] = stat_cols
         extra["dir_stats"] = {
             path: _dir_stats(df.sparkSession.read.parquet(path), stat_cols)
+        }
+    if bloom_cols:
+        extra["bloom_cols"] = bloom_cols
+        extra["dir_blooms"] = {
+            path: _dir_blooms(df.sparkSession.read.parquet(path), bloom_cols)
         }
     return _publish(
         root, [path], df.schema.simpleString(), watermark,
@@ -190,6 +204,7 @@ def append_snapshot(
     watermark: str | None = None,
     evolve_schema: bool = False,
     stat_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Publish a LOGICAL append: previous directories + one new delta
     directory. Existing data is never rewritten. An EMPTY df is a
@@ -212,14 +227,17 @@ def append_snapshot(
             root, [], df.schema.simpleString(), watermark, None
         )
     stat_cols = _inherit_stat_cols(root, stat_cols)
+    bloom_cols = _inherit_bloom_cols(root, bloom_cols)
     extra = _carry_streams(root)
     schema_ddl = df.schema.simpleString()
     prev_paths: list[str] = []
     dir_stats: dict = {}
+    dir_blooms: dict = {}
     if prev_v is not None:
         prev = read_manifest(root)
         prev_paths = prev["data_paths"]
         dir_stats = dict(prev.get("dir_stats", {}))
+        dir_blooms = dict(prev.get("dir_blooms", {}))
         if prev.get("merge_keys"):
             # a plain append to a merge-on-read table must keep the
             # resolve metadata or deleted/shadowed keys resurrect
@@ -243,6 +261,12 @@ def append_snapshot(
         )
         extra["stat_cols"] = stat_cols
         extra["dir_stats"] = dir_stats
+    if bloom_cols:
+        dir_blooms[path] = _dir_blooms(
+            df.sparkSession.read.parquet(path), bloom_cols
+        )
+        extra["bloom_cols"] = bloom_cols
+        extra["dir_blooms"] = dir_blooms
     return _publish(
         root, prev_paths + [path], schema_ddl, watermark, prev_v, extra=extra,
     )
@@ -261,11 +285,68 @@ def _union_schema_ddl(prev_ddl: str, delta: DataFrame) -> str:
     return T.StructType(fields).simpleString()
 
 
+_BLOOM_BITS = 1024
+_BLOOM_HASHES = 3
+
+
+def _bloom_positions(df, col: str):
+    """The bloom bit positions of ``col``'s values, as a Spark column
+    expression array — xxhash64(value, seed) mod bits per hash. Using
+    the ENGINE's hash for both build and probe sidesteps reimplementing
+    XXH64 driver-side (the probe runs a 1-row Spark job)."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_HASHES)
+        ]
+    )
+
+
+def _dir_blooms(df, bloom_cols: list[str]) -> dict:
+    """Per-column bloom filter of a just-written directory, encoded as
+    a hex string. The aggregate collects DISTINCT bit positions (at
+    most _BLOOM_BITS rows per column — bounded driver traffic, same
+    contract as _dir_stats min/max)."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    for c in bloom_cols:
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(F.explode(_bloom_positions(df, c)).alias("p"))
+            .distinct()
+            .collect()
+        )
+        bits = 0
+        for r in rows:
+            bits |= 1 << int(r["p"])
+        out[c] = f"{bits:x}"
+    return out
+
+
+def _probe_bloom(spark, value, hex_bloom: str) -> bool:
+    """True if ``value`` MAY be present (all its bits set)."""
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame([(value,)], ["v"])
+    pos = [
+        int(r["p"])
+        for r in probe.select(
+            F.explode(_bloom_positions(probe, "v")).alias("p")
+        ).collect()
+    ]
+    bits = int(hex_bloom or "0", 16)
+    return all(bits & (1 << p) for p in pos)
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     prune: tuple | None = None,
+    point: tuple | None = None,
 ) -> DataFrame:
     """Scan a snapshot (current, or ``version`` for time travel) as a
     plain multi-path parquet read — pushdown and pruning intact.
@@ -284,11 +365,25 @@ def read_snapshot(
     m = read_manifest(root, version)
     paths = m["data_paths"]
     merge_keys = m.get("merge_keys")
-    if prune is not None and merge_keys:
+    if (prune is not None or point is not None) and merge_keys:
         # dropping a directory can resurrect a row it shadows —
-        # stats pruning is only sound on append-only tables
-        raise ValueError("prune= is not supported on a merge-on-read "
-                         "table; compact_snapshot first")
+        # stats/bloom pruning is only sound on append-only tables
+        raise ValueError("prune=/point= is not supported on a "
+                         "merge-on-read table; compact_snapshot first")
+    if point is not None and paths:
+        # bloom-filter point-lookup skipping: drop directories whose
+        # bloom PROVABLY excludes the value. A missing bloom keeps the
+        # directory (correctness over optimism); false positives only
+        # keep extra directories, never drop a real one.
+        pcol, pval = point
+        blooms = m.get("dir_blooms", {})
+        paths = [
+            p
+            for p in paths
+            if p not in blooms
+            or pcol not in blooms[p]
+            or _probe_bloom(spark, pval, blooms[p][pcol])
+        ]
     if prune is not None and paths:
         col, lo, hi = prune
         stats = m.get("dir_stats", {})

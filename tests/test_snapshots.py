@@ -653,3 +653,78 @@ def test_table_changes_bad_range(spark, tmp_path):
     write_snapshot(spark.range(3), root)
     with pytest.raises(ValueError, match="bad version range"):
         table_changes(spark, root, 0, 5)
+
+
+def test_bloom_point_lookup_skips_directories(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "bloom")
+    write_snapshot(
+        spark.range(0, 100).withColumn("v", F.col("id") * 2),
+        root,
+        bloom_cols=["id"],
+    )
+    append_snapshot(
+        spark.range(1000, 1100).withColumn("v", F.col("id") * 2), root
+    )
+    append_snapshot(
+        spark.range(2000, 2100).withColumn("v", F.col("id") * 2), root
+    )
+    full = read_snapshot(spark, root)
+    assert full.count() == 300
+    hit = read_snapshot(spark, root, point=("id", 1050))
+    # correctness: same rows as a plain filter on the full table
+    assert [r["v"] for r in hit.filter("id = 1050").collect()] == [2100]
+    # skipping: the pruned plan touches fewer parquet files than full
+    n_files_full = full.select(F.input_file_name()).distinct().count()
+    n_files_hit = hit.select(F.input_file_name()).distinct().count()
+    assert n_files_hit < n_files_full
+    # absent key: bloom excludes every directory -> empty scan
+    miss = read_snapshot(spark, root, point=("id", 555_555))
+    assert miss.count() == 0
+
+
+def test_bloom_inherited_and_null_safe(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        read_manifest,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "bloom2")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (None, "b")], "id long, v string"),
+        root,
+        bloom_cols=["id"],
+    )
+    append_snapshot(
+        spark.createDataFrame([(7, "c")], "id long, v string"), root
+    )  # bloom_cols inherited without re-passing
+    m = read_manifest(root)
+    assert m["bloom_cols"] == ["id"] and len(m["dir_blooms"]) == 2
+    got = read_snapshot(spark, root, point=("id", 7)).collect()
+    assert [r["v"] for r in got if r["id"] == 7] == ["c"]
+
+
+def test_bloom_point_rejected_on_mor(spark, tmp_path):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        upsert_append,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "bloom3")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        root,
+        bloom_cols=["id"],
+    )
+    upsert_append(
+        spark, root,
+        spark.createDataFrame([(1, "A")], "id long, v string"),
+        keys=["id"],
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        read_snapshot(spark, root, point=("id", 1))
