@@ -4911,7 +4911,7 @@ def q_interpolate(spark, sf_dir):
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority", "o_orderdate")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
-        .withColumn("t", F.unix_date("o_orderdate").cast("long"))
+        .withColumn("t", F.unix_date(F.col("o_orderdate").cast("date")).cast("long"))
     )
     masked = daily.withColumn(
         "v", F.when(F.pmod("t", F.lit(3)) != 0, F.col("v"))
