@@ -2933,3 +2933,52 @@ SELECT user_id, event_type, event_id FROM (
   FROM events
 ) WHERE prev IS NULL OR (event_id * 1.0 - prev) > 3.0
 """
+
+# LPA: 4 synchronous rounds unrolled. All-integer arithmetic with the
+# deterministic (count desc, label asc) tie-break -> EXACT replay, no
+# rounding. If Spark's loop broke early on convergence, the extra SQL
+# rounds are no-ops (a fixpoint stays fixed), so results still agree.
+_LPA_ROUND = """
+, votes{r} AS (
+  SELECT e.a AS node, l.label, count(*) AS n
+  FROM und e JOIN lab{p} l ON e.b = l.node
+  GROUP BY e.a, l.label
+), lab{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC)
+             AS rn
+    FROM votes{r}
+  ) WHERE rn = 1
+)
+"""
+
+ORACLES["q_label_propagation"] = (
+    """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+raw AS (
+  SELECT doc_id AS src,
+         CAST(floor(doc_id / 6) * 6
+              + ((doc_id % 6) + 1) % 3
+              + CASE WHEN doc_id % 6 >= 3 THEN 3 ELSE 0 END AS BIGINT)
+           AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 6 = 2
+),
+edges AS (
+  SELECT src, dst FROM raw, mx WHERE dst <= mx.m AND src <= mx.m
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION ALL SELECT dst, src FROM edges
+  ) WHERE a <> b
+),
+lab0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM und
+)
+"""
+    + "".join(_LPA_ROUND.format(r=i, p=i - 1) for i in range(1, 5))
+    + "SELECT node, label FROM lab4"
+)

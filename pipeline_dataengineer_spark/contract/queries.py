@@ -4818,9 +4818,11 @@ def q_label_propagation(spark, sf_dir):
     joined by one bridge edge — LPA must keep each triangle its own
     community while connected components would merge them (that
     contrast is pytest-proven; q_connected_components covers the CC
-    side). Iterative fixpoint with engine-specific labels — rows-only
-    by design; determinism and community structure are pytest laws
-    (test_graph.py)."""
+    side). HASH-CHECKED despite being iterative: the deterministic
+    (count desc, label asc) tie-break makes every round pure integer
+    arithmetic, so the oracle unrolls the 4 synchronous rounds as
+    chained SQL CTEs and must agree exactly (early convergence is
+    safe — a fixpoint stays fixed under extra rounds)."""
     from pipeline_dataengineer_spark.operators.graph import label_propagation
 
     d = table(spark, sf_dir, "documents").select("doc_id")
