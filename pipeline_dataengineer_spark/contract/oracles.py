@@ -2982,3 +2982,44 @@ lab0 AS (
     + "".join(_LPA_ROUND.format(r=i, p=i - 1) for i in range(1, 5))
     + "SELECT node, label FROM lab4"
 )
+
+# PageRank: 8 power-iteration rounds unrolled. Float sums differ only
+# in ulp-order across engines; round(6) absorbs that (values are
+# ~1e-4..1e-1 here). Early convergence on the Spark side is round(6)-
+# safe too: delta < tol=1e-9 means further rounds move ranks by less
+# than the rounding grain.
+_PR_ROUND = """
+, contrib{r} AS (
+  SELECT e.dst, sum(l.rank * e.w) AS cin
+  FROM we e JOIN rank{p} l ON e.src = l.node GROUP BY e.dst
+), dang{r} AS (
+  SELECT coalesce(sum(l.rank), 0.0) AS dm
+  FROM rank{p} l WHERE l.node NOT IN (SELECT src FROM we)
+), rank{r} AS (
+  SELECT n.node,
+         (1.0 - 0.85) / nn.n
+           + 0.85 * (coalesce(c.cin, 0.0) + dang{r}.dm / nn.n) AS rank
+  FROM nodes n
+  LEFT JOIN contrib{r} c ON n.node = c.dst, dang{r}, nn
+)
+"""
+
+ORACLES["q_pagerank"] = (
+    """
+WITH edges AS (
+  SELECT DISTINCT c_custkey AS src, c_nationkey + 10000000 AS dst
+  FROM customer
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+we AS (
+  SELECT e.src, e.dst, 1.0 / deg.d AS w FROM edges e JOIN deg USING (src)
+),
+rank0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)
+"""
+    + "".join(_PR_ROUND.format(r=i, p=i - 1) for i in range(1, 9))
+    + "SELECT node, round(rank, 6) AS rank FROM rank8 ORDER BY node"
+)

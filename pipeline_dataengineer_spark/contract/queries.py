@@ -2742,11 +2742,14 @@ def q_hll_merge(spark, sf_dir):
 @query("q_pagerank")
 def q_pagerank(spark, sf_dir):
     """PageRank (operators/graph.py:pagerank) over the bipartite
-    customer→nation membership graph — rows-only (iterative float
-    fixpoint is engine-specific; the algorithm is pytest-checked
-    against an independent power iteration). One join + one
-    map-side-combinable aggregate per round, localCheckpoint-bounded
-    plans, only one-row aggregates reach the driver."""
+    customer→nation membership graph — HASH-CHECKED: the oracle
+    unrolls the 8 power-iteration rounds (contributions, dangling
+    mass, rank update with identical operation order) as chained SQL
+    CTEs; cross-engine float-sum order differences are ulp-sized and
+    absorbed by round(6). Also pytest-checked against an independent
+    numpy power iteration. One join + one map-side-combinable
+    aggregate per round, localCheckpoint-bounded plans, only one-row
+    aggregates reach the driver."""
     from pipeline_dataengineer_spark.operators.graph import pagerank
 
     c = table(spark, sf_dir, "customer").select(
