@@ -2939,11 +2939,11 @@ SELECT user_id, event_type, event_id FROM (
 # rounding. If Spark's loop broke early on convergence, the extra SQL
 # rounds are no-ops (a fixpoint stays fixed), so results still agree.
 _LPA_ROUND = """
-, votes{r} AS (
+, votes{r} AS MATERIALIZED (
   SELECT e.a AS node, l.label, count(*) AS n
   FROM und e JOIN lab{p} l ON e.b = l.node
   GROUP BY e.a, l.label
-), lab{r} AS (
+), lab{r} AS MATERIALIZED (
   SELECT node, label FROM (
     SELECT node, label,
            row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC)
@@ -2989,13 +2989,13 @@ lab0 AS (
 # safe too: delta < tol=1e-9 means further rounds move ranks by less
 # than the rounding grain.
 _PR_ROUND = """
-, contrib{r} AS (
+, contrib{r} AS MATERIALIZED (
   SELECT e.dst, sum(l.rank * e.w) AS cin
   FROM we e JOIN rank{p} l ON e.src = l.node GROUP BY e.dst
-), dang{r} AS (
+), dang{r} AS MATERIALIZED (
   SELECT coalesce(sum(l.rank), 0.0) AS dm
   FROM rank{p} l WHERE l.node NOT IN (SELECT src FROM we)
-), rank{r} AS (
+), rank{r} AS MATERIALIZED (
   SELECT n.node,
          (1.0 - 0.85) / nn.n
            + 0.85 * (coalesce(c.cin, 0.0) + dang{r}.dm / nn.n) AS rank
@@ -3006,20 +3006,69 @@ _PR_ROUND = """
 
 ORACLES["q_pagerank"] = (
     """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT c_custkey AS src, c_nationkey + 10000000 AS dst
   FROM customer
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 ),
-nn AS (SELECT count(*) AS n FROM nodes),
-deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-we AS (
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+we AS MATERIALIZED (
   SELECT e.src, e.dst, 1.0 / deg.d AS w FROM edges e JOIN deg USING (src)
 ),
-rank0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)
+rank0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)
 """
     + "".join(_PR_ROUND.format(r=i, p=i - 1) for i in range(1, 9))
     + "SELECT node, round(rank, 6) AS rank FROM rank8 ORDER BY node"
+)
+
+_HITS_ROUND = """
+, araw{r} AS MATERIALIZED (
+  SELECT e.dst, sum(s.hub) AS a
+  FROM edges e JOIN sc{p} s ON e.src = s.node GROUP BY e.dst
+), an{r} AS MATERIALIZED (
+  SELECT CASE WHEN sum(a) IS NULL OR sum(a) = 0 THEN 1.0
+              ELSE sum(a) END AS t
+  FROM araw{r}
+), auth{r} AS MATERIALIZED (
+  SELECT n.node, coalesce(ar.a, 0.0) / an{r}.t AS authority
+  FROM nodes n LEFT JOIN araw{r} ar ON n.node = ar.dst, an{r}
+), hraw{r} AS MATERIALIZED (
+  SELECT e.src, sum(a.authority) AS h
+  FROM edges e JOIN auth{r} a ON e.dst = a.node GROUP BY e.src
+), hn{r} AS MATERIALIZED (
+  SELECT CASE WHEN sum(h) IS NULL OR sum(h) = 0 THEN 1.0
+              ELSE sum(h) END AS t
+  FROM hraw{r}
+), sc{r} AS MATERIALIZED (
+  SELECT n.node, coalesce(hr.h, 0.0) / hn{r}.t AS hub, a.authority
+  FROM nodes n
+  LEFT JOIN hraw{r} hr ON n.node = hr.src
+  JOIN auth{r} a ON n.node = a.node, hn{r}
+)
+"""
+
+ORACLES["q_hits"] = (
+    """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, CAST(floor(doc_id / 2) AS BIGINT) AS dst
+    FROM documents WHERE doc_id >= 2
+    UNION ALL
+    SELECT doc_id, doc_id - 2 FROM documents
+    WHERE doc_id >= 2 AND doc_id % 5 = 0
+  )
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                       UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+sc0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS hub,
+                            1.0 / nn.n AS authority
+                     FROM nodes, nn)
+"""
+    + "".join(_HITS_ROUND.format(r=i, p=i - 1) for i in range(1, 9))
+    + "SELECT node, round(hub, 6) AS hub, round(authority, 6) AS authority "
+      "FROM sc8"
 )

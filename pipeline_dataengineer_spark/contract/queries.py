@@ -4945,3 +4945,32 @@ def q_debounce(spark, sf_dir):
     )
     out = debounce(ev, ["user_id", "event_type"], "event_id", tolerance=3.0)
     return out.select("user_id", "event_type", "event_id")
+
+
+@query("q_hits")
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py:hits) over the
+    doc-id binary-tree graph (children point at parents, plus a
+    doc%5 chord so hub/authority sets genuinely differ). 8 rounds,
+    L1-normalized — HASH-CHECKED like q_pagerank: the oracle unrolls
+    every round (sum-join, zero-guarded normalizer, identical
+    operation order) and round(6) absorbs ulp-order float
+    differences."""
+    from pipeline_dataengineer_spark.operators.graph import hits
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") >= 2
+    )
+    tree = d.select(
+        F.col("doc_id").alias("src"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("dst"),
+    )
+    chord = d.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 2).alias("dst")
+    )
+    out = hits(tree.union(chord), max_iterations=8)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )

@@ -669,3 +669,79 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def hits(
+    edges_df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a directed edge list →
+    (node, hub, authority), each score vector L1-normalized per
+    round (the Kleinberg formulation; L1 keeps the normalizer a
+    plain combinable sum — same cross-engine replayability as
+    pagerank's dangling mass).
+
+    Per round: authority(v) = Σ hub(u) over in-edges, hub(u) =
+    Σ authority(v) over out-edges — two joins + two combinable
+    aggregates, localCheckpoint-bounded plans, one scalar normalizer
+    per round to the driver. Same loop-invariant-edges discipline as
+    pagerank (checkpoint once, reuse)."""
+    from pyspark.sql import functions as F
+
+    edges = (
+        edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    scores = nodes.select(
+        "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("authority")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        auth_raw = (
+            edges.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("__a"))
+        )
+        a_norm = auth_raw.agg(F.sum("__a")).collect()[0][0] or 1.0
+        new_auth = nodes.join(
+            auth_raw.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (F.coalesce(F.col("__a"), F.lit(0.0)) / F.lit(a_norm)).alias(
+                "authority"
+            ),
+        )
+        hub_raw = (
+            edges.join(
+                new_auth.select(F.col("node").alias("dst"), "authority"),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("authority").alias("__h"))
+        )
+        h_norm = hub_raw.agg(F.sum("__h")).collect()[0][0] or 1.0
+        new_hub = nodes.join(
+            hub_raw.withColumnRenamed("src", "node"), "node", "left"
+        ).select(
+            "node",
+            (F.coalesce(F.col("__h"), F.lit(0.0)) / F.lit(h_norm)).alias("hub"),
+        )
+        scores = (
+            new_hub.join(new_auth, "node").localCheckpoint()
+        )
+    return scores.select("node", "hub", "authority")

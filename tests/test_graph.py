@@ -316,3 +316,34 @@ def test_label_propagation_total_and_deterministic(spark):
     }
     assert a == b
     assert {n for n, _ in a} == {1, 2, 3, 5, 6}
+
+
+def test_hits_hub_authority_structure(spark):
+    """Star pointing at one center: center is the sole authority,
+    leaves are equal hubs with zero authority."""
+    from pipeline_dataengineer_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in hits(edges, max_iterations=4).collect()}
+    assert got[0]["authority"] == pytest.approx(1.0)
+    assert got[0]["hub"] == 0.0
+    for i in range(1, 5):
+        assert got[i]["hub"] == pytest.approx(0.25)
+        assert got[i]["authority"] == 0.0
+
+
+def test_hits_scores_normalized_and_total(spark):
+    from pipeline_dataengineer_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    rows = hits(edges, max_iterations=6).collect()
+    assert len(rows) == 3
+    assert sum(r["hub"] for r in rows) == pytest.approx(1.0)
+    assert sum(r["authority"] for r in rows) == pytest.approx(1.0)
+    # node 3 has two in-edges -> highest authority
+    top_auth = max(rows, key=lambda r: r["authority"])
+    assert top_auth["node"] == 3
