@@ -127,6 +127,15 @@ HEADLINE = [
     "q_pca_cov",
     "q_seasonal_decompose",
     "q_clustering_coeff",
+    "q_mutual_info",
+    "q_cuped",
+    "q_ks_test",
+    "q_kaplan_meier",
+    "q_quantile_normalize",
+    "q_pareto_share",
+    "q_rfm",
+    "q_interpolate",
+    "q_debounce",
 ]
 
 
