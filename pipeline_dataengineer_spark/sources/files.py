@@ -65,3 +65,48 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingestion with a DEAD-LETTER split: returns
+    ``(good, quarantine)`` — good rows parsed against the schema,
+    quarantine rows carrying the raw offending line — the standard
+    production guard against one malformed record poisoning a feed
+    (vs FAILFAST aborting the batch, or default PERMISSIVE silently
+    NULL-filling).
+
+    Implementation: a ``text`` scan + ``from_json`` with a
+    columnNameOfCorruptRecord slot. Parsing through from_json (not
+    the raw JSON datasource) sidesteps Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction — the corrupt
+    marker is an ordinary struct field here, so BOTH legs are plain
+    narrow filters riding one text scan, no cache required. Type
+    mismatches count as corrupt (the whole raw line lands in
+    quarantine), matching the JSON reader's PERMISSIVE semantics."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    struct_schema = schema.rstrip() + ", _corrupt string"
+    parsed = raw.select(
+        F.col("value").alias("_raw"),
+        F.from_json(
+            "value",
+            struct_schema,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_p"),
+    )
+    good = (
+        parsed.filter(
+            F.col("_p").isNotNull() & F.col("_p._corrupt").isNull()
+        )
+        .select("_p.*")
+        .drop("_corrupt")
+    )
+    bad = parsed.filter(
+        F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
+    ).select(F.col("_raw").alias("_corrupt"))
+    return good, bad

@@ -132,3 +132,38 @@ def test_rest_stream_reader_advances_offsets(spark, tmp_path):
         per_day[r["date_de_publication"]] = per_day.get(r["date_de_publication"], 0) + 1
     # pagination yields 150 rows/day from the deterministic fake
     assert all(v == 150 for v in per_day.values()), per_day
+
+
+def test_read_json_quarantine_splits_bad_lines(spark, tmp_path):
+    from pipeline_dataengineer_spark.sources.files import (
+        read_json_quarantine,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "oops", "v": 3}\n'
+    )
+    good, bad = read_json_quarantine(
+        spark, str(p), schema="id long, v string"
+    )
+    g = {(r["id"], r["v"]) for r in good.collect()}
+    assert (1, "a") in g and (2, "b") in g
+    bad_lines = [r["_corrupt"] for r in bad.collect()]
+    assert any("NOT JSON" in b for b in bad_lines)
+    # type-mismatched row lands in quarantine, not silently nulled
+    assert any("oops" in b for b in bad_lines)
+    assert good.count() + bad.count() == 4
+
+
+def test_read_json_quarantine_clean_feed(spark, tmp_path):
+    from pipeline_dataengineer_spark.sources.files import (
+        read_json_quarantine,
+    )
+
+    p = tmp_path / "clean.jsonl"
+    p.write_text('{"id": 1}\n{"id": 2}\n')
+    good, bad = read_json_quarantine(spark, str(p), schema="id long")
+    assert good.count() == 2 and bad.count() == 0
