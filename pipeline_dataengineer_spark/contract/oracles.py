@@ -3072,3 +3072,45 @@ sc0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS hub,
     + "SELECT node, round(hub, 6) AS hub, round(authority, 6) AS authority "
       "FROM sc8"
 )
+
+ORACLES["q_negative_samples"] = f"""
+WITH inter AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+idx AS MATERIALIZED (
+  SELECT p_partkey AS item_id,
+         row_number() OVER (ORDER BY p_partkey) - 1 AS i
+  FROM part
+),
+nn AS (SELECT count(*) AS n FROM part),
+users AS (SELECT DISTINCT user_id FROM inter),
+draws AS MATERIALIZED (
+  SELECT u.user_id, d.d AS draw,
+         ({_bucket_sql('u.user_id * 131 + d.d * 7 + 17', 1_000_000)}) % nn.n
+           AS i
+  FROM users u
+  CROSS JOIN (SELECT unnest(range(0, 12)) AS d) d, nn
+),
+cands AS (
+  SELECT dr.user_id, idx.item_id, dr.draw
+  FROM draws dr JOIN idx ON dr.i = idx.i
+),
+fresh AS (
+  SELECT c.* FROM cands c
+  WHERE NOT EXISTS (SELECT 1 FROM inter t
+                    WHERE t.user_id = c.user_id
+                      AND t.item_id = c.item_id)
+),
+dedup AS (
+  SELECT user_id, item_id, draw FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, item_id
+                                 ORDER BY draw) AS dd
+    FROM fresh
+  ) WHERE dd = 1
+)
+SELECT user_id, item_id, CAST(rk - 1 AS BIGINT) AS neg_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY draw) AS rk
+  FROM dedup
+) WHERE rk <= 4
+"""

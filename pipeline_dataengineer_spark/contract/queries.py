@@ -4974,3 +4974,31 @@ def q_hits(spark, sf_dir):
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+
+@query("q_negative_samples")
+def q_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling (operators/recommender.py:
+    negative_samples): 4 never-purchased parts per customer, drawn by
+    Lehmer buckets from the dense part-catalog index, true purchases
+    removed with one anti-join. All-integer arithmetic — the oracle
+    replays draws, dedup, and ranking exactly in SQL."""
+    from pipeline_dataengineer_spark.operators.recommender import (
+        negative_samples,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    items = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id")
+    )
+    out = negative_samples(inter, items, k=4, oversample=3, seed=17)
+    return out.select(
+        "user_id",
+        "item_id",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+    )

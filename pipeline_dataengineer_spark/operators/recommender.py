@@ -208,3 +208,79 @@ def recommend_top_k(
             )
 
     return user_factors.mapInPandas(topk, out_schema)
+
+
+def negative_samples(
+    interactions: DataFrame,
+    items: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    k: int = 4,
+    oversample: int = 3,
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the word2vec/BPR data-prep step): for every user in
+    ``interactions``, up to ``k`` items they did NOT interact with,
+    drawn pseudo-randomly from the ``items`` catalog.
+
+    Fully relational and engine-portable: candidate i for a user is
+    the catalog item at Lehmer-bucket(user * 131 + i * 7 + seed)
+    (dense catalog indices from one catalog-sized row_number window);
+    candidates explode k*oversample wide (a constant), the user's
+    true interactions are removed with ONE anti-join on (user, item),
+    and the first k survivors per user (by draw order, dupes dropped
+    keeping the earliest draw) are kept via a per-user rank window
+    over the ~k*oversample survivors. No RNG, stable under layout —
+    the same determinism contract as sampling.py. Oversampling
+    bounds the miss probability (a user interacting with most of the
+    catalog may receive fewer than k; callers needing exactness use
+    a higher oversample, the group_sample guard pattern)."""
+    from pyspark.sql import Window
+
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    n_items_row = items.agg(F.count("*").alias("n"))
+    idx = items.select(
+        F.col(item_col),
+        (
+            F.row_number().over(Window.orderBy(item_col)) - 1
+        ).alias("__idx"),
+    )
+    users = interactions.select(user_col).distinct()
+    m = int(k) * int(oversample)
+    cands = (
+        users.crossJoin(F.broadcast(n_items_row))
+        .select(
+            user_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda i: portable_bucket(
+                        F.col(user_col).cast("long") * 131
+                        + i * 7
+                        + F.lit(seed),
+                        1_000_000,
+                    )
+                    % F.col("n"),
+                )
+            ).alias("__draw", "__idx"),
+        )
+    )
+    with_items = cands.join(F.broadcast(idx), "__idx")
+    fresh = with_items.join(
+        interactions.select(user_col, item_col).distinct(),
+        [user_col, item_col],
+        "left_anti",
+    )
+    w_dup = Window.partitionBy(user_col, item_col).orderBy("__draw")
+    w_rank = Window.partitionBy(user_col).orderBy("__draw")
+    return (
+        fresh.withColumn("__dup", F.row_number().over(w_dup))
+        .filter(F.col("__dup") == 1)
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= k)
+        .select(user_col, item_col, (F.col("__rk") - 1).alias("neg_rank"))
+    )

@@ -79,3 +79,54 @@ def test_recommend_top_k(spark):
         best = sorted(zip(scores, vids), key=lambda t: -t[0])[:3]
         assert [i for _, i, _ in lst] == [i for _, i in best]
         assert lst[0][2] == pytest.approx(best[0][0], rel=1e-12)
+
+
+def test_negative_samples_never_overlap_interactions(spark):
+    from pipeline_dataengineer_spark.operators.recommender import (
+        negative_samples,
+    )
+
+    inter = spark.createDataFrame(
+        [(u, i) for u in range(10) for i in range(u % 5)],
+        "user_id long, item_id long",
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(50)], "item_id long"
+    )
+    negs = negative_samples(inter, items, k=3)
+    joined = negs.join(inter, ["user_id", "item_id"], "inner")
+    assert joined.count() == 0
+    per_user = {r["user_id"]: r["count"] for r in negs.groupBy("user_id").count().collect()}
+    assert all(v == 3 for v in per_user.values())
+    # only users that actually appear in interactions (u % 5 > 0)
+    assert set(per_user) == {u for u in range(10) if u % 5}
+
+
+def test_negative_samples_deterministic_across_layouts(spark):
+    from pipeline_dataengineer_spark.operators.recommender import (
+        negative_samples,
+    )
+
+    inter = spark.createDataFrame(
+        [(u, u % 7) for u in range(30)], "user_id long, item_id long"
+    )
+    items = spark.createDataFrame([(i,) for i in range(40)], "item_id long")
+    a = sorted(tuple(r) for r in negative_samples(inter.repartition(9), items, k=2).collect())
+    b = sorted(tuple(r) for r in negative_samples(inter.coalesce(1), items, k=2).collect())
+    assert a == b
+
+
+def test_negative_samples_shrinks_when_catalog_saturated(spark):
+    """User interacted with nearly everything: fewer than k negatives
+    come back (documented contract), never a positive."""
+    from pipeline_dataengineer_spark.operators.recommender import (
+        negative_samples,
+    )
+
+    inter = spark.createDataFrame(
+        [(1, i) for i in range(9)], "user_id long, item_id long"
+    )
+    items = spark.createDataFrame([(i,) for i in range(10)], "item_id long")
+    rows = negative_samples(inter, items, k=5, oversample=4).collect()
+    assert all(r["item_id"] == 9 for r in rows)
+    assert 1 <= len(rows) <= 5
