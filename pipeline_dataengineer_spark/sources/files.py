@@ -110,3 +110,47 @@ def read_json_quarantine(
         F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
     ).select(F.col("_raw").alias("_corrupt"))
     return good, bad
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = False,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of ``read_json_quarantine``: (good, quarantine) via a
+    text scan + ``from_csv`` with a corrupt-record slot — malformed
+    and type-mismatched lines land whole in quarantine instead of
+    aborting the batch or silently null-filling. With ``header`` the
+    first line is dropped by value match (the text source has no
+    header notion; a data line that EQUALS the header line is
+    indistinguishable and also dropped — acceptable for the guard's
+    purpose)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    struct_schema = schema.rstrip() + ", _corrupt string"
+    opts = {
+        "columnNameOfCorruptRecord": "_corrupt",
+        "mode": "PERMISSIVE",
+        "sep": sep,
+    }
+    if header:
+        hdr = raw.limit(1).collect()[0]["value"]
+        raw = raw.filter(F.col("value") != hdr)
+    parsed = raw.select(
+        F.col("value").alias("_raw"),
+        F.from_csv("value", struct_schema, opts).alias("_p"),
+    )
+    good = (
+        parsed.filter(
+            F.col("_p").isNotNull() & F.col("_p._corrupt").isNull()
+        )
+        .select("_p.*")
+        .drop("_corrupt")
+    )
+    bad = parsed.filter(
+        F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
+    ).select(F.col("_raw").alias("_corrupt"))
+    return good, bad

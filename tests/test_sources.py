@@ -167,3 +167,17 @@ def test_read_json_quarantine_clean_feed(spark, tmp_path):
     p.write_text('{"id": 1}\n{"id": 2}\n')
     good, bad = read_json_quarantine(spark, str(p), schema="id long")
     assert good.count() == 2 and bad.count() == 0
+
+
+def test_read_csv_quarantine(spark, tmp_path):
+    from pipeline_dataengineer_spark.sources.files import (
+        read_csv_quarantine,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,v\n1,a\nnot_a_number,b\n2,c\n")
+    good, bad = read_csv_quarantine(
+        spark, str(p), schema="id long, v string", header=True
+    )
+    assert {(r["id"], r["v"]) for r in good.collect()} == {(1, "a"), (2, "c")}
+    assert [r["_corrupt"] for r in bad.collect()] == ["not_a_number,b"]
