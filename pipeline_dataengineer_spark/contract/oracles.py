@@ -3114,3 +3114,56 @@ SELECT user_id, item_id, CAST(rk - 1 AS BIGINT) AS neg_rank FROM (
   FROM dedup
 ) WHERE rk <= 4
 """
+
+ORACLES["q_xcorr"] = """
+WITH daily AS MATERIALIZED (
+  SELECT o_orderpriority AS pri, o_orderdate AS d,
+         round(sum(o_totalprice), 2) AS rev,
+         count(*)::DOUBLE AS cnt
+  FROM orders GROUP BY pri, d
+), stacked AS (
+  SELECT pri, -3 AS lag, rev AS x, lag(cnt, 3) OVER w1 AS y
+  FROM daily WINDOW w1 AS (PARTITION BY pri ORDER BY d)
+UNION ALL
+  SELECT pri, -2 AS lag, rev AS x, lag(cnt, 2) OVER w2 AS y
+  FROM daily WINDOW w2 AS (PARTITION BY pri ORDER BY d)
+UNION ALL
+  SELECT pri, -1 AS lag, rev AS x, lag(cnt, 1) OVER w3 AS y
+  FROM daily WINDOW w3 AS (PARTITION BY pri ORDER BY d)
+UNION ALL
+  SELECT pri, 0 AS lag, rev AS x, lead(cnt, 0) OVER w4 AS y
+  FROM daily WINDOW w4 AS (PARTITION BY pri ORDER BY d)
+UNION ALL
+  SELECT pri, 1 AS lag, rev AS x, lead(cnt, 1) OVER w5 AS y
+  FROM daily WINDOW w5 AS (PARTITION BY pri ORDER BY d)
+UNION ALL
+  SELECT pri, 2 AS lag, rev AS x, lead(cnt, 2) OVER w6 AS y
+  FROM daily WINDOW w6 AS (PARTITION BY pri ORDER BY d)
+UNION ALL
+  SELECT pri, 3 AS lag, rev AS x, lead(cnt, 3) OVER w7 AS y
+  FROM daily WINDOW w7 AS (PARTITION BY pri ORDER BY d)
+)
+SELECT pri AS o_orderpriority, CAST(lag AS BIGINT) AS lag,
+       round(corr(x, y), 4) AS xcorr, CAST(count(*) AS BIGINT) AS n
+FROM stacked WHERE y IS NOT NULL AND x IS NOT NULL
+GROUP BY pri, lag
+"""
+
+ORACLES["q_benford"] = """
+WITH base AS (
+  SELECT CAST(substring(regexp_replace(
+           CAST(abs(o_totalprice) AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)
+         AS INT) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+), counts AS (
+  SELECT digit, count(*) AS n_obs FROM base GROUP BY digit
+), t AS (SELECT sum(n_obs) AS tt FROM counts)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+       round(n_obs / (t.tt * 1.0), 6) AS freq_obs,
+       round(log10(1.0 + 1.0 / digit), 6) AS freq_expected,
+       round((n_obs / (t.tt * 1.0) - log10(1.0 + 1.0 / digit))
+             * (n_obs / (t.tt * 1.0) - log10(1.0 + 1.0 / digit))
+             / log10(1.0 + 1.0 / digit) * t.tt, 6) AS chi2_term
+FROM counts, t
+"""

@@ -5002,3 +5002,52 @@ def q_negative_samples(spark, sf_dir):
         "item_id",
         F.col("neg_rank").cast("long").alias("neg_rank"),
     )
+
+
+@query("q_xcorr")
+def q_xcorr(spark, sf_dir):
+    """Lead/lag cross-correlation (operators/timeseries.py:
+    cross_correlation): per priority, corr between daily revenue and
+    daily order count at lags -3..3 — ONE window sort materializes
+    all shifted copies, then a combinable corr per (key, lag).
+    Oracle replays each lag leg with SQL lead/lag + corr, round(4)."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+        )
+    )
+    out = cross_correlation(
+        daily, ["o_orderpriority"], "o_orderdate", "rev", "cnt", max_lag=3
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("lag").cast("long").alias("lag"),
+        F.round("xcorr", 4).alias("xcorr"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@query("q_benford")
+def q_benford(spark, sf_dir):
+    """Benford's-law first-digit screen (operators/quality.py:
+    benford_test) over order totals: one combinable digit groupBy,
+    9-rows-per-group algebra after. Oracle replays the identical
+    digit extraction and chi2 arithmetic, round(6)."""
+    from pipeline_dataengineer_spark.operators.quality import benford_test
+
+    o = table(spark, sf_dir, "orders")
+    out = benford_test(o, "o_totalprice")
+    return out.select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("freq_obs", 6).alias("freq_obs"),
+        F.round("freq_expected", 6).alias("freq_expected"),
+        F.round("chi2_term", 6).alias("chi2_term"),
+    )

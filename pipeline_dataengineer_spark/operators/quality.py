@@ -93,3 +93,52 @@ def check_referential(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def benford_test(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Benford's-law first-digit screen (the classic forensic /
+    data-quality test for invented numbers): observed first-digit
+    frequencies of positive values vs the log10(1 + 1/d) expectation,
+    with the chi-square distance. Returns one row per digit (and
+    group): (digit, n_obs, freq_obs, freq_expected, chi2_term).
+
+    One combinable groupBy over the facts (digit via string ops on
+    the absolute value — codegen, no UDF); everything after is
+    9-rows-per-group algebra. Sum chi2_term and compare to the
+    chi-square(8 dof) critical value of your chosen alpha."""
+    from pyspark.sql import functions as F
+
+    g = list(group_cols or [])
+    first_digit = F.substring(
+        F.regexp_replace(
+            F.abs(F.col(value_col)).cast("string"), r"[^1-9]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    base = df.filter(
+        F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) > 0)
+    ).withColumn("digit", first_digit)
+    counts = base.groupBy(*g, "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    totals = counts.groupBy(*g).agg(F.sum("n_obs").alias("__t"))
+    joined = (
+        counts.join(F.broadcast(totals), g)
+        if g
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    freq = F.col("n_obs") / F.col("__t")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return joined.select(
+        *g,
+        "digit",
+        "n_obs",
+        freq.alias("freq_obs"),
+        exp.alias("freq_expected"),
+        (
+            (freq - exp) * (freq - exp) / exp * F.col("__t")
+        ).alias("chi2_term"),
+    )

@@ -378,3 +378,63 @@ def interpolate_linear(
         )
     )
     return df.withColumn(out_col, interp)
+
+
+def cross_correlation(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Lead/lag cross-correlation per key: corr(x_t, y_{t+lag}) for
+    every lag in [-max_lag, max_lag] — "does marketing spend lead
+    signups, and by how many days?". Returns (key..., lag, xcorr, n).
+
+    One window sort per key materializes the 2*max_lag+1 shifted
+    copies of y (lag/lead are O(1) frame lookups over the same sort —
+    ONE shuffle total, not one per lag), then corr() per (key, lag)
+    is a combinable aggregate over the stacked (lag, x, y_shift)
+    rows. Row blowup is the constant 2*max_lag+1; NULL-paired edges
+    fall out of corr's pairwise-complete semantics."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    # window expressions must be top-level projections (Spark rejects
+    # them inside array/struct constructors), so materialize each
+    # shifted copy as a column first — still ONE window sort, the
+    # lead/lag frames share it.
+    tmp = df
+    names = []
+    for lag in range(-max_lag, max_lag + 1):
+        nm = f"__y_{lag + max_lag}"
+        shift = (
+            F.lead(y_col, lag).over(w)
+            if lag >= 0
+            else F.lag(y_col, -lag).over(w)
+        )
+        tmp = tmp.withColumn(nm, shift.cast("double"))
+        names.append((lag, nm))
+    shifted = [
+        F.struct(
+            F.lit(lag).alias("lag"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(nm).alias("y"),
+        )
+        for lag, nm in names
+    ]
+    stacked = tmp.select(
+        *key_cols, F.explode(F.array(*shifted)).alias("s")
+    ).select(
+        *key_cols,
+        F.col("s.lag").alias("lag"),
+        F.col("s.x").alias("x"),
+        F.col("s.y").alias("y"),
+    )
+    return (
+        stacked.filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+        .groupBy(*key_cols, "lag")
+        .agg(
+            F.corr("x", "y").alias("xcorr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -313,3 +313,31 @@ def test_debounce_keys_independent(spark):
     rows = [("a", 0), ("b", 1)]
     df = spark.createDataFrame(rows, "k string, t long")
     assert debounce(df, ["k"], "t", tolerance=5.0).count() == 2
+
+
+def test_cross_correlation_finds_planted_lag(spark):
+    """y is x shifted by +2 steps: the lag=+2 correlation is ~1."""
+    import math
+
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    rows = []
+    for t in range(60):
+        x = math.sin(t / 5.0) + 0.1 * ((t * 37) % 11)
+        rows.append(("a", t, x))
+    base = spark.createDataFrame(rows, "k string, t long, x double")
+    w = {r["t"]: r["x"] for r in base.collect()}
+    df = spark.createDataFrame(
+        [("a", t, w[t], w.get(t + 2)) for t in range(60)],
+        "k string, t long, x double, y double",
+    )
+    out = {
+        r["lag"]: r["xcorr"]
+        for r in cross_correlation(df, ["k"], "t", "x", "y", max_lag=3).collect()
+    }
+    # y_t == x_{t+2}  ->  corr(x_t, y_{t+lag}) peaks where y_{t+lag}
+    # == x_t, i.e. lag = -2
+    assert out[-2] == pytest.approx(1.0, abs=1e-9)
+    assert abs(out[0]) < 0.999
