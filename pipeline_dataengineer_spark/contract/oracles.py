@@ -3167,3 +3167,19 @@ SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
              / log10(1.0 + 1.0 / digit) * t.tt, 6) AS chi2_term
 FROM counts, t
 """
+
+ORACLES["q_missing_dates"] = """
+WITH obs AS MATERIALIZED (
+  SELECT DISTINCT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d
+  FROM orders
+), bounds AS (
+  SELECT pri, min(d) AS mn, max(d) AS mx FROM obs GROUP BY pri
+), spine AS (
+  SELECT pri, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+           AS d
+  FROM bounds
+)
+SELECT s.pri AS o_orderpriority, s.d
+FROM spine s
+WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.pri = s.pri AND o.d = s.d)
+"""

@@ -5051,3 +5051,21 @@ def q_benford(spark, sf_dir):
         F.round("freq_expected", 6).alias("freq_expected"),
         F.round("chi2_term", 6).alias("chi2_term"),
     )
+
+
+@query("q_missing_dates")
+def q_missing_dates(spark, sf_dir):
+    """Backfill gap detection (operators/maintenance.py:
+    missing_partitions): days with no orders per priority, inside
+    each priority's own [first, last] order-day range. Spine anti
+    observed — both dimension-sized. Oracle = DuckDB generate_series
+    spine with NOT EXISTS, a different formulation of the same set."""
+    from pipeline_dataengineer_spark.operators.maintenance import (
+        missing_partitions,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+    )
+    out = missing_partitions(o, "d", ["o_orderpriority"])
+    return out.select("o_orderpriority", "d")

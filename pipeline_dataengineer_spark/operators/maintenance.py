@@ -106,3 +106,25 @@ def materialize_stage(df: DataFrame, path: str, spark: SparkSession | None = Non
     df.write.mode("overwrite").parquet(path)
     s = spark or df.sparkSession
     return s.read.parquet(path)
+
+
+def missing_partitions(
+    df: DataFrame, date_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Backfill planner: the (group, day) combinations between each
+    group's first and last observed day that have NO rows — the list
+    a scheduler feeds back into reprocessing ("which ingest days went
+    missing?"). Dense spine (timeseries.date_spine — dimension-sized,
+    never fact-sized) LEFT ANTI the observed day set; both sides are
+    aggregates, facts are touched once."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.timeseries import date_spine
+
+    g = list(group_cols or [])
+    observed = (
+        df.select(*g, F.col(date_col).cast("date").alias(date_col))
+        .distinct()
+    )
+    spine = date_spine(observed, date_col, g)
+    return spine.join(observed, [*g, date_col], "left_anti")

@@ -112,3 +112,40 @@ def test_compact_parquet_reports_actual_output_files(spark, tmp_path):
     assert audit["files_requested"] > 2
     assert audit["files_after"] == len(glob.glob(f"{dst}/part-*.parquet")) == 2
     assert audit["bytes"] > 0
+
+
+def test_missing_partitions_finds_gaps(spark):
+    import datetime as dt
+
+    from pipeline_dataengineer_spark.operators.maintenance import (
+        missing_partitions,
+    )
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1)),
+        ("a", d(2024, 1, 2)),
+        ("a", d(2024, 1, 5)),  # gap: 3rd, 4th
+        ("b", d(2024, 2, 1)),  # single day: no gaps
+    ]
+    df = spark.createDataFrame(rows, "g string, day date")
+    got = {
+        (r["g"], r["day"])
+        for r in missing_partitions(df, "day", ["g"]).collect()
+    }
+    assert got == {("a", d(2024, 1, 3)), ("a", d(2024, 1, 4))}
+
+
+def test_missing_partitions_global(spark):
+    import datetime as dt
+
+    from pipeline_dataengineer_spark.operators.maintenance import (
+        missing_partitions,
+    )
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [(d(2024, 3, 1),), (d(2024, 3, 3),)], "day date"
+    )
+    got = [r["day"] for r in missing_partitions(df, "day").collect()]
+    assert got == [d(2024, 3, 2)]
