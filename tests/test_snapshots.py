@@ -728,3 +728,51 @@ def test_bloom_point_rejected_on_mor(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="merge-on-read"):
         read_snapshot(spark, root, point=("id", 1))
+
+
+def test_maintain_agg_view_incremental_equals_full(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.incremental import (
+        finalize_agg_state,
+        partial_agg_state,
+    )
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        maintain_agg_view,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "g string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 5.0), ("c", 7.0)], "g string, v double"
+    )
+    write_snapshot(b1, src)
+    m = maintain_agg_view(spark, src, view, ["g"], "v")
+    assert m["source_version"] == 0
+    append_snapshot(b2, src)
+    m = maintain_agg_view(spark, src, view, ["g"], "v")
+    assert m["source_version"] == 1
+    got = finalize_agg_state(read_snapshot(spark, view), ["g"])
+    full = finalize_agg_state(
+        partial_agg_state(b1.union(b2), ["g"], "v"), ["g"]
+    )
+    as_rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert as_rows(got) == as_rows(full)
+
+
+def test_maintain_agg_view_rerun_is_noop(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        maintain_agg_view,
+    )
+
+    src = str(tmp_path / "src2")
+    view = str(tmp_path / "view2")
+    write_snapshot(
+        spark.createDataFrame([("a", 2.0)], "g string, v double"), src
+    )
+    m1 = maintain_agg_view(spark, src, view, ["g"], "v")
+    m2 = maintain_agg_view(spark, src, view, ["g"], "v")
+    assert m1["version"] == m2["version"]  # no new source: no publish
+    row = read_snapshot(spark, view).collect()
+    assert len(row) == 1 and row[0]["n"] == 1  # no double count
