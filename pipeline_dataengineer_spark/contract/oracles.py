@@ -3183,3 +3183,21 @@ SELECT s.pri AS o_orderpriority, s.d
 FROM spine s
 WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.pri = s.pri AND o.d = s.d)
 """
+
+ORACLES["q_weighted_median"] = """
+WITH j AS (
+  SELECT o_orderpriority AS pri, o_totalprice AS v, w
+  FROM orders JOIN (
+    SELECT l_orderkey, count(*)::DOUBLE AS w FROM lineitem
+    GROUP BY l_orderkey
+  ) li ON o_orderkey = li.l_orderkey
+), cdf AS (
+  SELECT pri, v,
+         sum(w) OVER (PARTITION BY pri ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(w) OVER (PARTITION BY pri) AS c
+  FROM j
+)
+SELECT pri AS o_orderpriority, round(min(v), 2) AS wq_0_5
+FROM cdf WHERE c >= 0.5 GROUP BY pri
+"""

@@ -5069,3 +5069,32 @@ def q_missing_dates(spark, sf_dir):
     )
     out = missing_partitions(o, "d", ["o_orderpriority"])
     return out.select("o_orderpriority", "d")
+
+
+@query("q_weighted_median")
+def q_weighted_median(spark, sf_dir):
+    """Weighted median (operators/robust.py:weighted_quantile): per
+    order priority, the totalprice below which half the QUANTITY-
+    weighted mass sits (orders weighted by their lineitem count).
+    Left-continuous inverse CDF — always an observed value, so the
+    oracle replay is exact; ties in totalprice are absorbed by the
+    cumulative frame before the threshold test."""
+    from pipeline_dataengineer_spark.operators.robust import (
+        weighted_quantile,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").cast("double").alias("w")
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority", "o_totalprice", "w"
+    )
+    out = weighted_quantile(
+        j, "o_totalprice", "w", q=0.5, group_cols=["o_orderpriority"]
+    )
+    return out.select(
+        "o_orderpriority", F.round("wq_0_5", 2).alias("wq_0_5")
+    )

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Above this many rows in a single group, the exact percentile's
@@ -207,3 +207,47 @@ def quantile_bucketize(
         ),
         exact, mx, max_exact_rows,
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted quantile per group (q=0.5 = the weighted median —
+    "the price point below which half the revenue sits", survey
+    estimates with sampling weights): the smallest value whose
+    cumulative weight reaches q of the group's total — the
+    left-continuous inverse-CDF definition (no interpolation, so the
+    result is always an observed value and the cross-engine replay
+    is exact given exact weights).
+
+    One window sort per group for the cumulative weight, then a
+    min-over-qualifying aggregate — the same one-shuffle shape as
+    every per-key ordered statistic here. Zero/negative weights are
+    rejected loudly (they make the CDF non-monotone)."""
+    g = list(group_cols or [])
+    v, w = F.col(value_col), F.col(weight_col)
+    base = df.filter(v.isNotNull() & w.isNotNull())
+    guard = base.filter(w <= 0).limit(1).count()
+    if guard:
+        raise ValueError("weighted_quantile: weights must be > 0")
+    win = (
+        Window.partitionBy(*g)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*g)
+    cum = base.select(
+        *g,
+        v.alias("__v"),
+        (F.sum(w).over(win) / F.sum(w).over(tot)).alias("__cdf"),
+    )
+    out = (
+        cum.filter(F.col("__cdf") >= q)
+        .groupBy(*g)
+        .agg(F.min("__v").alias(f"wq_{str(q).replace('.', '_')}"))
+    )
+    return out

@@ -203,3 +203,37 @@ def test_skew_report_uniform_keys(spark):
     assert len(rep) == 5
     assert all(r["key_rows"] == 100 for r in rep)
     assert rep[0]["p99_med_ratio"] == 1.0
+
+
+def test_weighted_quantile_hand_case(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.robust import (
+        weighted_quantile,
+    )
+
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 10.0, 8.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    # total weight 10; cum: 1 -> 0.1, 2 -> 0.2, 10 -> 1.0
+    got = weighted_quantile(df, "v", "w", q=0.5, group_cols=["k"]).collect()
+    assert got[0]["wq_0_5"] == 10.0
+    got25 = weighted_quantile(df, "v", "w", q=0.15, group_cols=["k"]).collect()
+    assert got25[0]["wq_0_15"] == 2.0
+    with pytest.raises(ValueError, match="weights"):
+        weighted_quantile(
+            spark.createDataFrame([("g", 1.0, 0.0)], "k string, v double, w double"),
+            "v", "w",
+        ).collect()
+
+
+def test_weighted_quantile_equal_weights_is_median(spark):
+    from pipeline_dataengineer_spark.operators.robust import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in range(1, 102)],
+        "k string, v double, w double",
+    )
+    got = weighted_quantile(df, "v", "w", q=0.5, group_cols=["k"]).collect()
+    assert got[0]["wq_0_5"] == 51.0
