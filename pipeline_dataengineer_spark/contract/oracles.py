@@ -3201,3 +3201,22 @@ WITH j AS (
 SELECT pri AS o_orderpriority, round(min(v), 2) AS wq_0_5
 FROM cdf WHERE c >= 0.5 GROUP BY pri
 """
+
+ORACLES["q_concentration"] = """
+WITH totals AS (
+  SELECT o_orderpriority AS pri, o_custkey, sum(o_totalprice) AS x
+  FROM orders GROUP BY pri, o_custkey
+), ranked AS (
+  SELECT pri, x,
+         row_number() OVER (PARTITION BY pri ORDER BY x ASC, o_custkey)
+           AS i
+  FROM totals
+)
+SELECT pri AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini,
+       round(sum(x * x) / (sum(x) * sum(x)), 6) AS hhi,
+       round(max(x) / sum(x), 6) AS top1_share
+FROM ranked GROUP BY pri
+"""

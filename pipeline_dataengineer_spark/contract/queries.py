@@ -5098,3 +5098,30 @@ def q_weighted_median(spark, sf_dir):
     return out.select(
         "o_orderpriority", F.round("wq_0_5", 2).alias("wq_0_5")
     )
+
+
+@query("q_concentration")
+def q_concentration(spark, sf_dir):
+    """Concentration metrics (operators/profiling.py:
+    concentration_metrics): per order priority, the Gini / HHI /
+    top-1 share of customer revenue. Facts collapse to customer
+    totals once; all metrics run on the entity-sized table. Oracle
+    replays the identical sorted-rank Gini identity and share
+    algebra, round(6)."""
+    from pipeline_dataengineer_spark.operators.profiling import (
+        concentration_metrics,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+    out = concentration_metrics(
+        o, "o_totalprice", ["o_custkey"], ["o_orderpriority"]
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.round("gini", 6).alias("gini"),
+        F.round("hhi", 6).alias("hhi"),
+        F.round("top1_share", 6).alias("top1_share"),
+    )

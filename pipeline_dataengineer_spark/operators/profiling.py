@@ -15,7 +15,7 @@ rows are 'absent'); this is a north-star pipeline extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -186,4 +186,58 @@ def skew_report(
             F.col("key_rows")
             / (F.col("__total") / F.lit(32))
         ).cast("int").alias("suggested_salt"),
+    )
+
+
+def concentration_metrics(
+    df: DataFrame,
+    value_col: str,
+    entity_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Market/corpus concentration per group: Gini coefficient,
+    Herfindahl-Hirschman index, and top-1 share over per-entity
+    totals — "is this domain's traffic dominated by a few hosts",
+    "is revenue concentrated in one customer". Returns one row per
+    group: (gini, hhi, top1_share, n_entities).
+
+    Facts collapse to entity totals with ONE combinable aggregate;
+    the Gini rank window and every metric after run on the
+    entity-sized table. Gini uses the sorted-rank identity
+    G = 2*Σ(i*x_i) / (n*Σx) - (n+1)/n with ties broken by entity for
+    determinism; all-zero groups return NULL gini (undefined) and 0
+    hhi."""
+    g = list(group_cols or [])
+    totals = df.groupBy(*g, *entity_cols).agg(
+        F.sum(value_col).alias("__x")
+    )
+    w = Window.partitionBy(*g).orderBy(F.col("__x").asc(), *entity_cols)
+    ranked = totals.withColumn("__i", F.row_number().over(w))
+    return (
+        ranked.groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("__x").alias("__s"),
+            F.sum(F.col("__i") * F.col("__x")).alias("__is"),
+            F.max("__x").alias("__mx"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__xx"),
+        )
+        .select(
+            *g,
+            "n_entities",
+            F.when(
+                F.col("__s") > 0,
+                2.0 * F.col("__is") / (F.col("n_entities") * F.col("__s"))
+                - (F.col("n_entities") + 1.0) / F.col("n_entities"),
+            ).alias("gini"),
+            F.when(
+                F.col("__s") > 0,
+                F.col("__xx") / (F.col("__s") * F.col("__s")),
+            )
+            .otherwise(0.0)
+            .alias("hhi"),
+            F.when(F.col("__s") > 0, F.col("__mx") / F.col("__s")).alias(
+                "top1_share"
+            ),
+        )
     )

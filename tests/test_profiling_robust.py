@@ -237,3 +237,45 @@ def test_weighted_quantile_equal_weights_is_median(spark):
     )
     got = weighted_quantile(df, "v", "w", q=0.5, group_cols=["k"]).collect()
     assert got[0]["wq_0_5"] == 51.0
+
+
+def test_concentration_metrics_known_cases(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.profiling import (
+        concentration_metrics,
+    )
+
+    rows = (
+        # group "eq": perfectly equal -> gini 0, hhi 1/4
+        [("eq", f"e{i}", 10.0) for i in range(4)]
+        # group "mono": one entity holds everything
+        + [("mono", "only", 50.0), ("mono", "zero", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, e string, v double")
+    got = {
+        r["g"]: r
+        for r in concentration_metrics(df, "v", ["e"], ["g"]).collect()
+    }
+    assert got["eq"]["gini"] == pytest.approx(0.0, abs=1e-12)
+    assert got["eq"]["hhi"] == pytest.approx(0.25)
+    assert got["eq"]["top1_share"] == pytest.approx(0.25)
+    # n=2, all mass on one: gini = 2*(2*50)/(2*50) - 3/2 = 0.5
+    assert got["mono"]["gini"] == pytest.approx(0.5)
+    assert got["mono"]["hhi"] == pytest.approx(1.0)
+    assert got["mono"]["top1_share"] == pytest.approx(1.0)
+
+
+def test_concentration_entity_totals_first(spark):
+    """Multiple fact rows per entity must collapse before ranking."""
+    from pipeline_dataengineer_spark.operators.profiling import (
+        concentration_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a", 5.0), ("g", "a", 5.0), ("g", "b", 10.0)],
+        "g string, e string, v double",
+    )
+    row = concentration_metrics(df, "v", ["e"], ["g"]).collect()[0]
+    assert row["n_entities"] == 2
+    assert row["top1_share"] == 0.5  # a == b after collapsing
