@@ -3220,3 +3220,15 @@ SELECT pri AS o_orderpriority,
        round(max(x) / sum(x), 6) AS top1_share
 FROM ranked GROUP BY pri
 """
+
+ORACLES["q_label_centroids"] = """
+WITH e AS (
+  SELECT label, p - 1 AS dim, CAST(embedding[p] AS DOUBLE) AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS p) t
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       round(avg(v), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY label, dim
+"""

@@ -5125,3 +5125,23 @@ def q_concentration(spark, sf_dir):
         F.round("hhi", 6).alias("hhi"),
         F.round("top1_share", 6).alias("top1_share"),
     )
+
+
+@query("q_label_centroids")
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the class-prototype aggregate
+    behind SemDeDup cluster stats and nearest-class-mean
+    classifiers): posexplode to (label, dim, value) and ONE
+    combinable avg — n*d skinny rows shuffle as (label, dim) partial
+    aggregates, never whole vectors. Oracle = DuckDB unnest replay,
+    round(6)."""
+    e = table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n")
+    )
