@@ -3232,3 +3232,60 @@ SELECT label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS n
 FROM e GROUP BY label, dim
 """
+
+ORACLES["q_contact_normalize"] = """
+WITH raw AS (
+  SELECT c_custkey,
+         CASE
+           WHEN c_custkey % 3 = 0 THEN
+             regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')
+               || '+promo@GMAIL.com'
+           WHEN c_custkey % 3 = 1 THEN
+             upper(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+               || '@Example.COM'
+           ELSE regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')
+         END AS em,
+         CASE WHEN c_custkey % 7 = 0 THEN '555-12'
+              ELSE '(212) 555-'
+                   || lpad(CAST(c_custkey % 10000 AS VARCHAR), 6, '0')
+         END AS c_phone
+  FROM customer
+), lowered AS (
+  SELECT c_custkey, lower(trim(em)) AS em, c_phone FROM raw
+), parts AS (
+  SELECT c_custkey, em,
+         em SIMILAR TO '[^@]+@[^@]+' AS valid,
+         regexp_replace(regexp_extract(em, '^([^@]+)@', 1),
+                        '\\+.*$', '') AS loc0,
+         regexp_extract(em, '@([^@]+)$', 1) AS dom0,
+         c_phone
+  FROM lowered
+), canon AS (
+  SELECT c_custkey, valid,
+         CASE WHEN dom0 IN ('gmail.com', 'googlemail.com')
+              THEN regexp_replace(loc0, '\\.', '', 'g') ELSE loc0 END AS loc,
+         CASE WHEN dom0 IN ('gmail.com', 'googlemail.com')
+              THEN 'gmail.com' ELSE dom0 END AS dom,
+         c_phone
+  FROM parts
+), ph AS (
+  SELECT c_custkey, valid, loc, dom,
+         trim(c_phone) SIMILAR TO '(\+|00).*' AS had_cc,
+         regexp_replace(trim(c_phone), '[^0-9]', '', 'g') AS d0
+  FROM canon
+), ph1 AS (
+  SELECT c_custkey, valid, loc, dom, had_cc,
+         CASE WHEN had_cc THEN regexp_replace(d0, '^00', '') ELSE d0 END AS d
+  FROM ph
+), ph2 AS (
+  SELECT c_custkey, valid, loc, dom,
+         CASE WHEN NOT had_cc AND length(d) = 10 THEN '1' || d
+              ELSE d END AS d
+  FROM ph1
+)
+SELECT c_custkey,
+       CASE WHEN valid AND length(loc) > 0
+            THEN loc || '@' || dom END AS email,
+       CASE WHEN length(d) BETWEEN 8 AND 15 THEN '+' || d END AS phone
+FROM ph2
+"""

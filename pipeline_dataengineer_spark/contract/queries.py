@@ -5145,3 +5145,54 @@ def q_label_centroids(spark, sf_dir):
         )
         .select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n")
     )
+
+
+@query("q_contact_normalize")
+def q_contact_normalize(spark, sf_dir):
+    """Contact-identity canonicalization (functions/pii.py:
+    normalize_email/normalize_phone): emails synthesized from
+    customer names (with +tags, stray case, gmail dots) and phones
+    from c_phone, normalized for identity joins. Fused codegen regex
+    chains; oracle replays identical RE2-portable arithmetic."""
+    from pipeline_dataengineer_spark.functions.pii import (
+        normalize_email,
+        normalize_phone,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # synthesized emails exercise the branches deterministically:
+    # key%3==0 -> Gmail with dots+tag, %3==1 -> mixed-case corp,
+    # %3==2 -> malformed (no @)
+    email_raw = (
+        F.when(
+            F.pmod("c_custkey", F.lit(3)) == 0,
+            F.concat(
+                F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "."),
+                F.lit("+promo@GMAIL.com"),
+            ),
+        )
+        .when(
+            F.pmod("c_custkey", F.lit(3)) == 1,
+            F.concat(
+                F.upper(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")),
+                F.lit("@Example.COM"),
+            ),
+        )
+        .otherwise(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", ""))
+    )
+    # phones synthesized too (no phone column in the fixture):
+    # key%7==0 -> too-short fragment (must normalize to NULL),
+    # else a formatted US-style number built from the key
+    phone_raw = F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0, F.lit("555-12")
+    ).otherwise(
+        F.concat(
+            F.lit("(212) 555-"),
+            F.lpad(F.pmod("c_custkey", F.lit(10000)).cast("string"), 6, "0"),
+        )
+    )
+    return c.select(
+        "c_custkey",
+        normalize_email(email_raw).alias("email"),
+        normalize_phone(phone_raw).alias("phone"),
+    )

@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
 # Order matters: URLs first (they may embed @ or digits), then emails,
 # then phones (anchored on a leading +), then bare IPv4s.
 URL_RE = r"https?://[^\s]+"
@@ -73,3 +77,49 @@ def pseudonymize(col: Column | str, salt: str, prefix: str = "id_") -> Column:
             F.substring(F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, 16),
         ),
     )
+
+
+def normalize_email(col: Column | str) -> Column:
+    """Canonical email for identity matching: lowercase, strip a
+    ``+tag`` suffix from the local part, and collapse gmail's
+    dots-in-local-part equivalence (gmail.com/googlemail.com only —
+    dots are significant at other providers). One fused codegen
+    regexp chain, NULL-safe; a value without exactly one ``@`` comes
+    back NULL (not silently passed through — half an email is not an
+    identity key). Java-regex/RE2-portable patterns, same contract
+    as functions/html.py."""
+    c = F.lower(F.trim(_c(col)))
+    valid = c.rlike("^[^@]+@[^@]+$")
+    local = F.regexp_extract(c, "^([^@]+)@", 1)
+    domain = F.regexp_extract(c, "@([^@]+)$", 1)
+    local = F.regexp_replace(local, r"\+.*$", "")
+    is_gmail = domain.isin("gmail.com", "googlemail.com")
+    local = F.when(is_gmail, F.regexp_replace(local, r"\.", "")).otherwise(
+        local
+    )
+    domain = F.when(is_gmail, F.lit("gmail.com")).otherwise(domain)
+    out = F.concat(local, F.lit("@"), domain)
+    return F.when(valid & (F.length(local) > 0), out)
+
+
+def normalize_phone(col: Column | str, default_cc: str = "1") -> Column:
+    """Canonical E.164-ish phone for identity matching: strip every
+    non-digit, drop one leading international-access ``00``, and
+    prefix ``default_cc`` when the remainder looks like a national
+    number (10 digits). Results shorter than 8 or longer than 15
+    digits come back NULL (ITU E.164 bounds) — garbage must not
+    become a join key. Pure codegen, no UDF."""
+    raw = F.trim(_c(col).cast("string"))
+    # a number that arrived with +CC or 00-international access
+    # already carries its country code — never re-prefix those
+    had_cc = raw.rlike("^(\\+|00)")
+    digits = F.regexp_replace(raw, r"[^0-9]", "")
+    digits = F.when(had_cc, F.regexp_replace(digits, "^00", "")).otherwise(
+        digits
+    )
+    with_cc = F.when(
+        ~had_cc & (F.length(digits) == 10),
+        F.concat(F.lit(default_cc), digits),
+    ).otherwise(digits)
+    ok = (F.length(with_cc) >= 8) & (F.length(with_cc) <= 15)
+    return F.when(ok, F.concat(F.lit("+"), with_cc))

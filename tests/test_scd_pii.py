@@ -79,3 +79,39 @@ def test_pseudonymize_deterministic_joinable_and_keyed(spark):
     other = {r["id"]: r["tok"] for r in
              df.select("id", pseudonymize("user", salt="k2").alias("tok")).collect()}
     assert other[1] != toks[1]
+
+
+def test_normalize_email_branches(spark):
+    from pipeline_dataengineer_spark.functions.pii import normalize_email
+
+    rows = [
+        (1, "John.Doe+stuff@Gmail.com"),
+        (2, "J.ohn@corp.example.com"),   # dots kept off-gmail
+        (3, "broken-email"),
+        (4, "a@b@c"),
+        (5, None),
+        (6, "  Upper@GOOGLEMAIL.com "),
+    ]
+    df = spark.createDataFrame(rows, "id long, e string")
+    got = {r["id"]: r["n"] for r in df.select("id", normalize_email("e").alias("n")).collect()}
+    assert got[1] == "johndoe@gmail.com"
+    assert got[2] == "j.ohn@corp.example.com"
+    assert got[3] is None and got[4] is None and got[5] is None
+    assert got[6] == "upper@gmail.com"
+
+
+def test_normalize_phone_branches(spark):
+    from pipeline_dataengineer_spark.functions.pii import normalize_phone
+
+    rows = [
+        (1, "(212) 555-0199"),      # 10 digits -> +1 prefixed
+        (2, "0049 30 901820"),      # 00-international -> stripped
+        (3, "555-12"),              # too short -> NULL
+        (4, "+44 20 7946 0958"),
+    ]
+    df = spark.createDataFrame(rows, "id long, p string")
+    got = {r["id"]: r["n"] for r in df.select("id", normalize_phone("p").alias("n")).collect()}
+    assert got[1] == "+12125550199"
+    assert got[2] == "+4930901820"
+    assert got[3] is None
+    assert got[4] == "+442079460958"
