@@ -3289,3 +3289,24 @@ SELECT c_custkey,
        CASE WHEN length(d) BETWEEN 8 AND 15 THEN '+' || d END AS phone
 FROM ph2
 """
+
+ORACLES["q_profile_hist"] = """
+WITH b AS (
+  SELECT o_orderpriority AS pri,
+         CASE WHEN o_totalprice IS NULL THEN -1
+              ELSE least(19, greatest(0,
+                CAST(floor((o_totalprice - 10000.0)
+                           / ((300000.0 - 10000.0) / 20)) AS INT)))
+         END AS bin
+  FROM orders
+)
+SELECT pri AS o_orderpriority, CAST(bin AS BIGINT) AS bin,
+       round(CASE WHEN bin >= 0
+                  THEN 10000.0 + bin * ((300000.0 - 10000.0) / 20) END, 2)
+         AS bin_lo,
+       round(CASE WHEN bin >= 0
+                  THEN 10000.0 + (bin + 1) * ((300000.0 - 10000.0) / 20) END,
+             2) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY pri, bin
+"""

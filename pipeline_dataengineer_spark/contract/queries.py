@@ -5196,3 +5196,33 @@ def q_contact_normalize(spark, sf_dir):
         normalize_email(email_raw).alias("email"),
         normalize_phone(phone_raw).alias("phone"),
     )
+
+
+@query("q_profile_hist")
+def q_profile_hist(spark, sf_dir):
+    """Equi-width histogram (operators/profiling.py:histogram):
+    20 bins of order totalprice per priority with explicit bounds
+    (so the single-pass pre-scan is skipped), edge clamping
+    exercised by bounds tighter than the data range. Pure codegen
+    binning + ONE combinable count; oracle replays the identical
+    floor/clamp arithmetic."""
+    from pipeline_dataengineer_spark.operators.profiling import histogram
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    out = histogram(
+        o,
+        "o_totalprice",
+        bins=20,
+        lo=10_000.0,
+        hi=300_000.0,
+        group_cols=["o_orderpriority"],
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("bin").cast("long").alias("bin"),
+        F.round("bin_lo", 2).alias("bin_lo"),
+        F.round("bin_hi", 2).alias("bin_hi"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -241,3 +241,51 @@ def concentration_metrics(
             ),
         )
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram per group: (bin, bin_lo, bin_hi, n) with
+    out-of-range values clamped into the edge bins and NULLs counted
+    separately (bin = -1) — the profiling shape dashboards bin on.
+    Bounds default to the global min/max (one combinable pre-pass);
+    passing explicit ``lo``/``hi`` skips that pass entirely. Binning
+    is a pure codegen floor expression; counts are ONE combinable
+    groupBy."""
+    g = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(v).alias("lo"), F.max(v).alias("hi")
+        ).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    w = (hi - lo) / bins
+    raw_bin = F.floor((v - F.lit(lo)) / F.lit(w)).cast("int")
+    bin_idx = F.when(v.isNull(), F.lit(-1)).otherwise(
+        F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw_bin))
+    )
+    return (
+        df.withColumn("__b", bin_idx)
+        .groupBy(*g, "__b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *g,
+            F.col("__b").alias("bin"),
+            F.when(
+                F.col("__b") >= 0, F.lit(lo) + F.col("__b") * F.lit(w)
+            ).alias("bin_lo"),
+            F.when(
+                F.col("__b") >= 0, F.lit(lo) + (F.col("__b") + 1) * F.lit(w)
+            ).alias("bin_hi"),
+            "n",
+        )
+    )

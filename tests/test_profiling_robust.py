@@ -279,3 +279,28 @@ def test_concentration_entity_totals_first(spark):
     row = concentration_metrics(df, "v", ["e"], ["g"]).collect()[0]
     assert row["n_entities"] == 2
     assert row["top1_share"] == 0.5  # a == b after collapsing
+
+
+def test_histogram_clamps_and_counts_nulls(spark):
+    from pipeline_dataengineer_spark.operators.profiling import histogram
+
+    rows = [("g", -5.0), ("g", 0.5), ("g", 9.9), ("g", 50.0), ("g", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["bin"]: (r["n"], r["bin_lo"], r["bin_hi"])
+        for r in histogram(df, "v", bins=10, lo=0.0, hi=10.0, group_cols=["k"]).collect()
+    }
+    assert got[-1][0] == 1          # NULL bucket
+    assert got[0][0] == 2           # -5 clamped into bin 0 with 0.5
+    assert got[9][0] == 2           # 9.9 and clamped 50.0
+    assert got[0][1:] == (0.0, 1.0)
+    assert got[9][1:] == (9.0, 10.0)
+
+
+def test_histogram_auto_bounds(spark):
+    from pipeline_dataengineer_spark.operators.profiling import histogram
+
+    df = spark.range(0, 100).selectExpr("CAST(id AS DOUBLE) v")
+    got = histogram(df, "v", bins=4).collect()
+    assert sum(r["n"] for r in got) == 100
+    assert len([r for r in got if r["bin"] >= 0]) == 4
