@@ -805,6 +805,15 @@ def maintain_agg_view(
     src_cur = current_version(table_root)
     if src_cur is None:
         raise FileNotFoundError(f"no snapshot under {table_root!r}")
+    if read_manifest(table_root).get("merge_keys"):
+        # a keyed (MOR) source's change feed carries updates/deletes,
+        # which the additive monoid cannot fold — fail loudly instead
+        # of double-counting
+        raise ValueError(
+            "maintain_agg_view requires an append-only source table; "
+            "for keyed tables recompute from read_snapshot or maintain "
+            "via table_changes deltas with retractions"
+        )
     view_cur = current_version(view_root)
     last = (
         read_manifest(view_root).get("source_version", -1)

@@ -776,3 +776,26 @@ def test_maintain_agg_view_rerun_is_noop(spark, tmp_path):
     assert m1["version"] == m2["version"]  # no new source: no publish
     row = read_snapshot(spark, view).collect()
     assert len(row) == 1 and row[0]["n"] == 1  # no double count
+
+
+def test_maintain_agg_view_rejects_keyed_source(spark, tmp_path):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        maintain_agg_view,
+        upsert_append,
+    )
+
+    src = str(tmp_path / "src3")
+    view = str(tmp_path / "view3")
+    write_snapshot(
+        spark.createDataFrame([(1, "a", 2.0)], "id long, g string, v double"),
+        src,
+    )
+    upsert_append(
+        spark, src,
+        spark.createDataFrame([(1, "a", 9.0)], "id long, g string, v double"),
+        keys=["id"],
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        maintain_agg_view(spark, src, view, ["g"], "v")
