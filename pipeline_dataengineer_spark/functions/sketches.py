@@ -217,15 +217,47 @@ def kmv_states(
     value_col: str,
     k: int = 1024,
     salts: int = 32,
+    prefilter_margin: float = 4.0,
 ) -> DataFrame:
     """Per-key KMV state: ``kmv`` = sorted array of the k smallest
     xxhash64 values of ``value_col`` (fewer if the key has fewer
     distinct values — in that regime the sketch is EXACT). Relative
-    error of the estimator is ~1/sqrt(k-2) (~3% at k=1024)."""
+    error of the estimator is ~1/sqrt(k-2) (~3% at k=1024).
+
+    BOUNDED BUFFERS, not just bounded output: the salted
+    ``collect_set`` would otherwise buffer ~distinct/salts hashes for
+    a mega-cardinality key (the round-2 inverted-index lesson — cap
+    the buffer, not just the result). A first combinable pass takes
+    approx_count_distinct per key; keys whose estimate exceeds
+    ``prefilter_margin * k * salts`` get a hash-space threshold
+    filter of ``prefilter_margin * k / n_est`` BEFORE the collect, so
+    each salt bucket buffers ~margin*k/salts values no matter how
+    large the key is. Safety: the k-th smallest hash sits at ~k/n of
+    the hash space; the filter keeps margin*k/n of it, so dropping a
+    true k-min hash needs HLL to overestimate n by >margin x — HLL's
+    ~2% error makes the 4x default margin astronomically safe, and
+    small keys (n_est below the trigger) are never filtered at all
+    (the exact regime stays exact by construction)."""
     h = F.xxhash64(F.col(value_col))
+    hashed = df.select(*keys, h.alias("__h"))
+    trigger = float(prefilter_margin) * k * salts
+    est = hashed.groupBy(*keys).agg(
+        F.approx_count_distinct("__h").alias("__nd")
+    )
+    frac = F.when(
+        F.col("__nd") > trigger,
+        F.lit(float(prefilter_margin) * k) / F.col("__nd"),
+    ).otherwise(F.lit(1.0))
+    # signed-hash threshold covering `frac` of the 2^64 space from
+    # the bottom (Long.MIN upward)
+    thresh = (
+        F.lit(-9.223372036854776e18) + frac * F.lit(1.8446744073709552e19)
+    )
+    filtered = hashed.join(
+        F.broadcast(est.select(*keys, thresh.alias("__t"))), keys
+    ).filter(F.col("__h").cast("double") <= F.col("__t"))
     partial = (
-        df.select(*keys, h.alias("__h"))
-        .groupBy(*keys, F.pmod("__h", F.lit(salts)).alias("__salt"))
+        filtered.groupBy(*keys, F.pmod("__h", F.lit(salts)).alias("__salt"))
         .agg(
             F.slice(
                 F.array_sort(F.collect_set("__h")), 1, k

@@ -87,3 +87,22 @@ def test_per_key_states(spark):
         ).collect()
     }
     assert est == {"a": 100.0, "b": 250.0}
+
+
+def test_prefilter_fires_and_preserves_estimate(spark):
+    """Low margin + low trigger: the hash-space prefilter engages
+    (buffers bounded) and the estimate stays within tolerance; the
+    k-min set equals the unfiltered computation's."""
+    n = 30000
+    df = _ids(spark, 0, n)
+    guarded = kmv_states(
+        df, ["k"], "v", k=256, salts=4, prefilter_margin=4.0
+    )
+    unfiltered = kmv_states(
+        df, ["k"], "v", k=256, salts=4, prefilter_margin=1e12
+    )
+    a = guarded.collect()[0]["kmv"]
+    b = unfiltered.collect()[0]["kmv"]
+    assert a == b, "prefilter must not change the k-min set"
+    est = kmv_estimate(guarded, ["k"], k=256).collect()[0]["approx_distinct"]
+    assert est == pytest.approx(n, rel=0.25)
