@@ -201,7 +201,10 @@ def group_sample(
     b = portable_bucket(F.col(id_col), buckets)
     counts = df.groupBy(*keys).agg(F.count("*").alias("__n"))
     with_b = df.withColumn("__b", b)
-    joined = with_b.join(F.broadcast(counts), keys)
+    # no forced broadcast: `counts` is one row per GROUP, and groups
+    # can be mega-cardinality (per-user sampling) — AQE picks
+    # broadcast when the stats say it fits
+    joined = with_b.join(counts, keys)
     thresh = F.least(
         F.lit(buckets),
         F.ceil(F.lit(float(oversample) * k * buckets) / F.col("__n")),
@@ -219,9 +222,9 @@ def group_sample(
         )
         .select(*keys)
     )
-    fast = ranked.join(F.broadcast(short), keys, "left_anti")
+    fast = ranked.join(short, keys, "left_anti")
     slow = (
-        with_b.join(F.broadcast(short), keys, "left_semi")
+        with_b.join(short, keys, "left_semi")
         .withColumn("__rn", F.row_number().over(w))
     )
     out = fast.select(df.columns + ["__rn"]).unionByName(

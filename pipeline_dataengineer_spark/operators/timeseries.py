@@ -324,7 +324,9 @@ def seasonal_decompose(
         F.col("__pm")
         - F.avg("__pm").over(Window.partitionBy(*key_cols)),
     ).select(*key_cols, "__phase", "__pm0")
-    out = t.join(F.broadcast(centered), [*key_cols, "__phase"], "left")
+    # key x period rows — usually tiny, but a mega-key table makes a
+    # forced broadcast a driver bomb; AQE downgrades gracefully
+    out = t.join(centered, [*key_cols, "__phase"], "left")
     return (
         out.select(
             *df.columns,
