@@ -3310,3 +3310,34 @@ SELECT pri AS o_orderpriority, CAST(bin AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY pri, bin
 """
+
+ORACLES["q_cusum"] = """
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS k, o_orderdate AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           + CASE WHEN o_orderdate >= DATE '1996-09-01'
+                  THEN 5000000 ELSE 0 END AS v
+  FROM orders GROUP BY k, o_orderdate
+), st AS (
+  SELECT k, round(avg(v), 6) AS mu, round(stddev_samp(v), 6) AS sd
+  FROM daily GROUP BY k
+), seq AS (
+  SELECT daily.k, d, round((v - st.mu) / st.sd, 6) AS z,
+         row_number() OVER (PARTITION BY daily.k ORDER BY d) - 1 AS t
+  FROM daily JOIN st ON daily.k = st.k
+), rec(k, t, d, sp, sn) AS (
+  SELECT k, t, d,
+         greatest(0.0 + (z - 0.5), 0.0),
+         greatest(0.0 + (-z - 0.5), 0.0)
+  FROM seq WHERE t = 0
+  UNION ALL
+  SELECT s.k, s.t, s.d,
+         greatest(r.sp + (s.z - 0.5), 0.0),
+         greatest(r.sn + (-s.z - 0.5), 0.0)
+  FROM rec r JOIN seq s ON s.k = r.k AND s.t = r.t + 1
+)
+SELECT k AS o_orderpriority, d AS o_orderdate,
+       round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+       (sp > 5.0 OR sn > 5.0) AS is_change
+FROM rec
+"""

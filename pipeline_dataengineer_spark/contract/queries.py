@@ -5226,3 +5226,55 @@ def q_profile_hist(spark, sf_dir):
         F.round("bin_hi", 2).alias("bin_hi"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@query("q_cusum")
+def q_cusum(spark, sf_dir):
+    """CUSUM mean-shift detection (operators/timeseries.py:
+    cusum_changepoints) on per-priority daily revenue (exact integer
+    cents) with a planted +50k level shift from Sept 1996 — the
+    detector must flag it.
+    Standardization stats are rounded(6) before the recursion so the
+    clamped accumulators are bit-identical cross-engine; the oracle
+    replays BOTH one-sided recursions as recursive CTEs (the
+    q_clamped_balance pattern) and the flags exactly."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    # integer-exact series: per-row cent rounding BEFORE the sum makes
+    # the daily value an exact BIGINT (order-independent), and the
+    # planted level shift is additive (+50k) so it stays integer —
+    # no float-sum ulp can reach the recursion
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "v0"
+            )
+        )
+        .withColumn(
+            "v",
+            F.when(
+                F.col("o_orderdate") >= F.lit("1996-09-01").cast("date"),
+                F.col("v0") + F.lit(5_000_000),
+            ).otherwise(F.col("v0")),
+        )
+        .withColumn("t", F.unix_date(F.col("o_orderdate").cast("date")).cast("long"))
+    )
+    out = cusum_changepoints(
+        daily, ["o_orderpriority"], "t", "v", slack=0.5, threshold=5.0
+    )
+    # NOTE round(6), matching the z grid: the accumulator lives on a
+    # 1e-6 lattice (rounded z minus the rational slack), so a coarser
+    # rounding grain would sit exactly ON half-way ties for ~1% of
+    # rows and flip engines' tie behavior; at the grid's own grain
+    # there are no ties to disagree on
+    return out.select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        "is_change",
+    )

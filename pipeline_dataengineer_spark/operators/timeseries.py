@@ -440,3 +440,72 @@ def cross_correlation(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    round_stats: int | None = 6,
+) -> DataFrame:
+    """Tabular CUSUM mean-shift detection (Page's test, the
+    monitoring classic): per key, standardized one-sided
+    accumulators
+
+        S+_t = max(0, S+_{t-1} + z_t - slack)
+        S-_t = max(0, S-_{t-1} - z_t - slack)
+
+    with z standardized by the key's own mean/stddev (one combinable
+    aggregate, broadcast back), and ``is_change`` flagged where
+    either side exceeds ``threshold``. Slack (the reference value K)
+    absorbs noise; threshold (H) sets the ~ARL trade-off — the usual
+    (0.5σ, 5σ) defaults detect a 1σ shift quickly while rarely
+    false-alarming.
+
+    The max(0, ...) clamp is a genuine recursion (no window
+    rewrite), so both accumulators ride ``clamped_running_sum`` —
+    the engine's sanctioned grouped recursion with fixed operand
+    order, which is what lets the oracle replay the whole detector
+    bit-exactly through recursive CTEs. ``round_stats`` rounds the
+    standardized z inputs so cross-engine ulp differences in the
+    mean/stddev aggregates cannot leak into the recursion."""
+    g = list(key_cols)
+    mu = F.avg(value_col)
+    sd = F.stddev_samp(value_col)
+    if round_stats is not None:
+        # round the GROUP stats, not (only) per-row z: a last-ulp
+        # cross-engine difference in mu/sd could straddle a per-row
+        # rounding boundary on any of millions of rows, but on the
+        # handful of group stats the collision budget is tiny — and
+        # with identical mu/sd both engines compute bit-identical z
+        mu, sd = F.round(mu, round_stats), F.round(sd, round_stats)
+    stats = df.groupBy(*g).agg(mu.alias("__mu"), sd.alias("__sd"))
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    if round_stats is not None:
+        z = F.round(z, round_stats)
+    based = df.join(stats, g).withColumn("__z", z)
+    pos = clamped_running_sum(
+        based.withColumn("__d", F.col("__z") - F.lit(float(slack))),
+        g,
+        order_col,
+        "__d",
+        lo=0.0,
+        hi=None,
+        out_col="cusum_pos",
+    )
+    both = clamped_running_sum(
+        pos.withColumn("__d", -F.col("__z") - F.lit(float(slack))),
+        g,
+        order_col,
+        "__d",
+        lo=0.0,
+        hi=None,
+        out_col="cusum_neg",
+    )
+    return both.drop("__mu", "__sd", "__z", "__d").withColumn(
+        "is_change",
+        (F.col("cusum_pos") > threshold) | (F.col("cusum_neg") > threshold),
+    )

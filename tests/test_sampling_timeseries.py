@@ -341,3 +341,31 @@ def test_cross_correlation_finds_planted_lag(spark):
     # == x_t, i.e. lag = -2
     assert out[-2] == pytest.approx(1.0, abs=1e-9)
     assert abs(out[0]) < 0.999
+
+
+def test_cusum_detects_planted_shift(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = []
+    for t in range(80):
+        base = 100.0 + (t % 5)  # small periodic noise
+        v = base + (20.0 if t >= 50 else 0.0)  # big shift at t=50
+        rows.append(("a", t, v))
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = cusum_changepoints(df, ["k"], "t", "v", slack=0.5, threshold=5.0)
+    flagged = sorted(r["t"] for r in out.filter("is_change").collect())
+    assert flagged and min(flagged) >= 50, "no false alarm before the shift"
+    assert min(flagged) <= 58, "shift detected within a few steps"
+
+
+def test_cusum_stationary_stays_quiet(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = [("a", t, 10.0 + (t * 37 % 7)) for t in range(60)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = cusum_changepoints(df, ["k"], "t", "v", threshold=5.0)
+    assert out.filter("is_change").count() == 0
