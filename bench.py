@@ -136,6 +136,10 @@ HEADLINE = [
     "q_rfm",
     "q_interpolate",
     "q_debounce",
+    "q_cusum",
+    "q_concentration",
+    "q_weighted_median",
+    "q_profile_hist",
 ]
 
 
