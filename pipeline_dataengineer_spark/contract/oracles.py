@@ -3341,3 +3341,24 @@ SELECT k AS o_orderpriority, d AS o_orderdate,
        (sp > 5.0 OR sn > 5.0) AS is_change
 FROM rec
 """
+
+ORACLES["q_bm25"] = """
+WITH words AS (
+  SELECT doc_id, w AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+hits AS (SELECT doc_id, term FROM words
+         WHERE term IN ('spark', 'join', 'window')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+SELECT doc_id, count(*) AS n_hits, round(sum(sc), 4) AS score
+FROM scored GROUP BY doc_id
+"""

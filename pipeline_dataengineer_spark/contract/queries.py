@@ -5278,3 +5278,20 @@ def q_cusum(spark, sf_dir):
         F.round("cusum_neg", 6).alias("cusum_neg"),
         "is_change",
     )
+
+
+@query("q_bm25")
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 retrieval scoring (operators/text_features.py:
+    bm25_rank): broadcast query vocabulary filters the corpus before
+    any aggregate; doc length / avgdl / per-term df are all combinable
+    aggregates; idf uses the Lucene ln(1 + (N-df+0.5)/(df+0.5))
+    form. The lexical-retrieval complement of q_tfidf."""
+    from pipeline_dataengineer_spark.operators.text_features import bm25_rank
+
+    return bm25_rank(
+        table(spark, sf_dir, "documents"),
+        ["spark", "join", "window"],
+        k1=1.2,
+        b=0.75,
+    )

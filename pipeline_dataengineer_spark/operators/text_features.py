@@ -126,6 +126,74 @@ def inverted_index(
     return out
 
 
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring: (id, n_hits, score) for every
+    document matching at least one query term, with
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)      (Lucene form)
+
+    The ranking function behind classic search (and the lexical side
+    of hybrid retrieval for RAG corpora) — the scoring complement of
+    ``inverted_index``.
+
+    Scale shape: the query vocabulary is tiny and broadcast, so the
+    corpus is filtered to query-term rows with a BroadcastHashJoin
+    BEFORE anything aggregates — everything downstream is sized by
+    matches, not the corpus. Document length and avgdl are map-side
+    combinable aggregates; per-term document frequency is bounded by
+    |query| rows. The only corpus-wide exchange is the per-doc length
+    aggregate, which partial-aggregates because a document's terms
+    are born co-located with it. No window over the hot term key
+    (same reasoning as tf_idf's groupBy reformulation).
+    """
+    if not query_terms:
+        raise ValueError("bm25_rank: query_terms must be non-empty")
+    spark = df.sparkSession
+    q = spark.createDataFrame(
+        [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
+    )
+    t = terms(df, id_col, text_col)
+    # per-document length over ALL terms (BM25 normalizes by full
+    # document length, not just matched terms)
+    doclen = t.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    stats = doclen.agg(
+        F.avg("__dl").alias("__avgdl"),
+        F.count("*").cast("double").alias("__n"),
+    )
+    hits = t.join(F.broadcast(q), "term")
+    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    per_term = idf * F.col("__tf") * (k1 + 1.0) / denom
+    return (
+        scored.withColumn("__s", per_term)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.round(F.sum("__s"), round_to).alias("score"),
+        )
+    )
+
+
 def word_repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
 ) -> DataFrame:

@@ -92,3 +92,69 @@ def test_inverted_index_posting_cap_drops_stopword_terms(spark):
     full = inverted_index(docs)
     assert full.index_audit == {"dropped_terms": 0, "max_dropped_doc_freq": 0}
     assert full.count() == 51
+
+
+def test_bm25_hand_computed(spark):
+    from pipeline_dataengineer_spark.operators.text_features import bm25_rank
+
+    # 3 docs; query = {cat}. df(cat)=2, N=3, dl = 4,4,2, avgdl = 10/3
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat dog bird"),
+            (2, "cat dog dog bird"),
+            (3, "fish fish"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["score"])
+        for r in bm25_rank(df, ["cat"], k1=1.2, b=0.75).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 has no hit
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    avgdl = 10 / 3
+
+    def s(tf, dl):
+        return round(
+            idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4
+        )
+
+    assert out[1] == (1, s(2, 4))
+    assert out[2] == (1, s(1, 4))
+    # higher tf at equal length ranks higher
+    assert out[1][1] > out[2][1]
+
+
+def test_bm25_length_normalization(spark):
+    from pipeline_dataengineer_spark.operators.text_features import bm25_rank
+
+    # same tf, shorter doc wins under b>0; tie under b=0
+    df = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat dog bird fish mouse wolf")],
+        "doc_id long, text string",
+    )
+    norm = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(df, ["cat"], b=0.75).collect()
+    }
+    flat = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(df, ["cat"], b=0.0).collect()
+    }
+    assert norm[1] > norm[2]
+    assert flat[1] == flat[2]
+
+
+def test_bm25_multi_term_and_case(spark):
+    from pipeline_dataengineer_spark.operators.text_features import bm25_rank
+
+    df = spark.createDataFrame(
+        [(1, "Cat DOG"), (2, "cat"), (3, "dog")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in bm25_rank(df, ["CAT", "dog", "dog"]).collect()
+    }
+    # query terms lowercase + dedup; doc text lowercased by terms()
+    assert out == {1: 2, 2: 1, 3: 1}
