@@ -140,6 +140,7 @@ HEADLINE = [
     "q_concentration",
     "q_weighted_median",
     "q_profile_hist",
+    "q_bm25",
 ]
 
 

@@ -3362,3 +3362,41 @@ scored AS (
 SELECT doc_id, count(*) AS n_hits, round(sum(sc), 4) AS score
 FROM scored GROUP BY doc_id
 """
+
+ORACLES["q_rrf_fusion"] = """
+WITH words AS (
+  SELECT doc_id, w AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+hits AS (SELECT doc_id, term FROM words
+         WHERE term IN ('spark', 'join', 'window')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+lex AS (
+  SELECT doc_id, score FROM bm
+  ORDER BY score DESC, doc_id ASC LIMIT 100),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), v), 4) AS score
+  FROM embeddings, qv WHERE vec_id <> 0
+  ORDER BY score DESC, doc_id ASC LIMIT 100),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM lex
+  UNION ALL
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM sem)
+SELECT doc_id, count(*) AS n_lists,
+       round(sum(1.0 / (60.0 + r)), 6) AS rrf_score
+FROM ranked GROUP BY doc_id
+"""

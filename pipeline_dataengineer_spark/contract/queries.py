@@ -5295,3 +5295,35 @@ def q_bm25(spark, sf_dir):
         k1=1.2,
         b=0.75,
     )
+
+
+@query("q_rrf_fusion")
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of a BM25 lexical
+    top-100 and an embedding-cosine top-100 over the same doc ids
+    (operators/similarity.py:rrf_fuse). Both input scores are rounded
+    before ranking so the rank orders are engine-portable; the fusion
+    is one combinable aggregate on doc_id."""
+    from pipeline_dataengineer_spark.operators.similarity import rrf_fuse
+    from pipeline_dataengineer_spark.operators.text_features import bm25_rank
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = (
+        bm25_rank(docs, ["spark", "join", "window"])
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity("embedding", "qv"), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    return rrf_fuse([lex, sem], "doc_id", k=60)

@@ -182,3 +182,62 @@ def pad_query(
             F.col(vec_col).cast("array<double>"), F.array(F.lit(0.0))
         ),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    score_col: str = "score",
+    partition_cols: list[str] | None = None,
+    k: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval lists — the standard
+    hybrid-search combiner (lexical BM25 + embedding cosine, or any
+    mix): fused(d) = Σ_lists 1/(k + rank_l(d)), a document absent
+    from a list contributing nothing. Rank-based, so the lists'
+    score scales never need calibrating against each other.
+
+    Each input carries (partition_cols…, id_col, score_col); ranks
+    are dense positions ordered by (score DESC, id ASC) — the id
+    tie-break keeps fusion deterministic when scores tie (callers
+    should pre-round scores so cross-engine float ulps cannot flip
+    adjacent ranks). Output: (partition_cols…, id_col, n_lists,
+    rrf_score).
+
+    Scale shape: retrieval lists are top-k bounded BY CONSTRUCTION
+    (each is the output of a ranker's cut), so the rank window is
+    over at most k rows per (list, partition) — pass
+    ``partition_cols`` (the query id) for multi-query fusion so no
+    single window task ever sees more than one query's list. The
+    fusion itself is one map-side-combinable aggregate on the doc
+    key."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = partition_cols or []
+    tagged = []
+    for i, r in enumerate(rankings):
+        w = (
+            Window.partitionBy(F.lit(i), *parts)
+            .orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        )
+        tagged.append(
+            r.select(
+                *parts,
+                F.col(id_col),
+                F.col(score_col).cast("double").alias("__s"),
+            ).withColumn("__rank", F.row_number().over(w))
+        )
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    return (
+        u.groupBy(*parts, id_col)
+        .agg(
+            F.count("*").alias("n_lists"),
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__rank"))),
+                round_to,
+            ).alias("rrf_score"),
+        )
+    )

@@ -355,3 +355,38 @@ def test_array_overlap_join_exact_and_capped(spark):
         for r in capped.filter(F.col("id") < F.col("id_r")).collect()
     }
     assert got == {(1, 4): 3}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from pipeline_dataengineer_spark.operators.similarity import rrf_fuse
+
+    # list A ranks: d1=1, d2=2, d3=3 ; list B ranks: d3=1, d1=2
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([(3, 0.9), (1, 0.2)], "doc_id long, score double")
+    out = {
+        r["doc_id"]: (r["n_lists"], r["rrf_score"])
+        for r in rrf_fuse([a, b], "doc_id", k=60).collect()
+    }
+    assert out[1] == (2, round(1 / 61 + 1 / 62, 6))
+    assert out[2] == (1, round(1 / 62, 6))
+    assert out[3] == (2, round(1 / 63 + 1 / 61, 6))
+
+
+def test_rrf_fuse_tie_break_and_partitions(spark):
+    from pipeline_dataengineer_spark.operators.similarity import rrf_fuse
+
+    # equal scores rank by id ascending; fusion is per-query when
+    # partition_cols is passed
+    a = spark.createDataFrame(
+        [("q1", 7, 1.0), ("q1", 3, 1.0), ("q2", 7, 1.0)],
+        "qid string, doc_id long, score double",
+    )
+    out = {
+        (r["qid"], r["doc_id"]): r["rrf_score"]
+        for r in rrf_fuse([a], "doc_id", partition_cols=["qid"], k=60).collect()
+    }
+    assert out[("q1", 3)] == round(1 / 61, 6)  # id 3 wins the tie
+    assert out[("q1", 7)] == round(1 / 62, 6)
+    assert out[("q2", 7)] == round(1 / 61, 6)  # q2 ranks independently
