@@ -3400,3 +3400,16 @@ SELECT doc_id, count(*) AS n_lists,
        round(sum(1.0 / (60.0 + r)), 6) AS rrf_score
 FROM ranked GROUP BY doc_id
 """
+
+ORACLES["q_shuffle_index"] = """
+WITH h1 AS (
+  SELECT doc_id,
+         ((((doc_id % 2147483647) + 2147483647) % 2147483647) * 48271)
+           % 2147483647 AS a
+  FROM documents),
+h2 AS (SELECT doc_id, (xor(a, a >> 15) * 69621) % 2147483647 AS b FROM h1)
+SELECT doc_id,
+       row_number() OVER (ORDER BY xor(b, b >> 13), doc_id) - 1
+         AS shuffle_pos
+FROM h2
+"""

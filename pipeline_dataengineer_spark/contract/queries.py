@@ -5327,3 +5327,17 @@ def q_rrf_fusion(spark, sf_dir):
         .limit(100)
     )
     return rrf_fuse([lex, sem], "doc_id", k=60)
+
+
+@query("q_shuffle_index")
+def q_shuffle_index(spark, sf_dir):
+    """Deterministic corpus shuffle (operators/order.py:
+    deterministic_shuffle): every doc's position in the Lehmer-hash
+    permutation, computed by the two-phase distributed global index —
+    no single-task ORDER BY window. Hash-checking (doc_id, pos) pairs
+    verifies the whole distributed total-order machinery against a
+    plain row_number replay."""
+    from pipeline_dataengineer_spark.operators.order import deterministic_shuffle
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id").select("doc_id", "shuffle_pos")

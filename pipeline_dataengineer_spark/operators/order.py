@@ -133,3 +133,33 @@ def sorted_neighborhood_pairs(
         )
         .select("id_a", "id_b")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    index_col: str = "shuffle_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Layout-independent pseudorandom permutation — the "shuffle the
+    corpus before training" step. Each row's position is its rank in
+    ``(portable_scramble(id), id)`` order, so the permutation is a pure
+    function of the ids: re-running on a repartitioned, re-sorted, or
+    re-written copy of the data yields the SAME order (unlike
+    ``ORDER BY rand()``, which is neither reproducible nor stable
+    under retries — a lineage recompute of a failed task would
+    permute differently mid-job).
+
+    The rank is computed by ``global_row_index``'s two-phase
+    distributed sort — no single-task window anywhere. Writing the
+    result partitioned by ``floor(shuffle_pos / shard_size)`` gives
+    reproducible training shards."""
+    from pipeline_dataengineer_spark.operators.sampling import portable_scramble
+
+    key = portable_scramble(F.col(id_col))
+    return global_row_index(
+        df.withColumn("__shuffle_key", key),
+        ["__shuffle_key", id_col],
+        index_col=index_col,
+        num_partitions=num_partitions,
+    ).drop("__shuffle_key")

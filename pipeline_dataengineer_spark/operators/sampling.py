@@ -47,6 +47,42 @@ def bucket_sql(key_expr: str, buckets: int) -> str:
     return f"(({nonneg} * {LEHMER_MULT}) % {MERSENNE_31}) % {buckets}"
 
 
+SCRAMBLE_MULT_2 = 69_621  # the other classic minstd multiplier
+
+
+def portable_scramble(key: Column | str) -> Column:
+    """Non-linear integer scramble in [0, 2^31): multiply–xor–multiply.
+
+    ``portable_bucket`` is an affine Lehmer step — perfect for bucket
+    membership, but ORDER-PRESERVING on small consecutive keys (ids
+    0..n stay monotone until the product wraps the modulus), so it
+    cannot drive a shuffle permutation. The xor-shift folds between
+    the two multiplies break linearity: max monotone run on
+    consecutive ids is ~2. Not bijective (xor folding) — callers
+    needing a total order must tie-break by the key itself. Same
+    arithmetic as ``scramble_sql`` (bitwise ops on non-negative
+    longs are engine-portable)."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.pmod(
+        F.pmod(k.cast("long"), F.lit(MERSENNE_31)) * LEHMER_MULT,
+        F.lit(MERSENNE_31),
+    )
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    h = F.pmod(h * SCRAMBLE_MULT_2, F.lit(MERSENNE_31))
+    return h.bitwiseXOR(F.shiftright(h, 13))
+
+
+def scramble_sql(key_expr: str) -> str:
+    """``portable_scramble`` as ANSI-ish SQL text (DuckDB/Postgres
+    xor() / >> on non-negative BIGINTs match Spark's operators)."""
+    m = MERSENNE_31
+    nonneg = f"(((({key_expr}) % {m}) + {m}) % {m})"
+    h1 = f"(({nonneg} * {LEHMER_MULT}) % {m})"
+    h2 = f"xor({h1}, {h1} >> 15)"
+    h3 = f"(({h2} * {SCRAMBLE_MULT_2}) % {m})"
+    return f"xor({h3}, {h3} >> 13)"
+
+
 def deterministic_sample(
     df: DataFrame, key: Column | str, fraction: float, buckets: int = 1_000_000
 ) -> DataFrame:

@@ -52,3 +52,24 @@ def test_sorted_neighborhood_pairs_match_bruteforce(spark):
         for j in range(i + 1, min(i + 5, len(order)))
     )
     assert got == want
+
+
+def test_deterministic_shuffle_layout_independent(spark):
+    from pipeline_dataengineer_spark.operators.order import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = {
+        r["id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df, "id").collect()
+    }
+    # same ids, different physical layout -> identical permutation
+    b = {
+        r["id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(
+            df.repartition(7).sortWithinPartitions(F.col("id").desc()), "id"
+        ).collect()
+    }
+    assert a == b
+    # it is a permutation of 0..n-1, and not the identity
+    assert sorted(a.values()) == list(range(200))
+    assert [a[i] for i in range(200)] != list(range(200))
