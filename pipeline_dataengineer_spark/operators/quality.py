@@ -142,3 +142,45 @@ def benford_test(
             (freq - exp) * (freq - exp) / exp * F.col("__t")
         ).alias("chi2_term"),
     )
+
+
+def observe_rules(df: DataFrame, rules: list[Rule], name: str = "dq"):
+    """Attach ``run_checks``-style rules to a DataFrame as OBSERVED
+    METRICS — Spark's ``observe`` API computes them as a side effect
+    of whatever action the caller runs next, with ZERO extra passes
+    over the data (vs ``run_checks``'s dedicated aggregate job).
+
+    The free-metrics shape for production pipelines: the write job
+    itself reports its violation counts. Returns ``(df, observation)``
+    — run any action on ``df`` (e.g. the write), then
+    ``observation.get`` yields ``{rule_name: n_violations}``.
+
+    Supports the single-pass rule subset (``not_null``,
+    ``accepted_values``, ``min``, ``max`` — conditional counts).
+    ``unique`` needs its own distinct aggregation and ``referential``
+    a second table; both stay with ``run_checks``."""
+    from pyspark.sql import Observation
+
+    aggs = []
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        label = f"{kind}:{col}"
+        c = F.col(col)
+        if kind == "not_null":
+            bad = c.isNull()
+        elif kind == "accepted_values":
+            bad = c.isNotNull() & ~c.isin(*rule[2])
+        elif kind == "min":
+            bad = c < rule[2]
+        elif kind == "max":
+            bad = c > rule[2]
+        else:
+            raise ValueError(
+                f"observe_rules: unsupported rule {kind!r} "
+                "(unique/referential need dedicated passes — use run_checks)"
+            )
+        aggs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(label)
+        )
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs

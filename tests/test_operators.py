@@ -390,3 +390,38 @@ def test_rrf_fuse_tie_break_and_partitions(spark):
     assert out[("q1", 3)] == round(1 / 61, 6)  # id 3 wins the tie
     assert out[("q1", 7)] == round(1 / 62, 6)
     assert out[("q2", 7)] == round(1 / 61, 6)  # q2 ranks independently
+
+
+def test_observe_rules_free_metrics(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.quality import observe_rules
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (3, "zz", 2.0), (4, "b", None)],
+        "id long, cat string, v double",
+    )
+    observed, obs = observe_rules(
+        df,
+        [
+            ("not_null", "cat"),
+            ("accepted_values", "cat", ["a", "b"]),
+            ("min", "v", 0.0),
+        ],
+    )
+    # metrics ride the WRITE action — no second scan
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["not_null:cat"] == 1
+    assert got["accepted_values:cat"] == 1  # 'zz'
+    assert got["min:v"] == 1  # -1.0 ; NULL v is not a violation
+    # the data itself is untouched
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_observe_rules_rejects_multi_pass_rules(spark):
+    import pytest as _pytest
+
+    from pipeline_dataengineer_spark.operators.quality import observe_rules
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        observe_rules(df, [("unique", "id")])
