@@ -3413,3 +3413,28 @@ SELECT doc_id,
          AS shuffle_pos
 FROM h2
 """
+
+ORACLES["q_time_weighted_avg"] = """
+WITH iv AS (
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + CAST(1 + o_orderkey % 45 AS INT) AS e,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders),
+m AS (
+  SELECT o_orderpriority, s, e, v,
+         CAST(unnest(generate_series(date_trunc('month', s),
+                                     date_trunc('month', e - 1),
+                                     INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM iv WHERE e > s),
+ov AS (
+  SELECT o_orderpriority, month, v,
+         date_diff('day', greatest(s, month),
+                   least(e, month + INTERVAL 1 MONTH)) AS ovd
+  FROM m)
+SELECT o_orderpriority, month,
+       sum(ovd) AS covered_days,
+       round(sum(v * ovd) / sum(ovd), 4) AS tw_avg
+FROM ov WHERE ovd > 0
+GROUP BY o_orderpriority, month
+"""

@@ -5341,3 +5341,28 @@ def q_shuffle_index(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(d, "doc_id").select("doc_id", "shuffle_pos")
+
+
+@query("q_time_weighted_avg")
+def q_time_weighted_avg(spark, sf_dir):
+    """Duration-weighted monthly average over validity intervals
+    (operators/timeseries.py:time_weighted_avg): intervals explode to
+    covered months (bounded factor), one combinable aggregate — no
+    window, no join. Intervals synthesized deterministically from
+    orders: [o_orderdate, o_orderdate + 1 + o_orderkey % 45 days)."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.lit(1) + F.col("o_orderkey") % 45).cast("int"),
+        ).alias("end_d"),
+        "o_totalprice",
+    )
+    return time_weighted_avg(
+        o, ["o_orderpriority"], "start_d", "end_d", "o_totalprice"
+    )

@@ -509,3 +509,57 @@ def cusum_changepoints(
         "is_change",
         (F.col("cusum_pos") > threshold) | (F.col("cusum_neg") > threshold),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    value_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Duration-weighted average of a piecewise-constant signal over
+    calendar months: for each key and month, Σ value·overlap_days /
+    Σ overlap_days, intervals half-open ``[start, end)``. The honest
+    way to average anything carried on validity intervals (SCD2
+    attributes, price periods, sensor holds) — a plain AVG
+    over-weights short-lived rows.
+
+    Scale shape: each interval explodes to the months it covers
+    (explode factor = interval length in months — bounded by data
+    semantics, not table size, and born co-located with the row), then
+    ONE map-side-combinable aggregate on (keys, month). No window, no
+    join. Degenerate ``start >= end`` intervals contribute nothing."""
+    s, e = F.col(start_col), F.col(end_col)
+    months = F.sequence(
+        F.trunc(s, "month"),
+        # last month with any coverage: end is EXCLUSIVE, so back the
+        # boundary-landing end off by one day before truncating
+        F.trunc(F.date_sub(e, 1), "month"),
+        F.expr("INTERVAL 1 MONTH"),
+    )
+    rows = (
+        df.filter(e > s)
+        .select(
+            *keys,
+            s.alias("__s"),
+            e.alias("__e"),
+            F.col(value_col).cast("double").alias("__v"),
+            F.explode(months).alias("month"),
+        )
+        .withColumn(
+            "__ov",
+            F.datediff(
+                F.least(F.col("__e"), F.add_months(F.col("month"), 1)),
+                F.greatest(F.col("__s"), F.col("month")),
+            ),
+        )
+        .filter(F.col("__ov") > 0)
+    )
+    return rows.groupBy(*keys, "month").agg(
+        F.sum("__ov").alias("covered_days"),
+        F.round(
+            F.sum(F.col("__v") * F.col("__ov")) / F.sum("__ov"), round_to
+        ).alias("tw_avg"),
+    )

@@ -374,3 +374,49 @@ def test_cusum_stationary_stays_quiet(spark):
     df = spark.createDataFrame(rows, "k string, t long, v double")
     out = cusum_changepoints(df, ["k"], "t", "v", threshold=5.0)
     assert out.filter("is_change").count() == 0
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    import datetime as dt
+
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # 10 days of Jan at 100, then 20 days spanning Jan->Feb at 400:
+        # Jan 22..31 (10d) + Feb 1..10 (10d)
+        ("k", dt.date(2024, 1, 1), dt.date(2024, 1, 11), 100.0),
+        ("k", dt.date(2024, 1, 22), dt.date(2024, 2, 11), 400.0),
+        # degenerate and empty intervals vanish
+        ("k", dt.date(2024, 3, 5), dt.date(2024, 3, 5), 999.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, s date, e date, v double")
+    out = {
+        (r["k"], str(r["month"])): (r["covered_days"], r["tw_avg"])
+        for r in time_weighted_avg(df, ["k"], "s", "e", "v").collect()
+    }
+    # Jan: 10d@100 + 10d@400 -> 250.0 over 20 covered days
+    assert out[("k", "2024-01-01")] == (20, 250.0)
+    # Feb: 10d@400
+    assert out[("k", "2024-02-01")] == (10, 400.0)
+    assert len(out) == 2  # no March row
+
+
+def test_time_weighted_avg_end_on_month_boundary(spark):
+    import datetime as dt
+
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # end exclusive ON the boundary: no spill into February
+    df = spark.createDataFrame(
+        [("k", dt.date(2024, 1, 20), dt.date(2024, 2, 1), 50.0)],
+        "k string, s date, e date, v double",
+    )
+    out = {
+        str(r["month"]): r["covered_days"]
+        for r in time_weighted_avg(df, ["k"], "s", "e", "v").collect()
+    }
+    assert out == {"2024-01-01": 12}
