@@ -3438,3 +3438,8 @@ SELECT o_orderpriority, month,
 FROM ov WHERE ovd > 0
 GROUP BY o_orderpriority, month
 """
+
+ORACLES["q_bitmap_distinct"] = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+"""

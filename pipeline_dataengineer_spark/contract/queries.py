@@ -5366,3 +5366,20 @@ def q_time_weighted_avg(spark, sf_dir):
     return time_weighted_avg(
         o, ["o_orderpriority"], "start_d", "end_d", "o_totalprice"
     )
+
+
+@query("q_bitmap_distinct")
+def q_bitmap_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via mergeable bitmap states
+    (functions/sketches.py:bitmap_states): per-bucket bitmaps OR-merge
+    like sketches but losslessly, so the whole bitmap machinery is
+    hash-checkable against a plain count(DISTINCT) — the
+    materialized-view-maintenance shape for exact distinct counts."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        bitmap_distinct,
+        bitmap_states,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    st = bitmap_states(o, ["o_orderpriority"], "o_custkey")
+    return bitmap_distinct(st, ["o_orderpriority"])

@@ -332,3 +332,47 @@ def kmv_intersection(
             "approx_intersection"
         ),
     )
+
+
+def bitmap_states(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Per-(key, bucket) roaring-style bitmap state over an integer
+    ``value_col`` — the EXACT counterpart of ``hll_sketches``. Spark's
+    bitmap expressions slice the integer domain into 32k-bit buckets
+    (``bitmap_bucket_number``) and OR each value's bit into a binary
+    bitmap — a mergeable monoid state like the sketch families, but
+    lossless: merge then count equals a one-pass COUNT(DISTINCT).
+
+    The scale trade vs HLL: state is O(domain/32k) buckets per key
+    (dense ids compress superbly; sparse 64-bit hash domains do not —
+    use HLL there), and the count is exact, which materialized-view
+    maintenance often requires."""
+    return df.groupBy(
+        *keys,
+        F.expr(f"bitmap_bucket_number({value_col})").alias("bucket"),
+    ).agg(
+        F.expr(f"bitmap_construct_agg(bitmap_bit_position({value_col}))").alias(
+            "bitmap"
+        )
+    )
+
+
+def merge_bitmap(*states: DataFrame, keys: list[str]) -> DataFrame:
+    """OR-merge bitmap states (same schema). Exact: bits survive any
+    merge order / slicing of the input — the incremental-maintenance
+    law, proven in tests against the one-pass build."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys, "bucket").agg(
+        F.expr("bitmap_or_agg(bitmap)").alias("bitmap")
+    )
+
+
+def bitmap_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Finalize: exact distinct count per key = popcount summed over
+    the key's buckets (map-side combinable)."""
+    return state.groupBy(*keys).agg(
+        F.sum(F.expr("bitmap_count(bitmap)")).alias("n_distinct")
+    )

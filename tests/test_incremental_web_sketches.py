@@ -282,3 +282,40 @@ def test_heavy_hitters_exact_grouped(spark):
         ("g2", "hot2"): (85, 0.85),
         ("g2", "warm"): (10, 0.1),  # boundary: >= min_share stays
     }
+
+
+def test_bitmap_states_merge_equals_single_pass(spark):
+    from pipeline_dataengineer_spark.functions.sketches import (
+        bitmap_distinct,
+        bitmap_states,
+        merge_bitmap,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, (i * 7) % 50) for i in range(300)], "g int, v int"
+    )
+    # slice into three shards, build states independently, merge
+    shards = [df.filter(F.col("v") % 3 == r) for r in range(3)]
+    states = [bitmap_states(s, ["g"], "v") for s in shards]
+    merged = bitmap_distinct(merge_bitmap(*states, keys=["g"]), ["g"])
+    direct = bitmap_distinct(bitmap_states(df, ["g"], "v"), ["g"])
+    exact = df.groupBy("g").agg(F.countDistinct("v").alias("n_distinct"))
+    m = {r["g"]: r["n_distinct"] for r in merged.collect()}
+    d = {r["g"]: r["n_distinct"] for r in direct.collect()}
+    e = {r["g"]: r["n_distinct"] for r in exact.collect()}
+    assert m == d == e  # lossless merge law
+
+
+def test_bitmap_states_large_domain_buckets(spark):
+    from pipeline_dataengineer_spark.functions.sketches import (
+        bitmap_distinct,
+        bitmap_states,
+    )
+
+    # values straddling multiple 32k-bit buckets still count exactly
+    df = spark.createDataFrame(
+        [(0, v) for v in (1, 32768, 32769, 1_000_000, 1_000_000)],
+        "g int, v long",
+    )
+    out = bitmap_distinct(bitmap_states(df, ["g"], "v"), ["g"]).collect()
+    assert out[0]["n_distinct"] == 4
