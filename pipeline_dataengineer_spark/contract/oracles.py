@@ -3443,3 +3443,38 @@ ORACLES["q_bitmap_distinct"] = """
 SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct
 FROM orders GROUP BY o_orderpriority
 """
+
+ORACLES["q_percentile_disc"] = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.95) AS p95,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q_session_dynamic_gap"] = """
+WITH e AS (
+  SELECT user_id, date_trunc('second', ts) AS t,
+         to_seconds(600 + (event_id % 3) * 300) AS gap
+  FROM events),
+w AS (SELECT user_id, t, t + gap AS e_end FROM e),
+m AS (
+  SELECT user_id, t, e_end,
+         max(e_end) OVER (PARTITION BY user_id ORDER BY t, e_end
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM w),
+f AS (
+  SELECT user_id, t, e_end,
+         CASE WHEN prev_max IS NULL OR t > prev_max THEN 1 ELSE 0 END AS ns
+  FROM m),
+s AS (
+  SELECT user_id, t, e_end,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY t, e_end
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f)
+SELECT user_id, min(t) AS session_start, max(e_end) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""

@@ -5383,3 +5383,49 @@ def q_bitmap_distinct(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     st = bitmap_states(o, ["o_orderpriority"], "o_custkey")
     return bitmap_distinct(st, ["o_orderpriority"])
+
+
+@query("q_percentile_disc")
+def q_percentile_disc(spark, sf_dir):
+    """Discrete (inverse-distribution) percentiles: smallest element
+    with cume_dist >= p — returns actual data values, so cross-engine
+    equality is EXACT, no rounding (both engines implement the same
+    SQL-standard rule; verified on odd/even group sizes)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p95"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query("q_session_dynamic_gap")
+def q_session_dynamic_gap(spark, sf_dir):
+    """Spark's REAL session_window with a per-row DYNAMIC gap (600 +
+    event_id%3*300 s — e.g. different idle allowances per event
+    class), batch mode. Hash-checks the built-in session-merge
+    machinery (inclusive-boundary interval merging, end = max event
+    end) against an independent running-max SQL replay."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").alias("t"),
+    )
+    gap_s = (F.lit(600) + (F.col("event_id") % 3) * 300).cast("string")
+    out = ev.groupBy(
+        "user_id",
+        F.session_window("t", F.concat(gap_s, F.lit(" seconds"))),
+    ).agg(F.count("*").alias("n_events"))
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )

@@ -57,14 +57,18 @@ def sliding_window_agg(
 def session_window_agg(
     df: DataFrame,
     ts_col: str,
-    gap: str,
+    gap: str | Column,
     aggs: list[Column],
     group_cols: list[str] | None = None,
     watermark: str | None = "10 minutes",
 ) -> DataFrame:
-    """Gap-based session windows (``session_window``). Batch-mode
-    equivalent for oracle checks: lag+cumsum sessionization (see
-    contract q_session_window)."""
+    """Gap-based session windows (``session_window``). ``gap`` may be
+    a static duration string OR a Column producing a per-row interval
+    ("dynamic gap": e.g. longer idle allowance for checkout events
+    than for page views) — each event extends its session to
+    ``[ts, ts + gap(row))`` and overlapping extents merge. Batch-mode
+    equivalent for oracle checks: running-max interval merge (see
+    contract q_session_window / q_session_dynamic_gap)."""
     df = _with_watermark(df, ts_col, watermark)
     keys = [F.session_window(ts_col, gap)] + [F.col(c) for c in (group_cols or [])]
     return df.groupBy(*keys).agg(*aggs)

@@ -453,3 +453,46 @@ def test_stream_stream_left_semi_join(spark, tmp_path):
         for r in spark.sql("select * from ssj_semi_out").collect()
     ]
     assert rows == [("u1", 1.0)]  # once, despite two matches
+
+
+def test_streaming_session_window_dynamic_gap(spark, tmp_path):
+    from pipeline_dataengineer_spark.streaming.windows import session_window_agg
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    # k=a uses gap 600s (v<10), k=b gap 60s (v>=10): identical spacing
+    # of 300s sessionizes into ONE session for a, THREE for b
+    _write_json(
+        src,
+        "b0.json",
+        [
+            {"k": "a", "ts": "2024-01-01T00:00:00", "v": 1.0},
+            {"k": "a", "ts": "2024-01-01T00:05:00", "v": 1.0},
+            {"k": "a", "ts": "2024-01-01T00:10:00", "v": 1.0},
+            {"k": "b", "ts": "2024-01-01T00:00:00", "v": 10.0},
+            {"k": "b", "ts": "2024-01-01T00:05:00", "v": 10.0},
+            {"k": "b", "ts": "2024-01-01T00:10:00", "v": 10.0},
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    gap = F.when(F.col("v") < 10, F.lit("600 seconds")).otherwise(
+        F.lit("60 seconds")
+    )
+    agg = session_window_agg(
+        stream, "ts", gap, [F.count("*").alias("n")], group_cols=["k"]
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dyn_sess_out")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM dyn_sess_out").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["k"], []).append(r["n"])
+    assert per_key["a"] == [3]
+    assert sorted(per_key["b"]) == [1, 1, 1]
