@@ -3478,3 +3478,29 @@ SELECT user_id, min(t) AS session_start, max(e_end) AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid
 """
+
+ORACLES["q_sentence_chunks"] = """
+WITH punct AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\\w+ \\w+ \\w+ \\w+ \\w+) ', '\\1. ', 'g') AS t
+  FROM documents),
+arrs AS (
+  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]+|[^.!?]+$', 0) AS a
+  FROM punct),
+sents AS (
+  SELECT doc_id, CAST(r.i AS INT) AS sent_idx, trim(a[CAST(r.i AS INT) + 1]) AS sentence
+  FROM arrs, LATERAL (SELECT unnest(range(len(a))) AS i) r),
+keep AS (SELECT * FROM sents WHERE sentence <> ''),
+cum AS (
+  SELECT doc_id, sent_idx, sentence,
+         CAST(floor(coalesce(sum(length(sentence) + 1) OVER (
+             PARTITION BY doc_id ORDER BY sent_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 120) AS INT) AS chunk_id
+  FROM keep)
+SELECT doc_id, chunk_id,
+       string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
+       count(*) AS n_sentences,
+       sum(length(sentence) + 1) AS n_chars
+FROM cum GROUP BY doc_id, chunk_id
+"""

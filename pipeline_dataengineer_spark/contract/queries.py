@@ -5429,3 +5429,22 @@ def q_session_dynamic_gap(spark, sf_dir):
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+@query("q_sentence_chunks")
+def q_sentence_chunks(spark, sf_dir):
+    """Sentence-aware retrieval chunking (operators/corpus.py:
+    sentence_chunks) — chunk_text hash-checked end-to-end. The
+    synthetic docs carry no punctuation, so a deterministic regex
+    injects a period after every 5th word first; the oracle replays
+    the same injection, segmentation, cumsum budget rule, and ordered
+    reassembly in SQL."""
+    from pipeline_dataengineer_spark.operators.corpus import sentence_chunks
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"(\w+ \w+ \w+ \w+ \w+) ", "$1. "
+        ).alias("text"),
+    )
+    return sentence_chunks(d, "doc_id", "text", max_chars=120)

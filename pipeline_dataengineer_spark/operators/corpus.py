@@ -247,3 +247,73 @@ def cap_per_key(
         .filter(F.col("__rank") <= max_rows)
         .drop("__rank")
     )
+
+
+def split_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sent_idx, sentence): regex sentence segmentation —
+    maximal runs of non-terminator text plus their trailing ``.!?``
+    run ("..." stays with its sentence), a trailing fragment without
+    a terminator kept as the last sentence. Pure codegen
+    (regexp_extract_all + posexplode, RE2-portable pattern — no
+    lookbehind), NO shuffle: sentences are born co-located with
+    their document. Empty docs yield no rows."""
+    sents = F.expr(
+        f"regexp_extract_all({text_col}, '[^.!?]+[.!?]+|[^.!?]+$', 0)"
+    )
+    return (
+        df.select(id_col, F.posexplode(sents).alias("sent_idx", "__raw"))
+        .select(
+            id_col,
+            "sent_idx",
+            F.trim(F.col("__raw")).alias("sentence"),
+        )
+        .filter(F.col("sentence") != "")
+    )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 200,
+) -> DataFrame:
+    """Sentence-aware chunking for retrieval/embedding: sentences are
+    packed in order into chunks, a new chunk starting at the first
+    sentence whose predecessors' cumulative length crosses the next
+    ``max_chars`` budget multiple — so chunks never split a sentence
+    and overshoot the budget by at most one sentence. Deterministic
+    and engine-replayable (a pure cumsum rule, unlike true greedy
+    packing whose boundary recursion SQL cannot express).
+
+    Returns (id, chunk_id, chunk_text, n_sentences, n_chars).
+    Scale shape: one shuffle on the document key for the ordered
+    cumsum; the chunk aggregate reuses the same key prefix. Per-doc
+    state is the document's own sentences — no global ordering."""
+    s = split_sentences(df, id_col, text_col)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_chunk = s.withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(
+                F.sum(F.length("sentence") + 1).over(w), F.lit(0)
+            )
+            / max_chars
+        ).cast("int"),
+    )
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("sent_idx", "sentence"))
+        ),
+        lambda x: x["sentence"],
+    )
+    return with_chunk.groupBy(id_col, "chunk_id").agg(
+        F.array_join(ordered, " ").alias("chunk_text"),
+        F.count("*").alias("n_sentences"),
+        F.sum(F.length("sentence") + 1).alias("n_chars"),
+    )

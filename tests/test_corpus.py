@@ -218,3 +218,47 @@ def test_incremental_append_signature_store(spark, tmp_path):
     d2.unpersist()
     assert ids2 == [200]
     assert spark.read.parquet(store).count() == n_store + 1
+
+
+def test_split_sentences_segmentation(spark):
+    from pipeline_dataengineer_spark.operators.corpus import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two sentences!  Three... trailing fragment"),
+            (2, ""),
+            (3, "no terminator at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["sent_idx"]): r["sentence"]
+        for r in split_sentences(df).collect()
+    }
+    assert got == {
+        (1, 0): "One.",
+        (1, 1): "Two sentences!",
+        (1, 2): "Three...",
+        (1, 3): "trailing fragment",
+        (3, 0): "no terminator at all",
+    }
+
+
+def test_sentence_chunks_budget_rule(spark):
+    from pipeline_dataengineer_spark.operators.corpus import sentence_chunks
+
+    # lengths+1: 4, 4, 4 -> cum_before = 0, 4, 8; budget 8 ->
+    # chunks floor(0/8)=0, floor(4/8)=0, floor(8/8)=1
+    df = spark.createDataFrame([(1, "aaa. bbb. ccc.")], "doc_id long, text string")
+    out = {
+        r["chunk_id"]: (r["chunk_text"], r["n_sentences"])
+        for r in sentence_chunks(df, max_chars=8).collect()
+    }
+    assert out == {0: ("aaa. bbb.", 2), 1: ("ccc.", 1)}
+    # sentences never split even when one alone exceeds the budget
+    big = spark.createDataFrame(
+        [(2, "supercalifragilistic sentence beyond budget. tiny.")],
+        "doc_id long, text string",
+    )
+    chunks = sentence_chunks(big, max_chars=10).collect()
+    assert all("." in r["chunk_text"] for r in chunks)
