@@ -7,24 +7,31 @@ REGEX over the per-key event stream ("views, optional clicks, then a
 purchase" = ``v+c*p``). The classic uses: fraud sequences, UX
 funnels with optional steps, error-burst detection.
 
-Spark shape: classify each event to a single-character symbol with a
-codegen'd CASE (JVM-side), then ONE shuffle on the key and an Arrow
-grouped-map that concatenates the ordered symbols and runs the
-compiled regex per key — the per-key work is C-speed regex over a
-string of len(events-per-key), and match offsets map back to event
-order values positionally. Same memory contract as any per-key
-sequence model (a key's events fit one executor); match semantics
-are leftmost, greedy, non-overlapping — identical to RE2's
-``regexp_extract_all``, which is how the oracle replays it in SQL.
+Spark shape — pure JVM, no Python anywhere: classify each event to a
+single-character symbol with a codegen'd CASE, ONE shuffle on the
+key builds the ordered symbol string (sort_array over structs →
+array_join), and Java's regex engine extracts the non-overlapping
+matches (``regexp_extract_all``). Match OFFSETS are reconstructed
+arithmetically: splitting the sequence by the same pattern yields
+the inter-match gaps, and start(i) = Σ len(gaps[..i]) + Σ
+len(matches[..i-1]) — prefix sums over per-key arrays of a few
+elements, evaluated with higher-order functions. Offsets then map
+back to event order values positionally through the sorted order
+array. An earlier applyInPandas formulation was semantically
+identical but paid ~3 s of grouped-Arrow machinery at sf0.1 before
+any matching happened (measured with a no-op grouped map); this plan
+is a plain aggregate + explode.
+
+Match semantics are leftmost, greedy, non-overlapping — Java regex
+and RE2 agree for the supported pattern class (character symbols,
+concatenation, ``+ * ? {m,n}`` quantifiers, alternation), which is
+how the oracle replays it in SQL.
 """
 
 from __future__ import annotations
 
-import re
-
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import types as T
+from pyspark.sql import functions as F
 
 
 def match_event_pattern(
@@ -36,40 +43,80 @@ def match_event_pattern(
 ) -> DataFrame:
     """Find non-overlapping regex matches over each key's ordered
     symbol sequence. ``symbol_col`` must hold exactly one character
-    per event (build it with a CASE over the event type). Returns one
-    row per match: key cols, ``match_seq`` (1-based per key),
+    per event (build it with a CASE over the event type; violations
+    raise at execution via an inline ANSI check). Returns one row per
+    match: key cols, ``match_seq`` (1-based per key),
     ``match_start``/``match_end`` (order values of the first/last
     matched event), ``matched`` (the symbol substring)."""
-    rx = re.compile(pattern)
-    key_fields = [df.schema[k] for k in key_cols]
-    order_type = df.schema[order_col].dataType
-    out_cols = [*key_cols, "match_seq", "match_start", "match_end", "matched"]
-    schema_out = T.StructType(
-        key_fields
-        + [
-            T.StructField("match_seq", T.LongType()),
-            T.StructField("match_start", order_type),
-            T.StructField("match_end", order_type),
-            T.StructField("matched", T.StringType()),
-        ]
-    )
-
-    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        syms = pdf[symbol_col].to_numpy()
-        if any(len(s) != 1 for s in syms):
-            raise ValueError(
-                f"{symbol_col} must be single characters; got "
-                f"{[s for s in syms if len(s) != 1][:3]}"
+    if "'" in pattern:
+        raise ValueError("pattern must not contain single quotes")
+    # inline validation: stays lazy, costs one codegen'd branch
+    sym_ok = F.when(
+        F.length(F.col(symbol_col)) == 1, F.col(symbol_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{symbol_col} must be single characters; got '"),
+                F.col(symbol_col),
+                F.lit("'"),
             )
-        seq = "".join(syms)
-        orders = pdf[order_col].to_numpy()
-        rows = [
-            (*key, i, orders[m.start()], orders[m.end() - 1], m.group(0))
-            for i, m in enumerate(rx.finditer(seq), start=1)
-        ]
-        return pd.DataFrame(rows, columns=out_cols)
-
-    return df.select(*key_cols, order_col, symbol_col).groupBy(
-        *key_cols
-    ).applyInPandas(fn, schema_out)
+        )
+    )
+    per_key = (
+        df.select(
+            *key_cols,
+            F.struct(F.col(order_col).alias("o"), sym_ok.alias("s")).alias(
+                "__ev"
+            ),
+        )
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("__ev")).alias("__evs"))
+        .select(
+            *key_cols,
+            F.expr("transform(__evs, x -> x.o)").alias("__orders"),
+            F.array_join(F.expr("transform(__evs, x -> x.s)"), "").alias(
+                "__seq"
+            ),
+        )
+    )
+    pat = pattern.replace("\\", "\\\\")
+    matched = per_key.select(
+        *key_cols,
+        "__orders",
+        F.expr(f"regexp_extract_all(__seq, '{pat}', 0)").alias("__ms"),
+        F.expr(f"split(__seq, '{pat}', -1)").alias("__gs"),
+    ).filter(F.size("__ms") > 0)
+    # char offset of match i (0-based):
+    #   start(i) = Σ_{j<=i} len(gap_j) + Σ_{j<i} len(match_j)
+    # (the sequence is gap_0 match_0 gap_1 match_1 ... gap_n); the
+    # slices are per-key arrays of match-count size, so the quadratic
+    # prefix sum is over a handful of elements
+    starts = F.expr(
+        "transform(sequence(0, size(__ms) - 1), i -> "
+        "  aggregate(slice(__gs, 1, i + 1), 0, (a, x) -> a + length(x)) + "
+        "  aggregate(slice(__ms, 1, i), 0, (a, x) -> a + length(x)))"
+    )
+    return (
+        matched.withColumn("__starts", starts)
+        .select(
+            *key_cols,
+            "__orders",
+            F.posexplode(F.expr("arrays_zip(__ms, __starts)")).alias(
+                "__i", "__m"
+            ),
+        )
+        .select(
+            *key_cols,
+            (F.col("__i") + 1).cast("long").alias("match_seq"),
+            F.element_at(
+                F.col("__orders"), F.col("__m.__starts").cast("int") + 1
+            ).alias("match_start"),
+            F.element_at(
+                F.col("__orders"),
+                (F.col("__m.__starts") + F.length(F.col("__m.__ms"))).cast(
+                    "int"
+                ),
+            ).alias("match_end"),
+            F.col("__m.__ms").alias("matched"),
+        )
+    )
