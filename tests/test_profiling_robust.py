@@ -219,7 +219,9 @@ def test_weighted_quantile_hand_case(spark):
     assert got[0]["wq_0_5"] == 10.0
     got25 = weighted_quantile(df, "v", "w", q=0.15, group_cols=["k"]).collect()
     assert got25[0]["wq_0_15"] == 2.0
-    with pytest.raises(ValueError, match="weights"):
+    # non-positive weights raise at EXECUTION (inline ANSI check —
+    # the plan stays single-pass instead of paying an eager guard job)
+    with pytest.raises(Exception, match="weights must be > 0"):
         weighted_quantile(
             spark.createDataFrame([("g", 1.0, 0.0)], "k string, v double, w double"),
             "v", "w",
