@@ -3504,3 +3504,32 @@ SELECT doc_id, chunk_id,
        sum(length(sentence) + 1) AS n_chars
 FROM cum GROUP BY doc_id, chunk_id
 """
+
+ORACLES["q_gopher_filter"] = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks, text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         greatest(CAST(len(toks) AS DOUBLE), 1.0) AS nw,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS chars,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS symbols,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) AS alpha,
+         CAST(list_contains(list_transform(toks, x -> lower(x)), 'the') AS INT)
+           + CAST(list_contains(list_transform(toks, x -> lower(x)), 'a') AS INT)
+           AS stopword_hits
+  FROM t)
+SELECT doc_id, n_words,
+       round(chars / nw, 4) AS mean_word_len,
+       round(symbols / nw, 4) AS symbol_word_ratio,
+       round(alpha / nw, 4) AS alpha_word_frac,
+       stopword_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND chars / nw >= 3.0 AND chars / nw <= 10.0
+        AND symbols / nw <= 0.1
+        AND alpha / nw >= 0.8
+        AND stopword_hits >= 2) AS passes
+FROM m
+"""

@@ -5448,3 +5448,27 @@ def q_sentence_chunks(spark, sf_dir):
         ).alias("text"),
     )
     return sentence_chunks(d, "doc_id", "text", max_chars=120)
+
+
+@query("q_gopher_filter")
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-rules pretraining quality gate (functions/textstats.py:
+    gopher_rules): the standard document filter (word count, mean
+    word length, symbol ratio, alpha-word fraction, stopword
+    presence) as one codegen'd struct riding the scan. Thresholds
+    tuned so the synthetic docs split pass/fail."""
+    from pipeline_dataengineer_spark.functions.textstats import gopher_rules
+
+    d = table(spark, sf_dir, "documents")
+    g = gopher_rules(
+        F.col("text"),
+        min_words=50,
+        max_words=100_000,
+        min_mean_word_len=3.0,
+        max_mean_word_len=10.0,
+        max_symbol_word_ratio=0.1,
+        min_alpha_word_frac=0.8,
+        stopwords=("the", "a"),
+        min_stopword_hits=2,
+    )
+    return d.select("doc_id", g.alias("g")).select("doc_id", "g.*")

@@ -120,3 +120,67 @@ def rolling_fingerprints(col: Column | str, kgram: int = 16, window: int = 8) ->
 
     c = F.col(col) if isinstance(col, str) else col
     return make_winnow_fingerprint_udf(kgram, window)(c)
+
+
+def gopher_rules(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher document-quality rule set (Rae et al. 2021, §A1.1 —
+    the de-facto standard pretraining gate, reused by MassiveText /
+    RefinedWeb / Dolma-family pipelines) as ONE codegen'd struct:
+
+      (n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+       stopword_hits, passes)
+
+    Rules: word count in [min,max]; mean word length in [3,10]; # of
+    hash/ellipsis symbols ≤ 10% of words; ≥80% of words contain a
+    letter; ≥2 distinct common stopwords present (the "is it actual
+    prose" test). All array/regexp expressions — rides the scan, no
+    shuffle, no Python; thresholds are parameters so corpora can
+    tune without forking the rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / nw
+    symbols = F.size(
+        F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0)
+    ).cast("double")
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / nw
+    )
+    # distinct stopwords present, as a sum of array_contains flags —
+    # unambiguous across engines (list-intersect dedup semantics vary)
+    low = F.transform(toks, lambda t: F.lower(t))
+    stop_hits = sum(
+        (F.array_contains(low, s).cast("int") for s in stopwords),
+        F.lit(0),
+    )
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (symbols / nw <= max_symbol_word_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(symbols / nw, 4).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        passes.alias("passes"),
+    )

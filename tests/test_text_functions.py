@@ -141,3 +141,25 @@ def test_split_three_dates_is_null(spark):
 
 def test_split_one_date_no_keyword(spark):
     assert _split(spark, "vendu le 01/02/2024 en magasin") == (None, None)
+
+
+def test_gopher_rules_individual_gates(spark):
+    from pipeline_dataengineer_spark.functions.textstats import gopher_rules
+
+    prose = "the quick brown fox jumps over a lazy dog near the riverbank " * 10
+    rows = [
+        (1, prose),                                # passes everything
+        (2, "short text only"),                    # too few words
+        (3, ("#tag " * 120) + prose),              # symbol ratio blown
+        (4, ("12345 " * 200)),                     # no alpha words, no stopwords
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    g = gopher_rules(F.col("text"), min_words=50, stopwords=("the", "a"),
+                     min_stopword_hits=2)
+    out = {r["id"]: r["g"] for r in df.select("id", g.alias("g")).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["passes"] is False and out[2]["n_words"] == 3
+    assert out[3]["passes"] is False
+    assert out[3]["symbol_word_ratio"] > 0.1
+    assert out[4]["passes"] is False
+    assert out[4]["alpha_word_frac"] == 0.0 and out[4]["stopword_hits"] == 0
