@@ -3533,3 +3533,20 @@ SELECT doc_id, n_words,
         AND stopword_hits >= 2) AS passes
 FROM m
 """
+
+ORACLES["q_int8_quantize"] = """
+WITH dims AS (
+  SELECT CAST(r.i AS INT) AS dim, CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) r),
+st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+enc AS (
+  SELECT e.vec_id, CAST(r.i AS INT) AS dim,
+         CASE WHEN st.mx = st.mn THEN 0
+              ELSE CAST(round((CAST(e.embedding[CAST(r.i AS INT) + 1] AS DOUBLE)
+                   - st.mn) * 255.0 / (st.mx - st.mn)) - 128 AS INT) END AS c
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(len(e.embedding))) AS i) r
+       JOIN st ON st.dim = CAST(r.i AS INT))
+SELECT vec_id, list(c ORDER BY dim) AS codes
+FROM enc GROUP BY vec_id
+"""

@@ -5472,3 +5472,15 @@ def q_gopher_filter(spark, sf_dir):
         min_stopword_hits=2,
     )
     return d.select("doc_id", g.alias("g")).select("doc_id", "g.*")
+
+
+@query("q_int8_quantize")
+def q_int8_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embeddings table
+    (operators/pq.py:int8_quantize): per-dim [min,max] from a
+    combinable stats pass, encode as a pure transform — codes are
+    integer-exact, so the whole compression machinery hash-checks."""
+    from pipeline_dataengineer_spark.operators.pq import int8_quantize
+
+    e = table(spark, sf_dir, "embeddings")
+    return int8_quantize(e).select("vec_id", "codes")

@@ -169,3 +169,65 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def int8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization — the simpler sibling of
+    PQ (4× smaller than float32, exact arithmetic, no codebooks):
+    each dimension maps through its corpus-wide [min, max] to
+    ``round((x−min)·255/(max−min)) − 128``. Returns
+    (id, codes array<int>, plus the broadcastable __mins/__maxs
+    arrays every row carries from a 1-row cross join — feed them to
+    ``int8_dequantize``).
+
+    Scale shape: the per-dimension stats come from a posexplode +
+    combinable min/max groupBy — the explode exists ONLY for the
+    stats pass (d·partial rows shuffle, nothing else), while the
+    encode itself is a pure ``transform`` expression riding the scan
+    with the d-sized stats arrays broadcast via a 1-row cross join.
+    Constant dimensions (max == min) encode to 0. All arithmetic is
+    double-deterministic, so codes are engine-exact (hash-checked)."""
+    dims = df.select(F.posexplode(vec_col).alias("dim", "__x"))
+    stats = dims.groupBy("dim").agg(
+        F.min(F.col("__x").cast("double")).alias("__mn"),
+        F.max(F.col("__x").cast("double")).alias("__mx"),
+    )
+    packed = (
+        stats.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dim", "__mn", "__mx"))
+            ).alias("__s")
+        )
+        .select(
+            F.expr("transform(__s, p -> p.__mn)").alias("__mins"),
+            F.expr("transform(__s, p -> p.__mx)").alias("__maxs"),
+        )
+    )
+    code = F.expr(
+        f"transform({vec_col}, (x, i) -> CASE "
+        "WHEN __maxs[i] = __mins[i] THEN 0 "
+        "ELSE cast(round((cast(x AS double) - __mins[i]) * 255.0D "
+        "/ (__maxs[i] - __mins[i])) - 128 AS int) END)"
+    )
+    return df.crossJoin(F.broadcast(packed)).select(
+        id_col, code.alias("codes"), "__mins", "__maxs"
+    )
+
+
+def int8_dequantize(
+    encoded: DataFrame, codes_col: str = "codes"
+) -> DataFrame:
+    """Reconstruct approximate vectors from int8 codes + the carried
+    [min, max] arrays: x̂ = (code+128)/255·(max−min)+min. Pure
+    transform expression; reconstruction error ≤ half a quantization
+    step per dimension (tested)."""
+    deq = F.expr(
+        f"transform({codes_col}, (c, i) -> CASE "
+        "WHEN __maxs[i] = __mins[i] THEN __mins[i] "
+        "ELSE (cast(c AS double) + 128.0D) / 255.0D "
+        "* (__maxs[i] - __mins[i]) + __mins[i] END)"
+    )
+    return encoded.withColumn("dequantized", deq)

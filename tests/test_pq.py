@@ -115,3 +115,49 @@ def test_mips_transform_orders_by_inner_product(spark):
         for r in aug_c.collect()
     }
     assert len(norms) == 1
+
+
+def test_int8_quantize_roundtrip_error_bound(spark):
+    from pipeline_dataengineer_spark.operators.pq import (
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.uniform(-2, 2, 16).astype("float32").tolist())
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enc = int8_quantize(df)
+    dec = int8_dequantize(enc).select("vec_id", "dequantized").collect()
+    orig = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    # error per dim bounded by one quantization step of its range
+    step = 4.0 / 255
+    for r in dec:
+        for a, b in zip(orig[r["vec_id"]], r["dequantized"]):
+            assert abs(a - b) <= step
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    flat = [c for v in codes.values() for c in v]
+    assert min(flat) >= -128 and max(flat) <= 127
+    assert min(flat) == -128 and max(flat) == 127  # extremes hit
+
+
+def test_int8_quantize_constant_dim(spark):
+    from pipeline_dataengineer_spark.operators.pq import (
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    enc = int8_quantize(df)
+    out = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert out[1][0] == 0 and out[2][0] == 0  # constant dim -> 0
+    dec = {
+        r["vec_id"]: r["dequantized"]
+        for r in int8_dequantize(enc).collect()
+    }
+    assert dec[1][0] == 5.0  # constant dim reconstructs exactly
