@@ -843,3 +843,80 @@ def maintain_agg_view(
         current_version(view_root),
         extra={"source_version": src_cur},
     )
+
+
+def maintain_sketch_view(
+    spark: SparkSession,
+    table_root: str,
+    view_root: str,
+    keys: list[str],
+    value_col: str,
+    family: str = "hll",
+) -> dict:
+    """``maintain_agg_view`` for the MERGEABLE-SKETCH families —
+    incremental COUNT(DISTINCT) (``family="hll"`` approximate,
+    ``family="bitmap"`` exact for integer domains) and incremental
+    quantiles (``family="kll"``). Identical cursor/atomic-publish
+    protocol: the view's manifest carries ``source_version``, each
+    run folds ONLY the source delta's sketch states into the stored
+    states with the family's monoid merge, and a run without new
+    versions is a no-op.
+
+    This is the piece plain additive states cannot do: distinct
+    counts and quantiles are not additive, but their sketch states
+    ARE mergeable — which is exactly why the sketch families exist
+    (functions/sketches.py). Same append-only-source requirement and
+    the same loud refusal for keyed (MOR) sources."""
+    from pipeline_dataengineer_spark.functions import sketches as sk
+
+    builders = {
+        "hll": (
+            lambda d: sk.hll_sketches(d, keys, value_col),
+            lambda old, new: sk.merge_hll(old, new, keys=keys),
+        ),
+        "bitmap": (
+            lambda d: sk.bitmap_states(d, keys, value_col),
+            lambda old, new: sk.merge_bitmap(old, new, keys=keys),
+        ),
+        "kll": (
+            lambda d: sk.kll_states(d, keys, value_col),
+            lambda old, new: sk.merge_kll(old, new, keys=keys),
+        ),
+    }
+    if family not in builders:
+        raise ValueError(f"unknown sketch family {family!r}")
+    build, merge = builders[family]
+
+    src_cur = current_version(table_root)
+    if src_cur is None:
+        raise FileNotFoundError(f"no snapshot under {table_root!r}")
+    if read_manifest(table_root).get("merge_keys"):
+        raise ValueError(
+            "maintain_sketch_view requires an append-only source table"
+        )
+    view_cur = current_version(view_root)
+    last = (
+        read_manifest(view_root).get("source_version", -1)
+        if view_cur is not None
+        else -1
+    )
+    if last >= src_cur:
+        return read_manifest(view_root)
+    if last < 0:
+        delta = read_snapshot(spark, table_root, version=src_cur)
+    else:
+        delta = table_changes(spark, table_root, last, src_cur).drop(
+            "change_type"
+        )
+    new_state = build(delta)
+    if view_cur is not None:
+        new_state = merge(read_snapshot(spark, view_root), new_state)
+    path = _write_data_dir(new_state, view_root)
+    return _publish(
+        view_root,
+        [path],
+        new_state.schema.simpleString(),
+        None,
+        current_version(view_root),
+        extra={"source_version": src_cur, "sketch_family": family},
+    )

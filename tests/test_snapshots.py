@@ -799,3 +799,56 @@ def test_maintain_agg_view_rejects_keyed_source(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append-only"):
         maintain_agg_view(spark, src, view, ["g"], "v")
+
+
+def test_maintain_sketch_view_bitmap_exact_incremental(spark, tmp_path):
+    from pipeline_dataengineer_spark.functions.sketches import bitmap_distinct
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        maintain_sketch_view,
+    )
+
+    src = str(tmp_path / "sksrc")
+    view = str(tmp_path / "skview")
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 7)], "g string, v int"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 2), ("a", 3), ("b", 7), ("c", 1)], "g string, v int"
+    )
+    write_snapshot(b1, src)
+    m = maintain_sketch_view(spark, src, view, ["g"], "v", family="bitmap")
+    assert m["source_version"] == 0 and m["sketch_family"] == "bitmap"
+    append_snapshot(b2, src)
+    maintain_sketch_view(spark, src, view, ["g"], "v", family="bitmap")
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in bitmap_distinct(read_snapshot(spark, view), ["g"]).collect()
+    }
+    # exact distinct over BOTH batches: a={1,2,3}, b={7}, c={1}
+    assert got == {"a": 3, "b": 1, "c": 1}
+    # re-run without new source versions publishes nothing
+    m3 = maintain_sketch_view(spark, src, view, ["g"], "v", family="bitmap")
+    assert bitmap_distinct(read_snapshot(spark, view), ["g"]).count() == 3
+
+
+def test_maintain_sketch_view_kll_quantiles_converge(spark, tmp_path):
+    from pipeline_dataengineer_spark.functions.sketches import kll_quantiles
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        maintain_sketch_view,
+    )
+
+    src = str(tmp_path / "kllsrc")
+    view = str(tmp_path / "kllview")
+    b1 = spark.createDataFrame(
+        [("g", float(v)) for v in range(0, 500)], "g string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("g", float(v)) for v in range(500, 1000)], "g string, v double"
+    )
+    write_snapshot(b1, src)
+    maintain_sketch_view(spark, src, view, ["g"], "v", family="kll")
+    append_snapshot(b2, src)
+    maintain_sketch_view(spark, src, view, ["g"], "v", family="kll")
+    q = kll_quantiles(read_snapshot(spark, view), ["g"], [0.5]).collect()[0]
+    # median of 0..999 within KLL rank error (k=200 -> ~1.65%)
+    assert abs(q["q_0_5"] - 499.5) <= 1000 * 0.02
