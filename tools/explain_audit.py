@@ -234,7 +234,27 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # grouped sequence recursions: ONE shuffle + Arrow grouped map
     "q_holt_linear": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
-    "q_cep_pattern": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
+    # CEP went pure JVM (split-gap offset arithmetic): no Python
+    # workers anywhere in the plan anymore
+    "q_cep_pattern": (
+        ["ObjectHashAggregate"],
+        ["SortMergeJoin", "FlatMapGroupsInPandas", "ArrowEvalPython"],
+    ),
+    # round-3 continuation, sixth batch
+    # BM25: query vocab broadcast — corpus never sort-merge-joined
+    "q_bm25": (["BroadcastHashJoin"], []),
+    # deterministic shuffle: the whole point is NO single-task window
+    "q_shuffle_index": ([], ["Window"]),
+    # bitmap distinct: imperative aggregate, no join anywhere
+    "q_bitmap_distinct": (["SortAggregate"], ["SortMergeJoin"]),
+    # interval→month explode + one combinable agg; no join, no window
+    "q_time_weighted_avg": (["Generate"], ["SortMergeJoin", "Window"]),
+    # per-doc-partitioned window is fine; no join
+    "q_sentence_chunks": (["Window"], ["SortMergeJoin"]),
+    # gopher gate rides the scan: NO exchange of any kind
+    "q_gopher_filter": ([], ["Exchange"]),
+    # int8 quantize: stats explode + broadcast arrays, no SMJ
+    "q_int8_quantize": (["Generate"], ["SortMergeJoin"]),
     # round-3 continuation, second half
     # haversine/hamming joins: grid/band equi-joins, never BNLJ
     "q_haversine_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
