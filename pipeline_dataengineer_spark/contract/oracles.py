@@ -3550,3 +3550,16 @@ enc AS (
 SELECT vec_id, list(c ORDER BY dim) AS codes
 FROM enc GROUP BY vec_id
 """
+
+ORACLES["q_grouping_id_filter"] = """
+SELECT n_name, o_orderpriority,
+       grouping(n_name) AS g_nation,
+       grouping_id(n_name, o_orderpriority) AS gid,
+       count(*) AS cnt,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       round(sum(o_totalprice) FILTER (WHERE o_orderdate >= DATE '1996-01-01'), 2) AS recent_rev
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, o_orderpriority)
+"""

@@ -5484,3 +5484,29 @@ def q_int8_quantize(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     return int8_quantize(e).select("vec_id", "codes")
+
+
+@query("q_grouping_id_filter")
+def q_grouping_id_filter(spark, sf_dir):
+    """SQL-surface parity: GROUPING()/GROUPING_ID() flags
+    disambiguating rollup NULLs from data NULLs, plus the standard
+    FILTER (WHERE ...) aggregate clause — both supported identically
+    by Spark and DuckDB."""
+    from pipeline_dataengineer_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """
+        SELECT n_name, o_orderpriority,
+               grouping(n_name) AS g_nation,
+               grouping_id(n_name, o_orderpriority) AS gid,
+               count(*) AS cnt,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE o_orderdate >= DATE '1996-01-01'), 2) AS recent_rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderpriority)
+        """,
+        sf_dir,
+    )
