@@ -64,6 +64,63 @@ def make_winnow_fingerprint_udf(kgram, window):
     return winnow
 
 
+def make_shingle_minhash_arrow_fn(mults_l, adds_l, shingle_n, num_hashes, bands):
+    """mapInArrow variant of ``make_shingle_minhash_udf``: identical
+    per-document numpy kernel, but batches flow as Arrow RecordBatches
+    with NO pandas layer — building the result as ``pa.array`` of
+    int64 ndarrays skips the Series-of-objects conversion the
+    pandas_udf return path pays (measured at sf0.1, 10k docs:
+    signature stage write 1.3 s → 0.95 s warm, 4.3 s → 1.1 s cold).
+    Expects input batches with columns (__id, __text); yields
+    (__id, __sh, __bands)."""
+    import pyarrow as pa
+
+    if shingle_n > 8:
+        raise ValueError("packed shingle codes require shingle_n <= 8")
+    mults = np.asarray(mults_l, dtype=np.int64)
+    adds = np.asarray(adds_l, dtype=np.int64)
+    prime = np.int64((1 << 31) - 1)
+    r = num_hashes // bands
+    powers = (np.int64(256) ** np.arange(shingle_n)).astype(np.int64)
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("__id")
+            sh_out, band_out = [], []
+            for t in batch.column("__text"):
+                text = t.as_py()
+                if text is None:
+                    sh_out.append(None)
+                    band_out.append(None)
+                    continue
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                b = np.where((raw >= 65) & (raw <= 90), raw + 32, raw)
+                if b.size < shingle_n:
+                    b = np.pad(b, (0, shingle_n - b.size))
+                win = np.lib.stride_tricks.sliding_window_view(b, shingle_n)
+                codes = np.unique(win.astype(np.int64) @ powers)
+                sh_out.append(codes)
+                base = codes % (1 << 31)
+                sig = ((base[:, None] * mults + adds) % prime).min(axis=0)
+                band_arr = np.empty(bands, dtype=np.int64)
+                for bi in range(bands):
+                    digest = hashlib.blake2b(
+                        sig[bi * r : (bi + 1) * r].tobytes(), digest_size=8
+                    ).digest()
+                    band_arr[bi] = int.from_bytes(digest, "little", signed=True)
+                band_out.append(band_arr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(sh_out, type=pa.list_(pa.int64())),
+                    pa.array(band_out, type=pa.list_(pa.int64())),
+                ],
+                names=["__id", "__sh", "__bands"],
+            )
+
+    return fn
+
+
 def make_shingle_minhash_udf(mults_l, adds_l, shingle_n, num_hashes, bands):
     """text → {sh: array<long> distinct shingle codes,
                bands: array<long> LSH band hashes} — fully vectorized.

@@ -158,20 +158,28 @@ def minhash_signatures(
     pay the Arrow UDF only for NEW documents (feed it back through
     ``minhash_lsh_near_duplicates(precomputed_signatures=...)``).
     Lazy plan; parameters must match the consuming call."""
+    from pyspark.sql import types as T
+
     from pipeline_dataengineer_spark.catalog import scale_out
     from pipeline_dataengineer_spark.operators._arrow_udfs import (
-        make_shingle_minhash_udf,
+        make_shingle_minhash_arrow_fn,
     )
 
     mults, adds = _permutation_constants(num_hashes)
-    sm_udf = make_shingle_minhash_udf(mults, adds, shingle_n, num_hashes, bands)
-    return (
-        scale_out(df)
-        .select(F.col(id_col).alias("__id"), sm_udf(F.col(text_col)).alias("__s"))
-        .select(
-            "__id", F.col("__s.sh").alias("__sh"), F.col("__s.bands").alias("__bands")
-        )
+    fn = make_shingle_minhash_arrow_fn(mults, adds, shingle_n, num_hashes, bands)
+    src = scale_out(df).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     )
+    schema = T.StructType(
+        [
+            src.schema["__id"],
+            T.StructField("__sh", T.ArrayType(T.LongType())),
+            T.StructField("__bands", T.ArrayType(T.LongType())),
+        ]
+    )
+    # mapInArrow, not pandas_udf: same numpy kernel, no pandas layer
+    # on either side of it (see make_shingle_minhash_arrow_fn)
+    return src.mapInArrow(fn, schema)
 
 
 def minhash_lsh_near_duplicates(
