@@ -3563,3 +3563,50 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, o_orderpriority)
 """
+
+ORACLES["q_rag_chunks"] = """
+WITH punct AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\\w+ \\w+ \\w+ \\w+ \\w+) ', '\\1. ', 'g') AS t
+  FROM documents),
+toks AS (
+  SELECT doc_id, t, regexp_split_to_array(trim(t), '\\s+') AS tk FROM punct),
+gate AS (
+  SELECT doc_id, t FROM toks
+  WHERE len(tk) >= 50 AND len(tk) <= 100000
+    AND CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        / greatest(CAST(len(tk) AS DOUBLE), 1.0) BETWEEN 3.0 AND 10.0
+    AND CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS DOUBLE)
+        / greatest(CAST(len(tk) AS DOUBLE), 1.0) <= 0.1
+    AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) >= 0.8
+    AND CAST(list_contains(list_transform(tk, x -> lower(x)), 'the') AS INT)
+      + CAST(list_contains(list_transform(tk, x -> lower(x)), 'a') AS INT) >= 2),
+dedup AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (
+             PARTITION BY lower(regexp_replace(trim(t), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM gate) WHERE rn = 1),
+arrs AS (
+  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]+|[^.!?]+$', 0) AS a
+  FROM dedup),
+sents AS (
+  SELECT doc_id, CAST(r.i AS INT) AS sent_idx,
+         trim(a[CAST(r.i AS INT) + 1]) AS sentence
+  FROM arrs, LATERAL (SELECT unnest(range(len(a))) AS i) r),
+keep AS (SELECT * FROM sents WHERE sentence <> ''),
+cum AS (
+  SELECT doc_id, sent_idx, sentence,
+         CAST(floor(coalesce(sum(length(sentence) + 1) OVER (
+             PARTITION BY doc_id ORDER BY sent_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 120) AS INT) AS chunk_id
+  FROM keep)
+SELECT doc_id, chunk_id,
+       string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
+       count(*) AS n_sentences,
+       sum(length(sentence) + 1) AS n_chars
+FROM cum GROUP BY doc_id, chunk_id
+"""

@@ -5510,3 +5510,32 @@ def q_grouping_id_filter(spark, sf_dir):
         """,
         sf_dir,
     )
+
+
+@query("q_rag_chunks")
+def q_rag_chunks(spark, sf_dir):
+    """END-TO-END RAG ingestion (pipelines/rag_ingest.py:
+    build_rag_chunks): gopher gate → exact dedup (min-id canonical
+    per normalized text) → sentence chunking, the whole composition
+    hash-checked (chunk_key excluded — xxhash64 has no DuckDB
+    equivalent; the oracle dedups on the normalized text itself,
+    identical short of hash collisions). Periods injected as in
+    q_sentence_chunks so the synthetic docs have sentences."""
+    from pipeline_dataengineer_spark.pipelines.rag_ingest import (
+        build_rag_chunks,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"(\w+ \w+ \w+ \w+ \w+) ", "$1. "
+        ).alias("text"),
+    )
+    out = build_rag_chunks(
+        d,
+        max_chars=120,
+        quality_kwargs={"min_words": 50, "stopwords": ("the", "a")},
+    )
+    return out.select(
+        "doc_id", "chunk_id", "chunk_text", "n_sentences", "n_chars"
+    )
