@@ -163,12 +163,44 @@ def _inherit_bloom_cols(root: str, bloom_cols: list[str] | None) -> list[str]:
     return read_manifest(root).get("bloom_cols", []) if v is not None else []
 
 
+def _inherit_checks(root: str, checks: list | None) -> list:
+    if checks is not None:
+        return [list(c) for c in checks]
+    v = current_version(root)
+    return read_manifest(root).get("check_constraints", []) if v is not None else []
+
+
+def _enforce_checks(spark: SparkSession, path: str, checks: list) -> None:
+    """CHECK-constraint gate: run the (quality.run_checks) rule list
+    against the just-written delta directory BEFORE the manifest
+    publish. A violation raises and publishes NOTHING — the previous
+    snapshot stays current (the orphaned data dir is invisible and
+    vacuumable), which is the write-side half of the table's ACID
+    story: readers can never observe constraint-violating rows."""
+    if not checks:
+        return
+    from pipeline_dataengineer_spark.operators.quality import run_checks
+
+    report = run_checks(spark.read.parquet(path), [tuple(c) for c in checks])
+    bad = [
+        (r["rule"], r["n_violations"])
+        for r in report.collect()
+        if not r["passed"]
+    ]
+    if bad:
+        raise ValueError(
+            "snapshot publish rejected by CHECK constraints: "
+            + ", ".join(f"{rule} ({n} violations)" for rule, n in bad)
+        )
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
     watermark: str | None = None,
     stat_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    checks: list | None = None,
 ) -> dict:
     """Publish ``df`` as the next full snapshot (REPLACE semantics:
     the new version lists only the new directory). Returns the
@@ -180,8 +212,12 @@ def write_snapshot(
     directories before Spark ever lists a file."""
     stat_cols = _inherit_stat_cols(root, stat_cols)
     bloom_cols = _inherit_bloom_cols(root, bloom_cols)
+    checks = _inherit_checks(root, checks)
     path = _write_data_dir(df, root)
+    _enforce_checks(df.sparkSession, path, checks)
     extra = _carry_streams(root)
+    if checks:
+        extra["check_constraints"] = checks
     if stat_cols:
         extra["stat_cols"] = stat_cols
         extra["dir_stats"] = {
@@ -205,6 +241,7 @@ def append_snapshot(
     evolve_schema: bool = False,
     stat_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    checks: list | None = None,
 ) -> dict:
     """Publish a LOGICAL append: previous directories + one new delta
     directory. Existing data is never rewritten. An EMPTY df is a
@@ -228,6 +265,7 @@ def append_snapshot(
         )
     stat_cols = _inherit_stat_cols(root, stat_cols)
     bloom_cols = _inherit_bloom_cols(root, bloom_cols)
+    checks = _inherit_checks(root, checks)
     extra = _carry_streams(root)
     schema_ddl = df.schema.simpleString()
     prev_paths: list[str] = []
@@ -255,6 +293,11 @@ def append_snapshot(
         if prev.get("mixed_schemas"):
             extra["mixed_schemas"] = True
     path = _write_data_dir(df, root)
+    # CHECK constraints gate the DELTA only (history was checked at
+    # its own publish time); sticky via the manifest like stat_cols
+    _enforce_checks(df.sparkSession, path, checks)
+    if checks:
+        extra["check_constraints"] = checks
     if stat_cols:
         dir_stats[path] = _dir_stats(
             df.sparkSession.read.parquet(path), stat_cols

@@ -852,3 +852,45 @@ def test_maintain_sketch_view_kll_quantiles_converge(spark, tmp_path):
     q = kll_quantiles(read_snapshot(spark, view), ["g"], [0.5]).collect()[0]
     # median of 0..999 within KLL rank error (k=200 -> ~1.65%)
     assert abs(q["q_0_5"] - 499.5) <= 1000 * 0.02
+
+
+def test_check_constraints_gate_publish(spark, tmp_path):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        append_snapshot,
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "ck")
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    write_snapshot(
+        good, root,
+        checks=[("not_null", "g"), ("accepted_values", "g", ["a", "b", "c"])],
+    )
+    assert current_version(root) == 0
+
+    # violating delta: publish REFUSED, old version still current/readable
+    bad = spark.createDataFrame([(3, None)], "id long, g string")
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        append_snapshot(bad, root)
+    assert current_version(root) == 0
+    assert read_snapshot(spark, root).count() == 2
+
+    # constraints are sticky — inherited without re-passing them
+    ok = spark.createDataFrame([(3, "c")], "id long, g string")
+    m = append_snapshot(ok, root)
+    assert m["version"] == 1
+    assert m["check_constraints"] == [
+        ["not_null", "g"], ["accepted_values", "g", ["a", "b", "c"]]
+    ]
+    assert read_snapshot(spark, root).count() == 3
+
+    # and still enforced on the next violating append
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        append_snapshot(
+            spark.createDataFrame([(4, "zz")], "id long, g string"), root
+        )
+    assert current_version(root) == 1
