@@ -3610,3 +3610,39 @@ SELECT doc_id, chunk_id,
        sum(length(sentence) + 1) AS n_chars
 FROM cum GROUP BY doc_id, chunk_id
 """
+
+ORACLES["q_tpcds_q51_shape"] = """
+WITH a AS (
+  SELECT o_orderpriority AS k, date_trunc('month', o_orderdate) AS m,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1, 2),
+b AS (
+  SELECT o.o_orderpriority AS k, date_trunc('month', l.l_shipdate) AS m,
+         round(sum(l.l_extendedprice), 2) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(a.k, b.k) AS k, coalesce(a.m, b.m) AS m,
+         a.rev AS arev, b.rev AS brev
+  FROM a FULL OUTER JOIN b ON a.k = b.k AND a.m = b.m),
+c AS (
+  SELECT k, CAST(m AS DATE) AS m,
+         round(sum(coalesce(arev, 0)) OVER (
+           PARTITION BY k ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_a,
+         round(sum(coalesce(brev, 0)) OVER (
+           PARTITION BY k ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_b
+  FROM j)
+SELECT k, m, cum_a, cum_b FROM c WHERE cum_a > cum_b
+"""
+
+ORACLES["q_tpcds_q38_shape"] = """
+SELECT count(*) AS hot_customers FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1993
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+)
+"""

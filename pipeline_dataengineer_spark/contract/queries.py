@@ -5539,3 +5539,65 @@ def q_rag_chunks(spark, sf_dir):
     return out.select(
         "doc_id", "chunk_id", "chunk_text", "n_sentences", "n_chars"
     )
+
+
+@query("q_tpcds_q51_shape")
+def q_tpcds_q51_shape(spark, sf_dir):
+    """TPC-DS Q51 shape: two channels aggregated to (key, month),
+    FULL OUTER joined, running cumulative per key on each side, keep
+    months where one channel's cumulative overtakes the other. The
+    composition TPC-H's 22 shapes lack: window-over-full-outer with
+    null-tolerant cumulative (max of a running coalesce)."""
+    from pipeline_dataengineer_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """
+        WITH a AS (
+          SELECT o_orderpriority AS k, date_trunc('month', o_orderdate) AS m,
+                 round(sum(o_totalprice), 2) AS rev
+          FROM orders GROUP BY 1, 2),
+        b AS (
+          SELECT o.o_orderpriority AS k, date_trunc('month', l.l_shipdate) AS m,
+                 round(sum(l.l_extendedprice), 2) AS rev
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2),
+        j AS (
+          SELECT coalesce(a.k, b.k) AS k, coalesce(a.m, b.m) AS m,
+                 a.rev AS arev, b.rev AS brev
+          FROM a FULL OUTER JOIN b ON a.k = b.k AND a.m = b.m),
+        c AS (
+          SELECT k, CAST(m AS DATE) AS m,
+                 round(sum(coalesce(arev, 0)) OVER (
+                   PARTITION BY k ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_a,
+                 round(sum(coalesce(brev, 0)) OVER (
+                   PARTITION BY k ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_b
+          FROM j)
+        SELECT k, m, cum_a, cum_b FROM c WHERE cum_a > cum_b
+        """,
+        sf_dir,
+    )
+
+
+@query("q_tpcds_q38_shape")
+def q_tpcds_q38_shape(spark, sf_dir):
+    """TPC-DS Q38 shape: INTERSECT of entity sets across three
+    'channels' (order years), then count — set semantics inside a
+    subquery, deduplicating before the final aggregate."""
+    from pipeline_dataengineer_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """
+        SELECT count(*) AS hot_customers FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1993
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        )
+        """,
+        sf_dir,
+    )
