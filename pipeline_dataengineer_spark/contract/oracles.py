@@ -3646,3 +3646,25 @@ SELECT count(*) AS hot_customers FROM (
   SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
 )
 """
+
+ORACLES["q_inner_repetition"] = """
+WITH base AS (
+  SELECT doc_id, concat_ws(' ', text, text) AS text FROM documents),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM base WHERE len(regexp_split_to_array(trim(text), '\\s+')) > 0),
+segs AS (
+  SELECT doc_id, CAST(r.i AS INT) AS pos,
+         array_to_string(list_slice(toks, CAST(r.i AS INT) * 7 + 1,
+                                    CAST(r.i AS INT) * 7 + 7), ' ') AS seg
+  FROM tk, LATERAL (
+    SELECT unnest(range(CAST((len(toks) - 1) / 7 AS INT) + 1)) AS i) r),
+keep AS (
+  SELECT doc_id, seg, min(pos) AS pos, count(*) AS n
+  FROM segs WHERE seg <> '' GROUP BY doc_id, seg)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+       count(*) AS n_kept,
+       sum(n - 1) AS n_removed
+FROM keep GROUP BY doc_id
+"""

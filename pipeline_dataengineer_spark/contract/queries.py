@@ -5601,3 +5601,19 @@ def q_tpcds_q38_shape(spark, sf_dir):
         """,
         sf_dir,
     )
+
+
+@query("q_inner_repetition")
+def q_inner_repetition(spark, sf_dir):
+    """Within-document repetition removal (operators/corpus.py:
+    dedupe_repeated_segments): repetition manufactured by doubling
+    each document's text — the operator must collapse the copy back
+    out. clean_text hash-checked end-to-end."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        dedupe_repeated_segments,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", "text", "text").alias("text")
+    )
+    return dedupe_repeated_segments(d, words_per_segment=7)

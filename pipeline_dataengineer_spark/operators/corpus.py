@@ -317,3 +317,58 @@ def sentence_chunks(
         F.count("*").alias("n_sentences"),
         F.sum(F.length("sentence") + 1).alias("n_chars"),
     )
+
+
+def dedupe_repeated_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_segment: int = 10,
+) -> DataFrame:
+    """WITHIN-document repetition removal — the generation-loop /
+    copy-paste cleanup (``remove_boilerplate_segments``'s sibling:
+    that one strikes segments common ACROSS documents; this one keeps
+    only the FIRST occurrence of each segment inside a single
+    document). Text splits into fixed-width word segments; a repeated
+    segment's later occurrences are dropped; survivors reassemble in
+    order. Returns (id, clean_text, n_kept, n_removed).
+
+    Scale shape: segmentization is the same JVM explode; "first
+    occurrence per (doc, segment)" is a min-position aggregate per
+    (doc, segment-hash) — map-side combinable, the shuffle key is the
+    doc+8-byte-hash pair, never the segment text twice — and
+    reassembly is the ordered-struct sort_array groupBy. Everything
+    partitions by the document key: NO cross-document state at all,
+    so the operator scales with the widest single document, not the
+    corpus."""
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = int(words_per_segment)
+    segs = F.expr(
+        f"transform(sequence(0, cast((size(__toks) - 1) / {w} as int)), "
+        f"i -> array_join(slice(__toks, i * {w} + 1, {w}), ' '))"
+    )
+    seg_rows = (
+        scale_out(df.select(id_col, text_col))
+        .select(id_col, toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(id_col, F.posexplode(segs).alias("__pos", "__seg"))
+        .filter(F.col("__seg") != "")
+    )
+    first = seg_rows.groupBy(
+        id_col, F.xxhash64("__seg").alias("__h")
+    ).agg(
+        F.min("__pos").alias("__pos"),
+        F.count("*").alias("__n"),
+        F.first("__seg").alias("__seg"),
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("__pos", "__seg"))),
+        lambda x: x["__seg"],
+    )
+    return first.groupBy(id_col).agg(
+        F.array_join(ordered, " ").alias("clean_text"),
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("__n") - 1).alias("n_removed"),
+    )

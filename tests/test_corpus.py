@@ -262,3 +262,38 @@ def test_sentence_chunks_budget_rule(spark):
     )
     chunks = sentence_chunks(big, max_chars=10).collect()
     assert all("." in r["chunk_text"] for r in chunks)
+
+
+def test_dedupe_repeated_segments_collapses_loops(spark):
+    from pipeline_dataengineer_spark.operators.corpus import (
+        dedupe_repeated_segments,
+    )
+
+    loop = "alpha beta gamma delta epsilon "  # exactly one 5-word segment
+    df = spark.createDataFrame(
+        [
+            (1, (loop * 4).strip()),            # 4x repetition -> 1 kept
+            (2, "unique words only here now"),  # nothing removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in dedupe_repeated_segments(df, words_per_segment=5).collect()
+    }
+    assert out[1] == (loop.strip(), 1, 3)
+    assert out[2] == ("unique words only here now", 1, 0)
+
+
+def test_dedupe_repeated_segments_keeps_first_order(spark):
+    from pipeline_dataengineer_spark.operators.corpus import (
+        dedupe_repeated_segments,
+    )
+
+    # segments (w=2): "a b", "c d", "a b", "e f" -> keep a b, c d, e f
+    df = spark.createDataFrame(
+        [(1, "a b c d a b e f")], "doc_id long, text string"
+    )
+    out = dedupe_repeated_segments(df, words_per_segment=2).collect()[0]
+    assert out["clean_text"] == "a b c d e f"
+    assert out["n_kept"] == 3 and out["n_removed"] == 1
