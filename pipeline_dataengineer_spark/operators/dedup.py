@@ -559,7 +559,8 @@ def duplicate_ngram_spans(
     corpus, so they can be cut out of training text).
 
     token n-grams with positions (JVM higher-order fns, no UDF)
-    -> count per gram (one shuffle) -> keep grams seen >1 time
+    -> combinable count per gram + LEFT SEMI join back (skew-safe;
+       see inline note) -> keep grams seen >1 time
     -> merge overlapping [start, start+n) spans per doc
        (gaps-and-islands: new island when start jumps past the
        previous reach, islands numbered by a running sum).
@@ -576,9 +577,20 @@ def duplicate_ngram_spans(
     island) reuses the window partitioning (no third exchange).
     """
     grams = _token_ngrams(df, id_col, text_col, n_tokens, hash_grams, "doc_id")
-    dup = grams.withColumn(
-        "__n", F.count("*").over(Window.partitionBy("gram"))
-    ).filter(F.col("__n") > 1)
+    # duplicated-gram detection is a map-side-combinable groupBy +
+    # LEFT SEMI join back — NOT a count window over the gram key: a
+    # window has no partial aggregation, so every occurrence of a hot
+    # gram (a boilerplate 8-gram shared by 10^5 docs) would buffer in
+    # ONE task. The groupBy shuffles only partial counts and the semi
+    # join is AQE-skew-splittable — the same reformulation as
+    # text_features.tf_idf's document frequency.
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("gram")
+    )
+    dup = grams.join(dup_grams, "gram", "left_semi")
     w = (
         Window.partitionBy("doc_id")
         .orderBy("start_pos")
