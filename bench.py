@@ -141,6 +141,18 @@ HEADLINE = [
     "q_weighted_median",
     "q_profile_hist",
     "q_bm25",
+    # round 3 continuation (sixth batch)
+    "q_rrf_fusion",
+    "q_shuffle_index",
+    "q_bitmap_distinct",
+    "q_time_weighted_avg",
+    "q_session_dynamic_gap",
+    "q_sentence_chunks",
+    "q_gopher_filter",
+    "q_int8_quantize",
+    "q_rag_chunks",
+    "q_inner_repetition",
+    "q_tpcds_q51_shape",
 ]
 
 
