@@ -3668,3 +3668,15 @@ SELECT doc_id,
        sum(n - 1) AS n_removed
 FROM keep GROUP BY doc_id
 """
+
+ORACLES["q_global_quantiles"] = """
+SELECT 0.01 AS q, quantile_disc(l_extendedprice, 0.01) AS value FROM lineitem
+UNION ALL
+SELECT 0.25, quantile_disc(l_extendedprice, 0.25) FROM lineitem
+UNION ALL
+SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+UNION ALL
+SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+UNION ALL
+SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+"""

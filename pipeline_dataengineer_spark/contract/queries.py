@@ -5617,3 +5617,17 @@ def q_inner_repetition(spark, sf_dir):
         "doc_id", F.concat_ws(" ", "text", "text").alias("text")
     )
     return dedupe_repeated_segments(d, words_per_segment=7)
+
+
+@query("q_global_quantiles")
+def q_global_quantiles(spark, sf_dir):
+    """Exact table-wide discrete quantiles without a single-task sort
+    (operators/robust.py:global_exact_quantiles — two-phase
+    distributed total order, rank positions plucked). Values are
+    observed elements, so equality is exact, no rounding."""
+    from pipeline_dataengineer_spark.operators.robust import (
+        global_exact_quantiles,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    return global_exact_quantiles(li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])

@@ -259,3 +259,49 @@ def weighted_quantile(
         .agg(F.min("__v").alias(f"wq_{str(q).replace('.', '_')}"))
     )
     return out
+
+
+def global_exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """EXACT whole-table discrete quantiles (smallest value with
+    cume_dist >= q — always an observed value) computed with NO
+    single-task sort and NO per-group aggregation buffer: the classic
+    scale answer when ``approx_percentile`` error bounds are not
+    acceptable table-wide.
+
+    Plan: one columnar count, then ``global_row_index``'s two-phase
+    distributed sort on (value, a disambiguating hash) and a filter
+    to the target rank positions — each quantile is ONE row plucked
+    from the total order, so the result reaches the driver as
+    |qs| rows regardless of table size. Cost = one distributed sort;
+    compare ``operators/order.py`` for why the naive
+    ``row_number() OVER (ORDER BY ...)`` is a single-task funnel."""
+    from pipeline_dataengineer_spark.operators.order import global_row_index
+
+    if not qs or any(not (0 < q <= 1) for q in qs):
+        raise ValueError("qs must be fractions in (0, 1]")
+    n = df.filter(F.col(value_col).isNotNull()).count()
+    if n == 0:
+        raise ValueError("global_exact_quantiles: no non-null values")
+    import math
+
+    ranks = {q: math.ceil(q * n) - 1 for q in qs}  # 0-based positions
+    keyed = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v"),
+        # total order needs a tie-break; any per-row distinct-ish
+        # value works — equal __v rows are interchangeable at a rank
+        F.monotonically_increasing_id().alias("__tb"),
+    )
+    idx = global_row_index(keyed, ["__v", "__tb"], "__pos")
+    picked = idx.filter(
+        F.col("__pos").isin(*set(ranks.values()))
+    ).select("__pos", "__v")
+    pos_to_v = {r["__pos"]: r["__v"] for r in picked.collect()}
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(float(q), pos_to_v[p]) for q, p in sorted(ranks.items())],
+        f"q double, value {df.schema[value_col].dataType.simpleString()}",
+    )

@@ -306,3 +306,28 @@ def test_histogram_auto_bounds(spark):
     got = histogram(df, "v", bins=4).collect()
     assert sum(r["n"] for r in got) == 100
     assert len([r for r in got if r["bin"] >= 0]) == 4
+
+
+def test_global_exact_quantiles_matches_sorted_ranks(spark):
+    import math
+
+    from pipeline_dataengineer_spark.operators.robust import (
+        global_exact_quantiles,
+    )
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {
+        r["q"]: r["value"]
+        for r in global_exact_quantiles(df, "x", [0.01, 0.5, 0.99, 1.0]).collect()
+    }
+    # discrete rule: smallest value with cume_dist >= q == ceil(q*n)th
+    assert out[0.01] == 1.0
+    assert out[0.5] == 50.0
+    assert out[0.99] == 99.0
+    assert out[1.0] == 100.0
+    # nulls excluded, bad q rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_exact_quantiles(df, "x", [0.0])
