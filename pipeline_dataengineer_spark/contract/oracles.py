@@ -3680,3 +3680,31 @@ SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
 UNION ALL
 SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
 """
+
+ORACLES["q_psi_drift"] = """
+WITH ref AS (
+  SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) <= 1997),
+cur AS (
+  SELECT o_totalprice * 1.1 AS v FROM orders WHERE year(o_orderdate) >= 1998),
+b AS (
+  SELECT [quantile_cont(v, 0.1), quantile_cont(v, 0.2), quantile_cont(v, 0.3),
+          quantile_cont(v, 0.4), quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+          quantile_cont(v, 0.7), quantile_cont(v, 0.8), quantile_cont(v, 0.9)]
+         AS bounds FROM ref),
+rbin AS (
+  SELECT len(list_filter(b.bounds, x -> v > x)) AS bin, count(*) AS n_ref
+  FROM ref, b WHERE v IS NOT NULL GROUP BY 1),
+cbin AS (
+  SELECT len(list_filter(b.bounds, x -> v > x)) AS bin, count(*) AS n_cur
+  FROM cur, b WHERE v IS NOT NULL GROUP BY 1),
+j AS (
+  SELECT coalesce(rbin.bin, cbin.bin) AS bin,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM rbin FULL OUTER JOIN cbin ON rbin.bin = cbin.bin),
+t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+SELECT bin, n_ref, n_cur,
+       round((greatest(n_cur / tc, 1e-6) - greatest(n_ref / tr, 1e-6))
+             * ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)),
+             6) AS psi_term
+FROM j, t
+"""

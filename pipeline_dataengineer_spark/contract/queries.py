@@ -5631,3 +5631,19 @@ def q_global_quantiles(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     return global_exact_quantiles(li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
+@query("q_psi_drift")
+def q_psi_drift(spark, sf_dir):
+    """PSI drift score (operators/stats_tests.py:psi_drift): reference
+    = 1995-97 order totals, current = 1998+ (manufactured shift via
+    +10% on the later population). Equal-frequency reference bins
+    broadcast into both sides; per-bin terms hash-checked."""
+    from pipeline_dataengineer_spark.operators.stats_tests import psi_drift
+
+    o = table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") <= 1997).select("o_totalprice")
+    cur = o.filter(F.year("o_orderdate") >= 1998).select(
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice")
+    )
+    return psi_drift(ref, cur, "o_totalprice", n_bins=10)

@@ -276,3 +276,74 @@ def cuped_adjust(
         f"{metric_col}_cuped",
         y - F.col("__theta") * (x - F.col("__mx")),
     ).drop("__theta", "__mx")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference distribution
+    and a current one — the standard model-monitoring drift score:
+
+        PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+
+    Bins are equal-frequency on the REFERENCE (exact interpolated
+    percentiles, the industry recipe), shared verbatim with the
+    current table; the conventional reading is <0.1 stable, 0.1–0.25
+    drifting, >0.25 shifted. Empty bins get a small floor (1e-6)
+    before the log — the standard guard, reported as-is so the score
+    is reproducible.
+
+    Scale shape: boundaries are ONE group-sized aggregate on the
+    reference, broadcast into both bin assignments (a fixed
+    comparison fan, no window/sort of either fact table — the
+    quantile_bucketize shape); each side then collapses to ≤ n_bins
+    partial-aggregable counts. Output: one row per bin plus the
+    n_bins totals needed to recompute, and ``.psi`` on the DataFrame
+    is NOT provided — sum the ``psi_term`` column (keeps the operator
+    lazy)."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.agg(
+        F.array(
+            *[F.percentile(value_col, F.lit(q)) for q in qs]
+        ).alias("__b")
+    )
+
+    def binned(df: DataFrame, label: str) -> DataFrame:
+        b = df.join(F.broadcast(bounds))
+        bin_id = F.aggregate(
+            F.col("__b"),
+            F.lit(0),
+            lambda acc, bd: acc
+            + F.when(F.col(value_col) > bd, 1).otherwise(0),
+        )
+        return (
+            b.filter(F.col(value_col).isNotNull())
+            .groupBy(bin_id.alias("bin"))
+            .agg(F.count("*").alias(f"n_{label}"))
+        )
+
+    r = binned(ref, "ref")
+    c = binned(cur, "cur")
+    j = r.join(c, "bin", "full_outer").select(
+        F.coalesce(r["bin"], c["bin"]).alias("bin"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    floor = 1e-6
+    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(floor))
+    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(floor))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_to).alias(
+            "psi_term"
+        ),
+    )

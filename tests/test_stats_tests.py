@@ -131,3 +131,27 @@ def test_cuped_per_group_theta(spark):
     for g in ("a", "b"):
         sub = out[out["g"] == g]
         assert sub["y_cuped"].var() < 0.05 * sub["y"].var()
+
+
+def test_psi_drift_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.stats_tests import psi_drift
+
+    ref = spark.range(10_000).select(
+        (F.col("id") % 1000).cast("double").alias("v")
+    )
+    same = ref
+    shifted = ref.select((F.col("v") + 500.0).alias("v"))
+    psi_same = sum(
+        r["psi_term"] for r in psi_drift(ref, same, "v").collect()
+    )
+    psi_shift = sum(
+        r["psi_term"] for r in psi_drift(ref, shifted, "v").collect()
+    )
+    assert psi_same < 0.01          # identical distribution: stable
+    assert psi_shift > 0.25         # gross shift: flagged
+    # bins are reference-equal-frequency: n_ref roughly uniform
+    rows = psi_drift(ref, shifted, "v").collect()
+    n_refs = [r["n_ref"] for r in rows]
+    assert max(n_refs) - min(n_refs) <= 2000
