@@ -3708,3 +3708,19 @@ SELECT bin, n_ref, n_cur,
              6) AS psi_term
 FROM j, t
 """
+
+ORACLES["q_phrase_search"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+pos AS (
+  SELECT doc_id, CAST(r.i AS INT) + 1 AS pos,
+         a[CAST(r.i AS INT) + 1] AS term
+  FROM toks, LATERAL (SELECT unnest(range(len(a))) AS i) r
+  WHERE a[CAST(r.i AS INT) + 1] <> ''),
+m AS (
+  SELECT p0.doc_id, p0.pos
+  FROM pos p0 JOIN pos p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'table' AND p1.term = 'value')
+SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+FROM m GROUP BY doc_id
+"""

@@ -5647,3 +5647,19 @@ def q_psi_drift(spark, sf_dir):
         (F.col("o_totalprice") * 1.1).alias("o_totalprice")
     )
     return psi_drift(ref, cur, "o_totalprice", n_bins=10)
+
+
+@query("q_phrase_search")
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase matching over the positional inverted index
+    (operators/text_features.py:positional_index/phrase_search):
+    docs where 'table value' occurs consecutively, with match count
+    and first position — the index slice is phrase-vocabulary-sized
+    before anything groups."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        phrase_search,
+        positional_index,
+    )
+
+    idx = positional_index(table(spark, sf_dir, "documents"))
+    return phrase_search(idx, ["table", "value"])

@@ -292,3 +292,98 @@ def perplexity(
             F.round(F.exp(-F.col("__avglp")), round_to).alias("ppl"),
         )
     )
+
+
+def positional_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, term): ``terms`` with 1-based token positions (the
+    posexplode twin) — the input of the positional index."""
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    return (
+        scale_out(df.select(id_col, text_col))
+        .select(
+            id_col,
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("pos0", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "term")
+    )
+
+
+def positional_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional posting lists: (term, id, positions) with positions
+    the sorted 1-based token offsets of the term in that document —
+    what phrase and proximity queries need beyond ``inverted_index``'s
+    doc-id lists. One shuffle on (term, id) with map-side-combinable
+    collect_list; the per-row buffer is one document's occurrences of
+    one term (bounded by document length, never corpus-sized)."""
+    t = positional_terms(df, id_col, text_col)
+    return t.groupBy("term", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search(
+    index: DataFrame, phrase: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase matching over a ``positional_index``: documents
+    where the phrase's terms occur CONSECUTIVELY, with match count
+    and first match position. Returns (id, n_matches, first_pos).
+
+    Scale shape: the index is first cut to the phrase's terms (a
+    broadcast IN filter on the term key — the touched slice is
+    phrase-vocabulary-sized, not index-sized), then ONE groupBy(id)
+    pivots each doc's per-term position arrays into a map, and the
+    consecutive-offset intersection is a pure array expression:
+    match positions = filter(pos[t0], p -> ∀i p+i ∈ pos[ti])."""
+    if not phrase:
+        raise ValueError("phrase_search: phrase must be non-empty")
+    terms_l = [t.lower() for t in phrase]
+    cut = index.filter(F.col("term").isin(*set(terms_l)))
+    per_doc = cut.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("__tp")
+    )
+    # every phrase term must be present in the doc
+    present = per_doc.filter(
+        sum(
+            (
+                F.map_contains_key(F.col("__tp"), t).cast("int")
+                for t in set(terms_l)
+            ),
+            F.lit(0),
+        )
+        == len(set(terms_l))
+    )
+    start = F.element_at(F.col("__tp"), terms_l[0])
+    rest = list(enumerate(terms_l[1:], start=1))
+    if rest:
+        # NOTE: the lambda must take exactly ONE positional arg with
+        # no defaults — PySpark inspects the signature to set the
+        # higher-order function's arity
+        def phrase_cond(p):
+            conds = [
+                F.array_contains(F.element_at(F.col("__tp"), t), p + i)
+                for i, t in rest
+            ]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+
+        matches = F.filter(start, phrase_cond)
+    else:
+        matches = start
+    return (
+        present.select(
+            id_col,
+            F.size(matches).alias("n_matches"),
+            F.array_min(matches).alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -158,3 +158,32 @@ def test_bm25_multi_term_and_case(spark):
     }
     # query terms lowercase + dedup; doc text lowercased by terms()
     assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_phrase_search_consecutive_only(spark):
+    from pipeline_dataengineer_spark.operators.text_features import (
+        phrase_search,
+        positional_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "big red fox and big red fox again"),
+            (2, "big fox red"),          # terms present, not consecutive
+            (3, "red big red fox"),      # one match at pos 2
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_index(df)
+    out = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(idx, ["big", "red", "fox"]).collect()
+    }
+    assert out == {1: (2, 1), 3: (1, 2)}
+    # single-term phrase degenerates to term lookup
+    single = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(idx, ["fox"]).collect()
+    }
+    assert single == {1: 2, 2: 1, 3: 1}
