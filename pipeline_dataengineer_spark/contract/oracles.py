@@ -3724,3 +3724,17 @@ m AS (
 SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
 FROM m GROUP BY doc_id
 """
+
+ORACLES["q_interval_join_anti"] = """
+WITH l AS (
+  SELECT user_id, date_trunc('second', ts) AS lts, event_id AS lid
+  FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, date_trunc('second', ts) AS rts, event_id AS rid
+  FROM events WHERE event_type = 'click')
+SELECT l.user_id, l.lts, l.lid
+FROM l WHERE NOT EXISTS (
+  SELECT 1 FROM r
+  WHERE r.user_id = l.user_id
+    AND r.rts >= l.lts AND r.rts <= l.lts + INTERVAL 1 HOUR)
+"""

@@ -5663,3 +5663,33 @@ def q_phrase_search(spark, sf_dir):
 
     idx = positional_index(table(spark, sf_dir, "documents"))
     return phrase_search(idx, ["table", "value"])
+
+
+@query("q_interval_join_anti")
+def q_interval_join_anti(spark, sf_dir):
+    """Stream-stream interval ANTI join, batch parity
+    (streaming/joins.py:stream_stream_interval_anti_join — left_outer
+    + null filter, the standard derivation since Structured Streaming
+    has no native stream-stream anti): purchases with no same-user
+    event in the following hour."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_anti_join,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("lid")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("rid")
+    )
+    out = stream_stream_interval_anti_join(
+        left, right, "user_id", "lts", "rts",
+        lower="0 seconds", upper="1 hour",
+    )
+    return out.select("user_id", "lts", "lid")

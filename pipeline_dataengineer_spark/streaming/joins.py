@@ -76,3 +76,39 @@ def stream_stream_interval_join(
         )
     )
     return left.alias("l").join(right.alias("r"), cond, how)
+
+
+def stream_stream_interval_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Left events with NO matching right event in the interval — the
+    "order never followed by a payment" / "view with no purchase"
+    detector. Structured Streaming has no stream-stream anti join;
+    the standard derivation is LEFT OUTER + IS NULL: the outer join
+    emits an unmatched left row (with null right columns) only after
+    the watermark proves no in-interval match can still arrive, so
+    filtering on the null right key yields exactly the anti-join
+    rows, each emitted exactly once, correctly delayed.
+
+    On batch the identical plan collapses to a plain anti-join
+    semantics check (the oracle's formulation). Output columns: the
+    LEFT side only, disambiguated as ``l.*``."""
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key,
+        left_ts,
+        right_ts,
+        lower=lower,
+        upper=upper,
+        watermark=watermark,
+        how="left_outer",
+    )
+    return joined.filter(F.col(f"r.{key}").isNull()).select("l.*")

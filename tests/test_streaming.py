@@ -496,3 +496,63 @@ def test_streaming_session_window_dynamic_gap(spark, tmp_path):
         per_key.setdefault(r["k"], []).append(r["n"])
     assert per_key["a"] == [3]
     assert sorted(per_key["b"]) == [1, 1, 1]
+
+
+def test_stream_stream_anti_join_emits_after_watermark(spark, tmp_path):
+    """Derived stream-stream ANTI join: unmatched-left rows appear
+    exactly once, and only after the watermark closes their interval;
+    matched rows never appear."""
+    from pipeline_dataengineer_spark.streaming.joins import (
+        stream_stream_interval_anti_join,
+    )
+
+    left_dir = tmp_path / "anti_left"
+    right_dir = tmp_path / "anti_right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_anti")
+
+    def drain():
+        collected = []
+
+        def collect(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        left = spark.readStream.schema(SCHEMA).json(str(left_dir)).select(
+            F.col("k"), F.col("ts").alias("lts"), F.col("v").alias("lv")
+        )
+        right = spark.readStream.schema(SCHEMA).json(str(right_dir)).select(
+            F.col("k"), F.col("ts").alias("rts"), F.col("v").alias("rv")
+        )
+        anti = stream_stream_interval_anti_join(
+            left, right, "k", "lts", "rts",
+            lower="0 seconds", upper="10 minutes", watermark="5 minutes",
+        )
+        q = (
+            anti.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["k"], r["lv"]) for r in collected}
+
+    _write_json(left_dir, "b0.json", [
+        {"k": "m", "ts": "2024-01-01T00:00:00", "v": 1.0},   # matched
+        {"k": "u", "ts": "2024-01-01T00:00:00", "v": 2.0},   # unmatched
+    ])
+    _write_json(right_dir, "b0.json", [
+        {"k": "m", "ts": "2024-01-01T00:03:00", "v": 10.0},
+    ])
+    got1 = drain()
+    assert got1 == set()  # nothing provable yet; matched never emits
+
+    _write_json(left_dir, "b1.json", [
+        {"k": "zz", "ts": "2024-01-01T03:00:00", "v": 9.0},
+    ])
+    _write_json(right_dir, "b1.json", [
+        {"k": "zz2", "ts": "2024-01-01T03:00:00", "v": 8.0},
+    ])
+    got2 = drain()
+    assert got2 == {("u", 2.0)}  # only the unmatched left row, once
