@@ -3738,3 +3738,22 @@ FROM l WHERE NOT EXISTS (
   WHERE r.user_id = l.user_id
     AND r.rts >= l.lts AND r.rts <= l.lts + INTERVAL 1 HOUR)
 """
+
+ORACLES["q_training_matrix"] = """
+WITH ev AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, event_type,
+         round(value, 4) AS value
+  FROM events),
+spine AS (
+  SELECT user_id, ts AS as_of FROM ev WHERE event_type = 'purchase')
+SELECT s.user_id, s.as_of,
+  (SELECT c.value FROM ev c
+   WHERE c.event_type = 'click' AND c.user_id = s.user_id
+     AND c.ts <= s.as_of
+   ORDER BY c.ts DESC, c.value ASC LIMIT 1) AS clk_value,
+  (SELECT v.value FROM ev v
+   WHERE v.event_type = 'view' AND v.user_id = s.user_id
+     AND v.ts <= s.as_of
+   ORDER BY v.ts DESC, v.value ASC LIMIT 1) AS vw_value
+FROM spine s
+"""

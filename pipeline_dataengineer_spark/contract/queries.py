@@ -5693,3 +5693,42 @@ def q_interval_join_anti(spark, sf_dir):
         lower="0 seconds", upper="1 hour",
     )
     return out.select("user_id", "lts", "lid")
+
+
+@query("q_training_matrix")
+def q_training_matrix(spark, sf_dir):
+    """Point-in-time training matrix (operators/feature_store.py):
+    spine = purchases, two feature tables derived from other event
+    types, each attached by a backward as-of join on user — no future
+    leakage. Oracle replays each feature as a correlated latest-at-
+    or-before lookup with the same (ts, value) tie-break."""
+    from pipeline_dataengineer_spark.operators.feature_store import (
+        FeatureTable,
+        build_training_matrix,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("as_of")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = build_training_matrix(
+        spine,
+        "user_id",
+        "as_of",
+        [
+            FeatureTable(clicks, "user_id", "ts", ["value"], prefix="clk_"),
+            FeatureTable(views, "user_id", "ts", ["value"], prefix="vw_"),
+        ],
+    )
+    return out.select("user_id", "as_of", "clk_value", "vw_value")

@@ -425,3 +425,40 @@ def test_observe_rules_rejects_multi_pass_rules(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError):
         observe_rules(df, [("unique", "id")])
+
+
+def test_training_matrix_pit_and_max_age(spark):
+    import datetime as dt
+
+    from pipeline_dataengineer_spark.operators.feature_store import (
+        FeatureTable,
+        build_training_matrix,
+    )
+
+    T0 = dt.datetime(2024, 1, 10)
+    spine = spark.createDataFrame(
+        [(1, T0), (2, T0)], "user long, as_of timestamp"
+    )
+    feat = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 9), 10.0),   # fresh (1 day old)
+            (1, dt.datetime(2024, 1, 11), 99.0),  # FUTURE: must not leak
+            (2, dt.datetime(2023, 11, 1), 5.0),   # stale (70 days old)
+        ],
+        "user long, ts timestamp, v double",
+    )
+    out = build_training_matrix(
+        spine, "user", "as_of",
+        [FeatureTable(feat, "user", "ts", ["v"], prefix="x_",
+                      max_age="30 days")],
+    )
+    got = {r["user"]: (r["x_v"], r["x___ts"]) for r in out.collect()}
+    assert got[1][0] == 10.0            # latest at-or-before, not future
+    assert got[2] == (None, None)       # stale match nulled by max_age
+    # without max_age the stale value comes through
+    out2 = build_training_matrix(
+        spine, "user", "as_of",
+        [FeatureTable(feat, "user", "ts", ["v"], prefix="x_")],
+    )
+    got2 = {r["user"]: r["x_v"] for r in out2.collect()}
+    assert got2[2] == 5.0
