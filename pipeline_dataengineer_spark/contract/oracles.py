@@ -3757,3 +3757,63 @@ SELECT s.user_id, s.as_of,
    ORDER BY v.ts DESC, v.value ASC LIMIT 1) AS vw_value
 FROM spine s
 """
+
+ORACLES["q_position_attr"] = """
+WITH ev AS (
+  SELECT user_id,
+         epoch(date_trunc('second', ts)) * 1000000 + event_id % 1000000 AS ord,
+         event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+m AS (
+  SELECT *, coalesce(sum(conv) OVER (PARTITION BY user_id ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM ev),
+touches AS (
+  SELECT user_id, jid, ord, event_type,
+         row_number() OVER (PARTITION BY user_id, jid ORDER BY ord) AS pos
+  FROM m WHERE conv = 0),
+journeys AS (
+  SELECT user_id, jid, sum(1 - conv) AS n_touch, max(conv) AS converted
+  FROM m GROUP BY user_id, jid),
+credited AS (
+  SELECT t.event_type,
+         CASE WHEN j.n_touch = 1 THEN 1.0
+              WHEN j.n_touch = 2 THEN 0.5
+              WHEN t.pos = 1 THEN 0.4
+              WHEN t.pos = j.n_touch THEN 0.4
+              ELSE 0.2 / (j.n_touch - 2) END AS credit
+  FROM touches t JOIN journeys j USING (user_id, jid)
+  WHERE j.converted = 1 AND j.n_touch > 0)
+SELECT event_type, round(sum(credit), 4) AS credit
+FROM credited GROUP BY event_type
+"""
+
+ORACLES["q_time_decay_attr"] = """
+WITH ev AS (
+  SELECT user_id,
+         epoch(date_trunc('second', ts)) * 1000000 + event_id % 1000000 AS ord,
+         event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+m AS (
+  SELECT *, coalesce(sum(conv) OVER (PARTITION BY user_id ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM ev),
+journeys AS (
+  SELECT user_id, jid,
+         max(CASE WHEN conv = 1 THEN CAST(ord AS DOUBLE) END) AS conv_ts,
+         max(conv) AS converted
+  FROM m GROUP BY user_id, jid),
+touches AS (
+  SELECT t.user_id, t.jid, t.event_type,
+         pow(0.5, (j.conv_ts - CAST(t.ord AS DOUBLE))
+                  / (7 * 86400.0 * 1000000)) AS w
+  FROM m t JOIN journeys j USING (user_id, jid)
+  WHERE t.conv = 0 AND j.converted = 1),
+norm AS (
+  SELECT user_id, jid, sum(w) AS sw FROM touches GROUP BY user_id, jid)
+SELECT t.event_type, round(sum(t.w / n.sw), 4) AS credit
+FROM touches t JOIN norm n USING (user_id, jid)
+GROUP BY t.event_type
+"""

@@ -5732,3 +5732,53 @@ def q_training_matrix(spark, sf_dir):
         ],
     )
     return out.select("user_id", "as_of", "clk_value", "vw_value")
+
+
+@query("q_position_attr")
+def q_position_attr(spark, sf_dir):
+    """U-shaped position-based attribution (operators/attribution.py:
+    position_attribution): 40/20/40 credit over each converted
+    journey's touches. Order key = epoch-seconds*1e6 + event_id so
+    journey framing is total and engine-identical."""
+    from pipeline_dataengineer_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.unix_timestamp(F.date_trunc("second", "ts")) * 1_000_000
+            + F.col("event_id") % 1_000_000
+        ).alias("ord"),
+        "event_type",
+    )
+    return position_attribution(
+        ev, ["user_id"], "ord", "event_type",
+        F.col("event_type") == "purchase",
+    )
+
+
+@query("q_time_decay_attr")
+def q_time_decay_attr(spark, sf_dir):
+    """Time-decay attribution (operators/attribution.py:
+    time_decay_attribution): touch weight 0.5^(dt/half_life),
+    journey-normalized. The tick unit is the same composite order key
+    (epoch-seconds*1e6 + event_id) so dt is integer-exact in both
+    engines; half-life = 7 days of ticks."""
+    from pipeline_dataengineer_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.unix_timestamp(F.date_trunc("second", "ts")) * 1_000_000
+            + F.col("event_id") % 1_000_000
+        ).alias("ord"),
+        "event_type",
+    )
+    return time_decay_attribution(
+        ev, ["user_id"], "ord", "event_type",
+        F.col("event_type") == "purchase",
+        half_life_seconds=7 * 86_400.0 * 1_000_000,
+    )

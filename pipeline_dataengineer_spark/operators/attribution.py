@@ -88,3 +88,114 @@ def linear_attribution(
         credited.groupBy(channel_col)
         .agg(F.round(F.sum("__credit"), 4).alias("credit"))
     )
+
+
+def position_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    channel_col: str,
+    is_conversion: Column,
+    first_w: float = 0.4,
+    last_w: float = 0.4,
+) -> DataFrame:
+    """U-shaped (position-based) attribution: first touch gets
+    ``first_w``, last touch ``last_w``, middles split the remainder.
+    One-touch journeys get full credit; two-touch journeys split
+    first_w:last_w renormalized (the standard convention). Same
+    journey framing and single key shuffle as linear_attribution."""
+    w_order = Window.partitionBy(*key_cols).orderBy(order_col)
+    jid = F.coalesce(
+        F.sum(is_conversion.cast("long")).over(
+            w_order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    marked = df.withColumn("__jid", jid).withColumn(
+        "__conv", is_conversion.cast("long")
+    )
+    touches = marked.filter(~is_conversion).withColumn(
+        "__pos",
+        F.row_number().over(
+            Window.partitionBy(*key_cols, "__jid").orderBy(order_col)
+        ),
+    )
+    journeys = marked.groupBy(*key_cols, "__jid").agg(
+        F.sum(1 - F.col("__conv")).alias("__n_touch"),
+        F.max("__conv").alias("__converted"),
+    )
+    j = touches.join(journeys, [*key_cols, "__jid"]).filter(
+        (F.col("__converted") == 1) & (F.col("__n_touch") > 0)
+    )
+    n = F.col("__n_touch")
+    mid_w = 1.0 - first_w - last_w
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(
+            n == 2,
+            F.when(F.col("__pos") == 1, first_w / (first_w + last_w))
+            .otherwise(last_w / (first_w + last_w)),
+        )
+        .when(F.col("__pos") == 1, F.lit(first_w))
+        .when(F.col("__pos") == n, F.lit(last_w))
+        .otherwise(F.lit(mid_w) / (n - 2))
+    )
+    return (
+        j.withColumn("__credit", credit)
+        .groupBy(channel_col)
+        .agg(F.round(F.sum("__credit"), 4).alias("credit"))
+    )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    channel_col: str,
+    is_conversion: Column,
+    half_life_seconds: float = 7 * 86_400.0,
+) -> DataFrame:
+    """Time-decay attribution: each touch's raw weight is
+    ``0.5 ^ (Δt / half_life)`` against its journey's conversion time,
+    normalized within the journey so every converted journey pays out
+    exactly 1.0. Recency-biased credit — the model ad platforms
+    default to. ``ts_col`` must order events (drives both the journey
+    framing and Δt)."""
+    w_order = Window.partitionBy(*key_cols).orderBy(ts_col)
+    jid = F.coalesce(
+        F.sum(is_conversion.cast("long")).over(
+            w_order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    marked = df.withColumn("__jid", jid).withColumn(
+        "__conv", is_conversion.cast("long")
+    )
+    conv_ts = F.max(
+        F.when(F.col("__conv") == 1, F.col(ts_col).cast("double"))
+    ).alias("__conv_ts")
+    journeys = marked.groupBy(*key_cols, "__jid").agg(
+        conv_ts, F.max("__conv").alias("__converted")
+    )
+    touches = (
+        marked.filter(~is_conversion)
+        .join(journeys, [*key_cols, "__jid"])
+        .filter(F.col("__converted") == 1)
+        .withColumn(
+            "__w",
+            F.pow(
+                F.lit(0.5),
+                (F.col("__conv_ts") - F.col(ts_col).cast("double"))
+                / F.lit(half_life_seconds),
+            ),
+        )
+    )
+    norm = touches.groupBy(*key_cols, "__jid").agg(
+        F.sum("__w").alias("__sw")
+    )
+    return (
+        touches.join(norm, [*key_cols, "__jid"])
+        .withColumn("__credit", F.col("__w") / F.col("__sw"))
+        .groupBy(channel_col)
+        .agg(F.round(F.sum("__credit"), 4).alias("credit"))
+    )

@@ -47,3 +47,55 @@ def test_linear_attribution_splits_per_journey(spark):
     # journey 3 (no touches -> purchase): dropped
     # user B never converts: nothing
     assert got == {"view": 1.5, "click": 0.5}
+
+
+def test_position_attribution_u_shape(spark):
+    from pipeline_dataengineer_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    # one user, one journey: touches A B C D then conversion
+    rows = [(1, i + 1, ch) for i, ch in enumerate("ABCD")] + [(1, 5, "CONV")]
+    df = spark.createDataFrame(rows, "u long, ord long, ch string")
+    out = {
+        r["ch"]: r["credit"]
+        for r in position_attribution(
+            df, ["u"], "ord", "ch", F.col("ch") == "CONV"
+        ).collect()
+    }
+    assert out == {"A": 0.4, "B": 0.1, "C": 0.1, "D": 0.4}
+    # one-touch journey: full credit; two-touch: renormalized halves
+    df1 = spark.createDataFrame(
+        [(2, 1, "X"), (2, 2, "CONV"), (3, 1, "Y"), (3, 2, "Z"), (3, 3, "CONV")],
+        "u long, ord long, ch string",
+    )
+    out1 = {
+        r["ch"]: r["credit"]
+        for r in position_attribution(
+            df1, ["u"], "ord", "ch", F.col("ch") == "CONV"
+        ).collect()
+    }
+    assert out1 == {"X": 1.0, "Y": 0.5, "Z": 0.5}
+
+
+def test_time_decay_attribution_recency_bias(spark):
+    from pipeline_dataengineer_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    # touches at t=0 and t=100, conversion at t=200, half-life 100:
+    # weights 0.5^2 : 0.5^1 = 0.25 : 0.5 -> credits 1/3 : 2/3
+    df = spark.createDataFrame(
+        [(1, 0, "old"), (1, 100, "recent"), (1, 200, "CONV")],
+        "u long, t long, ch string",
+    )
+    out = {
+        r["ch"]: r["credit"]
+        for r in time_decay_attribution(
+            df, ["u"], "t", "ch", F.col("ch") == "CONV",
+            half_life_seconds=100.0,
+        ).collect()
+    }
+    assert out == {"old": round(1 / 3, 4), "recent": round(2 / 3, 4)}
+    # journeys pay out exactly 1.0 total
+    assert round(sum(out.values()), 4) == 1.0
