@@ -128,3 +128,37 @@ def missing_partitions(
     )
     spine = date_spine(observed, date_col, g)
     return spine.join(observed, [*g, date_col], "left_anti")
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> list[dict]:
+    """Column-level schema drift report between two DataFrames:
+    one dict per differing column — ``added`` (only in b),
+    ``removed`` (only in a), ``type_changed``, ``nullability_changed``
+    — plus a ``reordered`` marker when the common-column order
+    differs. Driver-side metadata only (no jobs run); feed it to
+    ``conform_schema`` to act, or alert on non-empty."""
+    fa = {f.name: f for f in a.schema.fields}
+    fb = {f.name: f for f in b.schema.fields}
+    out: list[dict] = []
+    for name in fa:
+        if name not in fb:
+            out.append({"column": name, "change": "removed",
+                        "from": fa[name].dataType.simpleString(), "to": None})
+    for name in fb:
+        if name not in fa:
+            out.append({"column": name, "change": "added",
+                        "from": None, "to": fb[name].dataType.simpleString()})
+    for name in fa.keys() & fb.keys():
+        ta, tb = fa[name].dataType, fb[name].dataType
+        if ta != tb:
+            out.append({"column": name, "change": "type_changed",
+                        "from": ta.simpleString(), "to": tb.simpleString()})
+        elif fa[name].nullable != fb[name].nullable:
+            out.append({"column": name, "change": "nullability_changed",
+                        "from": fa[name].nullable, "to": fb[name].nullable})
+    common = [f.name for f in a.schema.fields if f.name in fb]
+    common_b = [f.name for f in b.schema.fields if f.name in fa]
+    if common != common_b:
+        out.append({"column": None, "change": "reordered",
+                    "from": common, "to": common_b})
+    return out

@@ -149,3 +149,20 @@ def test_missing_partitions_global(spark):
     )
     got = [r["day"] for r in missing_partitions(df, "day").collect()]
     assert got == [d(2024, 3, 2)]
+
+
+def test_schema_diff_reports_all_change_kinds(spark):
+    from pipeline_dataengineer_spark.operators.maintenance import schema_diff
+
+    a = spark.createDataFrame([], "id long, x double, gone string, y int")
+    b = spark.createDataFrame([], "id long, y int, x string, fresh date")
+    diff = {d["change"]: d for d in schema_diff(a, b)}
+    assert diff["removed"]["column"] == "gone"
+    assert diff["added"]["column"] == "fresh"
+    assert diff["type_changed"]["column"] == "x"
+    assert diff["type_changed"]["from"] == "double"
+    assert diff["type_changed"]["to"] == "string"
+    assert diff["reordered"]["from"] == ["id", "x", "y"]
+    assert diff["reordered"]["to"] == ["id", "y", "x"]
+    # identical schemas -> empty report
+    assert schema_diff(a, a) == []
