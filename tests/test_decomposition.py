@@ -97,3 +97,32 @@ def test_pca_keeps_other_columns(spark):
     out, _, _ = pca(df.withColumn("tag", F.col("vec_id") % 3), k=2)
     assert set(out.columns) == {"vec_id", "tag", "pca"}
     assert out.count() == df.count()
+
+
+def test_mahalanobis_outliers_correlation_aware(spark):
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.decomposition import (
+        mahalanobis_outliers,
+    )
+
+    # points along y ~= x; the outlier is INSIDE both marginals but
+    # off the correlation axis — per-column z-scores would miss it
+    rng = np.random.default_rng(3)
+    xs = rng.normal(0, 1.0, 400)
+    pts = [(int(i), [float(x), float(x + rng.normal(0, 0.05))])
+           for i, x in enumerate(xs)]
+    pts.append((999, [1.0, -1.0]))  # anti-correlated point
+    df = spark.createDataFrame(pts, "vid long, embedding array<double>")
+    out = mahalanobis_outliers(df, "embedding", id_cols=["vid"]).collect()
+    scores = {r["vid"]: r["maha_sq"] for r in out}
+    top = max(scores, key=scores.get)
+    assert top == 999
+    # the planted point dominates by an order of magnitude
+    rest = max(v for k, v in scores.items() if k != 999)
+    assert scores[999] > 10 * rest
+    # threshold wiring
+    flagged = mahalanobis_outliers(
+        df, "embedding", id_cols=["vid"], threshold=scores[999] / 2
+    ).filter("is_outlier").collect()
+    assert [r["vid"] for r in flagged] == [999]
