@@ -3817,3 +3817,20 @@ SELECT t.event_type, round(sum(t.w / n.sw), 4) AS credit
 FROM touches t JOIN norm n USING (user_id, jid)
 GROUP BY t.event_type
 """
+
+ORACLES["q_mahalanobis"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings),
+st AS (
+  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         (sum(x*x) - sum(x)*sum(x)/count(*)) / (count(*) - 1) + 1e-6 AS a,
+         (sum(x*y) - sum(x)*sum(y)/count(*)) / (count(*) - 1) AS b,
+         (sum(y*y) - sum(y)*sum(y)/count(*)) / (count(*) - 1) + 1e-6 AS d
+  FROM v)
+SELECT vec_id,
+       round((d*(x-mx)*(x-mx) - 2*b*(x-mx)*(y-my) + a*(y-my)*(y-my))
+             / (a*d - b*b), 4) AS maha_sq
+FROM v, st
+"""

@@ -5782,3 +5782,23 @@ def q_time_decay_attr(spark, sf_dir):
         F.col("event_type") == "purchase",
         half_life_seconds=7 * 86_400.0 * 1_000_000,
     )
+
+
+@query("q_mahalanobis")
+def q_mahalanobis(spark, sf_dir):
+    """Mahalanobis outlier scoring (operators/decomposition.py:
+    mahalanobis_outliers) on the first two embedding dims — at d=2
+    the oracle inverts the (ridged) covariance in closed form, so the
+    whole one-pass-moments + driver-inverse + Arrow-scoring machinery
+    is hash-checked end-to-end."""
+    from pipeline_dataengineer_spark.operators.decomposition import (
+        mahalanobis_outliers,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("slice(transform(embedding, x -> cast(x as double)), 1, 2)").alias(
+            "embedding"
+        ),
+    )
+    return mahalanobis_outliers(e, "embedding", id_cols=["vec_id"])
