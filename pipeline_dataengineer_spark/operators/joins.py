@@ -376,3 +376,59 @@ def interval_overlap_join(
         & (lb["__bucket"] == first_shared)
     )
     return lb.join(rb, cond, "inner").drop("__bucket")
+
+
+def safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    expect: str = "n:1",
+) -> DataFrame:
+    """Join with a MULTIPLICITY CONTRACT: ``expect="n:1"`` asserts the
+    right side is unique on the join keys, ``"1:1"`` asserts both
+    sides are — violations raise AT EXECUTION, inside the same job.
+    The guard for the classic silent fan-out bug (a dimension that
+    grew a duplicate key doubles downstream revenue and nobody
+    notices until finance does).
+
+    Implementation: the checked side(s) get a combinable count over
+    the join keys joined back (dimension-sized state); an inline ANSI
+    ``raise_error`` fires on the first over-1 count the executors
+    see. No extra action, no separate validation pass — the check
+    rides the join itself, and Catalyst prunes it if the join never
+    executes."""
+    if expect not in ("n:1", "1:1"):
+        raise ValueError("expect must be 'n:1' or '1:1'")
+
+    def guarded(side: DataFrame, label: str) -> DataFrame:
+        counts = side.groupBy(*on).agg(F.count("*").alias("__n"))
+        trip = F.when(
+            F.col("__n") == 1, F.lit(1)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"safe_join: {label} side has duplicate join keys "
+                    ),
+                    *[
+                        F.concat(F.lit(f"{c}="), F.col(c).cast("string"), F.lit(" "))
+                        for c in on
+                    ],
+                    F.lit("(count "),
+                    F.col("__n").cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+        # the guard must live in a FILTER predicate: a projected-then-
+        # dropped column would be pruned by Catalyst and never fire
+        return (
+            side.join(counts, on)
+            .filter(trip == 1)
+            .drop("__n")
+        )
+
+    r = guarded(right, "right")
+    l = guarded(left, "left") if expect == "1:1" else left
+    return l.join(r, on, how)

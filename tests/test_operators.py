@@ -462,3 +462,26 @@ def test_training_matrix_pit_and_max_age(spark):
     )
     got2 = {r["user"]: r["x_v"] for r in out2.collect()}
     assert got2[2] == 5.0
+
+
+def test_safe_join_passes_and_fires(spark):
+    import pytest as _pytest
+
+    from pipeline_dataengineer_spark.operators.joins import safe_join
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    dim_ok = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    out = safe_join(facts, dim_ok, ["k"], expect="n:1")
+    assert out.count() == 3  # no fan-out, contract satisfied
+
+    dim_dup = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "k long, name string"
+    )
+    with _pytest.raises(Exception, match="duplicate join keys"):
+        safe_join(facts, dim_dup, ["k"], expect="n:1").count()
+
+    # 1:1 also checks the left side
+    with _pytest.raises(Exception, match="left side has duplicate"):
+        safe_join(facts, dim_ok, ["k"], expect="1:1").count()
