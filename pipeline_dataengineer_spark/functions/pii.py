@@ -15,7 +15,7 @@ generalizes the same "row-local string rewrite" category.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,70 @@ def normalize_phone(col: Column | str, default_cc: str = "1") -> Column:
     ).otherwise(digits)
     ok = (F.length(with_cc) >= 8) & (F.length(with_cc) <= 15)
     return F.when(ok, F.concat(F.lit("+"), with_cc))
+
+
+# ------------------------------------------------------------ crypto-shredding
+
+
+def make_key_table(ids: DataFrame, id_col: str) -> DataFrame:
+    """One fresh random AES-256 key per entity (32 hex chars = a
+    32-byte string key; Spark's aes_encrypt accepts 16/24/32-byte
+    keys). Keys are
+    intentionally NON-deterministic (uuid-seeded): a derivable key
+    could be re-derived after deletion, which would defeat the whole
+    scheme. Persist this table separately from the data (snapshot
+    table, different ACLs)."""
+    return ids.select(id_col).distinct().withColumn(
+        "key",
+        F.sha2(
+            F.concat(F.expr("uuid()"), F.col(id_col).cast("string")), 256
+        ).substr(1, 32),
+    )
+
+
+def encrypt_columns(
+    df: DataFrame, keys: DataFrame, id_col: str, cols: list[str]
+) -> DataFrame:
+    """Crypto-shredding, encrypt side: each entity's sensitive columns
+    are AES-GCM-encrypted (Spark's JVM ``aes_encrypt``) under that
+    entity's own key from ``keys``. Erasure becomes O(1) per entity:
+    DELETE the key row (``shred_keys``) and every copy of the
+    ciphertext — warehouse, backups, downstream parquet — is
+    unreadable, no rewrite of any data file. The inner join drops
+    rows with no key (fail-closed: plaintext never passes through
+    unencrypted). Join is dimension-shaped (one key row per entity);
+    AQE broadcasts when it fits."""
+    out = df.join(keys.select(id_col, "key"), id_col)
+    for c in cols:
+        out = out.withColumn(
+            c, F.base64(F.aes_encrypt(F.col(c).cast("string"), F.col("key")))
+        )
+    return out.drop("key")
+
+
+def decrypt_columns(
+    df: DataFrame, keys: DataFrame, id_col: str, cols: list[str]
+) -> DataFrame:
+    """Decrypt side: LEFT join — entities whose key was shredded
+    yield NULL for every encrypted column (the data is cryptographic
+    garbage without the key, which is the point), all other columns
+    intact. ``try_aes_decrypt`` keeps corrupt/foreign ciphertexts
+    NULL instead of failing the job."""
+    out = df.join(keys.select(id_col, "key"), id_col, "left")
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col("key").isNotNull(),
+                F.expr(
+                    f"try_aes_decrypt(unbase64({c}), key)"
+                ).cast("string"),
+            ),
+        )
+    return out.drop("key")
+
+
+def shred_keys(keys: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
+    """Forget entities: the new key table without their rows (pair
+    with snapshot-table publish for an auditable erasure event)."""
+    return keys.join(ids.select(id_col).distinct(), id_col, "left_anti")

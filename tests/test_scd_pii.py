@@ -115,3 +115,40 @@ def test_normalize_phone_branches(spark):
     assert got[2] == "+4930901820"
     assert got[3] is None
     assert got[4] == "+442079460958"
+
+
+def test_crypto_shredding_lifecycle(spark):
+    from pipeline_dataengineer_spark.functions.pii import (
+        decrypt_columns,
+        encrypt_columns,
+        make_key_table,
+        shred_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alice@x.com", "Alice"), (2, "bob@y.org", "Bob")],
+        "uid long, email string, name string",
+    )
+    keys = make_key_table(df, "uid")
+    keys.cache(); keys.count()  # keys are random: pin one generation
+    try:
+        enc = encrypt_columns(df, keys, "uid", ["email", "name"])
+        enc_rows = {r["uid"]: r for r in enc.collect()}
+        assert enc_rows[1]["email"] != "alice@x.com"  # ciphertext
+        # round trip with full key table
+        dec = {
+            r["uid"]: (r["email"], r["name"])
+            for r in decrypt_columns(enc, keys, "uid", ["email", "name"]).collect()
+        }
+        assert dec == {1: ("alice@x.com", "Alice"), 2: ("bob@y.org", "Bob")}
+        # shred user 1: their fields decrypt to NULL, user 2 unaffected
+        forget = spark.createDataFrame([(1,)], "uid long")
+        keys2 = shred_keys(keys, forget, "uid")
+        dec2 = {
+            r["uid"]: (r["email"], r["name"])
+            for r in decrypt_columns(enc, keys2, "uid", ["email", "name"]).collect()
+        }
+        assert dec2[1] == (None, None)
+        assert dec2[2] == ("bob@y.org", "Bob")
+    finally:
+        keys.unpersist()
