@@ -3834,3 +3834,14 @@ SELECT vec_id,
              / (a*d - b*b), 4) AS maha_sq
 FROM v, st
 """
+
+ORACLES["q_rolling_distinct"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+contrib AS (
+  SELECT user_id, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                              INTERVAL 1 DAY)) AS DATE) AS day
+  FROM active)
+SELECT day, count(DISTINCT user_id) AS n_distinct
+FROM contrib GROUP BY day
+"""

@@ -5802,3 +5802,15 @@ def q_mahalanobis(spark, sf_dir):
         ),
     )
     return mahalanobis_outliers(e, "embedding", id_cols=["vec_id"])
+
+
+@query("q_rolling_distinct")
+def q_rolling_distinct(spark, sf_dir):
+    """Trailing 7-day distinct active users per day
+    (operators/events.py:rolling_distinct — contribution explode,
+    since COUNT DISTINCT cannot ride a window frame and per-day set
+    buffering is the memory bomb). Exact, hash-checked."""
+    from pipeline_dataengineer_spark.operators.events import rolling_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return rolling_distinct(ev, "ts", "user_id", window_days=7)

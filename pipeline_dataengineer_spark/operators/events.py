@@ -187,3 +187,42 @@ def debounce(
         (F.col(order_col).cast("double") - prev) > tolerance
     )
     return df.withColumn("__keep", keep).filter("__keep").drop("__keep")
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    window_days: int = 7,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trailing-window distinct entities per day — "7-day active
+    users": for each day, the EXACT count of distinct entities seen
+    in [day − window + 1, day]. COUNT(DISTINCT) is not a legal window
+    function, and buffering per-day entity sets in window state is
+    the memory bomb; the scalable formulation is contribution
+    explode: dedup to (entity, day) first (one combinable aggregate —
+    this bounds everything downstream by ACTIVE entity-days, not raw
+    events), explode each to the ``window_days`` target days it
+    contributes to (a bounded fan-out riding the scan), and one
+    count-distinct aggregate per (group, target day).
+
+    Returns (group_cols…, day, n_distinct). Days with no activity in
+    range produce no row (left-join a spine for gap fill)."""
+    g = list(group_cols or [])
+    day = F.to_date(F.col(ts_col))
+    active = (
+        df.select(*g, F.col(entity_col).alias("__e"), day.alias("__d"))
+        .distinct()
+    )
+    targets = F.explode(
+        F.sequence(
+            F.col("__d"),
+            F.date_add(F.col("__d"), window_days - 1),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    )
+    contrib = active.select(*g, "__e", targets.alias("day"))
+    return contrib.groupBy(*g, "day").agg(
+        F.count_distinct("__e").alias("n_distinct")
+    )

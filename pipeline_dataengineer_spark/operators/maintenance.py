@@ -162,3 +162,34 @@ def schema_diff(a: DataFrame, b: DataFrame) -> list[dict]:
         out.append({"column": None, "change": "reordered",
                     "from": common, "to": common_b})
     return out
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten every struct column into top-level columns
+    named ``parent<sep>child`` (arrays/maps left intact — exploding
+    them changes cardinality and is a separate decision). The
+    warehouse-landing normalizer for deeply nested JSON/variant
+    ingests; generalizes the reference's one-level ``data.*`` flatten
+    (src/spark_pgsql/spark_streaming.py:63). Pure projection — one
+    codegen stage, no shuffle."""
+    from pyspark.sql import types as T
+
+    def leaves(prefix: str, dt, node):
+        if isinstance(dt, T.StructType):
+            out = []
+            for f in dt.fields:
+                out += leaves(
+                    f"{prefix}{sep}{f.name}" if prefix else f.name,
+                    f.dataType,
+                    node[f.name],
+                )
+            return out
+        return [node.alias(prefix)]
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            cols += leaves(f.name, f.dataType, F.col(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

@@ -166,3 +166,22 @@ def test_schema_diff_reports_all_change_kinds(spark):
     assert diff["reordered"]["to"] == ["id", "y", "x"]
     # identical schemas -> empty report
     assert schema_diff(a, a) == []
+
+
+def test_flatten_structs_recursive(spark):
+    from pipeline_dataengineer_spark.operators.maintenance import (
+        flatten_structs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {"a": 2, "deep": {"x": "v", "y": 3.0}}, [1, 2])],
+        "id long, s struct<a:long, deep:struct<x:string, y:double>>, arr array<long>",
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["id", "s_a", "s_deep_x", "s_deep_y", "arr"]
+    r = out.collect()[0]
+    assert (r["s_a"], r["s_deep_x"], r["s_deep_y"]) == (2, "v", 3.0)
+    assert r["arr"] == [1, 2]  # arrays untouched
+    # struct-free frames pass through unchanged
+    plain = spark.createDataFrame([(1, "x")], "id long, v string")
+    assert flatten_structs(plain).columns == ["id", "v"]
