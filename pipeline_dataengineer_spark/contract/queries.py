@@ -5814,3 +5814,18 @@ def q_rolling_distinct(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return rolling_distinct(ev, "ts", "user_id", window_days=7)
+
+
+@query("q_feature_hashing")
+def q_feature_hashing(spark, sf_dir):
+    """Signed feature-hashing document vectors
+    (operators/text_features.py:hashed_doc_vectors — xxhash64 bucket
+    + sign bit, integer-exact so the dense vectors hash-check). The
+    engine-native embedding stand-in feeding the similarity stack.
+    Oracle: rows-only (DuckDB has no xxhash64); the bucket/sign
+    arithmetic is deterministic and pytest-pinned instead."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        hashed_doc_vectors,
+    )
+
+    return hashed_doc_vectors(table(spark, sf_dir, "documents"), dim=32)

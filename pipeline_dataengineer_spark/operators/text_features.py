@@ -387,3 +387,44 @@ def phrase_search(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") bag-of-words vectors:
+    (id, vector array<double> of length ``dim``) with
+    vector[h(term) mod dim] += sign(term), sign = ±1 from a second
+    hash bit (the signed trick keeps collisions mean-zero —
+    Weinberger et al.). The model-free way to get REAL vectors for
+    similarity/clustering plumbing entirely inside the engine, and a
+    fixture-friendly stand-in where inference runs elsewhere.
+
+    Integer-exact (counts, not floats) so the whole path
+    hash-checks. One (id, bucket) combinable aggregate, then an
+    in-group pivot to the dense array via the ordered-struct sort —
+    per-row state is one document's ≤ dim buckets."""
+    t = terms(df, id_col, text_col)
+    h = F.xxhash64("term")
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    sign = F.when(
+        F.pmod(F.shiftright(h, 8), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    b = t.groupBy(id_col, bucket.alias("__b")).agg(
+        F.sum(sign).alias("__v")
+    )
+    pairs = F.map_from_entries(
+        F.collect_list(F.struct("__b", "__v"))
+    )
+    dense = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        "i -> cast(coalesce(element_at(__m, i), 0) AS double))"
+    )
+    return (
+        b.groupBy(id_col)
+        .agg(pairs.alias("__m"))
+        .select(id_col, dense.alias("vector"))
+    )

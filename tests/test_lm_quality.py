@@ -187,3 +187,37 @@ def test_phrase_search_consecutive_only(spark):
         for r in phrase_search(idx, ["fox"]).collect()
     }
     assert single == {1: 2, 2: 1, 3: 1}
+
+
+def test_hashed_doc_vectors_properties(spark):
+    from pipeline_dataengineer_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from pipeline_dataengineer_spark.operators.text_features import (
+        hashed_doc_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta gamma alpha"),   # identical -> same vector
+            (3, "delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["vector"] for r in hashed_doc_vectors(df, dim=16).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert all(len(v) == 16 for v in out.values())
+    # counts live in the vector: total |mass| of doc 1 = 4 terms
+    assert sum(abs(x) for x in out[1]) <= 4  # signed collisions may cancel
+    # identical docs are cosine-1 through the existing similarity stack
+    vec = hashed_doc_vectors(df, dim=16)
+    a = vec.filter("doc_id = 1").select(F.col("vector").alias("va"))
+    sim = (
+        vec.filter("doc_id = 2")
+        .crossJoin(a)
+        .select(cosine_similarity("vector", "va").alias("cs"))
+        .collect()[0]["cs"]
+    )
+    assert abs(sim - 1.0) < 1e-9
