@@ -153,6 +153,15 @@ HEADLINE = [
     "q_rag_chunks",
     "q_inner_repetition",
     "q_tpcds_q51_shape",
+    # round 3 continuation (seventh batch)
+    "q_global_quantiles",
+    "q_psi_drift",
+    "q_phrase_search",
+    "q_interval_join_anti",
+    "q_training_matrix",
+    "q_mahalanobis",
+    "q_rolling_distinct",
+    "q_time_decay_attr",
 ]
 
 
