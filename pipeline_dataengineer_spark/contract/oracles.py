@@ -3845,3 +3845,36 @@ contrib AS (
 SELECT day, count(DISTINCT user_id) AS n_distinct
 FROM contrib GROUP BY day
 """
+
+ORACLES["q_ranking_metrics"] = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS s
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS r
+  FROM scored),
+topk AS (SELECT * FROM ranked WHERE r <= 10),
+truth AS (
+  SELECT q.qid, e.vec_id FROM embeddings e, q
+  WHERE e.vec_id <> q.qid AND e.label = q.qlabel),
+nrel AS (SELECT qid, count(*) AS n_relevant FROM truth GROUP BY qid),
+hits AS (
+  SELECT t.qid, count(*) AS n_hits,
+         sum(1.0 / log2(t.r + 1)) AS dcg
+  FROM topk t JOIN truth USING (qid, vec_id) GROUP BY t.qid),
+idcg AS (
+  SELECT n.qid,
+         (SELECT sum(1.0 / log2(CAST(x AS DOUBLE) + 1))
+          FROM unnest(range(1, least(10, n.n_relevant) + 1)) AS u(x)) AS v
+  FROM nrel n)
+SELECT n.qid, n.n_relevant,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / n.n_relevant, 4) AS recall_at_k,
+       round(coalesce(h.dcg, 0.0) / i.v, 4) AS ndcg_at_k
+FROM nrel n LEFT JOIN hits h ON n.qid = h.qid JOIN idcg i ON n.qid = i.qid
+"""

@@ -5829,3 +5829,48 @@ def q_feature_hashing(spark, sf_dir):
     )
 
     return hashed_doc_vectors(table(spark, sf_dir, "documents"), dim=32)
+
+
+@query("q_ranking_metrics")
+def q_ranking_metrics(spark, sf_dir):
+    """Retrieval evaluation loop-closer (operators/ranking_eval.py):
+    cosine top-10 per query vector scored against same-label ground
+    truth — recall@10 and NDCG@10 per query, exact arithmetic,
+    hash-checked. Queries = vec_id < 20; ranks deterministic via
+    rounded score + id tie-break."""
+    from pipeline_dataengineer_spark.operators.ranking_eval import (
+        ranking_metrics,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 4).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    truth = (
+        e.crossJoin(F.broadcast(q.select("qid", "qlabel")))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select("qid", "vec_id")
+    )
+    return ranking_metrics(ranked, truth, "qid", "vec_id", "rank", k=10)

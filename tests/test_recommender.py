@@ -130,3 +130,40 @@ def test_negative_samples_shrinks_when_catalog_saturated(spark):
     rows = negative_samples(inter, items, k=5, oversample=4).collect()
     assert all(r["item_id"] == 9 for r in rows)
     assert 1 <= len(rows) <= 5
+
+
+def test_ranking_metrics_hand_computed(spark):
+    from pipeline_dataengineer_spark.operators.ranking_eval import (
+        ranking_metrics,
+    )
+
+    import math
+
+    ranked = spark.createDataFrame(
+        # q1 top-3: items a(1) b(2) c(3); q2 top-2: x(1) y(2)
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2)],
+        "q string, item string, rank long",
+    )
+    truth = spark.createDataFrame(
+        # q1 relevant {a, c, zz}; q2 relevant {y}
+        [("q1", "a"), ("q1", "c"), ("q1", "zz"), ("q2", "y")],
+        "q string, item string",
+    )
+    out = {
+        r["q"]: (r["n_relevant"], r["n_hits"], r["recall_at_k"], r["ndcg_at_k"])
+        for r in ranking_metrics(ranked, truth, "q", "item", "rank", k=3).collect()
+    }
+    # q1: hits a@1, c@3 -> recall 2/3; DCG = 1/log2(2) + 1/log2(4) = 1.5
+    # IDCG@3 (3 relevant) = 1 + 1/log2(3) + 0.5
+    idcg3 = 1 + 1 / math.log2(3) + 0.5
+    assert out["q1"] == (3, 2, round(2 / 3, 4), round(1.5 / idcg3, 4))
+    # q2: hit y@2 -> recall 1; DCG = 1/log2(3), IDCG@3(1 rel) = 1
+    assert out["q2"] == (1, 1, 1.0, round(1 / math.log2(3), 4))
+    # query with relevant items but nothing ranked -> zeros, not dropped
+    truth2 = truth.union(spark.createDataFrame([("q9", "k")], truth.schema))
+    out2 = {
+        r["q"]: r["recall_at_k"]
+        for r in ranking_metrics(ranked, truth2, "q", "item", "rank", k=3).collect()
+    }
+    assert out2["q9"] == 0.0
