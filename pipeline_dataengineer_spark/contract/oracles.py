@@ -3878,3 +3878,37 @@ SELECT n.qid, n.n_relevant,
        round(coalesce(h.dcg, 0.0) / i.v, 4) AS ndcg_at_k
 FROM nrel n LEFT JOIN hits h ON n.qid = h.qid JOIN idcg i ON n.qid = i.qid
 """
+
+ORACLES["q_funnel_windowed"] = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch(date_trunc('second', ts)) AS sec
+  FROM events),
+pe AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN sec END) AS f0,
+         min(CASE WHEN event_type = 'click' THEN sec END) AS f1,
+         min(CASE WHEN event_type = 'purchase' THEN sec END) AS f2
+  FROM ev GROUP BY user_id),
+chain AS (
+  SELECT f0 AS r0,
+         CASE WHEN f0 IS NOT NULL AND f1 IS NOT NULL AND f1 > f0
+               AND f1 - f0 <= 172800 THEN f1 END AS r1_pre
+  FROM pe),
+chain2 AS (
+  SELECT pe.f0 AS r0,
+         CASE WHEN pe.f0 IS NOT NULL AND pe.f1 IS NOT NULL AND pe.f1 > pe.f0
+               AND pe.f1 - pe.f0 <= 172800 THEN pe.f1 END AS r1,
+         pe.f2
+  FROM pe),
+chain3 AS (
+  SELECT r0, r1,
+         CASE WHEN r1 IS NOT NULL AND f2 IS NOT NULL AND f2 > r1
+               AND f2 - r0 <= 172800 THEN f2 END AS r2
+  FROM chain2)
+SELECT 'view' AS step, 1 AS step_idx, count(r0) AS n_entities FROM chain3
+UNION ALL
+SELECT 'click', 2, count(r1) FROM chain3
+UNION ALL
+SELECT 'purchase', 3, count(r2) FROM chain3
+"""

@@ -5874,3 +5874,22 @@ def q_ranking_metrics(spark, sf_dir):
         .select("qid", "vec_id")
     )
     return ranking_metrics(ranked, truth, "qid", "vec_id", "rank", k=10)
+
+
+@query("q_funnel_windowed")
+def q_funnel_windowed(spark, sf_dir):
+    """Conversion-window funnel (operators/events.py:funnel_windowed):
+    view → click → purchase where each later step lands within 2 days
+    of the entity's first view — single-shuffle conditional-aggregate
+    shape, window test as a column expression."""
+    from pipeline_dataengineer_spark.operators.events import funnel_windowed
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec"),
+    )
+    return funnel_windowed(
+        ev, "user_id", "event_type", "sec",
+        ["view", "click", "purchase"], max_span=2 * 86_400,
+    )

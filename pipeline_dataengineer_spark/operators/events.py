@@ -226,3 +226,69 @@ def rolling_distinct(
     return contrib.groupBy(*g, "day").agg(
         F.count_distinct("__e").alias("n_distinct")
     )
+
+
+def funnel_windowed(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    order_col: str,
+    steps: list[str],
+    max_span: float,
+) -> DataFrame:
+    """``funnel`` with a CONVERSION WINDOW: step k counts only when
+    it also lands within ``max_span`` of the funnel's step-1 time
+    ("signed up, then purchased within 7 days" — without the bound,
+    a purchase three years later still 'converts', which is never
+    what growth analysis means). ``max_span`` is in ``order_col``
+    units. Same single-shuffle shape as ``funnel``: one conditional-
+    aggregate pass per entity, chain + window test as narrow column
+    expressions, one final per-step count."""
+    base = df.select(
+        F.col(entity_col).alias("__e"),
+        F.col(type_col).alias("__t"),
+        F.col(order_col).alias("__o"),
+    )
+    per_entity = base.groupBy("__e").agg(
+        *[
+            F.min(F.when(F.col("__t") == s, F.col("__o"))).alias(f"__first_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    reach_cols: list[Column] = [F.col("__first_0")]
+    for i in range(1, len(steps)):
+        prev = reach_cols[i - 1]
+        cur = F.col(f"__first_{i}")
+        reach_cols.append(
+            F.when(
+                prev.isNotNull()
+                & cur.isNotNull()
+                & (cur > prev)
+                & (cur - F.col("__first_0") <= max_span),
+                cur,
+            )
+        )
+    tagged = per_entity.select(
+        *[r.alias(f"__reach_{i}") for i, r in enumerate(reach_cols)]
+    )
+    counts = tagged.agg(
+        *[
+            F.count(F.col(f"__reach_{i}")).alias(f"__n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("step"),
+                        F.lit(i + 1).alias("step_idx"),
+                        F.col(f"__n_{i}").alias("n_entities"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step", "r.step_idx", "r.n_entities")

@@ -74,3 +74,24 @@ def test_cohort_retention_month_periods_are_month_numbers(spark):
     }
     with pytest.raises(ValueError, match="period"):
         cohort_retention(df, "user_id", "ts", period="quarter")
+
+
+def test_funnel_windowed_enforces_span(spark):
+    from pipeline_dataengineer_spark.operators.events import funnel_windowed
+
+    rows = [
+        # u1 completes inside the window (span 10)
+        (1, "a", 0), (1, "b", 3), (1, "c", 8),
+        # u2: step c lands past the span from step a -> stops at b
+        (2, "a", 0), (2, "b", 5), (2, "c", 50),
+        # u3: b out of window entirely
+        (3, "a", 0), (3, "b", 30),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, o long")
+    got = {
+        r["step"]: r["n_entities"]
+        for r in funnel_windowed(
+            df, "u", "t", "o", ["a", "b", "c"], max_span=10
+        ).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 1}
