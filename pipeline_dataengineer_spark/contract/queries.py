@@ -5893,3 +5893,29 @@ def q_funnel_windowed(spark, sf_dir):
         ev, "user_id", "event_type", "sec",
         ["view", "click", "purchase"], max_span=2 * 86_400,
     )
+
+
+@query("q_markov_attr")
+def q_markov_attr(spark, sf_dir):
+    """Markov removal-effect attribution (operators/attribution.py:
+    markov_attribution). Rows-only by design: the absorbing-chain
+    solve is a driver-side matrix inversion SQL cannot replay; the
+    transition-count framing reuses the oracle-checked journey
+    machinery of q_position_attr/q_time_decay_attr, and removal
+    effects are pytest-pinned on a closed-form chain."""
+    from pipeline_dataengineer_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.unix_timestamp(F.date_trunc("second", "ts")) * 1_000_000
+            + F.col("event_id") % 1_000_000
+        ).alias("ord"),
+        "event_type",
+    )
+    return markov_attribution(
+        ev, ["user_id"], "ord", "event_type",
+        F.col("event_type") == "purchase",
+    )

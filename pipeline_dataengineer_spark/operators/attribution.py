@@ -199,3 +199,121 @@ def time_decay_attribution(
         .groupBy(channel_col)
         .agg(F.round(F.sum("__credit"), 4).alias("credit"))
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    channel_col: str,
+    is_conversion: Column,
+    round_to: int = 4,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    model: journeys become paths through a first-order Markov chain
+    (START → touches → CONV / DROP), and a channel's credit is its
+    REMOVAL EFFECT — how much the chain's conversion probability
+    falls when every transition through that channel is redirected to
+    DROP — normalized over channels and scaled to total conversions.
+    Unlike rule-based models (linear / U-shaped / decay), credit
+    comes from observed path structure.
+
+    Spark shape: journey framing + lag build the transition pairs in
+    one key shuffle; transition COUNTS are a combinable aggregate
+    whose size is (channels + 2)² — a model constant — and only that
+    matrix reaches the driver, where the absorbing-chain probability
+    is solved with numpy (|channels| ≤ hundreds; the corpus is never
+    collected). Returns (channel, removal_effect, credit)."""
+    import numpy as np
+
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    jid = F.coalesce(
+        F.sum(is_conversion.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    marked = df.withColumn("__jid", jid).withColumn(
+        "__conv", is_conversion.cast("long")
+    )
+    jw = Window.partitionBy(*key_cols, "__jid").orderBy(order_col)
+    # state sequence within a journey: touches keep their channel,
+    # the conversion event closes with CONV; journeys without a
+    # conversion close with DROP (added per journey below)
+    seq = marked.withColumn(
+        "__state",
+        F.when(F.col("__conv") == 1, F.lit("__CONV__")).otherwise(
+            F.col(channel_col).cast("string")
+        ),
+    ).withColumn("__prev", F.lag("__state").over(jw))
+    inner = seq.select(
+        F.coalesce("__prev", F.lit("__START__")).alias("src"),
+        F.col("__state").alias("dst"),
+    )
+    # journey terminations without conversion -> DROP
+    last = seq.groupBy(*key_cols, "__jid").agg(
+        F.max_by("__state", F.col(order_col)).alias("src"),
+        F.max("__conv").alias("__c"),
+    )
+    drops = last.filter(F.col("__c") == 0).select(
+        "src", F.lit("__DROP__").alias("dst")
+    )
+    trans = (
+        inner.unionByName(drops)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    # driver-side absorbing chain: states = START + channels
+    states = sorted(
+        {r["src"] for r in trans if r["src"] not in ("__CONV__",)}
+        | {r["dst"] for r in trans if r["dst"] not in ("__CONV__", "__DROP__")}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    counts = np.zeros((k, k + 2))  # cols: states..., CONV, DROP
+    for r in trans:
+        if r["src"] in ("__CONV__",):
+            continue
+        j = (
+            k if r["dst"] == "__CONV__"
+            else k + 1 if r["dst"] == "__DROP__"
+            else idx[r["dst"]]
+        )
+        counts[idx[r["src"]], j] += r["n"]
+
+    def conv_prob(blocked: str | None) -> float:
+        c = counts.copy()
+        if blocked is not None:
+            b = idx[blocked]
+            # transitions INTO the blocked channel become drops;
+            # its own outgoing row is unreachable
+            c[:, k + 1] += c[:, b]
+            c[:, b] = 0
+        tot = c.sum(axis=1, keepdims=True)
+        tot[tot == 0] = 1.0
+        p = c / tot
+        Q, RC = p[:, :k], p[:, k]
+        sol = np.linalg.solve(np.eye(k) - Q, RC)
+        return float(sol[idx["__START__"]])
+
+    base = conv_prob(None)
+    channels = [s for s in states if s != "__START__"]
+    effects = {
+        ch: max(0.0, 1.0 - (conv_prob(ch) / base if base > 0 else 0.0))
+        for ch in channels
+    }
+    total_eff = sum(effects.values()) or 1.0
+    total_conv = counts[:, k].sum()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                ch,
+                round(float(effects[ch]), round_to),
+                round(float(effects[ch] / total_eff * total_conv), round_to),
+            )
+            for ch in sorted(channels)
+        ],
+        f"{channel_col} string, removal_effect double, credit double",
+    )

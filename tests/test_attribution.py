@@ -99,3 +99,33 @@ def test_time_decay_attribution_recency_bias(spark):
     assert out == {"old": round(1 / 3, 4), "recent": round(2 / 3, 4)}
     # journeys pay out exactly 1.0 total
     assert round(sum(out.values()), 4) == 1.0
+
+
+def test_markov_attribution_removal_effects(spark):
+    from pipeline_dataengineer_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    # 2 converting journeys through A, 1 through B, 1 B journey drops:
+    # removing A kills 2/3 of conversions; removing B kills 1/3 of
+    # the converting mass but B also carries a drop
+    rows = [
+        (1, 1, "A"), (1, 2, "CONV"),
+        (2, 1, "A"), (2, 2, "CONV"),
+        (3, 1, "B"), (3, 2, "CONV"),
+        (4, 1, "B"),                      # never converts
+    ]
+    df = spark.createDataFrame(rows, "u long, o long, ch string")
+    out = {
+        r["ch"]: (r["removal_effect"], r["credit"])
+        for r in markov_attribution(
+            df, ["u"], "o", "ch", F.col("ch") == "CONV"
+        ).collect()
+    }
+    # base conv prob = 3/4. Remove A -> only B path: P(conv) = (2/4)*(1/2) = 1/4
+    # effect_A = 1 - (1/4)/(3/4) = 2/3. Remove B -> (2/4)*1 = 1/2; effect_B = 1/3
+    assert out["A"][0] == round(2 / 3, 4)
+    assert out["B"][0] == round(1 / 3, 4)
+    # credits normalize to total conversions (3)
+    assert round(out["A"][1] + out["B"][1], 3) == 3.0
+    assert out["A"][1] == 2.0 and out["B"][1] == 1.0
