@@ -3912,3 +3912,62 @@ SELECT 'click', 2, count(r1) FROM chain3
 UNION ALL
 SELECT 'purchase', 3, count(r2) FROM chain3
 """
+
+ORACLES["q_funnel_step_times"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch(date_trunc('second', ts)) AS sec
+  FROM events),
+pe AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN sec END) AS f0,
+         min(CASE WHEN event_type = 'click' THEN sec END) AS f1,
+         min(CASE WHEN event_type = 'purchase' THEN sec END) AS f2
+  FROM ev GROUP BY user_id),
+chain AS (
+  SELECT f0 AS r0,
+         CASE WHEN f0 IS NOT NULL AND f1 IS NOT NULL AND f1 > f0 THEN f1 END AS r1
+  FROM pe),
+chain2 AS (
+  SELECT pe.f0 AS r0,
+         CASE WHEN pe.f0 IS NOT NULL AND pe.f1 IS NOT NULL AND pe.f1 > pe.f0
+              THEN pe.f1 END AS r1,
+         pe.f2
+  FROM pe),
+chain3 AS (
+  SELECT r0, r1,
+         CASE WHEN r1 IS NOT NULL AND f2 IS NOT NULL AND f2 > r1 THEN f2 END AS r2
+  FROM chain2),
+g AS (SELECT r1 - r0 AS g1, r2 - r1 AS g2 FROM chain3)
+SELECT 'view->click' AS transition, 1 AS step_idx,
+       count(g1) AS n_entities,
+       round(quantile_cont(g1, 0.5), 4) AS p50_gap,
+       round(quantile_cont(g1, 0.9), 4) AS p90_gap
+FROM g
+UNION ALL
+SELECT 'click->purchase', 2, count(g2),
+       round(quantile_cont(g2, 0.5), 4), round(quantile_cont(g2, 0.9), 4)
+FROM g
+"""
+
+ORACLES["q_top_paths"] = """
+WITH ev AS (
+  SELECT user_id,
+         epoch(date_trunc('second', ts)) * 1000000 + event_id % 1000000 AS ord,
+         event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+m AS (
+  SELECT *, coalesce(sum(conv) OVER (PARTITION BY user_id ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM ev),
+pj AS (
+  SELECT user_id, jid,
+         string_agg(CASE WHEN conv = 0 THEN event_type END, '>' ORDER BY ord)
+           AS path,
+         max(conv) AS c
+  FROM m GROUP BY user_id, jid)
+SELECT path, count(*) AS n_journeys
+FROM pj WHERE c = 1 AND path IS NOT NULL AND path <> ''
+GROUP BY path
+ORDER BY n_journeys DESC, path ASC LIMIT 20
+"""

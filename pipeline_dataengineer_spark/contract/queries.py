@@ -5919,3 +5919,41 @@ def q_markov_attr(spark, sf_dir):
         ev, ["user_id"], "ord", "event_type",
         F.col("event_type") == "purchase",
     )
+
+
+@query("q_funnel_step_times")
+def q_funnel_step_times(spark, sf_dir):
+    """Funnel stall diagnostic (operators/events.py:funnel_step_times):
+    per step transition, in-order reach count + exact median/p90 gap
+    seconds — same conditional-aggregate frame as q_funnel."""
+    from pipeline_dataengineer_spark.operators.events import funnel_step_times
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec"),
+    )
+    return funnel_step_times(
+        ev, "user_id", "event_type", "sec", ["view", "click", "purchase"]
+    )
+
+
+@query("q_top_paths")
+def q_top_paths(spark, sf_dir):
+    """Top converting paths (operators/events.py:top_paths): ordered
+    touch sequences of converted journeys, counted, deterministic
+    top-20. Order key = composite integer (as q_position_attr)."""
+    from pipeline_dataengineer_spark.operators.events import top_paths
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.unix_timestamp(F.date_trunc("second", "ts")) * 1_000_000
+            + F.col("event_id") % 1_000_000
+        ).alias("ord"),
+        "event_type",
+    )
+    return top_paths(
+        ev, ["user_id"], "ord", "event_type",
+        F.col("event_type") == "purchase", top_n=20,
+    )

@@ -292,3 +292,119 @@ def funnel_windowed(
         ).alias("r")
     )
     return rows.select("r.step", "r.step_idx", "r.n_entities")
+
+
+def funnel_step_times(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    order_col: str,
+    steps: list[str],
+    round_to: int = 4,
+) -> DataFrame:
+    """Time-to-convert distribution between consecutive funnel steps:
+    for each step transition, the count of entities that made it
+    in-order plus the exact median and p90 of the gap — the "where
+    does the funnel stall" diagnostic. Same single-shuffle
+    conditional-aggregate frame as ``funnel``; the quantiles run over
+    step-pair-sized columns of the per-entity table."""
+    base = df.select(
+        F.col(entity_col).alias("__e"),
+        F.col(type_col).alias("__t"),
+        F.col(order_col).alias("__o"),
+    )
+    per_entity = base.groupBy("__e").agg(
+        *[
+            F.min(F.when(F.col("__t") == s, F.col("__o"))).alias(f"__first_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    reach: list[Column] = [F.col("__first_0")]
+    for i in range(1, len(steps)):
+        prev = reach[i - 1]
+        cur = F.col(f"__first_{i}")
+        reach.append(F.when(prev.isNotNull() & cur.isNotNull() & (cur > prev), cur))
+    tagged = per_entity.select(
+        *[r.alias(f"__r{i}") for i, r in enumerate(reach)]
+    )
+    gaps = tagged.select(
+        *[
+            (F.col(f"__r{i}") - F.col(f"__r{i-1}")).alias(f"__g{i}")
+            for i in range(1, len(steps))
+        ]
+    )
+    agg = gaps.agg(
+        *[
+            a
+            for i in range(1, len(steps))
+            for a in (
+                F.count(F.col(f"__g{i}")).alias(f"__n{i}"),
+                F.round(
+                    F.percentile(F.col(f"__g{i}"), F.lit(0.5)), round_to
+                ).alias(f"__p50_{i}"),
+                F.round(
+                    F.percentile(F.col(f"__g{i}"), F.lit(0.9)), round_to
+                ).alias(f"__p90_{i}"),
+            )
+        ]
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{steps[i-1]}->{steps[i]}").alias("transition"),
+                        F.lit(i).alias("step_idx"),
+                        F.col(f"__n{i}").alias("n_entities"),
+                        F.col(f"__p50_{i}").alias("p50_gap"),
+                        F.col(f"__p90_{i}").alias("p90_gap"),
+                    )
+                    for i in range(1, len(steps))
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*")
+
+
+def top_paths(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    channel_col: str,
+    is_conversion: Column,
+    top_n: int = 20,
+) -> DataFrame:
+    """Most common converting paths: each converted journey's ordered
+    touch sequence collapsed to a '>'-joined path string, counted,
+    top-N by frequency (deterministic tie-break on the path). One key
+    shuffle frames journeys; path assembly is the ordered-struct
+    sort_array groupBy; the count table is path-cardinality-sized."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    jid = F.coalesce(
+        F.sum(is_conversion.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    marked = df.withColumn("__jid", jid).withColumn(
+        "__conv", is_conversion.cast("long")
+    )
+    per_j = marked.groupBy(*key_cols, "__jid").agg(
+        F.array_join(
+            F.expr(
+                f"transform(sort_array(collect_list(CASE WHEN __conv = 0 "
+                f"THEN struct({order_col} AS o, {channel_col} AS c) END)), "
+                "x -> x.c)"
+            ),
+            ">",
+        ).alias("path"),
+        F.max("__conv").alias("__c"),
+    )
+    return (
+        per_j.filter((F.col("__c") == 1) & (F.col("path") != ""))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), F.col("path").asc())
+        .limit(top_n)
+    )

@@ -95,3 +95,37 @@ def test_funnel_windowed_enforces_span(spark):
         ).collect()
     }
     assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_funnel_step_times_gaps(spark):
+    from pipeline_dataengineer_spark.operators.events import funnel_step_times
+
+    rows = [
+        (1, "a", 0), (1, "b", 10), (1, "c", 30),   # gaps 10, 20
+        (2, "a", 0), (2, "b", 20),                 # gap 20, no c
+        (3, "b", 5),                               # never starts
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, o long")
+    got = {
+        r["transition"]: (r["n_entities"], r["p50_gap"], r["p90_gap"])
+        for r in funnel_step_times(df, "u", "t", "o", ["a", "b", "c"]).collect()
+    }
+    assert got["a->b"][0] == 2 and got["a->b"][1] == 15.0  # median of {10,20}
+    assert got["b->c"] == (1, 20.0, 20.0)
+
+
+def test_top_paths_orders_and_filters(spark):
+    from pipeline_dataengineer_spark.operators.events import top_paths
+
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "CONV"),
+        (2, 1, "A"), (2, 2, "B"), (2, 3, "CONV"),
+        (3, 1, "B"), (3, 2, "CONV"),
+        (4, 1, "Z"),                      # non-converting: excluded
+    ]
+    df = spark.createDataFrame(rows, "u long, o long, ch string")
+    got = [
+        (r["path"], r["n_journeys"])
+        for r in top_paths(df, ["u"], "o", "ch", F.col("ch") == "CONV").collect()
+    ]
+    assert got == [("A>B", 2), ("B", 1)]
