@@ -115,6 +115,8 @@ def test_funnel_step_times_gaps(spark):
 
 
 def test_top_paths_orders_and_filters(spark):
+    from pyspark.sql import functions as F
+
     from pipeline_dataengineer_spark.operators.events import top_paths
 
     rows = [
