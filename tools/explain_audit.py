@@ -255,6 +255,23 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_gopher_filter": ([], ["Exchange"]),
     # int8 quantize: stats explode + broadcast arrays, no SMJ
     "q_int8_quantize": (["Generate"], ["SortMergeJoin"]),
+    # round-3 continuation, seventh/eighth batches
+    # global exact quantiles: distributed total order — no Window op
+    "q_global_quantiles": ([], ["Window"]),
+    # PSI: bins broadcast into both fact sides; the FULL OUTER of the
+    # two <= n_bins count tables is a (tiny) sort-merge — full outer
+    # cannot broadcast in Spark, so SMJ on bin-sized input is the
+    # right plan. Assert only that no Window sneaks in.
+    "q_psi_drift": (["BroadcastNestedLoopJoin"], ["Window"]),
+    # phrase search: index cut then ONE group — no join of position
+    # lists (the consecutive test is an array expression)
+    "q_phrase_search": (["ObjectHashAggregate"], ["SortMergeJoin"]),
+    # stream anti (batch parity): equi key + range residual hash join
+    "q_interval_join_anti": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # funnel stall times: one conditional-aggregate pass, no join
+    "q_funnel_step_times": (["HashAggregate"], ["Join"]),
+    # top paths: ordered-struct reassembly + count, no join
+    "q_top_paths": (["ObjectHashAggregate", "TakeOrderedAndProject"], ["Join"]),
     # round-3 continuation, second half
     # haversine/hamming joins: grid/band equi-joins, never BNLJ
     "q_haversine_join": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
