@@ -3971,3 +3971,24 @@ FROM pj WHERE c = 1 AND path IS NOT NULL AND path <> ''
 GROUP BY path
 ORDER BY n_journeys DESC, path ASC LIMIT 20
 """
+
+ORACLES["q_forecast_metrics"] = """
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate,
+         round(sum(o_totalprice), 2) AS actual
+  FROM orders GROUP BY 1, 2),
+scored AS (
+  SELECT o_orderpriority, actual,
+         lag(actual) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_orderdate) AS forecast
+  FROM daily),
+ok AS (SELECT * FROM scored WHERE actual IS NOT NULL AND forecast IS NOT NULL)
+SELECT o_orderpriority, count(*) AS n,
+       round(avg(abs(forecast - actual)), 4) AS mae,
+       round(sqrt(avg((forecast - actual) * (forecast - actual))), 4) AS rmse,
+       round(avg(CASE WHEN abs(actual) + abs(forecast) = 0 THEN 0.0
+                 ELSE 2.0 * abs(forecast - actual)
+                      / (abs(actual) + abs(forecast)) END), 4) AS smape,
+       round(avg(forecast - actual), 4) AS bias
+FROM ok GROUP BY o_orderpriority
+"""

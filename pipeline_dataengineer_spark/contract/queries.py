@@ -5957,3 +5957,25 @@ def q_top_paths(spark, sf_dir):
         ev, ["user_id"], "ord", "event_type",
         F.col("event_type") == "purchase", top_n=20,
     )
+
+
+@query("q_forecast_metrics")
+def q_forecast_metrics(spark, sf_dir):
+    """Forecast evaluation (operators/timeseries.py:forecast_metrics):
+    naive lag-1 forecast of daily order totals per priority, scored
+    with MAE/RMSE/sMAPE/bias — one combinable aggregate per series."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        forecast_metrics,
+    )
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("actual"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    scored = daily.withColumn("forecast", F.lag("actual").over(w))
+    return forecast_metrics(
+        scored, ["o_orderpriority"], "actual", "forecast"
+    )

@@ -563,3 +563,34 @@ def time_weighted_avg(
             F.sum(F.col("__v") * F.col("__ov")) / F.sum("__ov"), round_to
         ).alias("tw_avg"),
     )
+
+
+def forecast_metrics(
+    df: DataFrame,
+    key_cols: list[str],
+    actual_col: str,
+    forecast_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-series forecast accuracy: MAE, RMSE, sMAPE (the
+    scale-free symmetric percentage error — plain MAPE explodes on
+    near-zero actuals), and bias (mean signed error). One combinable
+    aggregate per key — the evaluation loop-closer for holt_linear /
+    ewma the way ranking_eval closes retrieval. Rows where either
+    side is NULL are skipped (count reported)."""
+    a, f = F.col(actual_col), F.col(forecast_col)
+    both = a.isNotNull() & f.isNotNull()
+    err = F.when(both, f - a)
+    smape_term = F.when(
+        both,
+        F.when(
+            (F.abs(a) + F.abs(f)) == 0, F.lit(0.0)
+        ).otherwise(2.0 * F.abs(f - a) / (F.abs(a) + F.abs(f))),
+    )
+    return df.groupBy(*key_cols).agg(
+        F.count(F.when(both, 1)).alias("n"),
+        F.round(F.avg(F.abs(err)), round_to).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), round_to).alias("rmse"),
+        F.round(F.avg(smape_term), round_to).alias("smape"),
+        F.round(F.avg(err), round_to).alias("bias"),
+    )
