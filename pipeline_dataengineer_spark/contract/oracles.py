@@ -3992,3 +3992,23 @@ SELECT o_orderpriority, count(*) AS n,
        round(avg(forecast - actual), 4) AS bias
 FROM ok GROUP BY o_orderpriority
 """
+
+ORACLES["q_containment"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substring(text, 1, 60) FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         substring(lower(text), CAST(r.i AS INT) + 1, 5) AS g
+  FROM corpus, LATERAL (
+    SELECT unnest(range(greatest(length(text) - 4, 1))) AS i) r),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(i / s.sz, 4) AS containment
+FROM inter JOIN sizes s ON s.doc_id = id_a
+WHERE i / s.sz >= 0.9
+"""

@@ -5979,3 +5979,25 @@ def q_forecast_metrics(spark, sf_dir):
     return forecast_metrics(
         scored, ["o_orderpriority"], "actual", "forecast"
     )
+
+
+@query("q_containment")
+def q_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (operators/dedup.py:
+    containment_pairs): each doc's FIRST HALF is unioned in as a
+    synthetic fragment (id + 1M) — fragments must be detected inside
+    their full documents at high containment while the full docs
+    score low toward their halves. Exact shingle-set kernel,
+    hash-checked (xxhash64 is Spark-side only, but the oracle can
+    group on the shingle STRING — identical sets, collision-free)."""
+    from pipeline_dataengineer_spark.operators.dedup import containment_pairs
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 1, 60).alias("text"),
+    )
+    corpus = d.unionByName(halves)
+    return containment_pairs(
+        corpus, "doc_id", "text", shingle_n=5, min_containment=0.9
+    )

@@ -784,3 +784,84 @@ def hamming_near_duplicates(
         .groupBy("id_a", "id_b")
         .agg(F.min(dist).alias("hamming_distance"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_containment: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(a→b) = |S(a) ∩ S(b)| / |S(a)|
+    over character-shingle sets — catches a document EMBEDDED in a
+    bigger one (quote farms, scraped aggregations, prompt+answer
+    packaging), where symmetric Jaccard stays low precisely because
+    the container is large. Returns (id_a, id_b, containment) with
+    containment(a→b) ≥ threshold, both directions reported
+    independently.
+
+    Scale shape: distinct 8-byte shingle hashes explode once; the
+    pair-intersection count is ONE equi-join on the shingle key plus
+    a combinable count per (a, b) — linear in total co-occurrences,
+    never the all-pairs product; per-doc sizes join back broadcast-
+    or-hash as AQE decides. ``max_shingle_df`` is the audited
+    stopword-shingle cap (the exact two-phase shape of
+    ``inverted_index``'s posting cap): ubiquitous shingles are
+    dropped BEFORE the join, the drop logged and reported via
+    ``.containment_audit``."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col(text_col), shingle_n),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("__h"),
+        )
+    )
+    audit = {"dropped_shingles": 0}
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("__h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+        )
+        n_hot = hot.count()
+        audit = {"dropped_shingles": int(n_hot)}
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "containment_pairs: dropped %d shingles with doc_freq > %d",
+                n_hot,
+                max_shingle_df,
+            )
+            sh = sh.join(F.broadcast(hot.select("__h")), "__h", "left_anti")
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "__h")
+    b = sh.select(F.col("__id").alias("id_b"), "__h")
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__inter") / F.col("__sz")).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            "id_a", "id_b", F.round("containment", 4).alias("containment")
+        )
+    )
+    out.containment_audit = audit
+    return out

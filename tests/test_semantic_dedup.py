@@ -57,3 +57,37 @@ def test_output_keeps_all_columns(vecs):
 
     kept = semantic_dedup(vecs, threshold=0.999, k=3)
     assert set(kept.columns) == {"vec_id", "embedding", "cluster"}
+
+
+def test_containment_pairs_detects_fragment(spark):
+    from pipeline_dataengineer_spark.operators.dedup import containment_pairs
+
+    full = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, full),
+        (2, full[:30]),                    # fragment of 1
+        (3, "completely different content with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", "text", min_containment=0.9
+        ).collect()
+    }
+    assert (2, 1) in out and out[(2, 1)] >= 0.9   # fragment inside full
+    assert (1, 2) not in out                       # asymmetric: full not in fragment
+    assert not any(3 in pair for pair in out)
+
+
+def test_containment_pairs_shingle_cap_audited(spark):
+    from pipeline_dataengineer_spark.operators.dedup import containment_pairs
+
+    # a shingle present in EVERY doc gets dropped by the cap
+    rows = [(i, f"shared-prefix-{i} unique tail {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(
+        df, "doc_id", "text", min_containment=0.5, max_shingle_df=5
+    )
+    audit_after = out.collect()  # eager count pass ran inside
+    assert out.containment_audit["dropped_shingles"] > 0
