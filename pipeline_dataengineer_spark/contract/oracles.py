@@ -4012,3 +4012,13 @@ SELECT id_a, id_b, round(i / s.sz, 4) AS containment
 FROM inter JOIN sizes s ON s.doc_id = id_a
 WHERE i / s.sz >= 0.9
 """
+
+ORACLES["q_nth_value"] = """
+SELECT DISTINCT o_custkey,
+       nth_value(o_totalprice, 3) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS third_biggest,
+       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+"""

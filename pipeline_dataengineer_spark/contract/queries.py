@@ -6001,3 +6001,26 @@ def q_containment(spark, sf_dir):
     return containment_pairs(
         corpus, "doc_id", "text", shingle_n=5, min_containment=0.9
     )
+
+
+@query("q_nth_value")
+def q_nth_value(spark, sf_dir):
+    """Window surface completion: nth_value with frame-sensitive
+    semantics (full-partition frame so the 3rd value is defined for
+    every row), ignoring vs respecting order ties via deterministic
+    tie-broken ordering."""
+    from pipeline_dataengineer_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """
+        SELECT DISTINCT o_custkey,
+               nth_value(o_totalprice, 3) OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS third_biggest,
+               count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders
+        """,
+        sf_dir,
+    )

@@ -865,3 +865,33 @@ def containment_pairs(
     )
     out.containment_audit = audit
     return out
+
+
+def drop_contained_fragments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_containment: float = 0.9,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Corpus cleanup composed from ``containment_pairs``: remove
+    every document ≥ ``min_containment`` contained in a LARGER
+    document (ties on size keep the smaller id), keeping containers.
+    Total over the input minus fragments; the drop set is
+    fragment-count-sized, applied as one LEFT ANTI join."""
+    pairs = containment_pairs(
+        df, id_col, text_col, shingle_n, min_containment, max_shingle_df
+    )
+    lens = df.select(
+        F.col(id_col).alias("__lid"), F.length(text_col).alias("__len")
+    )
+    sized = (
+        pairs.join(lens.withColumnRenamed("__lid", "id_a").withColumnRenamed("__len", "__la"), "id_a")
+        .join(lens.withColumnRenamed("__lid", "id_b").withColumnRenamed("__len", "__lb"), "id_b")
+    )
+    frags = sized.filter(
+        (F.col("__la") < F.col("__lb"))
+        | ((F.col("__la") == F.col("__lb")) & (F.col("id_a") > F.col("id_b")))
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return df.join(frags, id_col, "left_anti")

@@ -91,3 +91,18 @@ def test_containment_pairs_shingle_cap_audited(spark):
     )
     audit_after = out.collect()  # eager count pass ran inside
     assert out.containment_audit["dropped_shingles"] > 0
+
+
+def test_drop_contained_fragments_keeps_container(spark):
+    from pipeline_dataengineer_spark.operators.dedup import (
+        drop_contained_fragments,
+    )
+
+    full = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, full), (2, full[:30]), (3, "unrelated fresh text here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in drop_contained_fragments(df, "doc_id", "text").collect()
+    }
+    assert kept == {1, 3}  # fragment 2 dropped, container + unrelated kept
