@@ -177,3 +177,35 @@ def split_commercialisation_dates(col: Column | str) -> tuple[Column, Column]:
         .otherwise(F.lit(None))
     )
     return start, end
+
+
+# Smart punctuation -> ASCII map (the corpus-cleaning companion to
+# strip_accents: web text arrives with typographic quotes, en/em
+# dashes, ellipsis, NBSP-family spaces; models and dedup keys want
+# one canonical form). Single-char translations ride ONE translate
+# call; the multi-char expansions (ellipsis, quotes that widen) are
+# a short regexp_replace chain. All Java-regex/RE2-portable.
+_PUNCT_ONE = {
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "–": "-", "—": "-", "―": "-", "−": "-",
+    " ": " ", " ": " ", " ": " ", " ": " ",
+    " ": " ", " ": " ", " ": " ", "　": " ",
+    "´": "'", "ʼ": "'", "′": "'", "″": '"',
+}
+
+
+def normalize_punctuation(col: Column | str) -> Column:
+    """Canonicalize typographic punctuation to ASCII: curly quotes,
+    primes, dash family, ellipsis, and the unicode space family;
+    zero-width characters are deleted. One translate + three
+    regexp_replace — a fused codegen projection, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    src = "".join(_PUNCT_ONE.keys())
+    dst = "".join(_PUNCT_ONE.values())
+    out = F.translate(c, src, dst)
+    out = F.regexp_replace(out, "…", "...")
+    # zero-width space/joiner/non-joiner + BOM: delete
+    out = F.regexp_replace(out, "[​‌‍﻿]", "")
+    # collapse the space runs normalization can create
+    return F.regexp_replace(out, " {2,}", " ")

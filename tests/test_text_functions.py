@@ -163,3 +163,25 @@ def test_gopher_rules_individual_gates(spark):
     assert out[3]["symbol_word_ratio"] > 0.1
     assert out[4]["passes"] is False
     assert out[4]["alpha_word_frac"] == 0.0 and out[4]["stopword_hits"] == 0
+
+
+def test_normalize_punctuation_ascii_canonical(spark):
+    from pipeline_dataengineer_spark.functions.text import (
+        normalize_punctuation,
+    )
+
+    rows = [
+        (1, "“Smart” ‘quotes’ — and spaces…"),
+        (2, "zero​width‌gone"),
+        (3, "plain ascii stays"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", normalize_punctuation("t").alias("n")
+        ).collect()
+    }
+    assert got[1] == '"Smart" \'quotes\' - and spaces...'
+    assert got[2] == "zerowidthgone"
+    assert got[3] == "plain ascii stays"
