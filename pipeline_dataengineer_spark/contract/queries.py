@@ -6024,3 +6024,16 @@ def q_nth_value(spark, sf_dir):
         """,
         sf_dir,
     )
+
+
+@query("q_compression_ratio")
+def q_compression_ratio(spark, sf_dir):
+    """Deflate compression-ratio quality signal
+    (operators/text_features.py:compression_ratio). Rows-only:
+    zlib has no SQL replay; the discriminative behavior (loops
+    compress below prose, noise above) is pytest-pinned."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        compression_ratio,
+    )
+
+    return compression_ratio(table(spark, sf_dir, "documents"))

@@ -428,3 +428,58 @@ def hashed_doc_vectors(
         .agg(pairs.alias("__m"))
         .select(id_col, dense.alias("vector"))
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """(id, n_bytes, ratio): deflate-compressed size over raw UTF-8
+    size — the Dolma/CCNet-family junk signal no token statistic
+    replaces: generation loops, keyword stuffing, and templated spam
+    compress far below prose (ratio ≪ prose's ~0.4–0.7), while
+    high-entropy noise compresses above it. Arrow batch pass (zlib is
+    not expressible in codegen); one pass, no shuffle, docs stay
+    co-located. Empty/NULL docs yield NULL ratio."""
+    import pyarrow as pa
+    import zlib
+
+    from pyspark.sql import types as T
+
+    from pipeline_dataengineer_spark.catalog import scale_out
+
+    src = scale_out(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    )
+    schema = T.StructType(
+        [
+            src.schema["__id"],
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("__id")
+            nb, ratio = [], []
+            for t in batch.column("__text"):
+                s = t.as_py()
+                if not s:
+                    nb.append(0)
+                    ratio.append(None)
+                    continue
+                raw = s.encode("utf-8")
+                nb.append(len(raw))
+                ratio.append(
+                    round(len(zlib.compress(raw, 6)) / len(raw), round_to)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(nb, type=pa.int64()),
+                 pa.array(ratio, type=pa.float64())],
+                names=["__id", "n_bytes", "ratio"],
+            )
+
+    return src.mapInArrow(fn, schema).withColumnRenamed("__id", id_col)

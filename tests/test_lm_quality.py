@@ -221,3 +221,27 @@ def test_hashed_doc_vectors_properties(spark):
         .collect()[0]["cs"]
     )
     assert abs(sim - 1.0) < 1e-9
+
+
+def test_compression_ratio_discriminates(spark):
+    from pipeline_dataengineer_spark.operators.text_features import (
+        compression_ratio,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(800))
+    rows = [
+        (1, "spam spam spam " * 60),            # loop: compresses hard
+        (2, noise),                             # high entropy
+        (3, ""),                                # empty -> NULL ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bytes"], r["ratio"])
+        for r in compression_ratio(df).collect()
+    }
+    assert out[1][1] < 0.1          # repetitive junk
+    assert out[2][1] > 0.5          # noise barely compresses
+    assert out[3] == (0, None)
