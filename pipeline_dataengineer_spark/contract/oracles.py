@@ -4022,3 +4022,26 @@ SELECT DISTINCT o_custkey,
        count(*) OVER (PARTITION BY o_custkey) AS n_orders
 FROM orders
 """
+
+ORACLES["q_association_rules"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 50),
+pairs AS (
+  SELECT l.it AS item_a, r.it AS item_b, count(*) AS nab
+  FROM b l JOIN keep USING (bk) JOIN b r ON l.bk = r.bk AND l.it < r.it
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+dirs AS (
+  SELECT item_a, item_b, nab FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, nab FROM pairs),
+ic AS (SELECT it, count(*) AS ni FROM b GROUP BY it),
+t AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM lineitem)
+SELECT item_a, item_b, nab AS n_together,
+       round(nab / t.n, 4) AS support,
+       round(nab / na.ni, 4) AS confidence,
+       round((nab * t.n) / (na.ni * nb.ni), 4) AS lift
+FROM dirs
+JOIN ic na ON na.it = item_a
+JOIN ic nb ON nb.it = item_b
+CROSS JOIN t
+"""

@@ -6037,3 +6037,17 @@ def q_compression_ratio(spark, sf_dir):
     )
 
     return compression_ratio(table(spark, sf_dir, "documents"))
+
+
+@query("q_association_rules")
+def q_association_rules(spark, sf_dir):
+    """Directed association rules (operators/graph.py:
+    association_rules): support / confidence / lift over the
+    co-occurrence pairs — dimension-sized item counts joined back,
+    1-row basket total broadcast."""
+    from pipeline_dataengineer_spark.operators.graph import association_rules
+
+    li = table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_count=3, max_basket_size=50
+    )

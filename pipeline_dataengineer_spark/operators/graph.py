@@ -745,3 +745,76 @@ def hits(
             new_hub.join(new_auth, "node").localCheckpoint()
         )
     return scores.select("node", "hub", "authority")
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    min_confidence: float = 0.0,
+    max_basket_size: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Market-basket association rules over ``co_occurrence`` pairs:
+    one row per DIRECTED rule a→b with
+
+        support    = n(a,b) / n_baskets
+        confidence = n(a,b) / n(a)
+        lift       = confidence / (n(b) / n_baskets)
+
+    Scale shape: pair counts come from co_occurrence's single
+    basket-key join; per-item basket counts and the total are
+    combinable aggregates joined back (item side dimension-sized,
+    total a 1-row broadcast). Lift > 1 means b is genuinely more
+    likely given a — the recommender/affinity baseline."""
+    pairs = co_occurrence(
+        df, basket_col, item_col, min_count=min_count,
+        max_basket_size=max_basket_size,
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_baskets",
+        )
+    ).withColumnRenamed("n_baskets", "__nab")
+    item_counts = (
+        df.select(basket_col, item_col)
+        .distinct()
+        .groupBy(item_col)
+        .agg(F.count("*").alias("__ni"))
+    )
+    total = df.select(
+        F.count_distinct(basket_col).cast("double").alias("__n")
+    )
+    na = item_counts.select(
+        F.col(item_col).alias("item_a"), F.col("__ni").alias("__na")
+    )
+    nb = item_counts.select(
+        F.col(item_col).alias("item_b"), F.col("__ni").alias("__nb")
+    )
+    out = (
+        both.join(na, "item_a")
+        .join(nb, "item_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("__nab").alias("n_together"),
+            F.round(F.col("__nab") / F.col("__n"), round_to).alias("support"),
+            F.round(F.col("__nab") / F.col("__na"), round_to).alias(
+                "confidence"
+            ),
+            # single division over exact integer products: (nab·N)/(na·nb)
+            # is the same lift with no intermediate-quotient ulps, so
+            # both engines round identically at the 4th decimal
+            F.round(
+                (F.col("__nab") * F.col("__n"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ).alias("lift"),
+        )
+        .filter(F.col("confidence") >= min_confidence)
+    )
+    return out

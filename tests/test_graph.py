@@ -347,3 +347,24 @@ def test_hits_scores_normalized_and_total(spark):
     # node 3 has two in-edges -> highest authority
     top_auth = max(rows, key=lambda r: r["authority"])
     assert top_auth["node"] == 3
+
+
+def test_association_rules_hand_computed(spark):
+    from pipeline_dataengineer_spark.operators.graph import association_rules
+
+    # 4 baskets: {m,b} x2, {m} x1, {b,x} x1
+    rows = [
+        (1, "milk"), (1, "bread"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"),
+        (4, "bread"), (4, "x"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {
+        (r["item_a"], r["item_b"]): (r["support"], r["confidence"], r["lift"])
+        for r in association_rules(df, "bk", "it", min_count=2).collect()
+    }
+    # milk->bread: nab=2, na(milk)=3, nb(bread)=3, N=4
+    assert out[("milk", "bread")] == (0.5, round(2 / 3, 4), round(8 / 9, 4))
+    # bread->milk: confidence 2/3 as well (symmetric counts here)
+    assert out[("bread", "milk")] == (0.5, round(2 / 3, 4), round(8 / 9, 4))
