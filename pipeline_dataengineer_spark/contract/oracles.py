@@ -4045,3 +4045,22 @@ JOIN ic na ON na.it = item_a
 JOIN ic nb ON nb.it = item_b
 CROSS JOIN t
 """
+
+ORACLES["q_date_dimension"] = """
+WITH d AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-12-01', DATE '1996-03-15',
+                                     INTERVAL 1 DAY)) AS DATE) AS date)
+SELECT date,
+       year(date) AS year,
+       quarter(date) AS quarter,
+       month(date) AS month,
+       day(date) AS day_of_month,
+       CAST(weekofyear(date) AS INT) AS iso_week,
+       CAST(isoyear(date) AS INT) AS iso_year,
+       CAST(dayofweek(date) + 1 AS INT) AS day_of_week,
+       dayname(date) AS day_name,
+       date_trunc('month', date) AS month_start,
+       last_day(date) AS month_end,
+       dayofweek(date) IN (0, 6) AS is_weekend
+FROM d
+"""

@@ -6051,3 +6051,14 @@ def q_association_rules(spark, sf_dir):
     return association_rules(
         li, "l_orderkey", "l_partkey", min_count=3, max_basket_size=50
     )
+
+
+@query("q_date_dimension")
+def q_date_dimension(spark, sf_dir):
+    """Warehouse calendar dimension (functions/dates.py:
+    date_dimension): one sequence expression, every standard day
+    attribute, hash-checked across an ISO-week year boundary (the
+    classic off-by-one trap)."""
+    from pipeline_dataengineer_spark.functions.dates import date_dimension
+
+    return date_dimension(spark, "1995-12-01", "1996-03-15")

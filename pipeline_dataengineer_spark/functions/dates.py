@@ -30,3 +30,38 @@ def high_water_mark(df: DataFrame, col: str, overlap_days: int = 1) -> str | Non
     """
     row = df.agg(max_date_minus(col, overlap_days).alias("hwm")).collect()[0]
     return row["hwm"]
+
+
+def date_dimension(spark, start: str, end: str):
+    """Calendar dimension table for [start, end] inclusive: one row
+    per day with the standard warehouse attributes (ISO week/year,
+    quarter, day-of-week, month boundaries, weekend flag). Generated
+    from ONE sequence expression — no driver loop, no data source;
+    at any span the table is date-cardinality-sized and broadcastable
+    against fact tables."""
+    from pyspark.sql import functions as F
+
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("date")
+    )
+    dow = F.dayofweek("date")  # 1=Sunday .. 7=Saturday
+    return days.select(
+        "date",
+        F.year("date").alias("year"),
+        F.quarter("date").alias("quarter"),
+        F.month("date").alias("month"),
+        F.dayofmonth("date").alias("day_of_month"),
+        F.weekofyear("date").alias("iso_week"),
+        F.expr("extract(YEAROFWEEK FROM date)").alias("iso_year"),
+        dow.alias("day_of_week"),
+        F.date_format("date", "EEEE").alias("day_name"),
+        F.trunc("date", "month").alias("month_start"),
+        F.last_day("date").alias("month_end"),
+        dow.isin(1, 7).alias("is_weekend"),
+    )
