@@ -71,3 +71,49 @@ def test_webhook_stream_writer_commits_epochs(spark, tmp_path):
     # one committed epoch per drained micro-batch, with its row audit
     assert sorted(e["total_rows"] for e in epochs) == [30, 50]
     assert len({e["batch_id"] for e in epochs}) == 2
+
+
+def test_cdc_outbox_exports_change_feed(spark, tmp_path):
+    """The outbox composition: a keyed snapshot table's CHANGE FEED
+    between two versions is exported through the webhook sink —
+    inserts and updates leave as JSON events with their change_type,
+    the downstream contract for notifying external systems without
+    dual writes."""
+    import json as _json
+
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        table_changes,
+        upsert_append,
+        write_snapshot,
+    )
+
+    register_webhook_sink(spark)
+    root = str(tmp_path / "outbox_table")
+    hook = tmp_path / "outbox_hook"
+
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        root,
+    )
+    upsert_append(
+        spark,
+        root,
+        spark.createDataFrame([(2, "b2"), (3, "c")], "id long, v string"),
+        keys=["id"],
+    )
+    feed = table_changes(spark, root, 0, 1)
+    (
+        feed.write.format("webhook")
+        .option("endpoint", f"file://{hook}")
+        .mode("append")
+        .save()
+    )
+    events = []
+    for f in glob.glob(f"{hook}/part-*.jsonl"):
+        with open(f) as fh:
+            events += [_json.loads(line) for line in fh if line.strip()]
+    got = {(e["id"], e["new_v"], e["change_type"]) for e in events}
+    assert (3, "c", "insert") in got
+    assert (2, "b2", "update") in got  # the update travels too
+    manifest = _json.load(open(f"{hook}/_MANIFEST.json"))
+    assert manifest["total_rows"] == len(events)
