@@ -4064,3 +4064,53 @@ SELECT date,
        dayofweek(date) IN (0, 6) AS is_weekend
 FROM d
 """
+
+ORACLES["q_hierarchy_share"] = """
+WITH agg AS (
+  SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, rev,
+       round(rev / sum(rev) OVER (PARTITION BY r_name), 4) AS share_of_region,
+       round(rev / sum(rev) OVER (), 4) AS share_of_total
+FROM agg
+"""
+
+
+def _geohash_sql(lat_expr: str, lng_expr: str, precision: int) -> str:
+    """Generate the geohash bit-interleave as SQL text mirroring
+    operators/spatial.geohash exactly (MSB-first, lon-even)."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_q = f"least(CAST(floor((({lng_expr}) + 180.0) / 360.0 * {1 << nlon}) AS BIGINT), {(1 << nlon) - 1})"
+    lat_q = f"least(CAST(floor((({lat_expr}) + 90.0) / 180.0 * {1 << nlat}) AS BIGINT), {(1 << nlat) - 1})"
+    terms = []
+    for i in range(nbits):
+        if i % 2 == 0:
+            src = f"(({lon_q} >> {nlon - 1 - i // 2}) & 1)"
+        else:
+            src = f"(({lat_q} >> {nlat - 1 - i // 2}) & 1)"
+        terms.append(f"({src} << {nbits - 1 - i})")
+    code = " | ".join(terms)
+    chars = [
+        f"substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((((({code})) >> {5 * (precision - 1 - g)}) & 31) + 1 AS INT), 1)"
+        for g in range(precision)
+    ]
+    return " || ".join(chars)
+
+
+ORACLES["q_geohash"] = f"""
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 180000 / 1000.0 - 90.0 AS la,
+         (c_custkey * 69621) % 360000 / 1000.0 - 180.0 AS lo
+  FROM customer)
+SELECT c_custkey, round(la, 3) AS lat, round(lo, 3) AS lng,
+       {_geohash_sql('la', 'lo', 6)} AS gh
+FROM c
+"""

@@ -6062,3 +6062,50 @@ def q_date_dimension(spark, sf_dir):
     from pipeline_dataengineer_spark.functions.dates import date_dimension
 
     return date_dimension(spark, "1995-12-01", "1996-03-15")
+
+
+@query("q_hierarchy_share")
+def q_hierarchy_share(spark, sf_dir):
+    """Share-of-parent drilldown: nation revenue as a share of its
+    region and of the grand total — window sums over the ALREADY
+    AGGREGATED (dimension-sized) table, never a fact self-join."""
+    from pipeline_dataengineer_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """
+        WITH agg AS (
+          SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS rev
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name, rev,
+               round(rev / sum(rev) OVER (PARTITION BY r_name), 4)
+                 AS share_of_region,
+               round(rev / sum(rev) OVER (), 4) AS share_of_total
+        FROM agg
+        """,
+        sf_dir,
+    )
+
+
+@query("q_geohash")
+def q_geohash(spark, sf_dir):
+    """Geohash cell encoding (operators/spatial.py:geohash — pure
+    codegen bit interleave + base32). Coordinates derived from
+    customer keys with the same Lehmer arithmetic as q_spatial_join,
+    so the oracle replays coordinates AND the full bit-interleave
+    (generated programmatically, see oracles.py) exactly."""
+    from pipeline_dataengineer_spark.operators.spatial import geohash
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    lat = ((F.col("c_custkey") * 48271) % 180000) / 1000.0 - 90.0
+    lng = ((F.col("c_custkey") * 69621) % 360000) / 1000.0 - 180.0
+    return c.select(
+        "c_custkey",
+        F.round(lat, 3).alias("lat"),
+        F.round(lng, 3).alias("lng"),
+        geohash(lat, lng, precision=6).alias("gh"),
+    )

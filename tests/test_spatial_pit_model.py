@@ -206,3 +206,28 @@ def test_apply_linear_model_scores_tokenless_docs(spark):
     }
     assert abs(got[2] - 1.0 / (1.0 + math.exp(-2.0))) < 1e-9
     assert set(got) == {1, 2}
+
+
+def test_geohash_reference_vectors(spark):
+    from pipeline_dataengineer_spark.operators.spatial import geohash
+
+    df = spark.createDataFrame(
+        [
+            (57.64911, 10.40744),     # the canonical example
+            (0.0, 0.0),
+            (-25.382708, -49.265506),
+            (90.0, 180.0),            # upper boundary clamps, no overflow
+        ],
+        "lat double, lng double",
+    )
+    got = [r["g"] for r in df.select(geohash("lat", "lng", 7).alias("g")).collect()]
+    assert got[0] == "u4pruyd"
+    assert got[1] == "s000000"
+    assert got[2] == "6gkzwgj"
+    assert len(got[3]) == 7  # boundary clamped, valid hash
+    # prefix property: nearby points share prefixes at lower precision
+    near = spark.createDataFrame(
+        [(57.64911, 10.40744), (57.649, 10.407)], "lat double, lng double"
+    )
+    p5 = [r["g"] for r in near.select(geohash("lat", "lng", 5).alias("g")).collect()]
+    assert p5[0] == p5[1]
