@@ -4114,3 +4114,14 @@ SELECT c_custkey, round(la, 3) AS lat, round(lo, 3) AS lng,
        {_geohash_sql('la', 'lo', 6)} AS gh
 FROM c
 """
+
+ORACLES["q_impute"] = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE round(value, 4) END AS v
+  FROM events),
+m AS (SELECT user_id, median(v) AS fill FROM ev GROUP BY user_id)
+SELECT ev.event_id, ev.user_id, ev.v,
+       round(coalesce(ev.v, m.fill), 4) AS v_f
+FROM ev JOIN m USING (user_id)
+"""

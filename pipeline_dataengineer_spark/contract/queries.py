@@ -6109,3 +6109,24 @@ def q_geohash(spark, sf_dir):
         F.round(lng, 3).alias("lng"),
         geohash(lat, lng, precision=6).alias("gh"),
     )
+
+
+@query("q_impute")
+def q_impute(spark, sf_dir):
+    """Grouped median imputation (operators/scaling.py:impute):
+    events with nulls manufactured on a deterministic slice, filled
+    with each user's median — stats from one combinable aggregate
+    broadcast back, fact side never shuffles."""
+    from pipeline_dataengineer_spark.operators.scaling import impute
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.round("value", 4))
+        .alias("v"),
+    )
+    out = impute(ev, ["v"], "median", ["user_id"], suffix="_f")
+    return out.select(
+        "event_id", "user_id", "v", F.round("v_f", 4).alias("v_f")
+    )

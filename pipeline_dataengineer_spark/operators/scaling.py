@@ -119,3 +119,64 @@ def quantile_normalize(
         .withColumn(out_col, F.element_at("__q", idx))
         .drop("__q")
     )
+
+
+def impute(
+    df: DataFrame,
+    value_cols: list[str],
+    strategy: str = "mean",
+    group_cols: list[str] | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Null imputation per column (optionally per group):
+    ``strategy`` ∈ mean | median | mode | zero. The fill values come
+    from ONE combinable aggregate (mode = deterministic max_by over
+    value counts with a value tie-break) broadcast back — the fact
+    table never shuffles, the same stats-join shape as
+    ``scale_features``. ``suffix`` writes filled copies instead of
+    overwriting. Groups whose fill value is itself NULL (all-null
+    group) stay NULL — imputation never invents data."""
+    g = list(group_cols or [])
+    if strategy == "zero":
+        out = df
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.coalesce(F.col(c), F.lit(0.0))
+            )
+        return out
+    if strategy == "mode":
+        # per-column value counts -> deterministic argmax
+        out = df
+        for c in value_cols:
+            counts = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(*g, F.col(c).alias("__v"))
+                .agg(F.count("*").alias("__n"))
+            )
+            top = counts.groupBy(*g).agg(
+                F.max_by(
+                    "__v", F.struct(F.col("__n"), F.col("__v"))
+                ).alias(f"__fill_{c}")
+            )
+            joined = (
+                out.join(F.broadcast(top), g) if g
+                else out.crossJoin(F.broadcast(top))
+            )
+            out = joined.withColumn(
+                f"{c}{suffix}", F.coalesce(F.col(c), F.col(f"__fill_{c}"))
+            ).drop(f"__fill_{c}")
+        return out
+    agg_fn = {"mean": F.avg, "median": lambda c: F.median(c)}.get(strategy)
+    if agg_fn is None:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    aggs = [agg_fn(c).alias(f"__fill_{c}") for c in value_cols]
+    fills = df.groupBy(*g).agg(*aggs) if g else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(fills), g) if g else df.crossJoin(F.broadcast(fills))
+    )
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.coalesce(F.col(c), F.col(f"__fill_{c}"))
+        ).drop(f"__fill_{c}")
+    return out

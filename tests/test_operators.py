@@ -485,3 +485,28 @@ def test_safe_join_passes_and_fires(spark):
     # 1:1 also checks the left side
     with _pytest.raises(Exception, match="left side has duplicate"):
         safe_join(facts, dim_ok, ["k"], expect="1:1").count()
+
+
+def test_impute_strategies(spark):
+    from pipeline_dataengineer_spark.operators.scaling import impute
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None),
+         ("c", None)],
+        "g string, v double",
+    )
+    mean = {(r["g"], r["v"]) for r in impute(df, ["v"], "mean", ["g"]).collect()}
+    assert ("a", 2.0) in mean and ("b", 10.0) in mean
+    assert ("c", None) in mean  # all-null group stays NULL
+    med = impute(df, ["v"], "median", ["g"]).filter("g = 'a'").collect()
+    assert sorted(r["v"] for r in med) == [1.0, 2.0, 3.0]
+    zero = impute(df, ["v"], "zero").filter("g = 'c'").collect()
+    assert zero[0]["v"] == 0.0
+    # mode with deterministic tie-break (higher value wins ties)
+    dfm = spark.createDataFrame(
+        [("x", 5.0), ("x", 5.0), ("x", 7.0), ("x", 7.0), ("x", None)],
+        "g string, v double",
+    )
+    mode = impute(dfm, ["v"], "mode", ["g"]).filter("v is not null").collect()
+    filled = [r["v"] for r in mode]
+    assert filled.count(7.0) == 3  # tie broken toward larger value
