@@ -4125,3 +4125,45 @@ SELECT ev.event_id, ev.user_id, ev.v,
        round(coalesce(ev.v, m.fill), 4) AS v_f
 FROM ev JOIN m USING (user_id)
 """
+
+ORACLES["q_woe_encode"] = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice > 150000 AS INT) AS label
+  FROM orders),
+pc AS (
+  SELECT o_orderpriority,
+         CAST(sum(label) AS DOUBLE) AS pos,
+         CAST(sum(1 - label) AS DOUBLE) AS neg
+  FROM o GROUP BY 1),
+t AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM pc)
+SELECT o_orderpriority,
+       CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+       round(ln(((pos + 0.5) / (tp + 1.0)) / ((neg + 0.5) / (tn + 1.0))), 6)
+         AS woe,
+       round((((pos + 0.5) / (tp + 1.0)) - ((neg + 0.5) / (tn + 1.0)))
+             * ln(((pos + 0.5) / (tp + 1.0)) / ((neg + 0.5) / (tn + 1.0))), 6)
+         AS iv_term
+FROM pc, t
+"""
+
+ORACLES["q_keywords"] = """
+WITH words AS (
+  SELECT doc_id, w AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term DESC) AS rn
+  FROM scored)
+SELECT doc_id, list(term ORDER BY rn) AS keywords
+FROM ranked WHERE rn <= 3 GROUP BY doc_id
+"""

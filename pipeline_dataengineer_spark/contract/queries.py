@@ -6130,3 +6130,29 @@ def q_impute(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "v", F.round("v_f", 4).alias("v_f")
     )
+
+
+@query("q_woe_encode")
+def q_woe_encode(spark, sf_dir):
+    """Weight-of-evidence encoding (operators/encoding.py:woe_encode):
+    order priority vs a high-value label, smoothed WoE + IV terms —
+    one combinable aggregate, category-sized output."""
+    from pipeline_dataengineer_spark.operators.encoding import woe_encode
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") > 150000).cast("int").alias("label"),
+    )
+    return woe_encode(o, "o_orderpriority", "label")
+
+
+@query("q_keywords")
+def q_keywords(spark, sf_dir):
+    """Per-document keyword extraction (operators/text_features.py:
+    extract_keywords): top-3 TF-IDF terms, deterministic cut, the
+    ordered keyword arrays hash-checked."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        extract_keywords,
+    )
+
+    return extract_keywords(table(spark, sf_dir, "documents"), top_n=3)

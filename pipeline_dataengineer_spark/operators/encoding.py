@@ -90,3 +90,39 @@ def target_encode_kfold(
         )
         .drop("__oof_s", "__oof_n")
     )
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence category encoding (credit-risk scorecards,
+    churn models): WoE(c) = ln( (pos_c + s)/(pos + 2s) /
+    ((neg_c + s)/(neg + 2s)) ) with additive smoothing so single-class
+    categories stay finite; IV contribution per category reported
+    alongside (sum it for the feature's information value). One
+    combinable aggregate over (category, label counts); the result is
+    category-cardinality-sized — broadcast it back onto facts."""
+    lbl = F.col(label_col).cast("double")
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(lbl).alias("__pos"),
+        F.sum(1 - lbl).alias("__neg"),
+    )
+    tot = per_cat.agg(
+        F.sum("__pos").alias("__tp"), F.sum("__neg").alias("__tn")
+    )
+    s = float(smoothing)
+    j = per_cat.crossJoin(F.broadcast(tot))
+    p_pos = (F.col("__pos") + s) / (F.col("__tp") + 2 * s)
+    p_neg = (F.col("__neg") + s) / (F.col("__tn") + 2 * s)
+    woe = F.log(p_pos / p_neg)
+    return j.select(
+        cat_col,
+        F.col("__pos").cast("long").alias("n_pos"),
+        F.col("__neg").cast("long").alias("n_neg"),
+        F.round(woe, round_to).alias("woe"),
+        F.round((p_pos - p_neg) * woe, round_to).alias("iv_term"),
+    )

@@ -11,7 +11,7 @@ North-star text-analysis extension (no analog in the reference).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -483,3 +483,28 @@ def compression_ratio(
             )
 
     return src.mapInArrow(fn, schema).withColumnRenamed("__id", id_col)
+
+
+def extract_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-N TF-IDF terms per document — the "what is this document
+    about" summary feeding tagging/faceting. Rides ``tf_idf`` (all
+    its skew guarantees apply) plus one ranked window per doc; the
+    cut is deterministic (score, then term, descending). Returns
+    (id, keywords array<string> in rank order)."""
+    scored = tf_idf(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").desc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= top_n
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("__rn", "term"))),
+        lambda x: x["term"],
+    )
+    return ranked.groupBy(id_col).agg(ordered.alias("keywords"))
