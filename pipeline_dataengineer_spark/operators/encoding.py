@@ -126,3 +126,42 @@ def woe_encode(
         F.round(woe, round_to).alias("woe"),
         F.round((p_pos - p_neg) * woe, round_to).alias("iv_term"),
     )
+
+
+def one_hot(
+    df: DataFrame,
+    cat_col: str,
+    top_n: int = 20,
+    other_label: str = "other",
+) -> DataFrame:
+    """One-hot (dummy) encoding with a VOCABULARY CAP: indicator
+    columns ``<cat_col>__<value>`` for the ``top_n`` most frequent
+    values (deterministic tie-break on the value), everything else
+    folded into ``<cat_col>__other`` — unbounded category domains
+    are the classic accidental-wide-schema bug. The vocabulary is one
+    combinable count aggregate collected as a ≤ top_n driver list;
+    encoding is a fused codegen projection, no join, no shuffle."""
+    vocab_rows = (
+        df.groupBy(cat_col)
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col(cat_col).asc())
+        .limit(top_n)
+        .collect()
+    )
+    vocab = [r[cat_col] for r in vocab_rows if r[cat_col] is not None]
+    out = df
+    for v in vocab:
+        safe = str(v).replace(" ", "_")
+        out = out.withColumn(
+            f"{cat_col}__{safe}",
+            # NULL category -> 0 on every indicator (== yields NULL)
+            F.coalesce((F.col(cat_col) == F.lit(v)).cast("int"), F.lit(0)),
+        )
+    out = out.withColumn(
+        f"{cat_col}__{other_label}",
+        (
+            F.col(cat_col).isNotNull()
+            & ~F.col(cat_col).isin(*vocab) if vocab else F.col(cat_col).isNotNull()
+        ).cast("int"),
+    )
+    return out

@@ -130,3 +130,31 @@ def domain_stats(df: DataFrame, url_col: str, value_cols: list[str] | None = Non
     for c in value_cols or []:
         aggs += [F.sum(c).alias(f"sum_{c}"), F.avg(c).alias(f"avg_{c}")]
     return parsed.groupBy(dom.alias("domain")).agg(*aggs)
+
+
+# Apache Common/Combined Log Format — the canonical access-log line
+_CLF_RE = (
+    r'^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d{3}) (\S+)'
+)
+
+
+def parse_common_log(col: Column | str) -> Column:
+    """Parse an Apache Common Log Format line into a struct
+    (ip, user, ts_raw, method, path, status, bytes) — the web-server
+    ingest everyone writes by hand. ONE regex evaluated per field
+    group via regexp_extract (Catalyst collapses the repeats under
+    common-subexpression elimination), fused codegen, no UDF;
+    non-matching lines yield all-empty fields (filter on
+    ``parsed.status != ''`` for the quarantine split). The pattern is
+    RE2-portable for oracle replay."""
+    c = F.col(col) if isinstance(col, str) else col
+    g = lambda i: F.regexp_extract(c, _CLF_RE, i)
+    return F.struct(
+        g(1).alias("ip"),
+        g(2).alias("user"),
+        g(3).alias("ts_raw"),
+        g(4).alias("method"),
+        g(5).alias("path"),
+        g(6).alias("status"),
+        g(7).alias("bytes"),
+    )

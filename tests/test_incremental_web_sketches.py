@@ -319,3 +319,42 @@ def test_bitmap_states_large_domain_buckets(spark):
     )
     out = bitmap_distinct(bitmap_states(df, ["g"], "v"), ["g"]).collect()
     assert out[0]["n_distinct"] == 4
+
+
+def test_parse_common_log_fields_and_quarantine(spark):
+    from pipeline_dataengineer_spark.operators.web import parse_common_log
+
+    rows = [
+        (1, '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /apache_pb.gif HTTP/1.0" 200 2326'),
+        (2, "not a log line at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    out = {r["id"]: r["p"] for r in df.select(
+        "id", parse_common_log("line").alias("p")).collect()}
+    p = out[1]
+    assert (p["ip"], p["user"], p["method"], p["path"], p["status"],
+            p["bytes"]) == ("127.0.0.1", "frank", "GET",
+                            "/apache_pb.gif", "200", "2326")
+    assert p["ts_raw"] == "10/Oct/2000:13:55:36 -0700"
+    assert out[2]["status"] == ""  # quarantine marker
+
+
+def test_one_hot_vocab_cap(spark):
+    from pipeline_dataengineer_spark.operators.encoding import one_hot
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)],
+        "cat string",
+    )
+    out = one_hot(df, "cat", top_n=2)
+    cols = [c for c in out.columns if c.startswith("cat__")]
+    assert set(cols) == {"cat__a", "cat__b", "cat__other"}
+    rows = out.collect()
+    for r in rows:
+        if r["cat"] == "a":
+            assert (r["cat__a"], r["cat__b"], r["cat__other"]) == (1, 0, 0)
+        elif r["cat"] == "c":
+            assert (r["cat__a"], r["cat__b"], r["cat__other"]) == (0, 0, 1)
+        elif r["cat"] is None:
+            assert (r["cat__a"], r["cat__b"], r["cat__other"]) == (0, 0, 0)
