@@ -4167,3 +4167,26 @@ ranked AS (
 SELECT doc_id, list(term ORDER BY rn) AS keywords
 FROM ranked WHERE rn <= 3 GROUP BY doc_id
 """
+
+ORACLES["q_parse_logs"] = """
+WITH lines AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0 THEN 'corrupted ###'
+              ELSE printf('10.0.%d.%d - user%d [10/Oct/2000:13:55:36 -0700] "GET /page/%d HTTP/1.0" %d %d',
+                          CAST(event_id % 256 AS INT),
+                          CAST(user_id % 256 AS INT),
+                          CAST(user_id AS INT),
+                          CAST(event_id AS INT),
+                          CAST(200 + (event_id % 2) * 204 AS INT),
+                          CAST(event_id % 5000 AS INT)) END AS line
+  FROM events)
+SELECT event_id,
+       regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+)[^"]*" (\\d{3}) (\\S+)', 1) AS ip,
+       regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+)[^"]*" (\\d{3}) (\\S+)', 2) AS user,
+       regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+)[^"]*" (\\d{3}) (\\S+)', 3) AS ts_raw,
+       regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+)[^"]*" (\\d{3}) (\\S+)', 4) AS method,
+       regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+)[^"]*" (\\d{3}) (\\S+)', 5) AS path,
+       regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+)[^"]*" (\\d{3}) (\\S+)', 6) AS status,
+       regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+)[^"]*" (\\d{3}) (\\S+)', 7) AS bytes
+FROM lines
+"""

@@ -6156,3 +6156,34 @@ def q_keywords(spark, sf_dir):
     )
 
     return extract_keywords(table(spark, sf_dir, "documents"), top_n=3)
+
+
+@query("q_parse_logs")
+def q_parse_logs(spark, sf_dir):
+    """Common Log Format parsing (operators/web.py:parse_common_log):
+    access-log lines synthesized deterministically from events, then
+    parsed back — every extracted field hash-checked via the same
+    RE2-portable pattern. Every 11th line is corrupted to exercise
+    the quarantine (empty-fields) path."""
+    from pipeline_dataengineer_spark.operators.web import parse_common_log
+
+    ev = table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 11 == 0, F.lit("corrupted ###")
+    ).otherwise(
+        F.format_string(
+            '10.0.%d.%d - user%d [10/Oct/2000:13:55:36 -0700] '
+            '"GET /page/%d HTTP/1.0" %d %d',
+            (F.col("event_id") % 256).cast("int"),
+            (F.col("user_id") % 256).cast("int"),
+            F.col("user_id").cast("int"),
+            F.col("event_id").cast("int"),
+            (F.lit(200) + (F.col("event_id") % 2) * 204).cast("int"),
+            (F.col("event_id") % 5000).cast("int"),
+        )
+    )
+    return (
+        ev.select("event_id", line.alias("line"))
+        .select("event_id", parse_common_log("line").alias("p"))
+        .select("event_id", "p.*")
+    )
