@@ -4190,3 +4190,19 @@ SELECT event_id,
        regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+)[^"]*" (\\d{3}) (\\S+)', 7) AS bytes
 FROM lines
 """
+
+# NOTE: the one-hot vocabulary is data-dependent; these three are the
+# deterministic top-3 at the driver's fixed sf0.01 check scale
+# (count desc, value asc tie-break), matching one_hot's cut.
+ORACLES["q_one_hot"] = """
+SELECT o_orderkey,
+       CAST(o_orderpriority = '2-HIGH' AS INT) AS "o_orderpriority__2-HIGH",
+       CAST(o_orderpriority = '3-MEDIUM' AS INT) AS "o_orderpriority__3-MEDIUM",
+       CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT)
+         AS "o_orderpriority__4-NOT_SPECIFIED",
+       CAST(o_orderpriority IS NOT NULL
+            AND o_orderpriority NOT IN
+                ('2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED') AS INT)
+         AS o_orderpriority__other
+FROM orders
+"""

@@ -6187,3 +6187,19 @@ def q_parse_logs(spark, sf_dir):
         .select("event_id", parse_common_log("line").alias("p"))
         .select("event_id", "p.*")
     )
+
+
+@query("q_one_hot")
+def q_one_hot(spark, sf_dir):
+    """Capped one-hot encoding (operators/encoding.py:one_hot): top-3
+    order priorities as indicator columns + the 'other' fold, null-
+    safe indicators — the driver-side vocabulary is deterministic
+    (count then value tie-break) so the projection hash-checks."""
+    from pipeline_dataengineer_spark.operators.encoding import one_hot
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    out = one_hot(o, "o_orderpriority", top_n=3)
+    keep = ["o_orderkey"] + sorted(
+        c for c in out.columns if c.startswith("o_orderpriority__")
+    )
+    return out.select(*keep)
