@@ -4206,3 +4206,20 @@ SELECT o_orderkey,
          AS o_orderpriority__other
 FROM orders
 """
+
+ORACLES["q_punct_normalize"] = """
+WITH fancy AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '\\bthe\\b', '“the”', 'g'),
+                        '\\ba\\b', '‘a’ —', 'g') AS t
+  FROM documents),
+tr AS (
+  SELECT doc_id,
+         translate(t, '‘’‚‛“”„‟–—―−         　´ʼ′″',
+                      '''''''"\"\"\"----        ' || ' ''''"') AS s
+  FROM fancy)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(s, '…', '...', 'g'),
+                      '[​‌‍﻿]', '', 'g'), ' {2,}', ' ', 'g') AS clean
+FROM tr
+"""

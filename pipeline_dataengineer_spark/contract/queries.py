@@ -6203,3 +6203,24 @@ def q_one_hot(spark, sf_dir):
         c for c in out.columns if c.startswith("o_orderpriority__")
     )
     return out.select(*keep)
+
+
+@query("q_punct_normalize")
+def q_punct_normalize(spark, sf_dir):
+    """Typographic punctuation canonicalization (functions/text.py:
+    normalize_punctuation): smart quotes/dashes/ellipsis injected
+    deterministically into the docs, then normalized back to ASCII —
+    the full translate + replace chain hash-checked."""
+    from pipeline_dataengineer_spark.functions.text import (
+        normalize_punctuation,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    fancy = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\bthe\b", "“the”"),
+        r"\ba\b",
+        "‘a’ —",
+    )
+    return d.select(
+        "doc_id", normalize_punctuation(fancy).alias("clean")
+    )
