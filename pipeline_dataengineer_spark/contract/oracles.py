@@ -4223,3 +4223,16 @@ SELECT doc_id,
                       '[​‌‍﻿]', '', 'g'), ' {2,}', ' ', 'g') AS clean
 FROM tr
 """
+
+ORACLES["q_flatten_structs"] = """
+SELECT o_orderkey,
+       o_orderpriority AS meta_prio,
+       o_custkey AS meta_inner_cust,
+       round(o_totalprice, 2) AS meta_inner_price
+FROM orders
+"""
+
+ORACLES["q_safe_join"] = """
+SELECT o_orderkey, o_custkey, c_nationkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""

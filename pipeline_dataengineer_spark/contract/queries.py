@@ -6224,3 +6224,41 @@ def q_punct_normalize(spark, sf_dir):
     return d.select(
         "doc_id", normalize_punctuation(fancy).alias("clean")
     )
+
+
+@query("q_flatten_structs")
+def q_flatten_structs(spark, sf_dir):
+    """Recursive struct flattening (operators/maintenance.py:
+    flatten_structs): a two-level struct built from order columns
+    flattens back to parent_child names — pure projection,
+    hash-checked."""
+    from pipeline_dataengineer_spark.operators.maintenance import (
+        flatten_structs,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("prio"),
+            F.struct(
+                F.col("o_custkey").alias("cust"),
+                F.round("o_totalprice", 2).alias("price"),
+            ).alias("inner"),
+        ).alias("meta"),
+    )
+    return flatten_structs(o)
+
+
+@query("q_safe_join")
+def q_safe_join(spark, sf_dir):
+    """Multiplicity-contract join (operators/joins.py:safe_join):
+    orders n:1 customer with the duplicate-key guard armed — the
+    guard is invisible on conforming data, so the oracle is the plain
+    join (pytest proves the violating path raises)."""
+    from pipeline_dataengineer_spark.operators.joins import safe_join
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return safe_join(o, c, ["o_custkey"], expect="n:1")
