@@ -128,20 +128,39 @@ def normalize_phone(col: Column | str, default_cc: str = "1") -> Column:
 # ------------------------------------------------------------ crypto-shredding
 
 
-def make_key_table(ids: DataFrame, id_col: str) -> DataFrame:
+def make_key_table(ids: DataFrame, id_col: str, path: str | None = None) -> DataFrame:
     """One fresh random AES-256 key per entity (32 hex chars = a
     32-byte string key; Spark's aes_encrypt accepts 16/24/32-byte
     keys). Keys are
     intentionally NON-deterministic (uuid-seeded): a derivable key
     could be re-derived after deletion, which would defeat the whole
-    scheme. Persist this table separately from the data (snapshot
-    table, different ACLs)."""
-    return ids.select(id_col).distinct().withColumn(
+    scheme.
+
+    MATERIALIZATION IS PART OF THE CONTRACT. A lazy uuid()-seeded
+    plan re-generates DIFFERENT keys on every re-evaluation (shuffle
+    file loss, executor decommission, plan re-derivation) — ciphertext
+    written under one evaluation would become permanently
+    undecryptable against a key table persisted from another. So this
+    function pins the keys before returning:
+
+    - ``path`` given (STRONGLY recommended for production): the key
+      table is written to parquet there and the RE-READ DataFrame is
+      returned — durable under any recomputation. Store it separately
+      from the data (different ACLs).
+    - no ``path``: the result is eagerly ``localCheckpoint``-ed —
+      stable within this session, but lost with it; session-scoped
+      use (tests, exploratory runs) only.
+    """
+    keys = ids.select(id_col).distinct().withColumn(
         "key",
         F.sha2(
             F.concat(F.expr("uuid()"), F.col(id_col).cast("string")), 256
         ).substr(1, 32),
     )
+    if path is not None:
+        keys.write.mode("overwrite").parquet(path)
+        return ids.sparkSession.read.parquet(path)
+    return keys.localCheckpoint(eager=True)
 
 
 def encrypt_columns(

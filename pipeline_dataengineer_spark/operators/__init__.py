@@ -2,6 +2,7 @@
 
 from pipeline_dataengineer_spark.operators.dedup import (
     dedup_exact,
+    dedup_keep_first,
     dedup_last_wins,
     minhash_signature,
     minhash_lsh_near_duplicates,
@@ -20,6 +21,7 @@ from pipeline_dataengineer_spark.operators.joins import (
 
 __all__ = [
     "dedup_exact",
+    "dedup_keep_first",
     "dedup_last_wins",
     "minhash_signature",
     "minhash_lsh_near_duplicates",

@@ -41,6 +41,26 @@ def dedup_last_wins(df: DataFrame, key: str | list[str], order: str | Column) ->
     )
 
 
+def dedup_keep_first(df: DataFrame, key: str | list[str], order: str | Column) -> DataFrame:
+    """Keep the FIRST occurrence per key by ``order`` ascending —
+    the canonical-survivor twin of :func:`dedup_last_wins` that works
+    for ANY orderable order column. Callers used to spell this as
+    ``dedup_last_wins(df, key, -F.col(order))``, which explodes under
+    Spark 4 ANSI for string/uuid order columns (unary minus on a
+    non-numeric raises CAST_INVALID_INPUT) and silently picks an
+    arbitrary survivor with ANSI off (the negated key is all-NULL).
+    Same single shuffle on the key; NULL order values sort last so a
+    non-NULL survivor is always preferred."""
+    keys = [key] if isinstance(key, str) else key
+    order_col = F.col(order) if isinstance(order, str) else order
+    w = Window.partitionBy(*keys).orderBy(order_col.asc_nulls_last())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------- near-dup
 
 

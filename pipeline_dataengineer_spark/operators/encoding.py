@@ -150,8 +150,17 @@ def one_hot(
     )
     vocab = [r[cat_col] for r in vocab_rows if r[cat_col] is not None]
     out = df
+    seen: dict[str, int] = {}
     for v in vocab:
         safe = str(v).replace(" ", "_")
+        # distinct categories can sanitize to the same name ('a b' vs
+        # 'a_b') — the second withColumn would silently overwrite the
+        # first indicator; suffix collided names with an ordinal
+        if safe in seen:
+            seen[safe] += 1
+            safe = f"{safe}__{seen[safe]}"
+        else:
+            seen[safe] = 0
         out = out.withColumn(
             f"{cat_col}__{safe}",
             # NULL category -> 0 on every indicator (== yields NULL)

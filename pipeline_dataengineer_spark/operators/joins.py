@@ -402,6 +402,16 @@ def safe_join(
         raise ValueError("expect must be 'n:1' or '1:1'")
 
     def guarded(side: DataFrame, label: str) -> DataFrame:
+        # NULL join keys never match under SQL equality, so they can't
+        # fan anything out — they are exempt from the uniqueness guard
+        # AND must survive it: the guard's inner join to the counts
+        # would silently drop them, which for right/full (and the left
+        # side of 1:1) would remove rows a plain join keeps.
+        nonnull = F.lit(True)
+        for c in on:
+            nonnull = nonnull & F.col(c).isNotNull()
+        null_rows = side.filter(~nonnull)
+        side = side.filter(nonnull)
         counts = side.groupBy(*on).agg(F.count("*").alias("__n"))
         trip = F.when(
             F.col("__n") == 1, F.lit(1)
@@ -427,6 +437,7 @@ def safe_join(
             side.join(counts, on)
             .filter(trip == 1)
             .drop("__n")
+            .unionByName(null_rows)
         )
 
     r = guarded(right, "right")

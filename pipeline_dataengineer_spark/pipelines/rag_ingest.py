@@ -33,7 +33,7 @@ from pipeline_dataengineer_spark.functions.textstats import (
     gopher_rules,
 )
 from pipeline_dataengineer_spark.operators.corpus import sentence_chunks
-from pipeline_dataengineer_spark.operators.dedup import dedup_last_wins
+from pipeline_dataengineer_spark.operators.dedup import dedup_keep_first
 
 
 def build_rag_chunks(
@@ -57,9 +57,10 @@ def build_rag_chunks(
     # Key on the normalized fingerprint, keep the smallest id
     # (deterministic canonical survivor).
     fp = gated.withColumn("__fp", fingerprint64(F.col(text_col)))
-    # dedup_last_wins keeps the MAX of its order column; negating the
-    # id keeps the smallest id as the canonical survivor
-    unique_docs = dedup_last_wins(fp, ["__fp"], -F.col(id_col)).drop("__fp")
+    # keep-first on the id itself: works for numeric AND string/uuid
+    # doc ids (the old -F.col(id) spelling raised under ANSI for
+    # non-numeric ids)
+    unique_docs = dedup_keep_first(fp, ["__fp"], F.col(id_col)).drop("__fp")
     chunks = sentence_chunks(unique_docs, id_col, text_col, max_chars)
     return chunks.withColumn(
         "chunk_key",

@@ -32,9 +32,40 @@ path every warehouse optimizes for, no rows move through the driver.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 LEDGER_TABLE = "spark_epoch_ledger"
+
+# SQL identifiers (optionally schema-qualified) we are willing to
+# splice into DDL/DML text. Anything else — quotes, spaces, comment
+# tokens — is rejected up front: table names come from config, and a
+# config-injection that rides them into DROP/INSERT statements must
+# fail loudly, not execute.
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+
+
+def _check_ident(name: str) -> str:
+    if not _IDENT.match(name):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return name
+
+
+def _get_connection(jvm, url: str, properties: dict[str, str]):
+    """Driver-side connection honoring the SAME credentials the Spark
+    JDBC writer gets (user/password/driver …). Round-3 gap: the
+    ledger/publish connection used the bare URL, so against any
+    authenticated database the staging write succeeded and the
+    publish failed."""
+    props = jvm.java.util.Properties()
+    for k, v in properties.items():
+        if k in ("batchsize", "truncate", "numPartitions"):
+            continue  # Spark-writer-only options, not JDBC props
+        props.setProperty(str(k), str(v))
+    if "driver" in properties:
+        jvm.java.lang.Class.forName(properties["driver"])
+    return jvm.java.sql.DriverManager.getConnection(url, props)
 
 
 def _execute(conn, sql: str) -> None:
@@ -60,18 +91,34 @@ def _table_exists(conn, table: str) -> bool:
 
 
 def _ledger_has(conn, target: str, batch_id: int) -> bool:
-    stmt = conn.createStatement()
+    # PreparedStatement: the target name is DATA here (a ledger value),
+    # not an identifier — parameter binding, never string splicing.
+    ps = conn.prepareStatement(
+        f"SELECT 1 FROM {LEDGER_TABLE} "
+        "WHERE target_table = ? AND batch_id = ?"
+    )
     try:
-        rs = stmt.executeQuery(
-            f"SELECT 1 FROM {LEDGER_TABLE} "
-            f"WHERE target_table = '{target}' AND batch_id = {int(batch_id)}"
-        )
+        ps.setString(1, target)
+        ps.setLong(2, int(batch_id))
+        rs = ps.executeQuery()
         try:
             return bool(rs.next())
         finally:
             rs.close()
     finally:
-        stmt.close()
+        ps.close()
+
+
+def _ledger_mark(conn, target: str, batch_id: int) -> None:
+    ps = conn.prepareStatement(
+        f"INSERT INTO {LEDGER_TABLE} (target_table, batch_id) VALUES (?, ?)"
+    )
+    try:
+        ps.setString(1, target)
+        ps.setLong(2, int(batch_id))
+        ps.executeUpdate()
+    finally:
+        ps.close()
 
 
 def staged_jdbc_append(
@@ -94,9 +141,10 @@ def staged_jdbc_append(
     the ledger row makes the retry a no-op. The orphaned staging
     table from a post-commit crash is dropped by the retry."""
     spark = df.sparkSession
-    staging = f"stg_{table}_{int(batch_id)}"
+    _check_ident(table)
+    staging = _check_ident(f"stg_{table.replace('.', '_')}_{int(batch_id)}")
     jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn = _get_connection(jvm, url, properties)
     try:
         if not _table_exists(conn, LEDGER_TABLE):
             _execute(
@@ -134,10 +182,10 @@ def staged_jdbc_append(
     # Spark's JDBC writer creates the staging table with QUOTED
     # (case-exact) column names, which unquoted SQL would case-fold
     # away from. The target side stays as the caller declared it.
-    names = columns or df.columns
+    names = [_check_ident(c) for c in (columns or df.columns)]
     cols = ", ".join(names)
     qcols = ", ".join(f'"{c}"' for c in names)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn = _get_connection(jvm, url, properties)
     try:
         conn.setAutoCommit(False)
         try:
@@ -145,11 +193,7 @@ def staged_jdbc_append(
                 conn,
                 f"INSERT INTO {table} ({cols}) SELECT {qcols} FROM {staging}",
             )
-            _execute(
-                conn,
-                f"INSERT INTO {LEDGER_TABLE} (target_table, batch_id) "
-                f"VALUES ('{table}', {int(batch_id)})",
-            )
+            _ledger_mark(conn, table, batch_id)
             conn.commit()
         except Exception:
             conn.rollback()

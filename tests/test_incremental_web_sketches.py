@@ -358,3 +358,24 @@ def test_one_hot_vocab_cap(spark):
             assert (r["cat__a"], r["cat__b"], r["cat__other"]) == (0, 0, 1)
         elif r["cat"] is None:
             assert (r["cat__a"], r["cat__b"], r["cat__other"]) == (0, 0, 0)
+
+
+def test_one_hot_sanitized_name_collision(spark):
+    from pipeline_dataengineer_spark.operators.encoding import one_hot
+
+    # 'a b' and 'a_b' both sanitize to 'a_b' — the second indicator
+    # must not silently overwrite the first
+    df = spark.createDataFrame(
+        [("a b",)] * 3 + [("a_b",)] * 2, "cat string"
+    )
+    out = one_hot(df, "cat", top_n=5)
+    ind_cols = sorted(c for c in out.columns if c.startswith("cat__") and c != "cat__other")
+    assert len(ind_cols) == 2  # two distinct indicator columns survive
+    rows = out.collect()
+    for r in rows:
+        fired = [c for c in ind_cols if r[c] == 1]
+        assert len(fired) == 1  # each row sets exactly one indicator
+    # the two categories fire DIFFERENT columns
+    fired_ab = {c for r in rows if r["cat"] == "a b" for c in ind_cols if r[c]}
+    fired_a_b = {c for r in rows if r["cat"] == "a_b" for c in ind_cols if r[c]}
+    assert fired_ab and fired_a_b and fired_ab != fired_a_b

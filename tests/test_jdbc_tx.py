@@ -125,3 +125,28 @@ def test_staged_foreach_batch_streaming(spark, tmp_path, target):
     )
     q2.awaitTermination(60)
     assert _count(spark, target) == 3
+
+
+def test_staged_append_rejects_unsafe_identifiers(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="unsafe SQL identifier"):
+        staged_jdbc_append(df, URL, 'tx; DROP TABLE x--', batch_id=1)
+    with pytest.raises(ValueError, match="unsafe SQL identifier"):
+        staged_jdbc_append(
+            df, URL, "tx_target", batch_id=1, columns=['v"; DELETE']
+        )
+
+
+def test_staged_append_passes_connection_properties(spark, target):
+    # driver-side ledger/publish connections must honor the SAME
+    # properties the Spark writer gets (user/password/driver); Derby
+    # embedded accepts arbitrary user props, so this proves the props
+    # path executes end-to-end (round 3 used the bare-URL overload)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    out = staged_jdbc_append(
+        df, URL, target, batch_id=41,
+        user="app", password="secret",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    assert out["published"] is True
+    assert _count(spark, target) == 1

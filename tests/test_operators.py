@@ -510,3 +510,49 @@ def test_impute_strategies(spark):
     mode = impute(dfm, ["v"], "mode", ["g"]).filter("v is not null").collect()
     filled = [r["v"] for r in mode]
     assert filled.count(7.0) == 3  # tie broken toward larger value
+
+
+def test_safe_join_preserves_null_key_rows(spark):
+    from pipeline_dataengineer_spark.operators.joins import safe_join
+
+    # NULL join keys never match under SQL equality — they are exempt
+    # from the uniqueness guard and must SURVIVE it for outer joins
+    facts = spark.createDataFrame(
+        [(1, 10.0), (None, 99.0), (None, 98.0)], "k long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (None, "x"), (None, "y")], "k long, name string"
+    )
+    # two NULL-key rows on the right do NOT trip the n:1 guard (they
+    # can't fan out), and a plain-join's right-join semantics hold
+    plain = facts.join(dim, ["k"], "right").count()
+    out = safe_join(facts, dim, ["k"], how="right", expect="n:1")
+    assert out.count() == plain == 3
+    # full outer keeps the left NULL-key rows too under 1:1
+    # (1 matched + 1 left-NULL unmatched + 2 right-NULL unmatched)
+    uniq_facts = facts.filter("v <> 98.0")
+    plain_full = uniq_facts.join(dim, ["k"], "full").count()
+    out_full = safe_join(uniq_facts, dim, ["k"], how="full", expect="1:1")
+    assert out_full.count() == plain_full == 4
+    # a REAL duplicate (non-null key) still fires
+    import pytest as _pytest
+    dim_dup = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (None, "x")], "k long, name string"
+    )
+    with _pytest.raises(Exception, match="duplicate join keys"):
+        safe_join(facts, dim_dup, ["k"], expect="n:1").count()
+
+
+def test_dedup_keep_first_string_order(spark):
+    from pipeline_dataengineer_spark.operators.dedup import dedup_keep_first
+
+    df = spark.createDataFrame(
+        [("k1", "uuid-b"), ("k1", "uuid-a"), ("k2", None), ("k2", "uuid-z")],
+        "k string, id string",
+    )
+    got = {
+        (r["k"], r["id"])
+        for r in dedup_keep_first(df, "k", "id").collect()
+    }
+    # lexicographically-first id wins; NULL order sorts LAST
+    assert got == {("k1", "uuid-a"), ("k2", "uuid-z")}

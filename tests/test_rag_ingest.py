@@ -80,3 +80,20 @@ def test_attach_embeddings_inner_join(spark):
     joined = attach_embeddings(chunks, emb)
     assert joined.count() == 2
     assert "embedding" in joined.columns
+
+
+def test_build_rag_chunks_string_doc_ids(spark):
+    # regression: the dedup step used to negate the id column, which
+    # raises CAST_INVALID_INPUT under ANSI for string/uuid doc ids
+    rows = [
+        ("doc-b", PROSE),
+        ("doc-a", PROSE),      # duplicate text: lexicographically-first id survives
+        ("doc-c", "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    chunks = build_rag_chunks(
+        df, max_chars=120,
+        quality_kwargs={"min_words": 10, "stopwords": ("the", "a")},
+    )
+    got = {r["doc_id"] for r in chunks.collect()}
+    assert got == {"doc-a"}

@@ -129,26 +129,43 @@ def test_crypto_shredding_lifecycle(spark):
         [(1, "alice@x.com", "Alice"), (2, "bob@y.org", "Bob")],
         "uid long, email string, name string",
     )
+    # no cache(): make_key_table pins its random keys by contract
+    # (eager localCheckpoint) — re-evaluation must not regenerate them
     keys = make_key_table(df, "uid")
-    keys.cache(); keys.count()  # keys are random: pin one generation
-    try:
-        enc = encrypt_columns(df, keys, "uid", ["email", "name"])
-        enc_rows = {r["uid"]: r for r in enc.collect()}
-        assert enc_rows[1]["email"] != "alice@x.com"  # ciphertext
-        # round trip with full key table
-        dec = {
-            r["uid"]: (r["email"], r["name"])
-            for r in decrypt_columns(enc, keys, "uid", ["email", "name"]).collect()
-        }
-        assert dec == {1: ("alice@x.com", "Alice"), 2: ("bob@y.org", "Bob")}
-        # shred user 1: their fields decrypt to NULL, user 2 unaffected
-        forget = spark.createDataFrame([(1,)], "uid long")
-        keys2 = shred_keys(keys, forget, "uid")
-        dec2 = {
-            r["uid"]: (r["email"], r["name"])
-            for r in decrypt_columns(enc, keys2, "uid", ["email", "name"]).collect()
-        }
-        assert dec2[1] == (None, None)
-        assert dec2[2] == ("bob@y.org", "Bob")
-    finally:
-        keys.unpersist()
+    enc = encrypt_columns(df, keys, "uid", ["email", "name"])
+    enc_rows = {r["uid"]: r for r in enc.collect()}
+    assert enc_rows[1]["email"] != "alice@x.com"  # ciphertext
+    # round trip with full key table
+    dec = {
+        r["uid"]: (r["email"], r["name"])
+        for r in decrypt_columns(enc, keys, "uid", ["email", "name"]).collect()
+    }
+    assert dec == {1: ("alice@x.com", "Alice"), 2: ("bob@y.org", "Bob")}
+    # shred user 1: their fields decrypt to NULL, user 2 unaffected
+    forget = spark.createDataFrame([(1,)], "uid long")
+    keys2 = shred_keys(keys, forget, "uid")
+    dec2 = {
+        r["uid"]: (r["email"], r["name"])
+        for r in decrypt_columns(enc, keys2, "uid", ["email", "name"]).collect()
+    }
+    assert dec2[1] == (None, None)
+    assert dec2[2] == ("bob@y.org", "Bob")
+
+
+def test_make_key_table_pins_keys_without_cache(spark, tmp_path):
+    from pipeline_dataengineer_spark.functions.pii import make_key_table
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "uid long")
+    # session-scoped: two separate evaluations must agree (the lazy
+    # uuid() plan used to regenerate keys per evaluation — a silent
+    # data-destruction hazard for ciphertext)
+    keys = make_key_table(df, "uid")
+    a = {r["uid"]: r["key"] for r in keys.collect()}
+    b = {r["uid"]: r["key"] for r in keys.collect()}
+    assert a == b
+    # durable: path-materialized keys come back from the re-read file
+    p = str(tmp_path / "keys.parquet")
+    keys2 = make_key_table(df, "uid", path=p)
+    c = {r["uid"]: r["key"] for r in keys2.collect()}
+    reread = {r["uid"]: r["key"] for r in spark.read.parquet(p).collect()}
+    assert c == reread and len(c) == 50
