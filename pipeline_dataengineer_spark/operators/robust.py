@@ -36,6 +36,81 @@ from pyspark.sql import functions as F
 DEFAULT_MAX_EXACT_ROWS = 5_000_000
 
 
+# Plan nodes that provably do NOT increase row count. A plan made
+# only of these has at most as many rows as its parquet sources'
+# footers declare — joins, explodes, unions etc. can expand and
+# disqualify the metadata shortcut.
+_ROW_PRESERVING_NODES = (
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "Relation",
+    "LogicalRelation",
+    "GlobalLimit",
+    "LocalLimit",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+    "Rebalance",
+    "Deduplicate",
+    "Sample",
+    "Window",
+    "View",
+)
+
+
+def _static_row_bound(df: DataFrame, max_files: int = 256) -> int | None:
+    """Upper-bound ``df``'s row count from parquet FOOTER metadata —
+    driver-side file reads, zero Spark jobs. Returns None whenever the
+    bound cannot be proven: non-file sources, non-local schemes, too
+    many files, or any plan node that can expand rows (join, explode,
+    union …). Footers store exact row counts, and every row-preserving
+    plan can only shrink them, so the sum is a sound upper bound on
+    the largest group too.
+
+    This is what makes the ``max_exact_rows`` switch FREE on small
+    inputs: the exact/approx decision must precede plan construction
+    (an ``observe`` metric only materializes after the caller's
+    action, too late to pick the aggregate expression), so the only
+    way to avoid the probe job is to answer it without running one."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        if not s:
+            continue
+        head = s.split(" ", 1)[0].split("(", 1)[0].split("[", 1)[0]
+        if head and not any(head == a for a in _ROW_PRESERVING_NODES):
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > max_files:
+        return None
+    from urllib.parse import urlparse
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None  # remote FS: footer fetch isn't driver-cheap
+        path = parsed.path or uri
+        if not path.endswith((".parquet", ".parq")):
+            return None
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def _percentile_mode(
     df: DataFrame,
     group_cols: list[str] | None,
@@ -43,13 +118,21 @@ def _percentile_mode(
 ) -> tuple[bool, int | None]:
     """Decide exact vs approx: (is_exact, max_group_rows).
 
-    The probe is one count-only aggregation — partial-aggregable
-    (only per-task partial counts shuffle), so it is skew-proof even
-    when the data itself is skewed; that is the whole point."""
+    Decision ladder: (1) parquet footer metadata — when the plan is
+    row-preserving and the sources' declared row total is already
+    under the threshold, exact is safe with ZERO Spark jobs (the
+    common small-input case); (2) otherwise one count-only probe
+    aggregation — partial-aggregable (only per-task partial counts
+    shuffle), so it is skew-proof even when the data itself is
+    skewed, and at the scales where it runs its cost is noise next to
+    the percentile work it guards."""
     if max_exact_rows is None:
         return True, None
     if max_exact_rows <= 0:
         return False, None
+    bound = _static_row_bound(df)
+    if bound is not None and bound <= max_exact_rows:
+        return True, bound
     if group_cols:
         counts = df.groupBy(*group_cols).agg(F.count("*").alias("__n"))
     else:

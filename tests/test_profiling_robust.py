@@ -331,3 +331,37 @@ def test_global_exact_quantiles_matches_sorted_ranks(spark):
 
     with _pytest.raises(ValueError):
         global_exact_quantiles(df, "x", [0.0])
+
+
+def test_percentile_metadata_bound_skips_probe(spark, tmp_path):
+    from pipeline_dataengineer_spark.operators.robust import (
+        _static_row_bound,
+        winsorize,
+    )
+
+    p = str(tmp_path / "vals.parquet")
+    spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(300)], "grp int, v double"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    # row-preserving plans get a sound footer bound, zero Spark jobs
+    assert _static_row_bound(df) == 300
+    assert _static_row_bound(df.filter("v > 10").select("grp", "v")) == 300
+    # expanding plans are disqualified
+    assert _static_row_bound(df.join(df.select("grp").distinct(), "grp")) is None
+    assert _static_row_bound(df.unionByName(df)) is None
+    # in-memory sources are disqualified (no footers)
+    mem = spark.createDataFrame([(1, 1.0)], "grp int, v double")
+    assert _static_row_bound(mem) is None
+    # end-to-end: the exact path is chosen via metadata and results
+    # match the probe-free forced-exact path
+    w_meta = winsorize(df, "v", 0.1, 0.9, group_cols=["grp"])
+    assert w_meta.robust_audit["mode"] == "exact"
+    w_exact = winsorize(df, "v", 0.1, 0.9, group_cols=["grp"], max_exact_rows=None)
+    assert sorted(r["v_w"] for r in w_meta.collect()) == sorted(
+        r["v_w"] for r in w_exact.collect()
+    )
+    # a threshold below the footer bound still reaches the probe and
+    # flips to approx (the switch keeps firing)
+    w_small = winsorize(df, "v", 0.1, 0.9, group_cols=["grp"], max_exact_rows=50)
+    assert w_small.robust_audit["mode"] == "approx"
