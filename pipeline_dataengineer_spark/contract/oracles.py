@@ -4236,3 +4236,30 @@ ORACLES["q_safe_join"] = """
 SELECT o_orderkey, o_custkey, c_nationkey
 FROM orders JOIN customer ON o_custkey = c_custkey
 """
+
+# q_ivfpq_exact: in the lossless configuration residual ADC equals
+# exact squared L2, so the oracle is plain brute-force top-k — same
+# SQL as q_pq_exact.
+ORACLES["q_ivfpq_exact"] = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 250
+),
+q AS (
+  SELECT vec_id AS query_id, ev AS qv FROM c WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_inner_product(c.ev, c.ev)
+               + list_inner_product(q.qv, q.qv)
+               - 2 * list_inner_product(c.ev, q.qv), 4) AS dist2
+  FROM c, q
+)
+SELECT query_id, vec_id, dist2, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist2 ASC, vec_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+"""

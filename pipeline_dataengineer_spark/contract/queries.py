@@ -6262,3 +6262,33 @@ def q_safe_join(spark, sf_dir):
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
     return safe_join(o, c, ["o_custkey"], expect="n:1")
+
+
+@query("q_ivfpq_exact")
+def q_ivfpq_exact(spark, sf_dir):
+    """IVF-PQ composition, lossless configuration (operators/pq.py:
+    ivfpq_build/ivfpq_search — FAISS-style IVFADC: coarse centroids +
+    PQ on the residuals): corpus capped at 250 vectors so every
+    subspace's distinct RESIDUAL subvectors fit the 256-entry
+    codebook, and nprobe == num_centroids so every cell is probed.
+    Residual ADC then telescopes to exact ||q − x||², making the
+    ENTIRE composition (assignment, residual encode, per-(query,cell)
+    LUTs, gather scoring, rank cut) hash-checkable against plain SQL
+    — same pattern as q_ivf_exact / q_pq_exact; q_ivfpq_topk-style
+    lossy recall is pytest-enforced instead."""
+    from pipeline_dataengineer_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
+    cents, enc, books = ivfpq_build(
+        e, num_centroids=8, m=8, codebook_size=256, sample_size=250
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_search(cents, enc, books, q, k=5, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", "dist2", F.col("rank").cast("long").alias("rank")
+    )

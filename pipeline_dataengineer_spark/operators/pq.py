@@ -231,3 +231,182 @@ def int8_dequantize(
         "* (__maxs[i] - __mins[i]) + __mins[i] END)"
     )
     return encoded.withColumn("dequantized", deq)
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    m: int = 8,
+    codebook_size: int = 16,
+    sample_size: int = 4096,
+    refine_iterations: int = 0,
+) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """Compose the two halves into the 100-TB-shape ANN index
+    (FAISS IVFADC: coarse quantizer + PQ on the RESIDUALS):
+
+    1. IVF assignment (``similarity.ivf_build``) buckets the corpus
+       by nearest centroid — the candidate-bounding half;
+    2. each vector's residual ``x − centroid`` is PQ-encoded
+       (``pq_train``/``pq_encode``) — the compression half. Encoding
+       residuals instead of raw vectors is what makes the codebooks
+       sharp: residual norms are a fraction of vector norms, so the
+       same byte budget buys a finer quantization grid.
+
+    Returns ``(centroids, encoded, codebooks)`` where ``encoded`` is
+    ``(id, centroid_id, pq_code)`` — m bytes + a cell id per vector,
+    the only per-row state the index keeps. One corpus pass for
+    assignment, one for encoding; the corpus is never shuffled except
+    the single repartition on centroid_id that co-locates cells.
+    """
+    from pipeline_dataengineer_spark.operators.similarity import ivf_build
+
+    if refine_iterations > 0:
+        # True L2 k-means centroids (clustering.kmeans — deterministic
+        # init, elementwise-mean updates, k·d driver traffic per
+        # iteration). Residual encoding is only sharp when centroids
+        # sit near their members: with ivf_build's sampled centroids,
+        # residual norms of unrelated random vectors EXCEED vector
+        # norms (≈√2·‖x‖) and the codebooks go blunt — measured 0.14
+        # vs 0.30 recall@10 on random 64-d embeddings. Refinement
+        # fixes the geometry the residuals depend on.
+        from pipeline_dataengineer_spark.operators.clustering import kmeans
+
+        assigned = (
+            kmeans(
+                corpus.select(id_col, vec_col),
+                vec_col=vec_col,
+                id_col=id_col,
+                k=num_centroids,
+                max_iterations=refine_iterations,
+            )
+            .select(id_col, vec_col, F.col("cluster").alias("centroid_id"))
+            .repartition("centroid_id")
+        )
+        centroids = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("dim", "__v")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("dim", "__m"))).alias("__s")
+            )
+            .select(
+                "centroid_id", F.expr("transform(__s, p -> p.__m)").alias("cvec")
+            )
+        )
+    else:
+        centroids, assigned = ivf_build(
+            corpus, vec_col=vec_col, id_col=id_col, num_centroids=num_centroids
+        )
+    resid = assigned.join(F.broadcast(centroids), "centroid_id").withColumn(
+        "__resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cvec"),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ),
+    )
+    books = pq_train(
+        resid,
+        vec_col="__resid",
+        id_col=id_col,
+        m=m,
+        codebook_size=codebook_size,
+        sample_size=sample_size,
+    )
+    encoded = pq_encode(resid, books, vec_col="__resid").select(
+        id_col, "centroid_id", "pq_code"
+    )
+    return centroids, encoded, books
+
+
+def ivfpq_search(
+    centroids: DataFrame,
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    code_col: str = "pq_code",
+    k: int = 10,
+    nprobe: int = 4,
+    score_round: int = 4,
+) -> DataFrame:
+    """IVFADC search: rank cells per query by exact L2 to the
+    centroid (driver-side numpy over two broadcast-sized constants —
+    queries and centroids), probe the closest ``nprobe`` cells, and
+    ADC-score only their members with per-(query, cell) lookup
+    tables of exact subspace distances ``||(q − c)_j − book_j[·]||²``.
+    Residual ADC telescopes: when the codebook is lossless the score
+    IS ``||q − x||²`` exactly (``q_ivfpq_exact`` hash-checks the full
+    composition that way).
+
+    Plan shape: the LUT tensor is ``n_queries · nprobe · m · kc``
+    doubles in the UDF closure (bounded by construction — queries and
+    probes are both capped constants); candidates come from ONE
+    broadcast equi-join of the probe list onto the cell-partitioned
+    code table (each query touches ~nprobe/num_centroids of the
+    corpus, no float math per row, 8-byte gathers only); the only
+    shuffle is the per-query top-k window. Returns
+    (query_id, vec_id, dist2, rank), dist2 ascending."""
+    books = codebooks
+    m, kc, dsub = books.shape
+    q_rows = query.select(query_id_col, vec_col).collect()
+    c_rows = centroids.select("centroid_id", "cvec").collect()
+    if not q_rows or not c_rows:
+        raise ValueError("ivfpq_search: empty query or centroid set")
+    qids = [r[query_id_col] for r in q_rows]
+    cids = [r["centroid_id"] for r in c_rows]
+    qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    cmat = np.array([list(r["cvec"]) for r in c_rows], dtype=np.float64)
+    # cell ranking: exact squared L2 query→centroid, ties to the
+    # lower centroid id (same determinism discipline as everywhere)
+    d2qc = ((qmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    order = np.lexsort((np.array(cids)[None, :].repeat(len(qids), 0), d2qc), axis=1)
+    nprobe = min(nprobe, len(cids))
+    pairs = []  # (qid, centroid_id) in probe order
+    for qi in range(len(qids)):
+        for ci in order[qi, :nprobe]:
+            pairs.append((qids[qi], cids[ci], qi, ci))
+    # per-pair LUT: exact subspace distances of the query RESIDUAL
+    # (q − c) against the residual codebooks
+    lut = np.empty((len(pairs), m, kc), dtype=np.float64)
+    for p, (_, _, qi, ci) in enumerate(pairs):
+        r = (qmat[qi] - cmat[ci]).reshape(m, dsub)
+        lut[p] = ((r[:, None, :] - books) ** 2).sum(axis=2)
+    pair_index = {(q, c): p for p, (q, c, _, _) in enumerate(pairs)}
+
+    @pandas_udf(DoubleType())
+    def adc(codes: pd.Series, qid: pd.Series, cid: pd.Series) -> pd.Series:
+        cs = np.frombuffer(b"".join(codes.to_numpy()), dtype=np.uint8)
+        cs = cs.reshape(len(codes), m)
+        pi = pd.Series(zip(qid, cid)).map(pair_index).to_numpy(dtype=np.int64)
+        scores = lut[pi[:, None], np.arange(m)[None, :], cs].sum(axis=1)
+        return pd.Series(scores)
+
+    spark = encoded.sparkSession
+    probes = spark.createDataFrame(
+        [(q, c) for q, c, _, _ in pairs], [query_id_col, "centroid_id"]
+    )
+    cand = encoded.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            adc(F.col(code_col), F.col(query_id_col), F.col("centroid_id")),
+            score_round,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

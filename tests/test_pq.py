@@ -161,3 +161,61 @@ def test_int8_quantize_constant_dim(spark):
         for r in int8_dequantize(enc).collect()
     }
     assert dec[1][0] == 5.0  # constant dim reconstructs exactly
+
+
+def test_ivfpq_lossless_equals_bruteforce(spark):
+    from pipeline_dataengineer_spark.operators.pq import ivfpq_build, ivfpq_search
+
+    e = _emb(spark).filter(F.col("vec_id") < 200)
+    cents, enc, books = ivfpq_build(
+        e, num_centroids=4, m=8, codebook_size=256, sample_size=200
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_search(cents, enc, books, q, k=5, nprobe=4).collect()
+    rows = [(r["vec_id"], r["embedding"]) for r in e.collect()]
+    qvecs = [(r["query_id"], r["embedding"]) for r in q.collect()]
+    want = _exact_topk(rows, qvecs, 5)
+    for qid, ids in want.items():
+        got_ids = {r["vec_id"] for r in got if r["query_id"] == qid}
+        assert got_ids == ids
+
+
+def test_ivfpq_lossy_recall_floor(spark):
+    from pipeline_dataengineer_spark.operators.pq import ivfpq_build, ivfpq_search
+
+    e = _emb(spark)
+    cents, enc, books = ivfpq_build(
+        e, num_centroids=8, m=8, codebook_size=16, sample_size=4096,
+        refine_iterations=4,
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # probe every cell: isolates PQ loss from IVF loss; then a
+    # partial probe must still beat chance decisively
+    got_all = ivfpq_search(cents, enc, books, q, k=10, nprobe=8).collect()
+    rows = [(r["vec_id"], r["embedding"]) for r in e.collect()]
+    qvecs = [(r["query_id"], r["embedding"]) for r in q.collect()]
+    want = _exact_topk(rows, qvecs, 10)
+
+    def mean_recall(got):
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(by_q.get(qid, set()) & ids) / 10 for qid, ids in want.items()) / len(want)
+
+    assert mean_recall(got_all) >= 0.3  # PQ-only loss (random-vector worst case)
+    got_partial = ivfpq_search(cents, enc, books, q, k=10, nprobe=4).collect()
+    assert mean_recall(got_partial) >= 0.15  # + IVF loss at half the cells
+
+
+def test_ivfpq_code_table_is_compact(spark):
+    from pipeline_dataengineer_spark.operators.pq import ivfpq_build
+
+    e = _emb(spark).filter(F.col("vec_id") < 100)
+    _, enc, _ = ivfpq_build(e, num_centroids=4, m=8, codebook_size=16, sample_size=100)
+    assert set(enc.columns) == {"vec_id", "centroid_id", "pq_code"}
+    r = enc.first()
+    assert len(r["pq_code"]) == 8  # m bytes per vector, nothing else
