@@ -292,6 +292,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_kaplan_meier": (["Window", "HashAggregate"], ["SortMergeJoin"]),
     "q_skew_report": (["HashAggregate"], ["Window"]),
     "q_pareto_share": (["Window"], ["SortMergeJoin"]),
+    # IVF-PQ search: candidates come from a broadcast probe equi-join
+    # onto the code table (BroadcastHashJoin, never sort-merge or an
+    # unbounded cartesian), scoring is one Arrow stage of byte
+    # gathers. The one BroadcastNestedLoopJoin in the plan is the
+    # INTENTIONAL assignment cross join (corpus x broadcast centroid
+    # constant) — bounded build side by construction, so it is not on
+    # the deny list here.
+    "q_ivfpq_exact": (
+        ["BroadcastHashJoin", "ArrowEvalPython"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
