@@ -4263,3 +4263,60 @@ FROM (
 )
 WHERE rk <= 5
 """
+
+
+def _cm_oracle_sql(depth: int, width: int) -> str:
+    """Full DuckDB replay of the Count-Min build + estimate over
+    lineitem.l_partkey, using the same portable affine hash family
+    (imported — single source of truth for the constants)."""
+    from pipeline_dataengineer_spark.functions.sketches import cm_bucket_sql
+
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, {cm_bucket_sql('l_partkey', d, width)} AS bucket "
+        "FROM lineitem"
+        for d in range(depth)
+    )
+    probes = "\nUNION ALL\n".join(
+        f"SELECT l_partkey, {d} AS d, "
+        f"{cm_bucket_sql('l_partkey', d, width)} AS bucket FROM items"
+        for d in range(depth)
+    )
+    return f"""
+WITH stacked AS ({stacked}),
+cm AS (SELECT d, bucket, COUNT(*) AS cnt FROM stacked GROUP BY d, bucket),
+items AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 200),
+probes AS ({probes}),
+est AS (
+  SELECT p.l_partkey, MIN(COALESCE(cm.cnt, 0)) AS est_count
+  FROM probes p LEFT JOIN cm USING (d, bucket)
+  GROUP BY p.l_partkey
+),
+tru AS (
+  SELECT l_partkey, COUNT(*) AS true_count
+  FROM lineitem WHERE l_partkey <= 200 GROUP BY l_partkey
+)
+SELECT e.l_partkey, e.est_count, t.true_count
+FROM est e JOIN tru t USING (l_partkey)
+"""
+
+
+ORACLES["q_countmin"] = _cm_oracle_sql(4, 512)
+
+
+ORACLES["q_mmr_rerank"] = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS s
+  FROM embeddings e, q WHERE e.vec_id >= 3
+),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS mmr_rank, s AS mmr_score
+FROM ranked WHERE rk <= 5
+"""

@@ -6292,3 +6292,62 @@ def q_ivfpq_exact(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", "dist2", F.col("rank").cast("long").alias("rank")
     )
+
+
+@query("q_countmin")
+def q_countmin(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates
+    (functions/sketches.py:cm_states/cm_estimate): depth-4 x
+    width-512 table over lineitem.l_partkey — small enough that
+    bucket collisions REALLY occur at sf0.01, so the min-over-rows
+    approximation path is exercised, yet fully hash-checkable because
+    the affine hash family is engine-portable (cm_bucket_sql replays
+    placement bit-for-bit in DuckDB). Output joins the estimate to
+    the true count: the CM guarantee est >= true rides along into
+    the oracle compare."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        cm_estimate,
+        cm_states,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    state = cm_states(li, [], "l_partkey", depth=4, width=512)
+    items = (
+        li.filter(F.col("l_partkey") <= 200).select("l_partkey").distinct()
+    )
+    est = cm_estimate(state, items, "l_partkey", depth=4, width=512)
+    true = (
+        li.filter(F.col("l_partkey") <= 200)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return est.join(true, "l_partkey").select(
+        "l_partkey", "est_count", "true_count"
+    )
+
+
+@query("q_mmr_rerank")
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversification (operators/similarity.py:mmr_rerank) in the
+    lossless lam=1 configuration: the greedy objective degenerates to
+    pure relevance, so rank order must EQUAL the upstream cosine
+    ranking — which makes the whole applyInPandas greedy machinery
+    (candidate sort, objective argmax, tie-breaks, score rounding)
+    hash-checkable against plain SQL. The diversifying lam<1 path is
+    pytest-enforced on a hand-computed case instead (the greedy
+    selection has no SQL replay)."""
+    from pipeline_dataengineer_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_rerank,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    top = cosine_topk_bruteforce(corpus, q, k=20, score_round=4)
+    cand = top.join(e.select("vec_id", "embedding"), "vec_id").select(
+        "query_id", "vec_id", "score", "embedding"
+    )
+    return mmr_rerank(cand, k=5, lam=1.0, score_round=4)

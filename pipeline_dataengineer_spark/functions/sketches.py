@@ -19,7 +19,7 @@ operators/incremental.py:merge_agg_states.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -375,4 +375,140 @@ def bitmap_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
     the key's buckets (map-side combinable)."""
     return state.groupBy(*keys).agg(
         F.sum(F.expr("bitmap_count(bitmap)")).alias("n_distinct")
+    )
+
+
+# ------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable
+# point-frequency state. The gap the other families leave open:
+# HLL answers "how many distinct", approx_top_k answers "which are
+# the heaviest", KLL answers "what rank"; Count-Min answers "how
+# often does THIS item occur" for arbitrary items in O(depth)
+# lookups over a depth x width count table, with the one-sided
+# guarantee est >= true and est <= true + (e/width)*N w.p.
+# 1 - exp(-depth).
+#
+# Relational formulation (no opaque binary state): the sketch IS a
+# DataFrame of (keys..., d, bucket, cnt) rows — at most depth*width
+# rows per key group regardless of input size, built by ONE
+# combinable groupBy count (map-side partial aggregation shrinks
+# every partition to <= depth*width rows before the shuffle). Merge
+# is a plain summing groupBy — the same monoid shape as the other
+# families, so incremental maintenance (yesterday's state + today's
+# delta) never re-reads history.
+#
+# The hash family is pairwise-independent affine over the Mersenne
+# prime P = 2^31-1 — h_d(x) = ((a_d*(x mod P) + b_d) mod P) mod
+# width — in PORTABLE integer arithmetic (products < 2^62, safe
+# under ANSI), with an exact SQL twin (`cm_bucket_sql`) so an
+# external engine replays bucket placement bit-for-bit, collisions
+# included: estimates are hash-checkable, not just rows-checkable.
+# ------------------------------------------------------------------
+
+CM_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime, also the Lehmer modulus)
+# fixed pairwise-independent (a, b) pairs; depth <= 8. a in [1, P),
+# classic minstd/PRNG multipliers — any fixed a works, these are
+# documented constants so the SQL twin can be audited by eye.
+_CM_A = [48_271, 69_621, 16_807, 39_373, 40_014, 45_991, 53_668, 62_089]
+_CM_B = [0, 12_345, 7_919, 104_729, 1_299_709, 217, 15_485_863, 999_983]
+
+
+def cm_bucket(value: Column | str, d: int, width: int) -> Column:
+    """Row d's bucket for ``value``: affine hash mod width. The inner
+    ``mod P`` bounds the product under 2^62 (ANSI-safe)."""
+    v = F.col(value) if isinstance(value, str) else value
+    x = F.pmod(v.cast("long"), F.lit(CM_P))
+    return F.pmod(
+        F.pmod(x * _CM_A[d] + _CM_B[d], F.lit(CM_P)), F.lit(width)
+    )
+
+
+def cm_bucket_sql(value_expr: str, d: int, width: int) -> str:
+    """The same bucket arithmetic as ANSI SQL text (sign-safe ``%``
+    wrapping, see sampling.bucket_sql) — lets an oracle engine replay
+    the sketch exactly."""
+    p = CM_P
+    nonneg = f"(((({value_expr}) % {p}) + {p}) % {p})"
+    return f"((({nonneg} * {_CM_A[d]} + {_CM_B[d]}) % {p}) % {width})"
+
+
+def cm_states(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the per-key Count-Min table: rows (keys..., d, bucket,
+    cnt), at most depth*width per key group. ``weight_col`` turns it
+    into a weighted-frequency sketch (e.g. bytes per URL instead of
+    hits per URL)."""
+    if not 1 <= depth <= len(_CM_A):
+        raise ValueError(f"depth must be in [1, {len(_CM_A)}]")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    stacked = df.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cm_bucket(value_col, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__db"),
+        w.alias("__w"),
+    )
+    return stacked.groupBy(
+        *keys, F.col("__db.d").alias("d"), F.col("__db.bucket").alias("bucket")
+    ).agg(F.sum("__w").alias("cnt"))
+
+
+def merge_cm(*states: DataFrame, keys: list[str]) -> DataFrame:
+    """Sum-merge any number of CM states (identical depth/width
+    assumed — the table coordinates ARE (d, bucket)). Counter monoid:
+    merge-then-estimate equals build-over-the-union exactly."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys, "d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    state: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    keys: list[str] | None = None,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates: min over the depth rows of each
+    item's bucket counts (absent bucket = 0). ``items`` is the small
+    side (the things you want counted) and is exploded to depth rows
+    then broadcast against the bounded state table — the corpus that
+    built the state is long gone."""
+    keys = keys or []
+    probes = items.select(
+        *keys,
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cm_bucket(item_col, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__db"),
+    ).select(*keys, item_col, "__db.d", "__db.bucket")
+    joined = probes.join(
+        state, on=[*keys, "d", "bucket"], how="left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+    return joined.groupBy(*keys, item_col).agg(
+        F.min("cnt").alias("est_count")
     )

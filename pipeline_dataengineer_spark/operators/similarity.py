@@ -241,3 +241,80 @@ def rrf_fuse(
             ).alias("rrf_score"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "score",
+    score_round: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k results trading relevance against
+    redundancy —
+
+        mmr(i) = lam * rel(i) - (1-lam) * max_{j in selected} cos(i, j)
+
+    lam=1 is pure relevance (rank order == the input ranker's), lam→0
+    maximizes diversity. The redundancy term needs pairwise cosines
+    within the candidate list, which no windowed SQL expresses — but
+    the input is a RANKER'S TOP-N CUT (cosine_topk_bruteforce /
+    ivf_search output with vectors attached), so each greedy problem
+    is O(N²·d) over a bounded N (≤ ~100s): one applyInPandas group
+    per query, numpy inside, never the corpus. The expensive global
+    work (scoring the corpus) already happened upstream; this is a
+    per-query epilogue whose input size is capped by construction.
+
+    Determinism: relevance and the running MMR objective are rounded
+    to ``score_round`` before argmax; ties break on ``id_col`` ASC —
+    the same discipline as the ranking cut it follows.
+
+    Output: (query_id, id, mmr_rank 1..k, mmr_score rounded). Input
+    rows per query beyond the greedy horizon are dropped.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema_by_name = {f.name: f.dataType.simpleString()
+                      for f in candidates.schema.fields}
+    out_schema = (
+        f"{query_id_col} {schema_by_name[query_id_col]}, "
+        f"{id_col} {schema_by_name[id_col]}, "
+        "mmr_rank long, mmr_score double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: rel desc, id asc
+        pdf = pdf.sort_values(
+            [rel_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        rel = np.round(pdf[rel_col].to_numpy(np.float64), score_round)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n)  # max cosine to the selected set so far
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            obj = np.round(lam * rel - (1.0 - lam) * max_sim, score_round)
+            obj[~remaining] = -np.inf
+            best = np.lexsort((ids, -obj))[0]  # obj desc, id asc
+            chosen.append(best)
+            scores.append(float(obj[best]))
+            remaining[best] = False
+            sims = U @ U[best]
+            np.maximum(max_sim, sims, out=max_sim)
+        out = pdf.iloc[chosen][[query_id_col, id_col]].copy()
+        out["mmr_rank"] = np.arange(1, len(chosen) + 1, dtype=np.int64)
+        out["mmr_score"] = scores
+        return out
+
+    return candidates.groupBy(query_id_col).applyInPandas(fn, out_schema)
