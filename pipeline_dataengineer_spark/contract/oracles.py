@@ -4320,3 +4320,41 @@ ranked AS (
 SELECT query_id, vec_id, CAST(rk AS BIGINT) AS mmr_rank, s AS mmr_score
 FROM ranked WHERE rk <= 5
 """
+
+
+ORACLES["q_bloom_prune"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > 400000)
+"""
+
+
+ORACLES["q_jaccard_join"] = r"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' suffix token' AS text
+  FROM base
+),
+tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS t
+  FROM corpus
+),
+tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM tok2 a JOIN tok2 b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM shared
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+"""

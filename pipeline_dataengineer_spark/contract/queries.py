@@ -6351,3 +6351,58 @@ def q_mmr_rerank(spark, sf_dir):
         "query_id", "vec_id", "score", "embedding"
     )
     return mmr_rerank(cand, k=5, lam=1.0, score_round=4)
+
+
+@query("q_bloom_prune")
+def q_bloom_prune(spark, sf_dir):
+    """k-hash Bloom-filter pruned semi join (operators/prune.py:
+    bloom_semi_join_prune): lineitem semi-joined to high-value
+    orders, the big side pre-filtered map-side by a 2^16-bit bitmap
+    embedded as one array literal (pure codegen membership test, no
+    join in the prune step). The bloom only drops GUARANTEED
+    non-matches and an exact semi join finishes, so the output
+    equals the plain semi join — the oracle checks that identity
+    while the plan carries the bitmap filter."""
+    from pipeline_dataengineer_spark.operators.prune import (
+        bloom_semi_join_prune,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    hi = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400_000
+    )
+    return bloom_semi_join_prune(
+        li, hi, "l_orderkey", small_on="o_orderkey", num_bits=1 << 16
+    )
+
+
+@query("q_jaccard_join")
+def q_jaccard_join(spark, sf_dir):
+    """EXACT prefix-filter Jaccard self-join (operators/dedup.py:
+    jaccard_join_exact — AllPairs/PPJoin family): near-dup pairs are
+    manufactured exactly as in q_minhash_neardup (each doc unioned
+    with a lightly-mutated copy), but unlike the MinHash path this
+    algorithm guarantees NO missed pairs, so the full output is
+    hash-checkable against a DuckDB brute-force token join."""
+    from pipeline_dataengineer_spark.operators.dedup import (
+        jaccard_join_exact,
+    )
+
+    # deterministic 20% slice: the synthetic corpus is heavily
+    # templated, so pair output is quadratic in cluster size — the
+    # slice keeps the answer bounded at any scale factor while still
+    # exercising every stage (vocab ranking, prefix cut, candidate
+    # join, exact verify)
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 3)
+        .select("doc_id", "text")
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix token")).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    return jaccard_join_exact(corpus, "doc_id", "text", threshold=0.8)

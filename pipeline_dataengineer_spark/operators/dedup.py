@@ -915,3 +915,97 @@ def drop_contained_fragments(
         | ((F.col("__la") == F.col("__lb")) & (F.col("id_a") > F.col("id_b")))
     ).select(F.col("id_a").alias(id_col)).distinct()
     return df.join(frags, id_col, "left_anti")
+
+
+def jaccard_join_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    delimiter: str = r"\s+",
+    round_to: int = 4,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join via prefix
+    filtering (AllPairs / PPJoin family — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08): every pair with Jaccard >= threshold is
+    returned, no false negatives — the deterministic complement to
+    ``ngram_jaccard_pairs`` (whose banded-MinHash candidate step can
+    miss pairs with probability (1-t^r)^b).
+
+    The prefix-filter theorem: order the vocabulary globally
+    (rarest token first); if Jaccard(x, y) >= t then x and y must
+    share a token within each other's first |x| - ceil(t*|x|) + 1
+    tokens of that order. So candidates come from an equi-join on
+    PREFIX tokens only — and because prefixes favor RARE tokens,
+    bucket sizes collapse (the hot stopword that would pair half
+    the corpus is at the back of the order, outside every prefix).
+    A size filter (t*|x| <= |y| <= |x|/t rides the same theorem)
+    prunes further before verification.
+
+    Scale shape: vocabulary ranking uses the distributed total
+    order (operators/order.py:global_row_index — no single-task
+    sort); the prefix cut is a doc-local window; the candidate join
+    shuffles prefix tokens only; verification joins the bounded
+    candidate pairs back to per-doc token arrays and computes
+    exact intersection sizes with array_intersect. Output:
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    from pipeline_dataengineer_spark.operators.order import global_row_index
+
+    toks_arr = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(
+            F.filter(F.split(F.col(text_col), delimiter), lambda x: x != "")
+        ).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    toks = toks_arr.select(
+        "__id", F.size("__toks").alias("__sz"), F.explode("__toks").alias("__tok")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    ranked_vocab = global_row_index(
+        vocab, ["__df", "__tok"], "__rank"
+    ).select("__tok", "__rank")
+    ranked = toks.join(ranked_vocab, "__tok")
+    # prefix length p = |x| - ceil(t*|x|) + 1, over the rank order
+    w = Window.partitionBy("__id").orderBy("__rank")
+    prefix = (
+        ranked.withColumn("__pos", F.row_number().over(w))
+        .filter(
+            F.col("__pos")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .select("__id", "__sz", "__tok")
+    )
+    a = prefix.select(
+        F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"), "__tok"
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"), "__tok"
+    )
+    cand = (
+        a.join(b, "__tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__szb") >= F.ceil(F.lit(threshold) * F.col("__sza")))
+            & (F.col("__szb") <= F.floor(F.col("__sza") / F.lit(threshold)))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = toks_arr.select(
+        F.col("__id").alias("id_a"), F.col("__toks").alias("__ta")
+    )
+    tb = toks_arr.select(
+        F.col("__id").alias("id_b"), F.col("__toks").alias("__tb")
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    union = (
+        F.size("__ta") + F.size("__tb") - F.size(F.array_intersect("__ta", "__tb"))
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -73,3 +73,117 @@ def anti_join_with_key_prune(
     maybe = with_b.join(F.broadcast(digest), "__kb", "left_semi")
     checked = maybe.join(keys, on, "left_anti")
     return certain_miss.drop("__kb").unionByName(checked.drop("__kb"))
+
+
+# ------------------------------------------------------------------
+# True k-hash Bloom filter prune — the same plan shape Spark's
+# runtime bloom filter injects (collect a compact bitmap from the
+# small side, evaluate it map-side on the big side), but explicit
+# and deterministic. vs the 1-hash digest above: at equal memory a
+# k-hash bloom's false-positive rate is (1-e^(-kn/m))^k instead of
+# n/m — for n=1M keys in m=8M bits, ~2.2% at k=3 vs ~12% for the
+# digest — so the exact finishing join shuffles ~5x fewer
+# collisions. The bitmap is m/64 longs (m=2^23 -> 128 KB), embedded
+# as ONE array literal: the membership test is pure whole-stage
+# codegen (shift/mask on the array), no join at all in the prune
+# step, exactly like the engine's own might-contain.
+# ------------------------------------------------------------------
+
+
+def _bloom_positions(col: str, num_bits: int, num_hashes: int):
+    """k bit positions via double hashing (Kirsch-Mitzenmacher):
+    pos_i = (h1 + i*h2) mod m with two independent xxhash64 seeds —
+    the standard construction, FP-equivalent to k independent
+    hashes."""
+    h1 = F.pmod(F.xxhash64(F.col(col)), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(F.col(col), F.lit(7919)), F.lit(num_bits - 1)) + 1
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
+
+
+def build_bloom(
+    small: DataFrame, on: str, num_bits: int = 1 << 23, num_hashes: int = 3
+) -> list[int]:
+    """Collect the small side's keys into a bloom bitmap: k positions
+    per key, OR-folded into 64-bit words by ONE combinable groupBy
+    (at most m/64 rows cross the wire), then assembled driver-side
+    into a dense list[int] of length m/64. Driver traffic is bounded
+    by the CONFIG (m/64 longs, 128 KB at the default), never by the
+    key count — the same budget Spark's runtime bloom broadcasts."""
+    n_words = num_bits // 64
+    pos = F.explode(F.array(*_bloom_positions(on, num_bits, num_hashes)))
+    words = (
+        small.select(pos.alias("__p"))
+        .select(
+            F.shiftright("__p", 6).alias("__w"),
+            # call_function: the PySpark shiftleft wrapper only takes
+            # an int shift amount, the SQL function takes a column
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.col("__p").bitwiseAND(63).cast("int"),
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    dense = [0] * n_words
+    for r in words:
+        dense[r["__w"]] = r["__bits"]
+    return dense
+
+
+def bloom_might_contain(
+    bitmap: list[int], on: str, num_bits: int, num_hashes: int = 3
+):
+    """Membership predicate Column over the literal bitmap — all k
+    bits set. Pure codegen: array element + shift + mask per hash."""
+    words = F.lit(bitmap)
+    cond = F.lit(True)
+    for p in _bloom_positions(on, num_bits, num_hashes):
+        word = F.get(words, F.shiftright(p, 6).cast("int"))
+        shifted = F.call_function(
+            "shiftright", word, p.bitwiseAND(63).cast("int")
+        )
+        cond = cond & (shifted.bitwiseAND(1) == 1)
+    return cond
+
+
+def bloom_semi_join_prune(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    small_on: str | None = None,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Exact LEFT SEMI join with a k-hash bloom pre-filter: rows
+    failing the bitmap test (guaranteed non-matches) are dropped
+    map-side with NO join; survivors (matches + ~(1-e^(-kn/m))^k
+    false positives) pay the exact semi join. Output equals the
+    plain semi join exactly — the bloom only shapes cost."""
+    key_small = small_on or on
+    keys = small.select(F.col(key_small).alias(on)).distinct()
+    bitmap = build_bloom(keys, on, num_bits, num_hashes)
+    pruned = big.filter(bloom_might_contain(bitmap, on, num_bits, num_hashes))
+    return pruned.join(keys, on, "left_semi")
+
+
+def bloom_anti_join_prune(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    small_on: str | None = None,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Exact LEFT ANTI complement: bitmap misses are certain
+    anti-matches (no false negatives) and bypass the join; only
+    bitmap hits need the exact check."""
+    key_small = small_on or on
+    keys = small.select(F.col(key_small).alias(on)).distinct()
+    bitmap = build_bloom(keys, on, num_bits, num_hashes)
+    test = bloom_might_contain(bitmap, on, num_bits, num_hashes)
+    certain_miss = big.filter(~test)
+    checked = big.filter(test).join(keys, on, "left_anti")
+    return certain_miss.unionByName(checked)
