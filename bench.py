@@ -162,6 +162,15 @@ HEADLINE = [
     "q_mahalanobis",
     "q_rolling_distinct",
     "q_time_decay_attr",
+    # round 4 additions. q_jaccard_join is deliberately NOT here: its
+    # output is quadratic in the synthetic corpus's template-cluster
+    # size (416k pairs / 23s at sf0.1 — answer-bound, see SCALE_NOTES);
+    # it stays a correctness-contract query. q_ivfpq_exact is
+    # fixed-size by construction (250-vector lossless config) and its
+    # perf story lives in the pytest recall floors instead.
+    "q_countmin",
+    "q_bloom_prune",
+    "q_mmr_rerank",
 ]
 
 

@@ -303,6 +303,37 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "ArrowEvalPython"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # Count-Min: ONE combinable HashAggregate builds the depth x width
+    # table; the estimate probe joins by broadcast; never a window,
+    # never a cartesian.
+    "q_countmin": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Window", "SortMergeJoin", "CartesianProduct"],
+    ),
+    # Bloom prune: the bitmap membership test is a plain Filter (no
+    # join in the prune step) and the exact finishing semi join is a
+    # broadcast hash join on the small key side.
+    "q_bloom_prune": (
+        ["LeftSemi", "BroadcastHashJoin"],
+        ["SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # Exact Jaccard join: every join is an equi join (prefix-token
+    # candidates + verification joins — SMJ acceptable at scale); the
+    # only Window is the doc-local prefix cut. No pair may come from
+    # a nested-loop/cartesian — that would mean prefix filtering
+    # collapsed to all-pairs.
+    "q_jaccard_join": (
+        [],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # MMR: the upstream scoring is the INTENDED broadcast cross join
+    # (query side broadcast, like q_knn_join); the top-k cut must use
+    # WindowGroupLimit (rank pushdown); the greedy itself is one
+    # FlatMapGroupsInPandas over bounded candidate groups.
+    "q_mmr_rerank": (
+        ["BroadcastNestedLoopJoin", "FlatMapGroupsInPandas", "WindowGroupLimit"],
+        ["CartesianProduct"],
+    ),
 }
 
 
