@@ -4358,3 +4358,65 @@ JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
 WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
 """
+
+
+ORACLES["q_ts_folds"] = """
+WITH src AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey < 5000
+),
+units AS (SELECT DISTINCT o_orderdate FROM src),
+chunked AS (
+  SELECT o_orderdate, ntile(4) OVER (ORDER BY o_orderdate) AS chunk
+  FROM units
+),
+tagged AS (
+  SELECT s.o_orderkey, c.chunk
+  FROM src s JOIN chunked c USING (o_orderdate)
+),
+folds AS (
+  SELECT o_orderkey, chunk,
+         unnest(generate_series(chunk - 1, 3)) AS fold
+  FROM tagged
+)
+SELECT o_orderkey, CAST(fold AS BIGINT) AS fold,
+       CASE WHEN chunk = fold + 1 THEN 'test' ELSE 'train' END AS role
+FROM folds WHERE fold >= 1
+"""
+
+
+def _rebalance_oracle_sql() -> str:
+    from pipeline_dataengineer_spark.operators.sampling import scramble_sql
+
+    s = scramble_sql("o_orderkey")
+    return f"""
+WITH counts AS (
+  SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus
+),
+tgt AS (SELECT MAX(n) AS t FROM counts),
+ranked AS (
+  SELECT o.o_orderkey, o.o_orderstatus, c.n, g.t,
+         row_number() OVER (PARTITION BY o.o_orderstatus
+                            ORDER BY {s}, o.o_orderkey) AS rn
+  FROM orders o JOIN counts c USING (o_orderstatus) CROSS JOIN tgt g
+),
+copied AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN n >= t THEN 1
+              ELSE CAST(floor(t / n) AS BIGINT)
+                   + CASE WHEN rn <= t % n THEN 1 ELSE 0 END
+         END AS copies
+  FROM ranked
+),
+exploded AS (
+  SELECT o_orderkey, o_orderstatus,
+         unnest(generate_series(1, copies)) AS i
+  FROM copied
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderkey) AS n_unique,
+       SUM(o_orderkey) AS key_sum
+FROM exploded GROUP BY o_orderstatus
+"""
+
+
+ORACLES["q_rebalance"] = _rebalance_oracle_sql()

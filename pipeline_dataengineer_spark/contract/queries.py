@@ -6406,3 +6406,48 @@ def q_jaccard_join(spark, sf_dir):
     )
     corpus = d.unionByName(mutated)
     return jaccard_join_exact(corpus, "doc_id", "text", threshold=0.8)
+
+
+@query("q_ts_folds")
+def q_ts_folds(spark, sf_dir):
+    """Expanding-window time-series CV folds (operators/sampling.py:
+    time_series_folds): distinct order dates ntile'd into 4 chunks,
+    fold k trains on chunks 1..k and tests on chunk k+1 — the
+    no-future-leakage split. Full per-row fold/role assignment is
+    hash-checked via a DuckDB ntile replay."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        time_series_folds,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderdate")
+    )
+    out = time_series_folds(o, "o_orderdate", n_folds=3)
+    return out.select(
+        "o_orderkey", F.col("fold").cast("long").alias("fold"), "role"
+    )
+
+
+@query("q_rebalance")
+def q_rebalance(spark, sf_dir):
+    """Deterministic class rebalancing (operators/sampling.py:
+    rebalance_classes): every o_orderstatus class oversampled to
+    exactly the majority count, copies assigned in portable-scramble
+    order so WHICH rows get the extra copy replays in DuckDB
+    (scramble_sql). Output aggregates are copy-assignment-sensitive
+    (sum of keys over the exploded rows)."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        rebalance_classes,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    out = rebalance_classes(o, "o_orderstatus", order_key="o_orderkey")
+    return out.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_unique"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

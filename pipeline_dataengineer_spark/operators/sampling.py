@@ -267,3 +267,98 @@ def group_sample(
         slow.select(df.columns + ["__rn"])
     )
     return out.filter(F.col("__rn") <= k).drop("__rn")
+
+
+def time_series_folds(
+    df: DataFrame,
+    time_col: str,
+    n_folds: int,
+    unit_col_name: str = "fold",
+) -> DataFrame:
+    """Expanding-window cross-validation folds for temporal data —
+    the split discipline that keeps a model from training on its own
+    future. The distinct TIME UNITS (not rows — row-level splits leak
+    a test day's other rows into train) are cut into ``n_folds + 1``
+    contiguous chunks by ntile; fold k (1-based) trains on chunks
+    1..k and tests on chunk k+1. Returns one row per (input row,
+    fold) with a ``role`` column ('train'/'test'); rows in chunks
+    beyond a fold's test chunk are absent from that fold.
+
+    Scale shape: the ntile window runs over the DISTINCT time units
+    (a dimension-sized table — days/hours, not the fact table); the
+    chunk id joins back by broadcast; the per-fold expansion is a
+    generate_series explode bounded by n_folds. Everything downstream
+    (one model fit per fold) filters on (fold, role) — partition
+    pruning if the caller writes partitioned by fold."""
+    if n_folds < 1:
+        raise ValueError("n_folds must be >= 1")
+    units = df.select(F.col(time_col).alias("__u")).distinct()
+    w = Window.orderBy("__u")
+    chunked = units.withColumn(
+        "__chunk", F.ntile(n_folds + 1).over(w)
+    )
+    tagged = df.join(
+        F.broadcast(chunked), F.col(time_col) == F.col("__u")
+    ).drop("__u")
+    folds = tagged.withColumn(
+        unit_col_name,
+        F.explode(F.sequence(F.col("__chunk") - 1, F.lit(n_folds))),
+    ).filter(F.col(unit_col_name) >= 1)
+    # in fold k: chunk <= k -> train, chunk == k+1 -> test. A row of
+    # chunk c appears in folds c-1..n (as test in fold c-1, train in
+    # the rest); the explode above generates exactly that range.
+    return folds.withColumn(
+        "role",
+        F.when(F.col("__chunk") == F.col(unit_col_name) + 1, F.lit("test"))
+        .otherwise(F.lit("train")),
+    ).drop("__chunk")
+
+
+def rebalance_classes(
+    df: DataFrame,
+    class_col: str,
+    target: int | None = None,
+    order_key: str | None = None,
+) -> DataFrame:
+    """Deterministic oversampling to class balance: every class is
+    replicated up to exactly ``target`` rows (default: the majority
+    class count). Row i of a class (in ``portable_scramble`` order —
+    layout-independent) gets ``target // n`` copies plus one extra if
+    i <= target % n, so counts land EXACTLY on target with maximal
+    row diversity (no row is repeated twice more than any other),
+    reproducibly — unlike sample-with-replacement, which leaves
+    class sizes random AND unstable across engines.
+
+    Classes larger than target are left as-is (use
+    ``stratified_sample`` to downsample). ``order_key`` defaults to
+    ``class_col``-scrambled order of the first column.
+
+    Scale shape: class counts are one combinable aggregate broadcast
+    back; the copy factor is a pure projection + bounded explode
+    (factor = ceil(target/n)); the only shuffle is the per-class
+    row_number window — partitioned by class, which is exactly the
+    dimension being balanced (salt upstream if one class dominates
+    AND needs numbering; majority classes short-circuit the window
+    via the factor-1 fast path below)."""
+    key = order_key or df.columns[0]
+    counts = df.groupBy(class_col).agg(F.count("*").alias("__n"))
+    if target is None:
+        target = counts.agg(F.max("__n")).collect()[0][0]
+    tgt = F.lit(int(target))
+    with_n = df.join(F.broadcast(counts), class_col)
+    # fast path: classes already at/over target never enter the window
+    full = with_n.filter(F.col("__n") >= tgt).drop("__n")
+    minority = with_n.filter(F.col("__n") < tgt)
+    w = Window.partitionBy(class_col).orderBy(
+        portable_scramble(key), F.col(key)
+    )
+    ranked = minority.withColumn("__rn", F.row_number().over(w))
+    copies = (tgt / F.col("__n")).cast("long") + F.when(
+        F.col("__rn") <= F.pmod(tgt, F.col("__n")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ranked.withColumn("__c", copies)
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__c"))))
+        .drop("__n", "__rn", "__c", "__i")
+        .unionByName(full)
+    )
