@@ -4420,3 +4420,67 @@ FROM exploded GROUP BY o_orderstatus
 
 
 ORACLES["q_rebalance"] = _rebalance_oracle_sql()
+
+
+def _cm_join_size_oracle_sql(depth: int, width: int) -> str:
+    from pipeline_dataengineer_spark.functions.sketches import cm_bucket_sql
+
+    def stacked(table: str, col: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT {d} AS d, {cm_bucket_sql(col, d, width)} AS bucket "
+            f"FROM {table}"
+            for d in range(depth)
+        )
+
+    return f"""
+WITH sa AS (
+  SELECT d, bucket, COUNT(*) AS ca FROM ({stacked('lineitem', 'l_partkey')})
+  GROUP BY d, bucket
+),
+sb AS (
+  SELECT d, bucket, COUNT(*) AS cb FROM ({stacked('part', 'p_partkey')})
+  GROUP BY d, bucket
+),
+per_d AS (
+  SELECT sa.d, SUM(sa.ca * sb.cb) AS ip
+  FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+  GROUP BY sa.d
+),
+est AS (SELECT MIN(ip) AS est_inner_product FROM per_d),
+tru AS (
+  SELECT COUNT(*) AS true_join_size
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT est.est_inner_product, tru.true_join_size FROM est, tru
+"""
+
+
+ORACLES["q_cm_join_size"] = _cm_join_size_oracle_sql(4, 4096)
+
+
+def _token_budget_oracle_sql() -> str:
+    from pipeline_dataengineer_spark.operators.sampling import scramble_sql
+
+    s = scramble_sql("doc_id")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 800
+                   WHEN 'zh' THEN 1 ELSE -1 END AS budget
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens, budget,
+         SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY {s}, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT doc_id, lang, n_tokens
+FROM c WHERE budget >= 0 AND cum - n_tokens < budget
+"""
+
+
+ORACLES["q_token_budget"] = _token_budget_oracle_sql()

@@ -6451,3 +6451,55 @@ def q_rebalance(spark, sf_dir):
         F.countDistinct("o_orderkey").alias("n_unique"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@query("q_cm_join_size")
+def q_cm_join_size(spark, sf_dir):
+    """Join-size estimation from two Count-Min states
+    (functions/sketches.py:cm_inner_product): the lineitem ⋈ part
+    join cardinality estimated from two depth-4 × width-4096 tables
+    without re-touching either side, next to the true count. The
+    hash family replays in DuckDB, so the ESTIMATE itself (with its
+    collision inflation) is hash-checked, not just the true count."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        cm_inner_product,
+        cm_states,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    sa = cm_states(li, [], "l_partkey", depth=4, width=4096)
+    sb = cm_states(pt, [], "p_partkey", depth=4, width=4096)
+    est = cm_inner_product(sa, sb)
+    true = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .agg(F.count("*").alias("true_join_size"))
+    )
+    return est.crossJoin(true)
+
+
+@query("q_token_budget")
+def q_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (operators/corpus.py:
+    token_budget_sample): per-language document selection in
+    portable-scramble order until each language's TOKEN budget is
+    crossed — the unit pretraining mixtures actually allocate. The
+    whole selection (scramble order, running sum, boundary-crossing
+    doc kept, unbudgeted strata dropped) replays in DuckDB."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        token_budget_sample,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    out = token_budget_sample(
+        d,
+        "lang",
+        "n_tokens",
+        {"en": 2000, "fr": 800, "zh": 1}, 
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "lang", "n_tokens")

@@ -512,3 +512,27 @@ def cm_estimate(
     return joined.groupBy(*keys, item_col).agg(
         F.min("cnt").alias("est_count")
     )
+
+
+def cm_inner_product(
+    state_a: DataFrame, state_b: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Inner-product estimate from two Count-Min states (Cormode &
+    Muthukrishnan §4.2): est = min over depth rows of
+    Σ_bucket cnt_a(d,b) · cnt_b(d,b). Since
+    Σ_v f_a(v)·f_b(v) is exactly the row count of the equi-join
+    between the two sketched columns, this is a JOIN-SIZE ESTIMATE
+    from two fixed-size states — the planner question ("how big is
+    this join?") answered without touching either table again, with
+    the same one-sided guarantee as point queries (never an
+    underestimate). Cost: one equi-join of two depth×width tables +
+    two tiny aggregates — independent of the data that built them."""
+    keys = keys or []
+    a = state_a.select(*keys, "d", "bucket", F.col("cnt").alias("__ca"))
+    b = state_b.select(*keys, "d", "bucket", F.col("cnt").alias("__cb"))
+    per_d = (
+        a.join(b, [*keys, "d", "bucket"])
+        .groupBy(*keys, "d")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_d.groupBy(*keys).agg(F.min("__ip").alias("est_inner_product"))

@@ -372,3 +372,61 @@ def dedupe_repeated_segments(
         F.count("*").alias("n_kept"),
         F.sum(F.col("__n") - 1).alias("n_removed"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_count_col: str,
+    budgets: dict[str, int],
+    key_col: str | None = None,
+) -> DataFrame:
+    """Mixture construction by TOKEN budget, not document count — the
+    unit LLM pretraining actually allocates (a 100-doc forum stratum
+    and a 100-doc book stratum are wildly different token masses).
+    Per stratum, documents are taken in deterministic
+    portable-scramble order until the cumulative token count reaches
+    the stratum's budget; the document that CROSSES the boundary is
+    kept (budgets are floors-until-crossed, so a budget smaller than
+    the first doc still yields one doc, never zero). Strata absent
+    from ``budgets`` are dropped — same explicit-budget stance as
+    ``mixture_sample``.
+
+    Scale shape: ONE shuffle (the per-stratum cumulative-sum window);
+    the scramble order makes membership stable across runs, engines
+    and layouts, and the running sum never needs a global sort —
+    each stratum's window is independent. Skew note: strata ARE the
+    window partitions; a single giant stratum bounds the task, which
+    is the same bound the mixture itself imposes downstream."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_scramble,
+    )
+
+    key = key_col or df.columns[0]
+    budget = None
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+        cond = F.when(F.col(strata_col) == s, F.lit(int(b)))
+        budget = cond if budget is None else budget.when(
+            F.col(strata_col) == s, F.lit(int(b))
+        )
+    budget = budget.otherwise(F.lit(-1))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(portable_scramble(key), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_count_col).cast("long")).over(w)
+    return (
+        df.withColumn("__budget", budget)
+        .withColumn("__cum", cum)
+        .filter(
+            (F.col("__budget") >= 0)
+            & (
+                F.col("__cum") - F.col(token_count_col).cast("long")
+                < F.col("__budget")
+            )
+        )
+        .drop("__budget", "__cum")
+    )
