@@ -68,9 +68,19 @@ def ivf_build(
     cosine against the broadcast centroid set; one corpus pass, then a
     single repartition on centroid id co-locates each bucket.
     """
+    # Hash-ORDERED top-k, not a hash-threshold filter: the old
+    # `pmod(hash) < 3k/997` prefilter kept ~0.3% of rows regardless
+    # of corpus size, so a small corpus (or an unlucky shard) could
+    # yield ZERO centroids and an empty index. orderBy+limit compiles
+    # to TakeOrderedAndProject (map-side partial top-k — one narrow
+    # pass, no full sort) and guarantees min(k, |corpus|) centroids
+    # with the same deterministic, seed-free pseudo-randomness.
     centroids = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), 997) < num_centroids * 3)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        corpus.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .orderBy(
+            F.pmod(F.xxhash64("centroid_id"), F.lit(997)).asc(),
+            F.col("centroid_id").asc(),
+        )
         .limit(num_centroids)
     )
     c = F.broadcast(centroids)

@@ -334,6 +334,32 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "FlatMapGroupsInPandas", "WindowGroupLimit"],
         ["CartesianProduct"],
     ),
+    # CV folds: the chunk table (distinct time units) joins back by
+    # BROADCAST — the fact table never shuffles for the tag; the only
+    # Window is the ntile over the dimension-sized unit table.
+    "q_ts_folds": (
+        ["BroadcastHashJoin", "Generate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # rebalance: class counts broadcast back; the explode is a
+    # Generate; never an SMJ on the fact side.
+    "q_rebalance": (
+        ["BroadcastHashJoin", "Generate", "Window"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # token budget: ONE window shuffle (per-stratum cumsum), no join
+    # at all — the budget is a CASE projection.
+    "q_token_budget": (
+        ["Window"],
+        ["BroadcastHashJoin", "SortMergeJoin", "Generate"],
+    ),
+    # CM join-size: two combinable sketch aggregates; the state-table
+    # equi-join broadcasts; the final 1-row x 1-row cross is the
+    # INTENDED BNLJ (like q_knn_join).
+    "q_cm_join_size": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
 }
 
 
