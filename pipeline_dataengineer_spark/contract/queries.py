@@ -6503,3 +6503,58 @@ def q_token_budget(spark, sf_dir):
         key_col="doc_id",
     )
     return out.select("doc_id", "lang", "n_tokens")
+
+
+@query("q_benford")
+def q_benford(spark, sf_dir):
+    """Benford first-digit conformance over order totals
+    (operators/stats_tests.py:benford_test): per-digit observed vs
+    log10(1+1/d) expected proportions and chi-square terms — one
+    9-row combinable aggregate."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        benford_test,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    return benford_test(o, "o_totalprice")
+
+
+@query("q_vector_index")
+def q_vector_index(spark, sf_dir):
+    """Integration: the full vector-index pipeline
+    (pipelines/vector_index.py) over the documents table — dedup →
+    chunk → hash-embed → IVF-PQ → snapshot publish → search with 3
+    probe queries. Rows-only by design (feature-hash embeddings are
+    xxhash64-based, engine-specific); the per-stage machinery is
+    oracle-checked piecewise by q_ivfpq_exact / q_countmin-style
+    lossless configs and the pipeline pytest asserts self-retrieval
+    at distance zero."""
+    import os
+
+    from pipeline_dataengineer_spark.pipelines.vector_index import (
+        _default_embed,
+        build_vector_index,
+        search_vector_index,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = f"/tmp/spark_graft_vecidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    build_vector_index(
+        d, root, chunk_tokens=48, overlap=8, dim=32,
+        num_centroids=8, m=4, codebook_size=16,
+    )
+    from pipeline_dataengineer_spark.operators.corpus import chunk_documents
+
+    probe = (
+        _default_embed(
+            chunk_documents(d, chunk_tokens=48, overlap=8)
+            .filter((F.col("doc_id") < 3) & (F.col("chunk_idx") == 0))
+            .select(
+                F.concat_ws("#", "doc_id", "chunk_idx").alias("chunk_id"),
+                "chunk_text",
+            ),
+            32,
+        )
+        .select(F.col("chunk_id").alias("query_id"), "embedding")
+    )
+    return search_vector_index(spark, root, probe, k=5, nprobe=8)
