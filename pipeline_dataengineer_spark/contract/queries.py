@@ -6558,3 +6558,21 @@ def q_vector_index(spark, sf_dir):
         .select(F.col("chunk_id").alias("query_id"), "embedding")
     )
     return search_vector_index(spark, root, probe, k=5, nprobe=8)
+
+
+@query("q_dsir_sample")
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (operators/corpus.py:dsir_sample,
+    Xie et al. 2023): select 100 documents from the full corpus
+    toward the French-language target distribution via hashed-unigram
+    likelihood ratios + the deterministic Gumbel-top-k trick.
+    Rows-only by design (xxhash64 bucket hashing is engine-specific);
+    domain separation and layout determinism are pytest-proven
+    (tests/test_dsir.py)."""
+    from pipeline_dataengineer_spark.operators.corpus import dsir_sample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = d.filter(F.col("lang") == "fr").select("doc_id", "text")
+    return dsir_sample(
+        d.select("doc_id", "text"), target, n_docs=100, n_buckets=4096
+    )

@@ -430,3 +430,125 @@ def token_budget_sample(
         )
         .drop("__budget", "__cum")
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by how target-like its hashed-unigram distribution is,
+
+        log w(doc) = Σ_tokens log p_target(bucket(token))
+                               − log p_raw(bucket(token))
+
+    with bucket = hash(token) mod n_buckets and add-alpha smoothing
+    on both bucket multinomials. Returns (id, n_tokens, log_w) —
+    feed to ``dsir_sample`` (or any thresholding policy).
+
+    Scale shape: each corpus contributes ONE combinable bucket-count
+    aggregate (n_buckets rows — a config constant); the log-ratio
+    table broadcasts; per-doc scoring is one explode + broadcast
+    join + doc-sum (a single key shuffle on the doc id). The target
+    corpus is typically tiny (the domain you wish you had more of) —
+    it is never joined row-to-row against raw."""
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+                    )
+                ).alias("__tok")
+            )
+            .select(
+                F.pmod(F.xxhash64("__tok"), F.lit(n_buckets)).alias("__b")
+            )
+            .groupBy("__b")
+            .agg(F.count("*").alias("__n"))
+        )
+
+    tc = bucket_counts(target)
+    rc = bucket_counts(raw)
+    t_tot = tc.agg(F.sum("__n").alias("__tt"))
+    r_tot = rc.agg(F.sum("__n").alias("__rt"))
+    # full outer on buckets so unseen-in-one-corpus buckets still get
+    # their smoothed probability
+    ratio = (
+        tc.withColumnRenamed("__n", "__nt")
+        .join(rc.withColumnRenamed("__n", "__nr"), "__b", "full_outer")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__nt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__tt") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__nr"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__rt") + F.lit(alpha * n_buckets))
+                )
+            ).alias("__lr"),
+        )
+    )
+    toks = raw.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("__tok"),
+    ).select(
+        id_col, F.pmod(F.xxhash64("__tok"), F.lit(n_buckets)).alias("__b")
+    )
+    return (
+        toks.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("__lr").alias("log_w"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DSIR selection: importance-resample ``n_docs`` docs from
+    ``raw`` toward the ``target`` distribution via the Gumbel-top-k
+    trick — key(doc) = log_w/temperature + Gumbel(u(doc)) with
+    u derived from the DETERMINISTIC portable scramble of the doc id
+    (reproducible across runs/engines/layouts, no seed plumbing);
+    taking the n_docs largest keys IS sampling-without-replacement
+    proportional to w^(1/temperature). temperature→0 approaches
+    hard top-k by weight; 1.0 is faithful DSIR.
+
+    The cut is a TakeOrderedAndProject-style distributed top-k when
+    n_docs is small, never a full sort of raw."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_scramble,
+    )
+
+    w = dsir_importance_weights(
+        raw, target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    # u in (0,1): scramble yields [0, 2^31); shift by +1 to dodge 0
+    u = (portable_scramble(id_col) + F.lit(1.0)) / F.lit(2147483649.0)
+    key = F.col("log_w") / F.lit(temperature) - F.log(-F.log(u))
+    return (
+        w.withColumn("__gumbel_key", key)
+        .orderBy(F.col("__gumbel_key").desc(), F.col(id_col).asc())
+        .limit(n_docs)
+        .select(id_col, "n_tokens", "log_w")
+    )

@@ -63,10 +63,12 @@ def ivf_build(
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: (centroids, assigned corpus).
 
-    Centroids: a deterministic sample (hash-modulo of ids — seed-free
-    and reproducible across runs/cluster sizes). Assignment: argmax
-    cosine against the broadcast centroid set; one corpus pass, then a
-    single repartition on centroid id co-locates each bucket.
+    Centroids: a deterministic hash-ORDERED sample (smallest id-hash
+    values win — seed-free, reproducible across runs/cluster sizes,
+    and guaranteed non-empty for any non-empty corpus). Assignment:
+    argmax cosine against the broadcast centroid set; one corpus
+    pass, then a single repartition on centroid id co-locates each
+    bucket.
     """
     # Hash-ORDERED top-k, not a hash-threshold filter: the old
     # `pmod(hash) < 3k/997` prefilter kept ~0.3% of rows regardless

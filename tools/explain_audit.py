@@ -360,6 +360,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "BroadcastHashJoin"],
         ["SortMergeJoin", "CartesianProduct", "Window"],
     ),
+    # Benford: one combinable 9-row aggregate; the 1-row total joins
+    # back by broadcast; never a window or sort-merge.
+    "q_benford": (
+        ["HashAggregate"],
+        ["Window", "SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
