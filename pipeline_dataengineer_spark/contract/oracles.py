@@ -4501,3 +4501,37 @@ SELECT digit, n_obs,
              / log10(1.0 + 1.0 / digit), 6) AS chi2_term
 FROM counts, tot
 """
+
+
+ORACLES["q_tfidf_cosine"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3
+),
+words AS (
+  SELECT doc_id, w AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM base)
+  WHERE w <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM base),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE dfreq.df <= 60
+),
+norms AS (
+  SELECT doc_id, sqrt(SUM(tfidf * tfidf)) AS nrm FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tfidf * b.tfidf) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
+"""

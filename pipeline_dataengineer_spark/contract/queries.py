@@ -6576,3 +6576,25 @@ def q_dsir_sample(spark, sf_dir):
     return dsir_sample(
         d.select("doc_id", "text"), target, n_docs=100, n_buckets=4096
     )
+
+
+@query("q_tfidf_cosine")
+def q_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join (operators/
+    text_features.py:tfidf_cosine_pairs): exact lexical document
+    similarity via a postings self-join — no embeddings, no LSH
+    misses. Same deterministic 20% corpus slice as q_jaccard_join;
+    max_df=60 caps the stopword df² pair blow-up (identical cap in
+    the oracle)."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        tfidf_cosine_pairs,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 3)
+        .select("doc_id", "text")
+    )
+    return tfidf_cosine_pairs(
+        d, "doc_id", "text", threshold=0.5, max_df=60
+    )

@@ -508,3 +508,60 @@ def extract_keywords(
         lambda x: x["term"],
     )
     return ranked.groupBy(id_col).agg(ordered.alias("keywords"))
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_df: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity >= threshold,
+    via a postings self-join — sparse lexical similarity WITHOUT
+    embeddings (the model-free cousin of the embedding near-dup
+    path, and exact: no LSH misses).
+
+    Relational shape: pairs meet once per SHARED TERM (a self-join of
+    the weight table on term), the dot product is ONE combinable
+    sum(w_a·w_b) per pair, and norms join in from a per-doc
+    aggregate. Nothing is quadratic in the corpus — the pair space is
+    bounded by Σ_term df(term)², which ``max_df`` caps explicitly:
+    terms in more than ``max_df`` docs (stopwords — precisely the
+    terms whose df² blows up, and whose idf≈0 contributes least) are
+    EXCLUDED from scoring, a documented semantic cap like
+    inverted_index's max_posting_size, applied identically in the
+    oracle. Output: (id_a, id_b, cosine) with id_a < id_b."""
+    w = tf_idf(df, id_col=id_col, text_col=text_col, round_to=6)
+    if max_df is not None:
+        w = w.filter(F.col("df") <= max_df)
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("__norm")
+    )
+    a = w.select(
+        "term", F.col(id_col).alias("id_a"), F.col("tfidf").alias("__wa")
+    )
+    b = w.select(
+        "term", F.col(id_col).alias("id_b"), F.col("tfidf").alias("__wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__dot") / (F.col("__na") * F.col("__nb")), round_to
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
