@@ -925,6 +925,13 @@ def maintain_sketch_view(
             lambda d: sk.kll_states(d, keys, value_col),
             lambda old, new: sk.merge_kll(old, new, keys=keys),
         ),
+        # Count-Min: incremental point-frequency tables — the counter
+        # monoid merge (merge-then-estimate == build-over-union is
+        # pytest-proven in test_countmin.py)
+        "cm": (
+            lambda d: sk.cm_states(d, keys, value_col),
+            lambda old, new: sk.merge_cm(old, new, keys=keys),
+        ),
     }
     if family not in builders:
         raise ValueError(f"unknown sketch family {family!r}")

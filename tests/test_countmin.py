@@ -107,3 +107,39 @@ def test_cm_grouped_keys(spark):
     assert len(j) == 22
     for r in j:
         assert r["est_count"] == r["c"]
+
+
+def test_maintain_sketch_view_cm_incremental(spark, tmp_path):
+    """Count-Min rides the incremental sketch-view machinery: two
+    source batches folded by the counter monoid give the same
+    estimates as a one-shot build over the union (exact here — the
+    width dominates the tiny domain)."""
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        append_snapshot,
+        maintain_sketch_view,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "cmsrc")
+    view = str(tmp_path / "cmview")
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "g string, v int"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1), ("b", 5), ("b", 6)], "g string, v int"
+    )
+    write_snapshot(b1, src)
+    m = maintain_sketch_view(spark, src, view, ["g"], "v", family="cm")
+    assert m["sketch_family"] == "cm"
+    append_snapshot(b2, src)
+    maintain_sketch_view(spark, src, view, ["g"], "v", family="cm")
+    state = read_snapshot(spark, view)
+    items = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5), ("b", 6)], "g string, v int"
+    )
+    est = {
+        (r["g"], r["v"]): r["est_count"]
+        for r in cm_estimate(state, items, "v", keys=["g"]).collect()
+    }
+    assert est == {("a", 1): 3, ("a", 2): 1, ("b", 5): 2, ("b", 6): 1}

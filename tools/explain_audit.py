@@ -366,6 +366,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["Window", "SortMergeJoin", "CartesianProduct"],
     ),
+    # TF-IDF cosine join: docfreq/dot are combinable HashAggregates
+    # (same no-Window rule as q_tfidf); the corpus-size scalar is the
+    # intended 1-row BNLJ; never a cartesian.
+    "q_tfidf_cosine": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["Window", "CartesianProduct"],
+    ),
 }
 
 
