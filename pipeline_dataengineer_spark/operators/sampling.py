@@ -341,9 +341,17 @@ def rebalance_classes(
     AND needs numbering; majority classes short-circuit the window
     via the factor-1 fast path below)."""
     key = order_key or df.columns[0]
+    # NULL-class rows pass through untouched: an equi-join on the
+    # class key would silently DROP them (NULL never equals NULL) —
+    # the same outer-row hazard safe_join guards against. They are
+    # not a class to balance, but they are the caller's rows.
+    null_class = df.filter(F.col(class_col).isNull())
+    df = df.filter(F.col(class_col).isNotNull())
     counts = df.groupBy(class_col).agg(F.count("*").alias("__n"))
     if target is None:
         target = counts.agg(F.max("__n")).collect()[0][0]
+        if target is None:
+            return null_class
     tgt = F.lit(int(target))
     with_n = df.join(F.broadcast(counts), class_col)
     # fast path: classes already at/over target never enter the window
@@ -361,4 +369,5 @@ def rebalance_classes(
         .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__c"))))
         .drop("__n", "__rn", "__c", "__i")
         .unionByName(full)
+        .unionByName(null_class)
     )

@@ -136,3 +136,19 @@ def test_rebalance_deterministic_across_runs(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_rebalance_null_class_rows_pass_through(spark):
+    """NULL-class rows are returned untouched (an equi-join would
+    silently drop them) and do not participate in balancing."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None), (5, None)],
+        "id long, cls string",
+    )
+    out = rebalance_classes(df, "cls", order_key="id").collect()
+    nulls = sorted(r["id"] for r in out if r["cls"] is None)
+    assert nulls == [4, 5]
+    counts = {}
+    for r in out:
+        counts[r["cls"]] = counts.get(r["cls"], 0) + 1
+    assert counts["a"] == 2 and counts["b"] == 2  # b oversampled to 2
