@@ -6530,6 +6530,7 @@ def q_vector_index(spark, sf_dir):
     lossless configs and the pipeline pytest asserts self-retrieval
     at distance zero."""
     import os
+    import shutil
 
     from pipeline_dataengineer_spark.pipelines.vector_index import (
         _default_embed,
@@ -6539,6 +6540,9 @@ def q_vector_index(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     root = f"/tmp/spark_graft_vecidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    # fresh root per run: repeated bench/verify invocations would
+    # otherwise accumulate snapshot versions in /tmp without bound
+    shutil.rmtree(root, ignore_errors=True)
     build_vector_index(
         d, root, chunk_tokens=48, overlap=8, dim=32,
         num_centroids=8, m=4, codebook_size=16,

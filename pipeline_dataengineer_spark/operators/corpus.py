@@ -402,11 +402,19 @@ def token_budget_sample(
         portable_scramble,
     )
 
+    if not budgets:
+        raise ValueError(
+            "token_budget_sample: budgets is empty — every stratum "
+            "would be dropped; pass at least one {stratum: budget}"
+        )
     key = key_col or df.columns[0]
     budget = None
     for s, b in budgets.items():
-        if b < 0:
-            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+        if b < 1:
+            # a 0 budget would contradict the boundary-crossing
+            # contract below (first doc kept); omit the stratum
+            # instead of budgeting it at zero
+            raise ValueError(f"budget for {s!r} must be >= 1, got {b}")
         cond = F.when(F.col(strata_col) == s, F.lit(int(b)))
         budget = cond if budget is None else budget.when(
             F.col(strata_col) == s, F.lit(int(b))

@@ -966,13 +966,22 @@ def jaccard_join_exact(
         vocab, ["__df", "__tok"], "__rank"
     ).select("__tok", "__rank")
     ranked = toks.join(ranked_vocab, "__tok")
-    # prefix length p = |x| - ceil(t*|x|) + 1, over the rank order
+    # prefix length p = |x| - ceil(t*|x|) + 1, over the rank order.
+    # The epsilon guards ceil/floor against IEEE overshoot: 0.07*100
+    # evaluates to 7.000000000000001, whose unguarded ceil is 8 — a
+    # too-short prefix / too-tight size filter would DROP qualifying
+    # pairs, violating the no-false-negative guarantee. 1e-9 is far
+    # below the 1/|x| granularity that matters and only ever RELAXES
+    # the bound (extra candidates are re-checked exactly anyway).
+    eps = 1e-9
     w = Window.partitionBy("__id").orderBy("__rank")
     prefix = (
         ranked.withColumn("__pos", F.row_number().over(w))
         .filter(
             F.col("__pos")
-            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+            <= F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(eps))
+            + 1
         )
         .select("__id", "__sz", "__tok")
     )
@@ -986,8 +995,14 @@ def jaccard_join_exact(
         a.join(b, "__tok")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("__szb") >= F.ceil(F.lit(threshold) * F.col("__sza")))
-            & (F.col("__szb") <= F.floor(F.col("__sza") / F.lit(threshold)))
+            & (
+                F.col("__szb")
+                >= F.ceil(F.lit(threshold) * F.col("__sza") - F.lit(eps))
+            )
+            & (
+                F.col("__szb")
+                <= F.floor(F.col("__sza") / F.lit(threshold) + F.lit(eps))
+            )
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -109,6 +109,12 @@ def build_bloom(
     into a dense list[int] of length m/64. Driver traffic is bounded
     by the CONFIG (m/64 longs, 128 KB at the default), never by the
     key count — the same budget Spark's runtime bloom broadcasts."""
+    if num_bits <= 0 or num_bits % 64 != 0:
+        # positions range over [0, num_bits); a ragged last word would
+        # make word-index num_bits>>6 fall off the dense list (crash
+        # here, or worse: F.get -> NULL -> membership NULL -> silently
+        # pruned MATCHES in bloom_might_contain)
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
     n_words = num_bits // 64
     pos = F.explode(F.array(*_bloom_positions(on, num_bits, num_hashes)))
     words = (

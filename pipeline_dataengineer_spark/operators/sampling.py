@@ -292,6 +292,11 @@ def time_series_folds(
     pruning if the caller writes partitioned by fold."""
     if n_folds < 1:
         raise ValueError("n_folds must be >= 1")
+    # NULL-dated rows can belong to no fold (there is no order to cut
+    # on) — drop them EXPLICITLY, before the unit table, so a NULL
+    # neither occupies an ntile slot (skewing every real chunk's
+    # boundary) nor vanishes silently in the tag-back equi-join
+    df = df.filter(F.col(time_col).isNotNull())
     units = df.select(F.col(time_col).alias("__u")).distinct()
     w = Window.orderBy("__u")
     chunked = units.withColumn(

@@ -6,11 +6,13 @@ composition the individual operators imply, wired as ONE dataflow —
 
 Each stage is an existing engine operator; the pipeline adds the
 contract between them (ids, schemas, the snapshot layout) and makes
-the whole thing restartable: the index lives in three snapshot
-tables (centroids / codes / codebooks) under one root, published
-atomically per table with the engine's ACID snapshot layer, so a
-searcher never sees a half-built index and time travel works per
-build.
+the whole thing restartable: the index lives in four snapshot
+tables (centroids / codes / codebooks / chunk-map) under one root,
+each published atomically by the engine's ACID snapshot layer, and
+a build COMMITS via one atomic index-level manifest rename pinning
+the four table versions as a consistent set — a crashed build's
+uncommitted table versions are never referenced, searches never mix
+builds, and time travel is per committed build.
 
 Embedding is the ONE stage a real deployment swaps out: here it is
 the model-free feature-hashing vectorizer (integer-exact, engine
@@ -97,7 +99,12 @@ def build_vector_index(
         "chunk_text",
     )
     embed = embed_fn or (lambda c: _default_embed(c, dim))
-    vectors = embed(chunks)
+    # cache the shared lineage: the four snapshot writes + the count
+    # below would otherwise each re-execute dedup -> chunk -> EMBED
+    # (~5x inference cost when embed_fn is a real model call)
+    chunks = chunks.persist()
+    vectors = embed(chunks).persist()
+    n_vectors = vectors.count()
     centroids, encoded, books = ivfpq_build(
         vectors,
         vec_col="embedding",
@@ -106,6 +113,7 @@ def build_vector_index(
         m=m,
         codebook_size=codebook_size,
     )
+    encoded = encoded.persist()
     spark = docs.sparkSession
     # codebooks: numpy (m, codebook_size, subdim) -> rows
     m_, kc, subdim = books.shape
@@ -118,23 +126,63 @@ def build_vector_index(
         book_rows, "subspace int, code int, vec array<double>"
     )
     chunk_map = chunks.select("chunk_id", "parent_id", "chunk_idx")
-    v_cent = write_snapshot(centroids, f"{index_root}/centroids")
-    v_codes = write_snapshot(encoded, f"{index_root}/codes")
-    v_books = write_snapshot(books_df, f"{index_root}/codebooks")
-    v_map = write_snapshot(chunk_map, f"{index_root}/chunks")
-    return {
-        "n_vectors": encoded.count(),
-        "n_centroids": num_centroids,
-        "m": m_,
-        "codebook_size": kc,
-        "dim": dim,
-        "versions": {
+    try:
+        v_cent = write_snapshot(centroids, f"{index_root}/centroids")
+        v_codes = write_snapshot(encoded, f"{index_root}/codes")
+        v_books = write_snapshot(books_df, f"{index_root}/codebooks")
+        v_map = write_snapshot(chunk_map, f"{index_root}/chunks")
+        versions = {
             "centroids": v_cent["version"],
             "codes": v_codes["version"],
             "codebooks": v_books["version"],
             "chunks": v_map["version"],
-        },
+        }
+        # the INDEX-LEVEL commit: the four per-table publishes above
+        # are each atomic but not jointly — a crash between them (or
+        # a concurrent reader) must never surface a torn index, so a
+        # build only becomes visible when this one-file manifest
+        # rename lands, pinning a CONSISTENT cross-table version set.
+        _commit_index_manifest(index_root, versions)
+    finally:
+        chunks.unpersist()
+        vectors.unpersist()
+        encoded.unpersist()
+    return {
+        "n_vectors": n_vectors,
+        "n_centroids": num_centroids,
+        "m": m_,
+        "codebook_size": kc,
+        "dim": dim,
+        "versions": versions,
     }
+
+
+def _commit_index_manifest(index_root: str, versions: dict) -> None:
+    """Append this build's per-table version set to the index-level
+    manifest with an atomic rename — the cross-table commit point."""
+    import json
+    import os
+
+    path = os.path.join(index_root, "INDEX_MANIFEST.json")
+    builds = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            builds = json.load(fh).get("builds", [])
+    builds.append(versions)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"builds": builds}, fh)
+    os.replace(tmp, path)
+
+
+def _load_index_manifest(index_root: str, build: int | None) -> dict:
+    import json
+    import os
+
+    path = os.path.join(index_root, "INDEX_MANIFEST.json")
+    with open(path) as fh:
+        builds = json.load(fh)["builds"]
+    return builds[-1 if build is None else build]
 
 
 def search_vector_index(
@@ -145,14 +193,21 @@ def search_vector_index(
     nprobe: int = 4,
     version: int | None = None,
 ) -> DataFrame:
-    """Search a published index: load the three snapshot tables (a
-    pinned ``version`` gives repeatable reads against concurrent
-    rebuilds), reassemble the codebook constant, and ADC-search.
-    ``query``: (query_id, embedding). Returns (query_id, chunk_id,
-    parent_id, chunk_idx, dist2, rank)."""
-    centroids = read_snapshot(spark, f"{index_root}/centroids", version=version)
-    encoded = read_snapshot(spark, f"{index_root}/codes", version=version)
-    books_df = read_snapshot(spark, f"{index_root}/codebooks", version=version)
+    """Search a published index. ``version`` is a BUILD number into
+    the index-level manifest (default: latest committed build); the
+    manifest pins a CONSISTENT per-table version set, so a search
+    never mixes one build's centroids with another's codes — even
+    mid-rebuild or after a crashed build (uncommitted table versions
+    are simply never referenced). ``query``: (query_id, embedding).
+    Returns (query_id, chunk_id, parent_id, chunk_idx, dist2, rank)."""
+    pins = _load_index_manifest(index_root, version)
+    centroids = read_snapshot(
+        spark, f"{index_root}/centroids", version=pins["centroids"]
+    )
+    encoded = read_snapshot(spark, f"{index_root}/codes", version=pins["codes"])
+    books_df = read_snapshot(
+        spark, f"{index_root}/codebooks", version=pins["codebooks"]
+    )
     rows = books_df.collect()
     m_ = 1 + max(r["subspace"] for r in rows)
     kc = 1 + max(r["code"] for r in rows)
@@ -169,7 +224,9 @@ def search_vector_index(
         k=k,
         nprobe=nprobe,
     )
-    chunk_map = read_snapshot(spark, f"{index_root}/chunks", version=version)
+    chunk_map = read_snapshot(
+        spark, f"{index_root}/chunks", version=pins["chunks"]
+    )
     return hits.join(chunk_map, "chunk_id").select(
         "query_id", "chunk_id", "parent_id", "chunk_idx", "dist2", "rank"
     )

@@ -118,3 +118,47 @@ def test_rebuild_bumps_version_and_time_travel(spark, tmp_path):
     assert old == v1["n_vectors"]
     assert new == v2["n_vectors"]
     assert new > old
+
+
+def test_search_never_sees_torn_build(spark, tmp_path):
+    """A table bumped WITHOUT an index-manifest commit (a crashed
+    build's debris) is invisible: searches keep reading the last
+    committed consistent set."""
+    from pipeline_dataengineer_spark.operators.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+    from pipeline_dataengineer_spark.pipelines.vector_index import (
+        _load_index_manifest,
+    )
+
+    root = str(tmp_path / "idx4")
+    docs = _docs(spark, n=12)
+    build_vector_index(
+        docs, root, chunk_tokens=16, overlap=4, dim=32,
+        num_centroids=2, m=4, codebook_size=256,
+    )
+    committed = _load_index_manifest(root, None)
+    # simulate a crash mid-second-build: centroids table advances,
+    # nothing else does, no manifest commit
+    write_snapshot(
+        read_snapshot(spark, f"{root}/centroids").limit(1),
+        f"{root}/centroids",
+    )
+    assert _load_index_manifest(root, None) == committed
+    from pipeline_dataengineer_spark.operators.corpus import chunk_documents
+
+    probe = _default_embed(
+        chunk_documents(docs, chunk_tokens=16, overlap=4)
+        .filter(F.col("chunk_idx") == 0)
+        .select(
+            F.concat_ws("#", "doc_id", "chunk_idx").alias("chunk_id"),
+            "chunk_text",
+        ),
+        32,
+    ).limit(2).select(F.col("chunk_id").alias("query_id"), "embedding")
+    hits = search_vector_index(spark, root, probe, k=2, nprobe=2).collect()
+    # both queries still answered from the committed (2-centroid) build
+    assert {r["query_id"] for r in hits} and all(
+        r["dist2"] == 0.0 for r in hits if r["rank"] == 1
+    )
