@@ -4486,23 +4486,6 @@ FROM c WHERE budget >= 0 AND cum - n_tokens < budget
 ORACLES["q_token_budget"] = _token_budget_oracle_sql()
 
 
-ORACLES["q_benford"] = """
-WITH pos AS (SELECT o_totalprice AS x FROM orders WHERE o_totalprice > 0),
-d AS (
-  SELECT CAST(floor(x / power(10.0, floor(log10(x)))) AS INTEGER) AS digit
-  FROM pos
-),
-counts AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
-tot AS (SELECT SUM(n_obs) AS t FROM counts)
-SELECT digit, n_obs,
-       round(n_obs / t, 6) AS p_obs,
-       round(log10(1.0 + 1.0 / digit), 6) AS p_exp,
-       round(t * power(n_obs / t - log10(1.0 + 1.0 / digit), 2)
-             / log10(1.0 + 1.0 / digit), 6) AS chi2_term
-FROM counts, tot
-"""
-
-
 ORACLES["q_tfidf_cosine"] = """
 WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3

@@ -6505,20 +6505,6 @@ def q_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens")
 
 
-@query("q_benford")
-def q_benford(spark, sf_dir):
-    """Benford first-digit conformance over order totals
-    (operators/stats_tests.py:benford_test): per-digit observed vs
-    log10(1+1/d) expected proportions and chi-square terms — one
-    9-row combinable aggregate."""
-    from pipeline_dataengineer_spark.operators.stats_tests import (
-        benford_test,
-    )
-
-    o = table(spark, sf_dir, "orders")
-    return benford_test(o, "o_totalprice")
-
-
 @query("q_vector_index")
 def q_vector_index(spark, sf_dir):
     """Integration: the full vector-index pipeline

@@ -349,44 +349,12 @@ def psi_drift(
     )
 
 
-def benford_test(
-    df: DataFrame,
-    value_col: str,
-    round_to: int = 6,
-) -> DataFrame:
-    """First-digit (Benford's law) conformance test — the classic
-    anomaly screen for organically-grown magnitudes (transaction
-    amounts, populations, file sizes): digit d should appear with
-    probability log10(1 + 1/d). Returns one row per digit 1..9 with
-    observed count, observed/expected proportions, and the digit's
-    chi-square term n·(p_obs − p_exp)²/p_exp (sum them for the
-    statistic; 8 degrees of freedom). Non-positive values are
-    excluded (they have no Benford first digit).
+def benford_test(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-digit conformance test. Canonical implementation
+    lives in operators/quality.py (grouped variant); re-exported here
+    because both modules are natural homes for it."""
+    from pipeline_dataengineer_spark.operators.quality import (
+        benford_test as _bt,
+    )
 
-    Plan: first digit = floor(x / 10^floor(log10(x))) is one fused
-    codegen projection; the rest is a single 9-row combinable
-    aggregate — one pass at any scale.
-    """
-    x = F.col(value_col).cast("double")
-    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
-    counts = (
-        df.filter(x > 0)
-        .select(digit.alias("digit"))
-        .groupBy("digit")
-        .agg(F.count("*").alias("n_obs"))
-    )
-    tot = counts.agg(F.sum("n_obs").alias("__t"))
-    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    p_obs = F.col("n_obs") / F.col("__t")
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            "n_obs",
-            F.round(p_obs, round_to).alias("p_obs"),
-            F.round(p_exp, round_to).alias("p_exp"),
-            F.round(
-                F.col("__t") * F.pow(p_obs - p_exp, 2) / p_exp, round_to
-            ).alias("chi2_term"),
-        )
-    )
+    return _bt(df, value_col)

@@ -155,3 +155,46 @@ def test_psi_drift_detects_shift(spark):
     rows = psi_drift(ref, shifted, "v").collect()
     n_refs = [r["n_ref"] for r in rows]
     assert max(n_refs) - min(n_refs) <= 2000
+
+
+def test_benford_grouped_and_reexport(spark):
+    """quality.benford_test: Benford-conforming magnitudes score a
+    small chi-square sum; uniform same-first-digit data scores huge.
+    Grouped variant keeps groups independent; the stats_tests
+    re-export returns the identical ungrouped frame."""
+    import math
+
+    from pipeline_dataengineer_spark.operators.quality import benford_test
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        benford_test as reexport,
+    )
+
+    # 9000 values following Benford exactly: digit d repeated
+    # round(9000*log10(1+1/d)) times, each scaled into a magnitude.
+    rows = []
+    for d in range(1, 10):
+        n = round(9000 * math.log10(1 + 1 / d))
+        rows += [("benford", float(d) * 10.0 + 0.5)] * n
+    rows += [("flat", 700.0 + i) for i in range(100)]  # all digit 7
+    df = spark.createDataFrame(rows, "grp string, amount double")
+
+    out = benford_test(df, "amount", ["grp"]).toPandas()
+    chi_benford = out[out.grp == "benford"]["chi2_term"].sum()
+    chi_flat = out[out.grp == "flat"]["chi2_term"].sum()
+    assert chi_benford < 15.5  # chi2(8 dof) alpha=.05 critical value
+    assert chi_flat > 100.0
+    assert len(out[out.grp == "flat"]) == 1  # only digit 7 observed
+
+    # zero / negative / NULL rows are excluded, |x| digit used
+    df2 = spark.createDataFrame(
+        [(0.0,), (-230.0,), (None,), (0.05,)], "amount double"
+    )
+    got = {
+        (r["digit"], r["n_obs"])
+        for r in benford_test(df2, "amount").collect()
+    }
+    assert got == {(2, 1), (5, 1)}
+
+    a = sorted(benford_test(df, "amount").collect())
+    b = sorted(reexport(df, "amount").collect())
+    assert a == b
