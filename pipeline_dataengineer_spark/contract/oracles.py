@@ -2187,30 +2187,6 @@ FROM (
 WHERE rk <= 5
 """
 
-# q_ewma: closed-form EWMA (adjust=False): e_t = (1-a)^t * sum g_i with
-# g_0 = x_0, g_i = a*x_i/(1-a)^i — the rescaled prefix sum. Sound only
-# at oracle depth ((1-a)^-t overflows past ~10^3-10^4 rows per key;
-# max 86 here), which is why the OPERATOR uses the recursive Arrow
-# grouped-map instead. Float path differs from pandas' recursion by
-# ~1e-12; round(4) absorbs it.
-ORACLES["q_ewma"] = """
-WITH seq AS (
-  SELECT event_id, user_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t
-  FROM events
-), g AS (
-  SELECT *,
-         (CASE WHEN t = 0 THEN value ELSE 0.3 * value END)
-           / power(0.7, t) AS gt
-  FROM seq
-)
-SELECT event_id, user_id,
-       round(power(0.7, t) * sum(gt) OVER (
-             PARTITION BY user_id ORDER BY t
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS ewma
-FROM g
-"""
-
 # q_ewma: DuckDB replays the exact recursion e_t = 0.3*x_t + 0.7*e_{t-1}
 # via WITH RECURSIVE — bit-identical to pandas ewm(adjust=False)
 # (verified: 0 bit mismatches over 10k rows; IEEE754 ops on identical

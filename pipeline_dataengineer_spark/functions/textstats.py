@@ -184,3 +184,45 @@ def gopher_rules(
         stop_hits.alias("stopword_hits"),
         passes.alias("passes"),
     )
+
+
+def readability(col: Column | str) -> Column:
+    """Flesch reading-ease over a deterministic, engine-portable
+    approximation of the classic counts (no dictionary, no UDF):
+
+    - words     = whitespace tokens;
+    - sentences = runs of terminal punctuation ``[.!?]+`` (min 1, so
+      headline fragments don't divide by zero);
+    - syllables = vowel-group count ``[aeiouy]+`` of the lowered text
+      — the standard cheap proxy (silent-e and diphthong corrections
+      need a lexicon; the proxy is monotone with the real count and
+      identical across engines, which is what a corpus FILTER needs).
+
+    Returns a struct ``(n_words, n_sentences, n_syllables, flesch)``
+    with flesch = 206.835 − 1.015·words/sentences −
+    84.6·syllables/words, one fused codegen projection. Empty text
+    scores NULL. Typical gate: keep 30 ≤ flesch (drop unreadable
+    legalese/code) — calibrate per corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(tokens(c)).cast("double")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("double")
+    syll = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0)
+    ).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syll / words)
+    )
+    return F.when(
+        F.length(F.trim(c)) > 0,
+        F.struct(
+            words.cast("long").alias("n_words"),
+            sents.cast("long").alias("n_sentences"),
+            syll.cast("long").alias("n_syllables"),
+            F.round(flesch, 4).alias("flesch"),
+        ),
+    )

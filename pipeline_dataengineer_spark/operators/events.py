@@ -408,3 +408,49 @@ def top_paths(
         .orderBy(F.col("n_journeys").desc(), F.col("path").asc())
         .limit(top_n)
     )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    user_col: str,
+    order_col: str,
+    event_col: str,
+    n: int = 3,
+    min_support: int = 2,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Frequent contiguous event n-grams across users (the workhorse
+    cut of sequential-pattern mining: which length-n click/action
+    chains recur?): per user, order events and slide a window of n
+    consecutive event types; count each distinct sequence across the
+    corpus and keep those with ``count >= min_support``.
+
+    Output: (seq array<string>, n_occurrences, n_users) ordered by
+    nothing (callers sort). ``tiebreak_col`` disambiguates equal
+    timestamps deterministically (defaults to the event column
+    itself so reruns and engines agree).
+
+    Plan: ONE shuffle to sort each user's history (window lead),
+    then a combinable groupBy on the n-gram — counts partial-agg
+    map-side, and the result is pattern-cardinality-sized, never
+    fact-sized. n is a literal: the n-gram assembly is a fused
+    array() projection, no explode blow-up."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    tb = tiebreak_col or event_col
+    w = Window.partitionBy(user_col).orderBy(order_col, tb)
+    parts = [F.col(event_col)] + [
+        F.lead(event_col, i).over(w) for i in range(1, n)
+    ]
+    grams = df.select(
+        F.col(user_col).alias("__u"),
+        F.array(*parts).alias("seq"),
+    ).filter(~F.exists(F.col("seq"), lambda x: x.isNull()))
+    return (
+        grams.groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__u").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= min_support)
+    )

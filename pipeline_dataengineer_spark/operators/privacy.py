@@ -1,0 +1,90 @@
+"""Anonymity guarantees over tabular releases: k-anonymity suppression
+and l-diversity auditing.
+
+A released table is k-anonymous over a set of quasi-identifier columns
+(the attacker-joinable ones: zip, birth date, nation, segment, ...)
+when every combination of quasi-identifier values — every *equivalence
+class* — covers at least k rows, so no row can be singled out below a
+crowd of k. l-diversity strengthens it: each class must also contain
+at least l distinct values of the sensitive attribute, or the class
+leaks the attribute even without re-identification.
+
+Scale shape: both operators are one shuffle on the quasi-identifier
+key. ``k_anonymize`` uses a window count (class sizes attach to rows
+without a second pass over the facts); the audit is a plain combinable
+groupBy whose output is equivalence-class-sized, not fact-sized.
+Skewed classes (a giant "unknown zip" class) are ordinary AQE-
+splittable aggregation skew — no per-class state beyond the counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Suppression-model k-anonymity: drop every row whose
+    quasi-identifier equivalence class has fewer than ``k`` members.
+    NULL quasi-identifier values form their own class (standard
+    grouping semantics), so "missing zip" rows protect each other.
+
+    With ``out_col`` set, nothing is dropped: the class size is
+    attached under that name instead (callers can route small classes
+    to a generalization/escrow path rather than losing them).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*quasi_cols)
+    size = F.count(F.lit(1)).over(w)
+    if out_col is not None:
+        return df.withColumn(out_col, size)
+    return (
+        df.withColumn("__cls_n", size)
+        .filter(F.col("__cls_n") >= k)
+        .drop("__cls_n")
+    )
+
+
+def anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """One row per quasi-identifier equivalence class:
+    ``(quasi..., class_size, n_sensitive)`` where ``n_sensitive`` is
+    the exact distinct count of the sensitive attribute within the
+    class (omitted when no sensitive column is given). The table's
+    k-anonymity is ``min(class_size)``; its distinct-l-diversity is
+    ``min(n_sensitive)``.
+
+    One combinable groupBy; distinct-count is exact (it partially
+    aggregates on (class, sensitive) first under the hood), and the
+    output is class-count-sized.
+    """
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    return df.groupBy(*quasi_cols).agg(*aggs)
+
+
+def l_diverse_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 — the standard name of the parameter
+) -> DataFrame:
+    """Equivalence classes satisfying distinct-l-diversity: at least
+    ``l`` distinct sensitive values. The complement (classes returned
+    by the audit but absent here) is the leak set a release gate
+    should block on."""
+    return anonymity_audit(df, quasi_cols, sensitive_col).filter(
+        F.col("n_sensitive") >= l
+    )

@@ -330,3 +330,85 @@ def geohash(lat: Column | str, lng: Column | str, precision: int = 6) -> Column:
         for g in range(precision)
     ]
     return F.concat(*chars)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    polygons: list[tuple[str, list[tuple[float, float]]]],
+    how: str = "inner",
+) -> DataFrame:
+    """Tag each point with the (simple, possibly concave) polygons
+    containing it — geofencing, zone attribution, service-area
+    rollups. ``polygons`` is a small driver-side list of
+    ``(name, [(x, y), ...])`` rings (closing edge implied; a few
+    thousand zones is the intended regime — city districts, DMAs).
+
+    Algorithm: even-odd ray casting. For each edge (x1,y1)-(x2,y2)
+    that straddles the point's y, test
+    ``px < (x2-x1)*(py-y1)/(y2-y1) + x1`` and flip parity. Points
+    exactly on an edge follow the test's half-open convention
+    (standard PNPOLY semantics).
+
+    Plan shape: the polygon table (name, min/max bbox, edge array) is
+    a broadcast literal; candidates are pruned by the codegen bbox
+    test BEFORE the edge fold, and the fold itself is
+    ``F.aggregate`` over the edge structs — pure Catalyst
+    higher-order expressions, no UDF, no shuffle of the points at
+    all. Cost per point = bbox compares + edges-of-matching-bboxes;
+    at 100 TB the points stream map-side while the zone table rides
+    the broadcast."""
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    spark = points.sparkSession
+    rows = []
+    for name, ring in polygons:
+        if len(ring) < 3:
+            raise ValueError(f"polygon {name!r} needs >= 3 vertices")
+        edges = [
+            {
+                "x1": float(ring[i][0]),
+                "y1": float(ring[i][1]),
+                "x2": float(ring[(i + 1) % len(ring)][0]),
+                "y2": float(ring[(i + 1) % len(ring)][1]),
+            }
+            for i in range(len(ring))
+        ]
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        rows.append(
+            (name, min(xs), max(xs), min(ys), max(ys), edges)
+        )
+    poly = spark.createDataFrame(
+        rows,
+        "zone string, xmin double, xmax double, ymin double, "
+        "ymax double, edges array<struct<x1:double,y1:double,"
+        "x2:double,y2:double>>",
+    )
+    px, py = F.col(x_col), F.col(y_col)
+    bbox = (
+        (px >= F.col("xmin"))
+        & (px <= F.col("xmax"))
+        & (py >= F.col("ymin"))
+        & (py <= F.col("ymax"))
+    )
+    inside = F.aggregate(
+        F.col("edges"),
+        F.lit(False),
+        lambda acc, e: F.when(
+            ((e["y1"] > py) != (e["y2"] > py))
+            & (
+                px
+                < (e["x2"] - e["x1"])
+                * (py - e["y1"])
+                / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+            ~acc,
+        ).otherwise(acc),
+    )
+    j = points.join(F.broadcast(poly), bbox & inside, how)
+    return j.drop("xmin", "xmax", "ymin", "ymax", "edges")

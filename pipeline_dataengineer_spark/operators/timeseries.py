@@ -594,3 +594,81 @@ def forecast_metrics(
         F.round(F.avg(smape_term), round_to).alias("smape"),
         F.round(F.avg(err), round_to).alias("bias"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    target: float,
+    k: float,
+    h: float,
+) -> DataFrame:
+    """Tabular CUSUM control chart (Page 1954): per key, in order,
+
+    ``s_hi_t = max(0, s_hi_{t-1} + (x_t - target) - k)``
+    ``s_lo_t = max(0, s_lo_{t-1} - (x_t - target) - k)``
+
+    with an alarm when either statistic exceeds ``h``, after which
+    that statistic resets to 0 (the classic restart so each shift is
+    reported once). ``target`` is the in-control level and ``k`` the
+    allowance (typically half the shift you want to detect), both in
+    the value's own units — CUSUM monitors deviation from a DECLARED
+    target, which also keeps the recursion free of sample-mean
+    aggregates and therefore bit-replayable by the recursive-CTE
+    oracle (same story as clamped_running_sum/q_ewma: fixed operand
+    order, identical IEEE754 ops on identical operands).
+
+    Output: input columns + ``cusum_hi``, ``cusum_lo``,
+    ``alarm`` ('up' / 'down' / NULL). The clamp-and-reset makes this a
+    genuine recursion (no window rewrite exists), so it takes the
+    sanctioned grouped-map path: ONE shuffle on the key, a numpy loop
+    per key — a million keys stream through independently; a single
+    key's history is inherently sequential.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("cusum_hi", T.DoubleType()),
+            T.StructField("cusum_lo", T.DoubleType()),
+            T.StructField("alarm", T.StringType()),
+        ]
+    )
+    tgt, kf, hf = float(target), float(k), float(h)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        s_hi = np.empty(n)
+        s_lo = np.empty(n)
+        alarm = np.full(n, None, dtype=object)
+        hi = lo = 0.0
+        for i in range(n):
+            d = x[i] - tgt
+            hi = max(0.0, hi + d - kf)
+            lo = max(0.0, lo - d - kf)
+            up, down = hi > hf, lo > hf
+            if up and down:  # pathological h<=0: report the larger
+                alarm[i] = "up" if hi >= lo else "down"
+            elif up:
+                alarm[i] = "up"
+            elif down:
+                alarm[i] = "down"
+            s_hi[i], s_lo[i] = hi, lo
+            if up:
+                hi = 0.0
+            if down:
+                lo = 0.0
+        pdf["cusum_hi"] = s_hi
+        pdf["cusum_lo"] = s_lo
+        pdf["alarm"] = alarm
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)
