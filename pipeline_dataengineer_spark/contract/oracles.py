@@ -4494,3 +4494,180 @@ JOIN norms na ON na.doc_id = id_a
 JOIN norms nb ON nb.doc_id = id_b
 WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
 """
+
+
+ORACLES["q_k_anonymize"] = """
+SELECT c_custkey, c_nationkey, c_mktsegment
+FROM (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+  FROM customer
+)
+WHERE n >= 12
+"""
+
+ORACLES["q_anonymity_audit"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT))
+            AS BIGINT) AS n_sensitive
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+ORACLES["q_table_diff"] = """
+WITH a AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+), b AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_acctbal
+  FROM customer WHERE c_custkey < 6
+), j AS (
+  SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+         a.c_custkey IS NOT NULL AS in_a,
+         b.c_custkey IS NOT NULL AS in_b,
+         a.c_name AS name_a, b.c_name AS name_b,
+         a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+  FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN NOT in_a THEN 'added'
+            WHEN NOT in_b THEN 'removed'
+            WHEN (name_a IS DISTINCT FROM name_b)
+              OR (bal_a IS DISTINCT FROM bal_b) THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN in_a AND in_b THEN
+         coalesce(array_to_string(list_filter([
+           CASE WHEN name_a IS DISTINCT FROM name_b THEN 'c_name' END,
+           CASE WHEN bal_a IS DISTINCT FROM bal_b THEN 'c_acctbal' END
+         ], x -> x IS NOT NULL), ','), '')
+       ELSE '' END AS changed,
+       round(bal_a, 2) AS bal_a, round(bal_b, 2) AS bal_b
+FROM j
+"""
+
+# q_cusum: recursive-CTE replay of the two-sided reset recursion —
+# identical IEEE754 operand order ((carry + (x - target)) - k, then
+# greatest) as the numpy loop, so round(4) cannot flip.
+ORACLES["q_cusum"] = """
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t
+  FROM events
+), rec(user_id, t, event_id, hi_e, lo_e, hi_c, lo_c) AS (
+  SELECT user_id, t, event_id,
+         greatest(0.0, (0.0 + (value - 50.0)) - 10.0),
+         greatest(0.0, (0.0 - (value - 50.0)) - 10.0),
+         CASE WHEN greatest(0.0, (0.0 + (value - 50.0)) - 10.0) > 150.0
+              THEN 0.0 ELSE greatest(0.0, (0.0 + (value - 50.0)) - 10.0) END,
+         CASE WHEN greatest(0.0, (0.0 - (value - 50.0)) - 10.0) > 150.0
+              THEN 0.0 ELSE greatest(0.0, (0.0 - (value - 50.0)) - 10.0) END
+  FROM seq WHERE t = 0
+  UNION ALL
+  SELECT s.user_id, s.t, s.event_id,
+         greatest(0.0, (r.hi_c + (s.value - 50.0)) - 10.0),
+         greatest(0.0, (r.lo_c - (s.value - 50.0)) - 10.0),
+         CASE WHEN greatest(0.0, (r.hi_c + (s.value - 50.0)) - 10.0) > 150.0
+              THEN 0.0
+              ELSE greatest(0.0, (r.hi_c + (s.value - 50.0)) - 10.0) END,
+         CASE WHEN greatest(0.0, (r.lo_c - (s.value - 50.0)) - 10.0) > 150.0
+              THEN 0.0
+              ELSE greatest(0.0, (r.lo_c - (s.value - 50.0)) - 10.0) END
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.t = r.t + 1
+)
+SELECT event_id, user_id,
+       round(hi_e, 4) AS cusum_hi, round(lo_e, 4) AS cusum_lo,
+       CASE WHEN hi_e > 150.0 AND lo_e > 150.0 THEN
+              CASE WHEN hi_e >= lo_e THEN 'up' ELSE 'down' END
+            WHEN hi_e > 150.0 THEN 'up'
+            WHEN lo_e > 150.0 THEN 'down' END AS alarm
+FROM rec
+"""
+
+# q_readability: identical regex counts (\\s+ tokens, [.!?]+ runs,
+# [aeiouy]+ vowel groups of the lowered text) and identical float
+# operand order for the Flesch formula.
+ORACLES["q_readability"] = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+           AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS DOUBLE) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS DOUBLE) AS sy,
+         len(trim(text)) > 0 AS nonempty
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN nonempty THEN CAST(w AS BIGINT) END AS n_words,
+       CASE WHEN nonempty THEN CAST(s AS BIGINT) END AS n_sentences,
+       CASE WHEN nonempty THEN CAST(sy AS BIGINT) END AS n_syllables,
+       CASE WHEN nonempty THEN
+         round(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 4)
+       END AS flesch
+FROM c
+"""
+
+ORACLES["q_frequent_seq"] = """
+WITH g AS (
+  SELECT user_id, event_type AS e0,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e0 || '>' || e1 || '>' || e2 AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM g
+WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
+GROUP BY 1
+HAVING COUNT(*) >= 5
+"""
+
+
+def _pip_oracle() -> str:
+    """Generated even-odd ray-cast replay for q_point_in_polygon —
+    the same division-free cross-product parity arithmetic the Spark
+    fold evaluates, emitted per literal polygon edge."""
+    from pipeline_dataengineer_spark.contract._fixtures import (
+        PIP_POLYGONS,
+    )
+
+    selects = []
+    for name, ring in PIP_POLYGONS:
+        terms = []
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            cross = (
+                f"(({x2!r} - {x1!r}) * (py - {y1!r}) - "
+                f"(px - {x1!r}) * ({y2!r} - {y1!r}))"
+            )
+            left = (
+                f"CASE WHEN {y2!r} > {y1!r} THEN {cross} > 0 "
+                f"ELSE {cross} < 0 END"
+            )
+            terms.append(
+                f"CASE WHEN (({y1!r} > py) <> ({y2!r} > py)) "
+                f"AND ({left}) THEN 1 ELSE 0 END"
+            )
+        parity = " + ".join(terms)
+        selects.append(
+            f"SELECT c_custkey, '{name}' AS zone FROM pts "
+            f"WHERE ({parity}) % 2 = 1"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH pts AS (SELECT c_custkey, "
+        "CAST(c_custkey % 97 AS DOUBLE) AS px, "
+        "CAST(c_custkey % 89 AS DOUBLE) AS py FROM customer)\n" + body
+    )
+
+
+ORACLES["q_point_in_polygon"] = _pip_oracle()

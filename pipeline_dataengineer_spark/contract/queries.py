@@ -6588,3 +6588,175 @@ def q_tfidf_cosine(spark, sf_dir):
     return tfidf_cosine_pairs(
         d, "doc_id", "text", threshold=0.5, max_df=60
     )
+
+
+@query("q_k_anonymize")
+def q_k_anonymize(spark, sf_dir):
+    """Suppression-model k-anonymity (operators/privacy.py:
+    k_anonymize) over customer with quasi-identifiers
+    (nation, segment): rows whose equivalence class has >= 12
+    members survive. One window shuffle on the QI key; oracle is the
+    equivalent COUNT() OVER filter."""
+    from pipeline_dataengineer_spark.operators.privacy import k_anonymize
+
+    c = table(spark, sf_dir, "customer")
+    out = k_anonymize(c, ["c_nationkey", "c_mktsegment"], k=12)
+    return out.select("c_custkey", "c_nationkey", "c_mktsegment")
+
+
+@query("q_anonymity_audit")
+def q_anonymity_audit(spark, sf_dir):
+    """Equivalence-class audit (operators/privacy.py:
+    anonymity_audit): class size + exact distinct sensitive values
+    (account-balance cents) per (nation, segment) class — min over
+    the output is the table's k-anonymity / l-diversity. One
+    combinable groupBy, class-count-sized output."""
+    from pipeline_dataengineer_spark.operators.privacy import (
+        anonymity_audit,
+    )
+
+    c = table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    out = anonymity_audit(c, ["c_nationkey", "c_mktsegment"], "bal_cents")
+    return out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("n_sensitive").cast("long").alias("n_sensitive"),
+    )
+
+
+@query("q_table_diff")
+def q_table_diff(spark, sf_dir):
+    """Keyed table reconciliation (operators/maintenance.py:
+    diff_tables): customer vs a deterministically mutated copy
+    (every 97th key dropped, every 13th balance bumped, five new
+    keys) — statuses + per-column change lists. One join shuffle;
+    both engines construct the identical b-side."""
+    from pipeline_dataengineer_spark.operators.maintenance import (
+        diff_tables,
+    )
+
+    a = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    b = (
+        a.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionAll(
+            a.filter(F.col("c_custkey") < 6).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.col("c_name"),
+                F.col("c_acctbal"),
+            )
+        )
+    )
+    out = diff_tables(a, b, ["c_custkey"])
+    return out.select(
+        "c_custkey",
+        "status",
+        F.array_join("changed_cols", ",").alias("changed"),
+        F.round("c_acctbal_a", 2).alias("bal_a"),
+        F.round("c_acctbal_b", 2).alias("bal_b"),
+    )
+
+
+@query("q_cusum")
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM control chart (operators/timeseries.py:
+    cusum_changepoints) over each user's event values: target 50,
+    allowance 10, threshold 150, alarm-reset. Genuine recursion
+    (clamp + reset discard information, no window rewrite) on the
+    sanctioned grouped-map path; the oracle replays it with a
+    recursive CTE — identical IEEE754 operand order, so round(4) is
+    safe (same story as q_ewma / q_clamped_balance)."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = cusum_changepoints(
+        e, ["user_id"], "event_id", "value", target=50.0, k=10.0, h=150.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("cusum_hi", 4).alias("cusum_hi"),
+        F.round("cusum_lo", 4).alias("cusum_lo"),
+        "alarm",
+    )
+
+
+@query("q_readability")
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease (functions/textstats.py:readability) over
+    documents: portable word / sentence-run / vowel-group counts and
+    the classic 206.835 formula, one fused projection. Oracle
+    replays the identical regex counts and float operand order."""
+    from pipeline_dataengineer_spark.functions.textstats import (
+        readability,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return d.withColumn("r", readability("text")).select(
+        "doc_id",
+        F.col("r.n_words").alias("n_words"),
+        F.col("r.n_sentences").alias("n_sentences"),
+        F.col("r.n_syllables").alias("n_syllables"),
+        F.col("r.flesch").alias("flesch"),
+    )
+
+
+@query("q_point_in_polygon")
+def q_point_in_polygon(spark, sf_dir):
+    """Geofencing join (operators/spatial.py:point_in_polygon_join):
+    customers mapped to synthetic plane points (custkey % 97,
+    custkey % 89) tagged with the containing zone from three literal
+    polygons (one concave). Broadcast zone table + bbox prune +
+    division-free ray-cast fold — no UDF, points never shuffle.
+    Oracle replays the identical even-odd parity arithmetic as
+    generated SQL."""
+    from pipeline_dataengineer_spark.contract._fixtures import (
+        PIP_POLYGONS,
+    )
+    from pipeline_dataengineer_spark.operators.spatial import (
+        point_in_polygon_join,
+    )
+
+    pts = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 97).cast("double").alias("px"),
+        (F.col("c_custkey") % 89).cast("double").alias("py"),
+    )
+    out = point_in_polygon_join(pts, "px", "py", PIP_POLYGONS)
+    return out.select("c_custkey", "zone")
+
+
+@query("q_frequent_seq")
+def q_frequent_seq(spark, sf_dir):
+    """Frequent contiguous event trigrams (operators/events.py:
+    frequent_sequences) across user histories ordered by (ts,
+    event_id): one window shuffle then a combinable pattern-sized
+    groupBy. Oracle replays the lead() n-gram assembly."""
+    from pipeline_dataengineer_spark.operators.events import (
+        frequent_sequences,
+    )
+
+    e = table(spark, sf_dir, "events")
+    out = frequent_sequences(
+        e, "user_id", "ts", "event_type",
+        n=3, min_support=5, tiebreak_col="event_id",
+    )
+    return out.select(
+        F.array_join("seq", ">").alias("seq"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )

@@ -346,10 +346,14 @@ def point_in_polygon_join(
     thousand zones is the intended regime — city districts, DMAs).
 
     Algorithm: even-odd ray casting. For each edge (x1,y1)-(x2,y2)
-    that straddles the point's y, test
-    ``px < (x2-x1)*(py-y1)/(y2-y1) + x1`` and flip parity. Points
-    exactly on an edge follow the test's half-open convention
-    (standard PNPOLY semantics).
+    that straddles the point's y, flip parity when the point lies
+    left of the edge — tested with the division-free cross product
+    ``cross = (x2-x1)*(py-y1) - (px-x1)*(y2-y1)`` (sign flipped for
+    downward edges). Equivalent to the classic PNPOLY
+    ``px < (x2-x1)*(py-y1)/(y2-y1)+x1`` but with no division: Spark's
+    vectorized eval does not short-circuit the straddle guard, and a
+    horizontal edge would make the quotient raise under ANSI. Points
+    exactly on an edge follow the test's half-open convention.
 
     Plan shape: the polygon table (name, min/max bbox, edge array) is
     a broadcast literal; candidates are pruned by the codegen bbox
@@ -395,20 +399,16 @@ def point_in_polygon_join(
         & (py >= F.col("ymin"))
         & (py <= F.col("ymax"))
     )
-    inside = F.aggregate(
-        F.col("edges"),
-        F.lit(False),
-        lambda acc, e: F.when(
-            ((e["y1"] > py) != (e["y2"] > py))
-            & (
-                px
-                < (e["x2"] - e["x1"])
-                * (py - e["y1"])
-                / (e["y2"] - e["y1"])
-                + e["x1"]
-            ),
-            ~acc,
-        ).otherwise(acc),
-    )
+    def _flip(acc, e):
+        cross = (e["x2"] - e["x1"]) * (py - e["y1"]) - (px - e["x1"]) * (
+            e["y2"] - e["y1"]
+        )
+        left_of_edge = F.when(e["y2"] > e["y1"], cross > 0).otherwise(
+            cross < 0
+        )
+        straddles = (e["y1"] > py) != (e["y2"] > py)
+        return F.when(straddles & left_of_edge, ~acc).otherwise(acc)
+
+    inside = F.aggregate(F.col("edges"), F.lit(False), _flip)
     j = points.join(F.broadcast(poly), bbox & inside, how)
     return j.drop("xmin", "xmax", "ymin", "ymax", "edges")

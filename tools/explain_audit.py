@@ -373,6 +373,43 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "BroadcastNestedLoopJoin"],
         ["Window", "CartesianProduct"],
     ),
+    # k-anonymity: class sizes attach via ONE window pass on the QI
+    # key — no self-join of the facts.
+    "q_k_anonymize": (
+        ["Window"],
+        ["SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "q_anonymity_audit": (
+        ["HashAggregate"],
+        ["Window", "SortMergeJoin", "CartesianProduct"],
+    ),
+    # table diff: one keyed join, never a nested-loop shape.
+    "q_table_diff": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # CUSUM: sanctioned grouped-map recursion — exactly the Arrow
+    # grouped-map operator over one key shuffle.
+    "q_cusum": (["FlatMapGroupsInPandas"], ["Window", "SortMergeJoin"]),
+    # readability: a pure fused projection riding the scan — no
+    # shuffle at all, and only (doc_id, text) read.
+    "q_readability": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange"],
+    ),
+    # point-in-polygon: the 3-row literal zone table arrives by
+    # broadcast nested loop (theta condition — intended); the points
+    # themselves never shuffle.
+    "q_point_in_polygon": (
+        ["BroadcastNestedLoopJoin"],
+        # BroadcastExchange of the 3-row zone table is intended; what
+        # must never appear is a shuffle of the points themselves.
+        ["hashpartitioning", "rangepartitioning", "SortMergeJoin",
+         "CartesianProduct"],
+    ),
+    # frequent sequences: one window sort shuffle, then a combinable
+    # pattern-sized HashAggregate.
+    "q_frequent_seq": (
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
