@@ -4553,7 +4553,7 @@ FROM j
 # q_cusum: recursive-CTE replay of the two-sided reset recursion —
 # identical IEEE754 operand order ((carry + (x - target)) - k, then
 # greatest) as the numpy loop, so round(4) cannot flip.
-ORACLES["q_cusum"] = """
+ORACLES["q_cusum_chart"] = """
 WITH RECURSIVE seq AS (
   SELECT event_id, user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t

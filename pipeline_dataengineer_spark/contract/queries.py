@@ -6667,23 +6667,23 @@ def q_table_diff(spark, sf_dir):
     )
 
 
-@query("q_cusum")
-def q_cusum(spark, sf_dir):
+@query("q_cusum_chart")
+def q_cusum_chart(spark, sf_dir):
     """Two-sided CUSUM control chart (operators/timeseries.py:
-    cusum_changepoints) over each user's event values: target 50,
+    cusum_control_chart) over each user's event values: target 50,
     allowance 10, threshold 150, alarm-reset. Genuine recursion
     (clamp + reset discard information, no window rewrite) on the
     sanctioned grouped-map path; the oracle replays it with a
     recursive CTE — identical IEEE754 operand order, so round(4) is
     safe (same story as q_ewma / q_clamped_balance)."""
     from pipeline_dataengineer_spark.operators.timeseries import (
-        cusum_changepoints,
+        cusum_control_chart,
     )
 
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
-    out = cusum_changepoints(
+    out = cusum_control_chart(
         e, ["user_id"], "event_id", "value", target=50.0, k=10.0, h=150.0
     )
     return out.select(

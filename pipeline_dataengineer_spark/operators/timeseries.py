@@ -596,7 +596,7 @@ def forecast_metrics(
     )
 
 
-def cusum_changepoints(
+def cusum_control_chart(
     df: DataFrame,
     key_cols: list[str],
     order_col: str,

@@ -82,7 +82,7 @@ def test_cusum_detects_shift_and_resets(spark):
     import numpy as np
 
     from pipeline_dataengineer_spark.operators.timeseries import (
-        cusum_changepoints,
+        cusum_control_chart,
     )
 
     # target 10, allowance 0.5, threshold 4: stable at 10 then jumps to 12
@@ -90,7 +90,7 @@ def test_cusum_detects_shift_and_resets(spark):
     rows = [("s1", i, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "key string, t long, x double")
     out = (
-        cusum_changepoints(df, ["key"], "t", "x", target=10.0, k=0.5, h=4.0)
+        cusum_control_chart(df, ["key"], "t", "x", target=10.0, k=0.5, h=4.0)
         .orderBy("t")
         .collect()
     )

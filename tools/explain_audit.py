@@ -387,7 +387,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_table_diff": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     # CUSUM: sanctioned grouped-map recursion — exactly the Arrow
     # grouped-map operator over one key shuffle.
-    "q_cusum": (["FlatMapGroupsInPandas"], ["Window", "SortMergeJoin"]),
+    "q_cusum_chart": (["FlatMapGroupsInPandas"], ["Window", "SortMergeJoin"]),
     # readability: a pure fused projection riding the scan — no
     # shuffle at all, and only (doc_id, text) read.
     "q_readability": (
