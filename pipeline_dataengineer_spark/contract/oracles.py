@@ -13,7 +13,19 @@ sketches) get the driver's weaker rows-only check by design.
 
 from __future__ import annotations
 
-ORACLES: dict[str, str] = {}
+
+class _OracleRegistry(dict):
+    """Plain dict that refuses silent re-registration: a duplicate
+    key would shadow an existing oracle and quietly change what the
+    driver verifies."""
+
+    def __setitem__(self, key: str, value: str) -> None:
+        if key in self:
+            raise ValueError(f"duplicate oracle: {key}")
+        super().__setitem__(key, value)
+
+
+ORACLES: dict[str, str] = _OracleRegistry()
 
 
 ORACLES["q_scan_project"] = """

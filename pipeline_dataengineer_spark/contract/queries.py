@@ -36,6 +36,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def query(name: str):
     def deco(fn):
+        # a second registration would silently shadow the first and
+        # drop a contract query from the suite — fail at import time
+        if name in QUERIES:
+            raise ValueError(f"duplicate contract query: {name}")
         QUERIES[name] = fn
         return fn
 
