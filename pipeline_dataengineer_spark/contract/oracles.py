@@ -4683,3 +4683,25 @@ def _pip_oracle() -> str:
 
 
 ORACLES["q_point_in_polygon"] = _pip_oracle()
+
+
+# q_exif / q_spectral_band: the oracle computes the PLANTED ground
+# truth analytically; the Spark side must recover it from real binary
+# parsing / a real FFT. (orientation/make are injected per-row into a
+# handcrafted TIFF; sine frequency f at 8 kHz, 16 bands over (0,4kHz]
+# with DC dropped puts the dominant band at f/250 - 1.)
+ORACLES["q_exif"] = """
+SELECT doc_id,
+       'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       'Cam 9000' AS model,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+       '2020:12:25 08:30:00' AS taken_at
+FROM documents
+"""
+
+ORACLES["q_spectral_band"] = """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 5 END
+            AS BIGINT) AS dominant_band
+FROM documents
+"""

@@ -6764,3 +6764,134 @@ def q_frequent_seq(spark, sf_dir):
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+def _exif_template() -> tuple[bytes, bytes, bytes]:
+    """Byte fragments of a little-endian Exif APP1 JPEG with two
+    per-row holes: the 2-byte-slot orientation value (1 byte + NUL)
+    and the single make digit. Offsets follow TIFF6 / Exif 2.3:
+    header(8) + IFD0(2 + 5*12 + 4 = 66) = 74, then the data area."""
+    import struct
+
+    def u16(v):
+        return struct.pack("<H", v)
+
+    def u32(v):
+        return struct.pack("<I", v)
+
+    make_len, model = 5, b"Cam 9000\x00"  # make = 'CAM'+digit+NUL
+    dto = b"2020:12:25 08:30:00\x00"
+    off_make = 74
+    off_model = off_make + make_len
+    off_exif_ifd = off_model + len(model)
+    off_dto = off_exif_ifd + 2 + 12 + 4
+
+    def entry(tag, typ, cnt, val4):
+        return u16(tag) + u16(typ) + u32(cnt) + val4
+
+    ifd0 = u16(5)
+    ifd0 += entry(0x010F, 2, make_len, u32(off_make))
+    ifd0 += entry(0x0110, 2, len(model), u32(off_model))
+    ifd0 += u16(0x0112) + u16(3) + u32(1)  # orientation entry head
+    # --- hole 1: 1-byte orientation value; then NUL + 2 pad bytes
+    after_orient = b"\x00" + b"\x00\x00"
+    rest_ifd0 = entry(0x0132, 2, len(dto), u32(off_dto))  # DateTime
+    rest_ifd0 += entry(0x8769, 4, 1, u32(off_exif_ifd))
+    rest_ifd0 += u32(0)
+    exif_ifd = u16(1) + entry(0x9003, 2, len(dto), u32(off_dto)) + u32(0)
+    tiff_head = b"II" + u16(42) + u32(8)
+    part_a = tiff_head + ifd0
+    part_b = after_orient + rest_ifd0 + b"CAM"
+    # --- hole 2: the make digit; then NUL + model + exif ifd + dto
+    part_c = b"\x00" + model + exif_ifd + dto
+    body_len = (
+        len(b"Exif\x00\x00") + len(part_a) + 1 + len(part_b) + 1 + len(part_c)
+    )
+    app1_head = b"\xff\xd8\xff\xe1" + (body_len + 2).to_bytes(2, "big") + b"Exif\x00\x00"
+    return app1_head + part_a, part_b, part_c + b"\xff\xd9"
+
+
+@query("q_exif")
+def q_exif(spark, sf_dir):
+    """REAL Exif parsing, hash-checked (multimodal/media.py:
+    exif_metadata): each document row gets a synthesized JPEG whose
+    APP1/TIFF segment is assembled IN COLUMN SPACE (binary concat +
+    unhex of the per-row orientation, encode of the make digit); the
+    Arrow pass walks the actual IFD structure. The oracle never
+    parses bytes — it computes the planted ground truth analytically
+    (orientation = doc_id%8+1, make = 'CAM'||doc_id%5), which is
+    exactly what makes the check meaningful: Spark must RECOVER the
+    values from the binary."""
+    from pipeline_dataengineer_spark.multimodal.media import exif_metadata
+
+    a, b, c = _exif_template()
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = F.concat(
+        F.lit(a),
+        F.unhex(F.lpad(F.hex((F.col("doc_id") % 8 + 1).cast("int")), 2, "0")),
+        F.lit(b),
+        F.encode((F.col("doc_id") % 5).cast("string"), "UTF-8"),
+        F.lit(c),
+    )
+    out = exif_metadata(d.withColumn("payload", payload))
+    return out.select(
+        "doc_id",
+        "make",
+        "model",
+        F.col("orientation").cast("int").alias("orientation"),
+        "taken_at",
+    )
+
+
+@query("q_spectral_band")
+def q_spectral_band(spark, sf_dir):
+    """REAL FFT, hash-checked (multimodal/media.py:
+    audio_spectrogram): three driver-synthesized pure-sine WAVs (500 /
+    1000 / 1500 Hz at 8 kHz) are assigned per document; the dominant
+    spectrogram band — time-mean per band, then argmax, computed in
+    COLUMN space over the returned matrix — must land where the
+    physics says (16 bands over (0,4kHz] = 250 Hz each, DC dropped:
+    band = f/250 - 1). The oracle is the analytic answer; Spark must
+    reproduce it through windowing + rfft + banding + pooling."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from pipeline_dataengineer_spark.multimodal.media import (
+        audio_spectrogram,
+    )
+
+    def sine_wav(freq: float) -> bytes:
+        rate, n = 8000, 4000
+        samples = [
+            int(20000 * math.sin(2 * math.pi * freq * i / rate))
+            for i in range(n)
+        ]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(f"<{n}h", *samples))
+        return buf.getvalue()
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(sine_wav(500.0)))
+        .when(F.col("doc_id") % 3 == 1, F.lit(sine_wav(1000.0)))
+        .otherwise(F.lit(sine_wav(1500.0)))
+    )
+    out = audio_spectrogram(d.withColumn("payload", payload))
+    band_means = F.transform(
+        F.col("spectrogram"),
+        lambda r: F.aggregate(
+            r, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ),
+    )
+    return out.select(
+        "doc_id",
+        (
+            F.array_position(band_means, F.array_max(band_means)) - 1
+        ).cast("long").alias("dominant_band"),
+    )

