@@ -4705,3 +4705,82 @@ SELECT doc_id,
             AS BIGINT) AS dominant_band
 FROM documents
 """
+
+
+ORACLES["q_ppl_buckets"] = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 3
+), grams AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), 3) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM docs)
+), cnt AS (
+  SELECT gram, count(*) AS c FROM grams GROUP BY gram
+), ctx AS (
+  SELECT substring(gram, 1, 2) AS pfx, sum(c) AS cc FROM cnt GROUP BY pfx
+), lm AS (
+  SELECT gram, ln(c * 1.0 / cc) AS logp
+  FROM cnt JOIN ctx ON substring(cnt.gram, 1, 2) = ctx.pfx
+), scored AS (
+  SELECT g.doc_id,
+         round(exp(-avg(coalesce(lm.logp, -16.11809565095832))), 4) AS ppl
+  FROM grams g LEFT JOIN lm USING (gram)
+  GROUP BY g.doc_id
+), bucketed AS (
+  SELECT s.doc_id, d.lang, s.ppl,
+         CAST(ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY s.ppl, s.doc_id) AS INTEGER)
+           AS bucket
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, ppl, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+            ELSE 'middle' END AS bucket_label
+FROM bucketed
+"""
+
+ORACLES["q_oov_rate"] = """
+WITH toks AS (
+  SELECT doc_id, t AS tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents) WHERE t <> ''
+), vocab AS (
+  SELECT DISTINCT tok FROM toks WHERE doc_id % 10 = 0
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)
+             / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""
+
+ORACLES["q_zipf"] = """
+WITH toks AS (
+  SELECT t AS term FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents) WHERE t <> ''
+), counts AS (
+  SELECT term, count(*) AS freq FROM toks GROUP BY term
+), top AS (
+  SELECT term, freq FROM counts ORDER BY freq DESC, term LIMIT 300
+), xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                 AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM top
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       CAST(n AS BIGINT) AS n_terms
+FROM s
+"""

@@ -6895,3 +6895,75 @@ def q_spectral_band(spark, sf_dir):
             F.array_position(band_means, F.array_max(band_means)) - 1
         ).cast("long").alias("dominant_band"),
     )
+
+
+@query("q_ppl_buckets")
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partitioning (operators/
+    corpus.py:perplexity_buckets): per-language equal-frequency
+    terciles of char-trigram perplexity, deterministic (ppl, doc_id)
+    tie-break. The LM is bounded → broadcast scoring join; the ntile
+    window runs over (id, scalar) rows only."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        perplexity_buckets,
+    )
+    from pipeline_dataengineer_spark.operators.text_features import (
+        train_char_trigram_lm,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    lm = train_char_trigram_lm(docs)
+    out = perplexity_buckets(docs, lm, group_col="lang", n_buckets=3)
+    return out.select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.col("bucket").cast("int").alias("bucket"),
+        "bucket_label",
+    )
+
+
+@query("q_oov_rate")
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary screen (operators/text_features.py:
+    oov_rate): vocabulary = the distinct lowered terms of the
+    doc_id%10==0 reference slice, broadcast to every document's
+    token stream. Per-doc counts partial-aggregate before their one
+    exchange."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        oov_rate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("term")
+        )
+        .distinct()
+    )
+    out = oov_rate(docs, vocab)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        "oov_rate",
+    )
+
+
+@query("q_zipf")
+def q_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit (operators/text_features.py:
+    zipf_fit): OLS of ln freq on ln rank over the top-300 corpus
+    terms (deterministic count-then-term cut). Combinable count
+    aggregate → TakeOrdered top-k → 300-row window → one regression
+    aggregate."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        zipf_fit,
+    )
+
+    return zipf_fit(table(spark, sf_dir, "documents"), top_k=300)

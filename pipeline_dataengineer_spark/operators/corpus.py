@@ -560,3 +560,47 @@ def dsir_sample(
         .limit(n_docs)
         .select(id_col, "n_tokens", "log_w")
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: DataFrame,
+    group_col: str | None = None,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus partitioning: score every document's
+    perplexity against a (bounded, broadcastable) char-trigram LM and
+    split each group — typically the language — into equal-frequency
+    buckets: head (best), middle, tail (worst) for the classic 3-way
+    cut, plain 1..n numbers otherwise. Downstream recipes keep head,
+    sample middle, drop tail.
+
+    Output: (id, group?, n_grams, ppl, bucket, bucket_label). Ties on
+    (rounded) ppl break by id, so the cut is deterministic and
+    engine-replayable. Scale: the scoring join is broadcast (LM ≤
+    |charset|³ rows, see train_char_trigram_lm); the only shuffle of
+    doc-sized data is the per-group ntile window over the SCORED
+    table (id + scalar, no text) — at a million docs per language
+    that's the cheapest possible total-order-per-group pass."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        perplexity,
+    )
+
+    g = [group_col] if group_col else []
+    scored = perplexity(df, lm, id_col=id_col, text_col=text_col)
+    if g:
+        scored = scored.join(
+            df.select(id_col, *g), id_col
+        )
+    w = Window.partitionBy(*g).orderBy("ppl", id_col)
+    out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    label = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == n_buckets, "tail")
+        .otherwise("middle")
+        if n_buckets == 3
+        else F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    )
+    return out.withColumn("bucket_label", label)

@@ -565,3 +565,109 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a reference
+    vocabulary (tokenizer-coverage / domain-shift screen: high OOV →
+    the tokenizer will shred the text into bytes, or the doc is off-
+    distribution). Tokens are the same lowered whitespace terms the
+    TF-IDF family uses. Output: (id, n_tokens, n_oov, oov_rate).
+
+    Scale: the vocabulary joins BROADCAST (a vocab is bounded by
+    construction — if yours isn't, cap it upstream); per-doc counts
+    partial-aggregate before their one exchange because a document's
+    tokens are born co-located."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__tok"),
+    )
+    marked = toks.join(
+        F.broadcast(vocab.select(F.col(term_col).alias("__tok")).distinct()
+                    .withColumn("__in_vocab", F.lit(1))),
+        "__tok",
+        "left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+        ).alias("n_oov"),
+        F.round(
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1.0).otherwise(0.0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ln(freq) on ln(rank) across the top_k most frequent terms —
+    natural language sits near slope −1; templated/generated text
+    drifts flat, noise drifts steep. Returns ONE row
+    (slope, intercept, r2, n_terms).
+
+    Scale: term counts are a combinable groupBy; ranking the top_k
+    cut is a window over the top_k-row table only (the vocab-sized
+    aggregate is cut FIRST by a TakeOrdered top-k, so the window
+    never sees the full vocabulary); the regression is one combinable
+    aggregate over top_k rows. Ties in count rank by term so the cut
+    and ranks are deterministic cross-engine."""
+    counts = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(
+        F.col("freq").desc(), F.col("term")
+    ).limit(top_k)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term"))
+    ranked = top.select(
+        F.ln(F.row_number().over(w).cast("double")).alias("x"),
+        F.ln(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return agg.select(
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+        n.cast("long").alias("n_terms"),
+    )

@@ -1,0 +1,87 @@
+"""perplexity_buckets, oov_rate, zipf_fit."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_perplexity_buckets_head_tail(spark):
+    from pipeline_dataengineer_spark.operators.corpus import (
+        perplexity_buckets,
+    )
+    from pipeline_dataengineer_spark.operators.text_features import (
+        train_char_trigram_lm,
+    )
+
+    # 9 docs per lang: 3 natural-ish, 3 mid, 3 junk — junk must land
+    # in the tail bucket, repeated-pattern text in the head.
+    rows = []
+    for lang in ("en", "fr"):
+        for i in range(3):
+            rows.append((f"{lang}_head_{i}", lang, "the cat sat on the mat " * 8))
+        for i in range(3):
+            rows.append((f"{lang}_mid_{i}", lang, f"mixed words appear here {i} sometimes oddly"))
+        for i in range(3):
+            rows.append((f"{lang}_tail_{i}", lang, f"zq{i}xv jkwp qzzt vbnm xkcd wyxz"))
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    # CCNet trains the LM on a REFERENCE corpus, not the candidates:
+    # junk trigrams must be UNSEEN (unk penalty), not self-predicted.
+    ref = spark.createDataFrame(
+        [
+            ("r1", "the cat sat on the mat and the dog sat too"),
+            ("r2", "mixed words appear here sometimes oddly placed"),
+            ("r3", "the mat sat on the cat sometimes words appear"),
+        ],
+        "doc_id string, text string",
+    )
+    lm = train_char_trigram_lm(ref, id_col="doc_id", text_col="text")
+    out = perplexity_buckets(df, lm, group_col="lang", id_col="doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for lang in ("en", "fr"):
+        assert all(by_id[f"{lang}_head_{i}"]["bucket_label"] == "head" for i in range(3))
+        assert all(by_id[f"{lang}_tail_{i}"]["bucket_label"] == "tail" for i in range(3))
+    # equal-frequency: each (lang, bucket) holds exactly 3 of 9
+    from collections import Counter
+
+    sizes = Counter((r["lang"], r["bucket"]) for r in out)
+    assert set(sizes.values()) == {3}
+
+
+def test_oov_rate_counts(spark):
+    from pipeline_dataengineer_spark.operators.text_features import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha zzz qqq"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "term string"
+    )
+    got = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert got[1]["n_oov"] == 0 and got[1]["oov_rate"] == 0.0
+    assert got[2]["n_tokens"] == 3 and got[2]["n_oov"] == 2
+    assert abs(got[2]["oov_rate"] - round(2 / 3, 6)) < 1e-12
+    assert 3 not in got  # empty text has no tokens, no row
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    from pipeline_dataengineer_spark.operators.text_features import zipf_fit
+
+    # plant an exact power law: term t_r appears round(1000 * r^-1)
+    # times -> slope ~ -1, r2 ~ 1
+    words = []
+    for r in range(1, 41):
+        words += [f"t{r:02d}"] * round(1000 / r)
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(df, top_k=40).collect()[0]
+    assert row["n_terms"] == 40
+    assert abs(row["slope"] + 1.0) < 0.02  # rounding of counts only
+    assert row["r2"] > 0.999
+    # ties rank deterministically by term: flat corpus -> slope 0
+    flat = spark.createDataFrame(
+        [(1, "a b c d e " * 10)], "doc_id long, text string"
+    )
+    frow = zipf_fit(flat, top_k=5).collect()[0]
+    assert frow["slope"] == 0.0 and frow["n_terms"] == 5

@@ -410,6 +410,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # CCNet buckets: the bounded LM must arrive broadcast (corpus
+    # never shuffles for scoring); the ntile window is the one
+    # intended doc-scalar shuffle.
+    "q_ppl_buckets": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct"],
+    ),
+    # OOV: vocab joins broadcast; per-doc counts partial-aggregate.
+    "q_oov_rate": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "Window"],
+    ),
+    # Zipf: vocab cut is a TakeOrdered top-k, so the rank window only
+    # ever sees top_k rows.
+    "q_zipf": (["TakeOrderedAndProject", "HashAggregate"], ["Join"]),
 }
 
 
