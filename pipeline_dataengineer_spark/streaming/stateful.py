@@ -150,3 +150,78 @@ def _duration_ms(s: str) -> int:
             f"{sorted(set(_DURATION_MULT_MS))}"
         )
     return int(parts[0]) * _DURATION_MULT_MS[parts[1]]
+
+
+def rate_limit(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    capacity: int = 10,
+    refill_per_sec: float = 1.0,
+) -> DataFrame:
+    """Per-key token-bucket rate limiting / admission control over a
+    stream: each key holds a bucket of at most ``capacity`` tokens
+    refilling at ``refill_per_sec``; an event is ADMITTED when a
+    token is available (bucket decremented) and marked throttled
+    otherwise. The standard ingestion-protection primitive (API
+    quotas, per-tenant fairness, crawler politeness) as a stateful
+    streaming operator.
+
+    Deterministic within a batch: events are processed in ``ts``
+    order (tie-break preserves arrival order), refills computed from
+    event-time deltas — so a replay of the same stream admits the
+    same events (exactly-once friendly). Emits every event with
+    ``admitted`` + the bucket level after the decision.
+
+    State per key = (tokens, last_ts_ms): two scalars, bounded
+    regardless of stream length — a million tenants cost two numbers
+    each in the state store. Null timestamps are throttled outright
+    (no refill can be computed)."""
+    out_schema = (
+        f"{key_col} bigint, {ts_col} timestamp, admitted boolean, "
+        "tokens_left double"
+    )
+    state_schema = "tokens double, last_ms bigint"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            tokens, last_ms = state.get
+        else:
+            tokens, last_ms = float(capacity), None
+        rows = []
+        events = []
+        for pdf in pdfs:
+            for ts in pdf[ts_col]:
+                events.append(ts)
+        # ts order; NaT sorts to the front of pandas sorts — handle
+        # them separately so refill arithmetic never sees NaT
+        with_ts = sorted(
+            (t for t in events if not pd.isna(t)), key=lambda t: t
+        )
+        for t in (t for t in events if pd.isna(t)):
+            rows.append((key[0], None, False, float(tokens)))
+        for t in with_ts:
+            ms = int(t.value // 1_000_000)
+            if last_ms is not None and ms > last_ms:
+                tokens = min(
+                    float(capacity),
+                    tokens + (ms - last_ms) / 1000.0 * refill_per_sec,
+                )
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+            if tokens >= 1.0:
+                tokens -= 1.0
+                rows.append((key[0], t, True, float(tokens)))
+            else:
+                rows.append((key[0], t, False, float(tokens)))
+        state.update((float(tokens), last_ms))
+        yield pd.DataFrame(
+            rows, columns=[key_col, ts_col, "admitted", "tokens_left"]
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

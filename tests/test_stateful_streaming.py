@@ -275,3 +275,74 @@ def test_gap_sessions_stream_matches_batch_sessionize(spark, tmp_path):
     }
     assert closed_batch <= stream_sessions
     assert all(s in batch_sessions for s in stream_sessions)
+
+
+def test_rate_limit_token_bucket_across_batches(spark, tmp_path):
+    """rate_limit: burst admits up to capacity, excess throttled;
+    refill unlocks later events; bucket state carries across drains
+    through the checkpoint."""
+    from pipeline_dataengineer_spark.streaming.stateful import rate_limit
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        collected = []
+
+        def collect(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = rate_limit(stream, capacity=3, refill_per_sec=1.0)
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    # burst of 5 at t=0..0.1s: 3 admitted, 2 throttled; then one at
+    # t=2s: ~2 tokens refilled -> admitted
+    base = "2024-01-01T00:00:0"
+    _write(
+        src,
+        "b0.json",
+        [{"user_id": 1, "ts": f"{base}0.0{i:02d}"} for i in range(5)]
+        + [{"user_id": 1, "ts": "2024-01-01T00:00:02.000"}]
+        + [{"user_id": 2, "ts": f"{base}0.000"}],
+    )
+    rows = run()
+    u1 = sorted(
+        (r for r in rows if r["user_id"] == 1), key=lambda r: r["ts"]
+    )
+    assert [r["admitted"] for r in u1] == [True, True, True, False, False, True]
+    assert [r["admitted"] for r in rows if r["user_id"] == 2] == [True]
+
+    # second drain, same checkpoint: after the t=2s admit the carried
+    # bucket holds ~1.0 token (refills accrued during the burst);
+    # +0.2s refill admits one event, the next 0.1s later is throttled;
+    # a NULL timestamp is throttled outright
+    _write(
+        src,
+        "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01T00:00:02.200"},
+            {"user_id": 1, "ts": "2024-01-01T00:00:02.300"},
+            {"user_id": 1, "ts": None},
+        ],
+    )
+    rows = run()
+    u1 = [r for r in rows if r["user_id"] == 1]
+    admitted = [r["admitted"] for r in u1 if r["ts"] is not None]
+    assert admitted == [True, False]
+    assert [r["admitted"] for r in u1 if r["ts"] is None] == [False]
