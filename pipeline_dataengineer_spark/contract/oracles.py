@@ -4784,3 +4784,35 @@ SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
        CAST(n AS BIGINT) AS n_terms
 FROM s
 """
+
+
+ORACLES["q_modularity"] = """
+WITH nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM nodes WHERE doc_id % 5 < 4
+  UNION ALL
+  SELECT doc_id AS src, doc_id - 4 AS dst FROM nodes
+  WHERE doc_id % 5 = 4 AND (doc_id // 5) % 2 = 0
+), m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges),
+internal AS (
+  SELECT src // 5 AS community, count(*) AS n_internal
+  FROM edges WHERE src // 5 = dst // 5 GROUP BY 1
+), degrees AS (
+  SELECT node // 5 AS community, count(*) AS degree_sum FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY 1
+)
+SELECT d.community,
+       CAST(coalesce(i.n_internal, 0) AS BIGINT) AS n_internal,
+       CAST(d.degree_sum AS BIGINT) AS degree_sum,
+       round(coalesce(i.n_internal, 0) / m.m
+             - (d.degree_sum / (2.0 * m.m))
+               * (d.degree_sum / (2.0 * m.m)), 8) AS q_term
+FROM degrees d LEFT JOIN internal i USING (community) CROSS JOIN m
+"""
+
+ORACLES["q_fixed_width"] = """
+SELECT c_custkey AS custkey, c_mktsegment AS segment,
+       round(c_acctbal, 2) AS balance
+FROM customer
+"""

@@ -6967,3 +6967,68 @@ def q_zipf(spark, sf_dir):
     )
 
     return zipf_fit(table(spark, sf_dir, "documents"), top_k=300)
+
+
+@query("q_modularity")
+def q_modularity(spark, sf_dir):
+    """Community-quality scoring (operators/graph.py:modularity) over
+    the doc-id 5-block graph (chains + even-block closing edges, the
+    q_kcore fixture) with communities = the 5-blocks themselves:
+    per-community internal-edge/degree sums → Newman q_term. Two
+    keyed joins + combinable aggregates, community-sized output."""
+    from pipeline_dataengineer_spark.operators.graph import modularity
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    chain = d.filter(F.pmod("doc_id", F.lit(5)) < 4).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    closing = d.filter(
+        (F.pmod("doc_id", F.lit(5)) == 4)
+        & (F.pmod(F.floor(F.col("doc_id") / 5), F.lit(2)) == 0)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") - 4).alias("dst"))
+    edges = chain.union(closing)
+    assign = d.select(
+        F.col("doc_id").alias("node"),
+        F.floor(F.col("doc_id") / 5).cast("long").alias("community"),
+    )
+    out = modularity(edges, assign)
+    return out.select(
+        "community",
+        F.col("n_internal").cast("long").alias("n_internal"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        F.round("q_term", 8).alias("q_term"),
+    )
+
+
+@query("q_fixed_width")
+def q_fixed_width(spark, sf_dir):
+    """Fixed-width record parsing (sources/files.py:
+    parse_fixed_width): customer rows are serialized to a rigid
+    28-char layout in column space (lpad key 8 / rpad segment 12 /
+    lpad balance 8) and parsed back through the reader's kernel —
+    both directions fused codegen, no UDF. The oracle recomputes the
+    round trip analytically; trailing-space trim and numeric casts
+    must agree."""
+    from pipeline_dataengineer_spark.sources.files import (
+        parse_fixed_width,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    line = F.concat(
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0"),
+        F.rpad(F.col("c_mktsegment"), 12, " "),
+        F.lpad(F.round("c_acctbal", 2).cast("string"), 8, " "),
+    )
+    parsed = parse_fixed_width(
+        line,
+        [
+            ("custkey", 1, 8, "long"),
+            ("segment", 9, 12, "string"),
+            ("balance", 21, 8, "double"),
+        ],
+    )
+    return c.select(parsed.alias("r")).select(
+        F.col("r.custkey").alias("custkey"),
+        F.col("r.segment").alias("segment"),
+        F.round(F.col("r.balance"), 2).alias("balance"),
+    )

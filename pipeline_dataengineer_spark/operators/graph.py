@@ -818,3 +818,58 @@ def association_rules(
         .filter(F.col("confidence") >= min_confidence)
     )
     return out
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the standard objective for
+    judging LPA/Louvain output (Q near 0: no structure; 0.3+: real
+    communities). Returns one row per community
+    (community, n_internal, degree_sum, q_term) plus callers sum
+    q_term for Q.
+
+    Scale: two keyed joins tag each edge endpoint with its community
+    (the assignment is node-sized — broadcast when it fits, hash join
+    otherwise); internal-edge and degree sums are combinable
+    aggregates; output is community-count-sized. Each undirected edge
+    appears once in `edges`; degrees count both endpoints."""
+    m = edges.count()
+    if m == 0:
+        raise ValueError("empty edge set")
+    a_src = assign.select(
+        F.col(node_col).alias(src), F.col(community_col).alias("__c_src")
+    )
+    a_dst = assign.select(
+        F.col(node_col).alias(dst), F.col(community_col).alias("__c_dst")
+    )
+    tagged = edges.join(a_src, src).join(a_dst, dst)
+    internal = (
+        tagged.filter(F.col("__c_src") == F.col("__c_dst"))
+        .groupBy(F.col("__c_src").alias(community_col))
+        .agg(F.count(F.lit(1)).alias("n_internal"))
+    )
+    degrees = (
+        edges.select(F.col(src).alias(node_col))
+        .unionAll(edges.select(F.col(dst).alias(node_col)))
+        .join(assign, node_col)
+        .groupBy(community_col)
+        .agg(F.count(F.lit(1)).alias("degree_sum"))
+    )
+    out = degrees.join(internal, community_col, "left").fillna(
+        0, subset=["n_internal"]
+    )
+    e_frac = F.col("n_internal") / F.lit(float(m))
+    d_frac = F.col("degree_sum") / F.lit(2.0 * m)
+    return out.select(
+        community_col,
+        "n_internal",
+        "degree_sum",
+        (e_frac - d_frac * d_frac).alias("q_term"),
+    )

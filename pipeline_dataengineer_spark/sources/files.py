@@ -154,3 +154,43 @@ def read_csv_quarantine(
         F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
     ).select(F.col("_raw").alias("_corrupt"))
     return good, bad
+
+
+def parse_fixed_width(
+    col,
+    colspecs: list[tuple[str, int, int, str]],
+):
+    """Parse a fixed-width record line (the mainframe/COBOL export
+    layout) into a struct: ``colspecs`` is a list of
+    (name, start_1_based, length, spark_type) — values are substring
+    slices, whitespace-trimmed, cast to the declared type (''
+    becomes NULL through the cast for non-strings; strings keep '').
+    One fused codegen projection, no UDF."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    fields = []
+    for name, start, length, typ in colspecs:
+        raw = F.trim(F.substring(c, start, length))
+        v = raw if typ == "string" else raw.cast(typ)
+        fields.append(v.alias(name))
+    return F.struct(*fields)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width file reader: ``spark.read.text`` (splittable,
+    whole-stage codegen'd line scan) + ``parse_fixed_width``
+    flattened to columns — no Python in the row path, so a 100 TB
+    export parses at parquet-adjacent speed."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    s = parse_fixed_width(F.col("value"), colspecs)
+    return lines.select(
+        *[s[name].alias(name) for name, *_ in colspecs]
+    )

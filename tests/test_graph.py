@@ -368,3 +368,35 @@ def test_association_rules_hand_computed(spark):
     assert out[("milk", "bread")] == (0.5, round(2 / 3, 4), round(8 / 9, 4))
     # bread->milk: confidence 2/3 as well (symmetric counts here)
     assert out[("bread", "milk")] == (0.5, round(2 / 3, 4), round(8 / 9, 4))
+
+
+def test_modularity_hand_computed(spark):
+    """Two triangles joined by one bridge edge: m=7, each community
+    has 3 internal edges; degree sums 7 and 7 (bridge endpoints have
+    degree 3). Q = 2*(3/7 - (7/14)^2) = 2*(3/7 - 1/4)."""
+    from pipeline_dataengineer_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    assign = spark.createDataFrame(
+        [(n, n // 4) for n in range(1, 7)], "node long, community long"
+    )
+    rows = {r["community"]: r for r in modularity(edges, assign).collect()}
+    assert rows[0]["n_internal"] == 3 and rows[1]["n_internal"] == 3
+    assert rows[0]["degree_sum"] == 7 and rows[1]["degree_sum"] == 7
+    q = sum(r["q_term"] for r in rows.values())
+    assert abs(q - 2 * (3 / 7 - 0.25)) < 1e-12
+
+    # a random-ish assignment scores lower than the true communities
+    bad = spark.createDataFrame(
+        [(n, n % 2) for n in range(1, 7)], "node long, community long"
+    )
+    q_bad = sum(r["q_term"] for r in modularity(edges, bad).collect())
+    assert q_bad < q
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        modularity(edges.limit(0), assign)

@@ -181,3 +181,34 @@ def test_read_csv_quarantine(spark, tmp_path):
     )
     assert {(r["id"], r["v"]) for r in good.collect()} == {(1, "a"), (2, "c")}
     assert [r["_corrupt"] for r in bad.collect()] == ["not_a_number,b"]
+
+
+def test_read_fixed_width_file(spark, tmp_path):
+    from pipeline_dataengineer_spark.sources.files import read_fixed_width
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "00000001ALPHA       00123.45\n"
+        "00000002BETA          -7.5  \n"
+        "00000003            00000.00\n"  # blank string field
+    )
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [
+            ("id", 1, 8, "long"),
+            ("name", 9, 12, "string"),
+            ("amount", 21, 8, "double"),
+        ],
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["name"] == "ALPHA" and got[1]["amount"] == 123.45
+    assert got[2]["amount"] == -7.5
+    assert got[3]["name"] == "" and got[3]["amount"] == 0.0
+    # the parse is a pure projection: no shuffle in the plan
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
