@@ -171,6 +171,14 @@ HEADLINE = [
     "q_countmin",
     "q_bloom_prune",
     "q_mmr_rerank",
+    # round 4 second batch. q_exif/q_spectral_band stay contract-only:
+    # their cost is the synthetic payload literal, not the operator.
+    "q_ppl_buckets",
+    "q_table_diff",
+    "q_frequent_seq",
+    "q_point_in_polygon",
+    "q_cusum_chart",
+    "q_oov_rate",
 ]
 
 

@@ -938,16 +938,26 @@ def exif_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def _spectrogram(mono, rate: int, frame: int, hop: int, bands: int,
-                 max_cols: int):
+                 max_cols: int, max_frames: int = 4096):
     """Hann-windowed STFT magnitude → ``bands`` equal FFT-bin bands,
     mean-pooled along time to at most ``max_cols`` columns. Returns
     (matrix bands x <=max_cols, centroid_hz, rolloff_hz). Pure numpy
-    (rfft); deterministic."""
+    (rfft); deterministic.
+
+    ``max_frames`` bounds the per-row working set: past it the hop is
+    widened (uniform frame subsampling) so a 10-hour clip analyzes
+    the same number of windows as a 2-minute one instead of
+    materializing an unbounded frames x frame matrix — the output is
+    pooled to max_cols columns anyway, so the extra frames only ever
+    fed averages."""
     import numpy as np
 
     if len(mono) < frame:
         mono = np.pad(mono, (0, frame - len(mono)))
     n_frames = 1 + (len(mono) - frame) // hop
+    if n_frames > max_frames:
+        hop = (len(mono) - frame) // (max_frames - 1)
+        n_frames = 1 + (len(mono) - frame) // hop
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
     win = np.hanning(frame)
     spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1))  # (t, frame/2+1)

@@ -683,3 +683,26 @@ def test_audio_spectrogram_sine_band_and_centroid(spark):
     assert abs(r["spectral_centroid_hz"] - freq) < 100.0
     assert abs(r["spectral_rolloff_hz"] - freq) < 100.0
     assert out[2]["spectrogram"] is None  # corrupt blob -> NULLs
+
+
+def test_spectrogram_long_clip_bounded():
+    """_spectrogram widens the hop past max_frames: a long clip costs
+    the same working set as a short one and still lands the dominant
+    band correctly."""
+    import math
+
+    import numpy as np
+
+    from pipeline_dataengineer_spark.multimodal.media import _spectrogram
+
+    rate, freq = 8000, 1000.0
+    mono = np.sin(
+        2 * math.pi * freq * np.arange(rate * 120) / rate
+    )  # 2 minutes
+    m, centroid, _ = _spectrogram(
+        mono, rate, frame=256, hop=128, bands=16, max_cols=32,
+        max_frames=512,
+    )
+    assert m.shape == (16, 32)
+    assert int(np.argmax(m.mean(axis=1))) == 3
+    assert abs(centroid - freq) < 100.0
