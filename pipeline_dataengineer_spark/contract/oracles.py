@@ -4816,3 +4816,112 @@ SELECT c_custkey AS custkey, c_mktsegment AS segment,
        round(c_acctbal, 2) AS balance
 FROM customer
 """
+
+
+# q_jaro: DuckDB's own jaro_winkler_similarity scores the same
+# blocked pairs — two INDEPENDENT implementations of the metric
+# (floor-halved transpositions, 0.7 boost threshold, p=0.1).
+ORACLES["q_jaro"] = """
+WITH p AS (
+  SELECT p_partkey, p_name AS name, string_split(p_name, ' ')[1] AS blk
+  FROM part WHERE p_partkey % 7 = 0
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.88
+"""
+
+ORACLES["q_merge_intervals"] = """
+WITH iv AS (
+  SELECT o_orderpriority AS pri,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           + o_orderkey % 20 + 1 AS e
+  FROM orders
+), flagged AS (
+  SELECT pri, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY pri ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR s > max(e) OVER (PARTITION BY pri ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT pri, s, e,
+         sum(new_island) OVER (PARTITION BY pri ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+)
+SELECT pri AS o_orderpriority,
+       CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM islands GROUP BY pri, isl
+"""
+
+ORACLES["q_interval_gaps"] = """
+WITH iv AS (
+  SELECT o_orderpriority AS pri,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           + o_orderkey % 20 + 1 AS e
+  FROM orders WHERE o_orderkey % 37 = 0
+), flagged AS (
+  SELECT pri, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY pri ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR s > max(e) OVER (PARTITION BY pri ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT pri, s, e,
+         sum(new_island) OVER (PARTITION BY pri ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+), merged AS (
+  SELECT pri, isl, min(s) AS s, max(e) AS e
+  FROM islands GROUP BY pri, isl
+)
+SELECT pri AS o_orderpriority,
+       CAST(lag(e) OVER (PARTITION BY pri ORDER BY s) AS BIGINT)
+         AS gap_start,
+       CAST(s AS BIGINT) AS gap_end
+FROM merged
+QUALIFY lag(e) OVER (PARTITION BY pri ORDER BY s) IS NOT NULL
+"""
+
+ORACLES["q_interval_coverage"] = """
+WITH iv AS (
+  SELECT o_orderpriority AS pri,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           + o_orderkey % 20 + 1 AS e
+  FROM orders WHERE o_orderkey % 37 = 0
+), flagged AS (
+  SELECT pri, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY pri ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR s > max(e) OVER (PARTITION BY pri ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT pri, s, e,
+         sum(new_island) OVER (PARTITION BY pri ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+), merged AS (
+  SELECT pri, isl, min(s) AS s, max(e) AS e
+  FROM islands GROUP BY pri, isl
+)
+SELECT pri AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e - s) AS BIGINT) AS covered,
+       CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end
+FROM merged GROUP BY pri
+"""

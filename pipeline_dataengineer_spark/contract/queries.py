@@ -7032,3 +7032,130 @@ def q_fixed_width(spark, sf_dir):
         F.col("r.segment").alias("segment"),
         F.round(F.col("r.balance"), 2).alias("balance"),
     )
+
+
+@query("q_jaro")
+def q_jaro(spark, sf_dir):
+    """Jaro-Winkler fuzzy scoring (functions/text.py:jaro_winkler):
+    part-name pairs blocked on the shared first token (bounded
+    blocks, never all-pairs), scored by the Arrow kernel and kept
+    above 0.88. The oracle scores the SAME pairs with DuckDB's
+    independent jaro_winkler_similarity implementation — the kernel
+    was fuzzed to 0 mismatches over 10k random pairs, floor-halved
+    transpositions and the 0.7 boost threshold included."""
+    from pipeline_dataengineer_spark.functions.text import jaro_winkler
+
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            "p_partkey",
+            F.col("p_name").alias("name"),
+            F.split(F.col("p_name"), " ")[0].alias("__blk"),
+        )
+    )
+    pairs = (
+        p.alias("a")
+        .join(p.alias("b"), "__blk")
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+    )
+    out = pairs.withColumn(
+        "jw", F.round(jaro_winkler("name_a", "name_b"), 6)
+    )
+    return out.filter(F.col("jw") >= 0.88).select(
+        "key_a", "key_b", "jw"
+    )
+
+
+@query("q_merge_intervals")
+def q_merge_intervals(spark, sf_dir):
+    """Gaps-and-islands coalescing (operators/intervals.py:
+    merge_intervals): per order priority, spans
+    [orderdate_epoch, +1..20 days) merge into maximal islands — one
+    window pass (running reach max), island ids by running sum on
+    the same partitioning, then a combinable aggregate."""
+    from pipeline_dataengineer_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("s"),
+        (
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            + F.pmod("o_orderkey", F.lit(20))
+            + 1
+        ).alias("e"),
+    )
+    out = merge_intervals(o, ["o_orderpriority"], "s", "e")
+    return out.select(
+        "o_orderpriority",
+        F.col("s").cast("long").alias("s"),
+        F.col("e").cast("long").alias("e"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
+@query("q_interval_gaps")
+def q_interval_gaps(spark, sf_dir):
+    """The complement cut (operators/intervals.py:interval_gaps):
+    open downtime between the coalesced islands — restricted to a
+    sparse slice (every 37th order) so real gaps exist."""
+    from pipeline_dataengineer_spark.operators.intervals import (
+        interval_gaps,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderpriority",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("s"),
+            (
+                F.unix_date(F.col("o_orderdate").cast("date"))
+                + F.pmod("o_orderkey", F.lit(20))
+                + 1
+            ).alias("e"),
+        )
+    )
+    return interval_gaps(o, ["o_orderpriority"], "s", "e").select(
+        "o_orderpriority",
+        F.col("gap_start").cast("long").alias("gap_start"),
+        F.col("gap_end").cast("long").alias("gap_end"),
+    )
+
+
+@query("q_interval_coverage")
+def q_interval_coverage(spark, sf_dir):
+    """Coverage rollup (operators/intervals.py:coverage): islands,
+    total covered length and span bounds per priority over the same
+    sparse slice as q_interval_gaps."""
+    from pipeline_dataengineer_spark.operators.intervals import coverage
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderpriority",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("s"),
+            (
+                F.unix_date(F.col("o_orderdate").cast("date"))
+                + F.pmod("o_orderkey", F.lit(20))
+                + 1
+            ).alias("e"),
+        )
+    )
+    out = coverage(o, ["o_orderpriority"], "s", "e")
+    return out.select(
+        "o_orderpriority",
+        F.col("n_islands").cast("long").alias("n_islands"),
+        F.col("covered").cast("long").alias("covered"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )

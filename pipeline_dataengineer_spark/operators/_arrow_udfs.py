@@ -233,3 +233,56 @@ def big_orders_batches(batches):
                 "price_k": big["o_totalprice"] / 1000.0,
             }
         )
+
+
+def _jaro_winkler_py(a: str, b: str) -> float:
+    """Pure-Python Jaro-Winkler kernel (DuckDB-convention: window
+    max(|a|,|b|)//2-1 floored at 0, FLOOR-halved transpositions, 0.7
+    boost threshold, p=0.1, prefix cap 4)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(max(la, lb) // 2 - 1, 0)
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        ca = a[i]
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    bs = [b[j] for j in range(lb) if mb[j]]
+    t = (
+        sum(
+            1
+            for ca, cb in zip((a[i] for i in range(la) if ma[i]), bs)
+            if ca != cb
+        )
+        // 2
+    )
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        prefix = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            prefix += 1
+        return jaro + prefix * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(col1: pd.Series, col2: pd.Series) -> pd.Series:
+    out = []
+    for a, b in zip(col1, col2):
+        if a is None or b is None:
+            out.append(None)
+        else:
+            out.append(_jaro_winkler_py(a, b))
+    return pd.Series(out, dtype="float64")

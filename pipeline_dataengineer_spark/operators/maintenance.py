@@ -213,6 +213,10 @@ def diff_tables(
     compared columns. One shuffle on the key for the join (or zero
     with co-bucketed inputs); the per-column compare is a fused
     codegen projection — no per-row Python, no collect.
+
+    Keys are assumed non-NULL (primary-key semantics): a NULL-keyed
+    row never joins, so it reports as removed/added rather than
+    comparing against another NULL-keyed row.
     """
     cols = compare_cols or [c for c in a.columns if c not in keys]
     missing = [c for c in cols if c not in b.columns]

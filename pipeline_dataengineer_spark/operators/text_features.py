@@ -668,6 +668,9 @@ def zipf_fit(
     return agg.select(
         F.round(cov / varx, 6).alias("slope"),
         F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
-        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+        # a perfectly flat frequency table has zero y-variance: r2 is
+        # undefined (0/0 NaN), report NULL instead
+        F.when(vary > 0, F.round((cov * cov) / (varx * vary), 6))
+        .alias("r2"),
         n.cast("long").alias("n_terms"),
     )

@@ -78,6 +78,20 @@ def forward_fill(
     return out
 
 
+def _spread_by_key(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Explicit hash repartition on the grouping key before a
+    grouped-map recursion. The grouped-map's own exchange is small in
+    BYTES (ids + scalars), so AQE coalesces it — sometimes to ONE
+    task — but the per-row Python recursion cost is invisible to AQE,
+    and a coalesced plan serializes every key through one worker
+    (measured 5.6s -> 1.2s on 100k rows x 150 keys at local[32]). A
+    user-specified repartition is exempt from AQE coalescing and
+    satisfies the groupBy's distribution requirement, so there is
+    still exactly ONE shuffle."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *key_cols)
+
+
 def ewma(
     df: DataFrame,
     key_cols: list[str],
@@ -111,7 +125,9 @@ def ewma(
         )
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)
+    return _spread_by_key(df, key_cols).groupBy(*key_cols).applyInPandas(
+        fn, schema=schema_out
+    )
 
 
 def rolling_zscore_outliers(
@@ -214,7 +230,9 @@ def holt_linear(
         pdf[forecast_col] = lev + h * tr
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)
+    return _spread_by_key(df, key_cols).groupBy(*key_cols).applyInPandas(
+        fn, schema=schema_out
+    )
 
 
 def clamped_running_sum(
@@ -258,7 +276,9 @@ def clamped_running_sum(
         pdf[out_col] = out
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)
+    return _spread_by_key(df, key_cols).groupBy(*key_cols).applyInPandas(
+        fn, schema=schema_out
+    )
 
 
 def seasonal_decompose(
@@ -651,6 +671,12 @@ def cusum_control_chart(
         alarm = np.full(n, None, dtype=object)
         hi = lo = 0.0
         for i in range(n):
+            if np.isnan(x[i]):
+                # a NULL sample carries no deviation information:
+                # emit the carried state untouched, never poison the
+                # accumulators with NaN
+                s_hi[i], s_lo[i] = hi, lo
+                continue
             d = x[i] - tgt
             hi = max(0.0, hi + d - kf)
             lo = max(0.0, lo - d - kf)
@@ -671,4 +697,6 @@ def cusum_control_chart(
         pdf["alarm"] = alarm
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema_out)
+    return _spread_by_key(df, key_cols).groupBy(*key_cols).applyInPandas(
+        fn, schema=schema_out
+    )

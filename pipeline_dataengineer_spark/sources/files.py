@@ -163,17 +163,16 @@ def parse_fixed_width(
     """Parse a fixed-width record line (the mainframe/COBOL export
     layout) into a struct: ``colspecs`` is a list of
     (name, start_1_based, length, spark_type) — values are substring
-    slices, whitespace-trimmed, cast to the declared type (''
-    becomes NULL through the cast for non-strings; strings keep '').
-    One fused codegen projection, no UDF."""
-    from pyspark.sql import Column
+    slices, whitespace-trimmed, try_cast to the declared type (blank
+    or malformed numerics become NULL instead of raising under ANSI
+    mode; strings keep ''). One fused codegen projection, no UDF."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
     fields = []
     for name, start, length, typ in colspecs:
         raw = F.trim(F.substring(c, start, length))
-        v = raw if typ == "string" else raw.cast(typ)
+        v = raw if typ == "string" else raw.try_cast(typ)
         fields.append(v.alias(name))
     return F.struct(*fields)
 

@@ -85,3 +85,4 @@ def test_zipf_fit_recovers_planted_slope(spark):
     )
     frow = zipf_fit(flat, top_k=5).collect()[0]
     assert frow["slope"] == 0.0 and frow["n_terms"] == 5
+    assert frow["r2"] is None  # zero y-variance: undefined, not NaN

@@ -1,0 +1,86 @@
+"""Interval algebra (merge/gaps/coverage) and the Jaro-Winkler kernel."""
+
+from __future__ import annotations
+
+
+def test_merge_intervals_islands_and_touching(spark):
+    from pipeline_dataengineer_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("k", 1, 5), ("k", 4, 8), ("k", 8, 10),   # chain: 1-10 (touch)
+        ("k", 15, 20), ("k", 16, 17),             # contained: 15-20
+        ("k", 30, 31),                            # singleton
+        ("j", 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "key string, s long, e long")
+    got = {
+        (r["key"], r["s"]): (r["e"], r["n_merged"])
+        for r in merge_intervals(df, ["key"], "s", "e").collect()
+    }
+    assert got[("k", 1)] == (10, 3)   # touching 8 joins under half-open
+    assert got[("k", 15)] == (20, 2)
+    assert got[("k", 30)] == (31, 1)
+    assert got[("j", 2)] == (3, 1)
+
+    strict = {
+        (r["key"], r["s"]): r["e"]
+        for r in merge_intervals(
+            df, ["key"], "s", "e", touch_merges=False
+        ).collect()
+    }
+    assert strict[("k", 1)] == 8 and strict[("k", 8)] == 10
+
+
+def test_interval_gaps_and_coverage(spark):
+    from pipeline_dataengineer_spark.operators.intervals import (
+        coverage,
+        interval_gaps,
+    )
+
+    rows = [("k", 1, 5), ("k", 10, 12), ("k", 20, 21), ("j", 0, 1)]
+    df = spark.createDataFrame(rows, "key string, s long, e long")
+    gaps = {
+        (r["key"], r["gap_start"]): r["gap_end"]
+        for r in interval_gaps(df, ["key"], "s", "e").collect()
+    }
+    assert gaps == {("k", 5): 10, ("k", 12): 20}  # j: single island
+
+    cov = {r["key"]: r for r in coverage(df, ["key"], "s", "e").collect()}
+    assert cov["k"]["n_islands"] == 3
+    assert cov["k"]["covered"] == 4 + 2 + 1
+    assert (cov["k"]["span_start"], cov["k"]["span_end"]) == (1, 21)
+    assert cov["j"]["covered"] == 1
+
+
+def test_jaro_winkler_textbook_and_nulls(spark):
+    from pipeline_dataengineer_spark.functions.text import jaro_winkler
+
+    df = spark.createDataFrame(
+        [
+            ("MARTHA", "MARHTA"),
+            ("DIXON", "DICKSONX"),
+            ("CRATE", "TRACE"),
+            ("abcdef", "cabdef"),   # odd transposition count: floor
+            ("f", "f"),
+            (None, "x"),
+            ("", "x"),
+        ],
+        "a string, b string",
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        r["jw"]
+        for r in df.select(
+            F.round(jaro_winkler("a", "b"), 6).alias("jw")
+        ).collect()
+    ]
+    assert got[0] == 0.961111
+    assert got[1] == 0.813333
+    assert got[2] == 0.733333
+    assert got[3] == round(17 / 18 + 0 * 0.1, 6)  # no shared prefix? c vs a -> 0
+    assert got[4] == 1.0
+    assert got[5] is None
+    assert got[6] == 0.0

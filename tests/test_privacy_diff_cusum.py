@@ -205,3 +205,26 @@ def test_frequent_sequences_counts_and_support(spark):
     assert bigrams[("view", "view")] == 1
     # tail windows with missing leads were dropped, not null-padded
     assert all(None not in s for s in bigrams)
+
+
+def test_cusum_null_values_pass_through(spark):
+    """NULL samples carry no deviation: state is held, not poisoned
+    (a NaN would otherwise stick in the accumulators forever)."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        cusum_control_chart,
+    )
+
+    rows = [
+        ("s", 0, 13.0),   # hi = 2.5
+        ("s", 1, None),   # held
+        ("s", 2, 13.0),   # hi = 5.0 -> alarm (h=4), reset
+        ("s", 3, 10.0),   # hi = 0.0
+    ]
+    df = spark.createDataFrame(rows, "key string, t long, x double")
+    out = (
+        cusum_control_chart(df, ["key"], "t", "x", target=10.0, k=0.5, h=4.0)
+        .orderBy("t")
+        .collect()
+    )
+    assert [r["cusum_hi"] for r in out] == [2.5, 2.5, 5.0, 0.0]
+    assert [r["alarm"] for r in out] == [None, None, "up", None]

@@ -191,6 +191,7 @@ def test_read_fixed_width_file(spark, tmp_path):
         "00000001ALPHA       00123.45\n"
         "00000002BETA          -7.5  \n"
         "00000003            00000.00\n"  # blank string field
+        "00000004GAMMA               \n"  # blank numeric -> NULL
     )
     df = read_fixed_width(
         spark,
@@ -205,6 +206,8 @@ def test_read_fixed_width_file(spark, tmp_path):
     assert got[1]["name"] == "ALPHA" and got[1]["amount"] == 123.45
     assert got[2]["amount"] == -7.5
     assert got[3]["name"] == "" and got[3]["amount"] == 0.0
+    # blank numeric: NULL via try_cast, not an ANSI cast error
+    assert got[4]["name"] == "GAMMA" and got[4]["amount"] is None
     # the parse is a pure projection: no shuffle in the plan
     import contextlib, io
 

@@ -387,7 +387,6 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_table_diff": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     # CUSUM: sanctioned grouped-map recursion — exactly the Arrow
     # grouped-map operator over one key shuffle.
-    "q_cusum_chart": (["FlatMapGroupsInPandas"], ["Window", "SortMergeJoin"]),
     # readability: a pure fused projection riding the scan — no
     # shuffle at all, and only (doc_id, text) read.
     "q_readability": (
@@ -425,6 +424,25 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # Zipf: vocab cut is a TakeOrdered top-k, so the rank window only
     # ever sees top_k rows.
     "q_zipf": (["TakeOrderedAndProject", "HashAggregate"], ["Join"]),
+    # intervals: one window pass builds islands; the aggregate is
+    # combinable; never a self-join of the spans.
+    "q_merge_intervals": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # jaro: blocked equi self-join — the blocking must stay a hash
+    # join, never a nested loop over all pairs.
+    "q_jaro": (
+        ["ArrowEvalPython"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # grouped-map recursions: the explicit key repartition must
+    # survive as the ONE exchange (AQE must not re-coalesce it into
+    # a serial single task — see timeseries._spread_by_key).
+    "q_cusum_chart": (
+        ["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
+        ["Window", "SortMergeJoin"],
+    ),
 }
 
 
