@@ -4925,3 +4925,62 @@ SELECT pri AS o_orderpriority,
        CAST(max(e) AS BIGINT) AS span_end
 FROM merged GROUP BY pri
 """
+
+
+_PPR_ROUND = """
+, pcontrib{r} AS MATERIALIZED (
+  SELECT e.dst, sum(l.rank * e.w) AS cin
+  FROM we e JOIN prank{p} l ON e.src = l.node GROUP BY e.dst
+), pdang{r} AS MATERIALIZED (
+  SELECT coalesce(sum(l.rank), 0.0) AS dm
+  FROM prank{p} l WHERE l.node NOT IN (SELECT src FROM we)
+), prank{r} AS MATERIALIZED (
+  SELECT v.node,
+         (1.0 - 0.85) * v.p
+           + 0.85 * (coalesce(c.cin, 0.0) + pdang{r}.dm * v.p) AS rank
+  FROM pvec v
+  LEFT JOIN pcontrib{r} c ON v.node = c.dst, pdang{r}
+)
+"""
+
+ORACLES["q_ppr"] = (
+    """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT c_custkey AS src, c_nationkey + 10000000 AS dst
+  FROM customer
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+seeds AS MATERIALIZED (
+  SELECT c_custkey AS node FROM customer WHERE c_custkey % 100 = 0
+),
+ns AS MATERIALIZED (SELECT count(*) AS n FROM seeds),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+we AS MATERIALIZED (
+  SELECT e.src, e.dst, 1.0 / deg.d AS w FROM edges e JOIN deg USING (src)
+),
+pvec AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS p
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node, ns
+),
+prank0 AS MATERIALIZED (SELECT node, p AS rank FROM pvec)
+"""
+    + "".join(_PPR_ROUND.format(r=i, p=i - 1) for i in range(1, 7))
+    + "SELECT node, round(rank, 6) AS rank FROM prank6 ORDER BY node"
+)
+
+
+# q_pnm: analytic ground truth for the planted netpbm pixels —
+# Spark must RECOVER these by real header/raster parsing.
+ORACLES["q_pnm"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 <> 2 THEN 4 END AS width,
+       CASE WHEN doc_id % 3 <> 2 THEN 4 END AS height,
+       CASE WHEN doc_id % 3 <> 2 THEN 1 END AS channels,
+       CASE WHEN doc_id % 3 <> 2
+            THEN round(CAST(doc_id % 251 AS DOUBLE), 6) END
+         AS mean_intensity
+FROM documents
+"""

@@ -7159,3 +7159,60 @@ def q_interval_coverage(spark, sf_dir):
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
     )
+
+
+@query("q_ppr")
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (operators/graph.py:
+    personalized_pagerank) seeded at every-100th customer over the
+    bipartite customer→nation graph — HASH-CHECKED like q_pagerank:
+    the oracle unrolls 6 rounds with the identical teleport-vector
+    arithmetic ((1−d)·p + d·(cin + dang·p)); unreachable nodes pin
+    to exactly 0."""
+    from pipeline_dataengineer_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 10_000_000).alias("dst"),
+    )
+    seeds = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    ranks = personalized_pagerank(
+        c, seeds, max_iterations=6, tol=1e-12
+    )
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+@query("q_pnm")
+def q_pnm(spark, sf_dir):
+    """REAL netpbm decoding, hash-checked (multimodal/media.py:
+    pnm_stats): every document row gets a binary P5 grayscale image
+    assembled in column space (header literal + 16 pixel bytes of the
+    planted value doc_id % 251 via unhex); the Arrow pass must parse
+    the header and recover the mean intensity == the planted value.
+    Every third row is corrupted (truncated raster) and must come
+    back NULL — the quarantine contract."""
+    from pipeline_dataengineer_spark.multimodal.media import pnm_stats
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    px = F.unhex(
+        F.lpad(F.hex((F.col("doc_id") % 251).cast("int")), 2, "0")
+    )
+    good = F.concat(F.lit(b"P5\n4 4\n255\n"), *([px] * 16))
+    bad = F.concat(F.lit(b"P5\n4 4\n255\n"), *([px] * 7))
+    payload = F.when(F.col("doc_id") % 3 == 2, bad).otherwise(good)
+    out = pnm_stats(d.withColumn("payload", payload))
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )

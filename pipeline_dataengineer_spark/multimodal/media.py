@@ -1038,3 +1038,96 @@ def audio_spectrogram(
             )
 
     return df.mapInPandas(op, out_schema)
+
+
+# ------------------------------------------------------------- netpbm
+
+
+def _decode_pnm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode netpbm images — P2/P5 (grayscale) and P3/P6 (RGB),
+    maxval <= 255 — to (width, height, channels, raw pixel bytes).
+    REAL parsing: token scanner that honors '#' comments in the
+    header, binary payload sliced after the single whitespace that
+    terminates maxval, ASCII variants parsed as integer tokens."""
+    if len(payload) < 2 or payload[0:1] != b"P":
+        raise ValueError("not a netpbm payload")
+    kind = payload[1:2]
+    if kind not in (b"2", b"3", b"5", b"6"):
+        raise ValueError("unsupported netpbm variant")
+    ascii_form = kind in (b"2", b"3")
+    channels = 3 if kind in (b"3", b"6") else 1
+
+    pos = 2
+    tokens: list[int] = []
+
+    def next_token() -> int:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos]
+            if c in b" \t\r\n":
+                pos += 1
+            elif c == ord("#"):
+                while pos < len(payload) and payload[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and payload[pos] not in b" \t\r\n#":
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        return int(payload[start:pos])
+
+    w, h, maxval = next_token(), next_token(), next_token()
+    if not (0 < maxval <= 255):
+        raise ValueError("only 8-bit netpbm supported")
+    n = w * h * channels
+    if ascii_form:
+        vals = bytes(next_token() for _ in range(n))
+        return w, h, channels, vals
+    pos += 1  # exactly ONE whitespace byte after maxval (spec)
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError("truncated netpbm raster")
+    return w, h, channels, raster
+
+
+def pnm_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """netpbm payload → (width, height, channels, mean_intensity) via
+    mapInPandas — real P2/P3/P5/P6 decoding (``_decode_pnm``), no
+    imaging library; undecodable rows get NULLs. Map-side pass over
+    the binary column, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("mean_intensity", T.DoubleType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, cs, ms = [], [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    w, h, c, px = _decode_pnm(payload)
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(c)
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    ms.append(float(arr.mean()) if arr.size else None)
+                except Exception:
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    ms.append(None)
+            yield pdf.assign(
+                width=ws, height=hs, channels=cs, mean_intensity=ms
+            )
+
+    return df.mapInPandas(op, out_schema)

@@ -400,3 +400,54 @@ def test_modularity_hand_computed(spark):
 
     with pytest.raises(ValueError):
         modularity(edges.limit(0), assign)
+
+
+def test_personalized_pagerank_vs_numpy(spark):
+    """PPR on a small directed graph vs an independent numpy power
+    iteration with the same teleport/dangling conventions; a node
+    unreachable from the seeds scores exactly 0."""
+    import numpy as np
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # 1->2->3->1 cycle, 3->4, 5->1 (5 unreachable FROM seeds; 4 is a
+    # dangling sink)
+    e = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            edges, seeds, max_iterations=40, tol=1e-14
+        ).collect()
+    }
+
+    nodes = sorted({u for ed in e for u in ed})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    p = np.zeros(n)
+    p[idx[1]] = 1.0
+    out = {u: [] for u in nodes}
+    for a, b in e:
+        out[a].append(b)
+    r = p.copy()
+    for _ in range(40):
+        nxt = np.zeros(n)
+        dang = 0.0
+        for u in nodes:
+            if out[u]:
+                for v in out[u]:
+                    nxt[idx[v]] += r[idx[u]] / len(out[u])
+            else:
+                dang += r[idx[u]]
+        r = 0.15 * p + 0.85 * (nxt + dang * p)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-9)
+    assert got[5] == 0.0  # never reachable from seed 1
+    assert got[1] > got[2] > 0  # proximity ordering from the seed
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds.limit(0))

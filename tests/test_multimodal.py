@@ -706,3 +706,25 @@ def test_spectrogram_long_clip_bounded():
     assert m.shape == (16, 32)
     assert int(np.argmax(m.mean(axis=1))) == 3
     assert abs(centroid - freq) < 100.0
+
+
+def test_pnm_stats_all_variants(spark):
+    from pipeline_dataengineer_spark.multimodal.media import pnm_stats
+
+    p5 = b"P5\n# c\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    p2 = b"P2\n3 2 255\n10 20 30 40 50 60"
+    p6 = b"P6 2 1 255 " + bytes([255, 0, 0, 0, 255, 0])
+    p3 = b"P3\n1 1\n255\n9 9 9"
+    bad = b"P5\n4 4\n255\nxy"
+    df = spark.createDataFrame(
+        [(1, bytearray(p5)), (2, bytearray(p2)), (3, bytearray(p6)),
+         (4, bytearray(p3)), (5, bytearray(bad))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in pnm_stats(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (3, 2, 1)
+    assert got[1]["mean_intensity"] == 35.0
+    assert got[2]["mean_intensity"] == 35.0  # ASCII == binary
+    assert (got[3]["channels"], got[3]["mean_intensity"]) == (3, 85.0)
+    assert got[4]["mean_intensity"] == 9.0
+    assert got[5]["width"] is None  # truncated raster -> NULLs

@@ -443,6 +443,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
         ["Window", "SortMergeJoin"],
     ),
+    # netpbm decode: a pure map-side Arrow pass — no shuffle at all.
+    "q_pnm": (["MapInPandas"], ["Exchange", "Join"]),
 }
 
 
