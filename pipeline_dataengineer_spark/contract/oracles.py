@@ -4984,3 +4984,36 @@ SELECT doc_id,
          AS mean_intensity
 FROM documents
 """
+
+
+ORACLES["q_topo_levels"] = """
+SELECT doc_id AS node,
+       CAST(CASE WHEN doc_id = 0 THEN 0
+                 ELSE floor(log2(doc_id)) + 1 END AS BIGINT) AS level
+FROM documents
+"""
+
+
+ORACLES["q_network_days"] = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE)
+           + CAST(o_orderkey % 40 - 5 AS INTEGER) AS e
+  FROM orders
+), pre AS (
+  SELECT o_orderkey, s, e,
+         (s - DATE '1970-01-01') + 3 AS ns,
+         (e - DATE '1970-01-01') + 3 AS ne
+  FROM base
+)
+SELECT o_orderkey,
+  CAST(CASE WHEN e >= s THEN
+    (5 * ((ne + 1) // 7) + least((ne + 1) % 7, 5))
+      - (5 * (ns // 7) + least(ns % 7, 5))
+  ELSE
+    -((5 * ((ns + 1) // 7) + least((ns + 1) % 7, 5))
+      - (5 * (ne // 7) + least(ne % 7, 5)))
+  END AS BIGINT) AS busdays
+FROM pre
+"""

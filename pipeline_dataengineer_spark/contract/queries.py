@@ -7216,3 +7216,48 @@ def q_pnm(spark, sf_dir):
         F.col("channels").cast("int").alias("channels"),
         F.round("mean_intensity", 6).alias("mean_intensity"),
     )
+
+
+@query("q_topo_levels")
+def q_topo_levels(spark, sf_dir):
+    """DAG scheduling depth (operators/graph.py:topological_levels)
+    over the doc-id halving tree (edges doc//2 → doc): longest-path
+    level numbers via relational max-propagation rounds. Closed-form
+    oracle: level(v) = floor(log2 v) + 1, level(0) = 0 — the
+    iterative peel must land exactly on the analytic answer."""
+    from pipeline_dataengineer_spark.operators.graph import (
+        topological_levels,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    edges = d.filter(F.col("doc_id") >= 1).select(
+        F.floor(F.col("doc_id") / 2).cast("long").alias("src"),
+        F.col("doc_id").alias("dst"),
+    )
+    out = topological_levels(edges, max_iterations=40)
+    return out.select(
+        "node", F.col("level").cast("long").alias("level")
+    )
+
+
+@query("q_network_days")
+def q_network_days(spark, sf_dir):
+    """Business-day range counting (functions/dates.py:network_days):
+    NETWORKDAYS(orderdate, orderdate + orderkey%40 − 5) per order —
+    closed-form integer arithmetic, one fused projection (negative
+    spans exercise the reversed-range sign). Oracle replays the
+    identical 5·⌊n/7⌋ + min(n mod 7, 5) prefix-count algebra."""
+    from pipeline_dataengineer_spark.functions.dates import network_days
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            F.pmod("o_orderkey", F.lit(40)).cast("int") - F.lit(5),
+        ).alias("e"),
+    )
+    return o.select(
+        "o_orderkey",
+        network_days("s", "e").alias("busdays"),
+    )

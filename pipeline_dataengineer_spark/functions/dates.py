@@ -65,3 +65,27 @@ def date_dimension(spark, start: str, end: str):
         F.last_day("date").alias("month_end"),
         dow.isin(1, 7).alias("is_weekend"),
     )
+
+
+def _busdays_before(d: Column) -> Column:
+    """Business days (Mon-Fri) in [1969-12-29 (a Monday), d) — pure
+    integer arithmetic: 5 per full week + min(partial-week days, 5)."""
+    n = F.unix_date(d.cast("date")) + F.lit(3)  # 0 ↔ Monday 1969-12-29
+    return F.lit(5) * F.floor(n / 7) + F.least(F.pmod(n, F.lit(7)), F.lit(5))
+
+
+def network_days(start: Column | str, end: Column | str) -> Column:
+    """Count of business days (Mon–Fri, no holiday calendar) in the
+    INCLUSIVE range [start, end] — the spreadsheet NETWORKDAYS
+    convention for SLA / lead-time analytics. Negative when
+    end < start (reversed range, sign carries the direction), 0 only
+    for weekend-only ranges. Pure closed-form integer arithmetic on
+    days-since-epoch — one fused codegen projection, exactly
+    replayable in any engine (no loops, no calendars)."""
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    fwd = _busdays_before(F.date_add(e.cast("date"), 1)) - _busdays_before(s)
+    rev = _busdays_before(F.date_add(s.cast("date"), 1)) - _busdays_before(e)
+    return (
+        F.when(e >= s, fwd).otherwise(-rev).cast("long")
+    )

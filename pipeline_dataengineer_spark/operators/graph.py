@@ -972,3 +972,63 @@ def personalized_pagerank(
         if delta is not None and delta < tol:
             break
     return ranks.select("node", "rank")
+
+
+def topological_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Topological level numbers for a DAG: level(v) = length of the
+    LONGEST path from any source (in-degree-0) node to v — the
+    parallel-schedule depth (build systems, lineage graphs, task
+    DAGs: level k nodes can all run once levels < k finished).
+
+    Relational longest-path propagation: start every node at level 0,
+    then repeatedly set level(v) = 1 + max(level(u)) over in-edges
+    u→v until a fixpoint — each round is ONE join + ONE combinable
+    max-aggregate (same bounded-plan shape as pagerank;
+    localCheckpoint per round). Rounds needed = longest path length;
+    raises if no fixpoint within ``max_iterations`` (a cycle — not a
+    DAG — would otherwise loop forever)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    levels = nodes.withColumn("level", F.lit(0)).localCheckpoint()
+    for _ in range(max_iterations):
+        prop = (
+            e.join(levels, e.src == levels.node)
+            .groupBy("dst")
+            .agg((F.max("level") + 1).alias("__lvl"))
+        )
+        new_levels = (
+            nodes.join(prop, nodes.node == prop.dst, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__lvl"), F.lit(0)).alias("level"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_levels.join(
+                levels.withColumnRenamed("level", "__old"), "node"
+            )
+            .filter(F.col("level") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        levels = new_levels
+        if changed == 0:
+            return levels.select("node", "level")
+    raise ValueError(
+        "no fixpoint reached — the edge set likely contains a cycle"
+    )

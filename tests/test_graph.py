@@ -451,3 +451,25 @@ def test_personalized_pagerank_vs_numpy(spark):
 
     with pytest.raises(ValueError):
         personalized_pagerank(edges, seeds.limit(0))
+
+
+def test_topological_levels_diamond_and_cycle(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.graph import (
+        topological_levels,
+    )
+
+    # diamond with a long arm: longest path wins
+    # 1 -> 2 -> 4, 1 -> 3 -> 5 -> 4, 4 -> 6
+    e = [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4), (4, 6)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["node"]: r["level"]
+        for r in topological_levels(edges).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 5: 2, 4: 3, 6: 4}
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        topological_levels(cyc, max_iterations=5)
