@@ -4839,24 +4839,29 @@ WITH iv AS (
          CAST(o_orderdate AS DATE) - DATE '1970-01-01'
            + o_orderkey % 20 + 1 AS e
   FROM orders
+), dspans AS (
+  -- duplicates pre-aggregated: the island running-sum needs a TOTAL
+  -- window order (ties between two window passes split phantom
+  -- islands otherwise) — same reformulation as the operator
+  SELECT pri, s, e, count(*) AS c FROM iv GROUP BY pri, s, e
 ), flagged AS (
-  SELECT pri, s, e,
+  SELECT pri, s, e, c,
          CASE WHEN max(e) OVER (PARTITION BY pri ORDER BY s, e
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 IS NULL
               OR s > max(e) OVER (PARTITION BY pri ORDER BY s, e
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          THEN 1 ELSE 0 END AS new_island
-  FROM iv
+  FROM dspans
 ), islands AS (
-  SELECT pri, s, e,
+  SELECT pri, s, e, c,
          sum(new_island) OVER (PARTITION BY pri ORDER BY s, e
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
   FROM flagged
 )
 SELECT pri AS o_orderpriority,
        CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e,
-       CAST(count(*) AS BIGINT) AS n_merged
+       CAST(sum(c) AS BIGINT) AS n_merged
 FROM islands GROUP BY pri, isl
 """
 
@@ -4867,17 +4872,22 @@ WITH iv AS (
          CAST(o_orderdate AS DATE) - DATE '1970-01-01'
            + o_orderkey % 20 + 1 AS e
   FROM orders WHERE o_orderkey % 37 = 0
+), dspans AS (
+  -- duplicates pre-aggregated: the island running-sum needs a TOTAL
+  -- window order (ties between two window passes split phantom
+  -- islands otherwise) — same reformulation as the operator
+  SELECT pri, s, e, count(*) AS c FROM iv GROUP BY pri, s, e
 ), flagged AS (
-  SELECT pri, s, e,
+  SELECT pri, s, e, c,
          CASE WHEN max(e) OVER (PARTITION BY pri ORDER BY s, e
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 IS NULL
               OR s > max(e) OVER (PARTITION BY pri ORDER BY s, e
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          THEN 1 ELSE 0 END AS new_island
-  FROM iv
+  FROM dspans
 ), islands AS (
-  SELECT pri, s, e,
+  SELECT pri, s, e, c,
          sum(new_island) OVER (PARTITION BY pri ORDER BY s, e
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
   FROM flagged
@@ -4900,17 +4910,22 @@ WITH iv AS (
          CAST(o_orderdate AS DATE) - DATE '1970-01-01'
            + o_orderkey % 20 + 1 AS e
   FROM orders WHERE o_orderkey % 37 = 0
+), dspans AS (
+  -- duplicates pre-aggregated: the island running-sum needs a TOTAL
+  -- window order (ties between two window passes split phantom
+  -- islands otherwise) — same reformulation as the operator
+  SELECT pri, s, e, count(*) AS c FROM iv GROUP BY pri, s, e
 ), flagged AS (
-  SELECT pri, s, e,
+  SELECT pri, s, e, c,
          CASE WHEN max(e) OVER (PARTITION BY pri ORDER BY s, e
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 IS NULL
               OR s > max(e) OVER (PARTITION BY pri ORDER BY s, e
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          THEN 1 ELSE 0 END AS new_island
-  FROM iv
+  FROM dspans
 ), islands AS (
-  SELECT pri, s, e,
+  SELECT pri, s, e, c,
          sum(new_island) OVER (PARTITION BY pri ORDER BY s, e
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
   FROM flagged

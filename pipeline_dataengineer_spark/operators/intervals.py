@@ -20,6 +20,17 @@ def _with_islands(
     end_col: str,
     touch_merges: bool,
 ) -> DataFrame:
+    """One weighted row per distinct (keys, start, end) with its
+    island id. Duplicates are pre-aggregated FIRST: island numbering
+    is a running sum over a window order, and a running sum over a
+    NON-total order is ill-defined — rows tied with the flag-carrying
+    row can sort before it in a second window pass and split into a
+    phantom island (observed cross-engine at sf0.1). After the
+    pre-aggregation (s, e) is a total order per key, and the window
+    input shrinks to the distinct-span count as a bonus."""
+    distinct_spans = df.groupBy(*key_cols, start_col, end_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
     reach = F.max(F.col(end_col)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -30,7 +41,7 @@ def _with_islands(
         else F.col(start_col) >= reach
     )
     new_island = F.when(reach.isNull() | cmp, 1).otherwise(0)
-    return df.withColumn(
+    return distinct_spans.withColumn(
         "__island", F.sum(new_island).over(w)
     )
 
@@ -53,7 +64,7 @@ def merge_intervals(
     return isl.groupBy(*key_cols, "__island").agg(
         F.min(start_col).alias(start_col),
         F.max(end_col).alias(end_col),
-        F.count(F.lit(1)).alias("n_merged"),
+        F.sum("__n").alias("n_merged"),
     ).drop("__island")
 
 
