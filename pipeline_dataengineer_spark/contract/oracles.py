@@ -5032,3 +5032,21 @@ SELECT o_orderkey,
   END AS BIGINT) AS busdays
 FROM pre
 """
+
+
+ORACLES["q_asof_tolerance"] = """
+WITH clicks AS (
+  SELECT user_id, event_id FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, event_id AS purchase_event_id, round(value, 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id,
+       CASE WHEN c.event_id - p.purchase_event_id <= 500
+            THEN p.purchase_event_id END AS purchase_event_id,
+       CASE WHEN c.event_id - p.purchase_event_id <= 500
+            THEN p.purchase_value END AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.event_id >= p.purchase_event_id
+"""

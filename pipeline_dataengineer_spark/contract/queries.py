@@ -7261,3 +7261,31 @@ def q_network_days(spark, sf_dir):
         "o_orderkey",
         network_days("s", "e").alias("busdays"),
     )
+
+
+@query("q_asof_tolerance")
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a match-distance bound (operators/joins.py:
+    asof_join tolerance=500, pandas merge_asof semantics): the latest
+    purchase at-or-before each click, but only within 500 event-ids —
+    staler matches null out instead of joining. Same single-shuffle
+    union+window plan; the bound is one fused post-filter."""
+    from pipeline_dataengineer_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="event_id",
+        right_ts="purchase_event_id",
+        tolerance=500,
+    )

@@ -50,6 +50,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts (direction='backward'; 'forward' = earliest
@@ -112,6 +113,18 @@ def asof_join(
     matched = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
         F.col("__side") == 1
     )
+    if tolerance is not None:
+        # pandas merge_asof semantics: a match farther than
+        # `tolerance` (seconds for timestamps, the column's own units
+        # for numerics) is no match at all — the right side nulls out.
+        diff = F.abs(
+            F.col("__l")[left_ts].cast("double")
+            - F.col("__m")[right_ts].cast("double")
+        )
+        matched = matched.withColumn(
+            "__m",
+            F.when(diff <= F.lit(float(tolerance)), F.col("__m")),
+        )
     out_cols = [F.col("__l")[c].alias(c) for c in lcols] + [
         F.col("__m")[c].alias(c) for c in rcols
     ]

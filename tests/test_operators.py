@@ -556,3 +556,24 @@ def test_dedup_keep_first_string_order(spark):
     }
     # lexicographically-first id wins; NULL order sorts LAST
     assert got == {("k1", "uuid-a"), ("k2", "uuid-z")}
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from pipeline_dataengineer_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "a"), (1, 10, "b"), (2, 49, "c")], "k long, rts long, v string"
+    )
+    out = {
+        (r["k"], r["lts"]): (r["rts"], r["v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            tolerance=20,
+        ).collect()
+    }
+    assert out[(1, 100)] == (95, "a")       # within 20
+    assert out[(1, 200)] == (None, None)    # nearest is 105 back: stale
+    assert out[(2, 50)] == (49, "c")
