@@ -5050,3 +5050,30 @@ FROM clicks c
 ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.event_id >= p.purchase_event_id
 """
+
+
+ORACLES["q_dataset_card"] = """
+WITH base AS (
+  SELECT text AS t, lang,
+         CAST(len(list_filter(
+           string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+           AS DOUBLE) AS ntok,
+         CAST(length(text) AS BIGINT) AS nch
+  FROM documents
+), scalars AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nch) AS BIGINT) AS total_chars,
+         CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         round(quantile_cont(ntok, 0.5), 4) AS median_tokens,
+         round(quantile_cont(ntok, 0.9), 4) AS p90_tokens,
+         round(count(DISTINCT t) / (count(*) * 1.0), 6)
+           AS distinct_text_rate
+  FROM base
+), lh AS (
+  SELECT string_agg(lang || ':' || CAST(n AS VARCHAR), ','
+                    ORDER BY lang) AS langs
+  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY lang)
+)
+SELECT s.*, lh.langs FROM scalars s CROSS JOIN lh
+"""

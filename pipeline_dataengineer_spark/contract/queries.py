@@ -7289,3 +7289,39 @@ def q_asof_tolerance(spark, sf_dir):
         right_ts="purchase_event_id",
         tolerance=500,
     )
+
+
+@query("q_dataset_card")
+def q_dataset_card(spark, sf_dir):
+    """Corpus nutrition label (pipelines/dataset_card.py:
+    build_dataset_card): one row of release-gate stats — sizes, exact
+    token percentiles, verbatim-duplicate rate, language histogram —
+    in two combinable aggregate passes. Oracle replays every stat
+    including the interpolated percentiles and the lang-sorted
+    histogram array."""
+    from pipeline_dataengineer_spark.pipelines.dataset_card import (
+        build_dataset_card,
+    )
+
+    card = build_dataset_card(
+        table(spark, sf_dir, "documents"), "text", "lang"
+    )
+    # flatten the histogram for the driver compare (nested structs
+    # don't canonicalize across engines)
+    return card.select(
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "median_tokens",
+        "p90_tokens",
+        "distinct_text_rate",
+        F.array_join(
+            F.transform(
+                "langs",
+                lambda s: F.concat_ws(
+                    ":", s["lang"], s["n_docs"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("langs"),
+    )

@@ -86,3 +86,24 @@ def test_zipf_fit_recovers_planted_slope(spark):
     frow = zipf_fit(flat, top_k=5).collect()[0]
     assert frow["slope"] == 0.0 and frow["n_terms"] == 5
     assert frow["r2"] is None  # zero y-variance: undefined, not NaN
+
+
+def test_dataset_card_summary(spark):
+    from pipeline_dataengineer_spark.pipelines.dataset_card import (
+        build_dataset_card,
+    )
+
+    rows = [
+        (1, "a b c", "en"), (2, "a b c", "en"),   # verbatim dup
+        (3, "d e", "fr"), (4, "f", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = build_dataset_card(df, "text", "lang").collect()[0]
+    assert r["n_docs"] == 4
+    assert r["total_tokens"] == 3 + 3 + 2 + 1
+    assert r["distinct_text_rate"] == 0.75
+    assert [(x["lang"], x["n_docs"]) for x in r["langs"]] == [("en", 3), ("fr", 1)]
+    assert r["median_tokens"] == 2.5  # interpolated between 2 and 3
+
+    nolang = build_dataset_card(df, "text", lang_col=None).collect()[0]
+    assert "langs" not in nolang.asDict()
