@@ -5077,3 +5077,29 @@ WITH base AS (
 )
 SELECT s.*, lh.langs FROM scalars s CROSS JOIN lh
 """
+
+
+ORACLES["q_record_linkage"] = """
+WITH a AS (
+  SELECT p_partkey AS key_a, lower(p_name) AS name_a,
+         substring(lower(p_name), 1, 2) AS blk
+  FROM part WHERE p_partkey % 6 = 0
+), b AS (
+  SELECT p_partkey AS key_b, lower(p_name) AS name_b,
+         substring(lower(p_name), 1, 2) AS blk
+  FROM part WHERE p_partkey % 9 = 0
+), cand AS (
+  SELECT key_a, key_b,
+         round(jaro_winkler_similarity(name_a, name_b), 6) AS score
+  FROM a JOIN b USING (blk)
+  WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9
+), ranked AS (
+  SELECT key_a, key_b, score,
+         row_number() OVER (PARTITION BY key_a
+                            ORDER BY score DESC, key_b ASC) AS ra,
+         row_number() OVER (PARTITION BY key_b
+                            ORDER BY score DESC, key_a ASC) AS rb
+  FROM cand
+)
+SELECT key_a, key_b, score FROM ranked WHERE ra = 1 AND rb = 1
+"""

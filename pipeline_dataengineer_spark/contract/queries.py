@@ -7325,3 +7325,23 @@ def q_dataset_card(spark, sf_dir):
             ",",
         ).alias("langs"),
     )
+
+
+@query("q_record_linkage")
+def q_record_linkage(spark, sf_dir):
+    """Record linkage (operators/joins.py:link_records): two
+    deterministic part-name universes (every 6th vs every 9th part)
+    matched by blocked Jaro-Winkler mutual-best 1:1 at >= 0.9. The
+    oracle replays blocking, DuckDB's independent
+    jaro_winkler_similarity, and both rank cuts."""
+    from pipeline_dataengineer_spark.operators.joins import link_records
+
+    p = table(spark, sf_dir, "part")
+    a = p.filter(F.col("p_partkey") % 6 == 0).select("p_partkey", "p_name")
+    b = p.filter(F.col("p_partkey") % 9 == 0).select(
+        F.col("p_partkey").alias("bk"), F.col("p_name").alias("bn")
+    )
+    out = link_records(
+        a, b, "p_partkey", "bk", "p_name", "bn", threshold=0.9
+    )
+    return out.select("key_a", "key_b", "score")

@@ -456,3 +456,58 @@ def safe_join(
     r = guarded(right, "right")
     l = guarded(left, "left") if expect == "1:1" else left
     return l.join(r, on, how)
+
+
+def link_records(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    text_a: str,
+    text_b: str,
+    threshold: float = 0.9,
+    block_chars: int = 2,
+) -> DataFrame:
+    """Record linkage between two tables (the master-data-match /
+    customer-360 primitive): block candidate pairs on a cheap key
+    (lowercased first ``block_chars`` characters), score each pair
+    with Jaro-Winkler, and keep MUTUAL BEST matches at or above
+    ``threshold`` — each a-row's best b AND that b-row's best a
+    (symmetric best match, the standard deterministic 1:1 cut;
+    unlike greedy it needs no iteration and is window-expressible).
+    Ties break by (score desc, other-side key asc), so the match set
+    is deterministic and engine-replayable.
+
+    Output: (key_a, key_b, name_a, name_b, score). Scale: the
+    blocked self-join is an equi hash join (never all-pairs — block
+    granularity bounds candidates; swap the prefix for soundex or
+    FastSS buckets per data); the two best-of cuts are rank windows
+    over the candidate table."""
+    from pipeline_dataengineer_spark.functions.text import jaro_winkler
+
+    la = a.select(
+        F.col(key_a).alias("key_a"),
+        F.lower(F.col(text_a)).alias("name_a"),
+        F.substring(F.lower(F.col(text_a)), 1, block_chars).alias("__blk"),
+    )
+    lb = b.select(
+        F.col(key_b).alias("key_b"),
+        F.lower(F.col(text_b)).alias("name_b"),
+        F.substring(F.lower(F.col(text_b)), 1, block_chars).alias("__blk"),
+    )
+    cand = la.join(lb, "__blk").withColumn(
+        "score", F.round(jaro_winkler("name_a", "name_b"), 6)
+    )
+    cand = cand.filter(F.col("score") >= threshold)
+    wa = Window.partitionBy("key_a").orderBy(
+        F.col("score").desc(), F.col("key_b").asc()
+    )
+    wb = Window.partitionBy("key_b").orderBy(
+        F.col("score").desc(), F.col("key_a").asc()
+    )
+    return (
+        cand.withColumn("__ra", F.row_number().over(wa))
+        .withColumn("__rb", F.row_number().over(wb))
+        .filter((F.col("__ra") == 1) & (F.col("__rb") == 1))
+        .select("key_a", "key_b", "name_a", "name_b", "score")
+    )

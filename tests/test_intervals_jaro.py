@@ -84,3 +84,27 @@ def test_jaro_winkler_textbook_and_nulls(spark):
     assert got[4] == 1.0
     assert got[5] is None
     assert got[6] == 0.0
+
+
+def test_link_records_mutual_best(spark):
+    from pipeline_dataengineer_spark.operators.joins import link_records
+
+    a = spark.createDataFrame(
+        [(1, "Martha Jones"), (2, "Dixon Smith"), (3, "Zed Unique")],
+        "id long, name string",
+    )
+    b = spark.createDataFrame(
+        [(10, "marhta jones"), (11, "dickson smith"), (12, "martha j0nes")],
+        "id long, name string",
+    )
+    out = {
+        (r["key_a"], r["key_b"]): r["score"]
+        for r in link_records(
+            a, b, "id", "id", "name", "name", threshold=0.8
+        ).collect()
+    }
+    # 1 matches both 10 and 12; mutual-best pairs 1<->10 (the
+    # transposed form scores 0.981 > 0.967 for the substituted one),
+    # leaving 12 unmatched; 2<->11; 3 has no candidate block
+    assert set(out) == {(1, 10), (2, 11)}
+    assert all(v >= 0.8 for v in out.values())
