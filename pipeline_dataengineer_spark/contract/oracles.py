@@ -5103,3 +5103,39 @@ WITH a AS (
 )
 SELECT key_a, key_b, score FROM ranked WHERE ra = 1 AND rb = 1
 """
+
+
+def _hilbert_oracle(order: int = 8) -> str:
+    """Generated SQL replay of hilbert_index's unrolled rounds — the
+    same (rx, ry, d, rotate) algebra per round, integer-exact."""
+    cte = [
+        "WITH r0 AS (",
+        "  SELECT c_custkey,",
+        "         c_custkey % 256 AS x,",
+        "         (c_custkey // 7) % 256 AS y,",
+        "         CAST(0 AS BIGINT) AS d",
+        "  FROM customer",
+        ")",
+    ]
+    prev = "r0"
+    for n, i in enumerate(reversed(range(order)), 1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        fx = f"(CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+        fy = f"(CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+        cte.append(
+            f", r{n} AS (\n"
+            f"  SELECT c_custkey,\n"
+            f"         CASE WHEN {ry} = 0 THEN {fy} ELSE x END AS x,\n"
+            f"         CASE WHEN {ry} = 0 THEN {fx} ELSE y END AS y,\n"
+            f"         d + {s * s} * xor(3 * {rx}, {ry}) AS d\n"
+            f"  FROM r{prev[1:]}\n"
+            f")"
+        )
+        prev = f"r{n}"
+    cte.append(f"SELECT c_custkey, CAST(d AS BIGINT) AS h FROM {prev}")
+    return "\n".join(cte)
+
+
+ORACLES["q_hilbert"] = _hilbert_oracle()

@@ -7345,3 +7345,23 @@ def q_record_linkage(spark, sf_dir):
         a, b, "p_partkey", "bk", "p_name", "bn", threshold=0.9
     )
     return out.select("key_a", "key_b", "score")
+
+
+@query("q_hilbert")
+def q_hilbert(spark, sf_dir):
+    """Hilbert-curve cell index (operators/layout.py:hilbert_index):
+    order-8 index of (custkey % 256, custkey//7 % 256) — the
+    locality-preserving layout key, as one fused when/shift/xor
+    projection. Oracle replays the identical unrolled
+    quadrant-rotation rounds as generated SQL (integer-exact)."""
+    from pipeline_dataengineer_spark.operators.layout import (
+        with_hilbert_index,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 256).alias("x"),
+        (F.floor(F.col("c_custkey") / 7) % 256).alias("y"),
+    )
+    out = with_hilbert_index(c, "x", "y", out="h", order=8)
+    return out.select("c_custkey", "h")

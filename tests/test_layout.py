@@ -70,3 +70,42 @@ def test_zvalue_rejects_overflowing_interleave():
 
     with pytest.raises(ValueError, match="63"):
         zvalue(["a", "b", "c", "d", "e", "f"], bits=12)
+
+
+def test_hilbert_index_bijection_and_adjacency(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.layout import (
+        with_hilbert_index,
+    )
+
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    rows = with_hilbert_index(grid, "x", "y", out="h", order=4).collect()
+    d2xy = {r["h"]: (r["x"], r["y"]) for r in rows}
+    assert len(d2xy) == 256 and set(d2xy) == set(range(256))  # bijection
+    assert all(
+        abs(d2xy[i][0] - d2xy[i + 1][0]) + abs(d2xy[i][1] - d2xy[i + 1][1]) == 1
+        for i in range(255)
+    )  # consecutive curve positions are ADJACENT cells (Morton isn't)
+
+
+def test_hilbert_layout_preserves_rows(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.layout import hilbert_layout
+
+    df = spark.range(1000).select(
+        "id",
+        (F.col("id") * 37 % 101).cast("double").alias("a"),
+        (F.col("id") * 53 % 97).cast("double").alias("b"),
+    )
+    out = hilbert_layout(df, ["a", "b"], num_files=4, bits=6)
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+    assert set(out.columns) == {"id", "a", "b"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hilbert_layout(df, ["a"], num_files=4)
