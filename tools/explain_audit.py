@@ -445,6 +445,28 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # netpbm decode: a pure map-side Arrow pass — no shuffle at all.
     "q_pnm": (["MapInPandas"], ["Exchange", "Join"]),
+    # record linkage: blocking must stay an equi hash join; the 1:1
+    # cut is two rank windows — never a nested loop over all pairs.
+    "q_record_linkage": (
+        ["ArrowEvalPython", "Window"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # hilbert: a linear chain of thin projections — the named-column
+    # unrolling must not leave any join/shuffle, and whole-stage
+    # codegen must cover it.
+    # ("* Project" = the projection chain runs inside whole-stage
+    # codegen — formatted explain marks codegen nodes with "*")
+    "q_hilbert": (
+        ["* Project"],
+        ["Exchange", "Join", "Window"],
+    ),
+    # dataset card: two combinable aggregates + a broadcast of the
+    # 1-row histogram; the only shuffles are aggregate exchanges.
+    "q_dataset_card": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
+    "q_asof_tolerance": (["Window"], ["Join"]),
 }
 
 
