@@ -5139,3 +5139,70 @@ def _hilbert_oracle(order: int = 8) -> str:
 
 
 ORACLES["q_hilbert"] = _hilbert_oracle()
+
+
+def _shapley_oracle() -> str:
+    """Generated exact-Shapley replay: v(S) columns for all 2^k
+    coalitions of the fixed touch-channel vocabulary, then one
+    arithmetic expression per channel with the SAME weight literals
+    and term order as the operator's driver loop."""
+    from itertools import combinations
+    from math import factorial
+
+    channels = ["click", "error", "signup", "view"]
+    k = len(channels)
+
+    def vname(subset: tuple) -> str:
+        return "v_" + ("_".join(subset) if subset else "empty")
+
+    vcols = []
+    all_subsets = []
+    for size in range(k + 1):
+        all_subsets.extend(combinations(channels, size))
+    for s in all_subsets:
+        outside = [c for c in channels if c not in s]
+        cond = " AND ".join([f"has_{c} = 0" for c in outside]) or "TRUE"
+        vcols.append(
+            f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS {vname(s)}"
+        )
+    selects = []
+    for c in channels:
+        rest = [x for x in channels if x != c]
+        terms = ["0.0"]
+        for size in range(len(rest) + 1):
+            for s in combinations(rest, size):
+                w = (
+                    factorial(len(s))
+                    * factorial(k - 1 - len(s))
+                    / factorial(k)
+                )
+                s_with = tuple(sorted(s + (c,)))
+                terms.append(
+                    f"{w!r} * ({vname(s_with)} - {vname(s)})"
+                )
+            # (term order: subset size then lexicographic — matches
+            # the operator's itertools.combinations enumeration)
+        phi = " + ".join(terms)
+        selects.append(
+            f"SELECT '{c}' AS event_type, round({phi}, 6) AS shapley "
+            f"FROM vt"
+        )
+    flags = ",\n         ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS has_{c}"
+        for c in channels
+    )
+    return (
+        "WITH per_user AS (\n"
+        "  SELECT user_id,\n"
+        "         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+        "END) AS conv,\n"
+        f"         {flags}\n"
+        "  FROM events GROUP BY user_id\n"
+        "), vt AS (\n"
+        "  SELECT " + ",\n         ".join(vcols) + "\n"
+        "  FROM per_user WHERE conv = 1\n"
+        ")\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLES["q_shapley_attr"] = _shapley_oracle()

@@ -7365,3 +7365,25 @@ def q_hilbert(spark, sf_dir):
     )
     out = with_hilbert_index(c, "x", "y", out="h", order=8)
     return out.select("c_custkey", "h")
+
+
+@query("q_shapley_attr")
+def q_shapley_attr(spark, sf_dir):
+    """Exact Shapley channel attribution (operators/attribution.py:
+    shapley_attribution): purchase = conversion, the other four
+    event types = touch channels; v(S) from one channel-set-sized
+    count table, closed-form weighted marginals on the driver. The
+    oracle enumerates the same 2^4 coalitions with identical weight
+    literals and term order, so the float accumulation is
+    bit-replayable; round(6)."""
+    from pipeline_dataengineer_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_type")
+    out = shapley_attribution(
+        e, "user_id", "event_type", conversion_channel="purchase"
+    )
+    return out.select(
+        "event_type", F.round("shapley", 6).alias("shapley")
+    )

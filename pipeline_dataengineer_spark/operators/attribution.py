@@ -317,3 +317,90 @@ def markov_attribution(
         ],
         f"{channel_col} string, removal_effect double, credit double",
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str,
+    channel_col: str,
+    conversion_channel: str,
+    max_channels: int = 16,
+) -> DataFrame:
+    """Exact Shapley-value channel attribution (Zhao et al. 2018,
+    "Shapley Value Methods for Attribution Modeling"): the coalition
+    value v(S) = conversions among users whose touched-channel set is
+    contained in S, and each channel's credit is its exact Shapley
+    value over that game — the only attribution scheme that is
+    efficient, symmetric, and null-player-fair at once.
+
+    Distributed part: ONE combinable aggregate per user (channel-set
+    assembly + converted flag) and ONE channel-set-sized count table
+    (≤ 2^k rows, k = distinct touch channels) — the facts never
+    leave the executors. Driver part: subset-sum v(S) and the
+    closed-form |S|!(k−1−|S|)!/k! weighted marginals over ≤ 2^k
+    coalitions — a model constant, same contract as
+    markov_attribution's transition matrix. Terms are accumulated in
+    a DETERMINISTIC enumeration order (size, then lexicographic) so
+    the generated-SQL oracle replays the float arithmetic exactly.
+
+    Returns (channel, shapley) with Σ shapley = conversions credited
+    to touches = v(C) − v(∅)."""
+    from math import factorial
+
+    per_user = df.groupBy(user_col).agg(
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        F.col(channel_col) != conversion_channel,
+                        F.col(channel_col),
+                    )
+                )
+            )
+        ).alias("__set"),
+        F.max(
+            (F.col(channel_col) == conversion_channel).cast("int")
+        ).alias("__conv"),
+    )
+    counts = {
+        tuple(r["__set"]): r["n"]
+        for r in per_user.filter(F.col("__conv") == 1)
+        .groupBy("__set")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    channels = sorted({c for s in counts for c in s})
+    k = len(channels)
+    if k == 0:
+        raise ValueError("no touch channels found on converting paths")
+    if k > max_channels:
+        raise ValueError(
+            f"{k} channels > max_channels={max_channels}: exact "
+            "Shapley is 2^k — group minor channels upstream"
+        )
+
+    def v(s: frozenset) -> int:
+        return sum(n for t, n in counts.items() if set(t) <= s)
+
+    def subsets(pool: list[str]):
+        from itertools import combinations
+
+        for size in range(len(pool) + 1):
+            yield from combinations(pool, size)
+
+    rows = []
+    for c in channels:
+        rest = [x for x in channels if x != c]
+        phi = 0.0
+        for s in subsets(rest):  # deterministic: size, then lex
+            w = (
+                factorial(len(s))
+                * factorial(k - 1 - len(s))
+                / factorial(k)
+            )
+            phi = phi + w * (
+                v(frozenset(s) | {c}) - v(frozenset(s))
+            )
+        rows.append((c, phi))
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, f"{channel_col} string, shapley double")

@@ -129,3 +129,37 @@ def test_markov_attribution_removal_effects(spark):
     # credits normalize to total conversions (3)
     assert round(out["A"][1] + out["B"][1], 3) == 3.0
     assert out["A"][1] == 2.0 and out["B"][1] == 1.0
+
+
+def test_shapley_attribution_properties(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    # u1: A only -> converts; u2: B only -> converts; u3: A+B ->
+    # converts; u4: A only, no conversion; u5: converts with no touch
+    rows = (
+        [(1, "A"), (1, "buy"), (2, "B"), (2, "buy")]
+        + [(3, "A"), (3, "B"), (3, "buy")]
+        + [(4, "A")]
+        + [(5, "buy")]
+    )
+    df = spark.createDataFrame(rows, "u long, ch string")
+    got = {
+        r["ch"]: r["shapley"]
+        for r in shapley_attribution(df, "u", "ch", "buy").collect()
+    }
+    # v({A})=1(+v∅), v({B})=1(+v∅), v({A,B})=3(+v∅), v(∅)=1
+    # φ_A = ½(v(A)−v(∅)) + ½(v(AB)−v(B)) = ½(1) + ½(2) = 1.5 = φ_B
+    assert got["A"] == pytest.approx(1.5)
+    assert got["B"] == pytest.approx(1.5)
+    # efficiency: credit sums to v(C) − v(∅) = 4 − 1
+    assert sum(got.values()) == pytest.approx(3.0)
+
+    with pytest.raises(ValueError):
+        shapley_attribution(df, "u", "ch", "buy", max_channels=1)
+    only_conv = spark.createDataFrame([(1, "buy")], "u long, ch string")
+    with pytest.raises(ValueError):
+        shapley_attribution(only_conv, "u", "ch", "buy")
