@@ -5206,3 +5206,26 @@ def _shapley_oracle() -> str:
 
 
 ORACLES["q_shapley_attr"] = _shapley_oracle()
+
+
+ORACLES["q_id3"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 <> 3
+            THEN 'Song ' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+       END AS title,
+       CASE WHEN doc_id % 4 <> 3 THEN 'ACME Band' END AS artist,
+       CAST(NULL AS VARCHAR) AS album,
+       CAST(NULL AS VARCHAR) AS year
+FROM documents
+"""
+
+
+ORACLES["q_pdf_text"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 <> 4
+            THEN 'Report ' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+       END AS pdf_text,
+       CASE WHEN doc_id % 5 <> 4 THEN CAST(10 AS BIGINT) END
+         AS n_text_chars
+FROM documents
+"""

@@ -7387,3 +7387,81 @@ def q_shapley_attr(spark, sf_dir):
     return out.select(
         "event_type", F.round("shapley", 6).alias("shapley")
     )
+
+
+def _id3_template() -> tuple[bytes, bytes]:
+    """ID3v2.3 blob with a 3-digit hole in the TIT2 text: header +
+    TIT2 'Song DDD' (latin-1) + TPE1 'ACME Band', then fake audio."""
+    def frame(fid: bytes, text: bytes) -> bytes:
+        data = b"\x00" + text  # latin-1 encoding byte
+        return fid + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+
+    tit2 = frame(b"TIT2", b"Song ___")  # ___ = the per-row digits
+    tpe1 = frame(b"TPE1", b"ACME Band")
+    body = tit2 + tpe1
+    n = len(body)
+    hdr = b"ID3" + bytes([3, 0, 0]) + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    blob = hdr + body + b"\xff\xfb\x00audio"
+    i = blob.index(b"___")
+    return blob[:i], blob[i + 3 :]
+
+
+@query("q_id3")
+def q_id3(spark, sf_dir):
+    """REAL ID3v2 tag parsing, hash-checked (multimodal/media.py:
+    id3_metadata): per-document MP3-style payloads assembled in
+    column space with a planted 3-digit title suffix; the Arrow pass
+    walks the frame structure and recovers it. Every 4th row carries
+    no tag and must come back NULL. Analytic oracle — Spark must
+    EXTRACT the planted values from the binary."""
+    from pipeline_dataengineer_spark.multimodal.media import id3_metadata
+
+    pre, post = _id3_template()
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    digits = F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0")
+    tagged = F.concat(F.lit(pre), F.encode(digits, "UTF-8"), F.lit(post))
+    payload = F.when(
+        F.col("doc_id") % 4 == 3, F.lit(b"\xff\xfb\x00bare audio")
+    ).otherwise(tagged)
+    out = id3_metadata(d.withColumn("payload", payload))
+    return out.select("doc_id", "title", "artist", "album", "year")
+
+
+def _pdf_template() -> tuple[bytes, bytes]:
+    """Minimal uncompressed PDF with a 3-digit hole in the shown
+    text: (prefix, suffix) around the digits — fixed-width hole so
+    /Length stays correct for every row."""
+    content = b"BT /F1 12 Tf 72 700 Td (Report ___) Tj ET"
+    blob = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\ntrailer\n%%EOF"
+    )
+    i = blob.index(b"___")
+    return blob[:i], blob[i + 3 :]
+
+
+@query("q_pdf_text")
+def q_pdf_text(spark, sf_dir):
+    """REAL PDF text extraction, hash-checked (multimodal/pdf.py:
+    pdf_text_extract): per-document PDFs assembled in column space
+    with a planted 3-digit report number inside the Tj operator; the
+    Arrow pass must walk the stream and decode the literal. Every
+    5th row is a textless PDF and must come back NULL."""
+    from pipeline_dataengineer_spark.multimodal.pdf import (
+        pdf_text_extract,
+    )
+
+    pre, post = _pdf_template()
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    digits = F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0")
+    good = F.concat(F.lit(pre), F.encode(digits, "UTF-8"), F.lit(post))
+    payload = F.when(
+        F.col("doc_id") % 5 == 4, F.lit(b"%PDF-1.4\n%%EOF")
+    ).otherwise(good)
+    out = pdf_text_extract(d.withColumn("payload", payload))
+    return out.select("doc_id", "pdf_text", "n_text_chars")

@@ -728,3 +728,67 @@ def test_pnm_stats_all_variants(spark):
     assert (got[3]["channels"], got[3]["mean_intensity"]) == (3, 85.0)
     assert got[4]["mean_intensity"] == 9.0
     assert got[5]["width"] is None  # truncated raster -> NULLs
+
+
+def test_id3_metadata_v2_and_v1(spark):
+    from pipeline_dataengineer_spark.multimodal.media import id3_metadata
+
+    def frame(fid, text, enc=0):
+        data = (bytes([0]) + text.encode("latin-1")) if enc == 0 else (
+            bytes([1]) + text.encode("utf-16")
+        )
+        return fid + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+
+    body = frame(b"TIT2", "My Song") + frame(b"TPE1", "Ärtist", enc=1)
+    n = len(body)
+    v2 = (
+        b"ID3" + bytes([3, 0, 0])
+        + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        + body + b"\xff\xfbaudio"
+    )
+    v1 = (
+        b"\xff\xfbaudio" + b"TAG"
+        + b"Old Title".ljust(30, b"\x00")
+        + b"Old Artist".ljust(30, b"\x00")
+        + b"Old Album".ljust(30, b"\x00")
+        + b"1999" + bytes(28) + bytes(3)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(v2)), (2, bytearray(v1)), (3, bytearray(b"no tags"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in id3_metadata(df).collect()}
+    assert got[1]["title"] == "My Song" and got[1]["artist"] == "Ärtist"
+    assert got[2]["title"] == "Old Title" and got[2]["year"] == "1999"
+    assert got[3]["title"] is None
+
+
+def test_pdf_text_extract_flate_and_hex(spark):
+    import zlib
+
+    from pipeline_dataengineer_spark.multimodal.pdf import pdf_text_extract
+
+    def minimal_pdf(content: bytes, compress=False) -> bytes:
+        data = zlib.compress(content) if compress else content
+        filt = b"/Filter /FlateDecode " if compress else b""
+        return (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(data)).encode()
+            + b" " + filt + b">>\nstream\n" + data
+            + b"\nendstream\nendobj\ntrailer\n%%EOF"
+        )
+
+    plain = minimal_pdf(b"BT (Hello World) Tj ET")
+    flate = minimal_pdf(
+        b"BT [(Kerned) -250 (pa\\151r)] TJ ET BT <48657821> Tj ET",
+        compress=True,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(flate)),
+         (3, bytearray(b"%PDF-1.4\n%%EOF")), (4, bytearray(b"nope"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in pdf_text_extract(df).collect()}
+    assert got[1]["pdf_text"] == "Hello World"
+    # FlateDecode + TJ array + octal escape + hex string all decode
+    assert got[2]["pdf_text"] == "Kerned pair Hex!"
+    assert got[3]["pdf_text"] is None and got[4]["n_text_chars"] is None
