@@ -5229,3 +5229,19 @@ SELECT doc_id,
          AS n_text_chars
 FROM documents
 """
+
+
+ORACLES["q_rbo"] = """
+WITH base AS (
+  SELECT doc_id,
+         [(doc_id + 0) % 7, (doc_id + 1) % 7, (doc_id + 2) % 7,
+          (doc_id + 3) % 7, (doc_id + 4) % 7] AS a,
+         [(doc_id * 3 + 0) % 7, (doc_id * 3 + 1) % 7,
+          (doc_id * 3 + 2) % 7, (doc_id * 3 + 3) % 7,
+          (doc_id * 3 + 4) % 7] AS b
+  FROM documents
+)
+SELECT doc_id,
+       round(0.09999999999999998 * (((((0.0 + 1.0 * len(list_intersect(a[1:1], b[1:1])) / 1.0) + 0.9 * len(list_intersect(a[1:2], b[1:2])) / 2.0) + 0.81 * len(list_intersect(a[1:3], b[1:3])) / 3.0) + 0.7290000000000001 * len(list_intersect(a[1:4], b[1:4])) / 4.0) + 0.6561 * len(list_intersect(a[1:5], b[1:5])) / 5.0), 6) AS rbo
+FROM base
+"""

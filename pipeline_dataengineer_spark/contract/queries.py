@@ -7465,3 +7465,28 @@ def q_pdf_text(spark, sf_dir):
     ).otherwise(good)
     out = pdf_text_extract(d.withColumn("payload", payload))
     return out.select("doc_id", "pdf_text", "n_text_chars")
+
+
+@query("q_rbo")
+def q_rbo(spark, sf_dir):
+    """Rank-Biased Overlap (operators/ranking_eval.py:
+    rank_biased_overlap): two deterministic length-5 rankings per
+    document (modular permutations of a 7-item universe) compared at
+    p=0.9 — pure array algebra riding the scan. Fixed depth lets the
+    oracle unroll the exact 5-term fold (identical operand order +
+    p-power literals), so the float path is bit-replayable."""
+    from pipeline_dataengineer_spark.operators.ranking_eval import (
+        rank_biased_overlap,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = F.array(
+        *[(F.col("doc_id") + i) % 7 for i in range(5)]
+    )
+    b = F.array(
+        *[(F.col("doc_id") * 3 + i) % 7 for i in range(5)]
+    )
+    out = rank_biased_overlap(
+        d.withColumn("ra", a).withColumn("rb", b), "ra", "rb", p=0.9
+    )
+    return out.select("doc_id", "rbo")

@@ -78,3 +78,42 @@ def ranking_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def rank_biased_overlap(
+    df: DataFrame,
+    list_a: str,
+    list_b: str,
+    p: float = 0.9,
+    out_col: str = "rbo",
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel 2010) between two
+    ranked lists per row — the standard top-weighted similarity for
+    comparing rankers (old model vs new model, engine A vs engine B):
+    RBO@p = (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d over evaluated depths,
+    extrapolated to depth min(|A|,|B|) (the truncated 'RBO_min' cut —
+    deterministic, no infinite tail assumption).
+
+    Pure Column algebra: one ``transform`` over depths with
+    ``array_intersect`` of prefix slices — no UDF, no shuffle, rides
+    the scan. Lists are compared as SETS per depth (standard RBO
+    treats rankings as deduped); duplicate items upstream should be
+    deduped first."""
+    a, b = F.col(list_a), F.col(list_b)
+    depth = F.least(F.size(a), F.size(b))
+    terms = F.transform(
+        F.sequence(F.lit(1), depth),
+        lambda d: F.pow(F.lit(p), d.cast("double") - 1.0)
+        * F.size(F.array_intersect(F.slice(a, 1, d), F.slice(b, 1, d)))
+        / d.cast("double"),
+    )
+    rbo = F.lit(1.0 - p) * F.aggregate(
+        terms, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return df.withColumn(
+        out_col,
+        F.when(depth > 0, F.round(rbo, round_to)).otherwise(
+            F.lit(None).cast("double")
+        ),
+    )

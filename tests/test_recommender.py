@@ -167,3 +167,32 @@ def test_ranking_metrics_hand_computed(spark):
         for r in ranking_metrics(ranked, truth2, "q", "item", "rank", k=3).collect()
     }
     assert out2["q9"] == 0.0
+
+
+def test_rank_biased_overlap_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.ranking_eval import (
+        rank_biased_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d", "e"], ["a", "b", "c", "d", "e"]),
+            (2, ["a", "b", "c", "d", "e"], ["v", "w", "x", "y", "z"]),
+            (3, ["a", "b", "c", "d", "e"], ["b", "a", "c", "d", "e"]),
+            (4, [], ["a"]),
+        ],
+        "rid long, ra array<string>, rb array<string>",
+    )
+    got = {
+        r["rid"]: r["rbo"]
+        for r in rank_biased_overlap(df, "ra", "rb", p=0.9).collect()
+    }
+    # identical lists at truncated depth k: RBO_min = 1 - p^k
+    assert got[1] == round(1 - 0.9**5, 6)
+    assert got[2] == 0.0
+    # top-1 disagreement costs, deeper agreement recovers: strictly
+    # between disjoint and identical
+    assert 0.0 < got[3] < got[1]
+    assert got[4] is None  # empty side -> undefined
