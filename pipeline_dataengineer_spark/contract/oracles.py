@@ -5245,3 +5245,14 @@ SELECT doc_id,
        round(0.09999999999999998 * (((((0.0 + 1.0 * len(list_intersect(a[1:1], b[1:1])) / 1.0) + 0.9 * len(list_intersect(a[1:2], b[1:2])) / 2.0) + 0.81 * len(list_intersect(a[1:3], b[1:3])) / 3.0) + 0.7290000000000001 * len(list_intersect(a[1:4], b[1:4])) / 4.0) + 0.6561 * len(list_intersect(a[1:5], b[1:5])) / 5.0), 6) AS rbo
 FROM base
 """
+
+
+ORACLES["q_fd_check"] = """
+SELECT o_custkey,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct_rhs,
+       array_to_string(
+         list_sort(list(DISTINCT o_orderpriority))[1:3], ',') AS examples
+FROM orders
+GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) > 1
+"""

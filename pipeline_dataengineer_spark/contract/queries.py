@@ -7490,3 +7490,23 @@ def q_rbo(spark, sf_dir):
         d.withColumn("ra", a).withColumn("rb", b), "ra", "rb", p=0.9
     )
     return out.select("doc_id", "rbo")
+
+
+@query("q_fd_check")
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency audit (operators/quality.py:
+    fd_violations): does o_custkey determine o_orderpriority? (It
+    doesn't — customers order at many priorities.) One combinable
+    aggregate; output is violation-sized with deterministic sorted
+    example slices."""
+    from pipeline_dataengineer_spark.operators.quality import (
+        fd_violations,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    out = fd_violations(o, ["o_custkey"], "o_orderpriority")
+    return out.select(
+        "o_custkey",
+        F.col("n_distinct_rhs").cast("long").alias("n_distinct_rhs"),
+        F.array_join("examples", ",").alias("examples"),
+    )

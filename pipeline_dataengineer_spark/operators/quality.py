@@ -184,3 +184,32 @@ def observe_rules(df: DataFrame, rules: list[Rule], name: str = "dq"):
         )
     obs = Observation(name)
     return df.observe(obs, *aggs), obs
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+    max_examples: int = 3,
+) -> DataFrame:
+    """Functional-dependency check lhs → rhs (the profiling question
+    behind normalization and join-key audits: does zip determine
+    city? does order determine customer?): one row per violating lhs
+    group with the distinct-rhs count and up to ``max_examples``
+    conflicting values. Empty result = the FD holds exactly.
+
+    One combinable aggregate on the lhs key; examples come from a
+    bounded slice of each group's distinct rhs values (sorted for
+    determinism), so output rows are violation-sized, never
+    fact-sized."""
+    from pyspark.sql import functions as F
+
+    g = df.groupBy(*lhs_cols).agg(
+        F.countDistinct(rhs_col).alias("n_distinct_rhs"),
+        F.slice(
+            F.sort_array(F.collect_set(F.col(rhs_col).cast("string"))),
+            1,
+            max_examples,
+        ).alias("examples"),
+    )
+    return g.filter(F.col("n_distinct_rhs") > 1)

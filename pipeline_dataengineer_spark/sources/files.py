@@ -193,3 +193,77 @@ def read_fixed_width(
     return lines.select(
         *[s[name].alias(name) for name, *_ in colspecs]
     )
+
+
+def sniff_csv_dialect(
+    spark: SparkSession,
+    path: str,
+    candidates: tuple[str, ...] = (",", ";", "\t", "|"),
+    sample_lines: int = 64,
+) -> dict:
+    """Infer a CSV file's delimiter and header-ness from a bounded
+    sample (driver-side, reads ``sample_lines`` text rows — never the
+    file body): the delimiter is the candidate whose per-line field
+    count is both >1 and most CONSISTENT across the sample (ties →
+    higher count); header is inferred when the first row has no
+    numeric-parsing fields but later rows do. Returns
+    {"sep", "header", "n_fields"} ready to splat into
+    ``spark.read.csv(..., sep=..., header=...)``."""
+    lines = [
+        r["value"]
+        for r in spark.read.text(path).limit(sample_lines).collect()
+        if r["value"]
+    ]
+    if not lines:
+        raise ValueError(f"no lines sampled from {path}")
+
+    def fields(line: str, sep: str) -> list[str]:
+        # quote-aware split (double-quote escaping), enough for
+        # dialect sniffing
+        out, cur, inq = [], [], False
+        i = 0
+        while i < len(line):
+            ch = line[i]
+            if ch == '"':
+                if inq and line[i + 1 : i + 2] == '"':
+                    cur.append('"')
+                    i += 1
+                else:
+                    inq = not inq
+            elif ch == sep and not inq:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        out.append("".join(cur))
+        return out
+
+    best = None
+    for sep in candidates:
+        counts = [len(fields(ln, sep)) for ln in lines]
+        if max(counts) <= 1:
+            continue
+        consistency = sum(1 for c in counts if c == counts[0]) / len(counts)
+        score = (consistency, counts[0])
+        if best is None or score > best[0]:
+            best = (score, sep, counts[0])
+    if best is None:
+        raise ValueError("no candidate delimiter splits the sample")
+    _, sep, nf = best
+
+    def numericish(v: str) -> bool:
+        try:
+            float(v)
+            return True
+        except ValueError:
+            return False
+
+    first = fields(lines[0], sep)
+    later_numeric = any(
+        any(numericish(v) for v in fields(ln, sep)) for ln in lines[1:]
+    )
+    header = (
+        not any(numericish(v) for v in first) and later_numeric
+    )
+    return {"sep": sep, "header": header, "n_fields": nf}

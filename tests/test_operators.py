@@ -577,3 +577,19 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert out[(1, 100)] == (95, "a")       # within 20
     assert out[(1, 200)] == (None, None)    # nearest is 105 back: stale
     assert out[(2, 50)] == (49, "c")
+
+
+def test_fd_violations(spark):
+    from pipeline_dataengineer_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [("10001", "NYC"), ("10001", "NYC"), ("94107", "SF"),
+         ("94107", "San Francisco"), ("60601", "CHI")],
+        "zip string, city string",
+    )
+    out = {r["zip"]: r for r in fd_violations(df, ["zip"], "city").collect()}
+    assert set(out) == {"94107"}  # only the conflicted zip reports
+    assert out["94107"]["n_distinct_rhs"] == 2
+    assert out["94107"]["examples"] == ["SF", "San Francisco"]
+    # a clean FD returns empty
+    assert fd_violations(df.filter("zip <> '94107'"), ["zip"], "city").count() == 0

@@ -215,3 +215,24 @@ def test_read_fixed_width_file(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_sniff_csv_dialect(spark, tmp_path):
+    from pipeline_dataengineer_spark.sources.files import sniff_csv_dialect
+
+    p1 = tmp_path / "semi.csv"
+    p1.write_text("name;age;city\nalice;30;nyc\nbob;41;\"sf;bay\"\n")
+    d = sniff_csv_dialect(spark, str(p1))
+    assert d == {"sep": ";", "header": True, "n_fields": 3}
+
+    p2 = tmp_path / "plain.tsv"
+    p2.write_text("1\t2.5\tx\n2\t3.5\ty\n")
+    d2 = sniff_csv_dialect(spark, str(p2))
+    assert d2["sep"] == "\t" and d2["header"] is False
+
+    import pytest
+
+    p3 = tmp_path / "oneline.txt"
+    p3.write_text("justoneword\n")
+    with pytest.raises(ValueError):
+        sniff_csv_dialect(spark, str(p3))
