@@ -179,6 +179,12 @@ HEADLINE = [
     "q_point_in_polygon",
     "q_cusum_chart",
     "q_oov_rate",
+    # round 4 third batch
+    "q_hilbert",
+    "q_record_linkage",
+    "q_dataset_card",
+    "q_shapley_attr",
+    "q_merge_intervals",
 ]
 
 

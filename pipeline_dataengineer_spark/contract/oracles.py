@@ -5256,3 +5256,29 @@ FROM orders
 GROUP BY o_custkey
 HAVING count(DISTINCT o_orderpriority) > 1
 """
+
+
+ORACLES["q_chat_validate"] = """
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 3 AS kind,
+         CAST(doc_id % 5 + 1 AS BIGINT) AS uw
+  FROM documents
+)
+SELECT doc_id,
+       CASE kind WHEN 2 THEN 3 ELSE 2 END AS n_turns,
+       kind = 2 AS valid,
+       CASE kind WHEN 1 THEN CAST(0 AS BIGINT) ELSE uw END
+         AS user_tokens,
+       CASE kind WHEN 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(2 AS BIGINT) END AS assistant_tokens,
+       CASE kind
+         WHEN 0 THEN '<|system|>be brief' || chr(10) || '<|user|>'
+                     || rtrim(repeat('w ', CAST(uw AS INT)))
+         WHEN 1 THEN '<|bot|>beep' || chr(10) || '<|assistant|>ok sure'
+         ELSE '<|system|>be brief' || chr(10) || '<|user|>'
+              || rtrim(repeat('w ', CAST(uw AS INT)))
+              || chr(10) || '<|assistant|>ok sure'
+       END AS flat_text
+FROM base
+"""

@@ -7510,3 +7510,46 @@ def q_fd_check(spark, sf_dir):
         F.col("n_distinct_rhs").cast("long").alias("n_distinct_rhs"),
         F.array_join("examples", ",").alias("examples"),
     )
+
+
+@query("q_chat_validate")
+def q_chat_validate(spark, sf_dir):
+    """SFT conversation gating (operators/chat.py:
+    conversation_stats): synthetic chats assembled in column space —
+    a third well-formed (system/user/assistant with a planted
+    variable-length user turn), a third ending on the user (truncated
+    example), a third with an unknown role — validated, flattened,
+    and token-budgeted in one fused projection. Oracle computes the
+    planted ground truth analytically."""
+    from pipeline_dataengineer_spark.operators.chat import (
+        conversation_stats,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    user_words = F.trim(
+        F.repeat(F.lit("w "), (F.col("doc_id") % 5 + 1).cast("int"))
+    )
+    sys_t = F.struct(
+        F.lit("system").alias("role"), F.lit("be brief").alias("content")
+    )
+    usr_t = F.struct(F.lit("user").alias("role"), user_words.alias("content"))
+    ast_t = F.struct(
+        F.lit("assistant").alias("role"), F.lit("ok sure").alias("content")
+    )
+    bad_role = F.struct(
+        F.lit("bot").alias("role"), F.lit("beep").alias("content")
+    )
+    msgs = (
+        F.when(F.col("doc_id") % 3 == 0, F.array(sys_t, usr_t))
+        .when(F.col("doc_id") % 3 == 1, F.array(bad_role, ast_t))
+        .otherwise(F.array(sys_t, usr_t, ast_t))
+    )
+    out = conversation_stats(d.withColumn("messages", msgs))
+    return out.select(
+        "doc_id",
+        F.col("n_turns").cast("int").alias("n_turns"),
+        "valid",
+        "user_tokens",
+        "assistant_tokens",
+        "flat_text",
+    )

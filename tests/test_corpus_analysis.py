@@ -107,3 +107,34 @@ def test_dataset_card_summary(spark):
 
     nolang = build_dataset_card(df, "text", lang_col=None).collect()[0]
     assert "langs" not in nolang.asDict()
+
+
+def test_conversation_validation_matrix(spark):
+    from pipeline_dataengineer_spark.operators.chat import (
+        conversation_stats,
+    )
+
+    def msg(role, content):
+        return {"role": role, "content": content}
+
+    rows = [
+        (1, [msg("system", "s"), msg("user", "hi"), msg("assistant", "yo")]),
+        (2, [msg("user", "hi"), msg("assistant", "yo"),
+             msg("user", "more"), msg("assistant", "sure")]),
+        (3, [msg("user", "hi")]),                      # ends on user
+        (4, [msg("assistant", "yo")]),                 # starts assistant
+        (5, [msg("user", "hi"), msg("system", "late"),
+             msg("assistant", "yo")]),                 # system not first
+        (6, [msg("user", "  "), msg("assistant", "yo")]),  # blank content
+        (7, []),                                       # empty
+    ]
+    df = spark.createDataFrame(
+        rows, "cid long, messages array<struct<role string, content string>>"
+    )
+    got = {r["cid"]: r for r in conversation_stats(df).collect()}
+    assert got[1]["valid"] and got[2]["valid"]
+    assert not got[3]["valid"] and not got[4]["valid"]
+    assert not got[5]["valid"] and not got[6]["valid"]
+    assert not got[7]["valid"] and got[7]["n_turns"] == 0
+    assert got[2]["user_tokens"] == 2 and got[2]["assistant_tokens"] == 2
+    assert got[1]["flat_text"] == "<|system|>s\n<|user|>hi\n<|assistant|>yo"
