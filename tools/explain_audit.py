@@ -467,6 +467,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "Window"],
     ),
     "q_asof_tolerance": (["Window"], ["Join"]),
+    # FD audit: one combinable aggregate, violation-sized output.
+    "q_fd_check": (["HashAggregate"], ["Window", "Join"]),
+    # chat gating / RBO / media parsing: fused per-row passes — no
+    # shuffle anywhere.
+    "q_chat_validate": ([], ["Exchange", "Join", "HashAggregate"]),
+    "q_rbo": ([], ["Exchange", "Join", "HashAggregate"]),
+    "q_id3": (["MapInPandas"], ["Exchange", "Join"]),
+    "q_pdf_text": (["MapInPandas"], ["Exchange", "Join"]),
 }
 
 
