@@ -5282,3 +5282,21 @@ SELECT doc_id,
        END AS flat_text
 FROM base
 """
+
+
+# q_chat_spans: analytic offsets of the planted fixture. Rendering:
+# kind 2: '<|system|>be brief\\n<|user|>' (27 incl sep) + (2uw-1)
+#   user chars + sep + '<|assistant|>' (13) -> s = 27+2uw+13+1,
+#   e = s+6 ('ok sure')
+# kind 1: '<|bot|>beep' (11) + sep + 13 -> s=26, e=32
+# kind 0: no assistant turn -> empty list -> ''
+ORACLES["q_chat_spans"] = """
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN ''
+         WHEN 1 THEN '26:32'
+         ELSE CAST(41 + 2 * (doc_id % 5 + 1) AS VARCHAR) || ':'
+              || CAST(47 + 2 * (doc_id % 5 + 1) AS VARCHAR)
+       END AS spans
+FROM documents
+"""

@@ -7553,3 +7553,50 @@ def q_chat_validate(spark, sf_dir):
         "assistant_tokens",
         "flat_text",
     )
+
+
+@query("q_chat_spans")
+def q_chat_spans(spark, sf_dir):
+    """SFT loss-mask spans (operators/chat.py:assistant_spans): the
+    1-based character spans of assistant content inside the flattened
+    rendering, for the same three-way conversation fixture as
+    q_chat_validate — flattened to 's:e' strings for the compare.
+    Oracle computes the offsets analytically from the planted turn
+    widths; the pytest property (slices recover content) guards the
+    general case."""
+    from pipeline_dataengineer_spark.operators.chat import (
+        assistant_spans,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    user_words = F.trim(
+        F.repeat(F.lit("w "), (F.col("doc_id") % 5 + 1).cast("int"))
+    )
+    sys_t = F.struct(
+        F.lit("system").alias("role"), F.lit("be brief").alias("content")
+    )
+    usr_t = F.struct(F.lit("user").alias("role"), user_words.alias("content"))
+    ast_t = F.struct(
+        F.lit("assistant").alias("role"), F.lit("ok sure").alias("content")
+    )
+    bad_role = F.struct(
+        F.lit("bot").alias("role"), F.lit("beep").alias("content")
+    )
+    msgs = (
+        F.when(F.col("doc_id") % 3 == 0, F.array(sys_t, usr_t))
+        .when(F.col("doc_id") % 3 == 1, F.array(bad_role, ast_t))
+        .otherwise(F.array(sys_t, usr_t, ast_t))
+    )
+    out = d.withColumn("spans", assistant_spans(msgs))
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda sp: F.concat_ws(
+                    ":", sp["s"].cast("string"), sp["e"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("spans"),
+    )

@@ -125,3 +125,46 @@ def conversation_stats(
         )
         .drop("__v")
     )
+
+
+def assistant_spans(
+    messages: Column | str,
+    turn_sep: str = "\n",
+) -> Column:
+    """Character spans (1-based, inclusive) of ASSISTANT content
+    inside ``flatten_conversation``'s rendering — the loss mask an
+    SFT packer needs (train on the model's turns, mask the rest).
+    One aggregate fold carrying (offset, spans): for each turn the
+    rendered width is len('<|role|>') + len(content) (+ separator
+    between turns); assistant turns emit (content_start, content_end).
+
+    Returns array<struct<s int, e int>>; slicing flat_text with
+    ``substring(flat, s, e - s + 1)`` recovers exactly the assistant
+    content (property-tested)."""
+    m = F.col(messages) if isinstance(messages, str) else messages
+    sep_len = len(turn_sep)
+
+    def step(acc, x):
+        marker_len = F.length(x["role"]) + 4  # <| |>
+        start = acc["off"] + marker_len + 1
+        width = marker_len + F.length(x["content"])
+        new_spans = F.when(
+            x["role"] == F.lit("assistant"),
+            F.array_append(
+                acc["spans"],
+                F.struct(
+                    start.cast("int").alias("s"),
+                    (acc["off"] + width).cast("int").alias("e"),
+                ),
+            ),
+        ).otherwise(acc["spans"])
+        return F.struct(
+            (acc["off"] + width + F.lit(sep_len)).alias("off"),
+            new_spans.alias("spans"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("off"),
+        F.array().cast("array<struct<s:int,e:int>>").alias("spans"),
+    )
+    return F.aggregate(m, init, step, lambda acc: acc["spans"])

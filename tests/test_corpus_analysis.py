@@ -138,3 +138,45 @@ def test_conversation_validation_matrix(spark):
     assert not got[7]["valid"] and got[7]["n_turns"] == 0
     assert got[2]["user_tokens"] == 2 and got[2]["assistant_tokens"] == 2
     assert got[1]["flat_text"] == "<|system|>s\n<|user|>hi\n<|assistant|>yo"
+
+
+def test_assistant_spans_slice_property(spark):
+    """Property: substring(flat, s, e-s+1) recovers EXACTLY each
+    assistant turn's content, for random conversations."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.chat import (
+        assistant_spans,
+        flatten_conversation,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for cid in range(30):
+        msgs = []
+        if rng.random() < 0.5:
+            msgs.append({"role": "system", "content": "sys " * rng.randint(1, 3)})
+        for _ in range(rng.randint(1, 4)):
+            msgs.append({"role": "user", "content": " ".join(
+                "u%d" % rng.randint(0, 99) for _ in range(rng.randint(1, 6)))})
+            msgs.append({"role": "assistant", "content": " ".join(
+                "a%d" % rng.randint(0, 99) for _ in range(rng.randint(1, 6)))})
+        rows.append((cid, msgs))
+    df = spark.createDataFrame(
+        rows, "cid long, messages array<struct<role string, content string>>"
+    )
+    got = df.select(
+        "cid",
+        flatten_conversation("messages").alias("flat"),
+        assistant_spans("messages").alias("spans"),
+    ).collect()
+    by_cid = {r["cid"]: r for r in got}
+    for cid, msgs in rows:
+        r = by_cid[cid]
+        want = [m["content"] for m in msgs if m["role"] == "assistant"]
+        sliced = [
+            r["flat"][sp["s"] - 1 : sp["e"]] for sp in r["spans"]
+        ]
+        assert sliced == want, (cid, sliced, want)
