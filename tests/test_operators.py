@@ -593,3 +593,34 @@ def test_fd_violations(spark):
     assert out["94107"]["examples"] == ["SF", "San Francisco"]
     # a clean FD returns empty
     assert fd_violations(df.filter("zip <> '94107'"), ["zip"], "city").count() == 0
+
+
+def test_network_days_closed_form(spark):
+    import datetime as dt
+
+    from pipeline_dataengineer_spark.functions.dates import network_days
+
+    rows = [
+        # Mon..Fri same week = 5; Sat->Sun = 0; wrap a weekend
+        (1, dt.date(2024, 1, 1), dt.date(2024, 1, 5)),
+        (2, dt.date(2024, 1, 6), dt.date(2024, 1, 7)),
+        (3, dt.date(2024, 1, 5), dt.date(2024, 1, 8)),
+        (4, dt.date(2024, 1, 8), dt.date(2024, 1, 5)),  # reversed
+        (5, dt.date(2024, 2, 1), dt.date(2024, 2, 29)),
+    ]
+    df = spark.createDataFrame(rows, "id long, s date, e date")
+    got = {r["id"]: r["bd"] for r in df.select(
+        "id", network_days("s", "e").alias("bd")).collect()}
+
+    def brute(s, e):
+        if e < s:
+            return -brute(e, s)
+        return sum(
+            1
+            for i in range((e - s).days + 1)
+            if (s + dt.timedelta(i)).weekday() < 5
+        )
+
+    for i, s, e in rows:
+        assert got[i] == brute(s, e), (i, got[i], brute(s, e))
+    assert got[2] == 0 and got[4] == -2
