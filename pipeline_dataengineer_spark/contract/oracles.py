@@ -5082,11 +5082,11 @@ SELECT s.*, lh.langs FROM scalars s CROSS JOIN lh
 ORACLES["q_record_linkage"] = """
 WITH a AS (
   SELECT p_partkey AS key_a, lower(p_name) AS name_a,
-         substring(lower(p_name), 1, 2) AS blk
+         substring(lower(p_name), 1, 3) AS blk
   FROM part WHERE p_partkey % 6 = 0
 ), b AS (
   SELECT p_partkey AS key_b, lower(p_name) AS name_b,
-         substring(lower(p_name), 1, 2) AS blk
+         substring(lower(p_name), 1, 3) AS blk
   FROM part WHERE p_partkey % 9 = 0
 ), cand AS (
   SELECT key_a, key_b,
@@ -5299,4 +5299,28 @@ SELECT doc_id,
               || CAST(47 + 2 * (doc_id % 5 + 1) AS VARCHAR)
        END AS spans
 FROM documents
+"""
+
+
+ORACLES["q_grouped_ols"] = """
+WITH base AS (
+  SELECT o_orderpriority AS pri,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+           AS x,
+         CAST(o_totalprice AS DOUBLE) AS y
+  FROM orders
+), s AS (
+  SELECT pri, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM base GROUP BY pri
+)
+SELECT pri AS o_orderpriority,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       CAST(n AS BIGINT) AS n
+FROM s
 """

@@ -7342,7 +7342,8 @@ def q_record_linkage(spark, sf_dir):
         F.col("p_partkey").alias("bk"), F.col("p_name").alias("bn")
     )
     out = link_records(
-        a, b, "p_partkey", "bk", "p_name", "bn", threshold=0.9
+        a, b, "p_partkey", "bk", "p_name", "bn", threshold=0.9,
+        block_chars=3,
     )
     return out.select("key_a", "key_b", "score")
 
@@ -7600,3 +7601,21 @@ def q_chat_spans(spark, sf_dir):
             ",",
         ).alias("spans"),
     )
+
+
+@query("q_grouped_ols")
+def q_grouped_ols(spark, sf_dir):
+    """Per-group OLS trend (operators/timeseries.py:grouped_ols):
+    order totalprice regressed on order day per priority — one
+    combinable six-sum aggregate per group, closed-form algebra.
+    Oracle replays the identical operand order; round(6)."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        grouped_ols,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return grouped_ols(o, ["o_orderpriority"], "x", "y")

@@ -234,4 +234,10 @@ def jaro_winkler(s1, s2):
 
     c1 = F.col(s1) if isinstance(s1, str) else s1
     c2 = F.col(s2) if isinstance(s2, str) else s2
-    return jaro_winkler_udf(c1, c2)
+    # asNondeterministic: the scorer IS deterministic, but without
+    # the flag Catalyst pushes score-filters below a repartition and
+    # re-evaluates the expensive kernel on BOTH sides of the exchange
+    # (observed: the pushed copy ran in the pre-shuffle single task,
+    # serializing the whole scoring pass). The flag pins exactly one
+    # evaluation where the plan places it.
+    return jaro_winkler_udf.asNondeterministic()(c1, c2)

@@ -495,8 +495,18 @@ def link_records(
         F.lower(F.col(text_b)).alias("name_b"),
         F.substring(F.lower(F.col(text_b)), 1, block_chars).alias("__blk"),
     )
-    cand = la.join(lb, "__blk").withColumn(
-        "score", F.round(jaro_winkler("name_a", "name_b"), 6)
+    # explicit repartition before the Arrow scoring pass: AQE's
+    # byte-based coalescing would otherwise funnel the (small-bytes,
+    # Python-expensive) candidate set into one task — the same
+    # hazard timeseries._spread_by_key documents; keying by key_a
+    # also pre-satisfies the first rank window's distribution.
+    n_part = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        la.join(lb, "__blk")
+        .repartition(n_part, "key_a")
+        .withColumn(
+            "score", F.round(jaro_winkler("name_a", "name_b"), 6)
+        )
     )
     cand = cand.filter(F.col("score") >= threshold)
     wa = Window.partitionBy("key_a").orderBy(

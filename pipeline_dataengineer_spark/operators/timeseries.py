@@ -700,3 +700,52 @@ def cusum_control_chart(
     return _spread_by_key(df, key_cols).groupBy(*key_cols).applyInPandas(
         fn, schema=schema_out
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary least squares y = a·x + b — the
+    trend-per-tenant / drift-per-sensor primitive: one row per key
+    with (slope, intercept, r2, n). NULL slope/r2 for degenerate
+    groups (n < 2 or zero x-variance; r2 also NULL when y is
+    constant).
+
+    ONE combinable aggregate (six sums) per group — no window, no
+    per-key sort, no Python; identical closed-form algebra to
+    zipf_fit's corpus-level fit, grouped."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxx, syy, sxy = F.col("__sxx"), F.col("__syy"), F.col("__sxy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return agg.select(
+        *key_cols,
+        F.when((n >= 2) & (varx > 0), F.round(slope, round_to)).alias(
+            "slope"
+        ),
+        F.when(
+            (n >= 2) & (varx > 0),
+            F.round((sy - slope * sx) / n, round_to),
+        ).alias("intercept"),
+        F.when(
+            (n >= 2) & (varx > 0) & (vary > 0),
+            F.round((cov * cov) / (varx * vary), round_to),
+        ).alias("r2"),
+        n.cast("long").alias("n"),
+    )

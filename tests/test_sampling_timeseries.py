@@ -420,3 +420,21 @@ def test_time_weighted_avg_end_on_month_boundary(spark):
         for r in time_weighted_avg(df, ["k"], "s", "e", "v").collect()
     }
     assert out == {"2024-01-01": 12}
+
+
+def test_grouped_ols_recovers_planted_lines(spark):
+    from pipeline_dataengineer_spark.operators.timeseries import grouped_ols
+
+    rows = []
+    for i in range(50):
+        rows.append(("a", float(i), 2.0 * i + 5.0))        # exact line
+        rows.append(("b", float(i), -0.5 * i + 100.0))
+    rows += [("deg", 1.0, 7.0)]                             # n=1
+    rows += [("novar", 1.0, 3.0), ("novar", 1.0, 9.0)]      # zero x-var
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in grouped_ols(df, ["k"], "x", "y").collect()}
+    assert got["a"]["slope"] == 2.0 and got["a"]["intercept"] == 5.0
+    assert got["a"]["r2"] == 1.0
+    assert got["b"]["slope"] == -0.5 and got["b"]["r2"] == 1.0
+    assert got["deg"]["slope"] is None and got["deg"]["n"] == 1
+    assert got["novar"]["slope"] is None
