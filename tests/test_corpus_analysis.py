@@ -180,3 +180,52 @@ def test_assistant_spans_slice_property(spark):
             r["flat"][sp["s"] - 1 : sp["e"]] for sp in r["spans"]
         ]
         assert sliced == want, (cid, sliced, want)
+
+
+def test_build_sft_dataset_end_to_end(spark):
+    from pipeline_dataengineer_spark.pipelines.sft_dataset import (
+        build_sft_dataset,
+    )
+
+    def msg(role, content):
+        return {"role": role, "content": content}
+
+    good = [msg("user", "hello there"), msg("assistant", "hi friend")]
+    rows = [
+        (1, "web", good),
+        (2, "web", good),                                   # exact dup
+        (3, "web", [msg("user", "only user turn")]),        # invalid
+        (4, "books", [msg("system", "s"), msg("user", "q q q"),
+                      msg("assistant", "a a")]),
+        (5, "books", [msg("user", "x y"), msg("assistant", "z")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, source string, "
+        "messages array<struct<role string, content string>>",
+    )
+    out = build_sft_dataset(df, source_col="source")
+    got = {r["conv_id"]: r for r in out.collect()}
+    assert set(got) == {1, 4, 5}  # dup 2 collapsed onto 1, invalid 3 gone
+    assert got[1]["assistant_tokens"] == 2
+    sp = got[4]["loss_spans"]
+    assert len(sp) == 1
+    flat = got[4]["flat_text"]
+    assert flat[sp[0]["s"] - 1 : sp[0]["e"]] == "a a"
+
+    # budget: cap 'books' to ~5 tokens -> the crossing conversation
+    # is kept, later ones drop (deterministic scramble order)
+    capped = build_sft_dataset(
+        df, source_col="source",
+        token_budgets={"web": 1000, "books": 1},
+    )
+    by_src = {}
+    for r in capped.collect():
+        by_src.setdefault(r["source"], []).append(r["conv_id"])
+    assert by_src["web"] == [1]
+    assert len(by_src["books"]) == 1  # budget 1 -> only the crosser
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_sft_dataset(df, token_budgets={"web": 1})

@@ -447,8 +447,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_pnm": (["MapInPandas"], ["Exchange", "Join"]),
     # record linkage: blocking must stay an equi hash join; the 1:1
     # cut is two rank windows — never a nested loop over all pairs.
+    # the corrective pre-scoring spread must survive AQE, and the
+    # asNondeterministic flag must keep the kernel to ONE evaluation
+    # (a duplicate-and-pushed copy below the exchange serialized the
+    # whole scoring pass before the fix).
     "q_record_linkage": (
-        ["ArrowEvalPython", "Window"],
+        ["ArrowEvalPython", "REPARTITION_BY_NUM", "Window"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
     # hilbert: a linear chain of thin projections — the named-column
@@ -475,6 +479,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_rbo": ([], ["Exchange", "Join", "HashAggregate"]),
     "q_id3": (["MapInPandas"], ["Exchange", "Join"]),
     "q_pdf_text": (["MapInPandas"], ["Exchange", "Join"]),
+    # per-group OLS: one combinable aggregate, nothing else.
+    "q_grouped_ols": (["HashAggregate"], ["Window", "Join"]),
 }
 
 
