@@ -5324,3 +5324,40 @@ SELECT pri AS o_orderpriority,
        CAST(n AS BIGINT) AS n
 FROM s
 """
+
+
+ORACLES["q_generalize_dates"] = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority
+  FROM orders
+), mins AS (
+  SELECT
+    (SELECT min(n) FROM (SELECT count(*) n FROM base
+       GROUP BY d, o_orderpriority)) AS m_day,
+    (SELECT min(n) FROM (SELECT count(*) n FROM base
+       GROUP BY date_trunc('week', d), o_orderpriority)) AS m_week,
+    (SELECT min(n) FROM (SELECT count(*) n FROM base
+       GROUP BY date_trunc('month', d), o_orderpriority)) AS m_month,
+    (SELECT min(n) FROM (SELECT count(*) n FROM base
+       GROUP BY date_trunc('quarter', d), o_orderpriority)) AS m_quarter,
+    (SELECT min(n) FROM (SELECT count(*) n FROM base
+       GROUP BY date_trunc('year', d), o_orderpriority)) AS m_year
+), lvl AS (
+  SELECT CASE WHEN m_day >= 40 THEN 'day'
+              WHEN m_week >= 40 THEN 'week'
+              WHEN m_month >= 40 THEN 'month'
+              WHEN m_quarter >= 40 THEN 'quarter'
+              WHEN m_year >= 40 THEN 'year' END AS level
+  FROM mins
+)
+SELECT b.o_orderkey, b.o_orderpriority,
+       CAST(CASE lvl.level
+         WHEN 'day' THEN b.d
+         WHEN 'week' THEN date_trunc('week', b.d)
+         WHEN 'month' THEN date_trunc('month', b.d)
+         WHEN 'quarter' THEN date_trunc('quarter', b.d)
+         ELSE date_trunc('year', b.d)
+       END AS DATE) AS d_gen,
+       lvl.level AS level
+FROM base b CROSS JOIN lvl
+"""

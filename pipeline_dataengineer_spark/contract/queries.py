@@ -7619,3 +7619,31 @@ def q_grouped_ols(spark, sf_dir):
         F.col("o_totalprice").alias("y"),
     )
     return grouped_ols(o, ["o_orderpriority"], "x", "y")
+
+
+@query("q_generalize_dates")
+def q_generalize_dates(spark, sf_dir):
+    """Generalization-model k-anonymity (operators/privacy.py:
+    generalize_dates_to_k): orders (orderdate, priority) coarsened
+    along day→week→month→quarter→year until every class holds >= 40
+    rows; the chosen rung is data-driven. Oracle replays the ladder
+    decision (five min-class-size CTEs) and the winning trunc —
+    Spark and DuckDB both use ISO Monday weeks."""
+    from pipeline_dataengineer_spark.operators.privacy import (
+        generalize_dates_to_k,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderpriority",
+    )
+    gen, level = generalize_dates_to_k(
+        o, "d", ["o_orderpriority"], k=40, out_col="d_gen"
+    )
+    return gen.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("d_gen").cast("date").alias("d_gen"),
+        F.lit(level).alias("level"),
+    )

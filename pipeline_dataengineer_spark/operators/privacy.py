@@ -88,3 +88,52 @@ def l_diverse_classes(
     return anonymity_audit(df, quasi_cols, sensitive_col).filter(
         F.col("n_sensitive") >= l
     )
+
+
+GENERALIZATION_LADDER = ("day", "week", "month", "quarter", "year")
+
+
+def generalize_dates_to_k(
+    df: DataFrame,
+    date_col: str,
+    quasi_cols: list[str],
+    k: int,
+    out_col: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Generalization-model k-anonymity for a date quasi-identifier:
+    coarsen the date along the standard ladder
+    day → week → month → quarter → year and pick the FINEST level at
+    which every (generalized date, quasi...) equivalence class holds
+    at least k rows — trading precision for anonymity instead of
+    dropping rows (the suppression model k_anonymize implements).
+
+    Returns (df with the generalized column, chosen_level). Raises
+    when even year-level classes stay under k (generalizing further
+    is erasing the column — the caller must decide that).
+
+    Scale: one combinable min-of-class-size aggregate per ladder rung
+    (≤5 passes, each class-count-sized before the 1-row min); only
+    five scalars reach the driver. The rewrite itself is one fused
+    projection."""
+    out = out_col or date_col
+    d = F.col(date_col).cast("date")
+
+    def level_expr(level: str):
+        return d if level == "day" else F.trunc(d, level)
+
+    chosen = None
+    for level in GENERALIZATION_LADDER:
+        min_class = (
+            df.groupBy(level_expr(level).alias("__g"), *quasi_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.min("__n"))
+            .collect()[0][0]
+        )
+        if min_class is not None and min_class >= k:
+            chosen = level
+            break
+    if chosen is None:
+        raise ValueError(
+            f"even year-level generalization leaves a class under k={k}"
+        )
+    return df.withColumn(out, level_expr(chosen)), chosen

@@ -228,3 +228,29 @@ def test_cusum_null_values_pass_through(spark):
     )
     assert [r["cusum_hi"] for r in out] == [2.5, 2.5, 5.0, 0.0]
     assert [r["alarm"] for r in out] == [None, None, "up", None]
+
+
+def test_generalize_dates_ladder(spark):
+    import datetime as dt
+
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.privacy import (
+        generalize_dates_to_k,
+    )
+
+    # 4 rows per exact day -> k=3 satisfied at day level; k=5 needs
+    # month (each week has one day here, weeks don't help)
+    rows = []
+    for day in (1, 8, 15):  # three Mondays of Jan 2024
+        for i in range(4):
+            rows.append((dt.date(2024, 1, day), "seg"))
+    df = spark.createDataFrame(rows, "d date, seg string")
+
+    g, lvl = generalize_dates_to_k(df, "d", ["seg"], k=3)
+    assert lvl == "day"
+    g2, lvl2 = generalize_dates_to_k(df, "d", ["seg"], k=5)
+    assert lvl2 == "month"
+    assert {r["d"] for r in g2.collect()} == {dt.date(2024, 1, 1)}
+    with pytest.raises(ValueError):
+        generalize_dates_to_k(df, "d", ["seg"], k=13)
