@@ -5361,3 +5361,50 @@ SELECT b.o_orderkey, b.o_orderpriority,
        lvl.level AS level
 FROM base b CROSS JOIN lvl
 """
+
+
+ORACLES["q_kn_ppl"] = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(range(1, len(ws) + 1)) AS pos
+  FROM docs
+), big AS (
+  SELECT a.doc_id, a.w AS v, b.w AS w
+  FROM words a JOIN words b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), c_vw AS (
+  SELECT v, w, count(*) AS c FROM big GROUP BY v, w
+), c_v AS (
+  SELECT v, sum(c) AS cv, count(*) AS n1p_fwd FROM c_vw GROUP BY v
+), n1p_bwd AS (
+  SELECT w, count(*) AS n1p FROM c_vw GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM c_vw
+), seen AS (
+  SELECT c_vw.v, c_vw.w,
+         greatest(c_vw.c - 0.75, 0.0) / c_v.cv AS p_seen
+  FROM c_vw JOIN c_v USING (v)
+), ctx AS (
+  SELECT v, 0.75 * n1p_fwd / cv AS lam FROM c_v
+), cont AS (
+  SELECT w, n1p / tot.t AS p_cont FROM n1p_bwd, tot
+), scored AS (
+  SELECT big.doc_id,
+         CASE WHEN ctx.lam IS NOT NULL THEN
+           ln(coalesce(seen.p_seen, 0.0)
+              + ctx.lam * coalesce(cont.p_cont, 0.0))
+         ELSE -16.11809565095832 END AS lp
+  FROM big
+  LEFT JOIN seen ON big.v = seen.v AND big.w = seen.w
+  LEFT JOIN ctx ON big.v = ctx.v
+  LEFT JOIN cont ON big.w = cont.w
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-avg(lp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""

@@ -7647,3 +7647,27 @@ def q_generalize_dates(spark, sf_dir):
         F.col("d_gen").cast("date").alias("d_gen"),
         F.lit(level).alias("level"),
     )
+
+
+@query("q_kn_ppl")
+def q_kn_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (operators/
+    text_features.py:train_kn_bigram_lm/kn_score), self-scored over
+    documents — the classic smoothed upgrade of q_ngram_lm_ppl's
+    conditional LM. All three LM tables are vocabulary-bounded and
+    broadcast; the corpus never shuffles to score. Oracle replays the
+    full KN algebra (absolute discount, continuation mass, λ
+    interpolation) with identical operand shapes; round(4)."""
+    from pipeline_dataengineer_spark.operators.text_features import (
+        kn_score,
+        train_kn_bigram_lm,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    lm = train_kn_bigram_lm(docs)
+    out = kn_score(docs, lm)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "ppl",
+    )

@@ -674,3 +674,122 @@ def zipf_fit(
         .alias("r2"),
         n.cast("long").alias("n_terms"),
     )
+
+
+def train_kn_bigram_lm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model over lowered
+    whitespace words (Kneser & Ney 1995; Chen & Goodman 1999's
+    standard formulation) — the strongest classic n-gram smoother,
+    and the classic upgrade over the add-nothing conditional LM in
+    train_char_trigram_lm:
+
+        p(w|v) = max(c(vw) − d, 0)/c(v·) + λ(v)·p_cont(w)
+        λ(v)   = d · N1+(v·) / c(v·)
+        p_cont(w) = N1+(·w) / N1+(··)
+
+    Returns the BIGRAM table (v, w, logp) plus per-context fallback
+    rows (v, NULL, log λ(v)·p_cont-mass is NOT representable per
+    unseen w, so instead): the companion ``kn_score`` joins seen
+    bigrams and falls back to λ(v)·p_cont(w) computed from the two
+    broadcast side tables it also returns. All tables are
+    vocabulary-bounded (combinable groupBys), hence broadcastable —
+    the corpus never shuffles to score.
+
+    Returns (bigrams, contexts, continuations): bigrams (v, w,
+    p_seen), contexts (v, lam), continuations (w, p_cont)."""
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__pos", "__w"),
+    )
+    nxt = words.select(
+        "__id", (F.col("__pos") + 1).alias("__pos"), F.col("__w").alias("__v")
+    )
+    bigrams_raw = words.join(nxt, ["__id", "__pos"]).select(
+        F.col("__v").alias("v"), F.col("__w").alias("w")
+    )
+    c_vw = bigrams_raw.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    c_v = c_vw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    n1p_bwd = c_vw.groupBy("w").agg(F.count(F.lit(1)).alias("n1p"))
+    total_types = c_vw.count()
+    d = float(discount)
+    bigrams = c_vw.join(c_v, "v").select(
+        "v",
+        "w",
+        (
+            F.greatest(F.col("c") - F.lit(d), F.lit(0.0))
+            / F.col("cv")
+        ).alias("p_seen"),
+    )
+    contexts = c_v.select(
+        "v", (F.lit(d) * F.col("n1p_fwd") / F.col("cv")).alias("lam")
+    )
+    continuations = n1p_bwd.select(
+        "w", (F.col("n1p") / F.lit(float(total_types))).alias("p_cont")
+    )
+    return bigrams, contexts, continuations
+
+
+def kn_score(
+    df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_logp: float = -16.11809565095832,  # ln(1e-7)
+    round_to: int = 4,
+) -> DataFrame:
+    """Score documents against a KN bigram LM: (id, n_bigrams, ppl)
+    with ppl = exp(−mean ln p) where p(w|v) = p_seen(vw) +
+    λ(v)·p_cont(w) for KNOWN contexts (the interpolated form — seen
+    bigrams get both terms), λ(v)·p_cont(w) when only the context is
+    known, and exp(unk_logp) when the context itself is unseen. All
+    three LM tables broadcast; the corpus never shuffles to score."""
+    bigrams, contexts, continuations = lm
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__pos", "w"),
+    )
+    nxt = words.select(
+        F.col(id_col),
+        (F.col("__pos") + 1).alias("__pos"),
+        F.col("w").alias("v"),
+    )
+    big = words.join(nxt, [id_col, "__pos"]).select(id_col, "v", "w")
+    scored = (
+        big.join(F.broadcast(bigrams), ["v", "w"], "left")
+        .join(F.broadcast(contexts), "v", "left")
+        .join(F.broadcast(continuations), "w", "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("lam").isNotNull(),
+                F.ln(
+                    F.coalesce(F.col("p_seen"), F.lit(0.0))
+                    + F.col("lam")
+                    * F.coalesce(F.col("p_cont"), F.lit(0.0))
+                ),
+            )
+            .otherwise(F.lit(unk_logp))
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.avg("__lp")), round_to).alias("ppl"),
+    )

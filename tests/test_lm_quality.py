@@ -245,3 +245,46 @@ def test_compression_ratio_discriminates(spark):
     assert out[1][1] < 0.1          # repetitive junk
     assert out[2][1] > 0.5          # noise barely compresses
     assert out[3] == (0, None)
+
+
+def test_kn_bigram_lm_properties(spark):
+    """KN smoothing: seen bigrams beat unseen-with-known-context,
+    which beat unknown contexts; per-context probabilities sum to ~1
+    over the full vocabulary (the interpolation is a proper
+    distribution)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.text_features import (
+        kn_score,
+        train_kn_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ate the fish"),
+         (3, "a dog sat on a log")],
+        "doc_id long, text string",
+    )
+    bigrams, contexts, cont = train_kn_bigram_lm(train)
+    b = {(r["v"], r["w"]): r["p_seen"] for r in bigrams.collect()}
+    lam = {r["v"]: r["lam"] for r in contexts.collect()}
+    pc = {r["w"]: r["p_cont"] for r in cont.collect()}
+    # proper distribution per context: sum over vocab of
+    # p_seen + lam*p_cont = 1 (KN mass conservation)
+    for v in lam:
+        total = sum(
+            b.get((v, w), 0.0) + lam[v] * pc.get(w, 0.0) for w in pc
+        )
+        assert abs(total - 1.0) < 1e-9, (v, total)
+
+    test = spark.createDataFrame(
+        [(10, "the cat sat"),          # all seen bigrams
+         (11, "the dog sat"),          # known context, unseen bigram
+         (12, "zzz qqq www")],         # unknown everything
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl"] for r in
+           kn_score(test, (bigrams, contexts, cont)).collect()}
+    assert got[10] < got[11] < got[12]
+    assert got[12] == round(math.exp(16.11809565095832), 4)
