@@ -676,6 +676,22 @@ def zipf_fit(
     )
 
 
+def _bigram_pairs(text_col: str):
+    """array<struct<v,w>> of ADJACENT word pairs — a pure array zip
+    (slice against slice), so bigram extraction is a narrow fan-out
+    riding the scan instead of a fact-fact positional self-join (the
+    SortMergeJoin the plan audit flagged in the first cut)."""
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(ws)
+    return F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda v, w: F.struct(v.alias("v"), w.alias("w")),
+    )
+
+
 def train_kn_bigram_lm(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -702,21 +718,9 @@ def train_kn_bigram_lm(
 
     Returns (bigrams, contexts, continuations): bigrams (v, w,
     p_seen), contexts (v, lam), continuations (w, p_cont)."""
-    words = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("__pos", "__w"),
-    )
-    nxt = words.select(
-        "__id", (F.col("__pos") + 1).alias("__pos"), F.col("__w").alias("__v")
-    )
-    bigrams_raw = words.join(nxt, ["__id", "__pos"]).select(
-        F.col("__v").alias("v"), F.col("__w").alias("w")
-    )
+    bigrams_raw = df.select(
+        F.explode(_bigram_pairs(text_col)).alias("__b")
+    ).select(F.col("__b.v").alias("v"), F.col("__b.w").alias("w"))
     c_vw = bigrams_raw.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
     c_v = c_vw.groupBy("v").agg(
         F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1p_fwd")
@@ -756,21 +760,9 @@ def kn_score(
     known, and exp(unk_logp) when the context itself is unseen. All
     three LM tables broadcast; the corpus never shuffles to score."""
     bigrams, contexts, continuations = lm
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("__pos", "w"),
-    )
-    nxt = words.select(
-        F.col(id_col),
-        (F.col("__pos") + 1).alias("__pos"),
-        F.col("w").alias("v"),
-    )
-    big = words.join(nxt, [id_col, "__pos"]).select(id_col, "v", "w")
+    big = df.select(
+        F.col(id_col), F.explode(_bigram_pairs(text_col)).alias("__b")
+    ).select(id_col, F.col("__b.v").alias("v"), F.col("__b.w").alias("w"))
     scored = (
         big.join(F.broadcast(bigrams), ["v", "w"], "left")
         .join(F.broadcast(contexts), "v", "left")

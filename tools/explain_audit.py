@@ -481,6 +481,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_pdf_text": (["MapInPandas"], ["Exchange", "Join"]),
     # per-group OLS: one combinable aggregate, nothing else.
     "q_grouped_ols": (["HashAggregate"], ["Window", "Join"]),
+    # KN scoring: all three LM tables must arrive broadcast — the
+    # corpus is never sort-merged for the scoring joins.
+    "q_kn_ppl": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "Window", "CartesianProduct"],
+    ),
 }
 
 
