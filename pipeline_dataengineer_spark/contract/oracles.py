@@ -5408,3 +5408,36 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(exp(-avg(lp)), 4) AS ppl
 FROM scored GROUP BY doc_id
 """
+
+
+ORACLES["q_nelson_aalen"] = f"""
+WITH subjects AS (
+  SELECT c_mktsegment AS k,
+         {_bucket_sql('c_custkey', 40)} AS t,
+         CASE WHEN ({_bucket_sql('c_custkey + 3', 10)}) < 8
+              THEN 1 ELSE 0 END AS ev
+  FROM customer
+), cells AS (
+  SELECT k, t, sum(ev) AS d, sum(1 - ev) AS c
+  FROM subjects GROUP BY k, t
+), risk AS (
+  SELECT k, t, d,
+         sum(d + c) OVER (PARTITION BY k)
+           - coalesce(sum(d + c) OVER (
+               PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n
+  FROM cells
+), curve AS (
+  SELECT k, t, d, n,
+         round(sum(d / (n * 1.0)) OVER w, 6) AS cum_hazard,
+         round(sum(d / (n * 1.0 * n)) OVER w, 6) AS hazard_var
+  FROM risk
+  WINDOW w AS (PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT k AS c_mktsegment, CAST(t AS BIGINT) AS t,
+       CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_event,
+       cum_hazard, hazard_var
+FROM curve WHERE d > 0
+"""

@@ -7671,3 +7671,32 @@ def q_kn_ppl(spark, sf_dir):
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         "ppl",
     )
+
+
+@query("q_nelson_aalen")
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (operators/survival.py:
+    nelson_aalen) per market segment over the same Lehmer-derived
+    duration fixture as q_kaplan_meier — the additive estimator is a
+    pure running sum, so the oracle replay is exact by construction;
+    round(6)."""
+    from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+    from pipeline_dataengineer_spark.operators.survival import nelson_aalen
+
+    c = table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    subjects = c.select(
+        "c_mktsegment",
+        portable_bucket(F.col("c_custkey"), 40).alias("duration"),
+        (portable_bucket(F.col("c_custkey") + 3, 10) < 8)
+        .cast("int")
+        .alias("event"),
+    )
+    out = nelson_aalen(subjects, ["c_mktsegment"], "duration", "event")
+    return out.select(
+        "c_mktsegment",
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        "n_event",
+        "cum_hazard",
+        "hazard_var",
+    )

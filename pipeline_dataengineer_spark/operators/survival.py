@@ -78,3 +78,59 @@ def kaplan_meier(
         F.col("d").alias("n_event"),
         "survival",
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    key_cols: list[str],
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per key:
+    H(t) = Σ_{t' ≤ t} d_{t'} / n_{t'} — the additive sibling of
+    Kaplan-Meier (Ĥ needs no product trick; it IS a running sum, so
+    the relational form is exact by construction). Variance via the
+    standard Σ d/(n²) term is emitted alongside.
+
+    Same cells-not-facts shape as kaplan_meier: one subject groupBy,
+    then per-(key, distinct-time) windows. Rows with zero events at a
+    time still consume risk (censoring handled identically)."""
+    ev = F.col(event_col).cast("int")
+    cells = df.groupBy(*key_cols, F.col(duration_col).alias("t")).agg(
+        F.sum(ev).alias("d"), F.sum(1 - ev).alias("c")
+    )
+    wk = Window.partitionBy(*key_cols)
+    w_before = (
+        Window.partitionBy(*key_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_upto = (
+        Window.partitionBy(*key_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.sum(F.col("d") + F.col("c")).over(wk) - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_before), F.lit(0)
+    )
+    with_n = cells.withColumn("n", n)
+    hz = F.col("d") / F.col("n")
+    var = F.col("d") / (F.col("n") * F.col("n"))
+    return (
+        with_n.withColumn(
+            "cum_hazard", F.round(F.sum(hz).over(w_upto), round_to)
+        )
+        .withColumn(
+            "hazard_var", F.round(F.sum(var).over(w_upto), round_to)
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            *key_cols,
+            "t",
+            F.col("n").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_event"),
+            "cum_hazard",
+            "hazard_var",
+        )
+    )

@@ -59,3 +59,18 @@ def test_km_censoring_keeps_at_risk_until_censor_time(spark):
     assert got[2][0] == 3
     assert got[5][0] == 2
     assert got[5][1] == pytest.approx((2 / 3) * (1 / 2))
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from pipeline_dataengineer_spark.operators.survival import nelson_aalen
+
+    # classic toy: n=5; events at t=1 (d=1), t=3 (d=2); censor at t=2
+    rows = [("g", 1, 1), ("g", 2, 0), ("g", 3, 1), ("g", 3, 1), ("g", 4, 0)]
+    df = spark.createDataFrame(rows, "k string, t long, ev int")
+    out = {r["t"]: r for r in nelson_aalen(df, ["k"], "t", "ev").collect()}
+    # t=1: n=5, H=1/5; t=3: n=3 (censor at 2 consumed risk), H=1/5+2/3
+    assert out[1]["n_risk"] == 5 and out[1]["cum_hazard"] == 0.2
+    assert out[3]["n_risk"] == 3
+    assert out[3]["cum_hazard"] == round(0.2 + 2 / 3, 6)
+    assert out[3]["hazard_var"] == round(1 / 25 + 2 / 9, 6)
+    assert set(out) == {1, 3}  # censor-only times emit nothing
