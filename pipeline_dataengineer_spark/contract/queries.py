@@ -7700,3 +7700,47 @@ def q_nelson_aalen(spark, sf_dir):
         "cum_hazard",
         "hazard_var",
     )
+
+
+@query("q_sft_dataset")
+def q_sft_dataset(spark, sf_dir):
+    """Integration: the SFT dataset pipeline (pipelines/
+    sft_dataset.py) over synthetic conversations built from the
+    documents table — gate → fingerprint dedup → per-source token
+    budget → training rows with loss spans. Rows-only by design (the
+    fingerprint is xxhash64, engine-specific); every stage is
+    oracle-checked piecewise through q_chat_validate / q_chat_spans /
+    q_dedup_lastwins / q_token_budget."""
+    from pipeline_dataengineer_spark.pipelines.sft_dataset import (
+        build_sft_dataset,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    usr = F.struct(
+        F.lit("user").alias("role"),
+        F.substring("text", 1, 80).alias("content"),
+    )
+    ast = F.struct(
+        F.lit("assistant").alias("role"),
+        F.concat(F.lit("re: "), F.substring("text", 1, 40)).alias(
+            "content"
+        ),
+    )
+    bad = F.struct(F.lit("user").alias("role"), F.lit("x").alias("content"))
+    msgs = (
+        F.when(F.col("doc_id") % 7 == 6, F.array(bad))  # invalid tail
+        .otherwise(F.array(usr, ast))
+    )
+    convs = d.select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("lang").alias("source"),
+        msgs.alias("messages"),
+    )
+    out = build_sft_dataset(
+        convs,
+        source_col="source",
+        token_budgets={"en": 5000, "fr": 2000, "de": 2000, "es": 2000, "zh": 500},
+    )
+    return out.select(
+        "conv_id", "source", "n_turns", "user_tokens", "assistant_tokens"
+    )
