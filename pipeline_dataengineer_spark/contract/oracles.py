@@ -5441,3 +5441,22 @@ SELECT k AS c_mktsegment, CAST(t AS BIGINT) AS t,
        cum_hazard, hazard_var
 FROM curve WHERE d > 0
 """
+
+
+ORACLES["q_lag_features"] = """
+WITH base AS (
+  SELECT event_id, user_id, round(value, 2) AS v FROM events
+)
+SELECT event_id, user_id, v,
+       lag(v, 1) OVER w AS lag_1,
+       lag(v, 3) OVER w AS lag_3,
+       round(v - lag(v, 1) OVER w, 6) AS diff_1,
+       round(avg(v) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS roll5_mean,
+       min(v) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS roll5_min,
+       max(v) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS roll5_max
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""

@@ -7744,3 +7744,33 @@ def q_sft_dataset(spark, sf_dir):
     return out.select(
         "conv_id", "source", "n_turns", "user_tokens", "assistant_tokens"
     )
+
+
+@query("q_lag_features")
+def q_lag_features(spark, sf_dir):
+    """Leakage-safe feature bundle (operators/feature_store.py:
+    make_lag_features): per-user lag/diff/trailing-roll features over
+    event values — every feature computable strictly before t, the
+    whole bundle one WindowExec pass. Oracle replays the identical
+    frames."""
+    from pipeline_dataengineer_spark.operators.feature_store import (
+        make_lag_features,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 2).alias("v")
+    )
+    out = make_lag_features(
+        e, ["user_id"], "event_id", "v", lags=(1, 3), roll_windows=(5,)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "v",
+        "lag_1",
+        "lag_3",
+        "diff_1",
+        "roll5_mean",
+        "roll5_min",
+        "roll5_max",
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_dataengineer_spark.operators.joins import asof_join
@@ -68,4 +68,45 @@ def build_training_matrix(
             out = out.withColumn(
                 ts_out, F.when(fresh, F.col(ts_out))
             )
+    return out
+
+
+def make_lag_features(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 7),
+    roll_windows: tuple[int, ...] = (7,),
+    round_to: int = 6,
+) -> DataFrame:
+    """The standard supervised-learning feature bundle over a keyed
+    series: per (key, t) adds lag_{k} (value k steps back), diff_1
+    (value − lag_1), and roll{w}_mean / roll{w}_min / roll{w}_max
+    over the TRAILING w rows EXCLUDING the current one (no target
+    leakage — every feature is computable strictly before t).
+
+    One shuffle on the key; every feature rides the same sorted
+    window, so the whole bundle costs exactly one WindowExec pass.
+    NULL where history is short (model code decides imputation)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    out = df
+    v = F.col(value_col)
+    for k in lags:
+        out = out.withColumn(f"lag_{k}", F.lag(v, k).over(w))
+    out = out.withColumn(
+        "diff_1", F.round(v - F.col("lag_1"), round_to)
+        if 1 in lags
+        else F.round(v - F.lag(v, 1).over(w), round_to)
+    )
+    for win in roll_windows:
+        frame = w.rowsBetween(-win, -1)
+        out = (
+            out.withColumn(
+                f"roll{win}_mean",
+                F.round(F.avg(v).over(frame), round_to),
+            )
+            .withColumn(f"roll{win}_min", F.min(v).over(frame))
+            .withColumn(f"roll{win}_max", F.max(v).over(frame))
+        )
     return out

@@ -624,3 +624,24 @@ def test_network_days_closed_form(spark):
     for i, s, e in rows:
         assert got[i] == brute(s, e), (i, got[i], brute(s, e))
     assert got[2] == 0 and got[4] == -2
+
+
+def test_make_lag_features_no_leakage(spark):
+    from pipeline_dataengineer_spark.operators.feature_store import (
+        make_lag_features,
+    )
+
+    rows = [("k", i, float(i * 10)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "key string, t long, v double")
+    out = {
+        r["t"]: r
+        for r in make_lag_features(
+            df, ["key"], "t", "v", lags=(1, 3), roll_windows=(3,)
+        ).collect()
+    }
+    assert out[1]["lag_1"] is None and out[1]["roll3_mean"] is None
+    assert out[4]["lag_1"] == 30.0 and out[4]["lag_3"] == 10.0
+    assert out[4]["diff_1"] == 10.0
+    # trailing window EXCLUDES current row: mean(10,20,30) at t=4
+    assert out[4]["roll3_mean"] == 20.0
+    assert out[7]["roll3_min"] == 40.0 and out[7]["roll3_max"] == 60.0
