@@ -7065,7 +7065,12 @@ def q_jaro(spark, sf_dir):
             F.col("b.name").alias("name_b"),
         )
     )
-    out = pairs.withColumn(
+    # spread the candidate pairs before the Arrow scorer — the block
+    # join inherits the scan's single partition and AQE's byte-based
+    # coalescing can't see the per-pair Python cost (the same hazard
+    # link_records guards internally)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = pairs.repartition(n_part, "key_a").withColumn(
         "jw", F.round(jaro_winkler("name_a", "name_b"), 6)
     )
     return out.filter(F.col("jw") >= 0.88).select(
