@@ -5460,3 +5460,31 @@ SELECT event_id, user_id, v,
 FROM base
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 """
+
+
+ORACLES["q_median_ci"] = """
+WITH base AS (
+  SELECT o_orderpriority AS k,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS v
+  FROM orders
+), ranked AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM base
+), tagged AS (
+  SELECT k, v, n,
+         rn = greatest(floor((n - 1.959963984540054 * sqrt(n)) / 2), 1)
+           AS is_lo,
+         rn = least(ceil((n + 1.959963984540054 * sqrt(n)) / 2) + 1, n)
+           AS is_hi,
+         rn BETWEEN floor((n + 1) / 2.0) AND ceil((n + 1) / 2.0)
+           AS is_med
+  FROM ranked
+)
+SELECT k AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+       round(avg(CASE WHEN is_med THEN v END), 2) AS median,
+       round(max(CASE WHEN is_lo THEN v END), 2) AS ci_lo,
+       round(max(CASE WHEN is_hi THEN v END), 2) AS ci_hi
+FROM tagged GROUP BY k
+"""

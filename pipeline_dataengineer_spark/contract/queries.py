@@ -7779,3 +7779,25 @@ def q_lag_features(spark, sf_dir):
         "roll5_min",
         "roll5_max",
     )
+
+
+@query("q_median_ci")
+def q_median_ci(spark, sf_dir):
+    """Distribution-free median CI (operators/robust.py:median_ci):
+    per-priority order-statistic bounds on the totalprice median
+    (sign-test inversion, normal-approximated ranks) — one window
+    pass, group-sized output. Oracle replays the identical rank
+    bounds and boundary-row selection; round(2)."""
+    from pipeline_dataengineer_spark.operators.robust import median_ci
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round("o_totalprice", 2).alias("p")
+    )
+    out = median_ci(o, ["o_orderpriority"], "p")
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.round("median", 2).alias("median"),
+        F.round("ci_lo", 2).alias("ci_lo"),
+        F.round("ci_hi", 2).alias("ci_hi"),
+    )

@@ -388,3 +388,57 @@ def global_exact_quantiles(
         [(float(q), pos_to_v[p]) for q, p in sorted(ranks.items())],
         f"q double, value {df.schema[value_col].dataType.simpleString()}",
     )
+
+
+def median_ci(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    z: float = 1.959963984540054,  # 95% two-sided normal quantile
+) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN per key
+    via order statistics (the classic sign-test inversion with the
+    normal approximation for the binomial ranks):
+
+        k_lo = floor((n − z·√n) / 2),  k_hi = ceil((n + z·√n) / 2) + 1
+        CI = [x_(k_lo), x_(k_hi)]   (ranks clamped into [1, n])
+
+    No distributional assumption on the data — the interval is two
+    observed values. Returns (keys..., n, median, ci_lo, ci_hi).
+
+    Relational: rank rows per key (one window shuffle), compute the
+    rank bounds as pure column math on the per-key count, and keep
+    exactly the two boundary rows + the median via conditional
+    aggregation — one pass, group-sized output."""
+    w = Window.partitionBy(*key_cols).orderBy(value_col)
+    wk = Window.partitionBy(*key_cols)
+    v = F.col(value_col).cast("double")
+    ranked = df.select(*key_cols, v.alias("__v")).select(
+        *key_cols,
+        "__v",
+        F.row_number().over(w.orderBy("__v")).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    k_lo = F.greatest(
+        F.floor((n - F.lit(z) * F.sqrt(n)) / 2), F.lit(1)
+    )
+    k_hi = F.least(
+        F.ceil((n + F.lit(z) * F.sqrt(n)) / 2) + 1, F.col("__n")
+    )
+    med_lo = F.floor((n + 1) / 2)
+    med_hi = F.ceil((n + 1) / 2)
+    tagged = ranked.select(
+        *key_cols,
+        "__v",
+        "__n",
+        (F.col("__rn") == k_lo).alias("__is_lo"),
+        (F.col("__rn") == k_hi).alias("__is_hi"),
+        F.col("__rn").between(med_lo, med_hi).alias("__is_med"),
+    )
+    return tagged.groupBy(*key_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.avg(F.when(F.col("__is_med"), F.col("__v"))).alias("median"),
+        F.max(F.when(F.col("__is_lo"), F.col("__v"))).alias("ci_lo"),
+        F.max(F.when(F.col("__is_hi"), F.col("__v"))).alias("ci_hi"),
+    )

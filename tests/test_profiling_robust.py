@@ -365,3 +365,25 @@ def test_percentile_metadata_bound_skips_probe(spark, tmp_path):
     # flips to approx (the switch keeps firing)
     w_small = winsorize(df, "v", 0.1, 0.9, group_cols=["grp"], max_exact_rows=50)
     assert w_small.robust_audit["mode"] == "approx"
+
+
+def test_median_ci_order_statistics(spark):
+    import math
+
+    from pipeline_dataengineer_spark.operators.robust import median_ci
+
+    vals = sorted([7.0, 1.0, 9.0, 3.0, 5.0, 11.0, 13.0, 2.0, 8.0])  # n=9
+    rows = [("g", v) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double")
+    r = median_ci(df, ["k"], "v").collect()[0]
+    assert r["n"] == 9
+    assert r["median"] == 7.0  # the 5th order statistic
+    # hand-compute the rank bounds (z = 1.96, n = 9)
+    z = 1.959963984540054
+    k_lo = max(math.floor((9 - z * 3) / 2), 1)
+    k_hi = min(math.ceil((9 + z * 3) / 2) + 1, 9)
+    assert r["ci_lo"] == vals[k_lo - 1]
+    assert r["ci_hi"] == vals[k_hi - 1]
+    assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+    # CI bounds are OBSERVED values (distribution-free guarantee)
+    assert r["ci_lo"] in vals and r["ci_hi"] in vals
