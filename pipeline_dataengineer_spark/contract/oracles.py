@@ -5488,3 +5488,42 @@ SELECT k AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
        round(max(CASE WHEN is_hi THEN v END), 2) AS ci_hi
 FROM tagged GROUP BY k
 """
+
+
+ORACLES["q_mann_kendall"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM orders GROUP BY 1, 2
+), pairs AS (
+  SELECT a.k,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+           AS sgn
+  FROM daily a JOIN daily b
+    ON a.k = b.k AND b.d > a.d  -- (k, d) unique: date order is total
+), s AS (
+  SELECT k, sum(sgn) AS s FROM pairs GROUP BY k
+), nn AS (
+  SELECT k, count(*) AS n FROM daily GROUP BY k
+), ties AS (
+  SELECT k, sum(CASE WHEN c > 1
+                     THEN c * (c - 1) * (2 * c + 5) ELSE 0 END) AS t3
+  FROM (SELECT k, v, CAST(count(*) AS DOUBLE) AS c
+        FROM daily GROUP BY k, v)
+  GROUP BY k
+), var AS (
+  SELECT nn.k, nn.n,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(ties.t3, 0))
+           / 18.0 AS var_s
+  FROM nn LEFT JOIN ties ON nn.k = ties.k
+)
+SELECT var.k AS o_orderpriority, CAST(var.n AS BIGINT) AS n,
+       CAST(s.s AS BIGINT) AS s,
+       round(var.var_s, 6) AS var_s,
+       round(CASE WHEN var.var_s > 0 AND s.s > 0
+                  THEN (s.s - 1) / sqrt(var.var_s)
+                  WHEN var.var_s > 0 AND s.s < 0
+                  THEN (s.s + 1) / sqrt(var.var_s)
+                  ELSE 0.0 END, 6) AS z
+FROM var JOIN s ON var.k = s.k
+"""

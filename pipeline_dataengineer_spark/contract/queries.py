@@ -7801,3 +7801,33 @@ def q_median_ci(spark, sf_dir):
         F.round("ci_lo", 2).alias("ci_lo"),
         F.round("ci_hi", 2).alias("ci_hi"),
     )
+
+
+@query("q_mann_kendall")
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test (operators/stats_tests.py:
+    mann_kendall) on per-priority daily order counts — exact S via
+    vectorized sign pairs in one grouped-map pass. Oracle replays the
+    test brute-force (pair self-join, tie-corrected variance,
+    continuity-corrected z); S is integer-exact so round(6) on z is
+    safe."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        mann_kendall,
+    )
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    out = mann_kendall(daily, ["o_orderpriority"], "d", "v")
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        F.round("var_s", 6).alias("var_s"),
+        F.round("z", 6).alias("z"),
+    )

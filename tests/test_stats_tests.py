@@ -198,3 +198,24 @@ def test_benford_grouped_and_reexport(spark):
     a = sorted(benford_test(df, "amount").collect())
     b = sorted(reexport(df, "amount").collect())
     assert a == b
+
+
+def test_mann_kendall_trend_directions(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        mann_kendall,
+    )
+
+    rows = (
+        [("up", i, float(i)) for i in range(30)]
+        + [("down", i, float(-2 * i)) for i in range(30)]
+        + [("flat", i, 5.0) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {r["k"]: r for r in mann_kendall(df, ["k"], "t", "v").collect()}
+    n = 30
+    s_max = n * (n - 1) // 2
+    assert got["up"]["s"] == s_max and got["down"]["s"] == -s_max
+    assert got["up"]["z"] > 1.96 and got["down"]["z"] < -1.96
+    # all-tied series: S = 0, variance fully tie-corrected, z = 0
+    assert got["flat"]["s"] == 0 and got["flat"]["z"] == 0.0
+    assert got["flat"]["var_s"] == 0.0
