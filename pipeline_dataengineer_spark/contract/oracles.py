@@ -5527,3 +5527,24 @@ SELECT var.k AS o_orderpriority, CAST(var.n AS BIGINT) AS n,
                   ELSE 0.0 END, 6) AS z
 FROM var JOIN s ON var.k = s.k
 """
+
+
+ORACLES["q_ece"] = f"""
+WITH base AS (
+  SELECT ({_bucket_sql('c_custkey', 100)}) / 100.0 AS score,
+         CASE WHEN ({_bucket_sql('c_custkey + 7', 100)})
+                   < ({_bucket_sql('c_custkey', 100)}) + 15
+              THEN 1 ELSE 0 END AS label
+  FROM customer
+), cells AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+         count(*) AS n, avg(score) AS conf,
+         avg(CAST(label AS DOUBLE)) AS acc
+  FROM base GROUP BY 1
+), tot AS (SELECT sum(n) AS t FROM cells)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(conf, 6) AS conf, round(acc, 6) AS acc,
+       round(abs(acc - conf), 6) AS gap,
+       round(sum(n / (tot.t * 1.0) * abs(acc - conf)) OVER (), 6) AS ece
+FROM cells, tot
+"""

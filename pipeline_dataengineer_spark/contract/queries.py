@@ -7831,3 +7831,31 @@ def q_mann_kendall(spark, sf_dir):
         F.round("var_s", 6).alias("var_s"),
         F.round("z", 6).alias("z"),
     )
+
+
+@query("q_ece")
+def q_ece(spark, sf_dir):
+    """Expected Calibration Error (operators/calibration.py:
+    expected_calibration_error): a deterministic synthetic scorer
+    (score = Lehmer bucket / 100, label = score-biased threshold on a
+    second bucket) binned into the 10-bin reliability table + ECE —
+    one combinable groupBy then 10-row algebra. Oracle replays bins
+    and the weighted-gap sum."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        expected_calibration_error,
+    )
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        (portable_bucket(F.col("c_custkey"), 100) / 100.0).alias("score"),
+        (
+            portable_bucket(F.col("c_custkey") + 7, 100)
+            < portable_bucket(F.col("c_custkey"), 100) + 15
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    out = expected_calibration_error(c, "score", "label")
+    return out.select("bin", "n", "conf", "acc", "gap", "ece")

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -88,4 +88,55 @@ def isotonic_regression(
         return df.groupBy(*key_cols).applyInPandas(fit, out_schema)
     return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
         lambda p: fit(p.drop(columns="__g")), out_schema
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected Calibration Error (the standard reliability metric
+    for classifier scores): equal-WIDTH bins over [0, 1],
+    ECE = Σ_b (n_b / N) · |acc_b − conf_b|, plus the per-bin
+    reliability table callers plot. Returns one row per non-empty bin
+    (bin, n, conf, acc, gap) with ``ece`` repeated on each row (the
+    driver-friendly flat shape — take any row's ece, or plot the
+    bins).
+
+    One combinable groupBy over the facts (bin = floor(score·k)
+    clamped); everything after is k-row algebra. Scores must lie in
+    [0, 1]."""
+    from pyspark.sql import functions as F
+
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    cells = (
+        df.withColumn("__b", b)
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(s).alias("conf"),
+            F.avg(F.col(label_col).cast("double")).alias("acc"),
+        )
+    )
+    tot = cells.agg(F.sum("n").alias("__t"))
+    withe = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "gap", F.abs(F.col("acc") - F.col("conf"))
+    )
+    wk = Window.partitionBy()
+    return withe.select(
+        F.col("__b").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round("conf", round_to).alias("conf"),
+        F.round("acc", round_to).alias("acc"),
+        F.round("gap", round_to).alias("gap"),
+        F.round(
+            F.sum(F.col("n") / F.col("__t") * F.col("gap")).over(wk),
+            round_to,
+        ).alias("ece"),
     )

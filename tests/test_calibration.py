@@ -90,3 +90,32 @@ def test_isotonic_per_group_independent(spark):
     assert got[("a", 1.0)] == pytest.approx(3.0)
     assert got[("a", 2.0)] == pytest.approx(3.0)
     assert got[("b", 1.0)] == 0.0 and got[("b", 2.0)] == 9.0
+
+
+def test_ece_perfect_and_miscalibrated(spark):
+    from pipeline_dataengineer_spark.operators.calibration import (
+        expected_calibration_error,
+    )
+
+    # perfectly calibrated bins: within each bin acc == conf
+    rows = []
+    for b in range(10):
+        conf = b / 10 + 0.05
+        pos = round(conf * 100)
+        rows += [(conf, 1)] * pos + [(conf, 0)] * (100 - pos)
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = expected_calibration_error(df, "score", "label").collect()
+    ece = out[0]["ece"]
+    assert ece < 0.01  # rounding of pos only
+    assert len(out) == 10
+
+    # grossly overconfident: high scores, coin-flip labels
+    bad = spark.createDataFrame(
+        [(0.95, i % 2) for i in range(200)], "score double, label int"
+    )
+    bece = expected_calibration_error(bad, "score", "label").collect()
+    assert bece[0]["ece"] == 0.45  # |0.5 - 0.95|
+    assert bece[0]["bin"] == 9
+    # score exactly 1.0 clamps into the last bin, not bin 10
+    edge = spark.createDataFrame([(1.0, 1)], "score double, label int")
+    assert expected_calibration_error(edge, "score", "label").collect()[0]["bin"] == 9
