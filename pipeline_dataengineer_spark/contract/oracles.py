@@ -5548,3 +5548,54 @@ SELECT bin, CAST(n AS BIGINT) AS n,
        round(sum(n / (tot.t * 1.0) * abs(acc - conf)) OVER (), 6) AS ece
 FROM cells, tot
 """
+
+
+ORACLES["q_log_rank"] = f"""
+WITH subjects AS (
+  SELECT c_mktsegment AS g,
+         {_bucket_sql('c_custkey', 40)} AS t,
+         CASE WHEN ({_bucket_sql('c_custkey + 3', 10)}) < 8
+              THEN 1 ELSE 0 END AS ev
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+), cells AS (
+  SELECT g, t, sum(ev) AS d, sum(1 - ev) AS c
+  FROM subjects GROUP BY g, t
+), times AS (SELECT DISTINCT t FROM cells),
+tot AS (SELECT g, sum(d + c) AS tot FROM cells GROUP BY g),
+at_risk AS (
+  SELECT times.t, tot.g,
+         tot.tot - coalesce((
+           SELECT sum(c2.d + c2.c) FROM cells c2
+           WHERE c2.g = tot.g AND c2.t < times.t), 0) AS n_g
+  FROM times CROSS JOIN tot
+), joined AS (
+  SELECT a.t, a.g, a.n_g, coalesce(cells.d, 0) AS d
+  FROM at_risk a LEFT JOIN cells ON a.g = cells.g AND a.t = cells.t
+), wide AS (
+  SELECT t,
+         sum(CASE WHEN g = 'BUILDING' THEN d ELSE 0 END) AS d_a,
+         sum(d) AS d_t,
+         sum(CASE WHEN g = 'BUILDING' THEN n_g ELSE 0 END) AS n_a,
+         sum(n_g) AS n_t
+  FROM joined GROUP BY t HAVING sum(d) > 0
+), agg AS (
+  SELECT sum(d_a) AS o_a,
+         sum(d_t * (n_a / (n_t * 1.0))) AS e_a,
+         sum(d_a - d_t * (n_a / (n_t * 1.0))) AS num,
+         sum(CASE WHEN n_t > 1 THEN
+           d_t * (n_a / (n_t * 1.0)) * (1 - n_a / (n_t * 1.0))
+             * (n_t - d_t) / (n_t - 1.0) ELSE 0.0 END) AS var
+  FROM wide
+), sizes AS (
+  SELECT sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS n_b
+  FROM subjects
+)
+SELECT CAST(agg.o_a AS BIGINT) AS o_a, round(agg.e_a, 6) AS e_a,
+       round(CASE WHEN agg.var > 0 THEN agg.num * agg.num / agg.var
+                  END, 6) AS chi2,
+       CAST(sizes.n_a AS BIGINT) AS n_a,
+       CAST(sizes.n_b AS BIGINT) AS n_b
+FROM agg CROSS JOIN sizes
+"""

@@ -7859,3 +7859,28 @@ def q_ece(spark, sf_dir):
     )
     out = expected_calibration_error(c, "score", "label")
     return out.select("bin", "n", "conf", "acc", "gap", "ece")
+
+
+@query("q_log_rank")
+def q_log_rank(spark, sf_dir):
+    """Two-sample log-rank test (operators/survival.py:
+    log_rank_test) between BUILDING and MACHINERY customers on the
+    Lehmer-derived duration fixture — O−E and hypergeometric variance
+    accumulated over the union time grid (cells-not-facts). Oracle
+    replays the same grid arithmetic; round(6)."""
+    from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+    from pipeline_dataengineer_spark.operators.survival import log_rank_test
+
+    c = table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    subjects = c.select(
+        "c_mktsegment",
+        portable_bucket(F.col("c_custkey"), 40).alias("duration"),
+        (portable_bucket(F.col("c_custkey") + 3, 10) < 8)
+        .cast("int")
+        .alias("event"),
+    )
+    out = log_rank_test(
+        subjects, "c_mktsegment", "duration", "event",
+        "BUILDING", "MACHINERY",
+    )
+    return out.select("o_a", "e_a", "chi2", "n_a", "n_b")

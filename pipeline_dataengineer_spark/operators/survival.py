@@ -134,3 +134,101 @@ def nelson_aalen(
             "hazard_var",
         )
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox) — "do these survival
+    curves differ?", the hypothesis-test companion of kaplan_meier:
+    at each event time t, expected events in group A under H0 are
+    e_t = d_t · n_At / n_t and the variance is the hypergeometric
+    v_t = d_t · (n_At/n_t) · (1 − n_At/n_t) · (n_t − d_t)/(n_t − 1);
+    χ² = (Σ(d_At − e_t))² / Σ v_t with 1 dof. Returns one row
+    (o_a, e_a, chi2, n_a, n_b).
+
+    Same cells-not-facts shape as the estimator: one subject groupBy
+    to per-(group, time) cells, at-risk via descending cumulative
+    windows, then a one-row aggregate. Times with n_t = 1 contribute
+    zero variance (guarded division)."""
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    ev = F.col(event_col).cast("int")
+    cells = two.groupBy(
+        F.col(group_col).alias("g"), F.col(duration_col).alias("t")
+    ).agg(F.sum(ev).alias("d"), F.sum(1 - ev).alias("c"))
+    # at-risk must be evaluated on the UNION time grid: a group with
+    # no cell at time t still carries risk there, so the per-group
+    # cumulative windows alone undercount. Grid × consumed-before is
+    # a theta join, but both sides are CELL-sized (distinct times ×
+    # groups), never fact-sized.
+    times = cells.select("t").distinct()
+    per_group_tot = cells.groupBy("g").agg(
+        F.sum(F.col("d") + F.col("c")).alias("tot")
+    )
+    grid = times.crossJoin(per_group_tot)
+    consumed = cells.select(
+        "g", F.col("t").alias("t2"), (F.col("d") + F.col("c")).alias("dc")
+    )
+    at_risk = (
+        grid.join(
+            consumed,
+            (grid.g == consumed.g) & (consumed.t2 < grid.t),
+            "left",
+        )
+        .groupBy(grid.t, grid.g, "tot")
+        .agg(F.coalesce(F.sum("dc"), F.lit(0)).alias("used"))
+        .select("t", "g", (F.col("tot") - F.col("used")).alias("n_g"))
+    )
+    d_cells = cells.select("g", "t", "d")
+    joined = at_risk.join(d_cells, ["g", "t"], "left").fillna(
+        0, subset=["d"]
+    )
+    aa = F.when(F.col("g") == F.lit(group_a), 1).otherwise(0)
+    wide = joined.groupBy("t").agg(
+        F.sum(F.col("d") * aa).alias("d_a"),
+        F.sum("d").alias("d_t"),
+        F.sum(F.col("n_g") * aa).alias("n_a"),
+        F.sum("n_g").alias("n_t"),
+    ).filter(F.col("d_t") > 0)
+    p = F.col("n_a") / F.col("n_t")
+    e = F.col("d_t") * p
+    v = F.when(
+        F.col("n_t") > 1,
+        F.col("d_t")
+        * p
+        * (1 - p)
+        * (F.col("n_t") - F.col("d_t"))
+        / (F.col("n_t") - 1),
+    ).otherwise(F.lit(0.0))
+    out = wide.agg(
+        F.sum("d_a").cast("long").alias("o_a"),
+        F.round(F.sum(e), round_to).alias("e_a"),
+        F.sum(F.col("d_a") - e).alias("__num"),
+        F.sum(v).alias("__var"),
+    )
+    na_nb = two.groupBy().agg(
+        F.sum((F.col(group_col) == F.lit(group_a)).cast("long")).alias(
+            "n_a"
+        ),
+        F.sum((F.col(group_col) == F.lit(group_b)).cast("long")).alias(
+            "n_b"
+        ),
+    )
+    return out.crossJoin(F.broadcast(na_nb)).select(
+        "o_a",
+        "e_a",
+        F.round(
+            F.try_divide(
+                F.col("__num") * F.col("__num"), F.col("__var")
+            ),
+            round_to,
+        ).alias("chi2"),
+        "n_a",
+        "n_b",
+    )

@@ -74,3 +74,35 @@ def test_nelson_aalen_hand_computed(spark):
     assert out[3]["cum_hazard"] == round(0.2 + 2 / 3, 6)
     assert out[3]["hazard_var"] == round(1 / 25 + 2 / 9, 6)
     assert set(out) == {1, 3}  # censor-only times emit nothing
+
+
+def test_log_rank_hand_computed_and_identical_groups(spark):
+    from pipeline_dataengineer_spark.operators.survival import (
+        log_rank_test,
+    )
+
+    # classic small example: A events at 1, 2; B events at 3, 4;
+    # no censoring. Hand-compute O-E and V per event time.
+    rows = [("A", 1, 1), ("A", 2, 1), ("B", 3, 1), ("B", 4, 1)]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    r = log_rank_test(df, "g", "t", "ev", "A", "B").collect()[0]
+    assert r["o_a"] == 2 and r["n_a"] == 2 and r["n_b"] == 2
+    # t=1: nA=2,n=4,d=1 -> e=.5 v=(1*.5*.5*3/3)=.25
+    # t=2: nA=1,n=3,d=1 -> e=1/3 v=(1/3*2/3*2/2)=2/9
+    # t=3: nA=0,n=2,d=1 -> e=0 v=0*...=0
+    # t=4: nA=0,n=1,d=1 -> v guarded (n=1)
+    import math
+
+    e = 0.5 + 1 / 3
+    v = 0.25 + 2 / 9
+    assert abs(r["e_a"] - round(e, 6)) < 1e-9
+    want_chi2 = (2 - e) ** 2 / v
+    assert abs(r["chi2"] - round(want_chi2, 6)) < 1e-6
+
+    # identical survival in both groups: chi2 ~ 0
+    same = spark.createDataFrame(
+        [(g, t, 1) for g in ("A", "B") for t in (1, 2, 3, 4, 5)],
+        "g string, t long, ev int",
+    )
+    r2 = log_rank_test(same, "g", "t", "ev", "A", "B").collect()[0]
+    assert r2["chi2"] == 0.0
