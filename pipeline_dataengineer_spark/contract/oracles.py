@@ -5599,3 +5599,33 @@ SELECT CAST(agg.o_a AS BIGINT) AS o_a, round(agg.e_a, 6) AS e_a,
        CAST(sizes.n_b AS BIGINT) AS n_b
 FROM agg CROSS JOIN sizes
 """
+
+
+ORACLES["q_brier"] = f"""
+WITH base AS (
+  SELECT ({_bucket_sql('c_custkey', 100)}) / 100.0 AS s,
+         CAST(CASE WHEN ({_bucket_sql('c_custkey + 7', 100)})
+                   < ({_bucket_sql('c_custkey', 100)}) + 15
+              THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM customer
+), cells AS (
+  SELECT least(CAST(floor(s * 10) AS INT), 9) AS b,
+         count(*) AS n, avg(s) AS conf, avg(y) AS acc
+  FROM base GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t, avg(y) AS base,
+         avg((s - y) * (s - y)) AS bs
+  FROM base
+)
+SELECT round(max(tot.bs), 6) AS brier,
+       round(sum(n * (conf - acc) * (conf - acc) / tot.t), 6)
+         AS reliability,
+       round(sum(n * (acc - tot.base) * (acc - tot.base) / tot.t), 6)
+         AS resolution,
+       round(max(tot.base * (1 - tot.base)), 6) AS uncertainty,
+       round(max(tot.bs)
+             - (sum(n * (conf - acc) * (conf - acc) / tot.t)
+                - sum(n * (acc - tot.base) * (acc - tot.base) / tot.t)
+                + max(tot.base * (1 - tot.base))), 6) AS identity_gap
+FROM cells, tot
+"""

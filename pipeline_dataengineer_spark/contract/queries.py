@@ -7884,3 +7884,28 @@ def q_log_rank(spark, sf_dir):
         "BUILDING", "MACHINERY",
     )
     return out.select("o_a", "e_a", "chi2", "n_a", "n_b")
+
+
+@query("q_brier")
+def q_brier(spark, sf_dir):
+    """Brier score + Murphy decomposition (operators/calibration.py:
+    brier_decomposition) over the q_ece synthetic scorer — REL − RES
+    + UNC with the within-bin identity gap exposed. Two combinable
+    aggregates; oracle replays the identical algebra."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        brier_decomposition,
+    )
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        (portable_bucket(F.col("c_custkey"), 100) / 100.0).alias("score"),
+        (
+            portable_bucket(F.col("c_custkey") + 7, 100)
+            < portable_bucket(F.col("c_custkey"), 100) + 15
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return brier_decomposition(c, "score", "label")

@@ -140,3 +140,71 @@ def expected_calibration_error(
             round_to,
         ).alias("ece"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition over
+    equal-width forecast bins: BS = REL − RES + UNC, where
+    reliability REL = Σ n_b(conf_b − acc_b)²/N (calibration error,
+    lower better), resolution RES = Σ n_b(acc_b − base)²/N
+    (discrimination, higher better), and uncertainty
+    UNC = base·(1 − base) is the irreducible term. Returns ONE row
+    (brier, reliability, resolution, uncertainty, identity_gap) —
+    identity_gap is the within-bin variance the binning hides
+    (brier − (rel − res + unc)), ~0 when scores cluster at bin
+    centers. Two combinable aggregates, k-row algebra after."""
+    from pyspark.sql import functions as F
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    cells = (
+        df.withColumn("__b", b)
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(s).alias("conf"),
+            F.avg(y).alias("acc"),
+        )
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__t"),
+        F.avg(y).alias("__base"),
+        F.avg((s - y) * (s - y)).alias("__bs"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    rel = F.sum(
+        F.col("n")
+        * (F.col("conf") - F.col("acc"))
+        * (F.col("conf") - F.col("acc"))
+        / F.col("__t")
+    )
+    res = F.sum(
+        F.col("n")
+        * (F.col("acc") - F.col("__base"))
+        * (F.col("acc") - F.col("__base"))
+        / F.col("__t")
+    )
+    return j.agg(
+        F.round(F.max("__bs"), round_to).alias("brier"),
+        F.round(rel, round_to).alias("reliability"),
+        F.round(res, round_to).alias("resolution"),
+        F.round(
+            F.max(F.col("__base") * (1 - F.col("__base"))), round_to
+        ).alias("uncertainty"),
+        F.round(
+            F.max("__bs")
+            - (
+                rel
+                - res
+                + F.max(F.col("__base") * (1 - F.col("__base")))
+            ),
+            round_to,
+        ).alias("identity_gap"),
+    )

@@ -119,3 +119,35 @@ def test_ece_perfect_and_miscalibrated(spark):
     # score exactly 1.0 clamps into the last bin, not bin 10
     edge = spark.createDataFrame([(1.0, 1)], "score double, label int")
     assert expected_calibration_error(edge, "score", "label").collect()[0]["bin"] == 9
+
+
+def test_brier_decomposition_identity(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.calibration import (
+        brier_decomposition,
+    )
+
+    # scores exactly at bin centers: the Murphy identity is exact
+    rows = []
+    for b in range(10):
+        conf = b / 10 + 0.05
+        pos = round(conf * 100)
+        rows += [(conf, 1)] * pos + [(conf, 0)] * (100 - pos)
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = brier_decomposition(df, "score", "label").collect()[0]
+    assert r["identity_gap"] == pytest.approx(0.0, abs=1e-9)
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=1e-9
+    )
+    assert r["reliability"] < 0.001      # calibrated by construction
+    assert r["resolution"] > 0.05        # bins genuinely discriminate
+    # a constant base-rate forecaster: resolution exactly 0, brier=UNC
+    base = spark.createDataFrame(
+        [(0.55, i % 2) for i in range(100)], "score double, label int"
+    )
+    rb = brier_decomposition(base, "score", "label").collect()[0]
+    assert rb["resolution"] == 0.0
+    assert rb["brier"] == pytest.approx(
+        rb["uncertainty"] + rb["reliability"], abs=1e-9
+    )
