@@ -5629,3 +5629,52 @@ SELECT round(max(tot.bs), 6) AS brier,
                 + max(tot.base * (1 - tot.base))), 6) AS identity_gap
 FROM cells, tot
 """
+
+
+ORACLES["q_roc_auc"] = f"""
+WITH base AS (
+  SELECT ({_bucket_sql('c_custkey', 100)}) / 100.0 AS s,
+         CASE WHEN ({_bucket_sql('c_custkey + 7', 100)})
+                   < ({_bucket_sql('c_custkey', 100)}) + 15
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+), ranked AS (
+  SELECT y,
+         rank() OVER (ORDER BY s)
+           + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS r
+  FROM base
+), agg AS (
+  SELECT sum(CASE WHEN y = 1 THEN r END) AS rp,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+  FROM ranked
+)
+SELECT round((rp - np * (np + 1) / 2.0) / (np * 1.0 * nn), 6) AS auc,
+       round(2 * ((rp - np * (np + 1) / 2.0) / (np * 1.0 * nn)) - 1, 6)
+         AS gini,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+FROM agg
+"""
+
+ORACLES["q_avg_precision"] = f"""
+WITH base AS (
+  SELECT ({_bucket_sql('c_custkey', 100)}) / 100.0 AS s,
+         CASE WHEN ({_bucket_sql('c_custkey + 7', 100)})
+                   < ({_bucket_sql('c_custkey', 100)}) + 15
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+), ranked AS (
+  SELECT y, row_number() OVER (ORDER BY s DESC, y ASC) AS k
+  FROM base
+), prec AS (
+  SELECT y, sum(y) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / (k * 1.0) AS p
+  FROM ranked
+)
+SELECT round(sum(CASE WHEN y = 1 THEN p END)
+             / (sum(y) * 1.0), 6) AS ap,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(count(*) AS BIGINT) AS n
+FROM prec
+"""

@@ -7909,3 +7909,50 @@ def q_brier(spark, sf_dir):
         .alias("label"),
     )
     return brier_decomposition(c, "score", "label")
+
+
+@query("q_roc_auc")
+def q_roc_auc(spark, sf_dir):
+    """Exact ROC-AUC + Gini (operators/calibration.py:roc_auc) for
+    the q_ece synthetic scorer via the tie-corrected rank-sum
+    identity. Oracle replays the average-rank formula."""
+    from pipeline_dataengineer_spark.operators.calibration import roc_auc
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        (portable_bucket(F.col("c_custkey"), 100) / 100.0).alias("score"),
+        (
+            portable_bucket(F.col("c_custkey") + 7, 100)
+            < portable_bucket(F.col("c_custkey"), 100) + 15
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return roc_auc(c, "score", "label")
+
+
+@query("q_avg_precision")
+def q_avg_precision(spark, sf_dir):
+    """Average Precision (operators/calibration.py:
+    average_precision) for the same scorer — step-interpolated AP
+    with the pessimistic tie-break (positives after negatives at
+    equal scores), so the cut is deterministic cross-engine."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        average_precision,
+    )
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        (portable_bucket(F.col("c_custkey"), 100) / 100.0).alias("score"),
+        (
+            portable_bucket(F.col("c_custkey") + 7, 100)
+            < portable_bucket(F.col("c_custkey"), 100) + 15
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return average_precision(c, "score", "label")

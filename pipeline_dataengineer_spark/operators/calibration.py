@@ -208,3 +208,96 @@ def brier_decomposition(
             round_to,
         ).alias("identity_gap"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC via the rank-sum identity (probabilistic
+    interpretation: P(score⁺ > score⁻) + ½P(tie)), tie-handled with
+    average ranks — identical to trapezoidal ROC integration:
+    AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻). One pooled rank window
+    + one aggregate; returns (auc, gini, n_pos, n_neg).
+
+    The unkeyed rank window is a single-task sort — the honest exact
+    cost of a global order statistic (same story as a global median).
+    For billion-row scoring sets use the distributed two-phase rank
+    (operators/order.py:global_row_index) or a binned approximation;
+    this exact form is for evaluation-sized data."""
+    from pyspark.sql import functions as F
+
+    y = F.col(label_col).cast("int")
+    w = Window.orderBy("__s")
+    ranked = df.select(
+        y.alias("__y"), F.col(score_col).cast("double").alias("__s")
+    ).select(
+        "__y",
+        (
+            F.rank().over(w)
+            + (
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("__s")
+                )
+                - 1
+            )
+            / 2.0
+        ).alias("__r"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__rp"),
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("n_neg"),
+    )
+    auc = F.try_divide(
+        F.col("__rp")
+        - F.col("n_pos").cast("double")
+        * (F.col("n_pos") + 1)
+        / 2.0,
+        F.col("n_pos").cast("double") * F.col("n_neg"),
+    )
+    return agg.select(
+        F.round(auc, round_to).alias("auc"),
+        F.round(2 * auc - 1, round_to).alias("gini"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Average Precision (the area under the precision-recall curve,
+    step-interpolated the sklearn way): rank by score DESCENDING with
+    a deterministic label tie-break (positives after negatives at
+    equal scores — the PESSIMISTIC convention, so ties never inflate
+    AP), then AP = Σ_{hits k} precision@k / n_pos. One window pass +
+    one aggregate; returns (ap, n_pos, n)."""
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.col("__s").desc(), F.col("__y").asc())
+    ranked = df.select(
+        F.col(label_col).cast("int").alias("__y"),
+        F.col(score_col).cast("double").alias("__s"),
+    ).select(
+        "__y",
+        F.row_number().over(w).alias("__k"),
+    )
+    wk = Window.orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)
+    prec_at_k = F.sum("__y").over(wk) / F.col("__k")
+    scored = ranked.withColumn(
+        "__p", F.when(F.col("__y") == 1, prec_at_k)
+    )
+    return scored.agg(
+        F.round(
+            F.try_divide(F.sum("__p"), F.sum("__y").cast("double")),
+            round_to,
+        ).alias("ap"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).alias("n"),
+    )

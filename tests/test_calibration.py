@@ -151,3 +151,38 @@ def test_brier_decomposition_identity(spark):
     assert rb["brier"] == pytest.approx(
         rb["uncertainty"] + rb["reliability"], abs=1e-9
     )
+
+
+def test_roc_auc_and_ap(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.calibration import (
+        average_precision,
+        roc_auc,
+    )
+
+    # perfect separation
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+    )
+    r = roc_auc(perfect, "s", "y").collect()[0]
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+    assert average_precision(perfect, "s", "y").collect()[0]["ap"] == 1.0
+
+    # known mixed case: scores .9(+) .8(-) .7(+) .6(-)
+    mixed = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0)], "s double, y int"
+    )
+    rm = roc_auc(mixed, "s", "y").collect()[0]
+    assert rm["auc"] == 0.75  # 3 of 4 pos-neg pairs correctly ordered
+    ap = average_precision(mixed, "s", "y").collect()[0]["ap"]
+    assert ap == pytest.approx(round((1.0 + 2 / 3) / 2, 6))
+
+    # all-tied scores: AUC exactly 0.5 via average ranks
+    tied = spark.createDataFrame(
+        [(0.5, 1)] * 3 + [(0.5, 0)] * 5, "s double, y int"
+    )
+    assert roc_auc(tied, "s", "y").collect()[0]["auc"] == 0.5
+    # single-class input: NULL metrics, no division error
+    ones = spark.createDataFrame([(0.5, 1)] * 3, "s double, y int")
+    assert roc_auc(ones, "s", "y").collect()[0]["auc"] is None
