@@ -487,6 +487,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "Window", "CartesianProduct"],
     ),
+    # calibration family: combinable bin aggregates; the only BNLJ is
+    # the 1-row totals broadcast.
+    "q_ece": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
+    "q_brier": (["HashAggregate"], ["SortMergeJoin", "Window"]),
+    # Mann-Kendall: grouped-map with the key spread surviving AQE.
+    "q_mann_kendall": (
+        ["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
+        ["SortMergeJoin"],
+    ),
+    # median CI: one ranked-window pass then a combinable aggregate —
+    # never a self-join of the facts.
+    "q_median_ci": (["Window", "HashAggregate"], ["Join"]),
 }
 
 
