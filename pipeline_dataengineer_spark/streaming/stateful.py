@@ -225,3 +225,59 @@ def rate_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average carried ACROSS
+    micro-batches — the streaming twin of the batch
+    timeseries.ewma (adjust=False recursion, identical operand
+    order, so a drained stream matches the batch operator on the
+    same data; pytest-proven). Events are folded in event-time order
+    within a batch (ties by value for determinism); emits one row
+    per INPUT event with the post-update ewma.
+
+    State per key = (ewma, last_ts_ms): two scalars. Late events
+    (before the carried last_ts) still fold — at-least-once
+    semantics; pair with dropDuplicatesWithinWatermark upstream for
+    exactly-once inputs."""
+    out_schema = (
+        f"{key_col} bigint, {ts_col} timestamp, "
+        f"{value_col} double, ewma double"
+    )
+    state_schema = "e double, last_ms bigint"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            e, last_ms = state.get
+        else:
+            e, last_ms = None, None
+        rows = []
+        events = []
+        for pdf in pdfs:
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if not pd.isna(v):
+                    events.append((ts, float(v)))
+        events.sort(key=lambda t: (t[0].value, t[1]))
+        for ts, v in events:
+            e = v if e is None else alpha * v + (1.0 - alpha) * e
+            last_ms = int(ts.value // 1_000_000)
+            rows.append((key[0], ts, v, e))
+        if e is not None:
+            state.update((float(e), last_ms))
+        yield pd.DataFrame(
+            rows, columns=[key_col, ts_col, value_col, "ewma"]
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

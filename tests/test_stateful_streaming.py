@@ -346,3 +346,62 @@ def test_rate_limit_token_bucket_across_batches(spark, tmp_path):
     admitted = [r["admitted"] for r in u1 if r["ts"] is not None]
     assert admitted == [True, False]
     assert [r["admitted"] for r in u1 if r["ts"] is None] == [False]
+
+
+def test_streaming_ewma_matches_batch_across_drains(spark, tmp_path):
+    """streaming_ewma over two checkpointed drains equals the batch
+    ewma over the concatenated data — state carries the recursion."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.timeseries import ewma
+    from pipeline_dataengineer_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def run():
+        def collect(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        q = (
+            streaming_ewma(spark.readStream.schema(schema).json(str(src)))
+            .writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b0 = [{"user_id": 1, "ts": f"2024-01-01T00:00:0{i}", "value": float(10 * i)}
+          for i in range(3)]
+    b1 = [{"user_id": 1, "ts": f"2024-01-01T00:01:0{i}", "value": float(5 * i)}
+          for i in range(3)]
+    _write(src, "b0.json", b0)
+    run()
+    _write(src, "b1.json", b1)
+    run()
+
+    batch = spark.createDataFrame(
+        [(1, r["ts"], r["value"]) for r in b0 + b1],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+    want = {
+        (r["user_id"], r["ts"]): r["ewma"]
+        for r in ewma(batch, ["user_id"], "ts", "value").collect()
+    }
+    got = {(r["user_id"], r["ts"]): r["ewma"] for r in collected}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
