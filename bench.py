@@ -185,6 +185,12 @@ HEADLINE = [
     "q_dataset_card",
     "q_shapley_attr",
     "q_merge_intervals",
+    # round 4 fourth batch
+    "q_kn_ppl",
+    "q_generalize_dates",
+    "q_mann_kendall",
+    "q_grouped_ols",
+    "q_jaro",
 ]
 
 
