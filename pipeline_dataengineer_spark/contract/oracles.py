@@ -5678,3 +5678,15 @@ SELECT round(sum(CASE WHEN y = 1 THEN p END)
        CAST(count(*) AS BIGINT) AS n
 FROM prec
 """
+
+
+ORACLES["q_tiff"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 6 <> 5
+            THEN CAST(doc_id % 500 + 1 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 6 <> 5 THEN 480 END AS height,
+       CASE WHEN doc_id % 6 <> 5 THEN 'Scanner Co' END AS make,
+       CAST(NULL AS INTEGER) AS orientation,
+       CAST(NULL AS VARCHAR) AS taken_at
+FROM documents
+"""

@@ -7956,3 +7956,58 @@ def q_avg_precision(spark, sf_dir):
         .alias("label"),
     )
     return average_precision(c, "score", "label")
+
+
+def _tiff_template() -> tuple[bytes, bytes]:
+    """Little-endian standalone TIFF with a 2-byte hole for the
+    per-row width SHORT: header + 3-entry IFD (width, height, make)."""
+    import struct
+
+    def u16(v):
+        return struct.pack("<H", v)
+
+    def u32(v):
+        return struct.pack("<I", v)
+
+    make = b"Scanner Co\x00"
+
+    def entry(tag, typ, cnt, val4):
+        return u16(tag) + u16(typ) + u32(cnt) + val4
+
+    pre = (
+        b"II" + u16(42) + u32(8)
+        + u16(3)
+        + u16(256) + u16(3) + u32(1)  # width entry head; 2-byte hole next
+    )
+    post = (
+        b"\x00\x00"  # SHORT pad
+        + entry(257, 4, 1, u32(480))
+        + entry(271, 2, len(make), u32(50))
+        + u32(0)
+        + make
+    )
+    return pre, post
+
+
+@query("q_tiff")
+def q_tiff(spark, sf_dir):
+    """REAL standalone-TIFF parsing, hash-checked (multimodal/
+    media.py:tiff_metadata): per-row width planted into the IFD
+    SHORT in column space, recovered by walking the structure; every
+    6th row is a non-TIFF blob and must come back NULL."""
+    from pipeline_dataengineer_spark.multimodal.media import tiff_metadata
+
+    pre, post = _tiff_template()
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    width = (F.col("doc_id") % 500 + 1).cast("int")
+    # little-endian SHORT: low byte then high byte
+    lo = F.unhex(F.lpad(F.hex(width % 256), 2, "0"))
+    hi = F.unhex(F.lpad(F.hex(F.floor(width / 256).cast("int")), 2, "0"))
+    good = F.concat(F.lit(pre), lo, hi, F.lit(post))
+    payload = F.when(
+        F.col("doc_id") % 6 == 5, F.lit(b"GIF89a not tiff")
+    ).otherwise(good)
+    out = tiff_metadata(d.withColumn("payload", payload))
+    return out.select(
+        "doc_id", "width", "height", "make", "orientation", "taken_at"
+    )

@@ -1219,3 +1219,102 @@ def id3_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pdf.assign(**cols)
 
     return df.mapInPandas(op, out_schema)
+
+
+_TIFF_TAGS = {
+    256: ("width", "int"),
+    257: ("height", "int"),
+    271: ("make", "str"),
+    272: ("model", "str"),
+    274: ("orientation", "int"),
+    306: ("datetime", "str"),
+}
+
+
+def _parse_tiff(payload: bytes) -> dict:
+    """Parse a STANDALONE TIFF file's IFD0 (the same TIFF structure
+    _parse_exif walks inside a JPEG's APP1, but the file IS the TIFF
+    stream): byte order, magic 42, first IFD; inline-or-offset ASCII
+    and SHORT/LONG values for the classic dimension/camera tags.
+    Raises on non-TIFF."""
+    if payload[:2] == b"II":
+        bo = "little"
+    elif payload[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF")
+
+    def u16(off):
+        return int.from_bytes(payload[off : off + 2], bo)
+
+    def u32(off):
+        return int.from_bytes(payload[off : off + 4], bo)
+
+    if u16(2) != 42:
+        raise ValueError("bad TIFF magic")
+    out: dict = {}
+    ifd = u32(4)
+    n = u16(ifd)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        spec = _TIFF_TAGS.get(tag)
+        if spec is None:
+            continue
+        name, kind = spec
+        size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        voff = e + 8 if size * cnt <= 4 else u32(e + 8)
+        if typ == 2 and kind == "str":
+            raw = payload[voff : voff + cnt]
+            out[name] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 3:
+            out[name] = u16(voff)
+        elif typ == 4:
+            out[name] = u32(voff)
+    if not out:
+        raise ValueError("no known TIFF tags")
+    return out
+
+
+def tiff_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Standalone-TIFF payload → (width, height, make, model,
+    orientation, taken_at) via mapInPandas — the .tif sibling of
+    exif_metadata (scanner/geo exports ship as bare TIFF, no JPEG
+    wrapper). Map-side, no imaging lib; non-TIFF rows get NULLs."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("make", T.StringType(), True),
+            T.StructField("model", T.StringType(), True),
+            T.StructField("orientation", T.IntegerType(), True),
+            T.StructField("taken_at", T.StringType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in ("width", "height", "make", "model",
+                          "orientation", "taken_at")
+            }
+            for payload in pdf[payload_col]:
+                try:
+                    t = _parse_tiff(payload)
+                except Exception:
+                    t = {}
+                cols["width"].append(t.get("width"))
+                cols["height"].append(t.get("height"))
+                cols["make"].append(t.get("make"))
+                cols["model"].append(t.get("model"))
+                cols["orientation"].append(t.get("orientation"))
+                cols["taken_at"].append(t.get("datetime"))
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(op, out_schema)

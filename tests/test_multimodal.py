@@ -792,3 +792,34 @@ def test_pdf_text_extract_flate_and_hex(spark):
     # FlateDecode + TJ array + octal escape + hex string all decode
     assert got[2]["pdf_text"] == "Kerned pair Hex!"
     assert got[3]["pdf_text"] is None and got[4]["n_text_chars"] is None
+
+
+def test_tiff_metadata_both_orders(spark):
+    import struct
+
+    from pipeline_dataengineer_spark.multimodal.media import tiff_metadata
+
+    def make_tiff(bo="II", w=640, h=480):
+        lt = bo == "II"
+        u16 = lambda v: struct.pack("<H" if lt else ">H", v)
+        u32 = lambda v: struct.pack("<I" if lt else ">I", v)
+        make = b"Scanner Co\x00"
+        entry = lambda tag, typ, cnt, val4: u16(tag) + u16(typ) + u32(cnt) + val4
+        ifd = u16(3)
+        ifd += entry(256, 3, 1, u16(w) + b"\x00\x00")
+        ifd += entry(257, 4, 1, u32(h))
+        ifd += entry(271, 2, len(make), u32(50))
+        ifd += u32(0)
+        return (b"II" if lt else b"MM") + u16(42) + u32(8) + ifd + make
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_tiff("II"))),
+         (2, bytearray(make_tiff("MM", 100, 200))),
+         (3, bytearray(b"not tiff"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in tiff_metadata(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[1]["make"] == "Scanner Co"
+    assert (got[2]["width"], got[2]["height"]) == (100, 200)
+    assert got[3]["width"] is None
