@@ -5690,3 +5690,47 @@ SELECT doc_id,
        CAST(NULL AS VARCHAR) AS taken_at
 FROM documents
 """
+
+
+# q_rate_limit_replay: recursive replay of the token bucket —
+# identical operand order (refill = tokens + delta_ms/1000*rate,
+# clamp to capacity, conditional -1). Events' ns timestamps truncate
+# to ms identically in both engines.
+ORACLES["q_rate_limit_replay"] = """
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), rec(user_id, i, event_id, admitted, tokens, last_ms) AS (
+  SELECT user_id, i, event_id,
+         TRUE, CAST(4.0 AS DOUBLE), ms
+  FROM seq WHERE i = 0
+  UNION ALL
+  SELECT s.user_id, s.i, s.event_id,
+         least(CAST(5.0 AS DOUBLE), r.tokens
+               + CASE WHEN s.ms > r.last_ms
+                 THEN CAST(s.ms - r.last_ms AS DOUBLE) / 1000.0 * 0.001
+                 ELSE CAST(0 AS DOUBLE) END) >= 1.0 AS admitted,
+         CASE WHEN least(CAST(5.0 AS DOUBLE), r.tokens
+                   + CASE WHEN s.ms > r.last_ms
+                     THEN CAST(s.ms - r.last_ms AS DOUBLE)
+                          / 1000.0 * 0.001
+                     ELSE CAST(0 AS DOUBLE) END) >= 1.0
+              THEN least(CAST(5.0 AS DOUBLE), r.tokens
+                   + CASE WHEN s.ms > r.last_ms
+                     THEN CAST(s.ms - r.last_ms AS DOUBLE)
+                          / 1000.0 * 0.001
+                     ELSE CAST(0 AS DOUBLE) END) - 1.0
+              ELSE least(CAST(5.0 AS DOUBLE), r.tokens
+                   + CASE WHEN s.ms > r.last_ms
+                     THEN CAST(s.ms - r.last_ms AS DOUBLE)
+                          / 1000.0 * 0.001
+                     ELSE CAST(0 AS DOUBLE) END)
+         END AS tokens,
+         greatest(r.last_ms, s.ms) AS last_ms
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT event_id, user_id, admitted, round(tokens, 6) AS tokens_left
+FROM rec
+"""

@@ -8011,3 +8011,31 @@ def q_tiff(spark, sf_dir):
     return out.select(
         "doc_id", "width", "height", "make", "orientation", "taken_at"
     )
+
+
+@query("q_rate_limit_replay")
+def q_rate_limit_replay(spark, sf_dir):
+    """Token-bucket quota replay (operators/incremental.py:
+    rate_limit_replay — the batch twin of streaming/stateful.py:
+    rate_limit): per-user admission decisions over the event stream
+    at capacity 5, refill 0.001/s. The recursive-CTE oracle replays
+    the clamp/decrement recursion with identical IEEE754 operand
+    order, hash-checking the rate-limiter SEMANTICS the streaming
+    operator shares."""
+    from pipeline_dataengineer_spark.operators.incremental import (
+        rate_limit_replay,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("t")
+    )
+    out = rate_limit_replay(
+        e, ["user_id"], "t", capacity=5, refill_per_sec=0.001,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "admitted",
+        F.round("tokens_left", 6).alias("tokens_left"),
+    )

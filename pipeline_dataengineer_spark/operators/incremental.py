@@ -276,3 +276,76 @@ def maintain_join_view(
     Spark equi-join layout); ``view_old`` must carry that layout."""
     delta = incremental_join_delta(a_old, a_delta, b_old, b_delta, on)
     return view_old.unionByName(delta)
+
+
+def rate_limit_replay(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    capacity: int = 10,
+    refill_per_sec: float = 1.0,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch replay of the streaming token-bucket rate limiter
+    (streaming/stateful.py:rate_limit) — same recursion, same operand
+    order, for backfill what-if analysis ("how many requests WOULD
+    have been throttled under this quota?") and for hash-checking the
+    streaming operator's semantics against a SQL oracle. Adds
+    (admitted, tokens_left) per event; NULL timestamps are throttled
+    outright. Genuine recursion (clamp + conditional decrement) → the
+    sanctioned grouped-map path, one key shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        _spread_by_key,
+    )
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("admitted", T.BooleanType()),
+            T.StructField("tokens_left", T.DoubleType()),
+        ]
+    )
+    cap, rate = float(capacity), float(refill_per_sec)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf[ts_col]
+        # NULL timestamps first with the batch-entry token level —
+        # matching the streaming twin's emission order exactly
+        tb = list(tiebreak_cols or [])
+        pdf = pdf.assign(__null=order.isna()).sort_values(
+            ["__null", ts_col, *tb],
+            ascending=[False] + [True] * (1 + len(tb)),
+            kind="mergesort",
+        )
+        tokens = cap
+        last_ms = None
+        adm, left = [], []
+        for ts, isnull in zip(pdf[ts_col], pdf["__null"]):
+            if isnull:
+                adm.append(False)
+                left.append(float(tokens))
+                continue
+            ms = int(ts.value // 1_000_000)
+            if last_ms is not None and ms > last_ms:
+                tokens = min(cap, tokens + (ms - last_ms) / 1000.0 * rate)
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+            if tokens >= 1.0:
+                tokens -= 1.0
+                adm.append(True)
+            else:
+                adm.append(False)
+            left.append(float(tokens))
+        pdf["admitted"] = adm
+        pdf["tokens_left"] = left
+        return pdf.drop(columns="__null")
+
+    return (
+        _spread_by_key(df, key_cols)
+        .groupBy(*key_cols)
+        .applyInPandas(fn, schema=schema_out)
+    )

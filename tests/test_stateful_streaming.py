@@ -405,3 +405,60 @@ def test_streaming_ewma_matches_batch_across_drains(spark, tmp_path):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_rate_limit_replay_matches_streaming(spark, tmp_path):
+    """The batch token-bucket replay and the streaming rate limiter
+    agree decision-for-decision over the same (single-drain) data."""
+    from pipeline_dataengineer_spark.operators.incremental import (
+        rate_limit_replay,
+    )
+    from pipeline_dataengineer_spark.streaming.stateful import rate_limit
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = (
+        [{"user_id": 1, "ts": f"2024-01-01T00:00:0{i}.00{i}"} for i in range(5)]
+        + [{"user_id": 1, "ts": "2024-01-01T00:00:09.500"}]
+        + [{"user_id": 2, "ts": "2024-01-01T00:00:01"}]
+    )
+    _write(src, "b0.json", rows)
+
+    collected = []
+
+    def collect(batch_df, epoch_id):
+        collected.extend(batch_df.collect())
+
+    q = (
+        rate_limit(
+            spark.readStream.schema(schema).json(str(src)),
+            capacity=3, refill_per_sec=0.5,
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts"]) for r in rows], "user_id long, ts string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"))
+    replay = rate_limit_replay(
+        batch, ["user_id"], "ts", capacity=3, refill_per_sec=0.5
+    ).collect()
+
+    skey = {(r["user_id"], r["ts"]): (r["admitted"], r["tokens_left"])
+            for r in collected}
+    bkey = {(r["user_id"], r["ts"]): (r["admitted"], r["tokens_left"])
+            for r in replay}
+    assert skey == bkey and len(skey) == len(rows)
