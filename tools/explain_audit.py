@@ -499,6 +499,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # median CI: one ranked-window pass then a combinable aggregate —
     # never a self-join of the facts.
     "q_median_ci": (["Window", "HashAggregate"], ["Join"]),
+    # media parsing stays map-side.
+    "q_tiff": (["MapInPandas"], ["Exchange", "Join"]),
+    # rate-limit replay: grouped-map recursion with the key spread.
+    "q_rate_limit_replay": (
+        ["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
+        ["Window", "SortMergeJoin"],
+    ),
 }
 
 
