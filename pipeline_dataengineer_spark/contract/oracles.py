@@ -5734,3 +5734,24 @@ WITH RECURSIVE seq AS (
 SELECT event_id, user_id, admitted, round(tokens, 6) AS tokens_left
 FROM rec
 """
+
+
+ORACLES["q_trimmed_mean"] = """
+WITH ranked AS (
+  SELECT o_orderpriority AS k,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(o_totalprice, 2)
+                                          AS DOUBLE)) AS r,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT k AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN r > floor(n * 0.1)
+                      AND r <= n - floor(n * 0.1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+       round(avg(CASE WHEN r > floor(n * 0.1)
+                       AND r <= n - floor(n * 0.1)
+                 THEN v END), 6) AS trimmed_mean
+FROM ranked GROUP BY k
+"""

@@ -8039,3 +8039,16 @@ def q_rate_limit_replay(spark, sf_dir):
         "admitted",
         F.round("tokens_left", 6).alias("tokens_left"),
     )
+
+
+@query("q_trimmed_mean")
+def q_trimmed_mean(spark, sf_dir):
+    """10% symmetric trimmed mean of order totals per priority
+    (operators/robust.py:trimmed_mean) — rank-based interior average,
+    one window pass. Oracle replays the identical rank cut."""
+    from pipeline_dataengineer_spark.operators.robust import trimmed_mean
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round("o_totalprice", 2).alias("p")
+    )
+    return trimmed_mean(o, ["o_orderpriority"], "p", trim=0.1)

@@ -442,3 +442,44 @@ def median_ci(
         F.max(F.when(F.col("__is_lo"), F.col("__v"))).alias("ci_lo"),
         F.max(F.when(F.col("__is_hi"), F.col("__v"))).alias("ci_hi"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    trim: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Symmetric trimmed mean per key — the robust location estimate
+    between the mean (trim=0) and the median (trim→0.5): drop the
+    lowest and highest ``trim`` fraction BY RANK and average the
+    interior. Returns (keys..., n, n_used, trimmed_mean).
+
+    Rank-based (not value-threshold-based like winsorize), so heavy
+    ties at the cut behave deterministically: ranks r in
+    (floor(n·trim), n − floor(n·trim)] survive. One window pass +
+    one combinable aggregate."""
+    if not 0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(value_col).cast("double")
+    )
+    wk = Window.partitionBy(*key_cols)
+    ranked = df.select(
+        *key_cols, F.col(value_col).cast("double").alias("__v")
+    ).select(
+        *key_cols,
+        "__v",
+        F.row_number().over(w.orderBy("__v")).alias("__r"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    k = F.floor(F.col("__n") * F.lit(float(trim)))
+    keep = (F.col("__r") > k) & (F.col("__r") <= F.col("__n") - k)
+    return ranked.groupBy(*key_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(keep.cast("long")).alias("n_used"),
+        F.round(
+            F.avg(F.when(keep, F.col("__v"))), round_to
+        ).alias("trimmed_mean"),
+    )

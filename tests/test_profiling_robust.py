@@ -387,3 +387,22 @@ def test_median_ci_order_statistics(spark):
     assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
     # CI bounds are OBSERVED values (distribution-free guarantee)
     assert r["ci_lo"] in vals and r["ci_hi"] in vals
+
+
+def test_trimmed_mean_interior_average(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.robust import trimmed_mean
+
+    # 10 values with two wild outliers; 10% trim drops exactly the
+    # min and max
+    vals = [1000.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, -1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    r = trimmed_mean(df, ["k"], "v", trim=0.1).collect()[0]
+    assert r["n"] == 10 and r["n_used"] == 8
+    assert r["trimmed_mean"] == round(sum(range(2, 10)) / 8, 6)
+    # trim=0 is the plain mean
+    r0 = trimmed_mean(df, ["k"], "v", trim=0.0).collect()[0]
+    assert r0["n_used"] == 10
+    with pytest.raises(ValueError):
+        trimmed_mean(df, ["k"], "v", trim=0.5)
