@@ -5755,3 +5755,46 @@ SELECT k AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
                  THEN v END), 6) AS trimmed_mean
 FROM ranked GROUP BY k
 """
+
+
+ORACLES["q_two_proportion"] = """
+WITH agg AS (
+  SELECT sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0 END)
+           AS n_a,
+         sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1.0 ELSE 0 END)
+           AS n_b,
+         sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0
+                  THEN 1.0 ELSE 0 END) AS x_a,
+         sum(CASE WHEN c_mktsegment = 'MACHINERY' AND c_acctbal > 0
+                  THEN 1.0 ELSE 0 END) AS x_b
+  FROM customer
+), d AS (
+  SELECT n_a, n_b, x_a / n_a AS p_a, x_b / n_b AS p_b,
+         (x_a + x_b) / (n_a + n_b) AS pool,
+         1.959963984540054 AS z95,
+         1.959963984540054 * 1.959963984540054 AS z2
+  FROM agg
+)
+SELECT round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+       round((p_a - p_b) / p_b, 6) AS lift,
+       round((p_a - p_b)
+             / sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b)), 6) AS z,
+       round((p_a + z2 / (2 * n_a)) / (1 + z2 / n_a)
+             - z95 * sqrt(p_a * (1 - p_a) / n_a
+                          + z2 / (4 * n_a * n_a)) / (1 + z2 / n_a), 6)
+         AS ci_a_lo,
+       round((p_a + z2 / (2 * n_a)) / (1 + z2 / n_a)
+             + z95 * sqrt(p_a * (1 - p_a) / n_a
+                          + z2 / (4 * n_a * n_a)) / (1 + z2 / n_a), 6)
+         AS ci_a_hi,
+       round((p_b + z2 / (2 * n_b)) / (1 + z2 / n_b)
+             - z95 * sqrt(p_b * (1 - p_b) / n_b
+                          + z2 / (4 * n_b * n_b)) / (1 + z2 / n_b), 6)
+         AS ci_b_lo,
+       round((p_b + z2 / (2 * n_b)) / (1 + z2 / n_b)
+             + z95 * sqrt(p_b * (1 - p_b) / n_b
+                          + z2 / (4 * n_b * n_b)) / (1 + z2 / n_b), 6)
+         AS ci_b_hi,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM d
+"""

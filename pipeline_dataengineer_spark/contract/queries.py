@@ -8052,3 +8052,21 @@ def q_trimmed_mean(spark, sf_dir):
         "o_orderpriority", F.round("o_totalprice", 2).alias("p")
     )
     return trimmed_mean(o, ["o_orderpriority"], "p", trim=0.1)
+
+
+@query("q_two_proportion")
+def q_two_proportion(spark, sf_dir):
+    """Conversion A/B read-out (operators/stats_tests.py:
+    two_proportion_test): BUILDING vs MACHINERY customers'
+    positive-balance rate — pooled z plus per-arm Wilson CIs, one
+    combinable aggregate. Oracle replays the identical algebra."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        two_proportion_test,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment", (F.col("c_acctbal") > 0).cast("int").alias("conv")
+    )
+    return two_proportion_test(
+        c, "c_mktsegment", "conv", "BUILDING", "MACHINERY"
+    )

@@ -434,3 +434,61 @@ def mann_kendall(
     return _spread_by_key(df, key_cols).groupBy(*key_cols).applyInPandas(
         fn, schema=schema_out
     )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test + Wilson score intervals — the
+    conversion-rate A/B read-out: one row with (p_a, p_b, lift,
+    z, ci_a_lo, ci_a_hi, ci_b_lo, ci_b_hi, n_a, n_b). z uses the
+    pooled-variance form; the per-arm CIs are Wilson (never escape
+    [0,1], sane at small n — the practitioner default over Wald).
+    ONE combinable aggregate over the facts; all algebra on the
+    1-row result."""
+    z95 = 1.959963984540054
+    s = F.col(success_col).cast("double")
+    is_a = (F.col(group_col) == F.lit(group_a)).cast("double")
+    is_b = (F.col(group_col) == F.lit(group_b)).cast("double")
+    agg = df.agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(is_b).alias("n_b"),
+        F.sum(s * is_a).alias("x_a"),
+        F.sum(s * is_b).alias("x_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    p_a = F.col("x_a") / n_a
+    p_b = F.col("x_b") / n_b
+    pool = (F.col("x_a") + F.col("x_b")) / (n_a + n_b)
+    se = F.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    zstat = F.try_divide(p_a - p_b, se)
+
+    def wilson(p, n):
+        z2 = z95 * z95
+        center = (p + z2 / (2 * n)) / (1 + z2 / n)
+        half = (
+            F.lit(z95)
+            * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+            / (1 + z2 / n)
+        )
+        return center - half, center + half
+
+    a_lo, a_hi = wilson(p_a, n_a)
+    b_lo, b_hi = wilson(p_b, n_b)
+    return agg.select(
+        F.round(p_a, round_to).alias("p_a"),
+        F.round(p_b, round_to).alias("p_b"),
+        F.round(F.try_divide(p_a - p_b, p_b), round_to).alias("lift"),
+        F.round(zstat, round_to).alias("z"),
+        F.round(a_lo, round_to).alias("ci_a_lo"),
+        F.round(a_hi, round_to).alias("ci_a_hi"),
+        F.round(b_lo, round_to).alias("ci_b_lo"),
+        F.round(b_hi, round_to).alias("ci_b_hi"),
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+    )

@@ -219,3 +219,31 @@ def test_mann_kendall_trend_directions(spark):
     # all-tied series: S = 0, variance fully tie-corrected, z = 0
     assert got["flat"]["s"] == 0 and got["flat"]["z"] == 0.0
     assert got["flat"]["var_s"] == 0.0
+
+
+def test_two_proportion_wilson(spark):
+    import math
+
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        two_proportion_test,
+    )
+
+    rows = [("A", 1)] * 60 + [("A", 0)] * 40 + [("B", 1)] * 50 + [("B", 0)] * 50
+    df = spark.createDataFrame(rows, "g string, conv int")
+    r = two_proportion_test(df, "g", "conv", "A", "B").collect()[0]
+    assert r["p_a"] == 0.6 and r["p_b"] == 0.5
+    assert r["lift"] == pytest.approx(0.2)
+    pool = 110 / 200
+    z = (0.6 - 0.5) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r["z"] == pytest.approx(round(z, 6))
+    # Wilson interval stays inside [0,1] and brackets the estimate
+    assert 0 < r["ci_a_lo"] < 0.6 < r["ci_a_hi"] < 1
+    z95 = 1.959963984540054
+    z2 = z95 * z95
+    n, p = 100, 0.6
+    center = (p + z2 / (2 * n)) / (1 + z2 / n)
+    half = z95 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n)
+    assert r["ci_a_lo"] == pytest.approx(round(center - half, 6))
+    assert r["ci_a_hi"] == pytest.approx(round(center + half, 6))
