@@ -462,10 +462,19 @@ def two_proportion_test(
         F.sum(s * is_b).alias("x_b"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
-    p_a = F.col("x_a") / n_a
-    p_b = F.col("x_b") / n_b
+    # try_divide: an ABSENT arm (n = 0) reads as NULL everywhere
+    # instead of NaN-poisoning the row
+    p_a = F.try_divide(F.col("x_a"), n_a)
+    p_b = F.try_divide(F.col("x_b"), n_b)
+    # CASE guards, not bare divisions: under Spark 4 ANSI a DOUBLE
+    # division by zero THROWS (empirically — not NaN), so every
+    # n-dependent expression must sit behind the both-arms-present
+    # branch (CASE branches evaluate lazily; a plain & does not).
+    ok = (n_a > 0) & (n_b > 0)
     pool = (F.col("x_a") + F.col("x_b")) / (n_a + n_b)
-    se = F.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    se = F.when(
+        ok, F.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    )
     zstat = F.try_divide(p_a - p_b, se)
 
     def wilson(p, n):
@@ -478,8 +487,8 @@ def two_proportion_test(
         )
         return center - half, center + half
 
-    a_lo, a_hi = wilson(p_a, n_a)
-    b_lo, b_hi = wilson(p_b, n_b)
+    a_lo, a_hi = wilson(p_a, F.when(n_a > 0, n_a))
+    b_lo, b_hi = wilson(p_b, F.when(n_b > 0, n_b))
     return agg.select(
         F.round(p_a, round_to).alias("p_a"),
         F.round(p_b, round_to).alias("p_b"),

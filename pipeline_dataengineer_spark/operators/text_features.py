@@ -666,12 +666,16 @@ def zipf_fit(
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy
     return agg.select(
-        F.round(cov / varx, 6).alias("slope"),
-        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
-        # a perfectly flat frequency table has zero y-variance: r2 is
-        # undefined (0/0 NaN), report NULL instead
-        F.when(vary > 0, F.round((cov * cov) / (varx * vary), 6))
-        .alias("r2"),
+        # CASE guards: Spark 4 ANSI throws on double division by zero
+        # (a single-distinct-term corpus has varx = 0)
+        F.when(varx > 0, F.round(cov / varx, 6)).alias("slope"),
+        F.when(
+            varx > 0, F.round((sy - (cov / varx) * sx) / n, 6)
+        ).alias("intercept"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round((cov * cov) / (varx * vary), 6),
+        ).alias("r2"),
         n.cast("long").alias("n_terms"),
     )
 
