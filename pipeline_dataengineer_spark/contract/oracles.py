@@ -5798,3 +5798,35 @@ SELECT round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
 FROM d
 """
+
+
+ORACLES["q_cohort_ltv"] = """
+WITH first AS (
+  -- Spark trunc(date,'week') = ISO Monday; DuckDB date_trunc('week')
+  -- likewise
+  SELECT user_id, date_trunc('week', CAST(min(ts) AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+), tagged AS (
+  SELECT e.user_id, f.cohort,
+         CAST(floor(datediff('day', f.cohort,
+              date_trunc('week', CAST(e.ts AS DATE))) / 7.0)
+           AS INTEGER) AS age,
+         e.value
+  FROM events e JOIN first f USING (user_id)
+), cells AS (
+  SELECT cohort, age, sum(value) AS period_value
+  FROM tagged GROUP BY cohort, age
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+  FROM first GROUP BY cohort
+)
+SELECT CAST(c.cohort AS DATE) AS cohort, c.age, s.n_users,
+       round(c.period_value, 6) AS period_value,
+       round(sum(c.period_value) OVER (PARTITION BY c.cohort
+             ORDER BY c.age ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW), 6) AS cum_value,
+       round(sum(c.period_value) OVER (PARTITION BY c.cohort
+             ORDER BY c.age ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) / s.n_users, 6) AS ltv_per_user
+FROM cells c JOIN sizes s USING (cohort)
+"""

@@ -8070,3 +8070,15 @@ def q_two_proportion(spark, sf_dir):
     return two_proportion_test(
         c, "c_mktsegment", "conv", "BUILDING", "MACHINERY"
     )
+
+
+@query("q_cohort_ltv")
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves (operators/events.py:cohort_ltv): users
+    cohorted by first-event month, event value accumulated by cohort
+    age — cells-not-facts windows, broadcast cohort sizes. Oracle
+    replays cohorting, month ages, and the cumulative curve."""
+    from pipeline_dataengineer_spark.operators.events import cohort_ltv
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return cohort_ltv(e, "user_id", "ts", "value", period="week")

@@ -454,3 +454,62 @@ def frequent_sequences(
         )
         .filter(F.col("n_occurrences") >= min_support)
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    period: str = "month",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by their FIRST
+    activity period (the cohort), revenue accumulated by cohort age —
+    one row per (cohort, age) with (n_users, period_value,
+    cum_value, ltv_per_user = cumulative value / cohort size). The
+    payback-curve complement of cohort_retention.
+
+    Scale: first-period per user is one combinable min aggregate
+    joined back (broadcast when user-bounded, hash otherwise);
+    (cohort, age) cells aggregate combinably; the cumulative window
+    runs over the cohort×age cell table only."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be 'day', 'week' or 'month'")
+    first = df.groupBy(user_col).agg(
+        F.trunc(F.min(F.col(ts_col)).cast("date"), period).alias(
+            "cohort"
+        )
+    )
+    tagged = df.join(first, user_col)
+    p_trunc = F.trunc(F.col(ts_col).cast("date"), period)
+    if period == "month":
+        age = F.months_between(p_trunc, F.col("cohort")).cast("int")
+    elif period == "week":
+        age = (F.datediff(p_trunc, F.col("cohort")) / 7).cast("int")
+    else:
+        age = F.datediff(p_trunc, F.col("cohort")).cast("int")
+    cells = tagged.groupBy("cohort", age.alias("age")).agg(
+        F.sum(F.col(value_col)).alias("period_value")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = cells.join(F.broadcast(sizes), "cohort").withColumn(
+        "cum_value", F.sum("period_value").over(w)
+    )
+    return out.select(
+        "cohort",
+        "age",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round("period_value", round_to).alias("period_value"),
+        F.round("cum_value", round_to).alias("cum_value"),
+        F.round(
+            F.col("cum_value") / F.col("n_users"), round_to
+        ).alias("ltv_per_user"),
+    )

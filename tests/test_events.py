@@ -131,3 +131,37 @@ def test_top_paths_orders_and_filters(spark):
         for r in top_paths(df, ["u"], "o", "ch", F.col("ch") == "CONV").collect()
     ]
     assert got == [("A>B", 2), ("B", 1)]
+
+
+def test_cohort_ltv_curves(spark):
+    import datetime as dt
+
+    from pipeline_dataengineer_spark.operators.events import cohort_ltv
+
+    rows = [
+        # cohort day 2024-01-01: two users
+        (1, dt.datetime(2024, 1, 1), 10.0),
+        (2, dt.datetime(2024, 1, 1), 20.0),
+        (1, dt.datetime(2024, 1, 2), 5.0),
+        # cohort day 2024-01-03: one user
+        (3, dt.datetime(2024, 1, 3), 100.0),
+        (3, dt.datetime(2024, 1, 5), 50.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = {
+        (str(r["cohort"]), r["age"]): r
+        for r in cohort_ltv(df, "u", "ts", "v", period="day").collect()
+    }
+    c1 = "2024-01-01"
+    assert out[(c1, 0)]["n_users"] == 2
+    assert out[(c1, 0)]["period_value"] == 30.0
+    assert out[(c1, 1)]["cum_value"] == 35.0
+    assert out[(c1, 1)]["ltv_per_user"] == 17.5
+    c2 = "2024-01-03"
+    assert out[(c2, 2)]["cum_value"] == 150.0
+    assert out[(c2, 2)]["ltv_per_user"] == 150.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cohort_ltv(df, "u", "ts", "v", period="hour")
