@@ -476,13 +476,17 @@ def cohort_ltv(
     runs over the cohort×age cell table only."""
     if period not in ("day", "week", "month"):
         raise ValueError("period must be 'day', 'week' or 'month'")
+    def trunc(col):
+        d = col.cast("date")
+        # F.trunc has no 'day' unit (it returns NULL) — a date IS
+        # already day-truncated
+        return d if period == "day" else F.trunc(d, period)
+
     first = df.groupBy(user_col).agg(
-        F.trunc(F.min(F.col(ts_col)).cast("date"), period).alias(
-            "cohort"
-        )
+        trunc(F.min(F.col(ts_col))).alias("cohort")
     )
     tagged = df.join(first, user_col)
-    p_trunc = F.trunc(F.col(ts_col).cast("date"), period)
+    p_trunc = trunc(F.col(ts_col))
     if period == "month":
         age = F.months_between(p_trunc, F.col("cohort")).cast("int")
     elif period == "week":
