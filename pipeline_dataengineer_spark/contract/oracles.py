@@ -5309,11 +5309,15 @@ WITH base AS (
            AS x,
          CAST(o_totalprice AS DOUBLE) AS y
   FROM orders
+), pairs AS (
+  -- pairwise deletion: a NULL in either coordinate drops the row
+  -- from every moment AND from n (mirrors grouped_ols)
+  SELECT pri, x, y FROM base WHERE x IS NOT NULL AND y IS NOT NULL
 ), s AS (
   SELECT pri, CAST(count(*) AS DOUBLE) AS n,
          sum(x) AS sx, sum(y) AS sy,
          sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
-  FROM base GROUP BY pri
+  FROM pairs GROUP BY pri
 )
 SELECT pri AS o_orderpriority,
        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
@@ -5395,10 +5399,16 @@ WITH docs AS (
   SELECT w, n1p / tot.t AS p_cont FROM n1p_bwd, tot
 ), scored AS (
   SELECT big.doc_id,
-         CASE WHEN ctx.lam IS NOT NULL THEN
+         CASE WHEN ctx.lam IS NULL THEN -16.11809565095832
+              -- OOV-continuation floor: both terms absent is the
+              -- only zero-probability case (each is > 0 when
+              -- present) — floor to unk_logp instead of ln(0)
+              WHEN seen.p_seen IS NULL AND cont.p_cont IS NULL
+                THEN -16.11809565095832
+         ELSE
            ln(coalesce(seen.p_seen, 0.0)
               + ctx.lam * coalesce(cont.p_cont, 0.0))
-         ELSE -16.11809565095832 END AS lp
+         END AS lp
   FROM big
   LEFT JOIN seen ON big.v = seen.v AND big.w = seen.w
   LEFT JOIN ctx ON big.v = ctx.v
@@ -5830,3 +5840,53 @@ SELECT CAST(c.cohort AS DATE) AS cohort, c.age, s.n_users,
              AND CURRENT ROW) / s.n_users, 6) AS ltv_per_user
 FROM cells c JOIN sizes s USING (cohort)
 """
+
+
+def _cm_str_oracle_sql(depth: int, width: int) -> str:
+    """DuckDB replay of the STRING-key Count-Min build + estimate
+    over document word frequencies: identical tokenization, the
+    base-31 codepoint polynomial (cm_hash_str_sql), then the affine
+    bucket family (cm_bucket_sql) — bit-for-bit bucket placement,
+    collisions included."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        cm_bucket_sql,
+        cm_hash_str_sql,
+    )
+
+    h = cm_hash_str_sql("tok")
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, {cm_bucket_sql('h', d, width)} AS bucket "
+        "FROM hashed"
+        for d in range(depth)
+    )
+    probes = "\nUNION ALL\n".join(
+        f"SELECT tok, {d} AS d, {cm_bucket_sql('h', d, width)} AS bucket "
+        "FROM probe_hashed"
+        for d in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT t AS tok FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents) WHERE t <> ''
+), hashed AS (SELECT tok, {h} AS h FROM toks),
+stacked AS ({stacked}),
+cm AS (SELECT d, bucket, COUNT(*) AS cnt FROM stacked GROUP BY d, bucket),
+items AS (SELECT DISTINCT tok FROM toks WHERE length(tok) >= 4),
+probe_hashed AS (SELECT tok, {h} AS h FROM items),
+probes AS ({probes}),
+est AS (
+  SELECT p.tok, MIN(COALESCE(cm.cnt, 0)) AS est_count
+  FROM probes p LEFT JOIN cm USING (d, bucket)
+  GROUP BY p.tok
+),
+tru AS (
+  SELECT tok, COUNT(*) AS true_count
+  FROM toks WHERE length(tok) >= 4 GROUP BY tok
+)
+SELECT e.tok, e.est_count, t.true_count
+FROM est e JOIN tru t USING (tok)
+"""
+
+
+ORACLES["q_countmin_str"] = _cm_str_oracle_sql(4, 512)

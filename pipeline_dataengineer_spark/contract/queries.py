@@ -8082,3 +8082,37 @@ def q_cohort_ltv(spark, sf_dir):
 
     e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return cohort_ltv(e, "user_id", "ts", "value", period="week")
+
+
+@query("q_countmin_str")
+def q_countmin_str(spark, sf_dir):
+    """Count-Min over STRING keys (functions/sketches.py:
+    cm_hash_str) — word frequencies over the documents corpus, the
+    textbook CM workload the module header promises. String tokens
+    hash through the portable base-31 codepoint polynomial before
+    the affine bucket family, so the whole build+estimate replays
+    bit-for-bit in DuckDB (cm_hash_str_sql + cm_bucket_sql);
+    previously string keys cast to NULL and every estimate silently
+    came back 0 (round-4 ADVICE). Probes = longer tokens (len >= 4);
+    est >= true rides into the oracle compare."""
+    from pipeline_dataengineer_spark.functions.sketches import (
+        cm_estimate,
+        cm_states,
+    )
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    state = cm_states(toks, [], "tok", depth=4, width=512)
+    items = toks.filter(F.length("tok") >= 4).select("tok").distinct()
+    est = cm_estimate(state, items, "tok", depth=4, width=512)
+    true = (
+        toks.filter(F.length("tok") >= 4)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(true, "tok").select("tok", "est_count", "true_count")

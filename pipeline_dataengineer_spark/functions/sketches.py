@@ -432,6 +432,62 @@ def cm_bucket_sql(value_expr: str, d: int, width: int) -> str:
     return f"((({nonneg} * {_CM_A[d]} + {_CM_B[d]}) % {p}) % {width})"
 
 
+def cm_hash_str(value: Column | str) -> Column:
+    """Portable string→long hash for Count-Min over non-numeric keys
+    (URLs, tokens, tenant ids): the classic base-31 polynomial over
+    UNICODE CODEPOINTS, folded mod P at every step so the accumulator
+    never leaves [0, P) (ANSI-safe, engine-portable). NULL hashes to
+    NULL (the row is sketched under no bucket, same as a NULL numeric
+    key). BMP codepoints only — astral chars split into surrogate
+    halves differently across engines; strip or re-encode upstream if
+    your keys contain them (same caveat as text.strip_accents)."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.aggregate(
+        F.split(v.cast("string"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(CM_P)),
+    )
+
+
+def cm_hash_str_sql(value_expr: str) -> str:
+    """DuckDB twin of cm_hash_str — list_reduce over the string's
+    codepoints with the identical (·31 + cp) mod P fold, seeded by a
+    prepended 0 (list_reduce uses the first element as the initial
+    accumulator)."""
+    p = CM_P
+    cps = (
+        f"list_transform(range(1, length({value_expr}) + 1), "
+        f"i -> unicode(array_extract({value_expr}, CAST(i AS INT))))"
+    )
+    return (
+        f"list_reduce([CAST(0 AS BIGINT)] || {cps}, "
+        f"(acc, c) -> (acc * 31 + c) % {p})"
+    )
+
+
+_CM_INTEGRAL = ("byte", "short", "int", "bigint", "boolean")
+
+
+def _cm_value_expr(df: DataFrame, value_col: str) -> Column:
+    """The sketchable long expression for ``value_col``: integral
+    types pass through, strings go through cm_hash_str, and
+    fractional/temporal/complex types RAISE — casting them to long
+    silently (the old behavior) either truncated (double) or NULLed
+    (string), breaking the one-sided est>=true guarantee without a
+    word. Cast explicitly upstream if truncation is what you want."""
+    dt = df.schema[value_col].dataType.simpleString()
+    if dt in _CM_INTEGRAL:
+        return F.col(value_col).cast("long")
+    if dt == "string":
+        return cm_hash_str(value_col)
+    raise TypeError(
+        f"Count-Min value column {value_col!r} has type {dt}; only "
+        "integral and string keys are sketchable (hash or cast "
+        "fractional/temporal keys explicitly — e.g. "
+        "F.unix_timestamp(ts) or round(x*100).cast('long'))"
+    )
+
+
 def cm_states(
     df: DataFrame,
     keys: list[str],
@@ -443,10 +499,13 @@ def cm_states(
     """Build the per-key Count-Min table: rows (keys..., d, bucket,
     cnt), at most depth*width per key group. ``weight_col`` turns it
     into a weighted-frequency sketch (e.g. bytes per URL instead of
-    hits per URL)."""
+    hits per URL). String keys hash through cm_hash_str first (still
+    oracle-replayable via cm_hash_str_sql); fractional/temporal types
+    raise — see _cm_value_expr."""
     if not 1 <= depth <= len(_CM_A):
         raise ValueError(f"depth must be in [1, {len(_CM_A)}]")
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    v = _cm_value_expr(df, value_col)
     stacked = df.select(
         *keys,
         F.explode(
@@ -454,7 +513,7 @@ def cm_states(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        cm_bucket(value_col, d, width).alias("bucket"),
+                        cm_bucket(v, d, width).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
@@ -491,6 +550,7 @@ def cm_estimate(
     then broadcast against the bounded state table — the corpus that
     built the state is long gone."""
     keys = keys or []
+    v = _cm_value_expr(items, item_col)
     probes = items.select(
         *keys,
         F.col(item_col),
@@ -499,7 +559,7 @@ def cm_estimate(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        cm_bucket(item_col, d, width).alias("bucket"),
+                        cm_bucket(v, d, width).alias("bucket"),
                     )
                     for d in range(depth)
                 ]

@@ -378,9 +378,13 @@ def mann_kendall(
     Scale: per-key numpy in ONE grouped-map pass (sign matrix via
     broadcasting — exact, vectorized; a 10k-point series is a 100M
     bool op, still sub-second), keys stream independently; the same
-    sanctioned path as the other per-key sequential models. Ties in
-    the ORDER column break by value for determinism (only the value
-    ordering matters to S)."""
+    sanctioned path as the other per-key sequential models.
+
+    Simultaneous observations: pairs TIED on ``order_col`` are
+    EXCLUDED from S (the conventional treatment — neither precedes
+    the other, so they carry no trend information; counting them
+    with an arbitrary orientation biased z upward on data with
+    duplicate timestamps)."""
     import numpy as np
     import pandas as pd
 
@@ -400,18 +404,25 @@ def mann_kendall(
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([order_col, value_col])
         x = pdf[value_col].to_numpy(dtype=np.float64)
+        # integer codes of the (sorted) order values — equal codes
+        # mark simultaneous observations whose pairs must not
+        # contribute to S
+        o = pd.factorize(pdf[order_col], use_na_sentinel=False)[0]
         n = len(x)
         s = 0
         chunk = 2048
         for i in range(0, n, chunk):
             block = x[i : i + chunk, None]
             rest = x[None, i + 1 :]
-            # only pairs (a, b) with a strictly before b: mask the
-            # triangular part inside the block stripe
+            # only pairs (a, b) with a strictly before b IN ORDER:
+            # triangular part of the stripe, minus order-ties
             cmpm = np.sign(rest - block)
             rows_idx = np.arange(i, min(i + chunk, n))[:, None]
             cols_idx = np.arange(i + 1, n)[None, :]
-            s += int(cmpm[rows_idx < cols_idx].sum())
+            mask = (rows_idx < cols_idx) & (
+                o[i : i + chunk, None] != o[None, i + 1 :]
+            )
+            s += int(cmpm[mask].sum())
         _, counts = np.unique(x, return_counts=True)
         ties = counts[counts > 1].astype(np.float64)
         var_s = (

@@ -154,40 +154,36 @@ def log_rank_test(
     (o_a, e_a, chi2, n_a, n_b).
 
     Same cells-not-facts shape as the estimator: one subject groupBy
-    to per-(group, time) cells, at-risk via descending cumulative
-    windows, then a one-row aggregate. Times with n_t = 1 contribute
-    zero variance (guarded division)."""
+    to per-(group, time) cells, at-risk via a DESCENDING cumulative
+    window over the union time grid (at-risk at t = everything still
+    alive at t = Σ of (d+c) over times >= t; a group with no cell at
+    a union time carries dc = 0 there, so the cumulative sum is
+    exact) — LINEAR in the number of distinct event times, where the
+    previous grid × consumed(t2 < t) theta join was quadratic in them
+    (round-4 VERDICT item 4). Times with n_t = 1 contribute zero
+    variance (guarded division)."""
     two = df.filter(F.col(group_col).isin([group_a, group_b]))
     ev = F.col(event_col).cast("int")
     cells = two.groupBy(
         F.col(group_col).alias("g"), F.col(duration_col).alias("t")
     ).agg(F.sum(ev).alias("d"), F.sum(1 - ev).alias("c"))
-    # at-risk must be evaluated on the UNION time grid: a group with
-    # no cell at time t still carries risk there, so the per-group
-    # cumulative windows alone undercount. Grid × consumed-before is
-    # a theta join, but both sides are CELL-sized (distinct times ×
-    # groups), never fact-sized.
+    # union time grid × the two groups, left-joined back to the cells
+    # — every frame stays CELL-sized (distinct times × 2)
     times = cells.select("t").distinct()
-    per_group_tot = cells.groupBy("g").agg(
-        F.sum(F.col("d") + F.col("c")).alias("tot")
+    groups = cells.select("g").distinct()
+    grid = times.crossJoin(F.broadcast(groups))
+    dc_cells = cells.select(
+        "g", "t", (F.col("d") + F.col("c")).alias("dc"), "d"
     )
-    grid = times.crossJoin(per_group_tot)
-    consumed = cells.select(
-        "g", F.col("t").alias("t2"), (F.col("d") + F.col("c")).alias("dc")
+    w_from_t = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    at_risk = (
-        grid.join(
-            consumed,
-            (grid.g == consumed.g) & (consumed.t2 < grid.t),
-            "left",
-        )
-        .groupBy(grid.t, grid.g, "tot")
-        .agg(F.coalesce(F.sum("dc"), F.lit(0)).alias("used"))
-        .select("t", "g", (F.col("tot") - F.col("used")).alias("n_g"))
-    )
-    d_cells = cells.select("g", "t", "d")
-    joined = at_risk.join(d_cells, ["g", "t"], "left").fillna(
-        0, subset=["d"]
+    joined = (
+        grid.join(dc_cells, ["g", "t"], "left")
+        .fillna(0, subset=["dc", "d"])
+        .withColumn("n_g", F.sum("dc").over(w_from_t))
     )
     aa = F.when(F.col("g") == F.lit(group_a), 1).otherwise(0)
     wide = joined.groupBy("t").agg(

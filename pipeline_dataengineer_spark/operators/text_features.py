@@ -762,7 +762,16 @@ def kn_score(
     λ(v)·p_cont(w) for KNOWN contexts (the interpolated form — seen
     bigrams get both terms), λ(v)·p_cont(w) when only the context is
     known, and exp(unk_logp) when the context itself is unseen. All
-    three LM tables broadcast; the corpus never shuffles to score."""
+    three LM tables broadcast; the corpus never shuffles to score.
+
+    OOV continuation floor: when the context v is known but w was
+    never seen as a continuation ANYWHERE (p_seen and p_cont both
+    absent — the only way the interpolated p can be 0, since both
+    terms are strictly positive when present), the log-prob is
+    floored to ``unk_logp`` instead of ln(0); previously ln(0)
+    yielded NULL and avg() silently dropped the bigram, biasing ppl
+    LOW on exactly the docs the floor was meant to penalize (and
+    leaving n_bigrams disagreeing with the mean's denominator)."""
     bigrams, contexts, continuations = lm
     big = df.select(
         F.col(id_col), F.explode(_bigram_pairs(text_col)).alias("__b")
@@ -773,15 +782,18 @@ def kn_score(
         .join(F.broadcast(continuations), "w", "left")
         .select(
             id_col,
-            F.when(
-                F.col("lam").isNotNull(),
+            F.when(F.col("lam").isNull(), F.lit(unk_logp))
+            .when(
+                F.col("p_seen").isNull() & F.col("p_cont").isNull(),
+                F.lit(unk_logp),
+            )
+            .otherwise(
                 F.ln(
                     F.coalesce(F.col("p_seen"), F.lit(0.0))
                     + F.col("lam")
                     * F.coalesce(F.col("p_cont"), F.lit(0.0))
-                ),
+                )
             )
-            .otherwise(F.lit(unk_logp))
             .alias("__lp"),
         )
     )

@@ -717,11 +717,20 @@ def grouped_ols(
 
     ONE combinable aggregate (six sums) per group — no window, no
     per-key sort, no Python; identical closed-form algebra to
-    zipf_fit's corpus-level fit, grouped."""
-    x = F.col(x_col).cast("double")
-    y = F.col(y_col).cast("double")
+    zipf_fit's corpus-level fit, grouped.
+
+    NULL handling: pairwise deletion — a row with NULL in EITHER
+    x or y contributes to none of the moments and not to n, so the
+    fit is over complete pairs only (the moments stay mutually
+    consistent; counting every row while the sums skipped NULLs
+    silently skewed slope/intercept/r2)."""
+    x0 = F.col(x_col).cast("double")
+    y0 = F.col(y_col).cast("double")
+    pair_ok = x0.isNotNull() & y0.isNotNull()
+    x = F.when(pair_ok, x0)
+    y = F.when(pair_ok, y0)
     agg = df.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.count(x).cast("double").alias("__n"),
         F.sum(x).alias("__sx"),
         F.sum(y).alias("__sy"),
         F.sum(x * x).alias("__sxx"),

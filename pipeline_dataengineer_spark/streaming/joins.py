@@ -97,9 +97,33 @@ def stream_stream_interval_anti_join(
     filtering on the null right key yields exactly the anti-join
     rows, each emitted exactly once, correctly delayed.
 
-    On batch the identical plan collapses to a plain anti-join
-    semantics check (the oracle's formulation). Output columns: the
-    LEFT side only, disambiguated as ``l.*``."""
+    On batch (neither side streaming) the SAME semantics run as a
+    direct LEFT ANTI join on (key, interval-predicate): Catalyst's
+    anti join short-circuits on first match and never materializes
+    the matched pairs, where the left_outer+IS NULL derivation
+    builds every (l, r) match only to throw it away — superlinear
+    in the match count as data grows (the round-4 22× scale-tier
+    anomaly traced to exactly this pair materialization). Streams
+    keep the outer-join derivation (Structured Streaming has no
+    stream-stream anti). Output columns: the LEFT side only,
+    disambiguated as ``l.*``."""
+    if not left.isStreaming and not right.isStreaming:
+        cond = (
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (
+                F.col(f"r.{right_ts}")
+                >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}")
+            )
+            & (
+                F.col(f"r.{right_ts}")
+                <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+            )
+        )
+        return (
+            left.alias("l")
+            .join(right.alias("r"), cond, "left_anti")
+            .select("l.*")
+        )
     joined = stream_stream_interval_join(
         left,
         right,

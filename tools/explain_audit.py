@@ -266,8 +266,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # phrase search: index cut then ONE group — no join of position
     # lists (the consecutive test is an array expression)
     "q_phrase_search": (["ObjectHashAggregate"], ["SortMergeJoin"]),
-    # stream anti (batch parity): equi key + range residual hash join
-    "q_interval_join_anti": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # log-rank at-risk grid: descending cumulative window over the
+    # union time grid — NOT the quadratic grid x consumed theta join
+    "q_log_rank": (["Window"], ["BroadcastNestedLoopJoin"]),
+    # stream anti (batch parity): DIRECT LeftAnti on (key, interval
+    # residual) — the left_outer+IS NULL derivation materialized every
+    # matched pair and went 22x superlinear on the 10x tier (round-4)
+    "q_interval_join_anti": (
+        ["LeftAnti"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct", "LeftOuter"],
+    ),
     # funnel stall times: one conditional-aggregate pass, no join
     "q_funnel_step_times": (["HashAggregate"], ["Join"]),
     # top paths: ordered-struct reassembly + count, no join
