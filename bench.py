@@ -200,60 +200,12 @@ HEADLINE = [
 BASELINE_SET = HEADLINE[:19]
 
 
-def run_10x_tier() -> None:
-    """Child-process entry: run ONLY the 10x tier in a fresh JVM.
-
-    Round-3 finding (SCALE_NOTES): 10x numbers taken in-sequence after
-    ~150 base-tier queries inherit heap/GC state and inflate up to 3x
-    vs isolated runs. A fresh session makes the shipped ratios the
-    honest ones. Writes {"queries_10x": {...}} to the path in
-    $SPARK_GRAFT_10X_OUT.
-    """
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_path = os.environ["SPARK_GRAFT_10X_OUT"]
-    spark = get_spark("bench-10x")
-    dir_10x = os.path.join(
-        "/tmp", f"spark_graft_10x_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    ensure_10x(spark, sf_dir, dir_10x)
-    # Same warmup discipline as the base tier: codegen + Arrow workers.
-    QUERIES["q_agg_group"](spark, dir_10x).collect()
-    n_cores = spark.sparkContext.defaultParallelism
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.DoubleType())
-    def _warm(v):
-        return v * 1.0
-
-    spark.range(0, n_cores * 100, 1, n_cores).select(
-        _warm(F.col("id").cast("double"))
-    ).count()
-    times_10x: dict[str, float] = {}
-    for name in HEADLINE:
-        per_run = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            t0 = time.time()
-            QUERIES[name](spark, dir_10x).count()
-            per_run.append(round(time.time() - t0, 3))
-        times_10x[name] = per_run[1]
-    with open(out_path, "w") as fh:
-        json.dump({"queries_10x": times_10x}, fh)
-
-
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark("bench")
-    # Warm the JVM/codegen AND the Arrow Python workers once so
-    # per-query times measure plan throughput, not process startup.
-    # The warmup UDF job must have as many partitions as the session
-    # has cores: a narrower job leaves the remaining workers cold and
-    # the first wide UDF stage pays ~2.5 s of pandas-import per cold
-    # worker (measured: 3.5 s first run vs 0.9 s warm at sf0.1).
-    QUERIES["q_agg_group"](spark, sf_dir).collect()
+def _warm_session(spark, warm_dir: str) -> None:
+    """Warm codegen AND the Arrow Python workers: the warmup UDF job
+    must have as many partitions as the session has cores — a
+    narrower job leaves the remaining workers cold and the first wide
+    UDF stage pays ~2.5 s of pandas-import per cold worker."""
+    QUERIES["q_agg_group"](spark, warm_dir).collect()
     n_cores = spark.sparkContext.defaultParallelism
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -266,69 +218,179 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
-    # Each query runs twice: the reported number is the second (warm)
-    # run, which measures the PLAN — shuffle layout, codegen, exchange
-    # count — not page-cache / JIT / Arrow-worker-spinup accidents.
-    # First-run times ship in "queries_cold" for cold-path honesty.
+
+def _run_queries(spark, names, data_dir: str):
+    """Two reps per query (cache-clean, GC-hinted): rep 1 ships as
+    cold, rep 2 as warm — the warm number measures the PLAN
+    re-executed end-to-end, not cache residency accidents."""
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
+    for name in names:
         per_run = []
         for _ in range(2):
-            # Both reps start cache-clean so the warm number measures
-            # the PLAN re-executed end-to-end, not residency of a
-            # cache an eager operator happened to leave behind; the
-            # GC hint keeps heap creep from earlier queries out of
-            # this query's measurement (measured: late-in-run queries
-            # inflated 2-9x from accumulated session state).
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.time()
-            # count() forces full execution without driver collect cost.
-            QUERIES[name](spark, sf_dir).count()
+            QUERIES[name](spark, data_dir).count()
             per_run.append(round(time.time() - t0, 3))
         cold[name] = per_run[0]
         times[name] = per_run[1]
-        total += per_run[1]
+    return times, cold
+
+
+def run_tier_child() -> None:
+    """Child-process entry: run the comma-separated query names in
+    $SPARK_GRAFT_TIER_NAMES against $SPARK_GRAFT_TIER_DIR in a FRESH
+    JVM, write {"times", "cold"} JSON to $SPARK_GRAFT_TIER_OUT.
+
+    Why children at all: in-sequence numbers inherit heap/GC state
+    from the queries before them — round 3 measured up to 3x
+    inflation on the 10x tier, and round 4 measured +13% drift across
+    the 96-query base tier. Fresh JVMs per chunk make the shipped
+    numbers reproducible in isolation (round-4 VERDICT item 3)."""
+    data_dir = os.environ["SPARK_GRAFT_TIER_DIR"]
+    out_path = os.environ["SPARK_GRAFT_TIER_OUT"]
+    names = os.environ["SPARK_GRAFT_TIER_NAMES"].split(",")
+    label = os.environ.get("SPARK_GRAFT_TIER_LABEL", "tier")
+    spark = get_spark(f"bench-{label}")
+    if label == "10x":
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        ensure_10x(spark, sf_dir, data_dir)
+    _warm_session(spark, data_dir)
+    times, cold = _run_queries(spark, names, data_dir)
+    with open(out_path, "w") as fh:
+        json.dump({"times": times, "cold": cold}, fh)
+
+
+def _spawn_tier(label: str, names, data_dir: str):
+    """Run a tier chunk in a fresh child JVM; returns (times, cold)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        out_path = tf.name
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_STAGE"] = "tier"
+    env["SPARK_GRAFT_TIER_DIR"] = data_dir
+    env["SPARK_GRAFT_TIER_OUT"] = out_path
+    env["SPARK_GRAFT_TIER_NAMES"] = ",".join(names)
+    env["SPARK_GRAFT_TIER_LABEL"] = label
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0 or not os.path.exists(out_path):
+        sys.stderr.write(
+            f"tier {label} subprocess failed rc={proc.returncode}\n"
+            f"{proc.stderr[-2000:]}\n"
+        )
+        return {}, {}
+    with open(out_path) as fh:
+        d = json.load(fh)
+    try:
+        os.unlink(out_path)
+    except OSError:
+        pass
+    return d["times"], d["cold"]
+
+
+def parse_scale_claims(notes_path: str | None = None) -> dict[str, float]:
+    """Parse SCALE_NOTES.md's 'Machine-checked 10× ratio claims'
+    table: rows '| q_name | 2.2 | why |' -> {q_name: 2.2}. The table
+    is the single written source of truth for expected 10x ratios."""
+    import re
+
+    if notes_path is None:
+        notes_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALE_NOTES.md"
+        )
+    claims: dict[str, float] = {}
+    in_table = False
+    with open(notes_path) as fh:
+        for line in fh:
+            if "Machine-checked 10" in line:
+                in_table = True
+                continue
+            if in_table:
+                m = re.match(
+                    r"\|\s*(q_\w+)\s*\|\s*([0-9.]+)\s*\|", line
+                )
+                if m:
+                    claims[m.group(1)] = float(m.group(2))
+                elif claims and not line.strip().startswith("|"):
+                    break  # table ended
+    return claims
+
+
+def check_scale_claims(scale_10x: dict[str, float]) -> dict:
+    """Bench <-> SCALE_NOTES consistency (round-4 VERDICT item 2):
+    a shipped scale_10x ratio must agree with its written claim
+    within a factor of 2, and any shipped ratio > 2.5 must HAVE a
+    written claim. Mismatches ship in BENCH_DETAIL.json (and fail
+    tests/test_scale_claims.py) so the docs follow the artifact."""
+    claims = parse_scale_claims()
+    mismatched = []
+    unclaimed = []
+    for name, shipped in scale_10x.items():
+        c = claims.get(name)
+        if c is not None:
+            factor = max(shipped / c, c / shipped) if shipped > 0 else 99
+            if factor > 2.0:
+                mismatched.append(
+                    {"query": name, "shipped": shipped, "claimed": c}
+                )
+        elif shipped > 2.5:
+            unclaimed.append({"query": name, "shipped": shipped})
+    result = {
+        "claims": len(claims),
+        "mismatched": mismatched,
+        "unclaimed_over_2_5": unclaimed,
+        "ok": not mismatched and not unclaimed,
+    }
+    if not result["ok"]:
+        sys.stderr.write(
+            f"SCALE_NOTES claim check FAILED: {json.dumps(result)}\n"
+        )
+    return result
+
+
+def main() -> None:
+    """Parent process: spawns every tier in fresh child JVMs and
+    assembles the detail/compact artifacts. The parent itself never
+    opens a SparkSession, so no measurement inherits another tier's
+    heap/GC state (round-4 item 3: the 96-query in-sequence base
+    tier drifted +13% vs isolated; chunked fresh-JVM children bound
+    the in-sequence window to ~1/3 of the suite)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BASE_CHUNKS", "3")))
+    size = (len(HEADLINE) + n_chunks - 1) // n_chunks
+    times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for i in range(0, len(HEADLINE), size):
+        chunk = HEADLINE[i : i + size]
+        t, c = _spawn_tier(f"base{i // size}", chunk, sf_dir)
+        times.update(t)
+        cold.update(c)
+    total = sum(times.values())
 
     times_10x: dict[str, float] = {}
     scale_10x: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_10X", "1") != "0":
-        # Fresh JVM for the 10x tier so its numbers don't inherit the
-        # base tier's accumulated heap/GC state (up to 3x inflation
-        # measured in round 3 — SCALE_NOTES.md).
-        import subprocess
-        import tempfile
-
-        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
-            out_path = tf.name
-        env = dict(os.environ)
-        env["SPARK_GRAFT_BENCH_STAGE"] = "10x"
-        env["SPARK_GRAFT_10X_OUT"] = out_path
-        env["SPARK_GRAFT_SF_DIR"] = sf_dir
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
+        dir_10x = os.path.join(
+            "/tmp",
+            f"spark_graft_10x_{os.path.basename(sf_dir.rstrip('/'))}",
         )
-        if proc.returncode == 0 and os.path.exists(out_path):
-            with open(out_path) as fh:
-                times_10x = json.load(fh)["queries_10x"]
-            for name, t in times_10x.items():
-                # wall-clock ratio for 10x the data; > ~2.5 needs a
-                # written explanation (SCALE_NOTES.md)
-                scale_10x[name] = round(t / max(times.get(name, 0), 1e-3), 2)
-        else:
-            sys.stderr.write(
-                f"10x tier subprocess failed rc={proc.returncode}\n"
-                f"{proc.stderr[-2000:]}\n"
-            )
-        try:
-            os.unlink(out_path)
-        except OSError:
-            pass
+        times_10x, _ = _spawn_tier("10x", HEADLINE, dir_10x)
+        for name, t in times_10x.items():
+            # wall-clock ratio for 10x the data; > ~2.5 needs a
+            # written claim in SCALE_NOTES.md's machine-checked table
+            scale_10x[name] = round(t / max(times.get(name, 0), 1e-3), 2)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -339,6 +401,7 @@ def main() -> None:
         "queries_cold": cold,
         "queries_10x": times_10x,
         "scale_10x": scale_10x,
+        "scale_claims_check": check_scale_claims(scale_10x),
         "sf": sf_val,
     }
     # Full per-query detail goes to a repo file; the driver's tail
@@ -376,7 +439,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if os.environ.get("SPARK_GRAFT_BENCH_STAGE") == "10x":
-        run_10x_tier()
+    if os.environ.get("SPARK_GRAFT_BENCH_STAGE") == "tier":
+        run_tier_child()
     else:
         main()

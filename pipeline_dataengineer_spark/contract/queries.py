@@ -8116,3 +8116,34 @@ def q_countmin_str(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
     return est.join(true, "tok").select("tok", "est_count", "true_count")
+
+
+@query("q_ivfpq_topk")
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ in the REALISTIC lossy configuration (operators/pq.py:
+    ivfpq_build/ivfpq_search — 16-entry residual codebooks over the
+    full corpus, nprobe=4 of 8 cells): rows-only by design — scores
+    are quantized approximations and centroids are engine-specific,
+    so recall<1 is the point, not a defect. Accuracy is enforced by
+    tests/test_pq.py::test_ivfpq_lossy_recall_floor (mean recall@10
+    vs brute force >= 0.3 full-probe / >= 0.15 half-probe on random
+    vectors, the hardest case for PQ); the composed machinery itself
+    is hash-checked by q_ivfpq_exact's lossless configuration."""
+    from pipeline_dataengineer_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cents, enc, books = ivfpq_build(
+        e, num_centroids=8, m=8, codebook_size=16, sample_size=4096,
+        refine_iterations=4,
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_search(cents, enc, books, q, k=10, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", "dist2",
+        F.col("rank").cast("long").alias("rank"),
+    )

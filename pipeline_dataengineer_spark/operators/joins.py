@@ -467,34 +467,108 @@ def link_records(
     text_b: str,
     threshold: float = 0.9,
     block_chars: int = 2,
+    blocking: str = "prefix",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Record linkage between two tables (the master-data-match /
-    customer-360 primitive): block candidate pairs on a cheap key
-    (lowercased first ``block_chars`` characters), score each pair
-    with Jaro-Winkler, and keep MUTUAL BEST matches at or above
-    ``threshold`` — each a-row's best b AND that b-row's best a
-    (symmetric best match, the standard deterministic 1:1 cut;
-    unlike greedy it needs no iteration and is window-expressible).
-    Ties break by (score desc, other-side key asc), so the match set
-    is deterministic and engine-replayable.
+    customer-360 primitive): block candidate pairs on a cheap key,
+    score each pair with Jaro-Winkler, and keep MUTUAL BEST matches
+    at or above ``threshold`` — each a-row's best b AND that b-row's
+    best a (symmetric best match, the standard deterministic 1:1
+    cut; unlike greedy it needs no iteration and is
+    window-expressible). Ties break by (score desc, other-side key
+    asc), so the match set is deterministic and engine-replayable.
+
+    ``blocking`` picks the candidate key: ``"prefix"`` (lowercased
+    first ``block_chars`` characters — cheap, exact-prefix-sensitive)
+    or ``"soundex"`` (phonetic code — survives spelling variants like
+    Smith/Smyth that a prefix block splits).
+
+    ``max_block_size`` is the skew guard (same enforced-cap +
+    reported-audit pattern as minhash_lsh_near_duplicates'
+    max_bucket_size): a degenerate block — every row blank, one
+    dominant surname — makes the blocked join quadratic in that
+    block. When set, blocks where EITHER side exceeds the cap are
+    dropped BEFORE the join (partial-aggregable counts find them; a
+    broadcast anti-join strips both sides), a warning is logged, and
+    the returned DataFrame carries ``.link_audit`` with
+    dropped_blocks / dropped_rows_a / dropped_rows_b /
+    max_dropped_block. Never silent.
 
     Output: (key_a, key_b, name_a, name_b, score). Scale: the
-    blocked self-join is an equi hash join (never all-pairs — block
-    granularity bounds candidates; swap the prefix for soundex or
-    FastSS buckets per data); the two best-of cuts are rank windows
-    over the candidate table."""
+    blocked join is an equi hash join (never all-pairs — block
+    granularity bounds candidates); the two best-of cuts are rank
+    windows over the candidate table."""
     from pipeline_dataengineer_spark.functions.text import jaro_winkler
+
+    if blocking == "prefix":
+        def blk(text_col):
+            return F.substring(F.lower(F.col(text_col)), 1, block_chars)
+    elif blocking == "soundex":
+        def blk(text_col):
+            return F.soundex(F.col(text_col))
+    else:
+        raise ValueError(
+            f"blocking must be 'prefix' or 'soundex', got {blocking!r}"
+        )
 
     la = a.select(
         F.col(key_a).alias("key_a"),
         F.lower(F.col(text_a)).alias("name_a"),
-        F.substring(F.lower(F.col(text_a)), 1, block_chars).alias("__blk"),
+        blk(text_a).alias("__blk"),
     )
     lb = b.select(
         F.col(key_b).alias("key_b"),
         F.lower(F.col(text_b)).alias("name_b"),
-        F.substring(F.lower(F.col(text_b)), 1, block_chars).alias("__blk"),
+        blk(text_b).alias("__blk"),
     )
+    audit = {
+        "dropped_blocks": 0,
+        "dropped_rows_a": 0,
+        "dropped_rows_b": 0,
+        "max_dropped_block": 0,
+    }
+    if max_block_size is not None:
+        ca = la.groupBy("__blk").agg(F.count("*").alias("__na"))
+        cb = lb.groupBy("__blk").agg(F.count("*").alias("__nb"))
+        oversized = (
+            ca.join(cb, "__blk", "full")
+            .fillna(0, subset=["__na", "__nb"])
+            .filter(
+                (F.col("__na") > max_block_size)
+                | (F.col("__nb") > max_block_size)
+            )
+            .persist()
+        )
+        stats = oversized.agg(
+            F.count("*").alias("b"),
+            F.coalesce(F.sum("__na"), F.lit(0)).alias("ra"),
+            F.coalesce(F.sum("__nb"), F.lit(0)).alias("rb"),
+            F.coalesce(
+                F.max(F.greatest("__na", "__nb")), F.lit(0)
+            ).alias("m"),
+        ).collect()[0]
+        audit = {
+            "dropped_blocks": int(stats["b"]),
+            "dropped_rows_a": int(stats["ra"]),
+            "dropped_rows_b": int(stats["rb"]),
+            "max_dropped_block": int(stats["m"]),
+        }
+        if audit["dropped_blocks"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "link_records: dropped %d oversized blocks (> %d rows "
+                "on a side; largest %d). Rows in them match nothing; "
+                "use a finer blocking key instead of raising the cap.",
+                audit["dropped_blocks"],
+                max_block_size,
+                audit["max_dropped_block"],
+            )
+            drop_keys = F.broadcast(oversized.select("__blk"))
+            la = la.join(drop_keys, "__blk", "left_anti")
+            lb = lb.join(drop_keys, "__blk", "left_anti")
+        oversized.unpersist()
     # explicit repartition before the Arrow scoring pass: AQE's
     # byte-based coalescing would otherwise funnel the (small-bytes,
     # Python-expensive) candidate set into one task — the same
@@ -515,9 +589,11 @@ def link_records(
     wb = Window.partitionBy("key_b").orderBy(
         F.col("score").desc(), F.col("key_a").asc()
     )
-    return (
+    out = (
         cand.withColumn("__ra", F.row_number().over(wa))
         .withColumn("__rb", F.row_number().over(wb))
         .filter((F.col("__ra") == 1) & (F.col("__rb") == 1))
         .select("key_a", "key_b", "name_a", "name_b", "score")
     )
+    out.link_audit = audit
+    return out

@@ -108,3 +108,65 @@ def test_link_records_mutual_best(spark):
     # leaving 12 unmatched; 2<->11; 3 has no candidate block
     assert set(out) == {(1, 10), (2, 11)}
     assert all(v >= 0.8 for v in out.values())
+
+
+def test_link_records_block_cap_fires_and_audits(spark):
+    """max_block_size drops a degenerate block (every row sharing one
+    prefix) BEFORE the quadratic join, reports the drop in
+    .link_audit, and leaves other blocks' matches intact."""
+    from pipeline_dataengineer_spark.operators.joins import link_records
+
+    # skewed fixture: 50 a-rows + 50 b-rows all block to 'xx'; one
+    # clean pair blocks to 'al'
+    a_rows = [(i, f"xx corp {i}") for i in range(50)] + [(900, "alice")]
+    b_rows = [(1000 + i, f"xx corp {i}") for i in range(50)] + [
+        (901, "alice")
+    ]
+    a = spark.createDataFrame(a_rows, "id bigint, name string")
+    b = spark.createDataFrame(b_rows, "id bigint, name string")
+    out = link_records(
+        a, b, "id", "id", "name", "name",
+        threshold=0.9, block_chars=2, max_block_size=10,
+    )
+    rows = out.collect()
+    assert out.link_audit["dropped_blocks"] == 1
+    assert out.link_audit["dropped_rows_a"] == 50
+    assert out.link_audit["dropped_rows_b"] == 50
+    assert out.link_audit["max_dropped_block"] == 50
+    # the capped block contributes nothing; the clean pair survives
+    assert [(r["key_a"], r["key_b"]) for r in rows] == [(900, 901)]
+
+    # uncapped: audit is all-zero and the giant block DOES match
+    out2 = link_records(
+        a, b, "id", "id", "name", "name", threshold=0.9, block_chars=2,
+    )
+    assert out2.link_audit["dropped_blocks"] == 0
+    assert out2.count() == 51
+
+
+def test_link_records_soundex_blocking(spark):
+    """blocking='soundex' pairs spelling variants a prefix block
+    splits: Robert/Rupert both encode to soundex R163 but their
+    2-char prefixes 'ro'/'ru' differ, so prefix blocking never even
+    scores the pair."""
+    from pipeline_dataengineer_spark.operators.joins import link_records
+
+    a = spark.createDataFrame([(1, "Robert")], "id bigint, name string")
+    b = spark.createDataFrame([(2, "Rupert")], "id bigint, name string")
+    # prefix blocking misses the pair entirely
+    assert (
+        link_records(a, b, "id", "id", "name", "name", threshold=0.5)
+        .count() == 0
+    )
+    got = link_records(
+        a, b, "id", "id", "name", "name",
+        threshold=0.5, blocking="soundex",
+    ).collect()
+    assert [(r["key_a"], r["key_b"]) for r in got] == [(1, 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="blocking"):
+        link_records(
+            a, b, "id", "id", "name", "name", blocking="metaphone"
+        )
