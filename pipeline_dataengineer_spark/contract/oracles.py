@@ -5890,3 +5890,90 @@ FROM est e JOIN tru t USING (tok)
 
 
 ORACLES["q_countmin_str"] = _cm_str_oracle_sql(4, 512)
+
+
+ORACLES["q_theil_sen"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS k,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+           AS x,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+), slopes AS (
+  SELECT a.k, (b.v - a.v) / (b.x - a.x) AS s
+  FROM daily a JOIN daily b ON a.k = b.k AND b.x > a.x
+), med AS (
+  SELECT k, median(s) AS slope FROM slopes GROUP BY k
+), mxy AS (
+  SELECT k, median(x) AS mx, median(v) AS my, count(*) AS n
+  FROM daily GROUP BY k
+)
+SELECT mxy.k AS o_orderpriority, CAST(mxy.n AS BIGINT) AS n,
+       round(med.slope, 6) AS slope,
+       round(mxy.my - med.slope * mxy.mx, 6) AS intercept
+FROM mxy LEFT JOIN med ON mxy.k = med.k
+"""
+
+
+ORACLES["q_page_hinkley"] = """
+WITH base AS (
+  SELECT event_type, event_id, round(value * 100) AS v FROM events
+), s1 AS (
+  SELECT event_type, event_id, v,
+         avg(v) OVER w AS mu
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s2 AS (
+  -- quantized accumulation: each deviation term rounds to 1e-6 and
+  -- sums as an exact integer in micro-units (order-free, matching
+  -- page_hinkley's quantize=6 mode)
+  SELECT event_type, event_id, v,
+         sum(CAST(round((v - mu - 10.0) * 1000000) AS BIGINT))
+           OVER w AS m
+  FROM s1
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, v,
+       round((m - min(m) OVER w) / 1000000.0, 6) AS ph_inc,
+       round((max(m) OVER w - m) / 1000000.0, 6) AS ph_dec,
+       ((m - min(m) OVER w) / 1000000.0 > 50000.0
+        OR (max(m) OVER w - m) / 1000000.0 > 50000.0) AS alarm
+FROM s2
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+ORACLES["q_sprt"] = """
+WITH base AS (
+  SELECT event_type, event_id,
+         CASE WHEN value > 250 THEN 1 ELSE 0 END AS x
+  FROM events
+), s AS (
+  SELECT event_type, event_id, x,
+         sum(CASE WHEN x = 1 THEN 200671 ELSE -200671 END) OVER wc AS llr,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY event_id) AS rn
+  FROM base
+  WINDOW wc AS (PARTITION BY event_type ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT event_type,
+         count(*) AS n_total,
+         arg_max(llr, rn) AS llr_final,
+         min(CASE WHEN llr >= 2944439 OR llr <= -2944439 THEN rn END) AS n_dec,
+         arg_min(llr, CASE WHEN llr >= 2944439 OR llr <= -2944439
+                           THEN rn END) AS llr_dec
+  FROM s GROUP BY event_type
+)
+SELECT event_type, CAST(n_total AS BIGINT) AS n_total,
+       round(llr_final / 1000000.0, 6) AS llr_final,
+       CASE WHEN llr_dec >= 2944439 THEN 'accept_h1'
+            WHEN llr_dec <= -2944439 THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(n_dec AS BIGINT) AS n_at_decision,
+       round(llr_dec / 1000000.0, 6) AS llr_at_decision
+FROM agg
+"""

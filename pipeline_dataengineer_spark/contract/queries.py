@@ -8147,3 +8147,83 @@ def q_ivfpq_topk(spark, sf_dir):
         "query_id", "vec_id", "dist2",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@query("q_theil_sen")
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per priority (operators/stats_tests.py:
+    theil_sen) on the same daily-count series as q_mann_kendall —
+    median pairwise slope + Conover intercept, exact via vectorized
+    numpy in one grouped-map pass. Oracle replays the pair self-join
+    and DuckDB's interpolating median (identical to numpy's)."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        theil_sen,
+    )
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("x"),
+            "v",
+        )
+    )
+    out = theil_sen(daily, ["o_orderpriority"], "x", "v")
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        "slope",
+        "intercept",
+    )
+
+
+@query("q_page_hinkley")
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley sequential drift monitor (operators/timeseries.py:
+    page_hinkley) over per-type event values ordered by event_id —
+    pure cumulative-window algebra (running mean, cumulative
+    deviation, running extrema), no UDF, so the oracle replays it
+    bit-for-bit with the same total order."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        # integer cents: the cumulative sum inside the running mean
+        # is then EXACT (order-free), so mu is bit-identical across
+        # engines and the quantized accumulation below is stable
+        F.round(F.col("value") * 100).alias("v"),
+    )
+    return page_hinkley(
+        e, ["event_type"], "event_id", "v",
+        delta=10.0, threshold=50_000.0, quantize=6,
+    )
+
+
+@query("q_sprt")
+def q_sprt(spark, sf_dir):
+    """Wald SPRT per event type (operators/stats_tests.py:sprt):
+    Bernoulli stream x = (value > 250) ordered by event_id, H0
+    p=0.45 vs H1 p=0.55 at alpha=beta=0.05. Increments and
+    boundaries are integer micro-nats, so the cumulative LLR and the
+    first-crossing row are exact in both engines."""
+    from pipeline_dataengineer_spark.operators.stats_tests import sprt
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("value") > 250).cast("int").alias("x"),
+    )
+    return sprt(
+        e, ["event_type"], "event_id", "x",
+        p0=0.45, p1=0.55, alpha=0.05, beta=0.05,
+    )

@@ -447,6 +447,163 @@ def mann_kendall(
     )
 
 
+def sprt(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    obs_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per key over a
+    Bernoulli stream (the earliest-possible-decision A/B or quality
+    gate: stop the moment the evidence suffices instead of waiting
+    for a fixed n): H0: p = p0 vs H1: p = p1, cumulative
+    log-likelihood ratio
+
+        llr_t = Σ_i [ x_i·ln(p1/p0) + (1−x_i)·ln((1−p1)/(1−p0)) ]
+
+    with decision boundaries A = ln((1−β)/α) (accept H1) and
+    B = ln(β/(1−α)) (accept H0); the decision fires at the FIRST
+    boundary crossing in ``order_col`` order.
+
+    Engine-exact by construction: the two per-observation increments
+    and both boundaries are quantized to integer MICRO-NATS
+    (round(ln·10⁶)), so the cumulative sum is exact integer
+    arithmetic — associative, accumulation-order-free — and the
+    crossing row can never flip on a float ulp (the hazard every
+    long cumulative float sum carries; see page_hinkley). 10⁻⁶-nat
+    quantization moves a boundary by at most one observation in
+    pathological ties.
+
+    Returns one row per key: (keys..., n_total, llr_final, decision
+    ['accept_h1'|'accept_h0'|'continue'], n_at_decision NULL when
+    continuing, llr_at_decision). One window pass + one combinable
+    aggregate; keys stream independently."""
+    import math
+
+    q = 1_000_000
+    t1 = round(math.log(p1 / p0) * q)
+    t0 = round(math.log((1 - p1) / (1 - p0)) * q)
+    ubound = round(math.log((1 - beta) / alpha) * q)
+    lbound = round(math.log(beta / (1 - alpha)) * q)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs = F.col(obs_col).cast("int")
+    step = df.select(
+        *key_cols,
+        order_col,
+        F.sum(
+            F.when(obs == 1, F.lit(t1)).otherwise(F.lit(t0)).cast("long")
+        )
+        .over(w_cum)
+        .alias("__llr"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    crossed = (F.col("__llr") >= ubound) | (F.col("__llr") <= lbound)
+    agg = step.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.max_by("__llr", "__rn").alias("__llr_final"),
+        F.min(F.when(crossed, F.col("__rn"))).alias("n_at_decision"),
+        F.min_by(
+            "__llr", F.when(crossed, F.col("__rn"))
+        ).alias("__llr_dec"),
+    )
+    return agg.select(
+        *key_cols,
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(F.col("__llr_final") / F.lit(float(q)), 6).alias(
+            "llr_final"
+        ),
+        F.when(F.col("__llr_dec") >= ubound, F.lit("accept_h1"))
+        .when(F.col("__llr_dec") <= lbound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.col("n_at_decision").cast("long").alias("n_at_decision"),
+        F.round(F.col("__llr_dec") / F.lit(float(q)), 6).alias(
+            "llr_at_decision"
+        ),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil–Sen estimator per key — the robust trend line that pairs
+    with mann_kendall (MK answers "is there a monotone trend?",
+    Theil–Sen answers "how steep?"): slope = median of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) over pairs with x_j ≠ x_i, and the
+    standard Conover intercept = median(y) − slope·median(x). Up to a
+    29% breakdown point — a few wild outliers can't bend the line,
+    where OLS (grouped_ols) chases them.
+
+    Returns (keys..., n, slope, intercept); NULL slope for degenerate
+    groups (< 2 distinct x). Pairs tied on x are EXCLUDED (slope
+    undefined — same convention as mann_kendall's order ties).
+
+    Scale: per-key numpy in ONE grouped-map pass (pairwise slope
+    matrix via broadcasting, chunked rows so memory stays bounded —
+    the same sanctioned shape as mann_kendall; a 10k-point series is
+    a 100M-float op). Keys stream independently. NULL x/y rows are
+    dropped (pairwise deletion)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = [df.schema[c] for c in key_cols]
+    schema_out = T.StructType(
+        list(out_fields)
+        + [
+            T.StructField("n", T.LongType()),
+            T.StructField("slope", T.DoubleType()),
+            T.StructField("intercept", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[x_col, y_col]).sort_values(
+            [x_col, y_col]
+        )
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        slopes = []
+        chunk = 2048
+        for i in range(0, n, chunk):
+            dx = x[None, i + 1 :] - x[i : i + chunk, None]
+            dy = y[None, i + 1 :] - y[i : i + chunk, None]
+            rows_idx = np.arange(i, min(i + chunk, n))[:, None]
+            cols_idx = np.arange(i + 1, n)[None, :]
+            mask = (rows_idx < cols_idx) & (dx != 0)
+            if mask.any():
+                slopes.append(dy[mask] / dx[mask])
+        if slopes:
+            sl = float(np.median(np.concatenate(slopes)))
+            ic = float(np.median(y)) - sl * float(np.median(x))
+            out = [n, round(sl, round_to), round(ic, round_to)]
+        else:
+            out = [n, None, None]
+        return pd.DataFrame(
+            [list(key) + out],
+            columns=[*key_cols, "n", "slope", "intercept"],
+        )
+
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        _spread_by_key,
+    )
+
+    return _spread_by_key(df, key_cols).groupBy(*key_cols).applyInPandas(
+        fn, schema=schema_out
+    )
+
+
 def two_proportion_test(
     df: DataFrame,
     group_col: str,

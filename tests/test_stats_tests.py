@@ -247,3 +247,95 @@ def test_two_proportion_wilson(spark):
     half = z95 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n)
     assert r["ci_a_lo"] == pytest.approx(round(center - half, 6))
     assert r["ci_a_hi"] == pytest.approx(round(center + half, 6))
+
+
+def test_theil_sen_hand_case_and_outlier_resistance(spark):
+    """slope = median of pairwise slopes; one wild outlier can't bend
+    the line (the property OLS lacks); x-tied pairs excluded."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        theil_sen,
+    )
+
+    # y = 2x exactly, except one corrupted point
+    rows = [("k", 1.0, 2.0), ("k", 2.0, 4.0), ("k", 3.0, 6.0),
+            ("k", 4.0, 8.0), ("k", 5.0, 500.0)]
+    out = theil_sen(
+        spark.createDataFrame(rows, "k string, x double, y double"),
+        ["k"], "x", "y",
+    ).collect()[0]
+    # 10 pairwise slopes; median stays 2.0 despite the outlier
+    assert out["slope"] == 2.0
+    assert out["n"] == 5
+    # intercept = median(y) - slope*median(x) = 6 - 2*3 = 0
+    assert out["intercept"] == 0.0
+
+    # degenerate: all x equal -> every pair tied on x -> NULL slope
+    same_x = [("k", 1.0, 1.0), ("k", 1.0, 5.0), ("k", 1.0, 9.0)]
+    d = theil_sen(
+        spark.createDataFrame(same_x, "k string, x double, y double"),
+        ["k"], "x", "y",
+    ).collect()[0]
+    assert d["slope"] is None and d["intercept"] is None
+
+
+def test_page_hinkley_detects_mean_shift(spark):
+    """A flat series then a level shift: ph_inc stays ~0 before the
+    shift and exceeds the threshold after; quantized and raw modes
+    agree to the quantization resolution."""
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    rows = [("k", i, 10.0) for i in range(20)] + [
+        ("k", 20 + i, 30.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {
+        r["t"]: r
+        for r in page_hinkley(
+            df, ["k"], "t", "v", delta=0.5, threshold=50.0, quantize=6
+        ).collect()
+    }
+    assert not out[19]["alarm"]  # pre-shift: no drift
+    assert out[39]["alarm"]  # post-shift: fired
+    assert out[39]["ph_inc"] > 50.0
+    raw = {
+        r["t"]: r
+        for r in page_hinkley(
+            df, ["k"], "t", "v", delta=0.5, threshold=50.0
+        ).collect()
+    }
+    for t in (19, 39):
+        assert abs(raw[t]["ph_inc"] - out[t]["ph_inc"]) < 1e-3
+
+
+def test_sprt_decides_early_and_correctly(spark):
+    """All-successes stream: accepts H1 at the textbook minimal n
+    (first n where n*ln(p1/p0) >= ln((1-b)/a)); all-failures accepts
+    H0; a short stream continues."""
+    import math
+
+    from pipeline_dataengineer_spark.operators.stats_tests import sprt
+
+    ones = [("up", i, 1) for i in range(40)]
+    zeros = [("dn", i, 0) for i in range(40)]
+    short = [("sh", 0, 1), ("sh", 1, 0)]
+    df = spark.createDataFrame(
+        ones + zeros + short, "k string, t int, x int"
+    )
+    out = {
+        r["k"]: r
+        for r in sprt(
+            df, ["k"], "t", "x", p0=0.45, p1=0.55,
+            alpha=0.05, beta=0.05,
+        ).collect()
+    }
+    a_bound = math.log(0.95 / 0.05)
+    step = math.log(0.55 / 0.45)
+    want_n = math.ceil(a_bound / step)
+    assert out["up"]["decision"] == "accept_h1"
+    assert out["up"]["n_at_decision"] == want_n
+    assert out["dn"]["decision"] == "accept_h0"
+    assert out["dn"]["n_at_decision"] == want_n  # symmetric design
+    assert out["sh"]["decision"] == "continue"
+    assert out["sh"]["n_at_decision"] is None
