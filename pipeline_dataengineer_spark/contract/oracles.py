@@ -5977,3 +5977,116 @@ SELECT event_type, CAST(n_total AS BIGINT) AS n_total,
        round(llr_dec / 1000000.0, 6) AS llr_at_decision
 FROM agg
 """
+
+
+ORACLES["q_logistic_gd"] = """
+WITH base AS (
+  SELECT o_totalprice / 100000.0 AS x1,
+         (o_custkey % 100) / 100.0 AS x2,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+), w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b), g1 AS (
+  SELECT avg(((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) * x1) AS g1,
+         avg(((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) * x2) AS g2,
+         avg((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) AS gb
+  FROM base, w0 w
+), w1 AS (
+  SELECT w.w1 - 0.5 * (g.g1 + 0.01 * w.w1) AS w1,
+         w.w2 - 0.5 * (g.g2 + 0.01 * w.w2) AS w2,
+         w.b - 0.5 * g.gb AS b
+  FROM w0 w, g1 g
+), g2 AS (
+  SELECT avg(((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) * x1) AS g1,
+         avg(((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) * x2) AS g2,
+         avg((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) AS gb
+  FROM base, w1 w
+), w2 AS (
+  SELECT w.w1 - 0.5 * (g.g1 + 0.01 * w.w1) AS w1,
+         w.w2 - 0.5 * (g.g2 + 0.01 * w.w2) AS w2,
+         w.b - 0.5 * g.gb AS b
+  FROM w1 w, g2 g
+), g3 AS (
+  SELECT avg(((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) * x1) AS g1,
+         avg(((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) * x2) AS g2,
+         avg((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) - y) AS gb
+  FROM base, w2 w
+), w3 AS (
+  SELECT w.w1 - 0.5 * (g.g1 + 0.01 * w.w1) AS w1,
+         w.w2 - 0.5 * (g.g2 + 0.01 * w.w2) AS w2,
+         w.b - 0.5 * g.gb AS b
+  FROM w2 w, g3 g
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(w.w1, 6) AS w_x1,
+       round(w.w2, 6) AS w_x2,
+       round(w.b, 6) AS bias,
+       round(avg(-(y * ln(least(greatest((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))), 1e-12), 1.0 - 1e-12)) + (1.0 - y) * ln(1.0 - least(greatest((1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))), 1e-12), 1.0 - 1e-12)))), 6)
+         AS log_loss
+FROM base, w3 w
+GROUP BY w.w1, w.w2, w.b
+"""
+
+
+ORACLES["q_boxcox"] = """
+WITH base AS (
+  SELECT o_totalprice / 1000.0 AS x FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), lams AS (
+  SELECT -2.0 AS lam,
+         round(-0.5 * count(*) * ln((sum((pow(x, -2.0) - 1.0) / -2.0 * (pow(x, -2.0) - 1.0) / -2.0)
+                 - sum((pow(x, -2.0) - 1.0) / -2.0) * sum((pow(x, -2.0) - 1.0) / -2.0) / count(*)) / count(*))
+               + (-2.0 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+  UNION ALL
+  SELECT -1.5 AS lam,
+         round(-0.5 * count(*) * ln((sum((pow(x, -1.5) - 1.0) / -1.5 * (pow(x, -1.5) - 1.0) / -1.5)
+                 - sum((pow(x, -1.5) - 1.0) / -1.5) * sum((pow(x, -1.5) - 1.0) / -1.5) / count(*)) / count(*))
+               + (-1.5 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+  UNION ALL
+  SELECT -1.0 AS lam,
+         round(-0.5 * count(*) * ln((sum((pow(x, -1.0) - 1.0) / -1.0 * (pow(x, -1.0) - 1.0) / -1.0)
+                 - sum((pow(x, -1.0) - 1.0) / -1.0) * sum((pow(x, -1.0) - 1.0) / -1.0) / count(*)) / count(*))
+               + (-1.0 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+  UNION ALL
+  SELECT -0.5 AS lam,
+         round(-0.5 * count(*) * ln((sum((pow(x, -0.5) - 1.0) / -0.5 * (pow(x, -0.5) - 1.0) / -0.5)
+                 - sum((pow(x, -0.5) - 1.0) / -0.5) * sum((pow(x, -0.5) - 1.0) / -0.5) / count(*)) / count(*))
+               + (-0.5 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+  UNION ALL
+  SELECT 0.0 AS lam,
+         round(-0.5 * count(*) * ln((sum(ln(x) * ln(x))
+                 - sum(ln(x)) * sum(ln(x)) / count(*)) / count(*))
+               + (0.0 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+  UNION ALL
+  SELECT 0.5 AS lam,
+         round(-0.5 * count(*) * ln((sum((pow(x, 0.5) - 1.0) / 0.5 * (pow(x, 0.5) - 1.0) / 0.5)
+                 - sum((pow(x, 0.5) - 1.0) / 0.5) * sum((pow(x, 0.5) - 1.0) / 0.5) / count(*)) / count(*))
+               + (0.5 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+  UNION ALL
+  SELECT 1.0 AS lam,
+         round(-0.5 * count(*) * ln((sum((pow(x, 1.0) - 1.0) / 1.0 * (pow(x, 1.0) - 1.0) / 1.0)
+                 - sum((pow(x, 1.0) - 1.0) / 1.0) * sum((pow(x, 1.0) - 1.0) / 1.0) / count(*)) / count(*))
+               + (1.0 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+  UNION ALL
+  SELECT 1.5 AS lam,
+         round(-0.5 * count(*) * ln((sum((pow(x, 1.5) - 1.0) / 1.5 * (pow(x, 1.5) - 1.0) / 1.5)
+                 - sum((pow(x, 1.5) - 1.0) / 1.5) * sum((pow(x, 1.5) - 1.0) / 1.5) / count(*)) / count(*))
+               + (1.5 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+  UNION ALL
+  SELECT 2.0 AS lam,
+         round(-0.5 * count(*) * ln((sum((pow(x, 2.0) - 1.0) / 2.0 * (pow(x, 2.0) - 1.0) / 2.0)
+                 - sum((pow(x, 2.0) - 1.0) / 2.0) * sum((pow(x, 2.0) - 1.0) / 2.0) / count(*)) / count(*))
+               + (2.0 - 1.0) * sum(ln(x)), 6) AS loglik
+  FROM base
+)
+SELECT lam, loglik,
+       row_number() OVER (ORDER BY loglik DESC, lam ASC) = 1 AS best
+FROM lams
+"""

@@ -8227,3 +8227,42 @@ def q_sprt(spark, sf_dir):
         e, ["event_type"], "event_id", "x",
         p0=0.45, p1=0.55, alpha=0.05, beta=0.05,
     )
+
+
+@query("q_logistic_gd")
+def q_logistic_gd(spark, sf_dir):
+    """Distributed full-batch logistic regression (operators/
+    linear_model.py:logistic_gd): 3 GD iterations on order features,
+    each iteration ONE combinable aggregate of d+1 means — the
+    driver holds only the coefficients. The oracle unrolls the same
+    3 iterations as chained 1-row CTEs in pure SQL, so the entire
+    training trajectory is hash-checked, not just the final score."""
+    from pipeline_dataengineer_spark.operators.linear_model import (
+        logistic_gd,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x2"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"),
+    )
+    return logistic_gd(
+        o, ["x1", "x2"], "y", lr=0.5, l2=0.01, iterations=3
+    )
+
+
+@query("q_boxcox")
+def q_boxcox(spark, sf_dir):
+    """Box-Cox lambda selection by profile MLE (operators/scaling.py:
+    boxcox_lambda) over order totals — the WHOLE 9-point grid rides
+    one combinable aggregate (n, sum ln x, and per-lambda sum/sumsq),
+    and the full (lam, loglik, best) table hash-checks against the
+    oracle's replay of the same likelihood algebra."""
+    from pipeline_dataengineer_spark.operators.scaling import (
+        boxcox_lambda,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / 1000.0).alias("x")
+    )
+    return boxcox_lambda(o, "x")

@@ -180,3 +180,94 @@ def impute(
             f"{c}{suffix}", F.coalesce(F.col(c), F.col(f"__fill_{c}"))
         ).drop(f"__fill_{c}")
     return out
+
+
+_BOXCOX_GRID = [
+    -2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0,
+]
+
+
+def boxcox_lambda(
+    df: DataFrame,
+    value_col: str,
+    grid: list[float] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Box-Cox λ selection by profile maximum likelihood over a
+    candidate grid — the standard de-skewing transform for heavy-
+    tailed features (prices, latencies, token counts) before models
+    that assume symmetric noise:
+
+        y(λ) = (x^λ − 1)/λ   (λ ≠ 0),  ln x  (λ = 0)
+        LL(λ) = −n/2·ln(σ̂²(λ)) + (λ−1)·Σ ln x
+
+    with σ̂² the MLE variance of the transformed values. Requires
+    x > 0 (rows with x ≤ 0 or NULL are excluded, the classical
+    definition). Returns the per-λ table (lam, loglik, best) with
+    best = true on the argmax (ties to the smaller λ) — the whole
+    selection is inspectable, not just the winner.
+
+    ONE PASS for the whole grid: every LL needs only (n, Σy, Σy²,
+    Σ ln x), so all |grid| candidates ride in a single combinable
+    aggregate — map-side partials shrink each partition to
+    2·|grid|+2 doubles; no per-λ jobs, no sort, no window. Pair with
+    ``boxcox_transform`` to apply the winner."""
+    grid = _BOXCOX_GRID if grid is None else list(grid)
+    x = F.col(value_col).cast("double")
+    pos = df.filter(x.isNotNull() & (x > 0)).select(x.alias("__x"))
+
+    def transformed(lam: float):
+        if lam == 0.0:
+            return F.ln(F.col("__x"))
+        return (F.pow(F.col("__x"), F.lit(lam)) - 1.0) / F.lit(lam)
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum(F.ln(F.col("__x"))).alias("__slx")]
+    for i, lam in enumerate(grid):
+        yv = transformed(lam)
+        aggs.append(F.sum(yv).alias(f"__s{i}"))
+        aggs.append(F.sum(yv * yv).alias(f"__q{i}"))
+    stats = pos.agg(*aggs)
+    rows = []
+    for i, lam in enumerate(grid):
+        n, s, q = F.col("__n"), F.col(f"__s{i}"), F.col(f"__q{i}")
+        var = (q - s * s / n) / n
+        ll = (
+            F.lit(-0.5) * n * F.ln(var)
+            + (F.lit(lam) - 1.0) * F.col("__slx")
+        )
+        rows.append(
+            F.struct(
+                F.lit(lam).alias("lam"),
+                F.round(ll, round_to).alias("loglik"),
+            )
+        )
+    per_lam = stats.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.lam", "r.loglik")
+    w_best = Window.orderBy(F.col("loglik").desc(), F.col("lam").asc())
+    return per_lam.withColumn(
+        "best", F.row_number().over(w_best) == 1
+    )
+
+
+def boxcox_transform(
+    df: DataFrame,
+    value_col: str,
+    lam: float,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Apply the Box-Cox transform at a chosen λ (from
+    boxcox_lambda's best row): fused narrow projection, no shuffle.
+    x ≤ 0 / NULL transforms to NULL."""
+    out_col = out_col or f"{value_col}_bc"
+    x = F.col(value_col).cast("double")
+    if lam == 0.0:
+        yv = F.ln(x)
+    else:
+        yv = (F.pow(x, F.lit(lam)) - 1.0) / F.lit(lam)
+    return df.withColumn(
+        out_col,
+        F.when(x.isNotNull() & (x > 0), F.round(yv, round_to)),
+    )
