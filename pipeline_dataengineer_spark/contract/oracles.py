@@ -3986,11 +3986,17 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, substring(text, 1, 60) FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          substring(lower(text), CAST(r.i AS INT) + 1, 5) AS g
   FROM corpus, LATERAL (
     SELECT unnest(range(greatest(length(text) - 4, 1))) AS i) r),
+-- stopword-shingle cap (max_shingle_df=500): template shingles
+-- shared by thousands of docs would make the g-join quadratic
+-- (measured 2.75e9 co-occurrence rows at sf0.1 uncapped)
+df AS (SELECT g, count(*) AS d FROM sh0 GROUP BY g),
+sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN df USING (g)
+       WHERE df.d <= 500),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -6089,4 +6095,73 @@ WITH base AS (
 SELECT lam, loglik,
        row_number() OVER (ORDER BY loglik DESC, lam ASC) = 1 AS best
 FROM lams
+"""
+
+
+ORACLES["q_quantile_reg"] = """
+WITH base AS (
+  SELECT (o_custkey % 100) / 100.0 AS x1,
+         o_totalprice / 100000.0 AS y
+  FROM orders
+), w0 AS (SELECT 0.0 AS w1, 0.0 AS b), g1 AS (
+  SELECT avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5) * x1) AS g1, avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5)) AS gb FROM base, w0 w
+), w1 AS (
+  SELECT w.w1 - 0.5 * g.g1 AS w1, w.b - 0.5 * g.gb AS b
+  FROM w0 w, g1 g
+), g2 AS (
+  SELECT avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5) * x1) AS g1, avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5)) AS gb FROM base, w1 w
+), w2 AS (
+  SELECT w.w1 - 0.5 * g.g1 AS w1, w.b - 0.5 * g.gb AS b
+  FROM w1 w, g2 g
+), g3 AS (
+  SELECT avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5) * x1) AS g1, avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5)) AS gb FROM base, w2 w
+), w3 AS (
+  SELECT w.w1 - 0.5 * g.g1 AS w1, w.b - 0.5 * g.gb AS b
+  FROM w2 w, g3 g
+), g4 AS (
+  SELECT avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5) * x1) AS g1, avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5)) AS gb FROM base, w3 w
+), w4 AS (
+  SELECT w.w1 - 0.5 * g.g1 AS w1, w.b - 0.5 * g.gb AS b
+  FROM w3 w, g4 g
+), g5 AS (
+  SELECT avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5) * x1) AS g1, avg((CASE WHEN (w.b + w.w1 * x1) > y THEN 1.0 ELSE 0.0 END - 0.5)) AS gb FROM base, w4 w
+), w5 AS (
+  SELECT w.w1 - 0.5 * g.g1 AS w1, w.b - 0.5 * g.gb AS b
+  FROM w4 w, g5 g
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(w.w1, 6) AS w_x1, round(w.b, 6) AS bias,
+       round(avg(CASE WHEN y - (w.b + w.w1 * x1) >= 0 THEN 0.5 * (y - (w.b + w.w1 * x1)) ELSE (0.5 - 1.0) * (y - (w.b + w.w1 * x1)) END), 6) AS pinball
+FROM base, w5 w GROUP BY w.w1, w.b
+"""
+
+
+ORACLES["q_poisson_reg"] = """
+WITH base AS (
+  SELECT o_totalprice / 100000.0 AS x1,
+         CAST(o_custkey % 4 AS DOUBLE) AS y
+  FROM orders
+), w0 AS (SELECT 0.0 AS w1, 0.0 AS b), g1 AS (
+  SELECT avg((exp(w.b + w.w1 * x1) - y) * x1) AS g1, avg(exp(w.b + w.w1 * x1) - y) AS gb
+  FROM base, w0 w
+), w1 AS (
+  SELECT w.w1 - 0.1 * g.g1 AS w1, w.b - 0.1 * g.gb AS b
+  FROM w0 w, g1 g
+), g2 AS (
+  SELECT avg((exp(w.b + w.w1 * x1) - y) * x1) AS g1, avg(exp(w.b + w.w1 * x1) - y) AS gb
+  FROM base, w1 w
+), w2 AS (
+  SELECT w.w1 - 0.1 * g.g1 AS w1, w.b - 0.1 * g.gb AS b
+  FROM w1 w, g2 g
+), g3 AS (
+  SELECT avg((exp(w.b + w.w1 * x1) - y) * x1) AS g1, avg(exp(w.b + w.w1 * x1) - y) AS gb
+  FROM base, w2 w
+), w3 AS (
+  SELECT w.w1 - 0.1 * g.g1 AS w1, w.b - 0.1 * g.gb AS b
+  FROM w2 w, g3 g
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(w.w1, 6) AS w_x1, round(w.b, 6) AS bias,
+       round(2.0 * avg((CASE WHEN y > 0 THEN y * ln(y / exp(w.b + w.w1 * x1)) ELSE 0.0 END - (y - exp(w.b + w.w1 * x1)))), 6) AS deviance
+FROM base, w3 w GROUP BY w.w1, w.b
 """

@@ -4399,21 +4399,25 @@ def q_pca_cov(spark, sf_dir):
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct sketch (functions/sketches.py:kmv_states): per
     order priority, the k-minimum-values estimate of distinct
-    customers. k=4096 exceeds the sf0.01 per-priority customer
-    cardinality, so the sketch is in its EXACT regime and the oracle
-    is plain COUNT(DISTINCT) — same exact-below-threshold contract as
-    q_approx_topk. Above k the estimator is the (k-1)/u_(k) order
-    statistic (pytest covers that regime). The build is two bounded
-    stages (salted partial k-min, then a salts x k fold) — no
-    unbounded collect_set buffer on a hot key."""
+    customers. k=16384 exceeds the per-priority customer cardinality
+    at BOTH the driver's sf0.01 (~1k) and the scale-drift pass's
+    sf0.1 (~13k — round 4's k=4096 crossed into the estimator regime
+    there and the COUNT(DISTINCT) oracle rightly diverged), so the
+    sketch stays in its EXACT regime and the oracle is plain
+    COUNT(DISTINCT) — same exact-below-threshold contract as
+    q_approx_topk. Above k the (k-1)/u_(k) order-statistic regime is
+    engine-specific by nature (xxhash64) and is pytest-covered
+    (test_kmv.py) rather than oracle-checked. The build is two
+    bounded stages (salted partial k-min, then a salts x k fold) —
+    no unbounded collect_set buffer on a hot key."""
     from pipeline_dataengineer_spark.functions.sketches import (
         kmv_estimate,
         kmv_states,
     )
 
     o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
-    st = kmv_states(o, ["o_orderpriority"], "o_custkey", k=4096)
-    return kmv_estimate(st, ["o_orderpriority"], k=4096).select(
+    st = kmv_states(o, ["o_orderpriority"], "o_custkey", k=16384)
+    return kmv_estimate(st, ["o_orderpriority"], k=16384).select(
         "o_orderpriority",
         F.col("approx_distinct").cast("long").alias("n_customers"),
     )
@@ -6002,8 +6006,15 @@ def q_containment(spark, sf_dir):
         F.substring("text", 1, 60).alias("text"),
     )
     corpus = d.unionByName(halves)
+    # max_shingle_df: the operator's audited stopword-shingle cap IS
+    # part of the contract — uncapped, the templated corpus's shared
+    # shingles made the join quadratic at sf0.1 (2.75e9 co-occurrence
+    # rows measured; the sweep stalled). Fragments keep >= 1
+    # discriminative shingle at this cap, so the containment signal
+    # survives (oracle replays the identical df filter).
     return containment_pairs(
-        corpus, "doc_id", "text", shingle_n=5, min_containment=0.9
+        corpus, "doc_id", "text", shingle_n=5, min_containment=0.9,
+        max_shingle_df=500,
     )
 
 
@@ -8266,3 +8277,39 @@ def q_boxcox(spark, sf_dir):
         (F.col("o_totalprice") / 1000.0).alias("x")
     )
     return boxcox_lambda(o, "x")
+
+
+@query("q_quantile_reg")
+def q_quantile_reg(spark, sf_dir):
+    """Linear quantile regression by pinball subgradient descent
+    (operators/linear_model.py:quantile_regression_gd): 5 iterations,
+    tau=0.5, one combinable aggregate each — the oracle unrolls the
+    identical trajectory in chained 1-row CTEs (the indicator
+    subgradient is exactly replayable)."""
+    from pipeline_dataengineer_spark.operators.linear_model import (
+        quantile_regression_gd,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        ((F.col("o_custkey") % 100) / 100.0).alias("x1"),
+        (F.col("o_totalprice") / 100000.0).alias("y"),
+    )
+    return quantile_regression_gd(
+        o, ["x1"], "y", tau=0.5, lr=0.5, iterations=5
+    )
+
+
+@query("q_poisson_reg")
+def q_poisson_reg(spark, sf_dir):
+    """Poisson regression by log-link gradient descent
+    (operators/linear_model.py:poisson_gd): 3 iterations on a count
+    target, oracle-unrolled like q_logistic_gd."""
+    from pipeline_dataengineer_spark.operators.linear_model import (
+        poisson_gd,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        (F.col("o_custkey") % 4).cast("double").alias("y"),
+    )
+    return poisson_gd(o, ["x1"], "y", lr=0.1, iterations=3)

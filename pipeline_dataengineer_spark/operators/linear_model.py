@@ -104,3 +104,122 @@ def logistic_predict(
         z = z + F.lit(wv) * F.col(c).cast("double")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return df.withColumn(out_col, F.round(p, round_to))
+
+
+def quantile_regression_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    tau: float = 0.5,
+    lr: float = 0.5,
+    iterations: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear quantile regression (pinball loss) by full-batch
+    subgradient descent — fit the τ-th conditional quantile instead
+    of the mean (p50/p95 latency curves, robust trend fits where OLS
+    chases outliers):
+
+        subgrad_j = mean((1{ŷ_i > y_i} − τ)·x_ij)
+        (bias term: same with x ≡ 1)
+
+    Same distributed shape as logistic_gd: each iteration is ONE
+    combinable aggregate of d+1 means, driver holds only the
+    coefficients. The indicator subgradient makes every per-row term
+    one of two exactly-representable values times x, so a fixed
+    iteration count replays exactly in SQL (the contract oracle
+    unrolls it). Returns one row: (n, w_<f>..., bias, pinball)."""
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("feature_cols must be non-empty")
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    w = [0.0] * d
+    b = 0.0
+    for _ in range(iterations):
+        pred = F.lit(b)
+        for j in range(d):
+            pred = pred + F.lit(w[j]) * xs[j]
+        ind = F.when(pred > y, F.lit(1.0)).otherwise(F.lit(0.0))
+        g = ind - F.lit(tau)
+        r = df.agg(
+            *[F.avg(g * xs[j]).alias(f"g{j}") for j in range(d)],
+            F.avg(g).alias("gb"),
+        ).collect()[0]
+        w = [w[j] - lr * r[f"g{j}"] for j in range(d)]
+        b = b - lr * r["gb"]
+    pred = F.lit(b)
+    for j in range(d):
+        pred = pred + F.lit(w[j]) * xs[j]
+    err = y - pred
+    pin = F.when(err >= 0, F.lit(tau) * err).otherwise(
+        (F.lit(tau) - 1.0) * err
+    )
+    out = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(pin), round_to).alias("pinball"),
+    )
+    sel = [F.col("n")]
+    for j, c in enumerate(feature_cols):
+        sel.append(F.lit(round(w[j], round_to)).alias(f"w_{c}"))
+    sel.append(F.lit(round(b, round_to)).alias("bias"))
+    sel.append(F.col("pinball"))
+    return out.select(*sel)
+
+
+def poisson_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 0.1,
+    iterations: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Poisson regression (log link) by full-batch gradient descent —
+    count targets (events per user, defects per batch) where squared
+    loss is wrong and logistic doesn't apply:
+
+        μ_i = exp(b + w·x_i),  grad_j = mean((μ_i − y_i)·x_ij)
+
+    Same one-combinable-aggregate-per-iteration shape as
+    logistic_gd; deviance reported as the fit metric (y·ln(y/μ) −
+    (y−μ), with the y=0 limit). Returns one row:
+    (n, w_<f>..., bias, deviance)."""
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("feature_cols must be non-empty")
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    w = [0.0] * d
+    b = 0.0
+    for _ in range(iterations):
+        z = F.lit(b)
+        for j in range(d):
+            z = z + F.lit(w[j]) * xs[j]
+        mu = F.exp(z)
+        r = df.agg(
+            *[F.avg((mu - y) * xs[j]).alias(f"g{j}") for j in range(d)],
+            F.avg(mu - y).alias("gb"),
+        ).collect()[0]
+        w = [w[j] - lr * r[f"g{j}"] for j in range(d)]
+        b = b - lr * r["gb"]
+    z = F.lit(b)
+    for j in range(d):
+        z = z + F.lit(w[j]) * xs[j]
+    mu = F.exp(z)
+    dev_term = (
+        F.when(y > 0, y * F.ln(y / mu)).otherwise(F.lit(0.0))
+        - (y - mu)
+    )
+    out = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.lit(2.0) * F.avg(dev_term), round_to).alias(
+            "deviance"
+        ),
+    )
+    sel = [F.col("n")]
+    for j, c in enumerate(feature_cols):
+        sel.append(F.lit(round(w[j], round_to)).alias(f"w_{c}"))
+    sel.append(F.lit(round(b, round_to)).alias("bias"))
+    sel.append(F.col("deviance"))
+    return out.select(*sel)

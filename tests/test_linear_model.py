@@ -77,3 +77,46 @@ def test_logistic_gd_empty_features_raises(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         logistic_gd(_toy(spark), [], "y")
+
+
+def test_quantile_regression_fits_conditional_quantiles(spark):
+    """On y = x + noise-free spread, tau=0.9 fit sits above tau=0.1
+    fit; pinball loss at tau=0.5 approaches the MAE/2 of the median
+    line."""
+    from pipeline_dataengineer_spark.operators.linear_model import (
+        quantile_regression_gd,
+    )
+
+    # three y levels per x: x, x+1, x+2 (deterministic spread)
+    df = spark.range(300).select(
+        ((F.col("id") % 100) / 10.0).alias("x1"),
+        (((F.col("id") % 100) / 10.0) + (F.col("id") % 3)).alias("y"),
+    )
+    lo = quantile_regression_gd(
+        df, ["x1"], "y", tau=0.1, lr=0.3, iterations=200
+    ).collect()[0]
+    hi = quantile_regression_gd(
+        df, ["x1"], "y", tau=0.9, lr=0.3, iterations=200
+    ).collect()[0]
+    # both slopes near 1; intercepts ordered by tau
+    assert abs(lo["w_x1"] - 1.0) < 0.3
+    assert abs(hi["w_x1"] - 1.0) < 0.3
+    assert hi["bias"] > lo["bias"] + 0.5
+
+
+def test_poisson_gd_recovers_log_link(spark):
+    """y generated as exp(0.5 + 1.0*x) (deterministic): coefficients
+    converge toward (1.0, 0.5) and deviance toward 0."""
+    from pipeline_dataengineer_spark.operators.linear_model import (
+        poisson_gd,
+    )
+
+    df = spark.range(200).select(
+        ((F.col("id") % 50) / 50.0).alias("x1")
+    ).withColumn("y", F.exp(0.5 + 1.0 * F.col("x1")))
+    out = poisson_gd(
+        df, ["x1"], "y", lr=0.3, iterations=400
+    ).collect()[0]
+    assert abs(out["w_x1"] - 1.0) < 0.05
+    assert abs(out["bias"] - 0.5) < 0.05
+    assert out["deviance"] < 0.01
