@@ -6165,3 +6165,66 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        round(2.0 * avg((CASE WHEN y > 0 THEN y * ln(y / exp(w.b + w.w1 * x1)) ELSE 0.0 END - (y - exp(w.b + w.w1 * x1)))), 6) AS deviance
 FROM base, w3 w GROUP BY w.w1, w.b
 """
+
+
+ORACLES["q_cox_ph"] = """
+WITH base AS (
+  SELECT ((((((c_custkey) % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647) % 40 AS t, (CASE WHEN (((((((c_custkey + 3) % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647) % 10) < 8 THEN 1 ELSE 0 END) AS ev, c_acctbal / 10000.0 AS x
+  FROM customer
+), w0 AS (SELECT 0.0 AS w), cells1 AS (
+  SELECT t,
+         sum(CAST(round(exp(wv.w * x) * 1000000000.0) AS BIGINT)) AS r0,
+         sum(CAST(round(x * exp(wv.w * x) * 1000000000.0) AS BIGINT)) AS r1,
+         sum(ev) AS d,
+         sum(CASE WHEN ev = 1 THEN x END) AS sx
+  FROM base, w0 wv GROUP BY t
+), risk1 AS (
+  SELECT t, d, sx,
+         sum(r0) OVER wd AS R0, sum(r1) OVER wd AS R1
+  FROM cells1
+  WINDOW wd AS (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g1 AS (
+  SELECT sum(coalesce(sx, 0.0)
+             - (d * (R1 / 1000000000.0)) / (R0 / 1000000000.0)) AS g
+  FROM risk1 WHERE d > 0
+), w1 AS (SELECT wv.w + 0.05 * g1.g AS w FROM w0 wv, g1), cells2 AS (
+  SELECT t,
+         sum(CAST(round(exp(wv.w * x) * 1000000000.0) AS BIGINT)) AS r0,
+         sum(CAST(round(x * exp(wv.w * x) * 1000000000.0) AS BIGINT)) AS r1,
+         sum(ev) AS d,
+         sum(CASE WHEN ev = 1 THEN x END) AS sx
+  FROM base, w1 wv GROUP BY t
+), risk2 AS (
+  SELECT t, d, sx,
+         sum(r0) OVER wd AS R0, sum(r1) OVER wd AS R1
+  FROM cells2
+  WINDOW wd AS (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g2 AS (
+  SELECT sum(coalesce(sx, 0.0)
+             - (d * (R1 / 1000000000.0)) / (R0 / 1000000000.0)) AS g
+  FROM risk2 WHERE d > 0
+), w2 AS (SELECT wv.w + 0.05 * g2.g AS w FROM w1 wv, g2), cellsF AS (
+  SELECT t,
+         sum(CAST(round(exp(wv.w * x) * 1000000000.0) AS BIGINT)) AS r0,
+         sum(ev) AS d,
+         sum(CASE WHEN ev = 1 THEN x END) AS sx
+  FROM base, w2 wv GROUP BY t
+), riskF AS (
+  SELECT t, d, sx, sum(r0) OVER wd AS R0
+  FROM cellsF
+  WINDOW wd AS (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), ll AS (
+  SELECT round(sum(wv.w * coalesce(sx, 0.0)
+                   - d * ln(R0 / 1000000000.0)), 6) AS loglik
+  FROM riskF, w2 wv WHERE d > 0
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ev) AS BIGINT) AS n_events
+  FROM base
+)
+SELECT tot.n, tot.n_events, round(wv.w, 6) AS coef_x, ll.loglik
+FROM tot, w2 wv, ll
+"""

@@ -8313,3 +8313,29 @@ def q_poisson_reg(spark, sf_dir):
         (F.col("o_custkey") % 4).cast("double").alias("y"),
     )
     return poisson_gd(o, ["x1"], "y", lr=0.1, iterations=3)
+
+
+@query("q_cox_ph")
+def q_cox_ph(spark, sf_dir):
+    """Cox proportional hazards (operators/survival.py:cox_ph) on the
+    Lehmer-derived duration fixture with c_acctbal/10000 as the
+    covariate — 2 gradient-ascent iterations in the quantize=9
+    engine-exact mode (risk-set sums accumulate as integer
+    nano-units, order-free), oracle-unrolled with the identical
+    window algebra. Completes the survival suite (KM, Nelson-Aalen,
+    log-rank) with covariate effect sizes."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+    from pipeline_dataengineer_spark.operators.survival import cox_ph
+
+    c = table(spark, sf_dir, "customer").select(
+        portable_bucket(F.col("c_custkey"), 40).alias("t"),
+        (portable_bucket(F.col("c_custkey") + 3, 10) < 8)
+        .cast("int")
+        .alias("ev"),
+        (F.col("c_acctbal") / 10000.0).alias("x"),
+    )
+    return cox_ph(
+        c, "t", "ev", ["x"], lr=0.05, iterations=2, quantize=9
+    )

@@ -228,3 +228,134 @@ def log_rank_test(
         "n_a",
         "n_b",
     )
+
+
+def cox_ph(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    covariate_cols: list[str],
+    lr: float = 0.1,
+    iterations: int = 20,
+    quantize: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cox proportional-hazards regression (Breslow ties) by
+    full-batch gradient ascent on the partial log-likelihood — the
+    standard covariate-adjusted survival model ("does plan tier
+    change churn hazard, controlling for tenure?"), completing the
+    estimator/test suite (kaplan_meier, nelson_aalen, log_rank_test)
+    with effect SIZES:
+
+        ℓ(w) = Σ_{events i} [ w·x_i − ln R0(t_i) ]
+        R0(t) = Σ_{j: t_j ≥ t} exp(w·x_j)
+        ∂ℓ/∂w_k = Σ_{events i} [ x_ik − R1_k(t_i)/R0(t_i) ]
+
+    Per iteration, the risk-set sums R0/R1_k come from ONE descending
+    cumulative window over per-(distinct-time) CELLS — the same
+    union-grid shape as nelson_aalen/log_rank_test, linear in
+    distinct event times — followed by one broadcast-sized join and
+    one combinable aggregate of d+1 sums. The driver holds only the
+    coefficient vector; exp(w·x) never materializes beyond the plan.
+
+    ``quantize``: with None the risk sums accumulate in raw doubles
+    (fastest; accumulation-order-sensitive at the ulp level like any
+    long float cumsum — see page_hinkley). With e.g. ``quantize=9``
+    each exp(w·x) term rounds to 9 decimals and accumulates as an
+    exact integer in 10^-9 units — order-free, engine-replayable
+    bit-for-bit (the contract oracle unrolls 2 iterations this way).
+    Integer headroom bounds |w·x| ≲ 20 at q=9 for ~10^5 rows; scale
+    covariates to O(1) first (good practice regardless).
+
+    Returns one row: (n, n_events, coef_<c>... , loglik) with
+    loglik the final Breslow partial log-likelihood."""
+    d = len(covariate_cols)
+    if d == 0:
+        raise ValueError("covariate_cols must be non-empty")
+    xs = [F.col(c).cast("double") for c in covariate_cols]
+    ev = F.col(event_col).cast("int")
+    t = F.col(duration_col)
+    w = [0.0] * d
+    scale = None if quantize is None else float(10 ** quantize)
+
+    def risk_cells(wvec):
+        z = F.lit(0.0)
+        for j in range(d):
+            z = z + F.lit(wvec[j]) * xs[j]
+        r = F.exp(z)
+        if scale is None:
+            terms = [F.sum(r).alias("__r0")] + [
+                F.sum(xs[j] * r).alias(f"__r1_{j}") for j in range(d)
+            ]
+        else:
+            terms = [
+                F.sum(F.round(r * scale).cast("long")).alias("__r0")
+            ] + [
+                F.sum(F.round(xs[j] * r * scale).cast("long")).alias(
+                    f"__r1_{j}"
+                )
+                for j in range(d)
+            ]
+        cells = df.groupBy(t.alias("__t")).agg(
+            *terms,
+            F.sum(ev).alias("__d"),
+            *[F.sum(F.when(ev == 1, xs[j])).alias(f"__sx{j}")
+              for j in range(d)],
+        )
+        w_from_t = (
+            Window.orderBy(F.desc("__t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out_cols = [
+            F.col("__t"),
+            F.col("__d"),
+            *[F.col(f"__sx{j}") for j in range(d)],
+            F.sum("__r0").over(w_from_t).alias("__R0"),
+        ]
+        for j in range(d):
+            out_cols.append(
+                F.sum(f"__r1_{j}").over(w_from_t).alias(f"__R1_{j}")
+            )
+        return cells.select(*out_cols).filter(F.col("__d") > 0)
+
+    for _ in range(iterations):
+        cells = risk_cells(w)
+        if scale is None:
+            r0 = F.col("__R0")
+            r1 = [F.col(f"__R1_{j}") for j in range(d)]
+        else:
+            r0 = F.col("__R0") / F.lit(scale)
+            r1 = [F.col(f"__R1_{j}") / F.lit(scale) for j in range(d)]
+        g = cells.agg(
+            *[
+                F.sum(
+                    F.coalesce(F.col(f"__sx{j}"), F.lit(0.0))
+                    - F.col("__d") * r1[j] / r0
+                ).alias(f"g{j}")
+                for j in range(d)
+            ]
+        ).collect()[0]
+        w = [w[j] + lr * g[f"g{j}"] for j in range(d)]
+
+    cells = risk_cells(w)
+    if scale is None:
+        r0 = F.col("__R0")
+    else:
+        r0 = F.col("__R0") / F.lit(scale)
+    zx = F.lit(0.0)
+    for j in range(d):
+        zx = zx + F.lit(w[j]) * F.coalesce(F.col(f"__sx{j}"), F.lit(0.0))
+    ll = cells.agg(
+        F.round(
+            F.sum(zx - F.col("__d") * F.ln(r0)), round_to
+        ).alias("loglik")
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(ev).cast("long").alias("n_events"),
+    )
+    sel = [F.col("n"), F.col("n_events")]
+    for j, c in enumerate(covariate_cols):
+        sel.append(F.lit(round(w[j], round_to)).alias(f"coef_{c}"))
+    sel.append(F.col("loglik"))
+    return tot.crossJoin(F.broadcast(ll)).select(*sel)
