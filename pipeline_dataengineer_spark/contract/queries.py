@@ -8339,3 +8339,33 @@ def q_cox_ph(spark, sf_dir):
     return cox_ph(
         c, "t", "ev", ["x"], lr=0.05, iterations=2, quantize=9
     )
+
+
+@query("q_rowgroup_stats")
+def q_rowgroup_stats(spark, sf_dir):
+    """Parquet footer statistics scan (sources/parquet_meta.py:
+    row_group_stats) — the data-skipping audit: per (file, row
+    group, column) min/max/null/byte facts read from footers only,
+    never a data page. Rows-only by design (the oracle SQL string
+    cannot parameterize the sf_dir path DuckDB's parquet_metadata()
+    needs); the pytest runs the full DuckDB differential instead.
+    file_name reduced to its basename so results are
+    location-independent."""
+    import os as _os
+
+    from pipeline_dataengineer_spark.sources.parquet_meta import (
+        row_group_stats,
+    )
+
+    paths = [f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"]
+    st = row_group_stats(
+        spark, paths,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "c_custkey", "c_mktsegment"],
+    )
+    base = F.element_at(F.split(F.col("file_name"), "/"), -1)
+    return st.select(
+        base.alias("file_name"), "row_group_id", "num_rows",
+        "column", "min_value", "max_value", "null_count",
+        "compressed_bytes",
+    )

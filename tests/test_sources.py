@@ -236,3 +236,53 @@ def test_sniff_csv_dialect(spark, tmp_path):
     p3.write_text("justoneword\n")
     with pytest.raises(ValueError):
         sniff_csv_dialect(spark, str(p3))
+
+
+def test_row_group_stats_matches_duckdb(spark):
+    """Footer stats differential: every (row_group, column) fact we
+    emit equals DuckDB's parquet_metadata() on the same file —
+    min/max strings, null counts, byte sizes."""
+    import duckdb
+
+    from pipeline_dataengineer_spark.sources.parquet_meta import (
+        row_group_stats,
+    )
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    got = {
+        (r["row_group_id"], r["column"]): r
+        for r in row_group_stats(spark, [path]).collect()
+    }
+    want = duckdb.connect().execute(
+        "SELECT row_group_id, path_in_schema, stats_min_value, "
+        "stats_max_value, stats_null_count, total_compressed_size, "
+        "row_group_num_rows "
+        f"FROM parquet_metadata('{path}')"
+    ).fetchall()
+    assert len(got) == len(want) > 0
+    for rg, col, mn, mx, nnull, comp, nrows in want:
+        g = got[(rg, col)]
+        assert g["min_value"] == mn, (col, g["min_value"], mn)
+        assert g["max_value"] == mx, (col, g["max_value"], mx)
+        assert g["null_count"] == nnull
+        assert g["compressed_bytes"] == comp
+        assert g["num_rows"] == nrows
+
+
+def test_skipping_effectiveness_report(spark):
+    """A range predicate far outside the data skips every row group;
+    one covering the whole range skips none."""
+    from pipeline_dataengineer_spark.sources.parquet_meta import (
+        skipping_effectiveness,
+    )
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    none = skipping_effectiveness(
+        spark, [path], "o_orderkey", 10**12, 2 * 10**12
+    ).collect()[0]
+    assert none["skippable_groups"] == none["row_groups"]
+    assert none["skippable_rows"] == none["total_rows"]
+    full = skipping_effectiveness(
+        spark, [path], "o_orderkey", -1, 10**12
+    ).collect()[0]
+    assert full["skippable_groups"] == 0
