@@ -514,6 +514,32 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
         ["Window", "SortMergeJoin"],
     ),
+    # ---- round 5 additions ----
+    # string-key Count-Min: hash + bucket all JVM-side expressions
+    "q_countmin_str": (["HashAggregate"], ["BatchEvalPython"]),
+    # GLM final pass: one aggregate, no join/window in the plan
+    "q_logistic_gd": (["HashAggregate"], ["Join", "Window"]),
+    "q_quantile_reg": (["HashAggregate"], ["Join", "Window"]),
+    "q_poisson_reg": (["HashAggregate"], ["Join", "Window"]),
+    # Box-Cox grid: single aggregate then a 9-row explode — no join
+    "q_boxcox": (["HashAggregate"], ["Join"]),
+    # Page-Hinkley: pure windows, no Python, no join
+    "q_page_hinkley": (["Window"], ["Join", "BatchEvalPython",
+                                    "FlatMapGroupsInPandas"]),
+    # SPRT: window + one aggregate, no Python
+    "q_sprt": (["Window", "HashAggregate"],
+               ["BatchEvalPython", "FlatMapGroupsInPandas"]),
+    # Theil-Sen: grouped-map with the key spread (sanctioned shape)
+    "q_theil_sen": (["FlatMapGroupsInPandas"], ["CartesianProduct"]),
+    # Cox PH: cell windows + aggregates; the only join is the final
+    # 1-row broadcast of loglik onto totals
+    "q_cox_ph": (["Window", "BroadcastNestedLoopJoin"],
+                 ["SortMergeJoin"]),
+    # footer stats: metadata-only mapInPandas over the file list
+    "q_rowgroup_stats": (["MapInPandas"], ["Window"]),
+    # lossy IVF-PQ: broadcast probe join + Arrow scoring, top-k window
+    "q_ivfpq_topk": (["ArrowEvalPython", "Window"],
+                     ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
