@@ -6228,3 +6228,25 @@ WITH base AS (
 SELECT tot.n, tot.n_events, round(wv.w, 6) AS coef_x, ll.loglik
 FROM tot, w2 wv, ll
 """
+
+
+ORACLES["q_benjamini_hochberg"] = """
+WITH h AS (
+  SELECT o_orderkey AS hyp_id, (((((((o_orderkey) % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647) % 100000) / 100000.0 AS p
+  FROM orders WHERE o_orderkey < 1000
+), s AS (
+  SELECT hyp_id, p,
+         row_number() OVER (ORDER BY p ASC, hyp_id ASC) AS rk,
+         count(*) OVER () AS n
+  FROM h
+), q AS (
+  SELECT hyp_id, p, rk,
+         least(min(p * n / rk) OVER (ORDER BY rk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               1.0) AS qv
+  FROM s
+)
+SELECT hyp_id, p, CAST(rk AS BIGINT) AS rank,
+       round(qv, 6) AS q_value, qv <= 0.05 AS reject
+FROM q
+"""

@@ -8369,3 +8369,28 @@ def q_rowgroup_stats(spark, sf_dir):
         "column", "min_value", "max_value", "null_count",
         "compressed_bytes",
     )
+
+
+@query("q_benjamini_hochberg")
+def q_benjamini_hochberg(spark, sf_dir):
+    """Benjamini-Hochberg FDR adjustment (operators/stats_tests.py:
+    benjamini_hochberg) over a deterministic per-order pseudo
+    p-value table — ascending rank + descending running-min, pure
+    window algebra, oracle-replayed bit-for-bit."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        benjamini_hochberg,
+    )
+
+    h = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("hyp_id"),
+            (portable_bucket(F.col("o_orderkey"), 100000) / 100000.0)
+            .alias("p"),
+        )
+    )
+    return benjamini_hochberg(h, "hyp_id", "p", alpha=0.05)

@@ -669,3 +669,51 @@ def two_proportion_test(
         n_a.cast("long").alias("n_a"),
         n_b.cast("long").alias("n_b"),
     )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    id_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction — the multiple-testing
+    companion every grouped test in this module eventually needs
+    (run two_proportion_test over 10k metrics and 500 of them are
+    "significant" by chance): given per-hypothesis p-values,
+
+        q_(i) = min_{j >= i} ( p_(j) · n / j )   (p ascending)
+
+    capped at 1; reject where q <= alpha. Returns every input row
+    with (rank, q_value, reject) — the full adjusted table, not just
+    the cut.
+
+    Pure window algebra: one ascending rank, one descending
+    running-min — no Python, no join; ties on p break by id for
+    determinism. One sort of the hypothesis table (hypothesis count
+    is test-count-sized, not fact-sized)."""
+    p = F.col(p_col).cast("double")
+    w_rank = Window.orderBy(p.asc(), F.col(id_col).asc())
+    w_from_right = (
+        Window.orderBy(F.col("__rk").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = Window.partitionBy()
+    step = df.select(
+        F.col(id_col),
+        p.alias("__p"),
+        F.row_number().over(w_rank).alias("__rk"),
+        F.count(F.lit(1)).over(n).alias("__n"),
+    )
+    raw_q = F.col("__p") * F.col("__n") / F.col("__rk")
+    out = step.withColumn(
+        "__q", F.least(F.min(raw_q).over(w_from_right), F.lit(1.0))
+    )
+    return out.select(
+        id_col,
+        F.col("__p").alias(p_col),
+        F.col("__rk").cast("long").alias("rank"),
+        F.round(F.col("__q"), round_to).alias("q_value"),
+        (F.col("__q") <= alpha).alias("reject"),
+    )

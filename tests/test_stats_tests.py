@@ -339,3 +339,29 @@ def test_sprt_decides_early_and_correctly(spark):
     assert out["dn"]["n_at_decision"] == want_n  # symmetric design
     assert out["sh"]["decision"] == "continue"
     assert out["sh"]["n_at_decision"] is None
+
+
+def test_benjamini_hochberg_textbook(spark):
+    """Classic worked example: p = (.01,.02,.03,.04,.25), n=5. BH
+    q-values: min-from-right of p*n/i = (.05,.05,.05,.05,.25); all
+    but the last reject at alpha=.05. Monotonicity: q non-decreasing
+    in rank."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        benjamini_hochberg,
+    )
+
+    rows = [(1, 0.01), (2, 0.02), (3, 0.03), (4, 0.04), (5, 0.25)]
+    out = {
+        r["id"]: r
+        for r in benjamini_hochberg(
+            spark.createDataFrame(rows, "id int, p double"),
+            "id", "p", alpha=0.05,
+        ).collect()
+    }
+    assert [out[i]["q_value"] for i in (1, 2, 3, 4)] == [0.05] * 4
+    assert out[5]["q_value"] == 0.25
+    assert [out[i]["reject"] for i in (1, 2, 3, 4, 5)] == [
+        True, True, True, True, False,
+    ]
+    qs = [out[i]["q_value"] for i in sorted(out, key=lambda k: out[k]["rank"])]
+    assert qs == sorted(qs)
