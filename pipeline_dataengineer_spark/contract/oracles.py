@@ -6250,3 +6250,84 @@ SELECT hyp_id, p, CAST(rk AS BIGINT) AS rank,
        round(qv, 6) AS q_value, qv <= 0.05 AS reject
 FROM q
 """
+
+
+ORACLES["q_propensity_att"] = """
+WITH base AS (
+  SELECT (c_custkey * 48271 % 99991) / 99991.0 AS s,
+         CASE WHEN (c_custkey * 16807 % 10) < 3 THEN 1 ELSE 0 END AS t,
+         round(c_acctbal, 2) AS y
+  FROM customer
+  WHERE c_acctbal IS NOT NULL
+), win AS (
+  SELECT t, y, s,
+         max(CASE WHEN t = 0 THEN s END) OVER wu AS bs,
+         arg_max(CASE WHEN t = 0 THEN y END,
+                 CASE WHEN t = 0 THEN s END) OVER wu AS by,
+         min(CASE WHEN t = 0 THEN s END) OVER wd AS a_s,
+         arg_min(CASE WHEN t = 0 THEN y END,
+                 CASE WHEN t = 0 THEN s END) OVER wd AS ay
+  FROM base
+  WINDOW wu AS (ORDER BY s ASC, t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wd AS (ORDER BY s DESC, t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pairs AS (
+  SELECT y,
+         CASE WHEN bs IS NOT NULL
+                   AND (a_s IS NULL OR (s - bs) <= (a_s - s))
+              THEN by ELSE ay END AS cy,
+         CASE WHEN bs IS NOT NULL
+                   AND (a_s IS NULL OR (s - bs) <= (a_s - s))
+              THEN s - bs ELSE a_s - s END AS gap
+  FROM win WHERE t = 1
+), matched AS (
+  SELECT * FROM pairs WHERE cy IS NOT NULL AND gap <= 0.05
+), eff AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_matched,
+         round(avg(y - cy), 6) AS att,
+         round(avg(gap), 6) AS mean_abs_score_gap
+  FROM matched
+), tot AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n_treated,
+         CAST(sum(1 - t) AS BIGINT) AS n_controls
+  FROM base
+)
+SELECT n_treated, n_matched, n_controls, att, mean_abs_score_gap
+FROM tot, eff
+"""
+
+
+ORACLES["q_diff_in_diff"] = """
+WITH base AS (
+  SELECT CAST(user_id % 2 AS INT) AS t,
+         CASE WHEN event_id % 3 > 0 THEN 1 ELSE 0 END AS p,
+         round(value, 2) AS y
+  FROM events
+), agg AS (
+  SELECT avg(CASE WHEN t = 1 AND p = 1 THEN y END) AS m11,
+         CAST(count(CASE WHEN t = 1 AND p = 1 THEN 1 END) AS DOUBLE) AS n11,
+         var_samp(CASE WHEN t = 1 AND p = 1 THEN y END) AS v11,
+         avg(CASE WHEN t = 1 AND p = 0 THEN y END) AS m10,
+         CAST(count(CASE WHEN t = 1 AND p = 0 THEN 1 END) AS DOUBLE) AS n10,
+         var_samp(CASE WHEN t = 1 AND p = 0 THEN y END) AS v10,
+         avg(CASE WHEN t = 0 AND p = 1 THEN y END) AS m01,
+         CAST(count(CASE WHEN t = 0 AND p = 1 THEN 1 END) AS DOUBLE) AS n01,
+         var_samp(CASE WHEN t = 0 AND p = 1 THEN y END) AS v01,
+         avg(CASE WHEN t = 0 AND p = 0 THEN y END) AS m00,
+         CAST(count(CASE WHEN t = 0 AND p = 0 THEN 1 END) AS DOUBLE) AS n00,
+         var_samp(CASE WHEN t = 0 AND p = 0 THEN y END) AS v00
+  FROM base
+)
+SELECT round(m10, 6) AS treat_pre,
+       round(m11, 6) AS treat_post,
+       round(m00, 6) AS ctrl_pre,
+       round(m01, 6) AS ctrl_post,
+       CAST(n11 + n10 AS BIGINT) AS n_treat,
+       CAST(n01 + n00 AS BIGINT) AS n_ctrl,
+       round((m11 - m10) - (m01 - m00), 6) AS did,
+       round(sqrt(v11/n11 + v10/n10 + v01/n01 + v00/n00), 6) AS se,
+       round(((m11 - m10) - (m01 - m00))
+             / sqrt(v11/n11 + v10/n10 + v01/n01 + v00/n00), 6) AS z
+FROM agg
+"""

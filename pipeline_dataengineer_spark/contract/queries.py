@@ -8394,3 +8394,41 @@ def q_benjamini_hochberg(spark, sf_dir):
         )
     )
     return benjamini_hochberg(h, "hyp_id", "p", alpha=0.05)
+
+
+@query("q_propensity_att")
+def q_propensity_att(spark, sf_dir):
+    """Propensity-matched ATT (operators/causal.py:
+    propensity_match_att): nearest-control-by-score matching with
+    replacement as TWO cumulative windows over one global score sort
+    — no join, no per-row search. Scores are an injective Lehmer
+    scramble (distinct, so tie-free and engine-deterministic);
+    caliper drops distant pairs. Oracle replays both windows."""
+    from pipeline_dataengineer_spark.operators.causal import (
+        propensity_match_att,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 48271 % 99991) / 99991.0).alias("score"),
+        ((F.col("c_custkey") * 16807 % 10) < 3).cast("int").alias("tr"),
+        F.round("c_acctbal", 2).alias("y"),
+    )
+    return propensity_match_att(
+        c, "tr", "y", "score", caliper=0.05
+    )
+
+
+@query("q_diff_in_diff")
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences (operators/causal.py:diff_in_diff):
+    2x2 treat/post cell means from ONE combinable aggregate, classic
+    cell-variance standard error. Oracle replays the identical
+    algebra."""
+    from pipeline_dataengineer_spark.operators.causal import diff_in_diff
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("tr"),
+        (F.col("event_id") % 3 > 0).cast("int").alias("post"),
+        F.round("value", 2).alias("y"),
+    )
+    return diff_in_diff(e, "tr", "post", "y")

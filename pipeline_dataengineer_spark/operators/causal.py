@@ -1,0 +1,174 @@
+"""Observational causal-effect estimators — the "we couldn't run the
+A/B" toolkit that complements the experiment machinery in
+stats_tests (two_proportion_test, cuped_adjust, sprt):
+
+- propensity_match_att: matched-comparison ATT when treatment was
+  NOT randomized — each treated unit compared to its nearest control
+  in propensity score (with replacement, optional caliper). Scores
+  come from any model; linear_model.logistic_gd / logistic_predict
+  is the natural in-repo producer.
+- diff_in_diff: the 2x2 pre/post x treat/control interaction — the
+  rollout-without-holdout estimator.
+
+Both are pure relational algebra. Matching-with-replacement is the
+deliberate choice: greedy without-replacement matching is inherently
+sequential (each match consumes a control), while with-replacement
+nearest-neighbor is per-row independent — the LAST sorted-merge
+trick an engine can parallelize: sort the union by score once, and
+each treated row's nearest control is either the closest control at
+or below (a running last_value) or the closest above (the reverse) —
+two cumulative windows, no join at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def propensity_match_att(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    score_col: str,
+    caliper: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Average Treatment effect on the Treated by nearest-neighbor
+    propensity matching WITH replacement: every treated unit pairs
+    with the control whose score is closest (ties to the lower
+    score, then arbitrary-but-deterministic by outcome ordering
+    folded into the running aggregate); pairs with score distance >
+    ``caliper`` are dropped (reported). Returns ONE row:
+    (n_treated, n_matched, n_controls, att, mean_abs_score_gap).
+
+    Scale shape: ONE global sort of (score) over the union — each
+    treated row then reads its nearest control below via a running
+    max_by over controls-so-far, and its nearest above from the
+    mirrored descending window. No join, no per-row search; the
+    classic two-pass sorted-merge as window algebra. At 100 TB
+    range-partition by score first (sortWithinPartitions gives the
+    same windows per range)."""
+    t = F.col(treat_col).cast("int")
+    base = df.select(
+        t.alias("__t"),
+        F.col(outcome_col).cast("double").alias("__y"),
+        F.col(score_col).cast("double").alias("__s"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    w_up = Window.orderBy(F.col("__s").asc(), F.col("__t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_down = Window.orderBy(
+        F.col("__s").desc(), F.col("__t").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ctrl_s = F.when(F.col("__t") == 0, F.col("__s"))
+    # nearest control at-or-below / at-or-above by score, carrying the
+    # control's outcome along via max_by/min_by on the score ordering
+    below_s = F.max(ctrl_s).over(w_up)
+    below_y = F.max_by(F.when(F.col("__t") == 0, F.col("__y")), ctrl_s).over(
+        w_up
+    )
+    above_s = F.min(ctrl_s).over(w_down)
+    above_y = F.min_by(F.when(F.col("__t") == 0, F.col("__y")), ctrl_s).over(
+        w_down
+    )
+    cand = base.select(
+        "__t",
+        "__y",
+        "__s",
+        below_s.alias("__bs"),
+        below_y.alias("__by"),
+        above_s.alias("__as"),
+        above_y.alias("__ay"),
+    ).filter(F.col("__t") == 1)
+    d_below = F.col("__s") - F.col("__bs")
+    d_above = F.col("__as") - F.col("__s")
+    use_below = F.col("__bs").isNotNull() & (
+        F.col("__as").isNull() | (d_below <= d_above)
+    )
+    matched = cand.select(
+        "__y",
+        F.when(use_below, F.col("__by"))
+        .otherwise(F.col("__ay"))
+        .alias("__cy"),
+        F.when(use_below, d_below).otherwise(d_above).alias("__gap"),
+    ).filter(F.col("__cy").isNotNull())
+    if caliper is not None:
+        matched = matched.filter(F.col("__gap") <= caliper)
+    eff = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.round(F.avg(F.col("__y") - F.col("__cy")), round_to).alias(
+            "att"
+        ),
+        F.round(F.avg("__gap"), round_to).alias("mean_abs_score_gap"),
+    )
+    tot = base.agg(
+        F.sum(F.col("__t")).cast("long").alias("n_treated"),
+        F.sum(1 - F.col("__t")).cast("long").alias("n_controls"),
+    )
+    return tot.crossJoin(F.broadcast(eff)).select(
+        "n_treated", "n_matched", "n_controls", "att",
+        "mean_abs_score_gap",
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences over the 2x2 design:
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre)
+            − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    with the classical OLS-equivalent standard error from the four
+    cell variances (Σ s²_g/n_g). Returns one row with the four cell
+    means/counts, the did estimate, its se, and z = did/se. ONE
+    combinable aggregate — four conditional means over the facts,
+    nothing else."""
+    t = F.col(treat_col).cast("int")
+    p = F.col(post_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+
+    def cell(ti, pi):
+        c = (t == ti) & (p == pi)
+        return (
+            F.avg(F.when(c, y)),
+            F.count(F.when(c, 1)).cast("double"),
+            F.var_samp(F.when(c, y)),
+        )
+
+    m11, n11, v11 = cell(1, 1)
+    m10, n10, v10 = cell(1, 0)
+    m01, n01, v01 = cell(0, 1)
+    m00, n00, v00 = cell(0, 0)
+    agg = df.agg(
+        m11.alias("__m11"), n11.alias("__n11"), v11.alias("__v11"),
+        m10.alias("__m10"), n10.alias("__n10"), v10.alias("__v10"),
+        m01.alias("__m01"), n01.alias("__n01"), v01.alias("__v01"),
+        m00.alias("__m00"), n00.alias("__n00"), v00.alias("__v00"),
+    )
+    did = (
+        (F.col("__m11") - F.col("__m10"))
+        - (F.col("__m01") - F.col("__m00"))
+    )
+    se = F.sqrt(
+        F.col("__v11") / F.col("__n11")
+        + F.col("__v10") / F.col("__n10")
+        + F.col("__v01") / F.col("__n01")
+        + F.col("__v00") / F.col("__n00")
+    )
+    return agg.select(
+        F.round(F.col("__m10"), round_to).alias("treat_pre"),
+        F.round(F.col("__m11"), round_to).alias("treat_post"),
+        F.round(F.col("__m00"), round_to).alias("ctrl_pre"),
+        F.round(F.col("__m01"), round_to).alias("ctrl_post"),
+        (F.col("__n11") + F.col("__n10")).cast("long").alias("n_treat"),
+        (F.col("__n01") + F.col("__n00")).cast("long").alias("n_ctrl"),
+        F.round(did, round_to).alias("did"),
+        F.round(se, round_to).alias("se"),
+        F.round(F.try_divide(did, se), round_to).alias("z"),
+    )

@@ -1,0 +1,74 @@
+"""Causal estimators (operators/causal.py): matching picks the true
+nearest control, caliper drops far pairs, DiD recovers a planted
+effect."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_propensity_match_nearest_and_caliper(spark):
+    from pipeline_dataengineer_spark.operators.causal import (
+        propensity_match_att,
+    )
+
+    # controls at scores .1/.2/.4 with outcomes 10/20/40; treated at
+    # .19 (nearest .2) and .31 (nearest .4 at distance .09)
+    rows = [
+        (0, 10.0, 0.10), (0, 20.0, 0.20), (0, 40.0, 0.40),
+        (1, 25.0, 0.19), (1, 50.0, 0.31),
+    ]
+    df = spark.createDataFrame(rows, "tr int, y double, s double")
+    out = propensity_match_att(df, "tr", "y", "s").collect()[0]
+    assert out["n_treated"] == 2 and out["n_controls"] == 3
+    assert out["n_matched"] == 2
+    # ATT = mean( (25-20), (50-40) ) = 7.5
+    assert out["att"] == pytest.approx(7.5)
+    # tight caliper drops the .09-distance pair, keeps the .01 one
+    tight = propensity_match_att(
+        df, "tr", "y", "s", caliper=0.05
+    ).collect()[0]
+    assert tight["n_matched"] == 1
+    assert tight["att"] == pytest.approx(5.0)
+
+
+def test_propensity_match_ties_prefer_below_and_no_controls(spark):
+    from pipeline_dataengineer_spark.operators.causal import (
+        propensity_match_att,
+    )
+
+    # equidistant controls: below wins (documented d_below <= d_above).
+    # scores are powers of two so both distances are EXACTLY 0.25 —
+    # 0.1/0.2/0.3 would leave d_above one ulp short and flip the pick
+    rows = [(0, 10.0, 0.25), (0, 30.0, 0.75), (1, 99.0, 0.50)]
+    df = spark.createDataFrame(rows, "tr int, y double, s double")
+    out = propensity_match_att(df, "tr", "y", "s").collect()[0]
+    assert out["att"] == pytest.approx(99.0 - 10.0)
+
+    only_treated = spark.createDataFrame(
+        [(1, 5.0, 0.5)], "tr int, y double, s double"
+    )
+    empty = propensity_match_att(
+        only_treated, "tr", "y", "s"
+    ).collect()[0]
+    assert empty["n_matched"] == 0 and empty["att"] is None
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from pipeline_dataengineer_spark.operators.causal import diff_in_diff
+
+    # common trend +2 post; treatment adds +5 on top for treated-post
+    rows = []
+    for i in range(50):
+        base = 10.0 + (i % 5) / 10.0
+        rows += [
+            (0, 0, base), (0, 1, base + 2.0),
+            (1, 0, base + 1.0), (1, 1, base + 1.0 + 2.0 + 5.0),
+        ]
+    df = spark.createDataFrame(rows, "tr int, post int, y double")
+    out = diff_in_diff(df, "tr", "post", "y").collect()[0]
+    assert out["did"] == pytest.approx(5.0)
+    assert out["n_treat"] == 100 and out["n_ctrl"] == 100
+    # planted effect is exact, so z is huge
+    assert out["z"] > 50
