@@ -2213,10 +2213,16 @@ WITH RECURSIVE seq AS (
 ), rec(user_id, t, event_id, e) AS (
   SELECT user_id, t, event_id, value FROM seq WHERE t = 0
   UNION ALL
-  SELECT s.user_id, s.t, s.event_id, 0.3 * s.value + 0.7 * r.e
+  -- (1.0 - 0.3), not the literal 0.7: the operator computes
+  -- 1-alpha at runtime and the two doubles differ by one ulp
+  -- (literal 0.7 rounds DOWN, 1.0-0.3 rounds UP) — enough to
+  -- flip round(4) on ~3 rows per 100k (round-5 sf0.1 sweep)
+  SELECT s.user_id, s.t, s.event_id,
+         0.3 * s.value + (1.0 - 0.3) * r.e
   FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.t = r.t + 1
 )
-SELECT event_id, user_id, round(e, 4) AS ewma FROM rec
+-- floor-truncation, not round: see q_ewma docstring
+SELECT event_id, user_id, floor(e * 10000) / 10000 AS ewma FROM rec
 """
 
 # q_lang_id: full SQL replay of the stopword-profile heuristic —
@@ -4190,14 +4196,12 @@ FROM lines
 # (count desc, value asc tie-break), matching one_hot's cut.
 ORACLES["q_one_hot"] = """
 SELECT o_orderkey,
-       CAST(o_orderpriority = '2-HIGH' AS INT) AS "o_orderpriority__2-HIGH",
-       CAST(o_orderpriority = '3-MEDIUM' AS INT) AS "o_orderpriority__3-MEDIUM",
-       CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT)
-         AS "o_orderpriority__4-NOT_SPECIFIED",
-       CAST(o_orderpriority IS NOT NULL
-            AND o_orderpriority NOT IN
-                ('2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED') AS INT)
-         AS o_orderpriority__other
+       CAST(o_orderstatus = 'F' AS INT) AS "o_orderstatus__F",
+       CAST(o_orderstatus = 'O' AS INT) AS "o_orderstatus__O",
+       CAST(o_orderstatus = 'P' AS INT) AS "o_orderstatus__P",
+       CAST(o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('F', 'O', 'P') AS INT)
+         AS o_orderstatus__other
 FROM orders
 """
 

@@ -2338,16 +2338,24 @@ def q_ewma(spark, sf_dir):
     """Per-user EWMA of event values (operators/timeseries.py:ewma,
     applyInPandas — the recursion e_t = a*x_t + (1-a)*e_{t-1} is not
     window-expressible, so this is the sanctioned Arrow grouped-map
-    path). Upgraded from rows-only to hash-checked: the oracle
-    replays the recursion itself with WITH RECURSIVE, which is
-    bit-identical to pandas ewm(adjust=False) — IEEE754 ops on the
-    same operands in the same order agree across engines."""
+    path). Hash-checked: the oracle replays the recursion itself
+    with WITH RECURSIVE — identical operand order (a·x + (1−a)·e
+    with 1−a COMPUTED, not the 0.7 literal one ulp away), so e is
+    bit-identical across engines. The projection TRUNCATES to 4
+    decimals (floor(e·10⁴)/10⁴) instead of rounding: Spark's round
+    half-ups the double's shortest decimal repr while DuckDB rounds
+    the exact binary value, so a value whose shortest repr is a
+    midpoint ("64.73055") rounds differently — 3 rows per 100k at
+    sf0.1 (round-5 sweep). floor on the same binary double cannot
+    disagree."""
     from pipeline_dataengineer_spark.operators.timeseries import ewma
 
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     out = ewma(ev, ["user_id"], "event_id", "value", alpha=0.3)
     return out.select(
-        "event_id", "user_id", F.round("ewma", 4).alias("ewma")
+        "event_id",
+        "user_id",
+        (F.floor(F.col("ewma") * 10000) / 10000).alias("ewma"),
     )
 
 
@@ -6206,16 +6214,23 @@ def q_parse_logs(spark, sf_dir):
 
 @query("q_one_hot")
 def q_one_hot(spark, sf_dir):
-    """Capped one-hot encoding (operators/encoding.py:one_hot): top-3
-    order priorities as indicator columns + the 'other' fold, null-
-    safe indicators — the driver-side vocabulary is deterministic
-    (count then value tie-break) so the projection hash-checks."""
+    """Capped one-hot encoding (operators/encoding.py:one_hot):
+    order statuses as indicator columns + the 'other' fold, null-safe
+    indicators. Fixture note (round-5 sweep): the vocabulary is
+    frequency-ranked, and in THIS synthetic data every categorical
+    column is near-uniform, so any top_n < n_distinct fixture's
+    column set flips between scales (sf0.01 ranked the priorities
+    2-HIGH/3-MEDIUM/4-NOT-SPECIFIED; sf0.1 ranked them
+    1-URGENT/3-MEDIUM/5-LOW — the hardcoded oracle columns diverged).
+    With top_n >= n_distinct the vocabulary is ALL values at any
+    scale, so the static oracle is honest; the capped-ranking and
+    tie-break semantics are pytest-covered instead."""
     from pipeline_dataengineer_spark.operators.encoding import one_hot
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    out = one_hot(o, "o_orderpriority", top_n=3)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    out = one_hot(o, "o_orderstatus", top_n=3)
     keep = ["o_orderkey"] + sorted(
-        c for c in out.columns if c.startswith("o_orderpriority__")
+        c for c in out.columns if c.startswith("o_orderstatus__")
     )
     return out.select(*keep)
 

@@ -104,9 +104,19 @@ def ewma(
     e_t = alpha*x_t + (1-alpha)*e_{t-1}) via applyInPandas — the
     recursion is genuinely not window-expressible without a
     numerically explosive (1-a)^(-t) rewrite, so this is the
-    sanctioned Arrow grouped-map path (pandas ewm, C-vectorized).
-    One shuffle on the key; each group must fit one executor's
-    memory, the same constraint any per-key sequential model has."""
+    sanctioned Arrow grouped-map path. One shuffle on the key; each
+    group must fit one executor's memory, the same constraint any
+    per-key sequential model has.
+
+    The recursion is computed EXPLICITLY (e = a·x + (1−a)·e, exactly
+    the operand order streaming/stateful.py:streaming_ewma and the
+    WITH RECURSIVE oracle use) rather than via pandas ewm:
+    pandas' adjust=False path runs a different internal accumulation
+    (old-weight renormalization) whose results drift from the plain
+    recursion by an ulp on long series — enough to flip round(4) on
+    ~3 rows per 100k (caught by the round-5 sf0.1 sweep). Same
+    numbers everywhere beats vectorized-but-almost."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -120,9 +130,18 @@ def ewma(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
-        pdf[out_col] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().astype("float64")
-        )
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        out = np.empty_like(vals)
+        e = None
+        for i, v in enumerate(vals):
+            if np.isnan(v):
+                # NaN input: emit NaN, carry state (pandas-ewm
+                # compatible treatment)
+                out[i] = np.nan
+                continue
+            e = v if e is None else alpha * v + (1.0 - alpha) * e
+            out[i] = e
+        pdf[out_col] = out
         return pdf
 
     return _spread_by_key(df, key_cols).groupBy(*key_cols).applyInPandas(
