@@ -168,10 +168,20 @@ def log_rank_test(
         F.col(group_col).alias("g"), F.col(duration_col).alias("t")
     ).agg(F.sum(ev).alias("d"), F.sum(1 - ev).alias("c"))
     # union time grid × the two groups, left-joined back to the cells
-    # — every frame stays CELL-sized (distinct times × 2)
+    # — every frame stays CELL-sized (distinct times × 2). The two
+    # group labels are LITERALS, so the grid is an explode over the
+    # time column: no join of any kind, and the plan stays free of
+    # BroadcastNestedLoopJoin (audited).
     times = cells.select("t").distinct()
-    groups = cells.select("g").distinct()
-    grid = times.crossJoin(F.broadcast(groups))
+    gtype = two.schema[group_col].dataType
+    grid = times.withColumn(
+        "g",
+        F.explode(
+            F.array(
+                F.lit(group_a).cast(gtype), F.lit(group_b).cast(gtype)
+            )
+        ),
+    )
     dc_cells = cells.select(
         "g", "t", (F.col("d") + F.col("c")).alias("dc"), "d"
     )
