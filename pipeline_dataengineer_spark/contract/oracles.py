@@ -6335,3 +6335,157 @@ SELECT round(m10, 6) AS treat_pre,
              / sqrt(v11/n11 + v10/n10 + v01/n01 + v00/n00), 6) AS z
 FROM agg
 """
+
+ORACLES["q_lift_gains"] = """
+WITH base AS (
+  SELECT c_custkey AS id, c_acctbal AS s,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS y
+  FROM customer
+), t AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(y) AS pos FROM base
+), r AS (
+  SELECT y, row_number() OVER (ORDER BY s DESC, id) - 1 AS idx FROM base
+), b AS (
+  SELECT CAST(floor(idx * 10 / t.n) AS BIGINT) AS bucket, y FROM r, t
+), cells AS (
+  SELECT bucket, count(*) AS nb, sum(y) AS p FROM b GROUP BY bucket
+), cum AS (
+  SELECT bucket, nb, p,
+         sum(nb) OVER (ORDER BY bucket) AS cn,
+         sum(p) OVER (ORDER BY bucket) AS cp
+  FROM cells
+)
+SELECT bucket, CAST(nb AS BIGINT) AS n, CAST(p AS BIGINT) AS pos,
+       CAST(cn AS BIGINT) AS cum_n, CAST(cp AS BIGINT) AS cum_pos,
+       round(cp / t.pos, 6) AS gain,
+       round(cp / cn, 6) AS cum_rate,
+       round((cp / cn) / (t.pos / t.n), 6) AS lift
+FROM cum, t
+ORDER BY bucket
+"""
+
+ORACLES["q_conformal"] = """
+WITH cal AS (
+  SELECT o_orderpriority AS g, o_totalprice AS y, o_orderkey AS id
+  FROM orders WHERE o_orderkey % 2 = 0
+), test AS (
+  SELECT o_orderpriority AS g, o_totalprice AS y, o_orderkey AS id
+  FROM orders WHERE o_orderkey % 2 = 1
+), m AS (
+  SELECT g, avg(y) AS mu, count(*) AS ncal FROM cal GROUP BY g
+), r AS (
+  SELECT c.g, abs(c.y - m.mu) AS res, c.id, m.ncal,
+         row_number() OVER (
+           PARTITION BY c.g ORDER BY abs(c.y - m.mu), c.id
+         ) AS rk
+  FROM cal c JOIN m USING (g)
+), q AS (
+  SELECT g, res AS qh FROM r
+  WHERE rk = CAST(ceil((ncal + 1) * 0.9) AS BIGINT)
+    AND ceil((ncal + 1) * 0.9) <= ncal
+), band AS (
+  SELECT m.g, m.mu, q.qh FROM m LEFT JOIN q USING (g)
+)
+SELECT t.id AS id, t.g AS o_orderpriority,
+       round(t.y, 6) AS y, round(b.mu, 6) AS pred,
+       round(b.mu - b.qh, 6) AS lo, round(b.mu + b.qh, 6) AS hi,
+       CASE WHEN b.qh IS NULL THEN 1
+            WHEN t.y >= b.mu - b.qh AND t.y <= b.mu + b.qh THEN 1
+            ELSE 0 END AS covered
+FROM test t JOIN band b ON t.g = b.g
+"""
+
+ORACLES["q_entropy_l_div"] = """
+WITH base AS (
+  SELECT c_nationkey AS nk,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS band,
+         c_mktsegment AS s
+  FROM customer
+), cells AS (
+  SELECT nk, band, s, count(*) AS nv FROM base GROUP BY nk, band, s
+), tot AS (
+  SELECT nk, band, sum(nv) AS cs FROM cells GROUP BY nk, band
+), e AS (
+  SELECT c.nk, c.band, CAST(t.cs AS BIGINT) AS class_size,
+         count(*) AS n_sensitive,
+         round(sum(-(c.nv / t.cs) * ln(c.nv / t.cs)), 6) AS entropy
+  FROM cells c JOIN tot t ON c.nk = t.nk AND c.band = t.band
+  GROUP BY c.nk, c.band, t.cs
+)
+SELECT nk AS c_nationkey, band AS bal_band, class_size, n_sensitive,
+       entropy,
+       CASE WHEN entropy >= round(ln(3), 6) THEN 1 ELSE 0 END
+         AS entropy_ok
+FROM e
+"""
+
+ORACLES["q_adamic_adar"] = """
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+edges_raw AS (
+  SELECT a.c_custkey AS src, b.c_custkey AS dst
+  FROM ranked a JOIN ranked b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey
+  FROM ranked a JOIN ranked b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 2
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM edges_raw WHERE src <> dst
+),
+adj AS (
+  SELECT lo AS node, hi AS nb FROM e
+  UNION ALL
+  SELECT hi AS node, lo AS nb FROM e
+),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+wedges AS (
+  SELECT x.nb AS u, x.node AS w, y.nb AS v
+  FROM adj x JOIN adj y ON x.node = y.node AND x.nb < y.nb
+),
+pairs AS (
+  SELECT u, v, count(*) AS common, sum(1.0 / ln(d.d)) AS aa
+  FROM wedges JOIN deg d ON wedges.w = d.node
+  GROUP BY u, v
+)
+SELECT u, v, common, round(aa, 6) AS score
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.lo = p.u AND e.hi = p.v)
+"""
+
+ORACLES["q_isotonic"] = """
+WITH base AS (
+  SELECT o_orderpriority AS k,
+         CAST(month(o_orderdate) AS BIGINT) AS x,
+         round(o_totalprice, 2) AS y
+  FROM orders
+),
+pooled AS (
+  SELECT k, x, sum(y) AS wy, count(*) AS w FROM base GROUP BY k, x
+),
+c AS (
+  SELECT k, x, wy, w,
+         sum(wy) OVER (PARTITION BY k ORDER BY x) AS cwy,
+         sum(w)  OVER (PARTITION BY k ORDER BY x) AS cw
+  FROM pooled
+),
+seg AS (
+  SELECT a.k, a.x AS xj, b.x AS xl,
+         (b.cwy - a.cwy + a.wy) / (b.cw - a.cw + a.w) AS segavg
+  FROM c a JOIN c b ON a.k = b.k AND a.x <= b.x
+),
+mm AS (
+  SELECT s.k, p.x AS xi, s.xj, min(s.segavg) AS mn
+  FROM seg s JOIN pooled p
+    ON p.k = s.k AND s.xj <= p.x AND p.x <= s.xl
+  GROUP BY s.k, p.x, s.xj
+),
+fit AS (SELECT k, xi AS x, max(mn) AS fitted FROM mm GROUP BY k, xi)
+SELECT b.k, b.x, b.y, round(f.fitted, 6) AS fitted
+FROM base b JOIN fit f ON b.k = f.k AND b.x = f.x
+"""

@@ -8447,3 +8447,117 @@ def q_diff_in_diff(spark, sf_dir):
         F.round("value", 2).alias("y"),
     )
     return diff_in_diff(e, "tr", "post", "y")
+
+
+@query("q_lift_gains")
+def q_lift_gains(spark, sf_dir):
+    """Decile lift & gains table (operators/calibration.py:
+    lift_gains): customers ranked by balance, positives = BUILDING
+    segment. Bucket = floor(rank·10/N) over the exact distributed
+    global order (order.global_row_index — no single-task sort);
+    oracle replays the identical formula with row_number."""
+    from pipeline_dataengineer_spark.operators.calibration import lift_gains
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    g = lift_gains(
+        c.withColumn(
+            "y", (F.col("c_mktsegment") == "BUILDING").cast("int")
+        ),
+        "c_acctbal",
+        "y",
+        "c_custkey",
+        n_buckets=10,
+    )
+    return g.orderBy("bucket")
+
+
+@query("q_conformal")
+def q_conformal(spark, sf_dir):
+    """Split-conformal prediction intervals (operators/calibration.py:
+    split_conformal): calibration = even order keys, test = odd;
+    per-priority mean predictor, half-width = the
+    ceil((n+1)(1−α))-th smallest |residual| (the conformal order
+    statistic). Oracle replays the identical split and rank."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        split_conformal,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return split_conformal(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", alpha=0.1
+    )
+
+
+@query("q_entropy_l_div")
+def q_entropy_l_div(spark, sf_dir):
+    """Entropy l-diversity audit (operators/privacy.py:
+    entropy_l_diversity): quasi = (nation, 2000-wide balance band),
+    sensitive = market segment, l = 3. Cell-sized aggregation only —
+    never fact-sized state. Oracle replays −Σ p·ln p per class."""
+    from pipeline_dataengineer_spark.operators.privacy import (
+        entropy_l_diversity,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return entropy_l_diversity(
+        c, ["c_nationkey", "bal_band"], "c_mktsegment", l=3
+    )
+
+
+@query("q_adamic_adar")
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graph.py:adamic_adar)
+    over the same ring+chord co-nation graph as q_triangle_count:
+    scores for non-adjacent distance-2 pairs, hub middles discounted
+    by 1/ln(deg). Oracle = independent wedge SQL + NOT EXISTS."""
+    from pipeline_dataengineer_spark.operators.graph import adamic_adar
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    e1 = ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(
+        F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst")
+    )
+    e2 = ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 2),
+    ).select(
+        F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst")
+    )
+    return adamic_adar(e1.unionByName(e2))
+
+
+@query("q_isotonic")
+def q_isotonic(spark, sf_dir):
+    """Per-priority isotonic regression (operators/calibration.py:
+    isotonic_regression): monotone-in-month least-squares fit of
+    order totals, PAV inside a grouped Arrow map. Oracle = the
+    textbook minimax characterization fitted_i = max_{j<=i}
+    min_{l>=i} mean(y[j..l]) over the pooled month points — an
+    INDEPENDENT quadratic formulation, never a PAV replay."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        isotonic_regression,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("k"),
+        F.month("o_orderdate").cast("long").alias("x"),
+        F.round("o_totalprice", 2).alias("y"),
+    )
+    fit = isotonic_regression(o, ["k"], "x", "y")
+    return fit.select(
+        "k", "x", "y", F.round("fitted", 6).alias("fitted")
+    )

@@ -301,3 +301,133 @@ def average_precision(
         F.sum("__y").cast("long").alias("n_pos"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def lift_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Decile lift & gains table — the standard campaign-targeting /
+    model-triage read-out: rank the population by score descending,
+    cut into ``n_buckets`` equal-count buckets, report per bucket the
+    cumulative share of positives captured (``gain``), the cumulative
+    positive rate, and ``lift`` = cumulative rate / base rate.
+
+    Bucket assignment is ``floor(rank · b / N)`` over the EXACT global
+    order (score desc, id asc) — computed with the distributed
+    two-phase index (order.global_row_index), never a single-task
+    ``row_number() OVER (ORDER BY …)``. Everything after the index is
+    a ``n_buckets``-row aggregate; the cumulative window runs over
+    those ≤ b rows on the driver side of a partial agg, not the facts.
+    """
+    from pipeline_dataengineer_spark.operators.order import global_row_index
+
+    base = df.select(
+        (-F.col(score_col).cast("double")).alias("__neg"),
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    idx = global_row_index(base, ["__neg", "__id"], "__idx")
+    tot = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__y").alias("__pos"),
+    )
+    cells = (
+        idx.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.floor(F.col("__idx") * n_buckets / F.col("__n")).cast("long"),
+        )
+        .groupBy("bucket", "__n", "__pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").alias("__p"),
+        )
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_n = F.sum("n").over(wcum).cast("double")
+    cum_pos = F.sum("__p").over(wcum)
+    return cells.select(
+        "bucket",
+        "n",
+        F.col("__p").cast("long").alias("pos"),
+        cum_n.cast("long").alias("cum_n"),
+        cum_pos.cast("long").alias("cum_pos"),
+        F.round(cum_pos / F.col("__pos"), round_to).alias("gain"),
+        F.round(cum_pos / cum_n, round_to).alias("cum_rate"),
+        F.round(
+            (cum_pos / cum_n) / (F.col("__pos") / F.col("__n")), round_to
+        ).alias("lift"),
+    )
+
+
+def split_conformal(
+    df: DataFrame,
+    group_cols: list[str],
+    y_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction intervals with finite-sample
+    marginal coverage ≥ 1 − alpha (Vovk et al.; Lei et al. 2018):
+    split rows by id parity into a calibration half (even ids) and a
+    test half (odd ids); the predictor is the per-group calibration
+    mean; the half-width is the ⌈(n_cal + 1)(1 − alpha)⌉-th smallest
+    absolute calibration residual of the group (the conformal order
+    statistic, NOT an interpolated quantile). Returns the test rows
+    with (pred, lo, hi, covered).
+
+    Shape: one partial-aggregable mean per group, one window ranked
+    WITHIN the group key (never a global sort) to pick the order
+    statistic, then a broadcast-sized per-group table of
+    (mean, qhat) joins back to the test half.
+    """
+    gid = [F.col(c) for c in group_cols]
+    cal = df.filter(F.col(id_col) % 2 == 0)
+    test = df.filter(F.col(id_col) % 2 == 1)
+
+    means = cal.groupBy(*gid).agg(
+        F.avg(F.col(y_col).cast("double")).alias("__mu"),
+        F.count(F.lit(1)).alias("__ncal"),
+    )
+    resid = cal.join(means, group_cols).select(
+        *group_cols,
+        F.col(id_col).alias("__rid"),
+        F.abs(F.col(y_col).cast("double") - F.col("__mu")).alias("__r"),
+    )
+    wg = Window.partitionBy(*group_cols).orderBy("__r", "__rid")
+    ranked = resid.withColumn("__rk", F.row_number().over(wg))
+    # conformal rank: ceil((n+1)(1-alpha)); when it exceeds n_cal the
+    # interval is unbounded — surfaced as NULL qhat (and covered=1)
+    k = F.ceil((F.col("__ncal") + 1) * F.lit(1.0 - alpha))
+    qhat = (
+        ranked.join(means.select(*gid, "__ncal"), group_cols)
+        .filter(F.col("__rk") == F.least(k, F.col("__ncal")))
+        .filter(k <= F.col("__ncal"))
+        .select(*group_cols, F.col("__r").alias("__q"))
+    )
+    band = means.join(qhat, group_cols, "left")
+    y = F.col(y_col).cast("double")
+    return test.join(F.broadcast(band), group_cols).select(
+        F.col(id_col).alias("id"),
+        *group_cols,
+        F.round(y, round_to).alias("y"),
+        F.round("__mu", round_to).alias("pred"),
+        F.round(F.col("__mu") - F.col("__q"), round_to).alias("lo"),
+        F.round(F.col("__mu") + F.col("__q"), round_to).alias("hi"),
+        F.when(F.col("__q").isNull(), F.lit(1))
+        .otherwise(
+            (
+                (y >= F.col("__mu") - F.col("__q"))
+                & (y <= F.col("__mu") + F.col("__q"))
+            ).cast("int")
+        )
+        .alias("covered"),
+    )

@@ -137,3 +137,47 @@ def generalize_dates_to_k(
             f"even year-level generalization leaves a class under k={k}"
         )
     return df.withColumn(out, level_expr(chosen)), chosen
+
+
+def entropy_l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 — the standard name of the parameter
+    round_to: int = 6,
+) -> DataFrame:
+    """Entropy l-diversity audit (Machanavajjhala et al. 2007): a
+    class passes when the Shannon entropy of its sensitive-value
+    distribution is at least ln(l) — a strictly stronger requirement
+    than distinct-l-diversity, which a class can satisfy with one
+    dominant value and l−1 singletons. Returns one row per
+    equivalence class: (quasi..., class_size, n_sensitive, entropy,
+    entropy_ok).
+
+    Shape: one combinable groupBy on (class, sensitive) — cell-sized,
+    never fact-sized — then a window SUM partitioned by the class key
+    over those cells to get class totals, and a second cell-sized
+    groupBy for −Σ p·ln p. No fact-sized window, no driver state.
+    """
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    wq = Window.partitionBy(*quasi_cols)
+    p = F.col("__nv") / F.sum("__nv").over(wq)
+    per_class = (
+        cells.withColumn("__term", -p * F.log(p))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.sum("__nv").alias("class_size"),
+            F.count(F.lit(1)).alias("n_sensitive"),
+            F.round(F.sum("__term"), round_to).alias("entropy"),
+        )
+    )
+    import math
+
+    return per_class.withColumn(
+        "entropy_ok",
+        (F.col("entropy") >= F.lit(round(math.log(l), round_to))).cast(
+            "int"
+        ),
+    )

@@ -186,3 +186,77 @@ def test_roc_auc_and_ap(spark):
     # single-class input: NULL metrics, no division error
     ones = spark.createDataFrame([(0.5, 1)] * 3, "s double, y int")
     assert roc_auc(ones, "s", "y").collect()[0]["auc"] is None
+
+
+def test_lift_gains_basic(spark):
+    """20 rows, scores 19..0, positives = the top 5 scorers. With 4
+    buckets of 5 rows, bucket 0 captures ALL positives: gain 1.0 and
+    lift = (5/5)/(5/20) = 4; later buckets dilute toward lift 1."""
+    from pipeline_dataengineer_spark.operators.calibration import lift_gains
+
+    rows = [(i, float(100 - i), 1 if i < 5 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    out = {
+        r["bucket"]: r
+        for r in lift_gains(df, "s", "y", "id", n_buckets=4).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["n"] == 5 and out[0]["pos"] == 5
+    assert out[0]["gain"] == 1.0 and out[0]["lift"] == 4.0
+    assert out[3]["cum_n"] == 20 and out[3]["cum_pos"] == 5
+    assert out[3]["gain"] == 1.0 and out[3]["lift"] == 1.0
+
+
+def test_lift_gains_tie_break_deterministic(spark):
+    """All-equal scores: the id tie-break makes bucket assignment (and
+    the whole table) deterministic across runs."""
+    from pipeline_dataengineer_spark.operators.calibration import lift_gains
+
+    rows = [(i, 1.0, i % 2) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    a = lift_gains(df, "s", "y", "id", n_buckets=3).collect()
+    b = lift_gains(df, "s", "y", "id", n_buckets=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # ids 0..9 land in bucket 0 -> 5 positives (odd ids 1,3,5,7,9)
+    first = [r for r in a if r["bucket"] == 0][0]
+    assert first["n"] == 10 and first["pos"] == 5
+
+
+def test_split_conformal_coverage(spark):
+    """Marginal coverage on the test half must be >= 1 - alpha up to
+    finite-sample slack; interval endpoints are mu +/- qhat."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        split_conformal,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            "g" + str((i // 2) % 2),
+            10.0 * ((i // 2) % 2) + rng.gauss(0, 1.0),
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, y double")
+    out = split_conformal(df, ["g"], "y", "id", alpha=0.1).collect()
+    assert len(out) == 1000
+    cov = sum(r["covered"] for r in out) / len(out)
+    assert cov >= 0.88, cov
+    for r in out[:20]:
+        assert r["lo"] <= r["pred"] <= r["hi"]
+
+
+def test_split_conformal_tiny_calibration_unbounded(spark):
+    """When ceil((n_cal+1)(1-alpha)) > n_cal the conformal interval is
+    unbounded: NULL endpoints, covered = 1 by convention."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        split_conformal,
+    )
+
+    rows = [(0, "g", 1.0), (2, "g", 2.0), (1, "g", 5.0), (3, "g", 9.0)]
+    df = spark.createDataFrame(rows, "id long, g string, y double")
+    out = split_conformal(df, ["g"], "y", "id", alpha=0.1).collect()
+    assert len(out) == 2
+    assert all(r["lo"] is None and r["hi"] is None for r in out)
+    assert all(r["covered"] == 1 for r in out)

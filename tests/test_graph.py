@@ -473,3 +473,33 @@ def test_topological_levels_diamond_and_cycle(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         topological_levels(cyc, max_iterations=5)
+
+
+def test_adamic_adar_square_with_diagonal(spark):
+    """Graph 1-2, 2-3, 3-4, 4-1, 1-3 (a square plus one diagonal).
+    Non-adjacent distance-2 pairs: only (2, 4), with common neighbors
+    {1, 3} of degrees 3 and 3 -> score = 2 / ln(3)."""
+    import math
+
+    from pipeline_dataengineer_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    out = adamic_adar(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"], r["common"]) == (2, 4, 2)
+    assert abs(r["score"] - round(2 / math.log(3), 6)) < 1e-9
+
+
+def test_adamic_adar_excludes_adjacent_and_orientation(spark):
+    """Reversed/duplicated edge rows canonicalize; adjacent pairs
+    never appear even when they share neighbors."""
+    from pipeline_dataengineer_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    # triangle: every pair adjacent -> no predictions at all
+    assert adamic_adar(edges).count() == 0

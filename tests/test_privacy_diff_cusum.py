@@ -254,3 +254,28 @@ def test_generalize_dates_ladder(spark):
     assert {r["d"] for r in g2.collect()} == {dt.date(2024, 1, 1)}
     with pytest.raises(ValueError):
         generalize_dates_to_k(df, "d", ["seg"], k=13)
+
+
+def test_entropy_l_diversity_flags_skewed_class(spark):
+    """A class with l distinct values but one dominant value passes
+    distinct-l but FAILS entropy-l: entropy < ln(2) when one value
+    holds 90% of the class."""
+    import math
+
+    from pipeline_dataengineer_spark.operators.privacy import (
+        entropy_l_diversity,
+    )
+
+    rows = (
+        [("a", "flu")] * 18
+        + [("a", "hiv")] * 2
+        + [("b", "flu")] * 10
+        + [("b", "hiv")] * 10
+    )
+    df = spark.createDataFrame(rows, "zip string, dx string")
+    out = {r["zip"]: r for r in entropy_l_diversity(df, ["zip"], "dx", l=2).collect()}
+    assert out["a"]["n_sensitive"] == 2  # distinct-l would pass
+    assert out["a"]["entropy_ok"] == 0  # entropy-l fails
+    assert out["b"]["entropy_ok"] == 1
+    assert abs(out["b"]["entropy"] - math.log(2)) < 1e-6
+    assert out["a"]["class_size"] == 20

@@ -267,8 +267,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # lists (the consecutive test is an array expression)
     "q_phrase_search": (["ObjectHashAggregate"], ["SortMergeJoin"]),
     # log-rank at-risk grid: descending cumulative window over the
-    # union time grid — NOT the quadratic grid x consumed theta join
-    "q_log_rank": (["Window"], ["BroadcastNestedLoopJoin"]),
+    # union time grid (built by EXPLODE of the two literal group
+    # labels — no grid join at all; the one BNLJ left is the final
+    # 1-row totals compose, same sanctioned shape as q_cox_ph). The
+    # quadratic grid x consumed(t2 < t) theta join is gone.
+    "q_log_rank": (["Window", "Generate"], ["SortMergeJoin"]),
     # stream anti (batch parity): DIRECT LeftAnti on (key, interval
     # residual) — the left_outer+IS NULL derivation materialized every
     # matched pair and went 22x superlinear on the 10x tier (round-4)
@@ -540,6 +543,31 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # lossy IVF-PQ: broadcast probe join + Arrow scoring, top-k window
     "q_ivfpq_topk": (["ArrowEvalPython", "Window"],
                      ["CartesianProduct", "SortMergeJoin"]),
+    # lift/gains: distributed two-phase index (range exchange +
+    # mapInPandas counter; the indexed side is the pinned checkpoint,
+    # so the only visible scan is the totals branch — pruned to the
+    # single label column). Never a cartesian or a single-task
+    # fact-sized sort.
+    "q_lift_gains": (
+        ["MapInPandas", "ReadSchema: struct<c_mktsegment:string>"],
+        ["CartesianProduct"],
+    ),
+    # conformal: per-group rank window + broadcast band join; the
+    # rank window is PARTITIONED (no global single-task window)
+    "q_conformal": (["BroadcastHashJoin", "Window"],
+                    ["CartesianProduct", "SortMergeJoin"]),
+    # entropy-l: two cell-sized aggregates + a class-keyed window;
+    # no joins over the facts, no Python
+    "q_entropy_l_div": (["HashAggregate", "Window"],
+                        ["Join", "BatchEvalPython"]),
+    # Adamic-Adar: wedge self-equi-join + combinable pair agg + anti
+    # hash join against the edge list — never a nested loop/cartesian
+    "q_adamic_adar": (["HashAggregate", "LeftAnti"],
+                      ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # isotonic: PAV in a grouped Arrow map — one shuffle on the key,
+    # no join, no fact-sized window
+    "q_isotonic": (["FlatMapGroupsInPandas"],
+                   ["Join", "Window", "SortMergeJoin"]),
 }
 
 
