@@ -6489,3 +6489,42 @@ fit AS (SELECT k, xi AS x, max(mn) AS fitted FROM mm GROUP BY k, xi)
 SELECT b.k, b.x, b.y, round(f.fitted, 6) AS fitted
 FROM base b JOIN fit f ON b.k = f.k AND b.x = f.x
 """
+
+ORACLES["q_lof"] = """
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bk
+  FROM embeddings
+),
+n AS (SELECT id, v, bk, list_inner_product(v, v) AS n2 FROM base),
+pairs AS (
+  SELECT a.id AS ida, b.id AS idb,
+         round(sqrt(greatest(
+           a.n2 + b.n2 - 2 * list_inner_product(a.v, b.v), 0)), 4) AS d
+  FROM n a JOIN n b ON a.bk = b.bk AND a.id <> b.id
+),
+knn AS (
+  SELECT * FROM (
+    SELECT ida, idb, d,
+           row_number() OVER (PARTITION BY ida ORDER BY d, idb) AS rk
+    FROM pairs
+  ) WHERE rk <= 5
+),
+kd AS (SELECT ida, max(d) AS k_dist FROM knn GROUP BY ida),
+reach AS (
+  SELECT k.ida, k.idb, greatest(kb.k_dist, k.d) AS re
+  FROM knn k JOIN kd kb ON k.idb = kb.ida
+),
+lrd AS (SELECT ida, 1.0 / avg(re) AS lrd FROM reach GROUP BY ida),
+mb AS (
+  SELECT r.ida, avg(lb.lrd) AS m
+  FROM reach r JOIN lrd lb ON r.idb = lb.ida
+  GROUP BY r.ida
+)
+SELECT l.ida AS id, kd.k_dist, round(l.lrd, 6) AS lrd,
+       round(mb.m / l.lrd, 6) AS lof
+FROM lrd l
+JOIN kd ON l.ida = kd.ida
+JOIN mb ON mb.ida = l.ida
+"""

@@ -8561,3 +8561,29 @@ def q_isotonic(spark, sf_dir):
     return fit.select(
         "k", "x", "y", F.round("fitted", 6).alias("fitted")
     )
+
+
+@query("q_lof")
+def q_lof(spark, sf_dir):
+    """Local Outlier Factor (operators/similarity.py:
+    local_outlier_factor) over the embeddings table, k = 5, with the
+    sign-quadrant cell of the first two dimensions as the bucketed
+    candidate space (the approximate-LOF reduction — neighbor search
+    is an EQUI join, never all-pairs). Distances ranked at 4 decimals
+    with an id tie-break so the kNN cut is engine-stable; oracle
+    replays the identical cells, cut and reachability algebra."""
+    from pipeline_dataengineer_spark.operators.similarity import (
+        local_outlier_factor,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (
+            (F.col("embedding")[0] > 0).cast("int") * 2
+            + (F.col("embedding")[1] > 0).cast("int")
+        ).alias("cell"),
+    )
+    return local_outlier_factor(
+        e, "vec_id", "embedding", k=5, bucket_col="cell"
+    )

@@ -330,3 +330,107 @@ def mmr_rerank(
         return out
 
     return candidates.groupBy(query_id_col).applyInPandas(fn, out_schema)
+
+
+def local_outlier_factor(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_col: str | None = None,
+    dist_round: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over an embedding
+    column: LOF(a) = mean(lrd(b) for b in kNN(a)) / lrd(a), where
+    lrd is the inverse mean reachability distance
+    reach(a, b) = max(k_dist(b), d(a, b)). LOF ≈ 1 means inlier;
+    ≫ 1 means the point is in a sparser region than its neighbors.
+    Returns (id, k_dist, lrd, lof).
+
+    Neighbor candidates come from an EQUI self-join on ``bucket_col``
+    (IVF cell / LSH band / grid cell — the caller's bucketing, the
+    standard approximate-LOF reduction; a point's neighbors are
+    searched within its bucket only). With ``bucket_col=None`` the
+    join key is a constant — exact all-pairs, documented for bounded
+    inputs only. Euclidean distance is derived from one dot kernel
+    (d² = |a|² + |b|² − 2a·b, norms computed once per row) and
+    ROUNDED to ``dist_round`` before ranking with an id tie-break,
+    so the kNN cut is identical across engines and runs (float32
+    accumulation diverges at digit ~5).
+
+    Ties at the k-th distance are cut at exactly k by (dist, id) —
+    the deterministic simplification of the classic "all points at
+    k-distance" set; the oracle replays the same rule.
+
+    Shape: one equi join for pairs (bucket-sized, AQE-splittable),
+    ranked windows PARTITIONED by point id, two combinable
+    aggregates, and two more id-keyed hash joins — no cartesian, no
+    Python, no driver state.
+    """
+    from pipeline_dataengineer_spark.functions.vectors import dot
+
+    b = bucket_col
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (F.col(b) if b else F.lit(0)).alias("bk"),
+    ).withColumn("n2", dot("v", "v"))
+    a_side = base.select(
+        F.col("id").alias("ida"), F.col("v").alias("va"),
+        F.col("n2").alias("n2a"), "bk",
+    )
+    b_side = base.select(
+        F.col("id").alias("idb"), F.col("v").alias("vb"),
+        F.col("n2").alias("n2b"), "bk",
+    )
+    d2 = F.greatest(
+        F.col("n2a") + F.col("n2b") - 2.0 * dot("va", "vb"), F.lit(0.0)
+    )
+    pairs = (
+        a_side.join(b_side, "bk")
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            "ida", "idb", F.round(F.sqrt(d2), dist_round).alias("d")
+        )
+    )
+    w = Window.partitionBy("ida").orderBy("d", "idb")
+    knn = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    kdist = knn.groupBy("ida").agg(F.max("d").alias("k_dist"))
+    # reach(a, b) = max(k_dist(b), d(a, b)); lrd = 1 / mean(reach)
+    reach = knn.join(
+        kdist.select(
+            F.col("ida").alias("idb"), F.col("k_dist").alias("kd_b")
+        ),
+        "idb",
+    ).select(
+        "ida", "idb", F.greatest(F.col("kd_b"), F.col("d")).alias("re")
+    )
+    # duplicate-cluster guard: all-zero reach distances make the
+    # classic lrd infinite — surfaced as NULL via try_divide (ANSI
+    # mode would otherwise throw DIVIDE_BY_ZERO)
+    lrd = reach.groupBy("ida").agg(
+        F.try_divide(F.lit(1.0), F.avg("re")).alias("lrd")
+    )
+    lof = (
+        reach.join(
+            lrd.select(
+                F.col("ida").alias("idb"), F.col("lrd").alias("lrd_b")
+            ),
+            "idb",
+        )
+        .groupBy("ida")
+        .agg(F.avg("lrd_b").alias("__mb"))
+        .join(lrd, "ida")
+        .join(kdist, "ida")
+    )
+    return lof.select(
+        F.col("ida").alias("id"),
+        "k_dist",
+        F.round("lrd", round_to).alias("lrd"),
+        F.round(
+            F.try_divide(F.col("__mb"), F.col("lrd")), round_to
+        ).alias("lof"),
+    )

@@ -106,3 +106,37 @@ def test_drop_contained_fragments_keeps_container(spark):
         for r in drop_contained_fragments(df, "doc_id", "text").collect()
     }
     assert kept == {1, 3}  # fragment 2 dropped, container + unrelated kept
+
+
+def test_lof_planted_outlier(spark):
+    """A tight 2D cluster plus one far point: the far point's LOF is
+    clearly > 1.5; cluster members sit near 1."""
+    from pipeline_dataengineer_spark.operators.similarity import (
+        local_outlier_factor,
+    )
+
+    rows = [(i, [0.1 * i, 0.0]) for i in range(10)] + [(99, [50.0, 50.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in local_outlier_factor(df, k=3).collect()}
+    assert out[99]["lof"] > 1.5
+    inlier_lofs = [out[i]["lof"] for i in range(1, 9)]
+    assert all(l < 1.3 for l in inlier_lofs), inlier_lofs
+
+
+def test_lof_bucketed_restricts_candidates(spark):
+    """With a bucket column, neighbors come only from the same cell:
+    two separated clusters each behave as an independent LOF problem
+    and every point is an inlier within its own cell."""
+    from pipeline_dataengineer_spark.operators.similarity import (
+        local_outlier_factor,
+    )
+
+    rows = [(i, [0.1 * i, 0.0], 0) for i in range(8)] + [
+        (100 + i, [1000.0 + 0.1 * i, 0.0], 1) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    out = local_outlier_factor(df, k=3, bucket_col="cell").collect()
+    assert len(out) == 16
+    assert all(r["lof"] is not None and r["lof"] < 1.4 for r in out)

@@ -568,6 +568,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # no join, no fact-sized window
     "q_isotonic": (["FlatMapGroupsInPandas"],
                    ["Join", "Window", "SortMergeJoin"]),
+    # LOF: bucketed equi self-join for candidates (never a cartesian
+    # or nested loop), id-partitioned rank windows, hash joins after
+    "q_lof": (["Window", "HashAggregate"],
+              ["BroadcastNestedLoopJoin", "CartesianProduct"]),
 }
 
 
