@@ -253,7 +253,7 @@ def run_tier_child() -> None:
     names = os.environ["SPARK_GRAFT_TIER_NAMES"].split(",")
     label = os.environ.get("SPARK_GRAFT_TIER_LABEL", "tier")
     spark = get_spark(f"bench-{label}")
-    if label == "10x":
+    if label.startswith("10x"):
         sf_dir = os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         )
@@ -386,7 +386,14 @@ def main() -> None:
             "/tmp",
             f"spark_graft_10x_{os.path.basename(sf_dir.rstrip('/'))}",
         )
-        times_10x, _ = _spawn_tier("10x", HEADLINE, dir_10x)
+        # chunk the 10x tier EXACTLY like the base tier: the ratio's
+        # numerator and denominator must share the same in-sequence
+        # drift window, else late-suite ratios divide a drift-prone
+        # numerator by a drift-bounded denominator (round-5 ADVICE)
+        for i in range(0, len(HEADLINE), size):
+            chunk = HEADLINE[i : i + size]
+            t10, _ = _spawn_tier(f"10x{i // size}", chunk, dir_10x)
+            times_10x.update(t10)
         for name, t in times_10x.items():
             # wall-clock ratio for 10x the data; > ~2.5 needs a
             # written claim in SCALE_NOTES.md's machine-checked table

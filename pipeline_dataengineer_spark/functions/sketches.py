@@ -465,7 +465,10 @@ def cm_hash_str_sql(value_expr: str) -> str:
     )
 
 
-_CM_INTEGRAL = ("byte", "short", "int", "bigint", "boolean")
+# Spark's DataType.simpleString spellings: ByteType -> "tinyint",
+# ShortType -> "smallint" (NOT "byte"/"short" — those are the class
+# names; round-5 listed them and silently rejected small int keys)
+_CM_INTEGRAL = ("tinyint", "smallint", "int", "bigint", "boolean")
 
 
 def _cm_value_expr(df: DataFrame, value_col: str) -> Column:

@@ -115,7 +115,13 @@ def ewma(
     (old-weight renormalization) whose results drift from the plain
     recursion by an ulp on long series — enough to flip round(4) on
     ~3 rows per 100k (caught by the round-5 sf0.1 sweep). Same
-    numbers everywhere beats vectorized-but-almost."""
+    numbers everywhere beats vectorized-but-almost.
+
+    NaN handling: NaN inputs emit NaN and leave the carried state
+    untouched — i.e. pandas ewm(adjust=False, ignore_na=True), NOT
+    pandas' default ignore_na=False. The streaming twin can't
+    renormalize weights across a gap it never re-reads, and
+    batch≡streaming bit-parity wins over pandas-default parity."""
     import numpy as np
     import pandas as pd
 
@@ -135,8 +141,14 @@ def ewma(
         e = None
         for i, v in enumerate(vals):
             if np.isnan(v):
-                # NaN input: emit NaN, carry state (pandas-ewm
-                # compatible treatment)
+                # NaN input: emit NaN, carry state UNCHANGED — this
+                # is pandas ewm(adjust=False, ignore_na=True)
+                # semantics, NOT pandas' default ignore_na=False
+                # (which would renormalize weights across the gap).
+                # Chosen deliberately: the streaming twin
+                # (streaming_ewma) cannot look back across a gap to
+                # renormalize, and batch≡streaming bit-parity is the
+                # contract. Covered by test_ewma_nan_ignore_na_true.
                 out[i] = np.nan
                 continue
             e = v if e is None else alpha * v + (1.0 - alpha) * e
