@@ -6264,13 +6264,17 @@ WITH base AS (
   FROM customer
   WHERE c_acctbal IS NOT NULL
 ), win AS (
+  -- struct(score, outcome) max/min = deterministic tie-break on
+  -- equal scores (mirrors the engine's struct-keyed window)
   SELECT t, y, s,
-         max(CASE WHEN t = 0 THEN s END) OVER wu AS bs,
-         arg_max(CASE WHEN t = 0 THEN y END,
-                 CASE WHEN t = 0 THEN s END) OVER wu AS by,
-         min(CASE WHEN t = 0 THEN s END) OVER wd AS a_s,
-         arg_min(CASE WHEN t = 0 THEN y END,
-                 CASE WHEN t = 0 THEN s END) OVER wd AS ay
+         (max(CASE WHEN t = 0 THEN struct_pack(s := s, y := y) END)
+            OVER wu).s AS bs,
+         (max(CASE WHEN t = 0 THEN struct_pack(s := s, y := y) END)
+            OVER wu).y AS by,
+         (min(CASE WHEN t = 0 THEN struct_pack(s := s, y := y) END)
+            OVER wd).s AS a_s,
+         (min(CASE WHEN t = 0 THEN struct_pack(s := s, y := y) END)
+            OVER wd).y AS ay
   FROM base
   WINDOW wu AS (ORDER BY s ASC, t ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -6528,3 +6532,11 @@ FROM lrd l
 JOIN kd ON l.ida = kd.ida
 JOIN mb ON mb.ida = l.ida
 """
+
+# The *_dist twins run the distributed (no-unkeyed-window) engine
+# paths; the VALUES are identical by construction, so each shares
+# its sibling's oracle verbatim — the check is that a scale-safe
+# plan computes the same answer.
+ORACLES["q_roc_auc_dist"] = ORACLES["q_roc_auc"]
+ORACLES["q_avg_precision_dist"] = ORACLES["q_avg_precision"]
+ORACLES["q_propensity_att_dist"] = ORACLES["q_propensity_att"]

@@ -8587,3 +8587,73 @@ def q_lof(spark, sf_dir):
     return local_outlier_factor(
         e, "vec_id", "embedding", k=5, bucket_col="cell"
     )
+
+
+@query("q_roc_auc_dist")
+def q_roc_auc_dist(spark, sf_dir):
+    """roc_auc(distributed=True): the SAME exact tie-corrected AUC as
+    q_roc_auc but with no unkeyed window anywhere — distinct-score
+    hash agg + two-phase global cumsum (operators/order.py:
+    global_cumsum). Shares q_roc_auc's oracle verbatim: the whole
+    point is value identity under a scale-safe plan."""
+    from pipeline_dataengineer_spark.operators.calibration import roc_auc
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        (portable_bucket(F.col("c_custkey"), 100) / 100.0).alias("score"),
+        (
+            portable_bucket(F.col("c_custkey") + 7, 100)
+            < portable_bucket(F.col("c_custkey"), 100) + 15
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return roc_auc(c, "score", "label", distributed=True)
+
+
+@query("q_avg_precision_dist")
+def q_avg_precision_dist(spark, sf_dir):
+    """average_precision(distributed=True): same AP as
+    q_avg_precision via global_cumsum's two-phase row index + running
+    label sum — no unkeyed window. Shares q_avg_precision's oracle
+    verbatim."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        average_precision,
+    )
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        (portable_bucket(F.col("c_custkey"), 100) / 100.0).alias("score"),
+        (
+            portable_bucket(F.col("c_custkey") + 7, 100)
+            < portable_bucket(F.col("c_custkey"), 100) + 15
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return average_precision(c, "score", "label", distributed=True)
+
+
+@query("q_propensity_att_dist")
+def q_propensity_att_dist(spark, sf_dir):
+    """propensity_match_att(distributed=True): same matches as
+    q_propensity_att via distinct-control-score hash agg + two
+    two-phase ordered forward-fills (operators/order.py:
+    global_running_last) — no unkeyed window. Shares
+    q_propensity_att's oracle verbatim."""
+    from pipeline_dataengineer_spark.operators.causal import (
+        propensity_match_att,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 48271 % 99991) / 99991.0).alias("score"),
+        ((F.col("c_custkey") * 16807 % 10) < 3).cast("int").alias("tr"),
+        F.round("c_acctbal", 2).alias("y"),
+    )
+    return propensity_match_att(
+        c, "tr", "y", "score", caliper=0.05, distributed=True
+    )

@@ -215,42 +215,75 @@ def roc_auc(
     score_col: str,
     label_col: str,
     round_to: int = 6,
+    distributed: bool = False,
 ) -> DataFrame:
     """Exact ROC-AUC via the rank-sum identity (probabilistic
     interpretation: P(score⁺ > score⁻) + ½P(tie)), tie-handled with
     average ranks — identical to trapezoidal ROC integration:
-    AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻). One pooled rank window
-    + one aggregate; returns (auc, gini, n_pos, n_neg).
+    AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻). Returns
+    (auc, gini, n_pos, n_neg).
 
-    The unkeyed rank window is a single-task sort — the honest exact
-    cost of a global order statistic (same story as a global median).
-    For billion-row scoring sets use the distributed two-phase rank
-    (operators/order.py:global_row_index) or a binned approximation;
-    this exact form is for evaluation-sized data."""
+    Default path: one pooled rank window + one aggregate. The unkeyed
+    rank window is a single-task sort — fine for evaluation-sized
+    scoring sets, the canonical scale bug beyond that.
+
+    ``distributed=True`` computes the SAME value with no unkeyed
+    window anywhere: group by distinct score (combinable hash agg),
+    then the average rank of every row at score s is
+    ``cum_count_before(s) + (cnt(s)+1)/2`` — an exact two-phase
+    global cumsum (operators/order.py:global_cumsum) over the
+    distinct-score table, which is both smaller than the input and
+    range-partitioned rather than single-task. Use this for
+    billion-row scoring sets."""
     from pyspark.sql import functions as F
 
     y = F.col(label_col).cast("int")
-    w = Window.orderBy("__s")
-    ranked = df.select(
-        y.alias("__y"), F.col(score_col).cast("double").alias("__s")
-    ).select(
-        "__y",
-        (
-            F.rank().over(w)
-            + (
-                F.count(F.lit(1)).over(
-                    Window.partitionBy("__s")
-                )
-                - 1
+    if distributed:
+        from pipeline_dataengineer_spark.operators.order import (
+            global_cumsum,
+        )
+
+        g = (
+            df.select(
+                y.alias("__y"),
+                F.col(score_col).cast("double").alias("__s"),
             )
-            / 2.0
-        ).alias("__r"),
-    )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__rp"),
-        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("n_neg"),
-    )
+            .groupBy("__s")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.sum("__y").alias("__pos"),
+            )
+        )
+        gc = global_cumsum(g, ["__s"], ["__cnt"], exclusive=True)
+        # avg rank at s = rank_first + (cnt-1)/2 = cum_before + (cnt+1)/2
+        avg_rank = F.col("cum___cnt") + (F.col("__cnt") + 1) / 2.0
+        agg = gc.agg(
+            F.sum(F.col("__pos") * avg_rank).alias("__rp"),
+            F.sum("__pos").alias("n_pos"),
+            F.sum(F.col("__cnt") - F.col("__pos")).alias("n_neg"),
+        )
+    else:
+        w = Window.orderBy("__s")
+        ranked = df.select(
+            y.alias("__y"), F.col(score_col).cast("double").alias("__s")
+        ).select(
+            "__y",
+            (
+                F.rank().over(w)
+                + (
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("__s")
+                    )
+                    - 1
+                )
+                / 2.0
+            ).alias("__r"),
+        )
+        agg = ranked.agg(
+            F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__rp"),
+            F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("n_neg"),
+        )
     auc = F.try_divide(
         F.col("__rp")
         - F.col("n_pos").cast("double")
@@ -271,15 +304,54 @@ def average_precision(
     score_col: str,
     label_col: str,
     round_to: int = 6,
+    distributed: bool = False,
 ) -> DataFrame:
     """Average Precision (the area under the precision-recall curve,
     step-interpolated the sklearn way): rank by score DESCENDING with
     a deterministic label tie-break (positives after negatives at
     equal scores — the PESSIMISTIC convention, so ties never inflate
-    AP), then AP = Σ_{hits k} precision@k / n_pos. One window pass +
-    one aggregate; returns (ap, n_pos, n)."""
+    AP), then AP = Σ_{hits k} precision@k / n_pos. Returns
+    (ap, n_pos, n).
+
+    Default path: one unkeyed window pass + one aggregate —
+    evaluation-sized data only. ``distributed=True`` computes the
+    SAME value via operators/order.py:global_cumsum on the order
+    (score desc, label asc): the global row index gives k, the
+    running label sum gives hits@k, no unkeyed window anywhere. Rows
+    tied on (score, label) are interchangeable in the AP sum, so the
+    scan's arbitrary within-tie order cannot change the result."""
     from pyspark.sql import functions as F
 
+    if distributed:
+        from pipeline_dataengineer_spark.operators.order import (
+            global_cumsum,
+        )
+
+        base = df.select(
+            F.col(label_col).cast("int").alias("__y"),
+            F.col(score_col).cast("double").alias("__s"),
+        )
+        gc = global_cumsum(
+            base,
+            [F.col("__s").desc(), F.col("__y").asc()],
+            ["__y"],
+            index_col="__k0",
+        )
+        scored = gc.select(
+            "__y",
+            F.when(
+                F.col("__y") == 1,
+                F.col("cum___y") / (F.col("__k0") + 1).cast("double"),
+            ).alias("__p"),
+        )
+        return scored.agg(
+            F.round(
+                F.try_divide(F.sum("__p"), F.sum("__y").cast("double")),
+                round_to,
+            ).alias("ap"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.count(F.lit(1)).alias("n"),
+        )
     w = Window.orderBy(F.col("__s").desc(), F.col("__y").asc())
     ranked = df.select(
         F.col(label_col).cast("int").alias("__y"),
@@ -359,10 +431,19 @@ def lift_gains(
         F.col("__p").cast("long").alias("pos"),
         cum_n.cast("long").alias("cum_n"),
         cum_pos.cast("long").alias("cum_pos"),
-        F.round(cum_pos / F.col("__pos"), round_to).alias("gain"),
-        F.round(cum_pos / cum_n, round_to).alias("cum_rate"),
+        # try_divide: a zero-positive dataset degrades to NULL gain /
+        # lift deterministically instead of ANSI DIVIDE_BY_ZERO
+        # (repo convention — see diff_in_diff, local_outlier_factor)
+        F.round(F.try_divide(cum_pos, F.col("__pos")), round_to).alias(
+            "gain"
+        ),
+        F.round(F.try_divide(cum_pos, cum_n), round_to).alias("cum_rate"),
         F.round(
-            (cum_pos / cum_n) / (F.col("__pos") / F.col("__n")), round_to
+            F.try_divide(
+                F.try_divide(cum_pos, cum_n),
+                F.try_divide(F.col("__pos"), F.col("__n")),
+            ),
+            round_to,
         ).alias("lift"),
     )
 

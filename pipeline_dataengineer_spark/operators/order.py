@@ -96,6 +96,253 @@ def global_row_index(
     )
 
 
+def _pinned_range_sort(df: DataFrame, order_exprs, num_partitions=None):
+    """Range-repartition + sort within partitions on ``order_exprs``
+    (strings, Columns, or SortOrders like ``F.col("s").desc()``),
+    then localCheckpoint and tag ``__pid``. The checkpoint pins ONE
+    materialized partitioning so every downstream pass (per-partition
+    summaries, the scan itself) sees identical partition contents —
+    repartitionByRange samples its boundaries per-evaluation
+    otherwise (see global_row_index's comment)."""
+    n_part = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
+    ordered = df.repartitionByRange(n_part, *exprs).sortWithinPartitions(
+        *exprs
+    )
+    return ordered.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
+
+
+def _cum_out_type(dt: T.DataType) -> T.DataType:
+    integral = (
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.BooleanType,
+    )
+    return T.LongType() if isinstance(dt, integral) else T.DoubleType()
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_exprs,
+    sum_cols: list[str],
+    index_col: str | None = None,
+    exclusive: bool = False,
+    prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sums (and optionally the 0-based global
+    row index) over the total order ``order_exprs`` — the distributed
+    replacement for ``sum(x) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``, which funnels the table through ONE task.
+
+    Two-phase, same shape as ``global_row_index``: distributed range
+    sort (pinned by localCheckpoint), per-partition totals (a
+    partition-count-sized collect), broadcast exclusive offsets into
+    a mapInPandas local cumsum. Adds ``{prefix}{col}`` per sum col
+    (inclusive of the current row unless ``exclusive=True``) and
+    ``index_col`` if given. NULLs in sum cols count as 0. Ties in
+    ``order_exprs`` get an arbitrary-but-fixed relative order within
+    the sort — callers needing tie-invariance must make the order
+    total or (like AP / AUC) consume only tie-invariant functionals.
+
+    Numeric sum cols only; integral inputs produce long cumsums,
+    everything else double."""
+    import numpy as np
+
+    pinned = _pinned_range_sort(df, order_exprs, num_partitions)
+    # per-partition totals -> exclusive offsets (tiny collect)
+    part_rows = (
+        pinned.groupBy("__pid")
+        .agg(
+            *[
+                F.sum(F.col(c).cast("double")).alias(c)
+                for c in sum_cols
+            ]
+        )
+        .collect()
+    )
+    offsets: dict[int, list[float]] = {}
+    acc = [0.0] * len(sum_cols)
+    for r in sorted(part_rows, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = list(acc)
+        for i, c in enumerate(sum_cols):
+            acc[i] += float(r[c] or 0.0)
+
+    in_types = {f.name: f.dataType for f in pinned.schema.fields}
+    out_fields = list(pinned.schema.fields) + [
+        T.StructField(prefix + c, _cum_out_type(in_types[c]))
+        for c in sum_cols
+    ]
+    if index_col is not None:
+        out_fields.append(T.StructField(index_col, T.LongType()))
+    schema_out = T.StructType(out_fields)
+    want_index = index_col
+    longs = {
+        c for c in sum_cols if isinstance(_cum_out_type(in_types[c]), T.LongType)
+    }
+
+    def local_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running: list[float] | None = None
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = list(
+                    offsets.get(int(pdf["__pid"].iloc[0]), acc)
+                )
+            pdf = pdf.copy()
+            for i, c in enumerate(sum_cols):
+                vals = (
+                    pdf[c].astype("float64").fillna(0.0).to_numpy()
+                )
+                cs = np.cumsum(vals) + running[i]
+                if exclusive:
+                    cs = cs - vals
+                pdf[prefix + c] = (
+                    cs.astype("int64") if c in longs else cs
+                )
+                running[i] += float(vals.sum())
+            if want_index is not None:
+                pdf[want_index] = np.arange(
+                    seen, seen + len(pdf), dtype="int64"
+                )
+                seen += len(pdf)
+            yield pdf
+
+    out = pinned.mapInPandas(local_scan, schema_out)
+    if index_col is not None:
+        # partition row-count offsets for the global index
+        sizes = {
+            r["__pid"]: r["cnt"]
+            for r in pinned.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        row_off, racc = {}, 0
+        for pid in sorted(sizes):
+            row_off[pid] = racc
+            racc += sizes[pid]
+        off_df = df.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in row_off.items()],
+            ["__pid", "__row_off"],
+        )
+        out = (
+            out.join(F.broadcast(off_df), "__pid")
+            .withColumn(index_col, F.col(index_col) + F.col("__row_off"))
+            .drop("__row_off")
+        )
+    return out.drop("__pid")
+
+
+def global_running_last(
+    df: DataFrame,
+    order_exprs,
+    value_cols: list[str],
+    valid_col: str,
+    out_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """For each row, the ``value_cols`` of the LAST at-or-before row
+    (in the total order ``order_exprs``) where boolean ``valid_col``
+    is true; NULL when no such row exists. The distributed
+    replacement for ``last_value(x, ignorenulls) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)`` — a single-task sort as an unkeyed
+    window.
+
+    Two-phase over one pinned range sort: pass A reduces each
+    partition to its last valid values (one row per partition,
+    collected), the driver folds those into per-partition carry-in
+    values, pass B forward-fills locally in mapInPandas seeded with
+    the carry. Numeric (castable-to-double) value cols only; outputs
+    are double columns named ``out_cols`` (default
+    ``last_<value_col>``)."""
+    import numpy as np
+
+    out_cols = out_cols or [f"last_{c}" for c in value_cols]
+    pinned = _pinned_range_sort(df, order_exprs, num_partitions)
+
+    summary_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType())]
+        + [
+            T.StructField(f"__v{i}", T.DoubleType())
+            for i in range(len(value_cols))
+        ]
+        + [T.StructField("__has", T.BooleanType())]
+    )
+
+    def last_valid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, vals = None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            m = pdf[pdf[valid_col].fillna(False).astype(bool)]
+            if len(m):
+                vals = [float(m[c].iloc[-1]) for c in value_cols]
+        if pid is not None:
+            row = {"__pid": pid, "__has": vals is not None}
+            for i in range(len(value_cols)):
+                row[f"__v{i}"] = vals[i] if vals is not None else None
+            yield pd.DataFrame(
+                [row],
+                columns=["__pid"]
+                + [f"__v{i}" for i in range(len(value_cols))]
+                + ["__has"],
+            )
+
+    summaries = sorted(
+        pinned.mapInPandas(last_valid, summary_schema).collect(),
+        key=lambda r: r["__pid"],
+    )
+    carry_in: dict[int, list[float] | None] = {}
+    carry: list[float] | None = None
+    for r in summaries:
+        carry_in[r["__pid"]] = list(carry) if carry is not None else None
+        if r["__has"]:
+            carry = [r[f"__v{i}"] for i in range(len(value_cols))]
+
+    schema_out = T.StructType(
+        list(pinned.schema.fields)
+        + [T.StructField(c, T.DoubleType()) for c in out_cols]
+    )
+
+    def ffill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run: list[float] | None = None
+        seeded = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not seeded:
+                run = carry_in.get(int(pdf["__pid"].iloc[0]))
+                run = list(run) if run is not None else None
+                seeded = True
+            pdf = pdf.copy()
+            valid = pdf[valid_col].fillna(False).astype(bool)
+            for i, c in enumerate(value_cols):
+                v = (
+                    pdf[c]
+                    .astype("float64")
+                    .where(valid, np.nan)
+                    .ffill()
+                )
+                if run is not None:
+                    v = v.fillna(run[i])
+                pdf[out_cols[i]] = v
+            if valid.any():
+                m = pdf[valid]
+                run = [float(m[c].iloc[-1]) for c in value_cols]
+            yield pdf
+
+    return pinned.mapInPandas(ffill, schema_out).drop("__pid")
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,

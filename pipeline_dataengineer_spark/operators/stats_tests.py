@@ -64,32 +64,65 @@ def chi2_association(
 
 
 def mann_whitney_u(
-    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    distributed: bool = False,
 ) -> DataFrame:
     """One row: (u_a, u_b, z, n_a, n_b) for the two-sided rank-sum
     test of ``group_a`` vs ``group_b`` values. Average ranks for
     ties; z uses the tie-corrected variance (normal approximation —
-    exact tables only matter below n≈20)."""
+    exact tables only matter below n≈20).
+
+    ``distributed=True`` computes the identical rank sum with no
+    unkeyed window: group by distinct value (hash agg), then
+    avg_rank(v) = cum_count_before(v) + (cnt(v)+1)/2 via the
+    two-phase global cumsum (operators/order.py:global_cumsum) over
+    the distinct-value table."""
     two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         group_col, F.col(value_col).alias("__v")
     )
-    # average rank = (rank_first + rank_last)/2 over the pooled sort:
-    # avg(row_number) per tie class, computed without a per-row window
-    # via min_rank + (cnt-1)/2.
-    w = Window.orderBy("__v")
-    ranked = two.withColumn("__r", F.rank().over(w)).withColumn(
-        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__v"))
-    )
-    ranked = ranked.withColumn(
-        "__avg_r", F.col("__r") + (F.col("__cnt") - 1) / 2.0
-    )
-    agg = ranked.groupBy().agg(
-        F.sum(F.when(F.col(group_col) == group_a, F.col("__avg_r"))).alias(
-            "__ra"
-        ),
-        F.sum((F.col(group_col) == group_a).cast("long")).alias("n_a"),
-        F.sum((F.col(group_col) == group_b).cast("long")).alias("n_b"),
-    )
+    if distributed:
+        from pipeline_dataengineer_spark.operators.order import (
+            global_cumsum,
+        )
+
+        g = two.groupBy("__v").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum((F.col(group_col) == group_a).cast("long")).alias(
+                "__ca"
+            ),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias(
+                "__cb"
+            ),
+        )
+        gc = global_cumsum(g, ["__v"], ["__cnt"], exclusive=True)
+        avg_r = F.col("cum___cnt") + (F.col("__cnt") + 1) / 2.0
+        agg = gc.agg(
+            F.sum(F.col("__ca") * avg_r).alias("__ra"),
+            F.sum("__ca").alias("n_a"),
+            F.sum("__cb").alias("n_b"),
+        )
+    else:
+        # average rank = (rank_first + rank_last)/2 over the pooled
+        # sort: avg(row_number) per tie class, computed without a
+        # per-row window via min_rank + (cnt-1)/2.
+        w = Window.orderBy("__v")
+        ranked = two.withColumn("__r", F.rank().over(w)).withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__v"))
+        )
+        ranked = ranked.withColumn(
+            "__avg_r", F.col("__r") + (F.col("__cnt") - 1) / 2.0
+        )
+        agg = ranked.groupBy().agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, F.col("__avg_r"))
+            ).alias("__ra"),
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("n_a"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("n_b"),
+        )
     # tie correction term Σ(c³-c) over tie CLASSES (not rows):
     ties = (
         two.groupBy("__v")
@@ -191,7 +224,12 @@ def mutual_information(
 
 
 def ks_test(
-    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    distributed: bool = False,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov: one row (ks_stat, n_a, n_b) —
     the max gap between the two empirical CDFs, computed relationally:
@@ -201,24 +239,47 @@ def ks_test(
     range-frame cumulative count), which is the correct ECDF value at
     each distinct point.
 
-    The single global-order window is the honest cost (same as
-    mann_whitney_u); the 100-TB swap is the same KLL-sketch CDF
-    documented there."""
+    Default path: the single global-order window is the honest cost
+    (same as mann_whitney_u). ``distributed=True`` replaces it with a
+    distinct-value hash agg + two-phase global cumsum — the ECDF at
+    each distinct point is the INCLUSIVE running per-side count, which
+    is exactly the range frame's ties-absorbed value; identical
+    ks_stat, no unkeyed window. (The other 100-TB option, the
+    KLL-sketch approximate CDF, stays documented at mann_whitney_u.)"""
     two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     )
     counts = two.groupBy("__g").agg(F.count("*").alias("__n"))
-    # range frame: cumulative count INCLUDING all ties at this value
-    w = Window.orderBy("__v").rangeBetween(Window.unboundedPreceding, 0)
-    marked = two.select(
-        "__v",
-        F.when(F.col("__g") == group_a, 1).otherwise(0).alias("__ia"),
-        F.when(F.col("__g") == group_b, 1).otherwise(0).alias("__ib"),
-    )
-    cum = marked.select(
-        F.sum("__ia").over(w).alias("__ca"),
-        F.sum("__ib").over(w).alias("__cb"),
-    )
+    if distributed:
+        from pipeline_dataengineer_spark.operators.order import (
+            global_cumsum,
+        )
+
+        g = two.groupBy("__v").agg(
+            F.sum((F.col("__g") == group_a).cast("long")).alias("__ia"),
+            F.sum((F.col("__g") == group_b).cast("long")).alias("__ib"),
+        )
+        cum = global_cumsum(
+            g, ["__v"], ["__ia", "__ib"], prefix="__c"
+        ).select(
+            F.col("__c__ia").alias("__ca"),
+            F.col("__c__ib").alias("__cb"),
+        )
+    else:
+        # range frame: cumulative count INCLUDING all ties at this
+        # value
+        w = Window.orderBy("__v").rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        marked = two.select(
+            "__v",
+            F.when(F.col("__g") == group_a, 1).otherwise(0).alias("__ia"),
+            F.when(F.col("__g") == group_b, 1).otherwise(0).alias("__ib"),
+        )
+        cum = marked.select(
+            F.sum("__ia").over(w).alias("__ca"),
+            F.sum("__ib").over(w).alias("__cb"),
+        )
     na_nb = {r["__g"]: r["__n"] for r in counts.collect()}
     na, nb = na_nb.get(group_a, 0), na_nb.get(group_b, 0)
     if na == 0 or nb == 0:
@@ -717,3 +778,190 @@ def benjamini_hochberg(
         F.round(F.col("__q"), round_to).alias("q_value"),
         (F.col("__q") <= alpha).alias("reject"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+    distributed: bool = False,
+) -> DataFrame:
+    """Spearman rank correlation with average-rank tie handling —
+    Pearson's r computed on the two rank vectors. One row:
+    (rho, n). NULL x or y rows are dropped (pairwise-complete, the
+    scipy.stats.spearmanr convention).
+
+    Ranks come from the same tie-class identity as mann_whitney_u:
+    avg_rank(v) = count_below(v) + (cnt(v)+1)/2, so each column needs
+    only a distinct-value aggregate + a cumulative count — joined
+    back to the rows on the value (two hash joins over the facts).
+    Default path does the cumulative with a distinct-value window
+    (small — one row per DISTINCT value, but still a single-task sort
+    of that table); ``distributed=True`` swaps in the two-phase
+    global cumsum (operators/order.py:global_cumsum). The final rho
+    is ONE combinable aggregate over (rank_x, rank_y) — the moment
+    sums — never a row-level collect."""
+    base = df.select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def ranks(col: str, out: str):
+        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+        if distributed:
+            from pipeline_dataengineer_spark.operators.order import (
+                global_cumsum,
+            )
+
+            gc = global_cumsum(g, [col], ["__cnt"], exclusive=True)
+            below = F.col("cum___cnt")
+        else:
+            w = (
+                Window.orderBy(col)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            gc = g.select(
+                col,
+                "__cnt",
+                F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias(
+                    "__below"
+                ),
+            )
+            below = F.col("__below")
+        return gc.select(
+            col,
+            (below + (F.col("__cnt") + 1) / 2.0).alias(out),
+        )
+
+    rx = ranks("__x", "__rx")
+    ry = ranks("__y", "__ry")
+    ranked = base.join(rx, "__x").join(ry, "__y")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("__sa"),
+        F.sum("__ry").alias("__sb"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__saa"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__sbb"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    den = F.sqrt(
+        (n * F.col("__saa") - F.col("__sa") * F.col("__sa"))
+        * (n * F.col("__sbb") - F.col("__sb") * F.col("__sb"))
+    )
+    return agg.select(
+        F.round(F.try_divide(num, den), round_to).alias("rho"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Kendall's τ-b (tie-adjusted) over the distinct-CELL contingency
+    reduction: group rows into (x, y) cells with counts (one
+    combinable hash agg over the facts), then concordant/discordant
+    pair counts are a cell-level dominance self-join —
+    C = Σ_{c,c'} n_c n_{c'} [x'>x ∧ y'>y], D likewise with y'<y.
+    τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with the standard tie terms
+    n₁ = Σ tᵢ(tᵢ−1)/2 over x tie classes, n₂ over y.
+
+    Cost is quadratic in DISTINCT CELLS, not rows — the right shape
+    for ordinal / bucketed / Likert data (Kendall's statistical home
+    turf); for continuous data with ~all-distinct values use
+    spearman_rho. ``max_cells`` is the enforced guard: if the cell
+    count exceeds it the join would be quadratic in rows too, and
+    the operator raises instead of silently stalling (same
+    fail-loudly convention as the LSH bucket cap)."""
+    cells = (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
+    )
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        cells.unpersist()
+        raise ValueError(
+            f"kendall_tau_b: {n_cells} distinct (x, y) cells exceeds "
+            f"max_cells={max_cells}; the dominance join would be "
+            "quadratic. Bucket the inputs or use spearman_rho."
+        )
+    a, b = cells.alias("a"), cells.alias("b")
+    pair = a.join(
+        b, (F.col("a.__x") < F.col("b.__x")), "inner"
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("a.__y") < F.col("b.__y"),
+                F.col("a.__n") * F.col("b.__n"),
+            ).otherwise(0)
+        ).alias("__c"),
+        F.sum(
+            F.when(
+                F.col("a.__y") > F.col("b.__y"),
+                F.col("a.__n") * F.col("b.__n"),
+            ).otherwise(0)
+        ).alias("__d"),
+    )
+    ties = cells.agg(
+        F.sum("__n").alias("__n_tot"),
+        (
+            F.sum(F.col("__n") * F.col("__n"))
+        ).alias("__sum_cell_sq"),
+    )
+    tx = (
+        cells.groupBy("__x")
+        .agg(F.sum("__n").alias("__t"))
+        .agg(
+            F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__n1")
+        )
+    )
+    ty = (
+        cells.groupBy("__y")
+        .agg(F.sum("__n").alias("__t"))
+        .agg(
+            F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__n2")
+        )
+    )
+    out = (
+        pair.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.round(
+                F.try_divide(
+                    (F.col("__c") - F.col("__d")).cast("double"),
+                    F.sqrt(
+                        (
+                            F.col("__n_tot")
+                            * (F.col("__n_tot") - 1)
+                            / 2.0
+                            - F.col("__n1")
+                        )
+                        * (
+                            F.col("__n_tot")
+                            * (F.col("__n_tot") - 1)
+                            / 2.0
+                            - F.col("__n2")
+                        )
+                    ),
+                ),
+                round_to,
+            ).alias("tau_b"),
+            F.col("__c").cast("long").alias("concordant"),
+            F.col("__d").cast("long").alias("discordant"),
+            F.col("__n_tot").cast("long").alias("n"),
+        )
+    )
+    return out

@@ -572,6 +572,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # or nested loop), id-partitioned rank windows, hash joins after
     "q_lof": (["Window", "HashAggregate"],
               ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # distributed eval tier (round-5 VERDICT item 3): the *_dist
+    # twins must compute AUC/AP/ATT with NO unkeyed WindowExec —
+    # the rank/scan arrives via the two-phase mapInPandas cumsum /
+    # forward-fill over a pinned range sort
+    "q_roc_auc_dist": (["MapInPandas", "HashAggregate"],
+                       ["Window", "CartesianProduct"]),
+    "q_avg_precision_dist": (["MapInPandas"],
+                             ["Window", "CartesianProduct"]),
+    "q_propensity_att_dist": (["MapInPandas", "HashAggregate"],
+                              ["Window", "CartesianProduct"]),
 }
 
 
