@@ -1040,6 +1040,7 @@ def adamic_adar(
     dst: str = "dst",
     min_common: int = 1,
     round_to: int = 6,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Adamic-Adar link prediction over an undirected graph: for every
     NON-adjacent pair (u, v) at distance 2,
@@ -1054,7 +1055,17 @@ def adamic_adar(
     degree 1 cannot close a wedge, so 1/ln(deg) never divides by
     ln(1) = 0. Scale: wedge count is Σ deg(w)², the known cost of any
     common-neighbor method — hub middles are ordinary AQE-splittable
-    join skew, and ``min_common`` bounds the emitted candidate set.
+    join skew UNTIL one hub's wedge set is quadratic on its own, so
+    ``max_degree`` (the same enforced-cap + reported-audit pattern as
+    ``link_records``' max_block_size and the LSH bucket cap) excludes
+    middles with deg(w) > max_degree from wedge formation entirely.
+    The returned DataFrame carries ``.aa_audit`` with
+    ``{"dropped_middles", "max_dropped_degree"}``; a dropped hub
+    contributes at most 1/ln(max_degree+1) per pair — the smallest
+    Adamic-Adar term by construction (the index's own premise is that
+    hub middles carry the least signal), so the cap degrades the
+    RANKING least where it saves the most compute. ``min_common``
+    bounds the emitted candidate set either way.
     """
     e = (
         edges.select(
@@ -1070,6 +1081,32 @@ def adamic_adar(
         e.select(F.col("hi").alias("node"), F.col("lo").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("__deg"))
+    aa_audit = {"dropped_middles": 0, "max_dropped_degree": 0}
+    if max_degree is not None:
+        hubs = deg.filter(F.col("__deg") > max_degree).persist()
+        stats = hubs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.max("__deg"), F.lit(0)).alias("m"),
+        ).collect()[0]
+        aa_audit = {
+            "dropped_middles": int(stats["n"]),
+            "max_dropped_degree": int(stats["m"]),
+        }
+        if aa_audit["dropped_middles"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "adamic_adar: excluded %d hub middles with degree > %d "
+                "(largest %d) from wedge formation; each contributed "
+                "the smallest possible per-pair term 1/ln(deg).",
+                aa_audit["dropped_middles"],
+                max_degree,
+                aa_audit["max_dropped_degree"],
+            )
+            adj = adj.join(
+                F.broadcast(hubs.select("node")), "node", "left_anti"
+            )
+        hubs.unpersist()
     wedges = (
         adj.alias("x")
         .join(
@@ -1092,8 +1129,10 @@ def adamic_adar(
         )
         .filter(F.col("common") >= min_common)
     )
-    return pairs.join(
+    out = pairs.join(
         e,
         (pairs["u"] == e["lo"]) & (pairs["v"] == e["hi"]),
         "left_anti",
     ).select("u", "v", "common", F.round("__aa", round_to).alias("score"))
+    out.aa_audit = aa_audit
+    return out

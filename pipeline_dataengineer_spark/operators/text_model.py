@@ -131,24 +131,45 @@ def train_linear_classifier(
     ids = sorted(labels)
     idx = {d: i for i, d in enumerate(ids)}
     n_docs = len(ids)
-    # dense n_docs x dim is fine at sample scale (20k x 32k floats);
-    # swap to scipy.sparse if dim grows — sample_n bounds it either way
-    X = np.zeros((n_docs, dim), dtype=np.float64)
-    for r in rows:
-        X[idx[r["__id"]], r["feature"]] = r["n"]
+    # COO sparse triples, not a dense n_docs x dim matrix: the doc
+    # features are >99% zeros, and the dense buffer at the default
+    # 20k x 32768 was ~5.2 GB of driver heap for ~50 MB of payload
+    # (round-5 VERDICT item 4). All the GD matvecs below are exact
+    # bincount scatter-adds over the nnz triples — O(nnz) memory and
+    # time, no scipy dependency.
+    nnz = len(rows)
+    r_idx = np.fromiter(
+        (idx[r["__id"]] for r in rows), dtype=np.int64, count=nnz
+    )
+    c_idx = np.fromiter(
+        (r["feature"] for r in rows), dtype=np.int64, count=nnz
+    )
+    vals = np.fromiter(
+        (float(r["n"]) for r in rows), dtype=np.float64, count=nnz
+    )
     # L2-normalize counts per doc (fastText-style) so long docs don't
     # dominate the gradient
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms = np.sqrt(
+        np.bincount(r_idx, weights=vals * vals, minlength=n_docs)
+    )
     norms[norms == 0] = 1.0
-    X /= norms
+    vals = vals / norms[r_idx]
     y = np.array([labels[d] for d in ids])
     w = np.zeros(dim)
     b = 0.0
     for _ in range(iters):
-        z = X @ w + b
+        # z = X @ w  (scatter-add of the nnz products per doc row)
+        z = np.bincount(
+            r_idx, weights=vals * w[c_idx], minlength=n_docs
+        ) + b
         p = 1.0 / (1.0 + np.exp(-z))
         g = p - y
-        gw = X.T @ g / n_docs + l2 * w
+        # gw = X.T @ g (scatter-add per feature column)
+        gw = (
+            np.bincount(c_idx, weights=vals * g[r_idx], minlength=dim)
+            / n_docs
+            + l2 * w
+        )
         gb = float(g.mean())
         w -= lr * gw
         b -= lr * gb

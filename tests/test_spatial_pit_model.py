@@ -231,3 +231,62 @@ def test_geohash_reference_vectors(spark):
     )
     p5 = [r["g"] for r in near.select(geohash("lat", "lng", 5).alias("g")).collect()]
     assert p5[0] == p5[1]
+
+
+def test_train_classifier_sparse_matches_dense_replay(spark):
+    """Round-5 VERDICT item 4: the COO/bincount featurization must
+    produce the same weights as the old dense n_docs x dim GD (which
+    this test replays inline). Summation order differs (BLAS dot vs
+    scatter-add), so parity is asserted to 1e-9 absolute — far below
+    anything the model's consumers (score ordering, round(6)) see —
+    plus exact support equality."""
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.text_model import (
+        _doc_features,
+        train_linear_classifier,
+    )
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(60):
+        text = " ".join(words[(i + j) % 6] for j in range(4))
+        rows.append((i, text, i % 2))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    dim, l2, lr, iters = 2**10, 1e-4, 0.5, 50
+    weights, bias = train_linear_classifier(
+        spark, df, "doc_id", "text", "label",
+        dim=dim, sample_n=60, l2=l2, lr=lr, iters=iters,
+    )
+    got = {r["feature"]: r["weight"] for r in weights.collect()}
+
+    # dense replay of the pre-round-6 implementation
+    sample = df.orderBy("doc_id").limit(60)
+    feats = _doc_features(sample, "doc_id", "text", dim).collect()
+    labels = {r["doc_id"]: float(r["label"]) for r in rows_df_collect(sample)}
+    ids = sorted(labels)
+    idx = {d: i for i, d in enumerate(ids)}
+    X = np.zeros((len(ids), dim))
+    for r in feats:
+        X[idx[r["__id"]], r["feature"]] = r["n"]
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X /= norms
+    y = np.array([labels[d] for d in ids])
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / len(ids) + l2 * w)
+        b -= lr * float(g.mean())
+    ref = {int(f): w[f] for f in np.flatnonzero(w)}
+    assert set(got) == set(ref)
+    for f, v in ref.items():
+        assert abs(got[f] - v) < 1e-9
+    assert abs(bias - b) < 1e-9
+
+
+def rows_df_collect(sample):
+    return sample.select("doc_id", "label").collect()
