@@ -6540,3 +6540,172 @@ JOIN mb ON mb.ida = l.ida
 ORACLES["q_roc_auc_dist"] = ORACLES["q_roc_auc"]
 ORACLES["q_avg_precision_dist"] = ORACLES["q_avg_precision"]
 ORACLES["q_propensity_att_dist"] = ORACLES["q_propensity_att"]
+
+ORACLES["q_spearman"] = """
+WITH base AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), rx AS (
+  SELECT x, count(*) AS c,
+         coalesce(sum(count(*)) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM base GROUP BY x
+), ry AS (
+  SELECT y, count(*) AS c,
+         coalesce(sum(count(*)) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM base GROUP BY y
+), ranked AS (
+  SELECT rx.below + (rx.c + 1) / 2.0 AS ra,
+         ry.below + (ry.c + 1) / 2.0 AS rb
+  FROM base b JOIN rx ON b.x = rx.x JOIN ry ON b.y = ry.y
+), agg AS (
+  SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+         sum(ra*ra) AS saa, sum(rb*rb) AS sbb, sum(ra*rb) AS sab
+  FROM ranked
+)
+SELECT round((n*sab - sa*sb)
+             / sqrt((n*saa - sa*sa) * (n*sbb - sb*sb)), 6) AS rho,
+       CAST(n AS BIGINT) AS n
+FROM agg
+"""
+ORACLES["q_spearman_dist"] = ORACLES["q_spearman"]
+
+ORACLES["q_kendall"] = """
+WITH base AS (
+  SELECT CAST(o_orderkey % 7 AS DOUBLE) AS x,
+         CAST(floor(o_totalprice / 50000) AS DOUBLE) AS y
+  FROM orders
+), cells AS (
+  SELECT x, y, count(*) AS n FROM base GROUP BY x, y
+), cd AS (
+  SELECT
+    sum(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS c,
+    sum(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS d
+  FROM cells a JOIN cells b ON a.x < b.x
+), tot AS (
+  SELECT sum(n) AS nt FROM cells
+), tx AS (
+  SELECT sum(t*(t-1)/2) AS n1 FROM (
+    SELECT sum(n) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT sum(t*(t-1)/2) AS n2 FROM (
+    SELECT sum(n) AS t FROM cells GROUP BY y)
+)
+SELECT round((c - d) * 1.0
+         / sqrt((nt*(nt-1)/2.0 - n1) * (nt*(nt-1)/2.0 - n2)), 6)
+         AS tau_b,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       CAST(nt AS BIGINT) AS n
+FROM cd, tot, tx, ty
+"""
+
+ORACLES["q_gini"] = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal + 1000.0 AS v,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal + 1000.0) AS i
+  FROM customer
+  WHERE c_acctbal IS NOT NULL
+), agg AS (
+  SELECT c_mktsegment, count(*) AS n, sum(v) AS total,
+         sum(i * v) AS iwx
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       round(2.0 * iwx / (n * total) - (n + 1.0) / n, 6) AS gini,
+       CAST(n AS BIGINT) AS n,
+       round(round(total, 6), 2) AS total
+FROM agg
+"""
+
+ORACLES["q_gini_global"] = """
+WITH ranked AS (
+  SELECT o_totalprice AS v,
+         row_number() OVER (ORDER BY o_totalprice) AS i
+  FROM orders WHERE o_totalprice IS NOT NULL
+), agg AS (
+  SELECT count(*) AS n, sum(v) AS total, sum(i * v) AS iwx FROM ranked
+)
+SELECT round(2.0 * iwx / (n * total) - (n + 1.0) / n, 6) AS gini,
+       CAST(n AS BIGINT) AS n, round(round(total, 6), 2) AS total
+FROM agg
+"""
+
+ORACLES["q_lorenz"] = """
+WITH ranked AS (
+  SELECT o_totalprice AS v,
+         row_number() OVER (ORDER BY o_totalprice) AS i,
+         sum(o_totalprice) OVER (ORDER BY o_totalprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM orders WHERE o_totalprice IS NOT NULL
+), stats AS (
+  SELECT count(*) AS n, sum(v) AS tot FROM ranked
+), cuts AS (
+  SELECT k, (SELECT n FROM stats) * k // 10 AS cut
+  FROM generate_series(1, 10) AS t(k)
+)
+SELECT k / 10.0 AS point,
+       CAST(cut AS BIGINT) AS n_rows,
+       round(coalesce(r.cum, 0.0) / (SELECT tot FROM stats), 6)
+         AS value_share
+FROM cuts LEFT JOIN ranked r ON r.i = cuts.cut
+ORDER BY point
+"""
+
+ORACLES["q_js_divergence"] = """
+WITH two AS (
+  SELECT source AS g, floor(n_chars / 200) AS b
+  FROM documents WHERE source IN ('web', 'wiki')
+), cells AS (
+  SELECT b,
+         sum(CASE WHEN g = 'web' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'wiki' THEN 1 ELSE 0 END) AS cb
+  FROM two GROUP BY b
+), tots AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb FROM cells
+), terms AS (
+  SELECT
+    CASE WHEN ca > 0 THEN 0.5 * (ca * 1.0 / na)
+      * ln((ca * 1.0 / na) / ((ca * 1.0 / na + cb * 1.0 / nb) / 2))
+      ELSE 0 END
+    + CASE WHEN cb > 0 THEN 0.5 * (cb * 1.0 / nb)
+      * ln((cb * 1.0 / nb) / ((ca * 1.0 / na + cb * 1.0 / nb) / 2))
+      ELSE 0 END AS t,
+    na, nb
+  FROM cells, tots
+)
+SELECT round(sum(t), 6) AS js_nats,
+       round(sqrt(sum(t)), 6) AS js_dist,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b
+FROM terms
+"""
+
+ORACLES["q_pack_chunks"] = """
+WITH base AS (
+  SELECT doc_id, n_chars AS len FROM documents WHERE n_chars > 0
+), cum AS (
+  SELECT doc_id, len,
+         coalesce(sum(len) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start
+  FROM base
+), spans AS (
+  SELECT doc_id, len, start, chunk_id
+  FROM cum, LATERAL unnest(generate_series(
+      CAST(start // 4096 AS BIGINT),
+      CAST((start + len - 1) // 4096 AS BIGINT))) AS t(chunk_id)
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(greatest(chunk_id * 4096 - start, 0) AS BIGINT)
+         AS doc_start,
+       CAST(least(chunk_id * 4096 + 4096 - start, len)
+            - greatest(chunk_id * 4096 - start, 0) AS BIGINT)
+         AS n_tokens,
+       CAST(greatest(start - chunk_id * 4096, 0) AS BIGINT)
+         AS chunk_offset
+FROM spans
+"""

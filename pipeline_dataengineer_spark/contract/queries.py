@@ -8657,3 +8657,168 @@ def q_propensity_att_dist(spark, sf_dir):
     return propensity_match_att(
         c, "tr", "y", "score", caliper=0.05, distributed=True
     )
+
+
+@query("q_spearman")
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (operators/stats_tests.py:
+    spearman_rho) between lineitem quantity (heavy ties — 50 distinct
+    values) and extended price, with average-rank tie handling.
+    Oracle replays the distinct-value avg-rank identity and the
+    closed-form Pearson-on-ranks moments."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        spearman_rho,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    return spearman_rho(li, "l_quantity", "l_extendedprice")
+
+
+@query("q_spearman_dist")
+def q_spearman_dist(spark, sf_dir):
+    """spearman_rho(distributed=True): identical rho via the
+    two-phase global cumsum over distinct values — no unkeyed window.
+    Shares q_spearman's oracle verbatim."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        spearman_rho,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    return spearman_rho(
+        li, "l_quantity", "l_extendedprice", distributed=True
+    )
+
+
+@query("q_kendall")
+def q_kendall(spark, sf_dir):
+    """Kendall τ-b (operators/stats_tests.py:kendall_tau_b) between
+    two bucketed ordinal features of orders — the distinct-CELL
+    dominance reduction (cost quadratic in cells, linear in rows).
+    Oracle replays cells + dominance self-join + tie terms."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 7).cast("double").alias("xa"),
+        (F.floor(F.col("o_totalprice") / 50000)).cast("double").alias(
+            "xb"
+        ),
+    )
+    return kendall_tau_b(o, "xa", "xb")
+
+
+@query("q_gini")
+def q_gini(spark, sf_dir):
+    """Gini concentration (operators/inequality.py:gini_coefficient)
+    of customer account balances (shifted positive) per market
+    segment — keyed rank windows, scale-safe. Oracle replays the
+    rank formula."""
+    from pipeline_dataengineer_spark.operators.inequality import (
+        gini_coefficient,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_acctbal") + 1000.0).alias("bal"),
+    )
+    g = gini_coefficient(c, "bal", ["c_mktsegment"])
+    # totals are ~1e7 money sums: re-round to cents so cross-engine
+    # summation-order ulps can't flip the 6th decimal
+    return g.select(
+        "c_mktsegment", "gini", "n", F.round("total", 2).alias("total")
+    )
+
+
+@query("q_gini_global")
+def q_gini_global(spark, sf_dir):
+    """Ungrouped Gini over order totals — the global rank comes from
+    the two-phase distributed cumsum, never an unkeyed window (plan
+    audited). Oracle replays the same formula with a window."""
+    from pipeline_dataengineer_spark.operators.inequality import (
+        gini_coefficient,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    g = gini_coefficient(o, "o_totalprice")
+    return g.select("gini", "n", F.round("total", 2).alias("total"))
+
+
+@query("q_lorenz")
+def q_lorenz(spark, sf_dir):
+    """Lorenz curve (operators/inequality.py:lorenz_curve) of order
+    totals at deciles — prefix value shares off the distributed
+    cumsum. Oracle replays via a window over the sorted values."""
+    from pipeline_dataengineer_spark.operators.inequality import (
+        lorenz_curve,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    return lorenz_curve(o, "o_totalprice", n_points=10)
+
+
+@query("q_js_divergence")
+def q_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence (operators/stats_tests.py:
+    js_divergence) between the length-bucket distributions of two
+    document sources — the bounded symmetric drift score. Oracle
+    replays the cell algebra with the 0·ln0 convention."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        js_divergence,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.floor(F.col("n_chars") / 200).alias("len_bin")
+    )
+    return js_divergence(d, "source", "len_bin", "web", "wiki")
+
+
+@query("q_pack_chunks")
+def q_pack_chunks(spark, sf_dir):
+    """Concatenate-and-split sequence packing (operators/corpus.py:
+    pack_concat_chunks): documents laid out in doc_id order, cut
+    into 4096-char context windows; every doc emits one row per
+    window it overlaps. Oracle replays the exclusive cumsum +
+    generate_series span algebra."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        pack_concat_chunks,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_concat_chunks(d, "doc_id", "n_chars", budget=4096)
+
+
+@query("q_pack_greedy")
+def q_pack_greedy(spark, sf_dir):
+    """Greedy no-split packing (operators/corpus.py:
+    pack_greedy_shards) with num_shards=1 (exact sequential layout)
+    at a 4096-char budget. Greedy bin boundaries are a sequential
+    recursion — not SQL-expressible — so this is rows-only by
+    design; the layout invariants (no bin over budget except
+    oversize singletons, offsets contiguous) are pytest-enforced
+    and the oracle-side row count still must match 1:1."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        pack_greedy_shards,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_greedy_shards(
+        d, "doc_id", "n_chars", budget=4096, num_shards=1
+    )
+
+
+@query("q_pca_project")
+def q_pca_project(spark, sf_dir):
+    """PCA projection (operators/decomp.py:pca_project) of the
+    embeddings table onto its top-2 principal components —
+    per-partition d² Gram partials, driver-side d×d eigh, JVM-side
+    projection. Eigenvectors are not SQL-expressible → rows-only by
+    design; numpy parity is pytest-enforced (test_decomp.py)."""
+    from pipeline_dataengineer_spark.operators.decomp import pca_project
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pca_project(e, "vec_id", "embedding", k=2, round_to=4)

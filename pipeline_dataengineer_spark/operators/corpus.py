@@ -604,3 +604,166 @@ def perplexity_buckets(
         else F.concat(F.lit("b"), F.col("bucket").cast("string"))
     )
     return out.withColumn("bucket_label", label)
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pretraining sequence packing, concatenate-and-split: lay the
+    documents out in the deterministic total order ``order_cols``
+    (default: the id), concatenate their token counts, and cut the
+    stream every ``budget`` tokens. Each document emits one row per
+    context window it overlaps:
+
+        (id, chunk_id, doc_start, n_tokens, chunk_offset)
+
+    doc_start = first token of this span within the document,
+    chunk_offset = where the span begins inside the window. Every
+    window except the last is exactly full — the standard "pack then
+    mask attention across boundaries" pretraining layout (GPT-style),
+    as opposed to greedy no-split packing (``pack_greedy_shards``).
+
+    Shape: ONE two-phase global cumsum (operators/order.py:
+    global_cumsum) gives each doc its stream offset; the per-doc
+    window list is a ``sequence()`` explode of at most
+    ceil(len/budget)+1 elements. No unkeyed window, no collect,
+    no Python. Zero-length docs are dropped (they own no tokens)."""
+    from pipeline_dataengineer_spark.operators.order import global_cumsum
+
+    order_cols = order_cols or [id_col]
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("long").alias("__len"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+    ).filter(F.col("__len") > 0)
+    cum = global_cumsum(
+        base,
+        [f"__o{i}" for i in range(len(order_cols))],
+        ["__len"],
+        exclusive=True,
+        prefix="__start_",
+    ).select(
+        "__id",
+        "__len",
+        F.col("__start___len").alias("__start"),
+    )
+    spans = cum.select(
+        "__id",
+        "__len",
+        "__start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__start") / budget),
+                F.floor((F.col("__start") + F.col("__len") - 1) / budget),
+            )
+        ).alias("chunk_id"),
+    )
+    win_start = F.col("chunk_id") * budget
+    doc_start = F.greatest(win_start - F.col("__start"), F.lit(0))
+    doc_end = F.least(
+        win_start + budget - F.col("__start"), F.col("__len")
+    )
+    return spans.select(
+        F.col("__id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        doc_start.cast("long").alias("doc_start"),
+        (doc_end - doc_start).cast("long").alias("n_tokens"),
+        F.greatest(F.col("__start") - win_start, F.lit(0))
+        .cast("long")
+        .alias("chunk_offset"),
+    )
+
+
+def pack_greedy_shards(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    order_cols: list[str] | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Greedy NO-SPLIT sequence packing (SFT-style — each example must
+    stay whole): documents are laid out in ``order_cols`` order and
+    greedily appended to the current bin; a doc that would overflow
+    ``budget`` starts a new bin. Docs longer than the budget get a
+    bin of their own, flagged ``oversize=true`` (the caller truncates
+    or drops — packing must not silently do either). Returns
+    (id, len, bin_id, bin_offset, oversize).
+
+    Exact greedy packing is inherently sequential (each boundary
+    depends on the full prefix), so the distributed form is
+    SHARD-LOCAL: the pinned range sort's partitions are packed
+    independently and bin_id = shard · 2³² + local bin — exactly how
+    production packers shard the corpus. The only deviation from a
+    single sequential pass is ≤ one underfilled bin per shard
+    boundary (negligible at corpus scale, bounded and deterministic
+    for a given ``num_shards``); set ``num_shards=1`` for the exact
+    sequential layout on evaluation-sized data."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pipeline_dataengineer_spark.operators.order import (
+        _pinned_range_sort,
+    )
+
+    order_cols = order_cols or [id_col]
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("long").alias("__len"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+    ).filter(F.col("__len") > 0)
+    pinned = _pinned_range_sort(
+        base,
+        [f"__o{i}" for i in range(len(order_cols))],
+        num_shards,
+    )
+    schema_out = T.StructType(
+        [
+            T.StructField("__id", pinned.schema["__id"].dataType),
+            T.StructField("__len", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("bin_offset", T.LongType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
+    )
+
+    def pack(batches):
+        local_bin, used, pid = 0, 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            ids, lens = pdf["__id"].tolist(), pdf["__len"].tolist()
+            out = {
+                "__id": ids,
+                "__len": lens,
+                "bin_id": [],
+                "bin_offset": [],
+                "oversize": [],
+            }
+            for ln in lens:
+                if used > 0 and used + ln > budget:
+                    local_bin += 1
+                    used = 0
+                out["bin_id"].append((pid << 32) + local_bin)
+                out["bin_offset"].append(used)
+                out["oversize"].append(ln > budget)
+                used += ln
+                if used >= budget:
+                    local_bin += 1
+                    used = 0
+            yield pd.DataFrame(out)
+
+    return pinned.mapInPandas(pack, schema_out).select(
+        F.col("__id").alias(id_col),
+        F.col("__len").alias(len_col),
+        "bin_id",
+        "bin_offset",
+        "oversize",
+    )

@@ -965,3 +965,55 @@ def kendall_tau_b(
         )
     )
     return out
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    bin_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence (natural log) between the ``bin_col``
+    distributions of two groups — the bounded, symmetric drift score
+    (0 ≤ JS ≤ ln 2) that, unlike PSI/KL, never blows up on
+    disjoint support, so it is the safer default for comparing corpus
+    slices (sources, time windows, dedup survivors vs drops).
+
+        JS = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2
+
+    Zero-probability bins contribute 0 to their own KL term by the
+    0·ln0 = 0 convention — and M > 0 wherever either side has mass,
+    so no epsilon floor is needed anywhere. One combinable hash agg
+    over the facts builds the bin table; everything after is
+    bin-sized. Returns one row (js_nats, js_dist, n_a, n_b) where
+    js_dist = √JS is the metric form."""
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), F.col(bin_col).alias("__b")
+    )
+    cells = two.groupBy("__b").agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("__ca"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("__cb"),
+    )
+    tots = cells.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    j = cells.crossJoin(F.broadcast(tots))
+    p = F.col("__ca") / F.col("__na").cast("double")
+    q = F.col("__cb") / F.col("__nb").cast("double")
+    m = (p + q) / 2.0
+    term = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0) + F.when(
+        q > 0, 0.5 * q * F.log(q / m)
+    ).otherwise(0.0)
+    agg = j.agg(
+        F.sum(term).alias("__js"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+    return agg.select(
+        F.round("__js", round_to).alias("js_nats"),
+        F.round(F.sqrt(F.col("__js")), round_to).alias("js_dist"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )

@@ -1,0 +1,328 @@
+"""Round-6 operators: spearman/kendall, gini/lorenz, JS divergence,
+sequence packing (both layouts), PCA parity."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# rank correlations
+# ------------------------------------------------------------------
+
+
+def _rankdata(a):
+    """Average-rank implementation (scipy-free reference)."""
+    a = np.asarray(a, dtype=float)
+    order = np.argsort(a, kind="stable")
+    ranks = np.empty(len(a))
+    i = 0
+    s = a[order]
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and s[j + 1] == s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_numpy_reference(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        spearman_rho,
+    )
+
+    xs = [float((i * 7) % 13) for i in range(400)]
+    ys = [float((i * 7) % 13) * 2 + float((i * 5) % 9) for i in range(400)]
+    df = spark.createDataFrame(
+        list(zip(range(400), xs, ys)), "i long, x double, y double"
+    ).repartition(7)
+    for dist in (False, True):
+        got = spearman_rho(df, "x", "y", distributed=dist).collect()[0]
+        ra, rb = _rankdata(xs), _rankdata(ys)
+        ref = np.corrcoef(ra, rb)[0, 1]
+        assert got["rho"] == pytest.approx(round(ref, 6), abs=2e-6)
+        assert got["n"] == 400
+
+
+def test_kendall_tau_b_reference(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    xs = [float(i % 5) for i in range(200)]
+    ys = [float((i % 5) + (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(
+        list(zip(xs, ys)), "x double, y double"
+    )
+    got = kendall_tau_b(df, "x", "y").collect()[0]
+    # O(n^2) reference
+    c = d = 0
+    for i in range(200):
+        for j in range(i + 1, 200):
+            sx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            sy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+    n = 200
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(xs).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(ys).values())
+    n0 = n * (n - 1) // 2
+    ref = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert got["concordant"] == c and got["discordant"] == d
+    assert got["tau_b"] == pytest.approx(round(ref, 6), abs=2e-6)
+
+
+def test_kendall_max_cells_guard(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="max_cells"):
+        kendall_tau_b(df, "x", "y", max_cells=10)
+
+
+# ------------------------------------------------------------------
+# inequality
+# ------------------------------------------------------------------
+
+
+def test_gini_known_values(spark):
+    from pipeline_dataengineer_spark.operators.inequality import (
+        gini_coefficient,
+    )
+
+    flat = spark.createDataFrame(
+        [(float(5),) for _ in range(100)], "v double"
+    )
+    assert gini_coefficient(flat, "v").collect()[0]["gini"] == 0.0
+    # one row owns everything: G = (n-1)/n = 0.99
+    spike = spark.createDataFrame(
+        [(0.0,)] * 99 + [(100.0,)], "v double"
+    )
+    assert gini_coefficient(spike, "v").collect()[0][
+        "gini"
+    ] == pytest.approx(0.99)
+
+
+def test_gini_grouped_matches_global_per_group(spark):
+    from pipeline_dataengineer_spark.operators.inequality import (
+        gini_coefficient,
+    )
+
+    rows = [("a", float((i * i) % 17 + 1)) for i in range(60)] + [
+        ("b", float((i * 3) % 11 + 1)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    grouped = {
+        r["g"]: r["gini"]
+        for r in gini_coefficient(df, "v", ["g"]).collect()
+    }
+    for g in ("a", "b"):
+        solo = gini_coefficient(
+            df.filter(F.col("g") == g), "v"
+        ).collect()[0]["gini"]
+        assert grouped[g] == pytest.approx(solo)
+
+
+def test_lorenz_curve_properties(spark):
+    from pipeline_dataengineer_spark.operators.inequality import (
+        lorenz_curve,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 23 + 1),) for i in range(230)], "v double"
+    ).repartition(6)
+    pts = lorenz_curve(df, "v", n_points=10).collect()
+    assert len(pts) == 10
+    shares = [r["value_share"] for r in pts]
+    assert shares == sorted(shares)  # monotone
+    assert pts[-1]["value_share"] == pytest.approx(1.0)
+    for r in pts:  # convexity lower bound: L(p) <= p
+        assert r["value_share"] <= r["point"] + 1e-9
+
+
+# ------------------------------------------------------------------
+# JS divergence
+# ------------------------------------------------------------------
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        js_divergence,
+    )
+
+    rows = [("a", i % 5) for i in range(100)] + [
+        ("b", (i % 5) + 3) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "g string, b int")
+    ab = js_divergence(df, "g", "b", "a", "b").collect()[0]
+    ba = js_divergence(df, "g", "b", "b", "a").collect()[0]
+    assert 0.0 < ab["js_nats"] < math.log(2.0) + 1e-9
+    assert ab["js_nats"] == ba["js_nats"]  # symmetric
+    assert ab["n_a"] == 100 and ab["n_b"] == 80
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [("a", i % 4) for i in range(40)] + [("b", i % 4) for i in range(40)],
+        "g string, b int",
+    )
+    assert js_divergence(same, "g", "b", "a", "b").collect()[0][
+        "js_nats"
+    ] == 0.0
+    # disjoint support -> exactly ln 2 (where PSI/KL diverge)
+    disj = spark.createDataFrame(
+        [("a", 0)] * 30 + [("b", 1)] * 30, "g string, b int"
+    )
+    assert disj.count() == 60
+    assert js_divergence(disj, "g", "b", "a", "b").collect()[0][
+        "js_nats"
+    ] == pytest.approx(math.log(2.0), abs=1e-6)
+
+
+# ------------------------------------------------------------------
+# sequence packing
+# ------------------------------------------------------------------
+
+
+def test_pack_concat_chunks_exact_layout(spark):
+    from pipeline_dataengineer_spark.operators.corpus import (
+        pack_concat_chunks,
+    )
+
+    lens = [5, 12, 3, 10, 7, 1, 20, 4]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n long"
+    ).repartition(4)
+    out = pack_concat_chunks(df, "doc_id", "n", budget=10).collect()
+    # python reference
+    ref = []
+    start = 0
+    for i, n in enumerate(lens):
+        for chunk in range(start // 10, (start + n - 1) // 10 + 1):
+            ds = max(chunk * 10 - start, 0)
+            de = min(chunk * 10 + 10 - start, n)
+            ref.append((i, chunk, ds, de - ds, max(start - chunk * 10, 0)))
+        start += n
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["doc_start"], r["n_tokens"],
+         r["chunk_offset"])
+        for r in out
+    )
+    assert got == sorted(ref)
+    # every chunk except the last is exactly full
+    per_chunk = {}
+    for _, c, _, nt, _ in got:
+        per_chunk[c] = per_chunk.get(c, 0) + nt
+    last = max(per_chunk)
+    for c, tot in per_chunk.items():
+        assert tot == 10 or c == last
+
+
+def test_pack_greedy_shards_invariants(spark):
+    from pipeline_dataengineer_spark.operators.corpus import (
+        pack_greedy_shards,
+    )
+
+    lens = [3, 9, 5, 5, 2, 11, 1, 8, 8, 8, 4]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n long"
+    )
+    out = pack_greedy_shards(
+        df, "doc_id", "n", budget=10, num_shards=1
+    ).collect()
+    # python greedy reference (sequential, doc_id order)
+    ref, b, used = {}, 0, 0
+    for i, n in enumerate(lens):
+        if used > 0 and used + n > 10:
+            b, used = b + 1, 0
+        ref[i] = (b, used, n > 10)
+        used += n
+        if used >= 10:
+            b, used = b + 1, 0
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"], r["oversize"])
+        for r in out
+    }
+    assert got == ref
+    # invariants on a multi-shard run: no bin over budget unless it
+    # is a single oversize doc
+    out4 = pack_greedy_shards(
+        df, "doc_id", "n", budget=10, num_shards=4
+    ).collect()
+    bins = {}
+    for r in out4:
+        bins.setdefault(r["bin_id"], []).append(r)
+    for rows in bins.values():
+        tot = sum(r["n"] for r in rows)
+        if tot > 10:
+            assert len(rows) == 1 and rows[0]["oversize"]
+
+
+# ------------------------------------------------------------------
+# PCA
+# ------------------------------------------------------------------
+
+
+def test_pca_matches_numpy(spark):
+    from pipeline_dataengineer_spark.operators.decomp import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(300, 2) @ np.array([[3.0, 1.0], [0.0, 0.5]])
+    X = np.hstack([base, base[:, :1] * 0.2 + rng.randn(300, 1) * 0.01])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)],
+        "id long, vec array<double>",
+    ).repartition(9)
+    comps, evals, mu = pca_fit(df, "vec", k=2)
+    # numpy reference
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    assert np.allclose(mu, X.mean(axis=0), atol=1e-9)
+    for j, oj in enumerate(order):
+        assert evals[j] == pytest.approx(w[oj], rel=1e-9)
+        ref = v[:, oj]
+        pivot = int(np.argmax(np.abs(ref)))
+        if ref[pivot] < 0:
+            ref = -ref
+        assert np.allclose(comps[j], ref, atol=1e-9)
+    # projection parity
+    proj = {
+        r["id"]: (r["pc_1"], r["pc_2"])
+        for r in pca_project(df, "id", "vec", k=2).collect()
+    }
+    P = Xc @ np.array(comps).T
+    for i in range(300):
+        assert proj[i][0] == pytest.approx(P[i, 0], abs=1e-9)
+        assert proj[i][1] == pytest.approx(P[i, 1], abs=1e-9)
+
+
+def test_pca_deterministic_across_partitionings(spark):
+    from pipeline_dataengineer_spark.operators.decomp import pca_fit
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(120, 4)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(120)]
+    df1 = spark.createDataFrame(rows, "id long, vec array<double>")
+    c1, e1, m1 = pca_fit(df1.repartition(3), "vec", k=3)
+    c2, e2, m2 = pca_fit(df1.repartition(11), "vec", k=3)
+    # partials sum in different order -> tiny float drift allowed,
+    # but sign fixing must agree exactly
+    assert np.allclose(c1, c2, atol=1e-9)
+    assert np.allclose(e1, e2, rtol=1e-9)

@@ -582,6 +582,33 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
                              ["Window", "CartesianProduct"]),
     "q_propensity_att_dist": (["MapInPandas", "HashAggregate"],
                               ["Window", "CartesianProduct"]),
+    # grouped Gini ranks inside each segment: the window is KEYED
+    "q_gini": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # ungrouped Gini/Lorenz rank via the two-phase cumsum — no
+    # unkeyed window anywhere; Lorenz's decile pick is a broadcast
+    # hash join on the computed rank
+    "q_gini_global": (["MapInPandas"], ["Window"]),
+    "q_lorenz": (["MapInPandas", "BroadcastHashJoin"],
+                 ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # JS divergence: one combinable hash agg over the facts; the
+    # totals arrive via a 1-row broadcast, never a fact-sized join
+    "q_js_divergence": (["HashAggregate"],
+                        ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # concat-and-split packing: cumsum scan + sequence() explode
+    "q_pack_chunks": (["MapInPandas", "Generate"], ["Window"]),
+    "q_pack_greedy": (["MapInPandas"], ["Window", "Generate"]),
+    # PCA projection: literal components -> ONE narrow map over the
+    # scan, nothing else (the fit's Gram pass ran at build time)
+    "q_pca_project": ([], ["Window", "Exchange", "Join"]),
+    # spearman: distinct-value aggs + two hash joins back; the
+    # default path's window is over the DISTINCT table only
+    "q_spearman": (["HashAggregate"], ["CartesianProduct"]),
+    "q_spearman_dist": (["MapInPandas", "HashAggregate"], ["Window"]),
+    # kendall: cell-sized dominance theta-join — broadcast NL over
+    # cells is the expected shape; a cartesian would mean the
+    # broadcast was lost
+    "q_kendall": (["HashAggregate", "BroadcastNestedLoopJoin"],
+                  ["CartesianProduct"]),
 }
 
 
