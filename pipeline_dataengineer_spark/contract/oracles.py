@@ -6709,3 +6709,6 @@ SELECT doc_id,
          AS chunk_offset
 FROM spans
 """
+
+ORACLES["q_mann_whitney_dist"] = ORACLES["q_mann_whitney"]
+ORACLES["q_ks_test_dist"] = ORACLES["q_ks_test"]

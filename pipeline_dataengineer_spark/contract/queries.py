@@ -8822,3 +8822,40 @@ def q_pca_project(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return pca_project(e, "vec_id", "embedding", k=2, round_to=4)
+
+
+@query("q_mann_whitney_dist")
+def q_mann_whitney_dist(spark, sf_dir):
+    """mann_whitney_u(distributed=True): identical U/z via the
+    distinct-value hash agg + two-phase cumsum — no unkeyed window.
+    Shares q_mann_whitney's oracle verbatim."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        mann_whitney_u,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return mann_whitney_u(
+        ev, "event_type", "value", "click", "view", distributed=True
+    )
+
+
+@query("q_ks_test_dist")
+def q_ks_test_dist(spark, sf_dir):
+    """ks_test(distributed=True): identical KS statistic via the
+    distinct-value inclusive cumsum (== the range frame's
+    tie-absorbed ECDF) — no unkeyed window. Shares q_ks_test's
+    oracle verbatim."""
+    from pipeline_dataengineer_spark.operators.stats_tests import ks_test
+
+    o = table(spark, sf_dir, "orders")
+    out = ks_test(
+        o,
+        "o_orderpriority",
+        "o_totalprice",
+        "1-URGENT",
+        "5-LOW",
+        distributed=True,
+    )
+    return out.select(
+        F.round("ks_stat", 6).alias("ks_stat"), "n_a", "n_b"
+    )

@@ -609,6 +609,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # broadcast was lost
     "q_kendall": (["HashAggregate", "BroadcastNestedLoopJoin"],
                   ["CartesianProduct"]),
+    "q_mann_whitney_dist": (["MapInPandas", "HashAggregate"],
+                            ["Window"]),
+    # ks_test collects the scalar at build time (the returned frame
+    # is a LocalTableScan), so the audit can only pin the absence of
+    # a Window in what remains; the cumsum machinery's plan shape is
+    # pinned by the other *_dist entries above
+    "q_ks_test_dist": (["Scan ExistingRDD"], ["Window", "Exchange"]),
 }
 
 
