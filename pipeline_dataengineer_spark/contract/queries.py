@@ -8813,12 +8813,15 @@ def q_pack_greedy(spark, sf_dir):
 
 @query("q_pca_project")
 def q_pca_project(spark, sf_dir):
-    """PCA projection (operators/decomp.py:pca_project) of the
-    embeddings table onto its top-2 principal components —
-    per-partition d² Gram partials, driver-side d×d eigh, JVM-side
-    projection. Eigenvectors are not SQL-expressible → rows-only by
-    design; numpy parity is pytest-enforced (test_decomp.py)."""
-    from pipeline_dataengineer_spark.operators.decomp import pca_project
+    """PCA projection (operators/decomposition.py:pca_project) of
+    the embeddings table onto its top-2 principal components — the
+    existing relational covariance/mean fit (d + d² driver doubles),
+    then a zero-Python JVM projection to scalar pc_j columns.
+    Eigenvectors are not SQL-expressible → rows-only by design;
+    numpy parity is pytest-enforced (test_round6_ops.py)."""
+    from pipeline_dataengineer_spark.operators.decomposition import (
+        pca_project,
+    )
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return pca_project(e, "vec_id", "embedding", k=2, round_to=4)

@@ -627,6 +627,12 @@ def pack_concat_chunks(
     mask attention across boundaries" pretraining layout (GPT-style),
     as opposed to greedy no-split packing (``pack_greedy_shards``).
 
+    Siblings: ``packing.pack_sequences`` annotates each doc's START
+    window within hash-bucketed independent streams (keyed windows,
+    one row per doc); THIS operator lays out ONE global stream and
+    emits every (doc, window) overlap span — use it when the
+    consumer slices the actual spans rather than replaying offsets.
+
     Shape: ONE two-phase global cumsum (operators/order.py:
     global_cumsum) gives each doc its stream offset; the per-doc
     window list is a ``sequence()`` explode of at most

@@ -242,3 +242,78 @@ def mahalanobis_outliers(
             "is_outlier", F.col("maha_sq") > threshold
         )
     return scored
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str, k: int
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Fit-only companion to ``pca``: returns (components,
+    explained_variance, mean) as plain Python lists, computed from
+    the same relational covariance/mean collects (d + d² doubles of
+    driver traffic). Components are sign-canonicalized identically
+    to ``pca``."""
+    cov_rows = covariance_matrix(df, vec_col).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    mean_rows = (
+        df.select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r["i"]] = r["m"]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for j in order:
+        vec = v[:, j]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+    return (
+        comps,
+        [float(w[j]) for j in order],
+        [float(x) for x in mu],
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Fit on ``df`` and project every row to SCALAR columns
+    (id, pc_1 .. pc_k) with pc_j = (x − μ)·component_j — the
+    zero-Python variant of ``pca``'s Arrow matmul: components are
+    broadcast as literal arrays and each score is a JVM
+    zip_with/aggregate dot product riding the scan (one narrow map,
+    no shuffle, no Python worker in the row-scale path). Use this
+    when k is small and downstream wants plain columns (bucketing,
+    filters); use ``pca`` when downstream wants the projected vector
+    itself."""
+    comps, _, mu = pca_fit(df, vec_col, k)
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        mu_lit,
+        lambda x, m: x - m,
+    )
+    cols = []
+    for j, c in enumerate(comps):
+        c_lit = F.array(*[F.lit(x) for x in c])
+        dot = F.aggregate(
+            F.zip_with(centered, c_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if round_to is not None:
+            dot = F.round(dot, round_to)
+        cols.append(dot.alias(f"pc_{j + 1}"))
+    return df.select(F.col(id_col), *cols)

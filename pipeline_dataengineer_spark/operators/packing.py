@@ -37,7 +37,12 @@ def pack_sequences(
     at ``seq_offset``; a document straddling a boundary continues
     into the next window (consumers slice by offset). Deterministic
     for a given (corpus, context_len, buckets) regardless of
-    partitioning or engine."""
+    partitioning or engine.
+
+    Siblings in operators/corpus.py: ``pack_concat_chunks`` (ONE
+    global stream via the two-phase cumsum, emits every doc-window
+    overlap span) and ``pack_greedy_shards`` (no-split greedy
+    bins)."""
     b = portable_bucket(id_col, buckets)
     w = (
         Window.partitionBy("bucket")

@@ -276,7 +276,7 @@ def test_pack_greedy_shards_invariants(spark):
 
 
 def test_pca_matches_numpy(spark):
-    from pipeline_dataengineer_spark.operators.decomp import (
+    from pipeline_dataengineer_spark.operators.decomposition import (
         pca_fit,
         pca_project,
     )
@@ -314,7 +314,7 @@ def test_pca_matches_numpy(spark):
 
 
 def test_pca_deterministic_across_partitionings(spark):
-    from pipeline_dataengineer_spark.operators.decomp import pca_fit
+    from pipeline_dataengineer_spark.operators.decomposition import pca_fit
 
     rng = np.random.RandomState(3)
     X = rng.randn(120, 4)
