@@ -6712,3 +6712,34 @@ FROM spans
 
 ORACLES["q_mann_whitney_dist"] = ORACLES["q_mann_whitney"]
 ORACLES["q_ks_test_dist"] = ORACLES["q_ks_test"]
+
+ORACLES["q_preference_pairs"] = """
+WITH c AS (
+  SELECT user_id, event_id, value FROM events
+  WHERE event_type = 'click'
+), agg AS (
+  SELECT user_id,
+         max(struct_pack(s := value, i := event_id)) AS hi,
+         min(struct_pack(s := value, i := event_id)) AS lo,
+         count(*) AS n
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+       hi.i AS chosen, hi.s AS chosen_score,
+       lo.i AS rejected, lo.s AS rejected_score,
+       hi.s - lo.s AS margin
+FROM agg
+WHERE n >= 2 AND hi.s - lo.s >= 1.0
+"""
+
+ORACLES["q_preference_all"] = """
+WITH p AS (
+  SELECT user_id % 100 AS grp, event_id, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT a.grp, a.event_id AS chosen, a.value AS chosen_score,
+       b.event_id AS rejected, b.value AS rejected_score,
+       a.value - b.value AS margin
+FROM p a JOIN p b ON a.grp = b.grp
+WHERE a.value - b.value >= 5.0
+"""

@@ -8862,3 +8862,43 @@ def q_ks_test_dist(spark, sf_dir):
     return out.select(
         F.round("ks_stat", 6).alias("ks_stat"), "n_a", "n_b"
     )
+
+
+@query("q_preference_pairs")
+def q_preference_pairs(spark, sf_dir):
+    """DPO best/worst preference pairs (operators/preference.py:
+    best_worst_pairs): per user, the highest- vs lowest-valued click
+    event with a 1.0 margin floor — ONE combinable hash aggregate,
+    deterministic under ties via struct(score, id) ordering. Oracle
+    replays with arg_max/arg_min on the same struct."""
+    from pipeline_dataengineer_spark.operators.preference import (
+        best_worst_pairs,
+    )
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return best_worst_pairs(
+        e, "user_id", "event_id", "value", min_margin=1.0
+    )
+
+
+@query("q_preference_all")
+def q_preference_all(spark, sf_dir):
+    """Dense within-group preference pairs (operators/preference.py:
+    all_pairs) over a bounded fixture (user_id % 100 groups, margin
+    ≥ 5), group-size cap enforced+audited. Oracle replays the
+    self-join."""
+    from pipeline_dataengineer_spark.operators.preference import (
+        all_pairs,
+    )
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 100).alias("grp"), "event_id", "value"
+    )
+    return all_pairs(
+        e, "grp", "event_id", "value", min_margin=5.0,
+        max_group_size=10000,
+    )

@@ -326,3 +326,58 @@ def test_pca_deterministic_across_partitionings(spark):
     # but sign fixing must agree exactly
     assert np.allclose(c1, c2, atol=1e-9)
     assert np.allclose(e1, e2, rtol=1e-9)
+
+
+# ------------------------------------------------------------------
+# preference pairs
+# ------------------------------------------------------------------
+
+
+def test_best_worst_pairs_deterministic_ties(spark):
+    from pipeline_dataengineer_spark.operators.preference import (
+        best_worst_pairs,
+    )
+
+    rows = [
+        ("p1", 1, 5.0), ("p1", 2, 5.0), ("p1", 3, 1.0), ("p1", 4, 1.0),
+        ("p2", 5, 3.0),                       # singleton -> dropped
+        ("p3", 6, 2.0), ("p3", 7, 2.0),       # zero margin -> dropped
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, s double")
+    got = {
+        r["g"]: (r["chosen"], r["rejected"], r["margin"])
+        for r in best_worst_pairs(
+            df.repartition(5), "g", "i", "s", min_margin=0.5
+        ).collect()
+    }
+    # tie on max side -> HIGHER id (2); tie on min side -> LOWER id (3)
+    assert got == {"p1": (2, 3, 4.0)}
+
+
+def test_all_pairs_margin_and_cap(spark):
+    from pipeline_dataengineer_spark.operators.preference import all_pairs
+
+    rows = [("g", i, float(i)) for i in range(5)] + [
+        ("big", i, float(i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, s double")
+    out = all_pairs(df, "g", "i", "s", min_margin=2.0, max_group_size=10)
+    pairs = {(r["chosen"], r["rejected"]) for r in out.collect()}
+    assert out.pair_audit == {
+        "dropped_groups": 1,
+        "dropped_rows": 20,
+        "max_dropped_group": 20,
+    }
+    assert pairs == {
+        (c, r) for c in range(5) for r in range(5) if c - r >= 2
+    }
+    # min_margin=0 means STRICT improvement (no self/equal pairs)
+    tied = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, 2.0), ("g", 3, 1.0)],
+        "g string, i int, s double",
+    )
+    got = {
+        (r["chosen"], r["rejected"])
+        for r in all_pairs(tied, "g", "i", "s").collect()
+    }
+    assert got == {(1, 3), (2, 3)}

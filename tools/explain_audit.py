@@ -616,6 +616,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # a Window in what remains; the cumsum machinery's plan shape is
     # pinned by the other *_dist entries above
     "q_ks_test_dist": (["Scan ExistingRDD"], ["Window", "Exchange"]),
+    # DPO best/worst: ONE combinable aggregate — struct-ordered
+    # argmax plans as partial+final SortAggregate (Spark's exec for
+    # struct-typed max; still map-side combinable) — no window, no
+    # join over the facts
+    "q_preference_pairs": (["SortAggregate"], ["Window", "Join"]),
+    # dense pairs: group-keyed equi self-join (hash), never a
+    # nested loop or cartesian
+    "q_preference_all": (["BroadcastHashJoin"],
+                         ["BroadcastNestedLoopJoin", "CartesianProduct",
+                          "Window"]),
 }
 
 
