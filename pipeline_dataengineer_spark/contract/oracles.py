@@ -6743,3 +6743,156 @@ SELECT a.grp, a.event_id AS chosen, a.value AS chosen_score,
 FROM p a JOIN p b ON a.grp = b.grp
 WHERE a.value - b.value >= 5.0
 """
+
+
+ORACLES["q_cohen_kappa"] = """
+WITH base AS (
+  SELECT o_orderkey % 4 AS a,
+         (o_orderkey + (o_orderkey % 7) % 3) % 4 AS b
+  FROM orders
+), cells AS (
+  SELECT a, b, count(*) AS o FROM base GROUP BY a, b
+), rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+tot AS (SELECT sum(o) AS n FROM cells),
+agg AS (
+  SELECT sum(CASE WHEN c.a = c.b THEN o ELSE 0 END) AS agree,
+         sum(CASE WHEN c.a = c.b THEN rm.ra * 1.0 * cm.cb
+                  ELSE 0 END) AS expnum,
+         max(t.n) AS n
+  FROM cells c JOIN rm ON c.a = rm.a JOIN cm ON c.b = cm.b, tot t
+)
+SELECT round((agree * 1.0 / n - expnum / (n * 1.0 * n))
+             / (1 - expnum / (n * 1.0 * n)), 6) AS kappa,
+       round(agree * 1.0 / n, 6) AS p_observed,
+       round(expnum / (n * 1.0 * n), 6) AS p_expected,
+       CAST(n AS BIGINT) AS n
+FROM agg
+"""
+
+ORACLES["q_fleiss_kappa"] = """
+WITH ratings AS (
+  SELECT o_orderkey AS item, u.label
+  FROM orders, LATERAL unnest([o_orderkey % 4,
+                               (o_orderkey * 3 + 1) % 4,
+                               (o_orderkey % 7) % 4]) AS u(label)
+), counts AS (
+  SELECT item, label, count(*) AS c FROM ratings GROUP BY item, label
+), per_item AS (
+  SELECT item, sum(c) AS ni, sum(c * (c - 1)) AS prs
+  FROM counts GROUP BY item
+), po AS (
+  SELECT avg(prs * 1.0 / (3 * 2)) AS po, count(*) AS n_items
+  FROM per_item
+), pe AS (
+  SELECT sum(tc * 1.0 * tc) / (sum(tc) * 1.0 * sum(tc)) AS pe
+  FROM (SELECT sum(c) AS tc FROM counts GROUP BY label)
+)
+SELECT round((po - pe) / (1 - pe), 6) AS kappa,
+       round(po, 6) AS p_observed,
+       round(pe, 6) AS p_expected,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(3 AS BIGINT) AS n_raters
+FROM po, pe
+"""
+
+ORACLES["q_bradley_terry"] = """
+WITH duels AS MATERIALIZED (
+  SELECT event_id % 5 AS w, (event_id + 1 + user_id % 4) % 5 AS l
+  FROM events WHERE event_type = 'click'
+), pairs AS MATERIALIZED (
+  SELECT w, l, count(*) AS n FROM duels WHERE w <> l GROUP BY w, l
+), games AS MATERIALIZED (
+  SELECT least(w, l) AS a, greatest(w, l) AS b, sum(n) AS n
+  FROM pairs GROUP BY least(w, l), greatest(w, l)
+), items AS MATERIALIZED (
+  SELECT DISTINCT a AS item FROM games
+  UNION SELECT DISTINCT b FROM games
+), wins AS MATERIALIZED (
+  SELECT w AS item, sum(n) AS wins FROM pairs GROUP BY w
+), p0 AS MATERIALIZED (
+  SELECT item, 1.0 AS s FROM items
+), d1 AS MATERIALIZED (
+  SELECT it.item,
+         (SELECT coalesce(sum(g.n / (pa.s + pb.s)), 0)
+          FROM games g
+          JOIN p0 pa ON pa.item = g.a
+          JOIN p0 pb ON pb.item = g.b
+          WHERE g.a = it.item OR g.b = it.item) AS denom
+  FROM items it
+), r1 AS MATERIALIZED (
+  SELECT d.item,
+         CASE WHEN d.denom > 0
+              THEN coalesce(w.wins, 0) / d.denom ELSE 0 END AS s
+  FROM d1 d LEFT JOIN wins w ON w.item = d.item
+), m1 AS MATERIALIZED (
+  SELECT avg(s) AS m FROM r1 WHERE s > 0
+), p1 AS MATERIALIZED (
+  SELECT item, CASE WHEN (SELECT m FROM m1) > 0
+                    THEN s / (SELECT m FROM m1) ELSE s END AS s
+  FROM r1
+), d2 AS MATERIALIZED (
+  SELECT it.item,
+         (SELECT coalesce(sum(g.n / (pa.s + pb.s)), 0)
+          FROM games g
+          JOIN p1 pa ON pa.item = g.a
+          JOIN p1 pb ON pb.item = g.b
+          WHERE g.a = it.item OR g.b = it.item) AS denom
+  FROM items it
+), r2 AS MATERIALIZED (
+  SELECT d.item,
+         CASE WHEN d.denom > 0
+              THEN coalesce(w.wins, 0) / d.denom ELSE 0 END AS s
+  FROM d2 d LEFT JOIN wins w ON w.item = d.item
+), m2 AS MATERIALIZED (
+  SELECT avg(s) AS m FROM r2 WHERE s > 0
+), p2 AS MATERIALIZED (
+  SELECT item, CASE WHEN (SELECT m FROM m2) > 0
+                    THEN s / (SELECT m FROM m2) ELSE s END AS s
+  FROM r2
+), d3 AS MATERIALIZED (
+  SELECT it.item,
+         (SELECT coalesce(sum(g.n / (pa.s + pb.s)), 0)
+          FROM games g
+          JOIN p2 pa ON pa.item = g.a
+          JOIN p2 pb ON pb.item = g.b
+          WHERE g.a = it.item OR g.b = it.item) AS denom
+  FROM items it
+), r3 AS MATERIALIZED (
+  SELECT d.item,
+         CASE WHEN d.denom > 0
+              THEN coalesce(w.wins, 0) / d.denom ELSE 0 END AS s
+  FROM d3 d LEFT JOIN wins w ON w.item = d.item
+), m3 AS MATERIALIZED (
+  SELECT avg(s) AS m FROM r3 WHERE s > 0
+), p3 AS MATERIALIZED (
+  SELECT item, CASE WHEN (SELECT m FROM m3) > 0
+                    THEN s / (SELECT m FROM m3) ELSE s END AS s
+  FROM r3
+), d4 AS MATERIALIZED (
+  SELECT it.item,
+         (SELECT coalesce(sum(g.n / (pa.s + pb.s)), 0)
+          FROM games g
+          JOIN p3 pa ON pa.item = g.a
+          JOIN p3 pb ON pb.item = g.b
+          WHERE g.a = it.item OR g.b = it.item) AS denom
+  FROM items it
+), r4 AS MATERIALIZED (
+  SELECT d.item,
+         CASE WHEN d.denom > 0
+              THEN coalesce(w.wins, 0) / d.denom ELSE 0 END AS s
+  FROM d4 d LEFT JOIN wins w ON w.item = d.item
+), m4 AS MATERIALIZED (
+  SELECT avg(s) AS m FROM r4 WHERE s > 0
+), p4 AS MATERIALIZED (
+  SELECT item, CASE WHEN (SELECT m FROM m4) > 0
+                    THEN s / (SELECT m FROM m4) ELSE s END AS s
+  FROM r4
+)
+SELECT p.item,
+       round(p.s, 6) AS strength,
+       CAST(coalesce(w.wins, 0) AS BIGINT) AS wins,
+       CAST((SELECT coalesce(sum(n), 0) FROM games g
+             WHERE g.a = p.item OR g.b = p.item) AS BIGINT) AS games
+FROM p4 p LEFT JOIN wins w ON w.item = p.item
+"""

@@ -8902,3 +8902,65 @@ def q_preference_all(spark, sf_dir):
         e, "grp", "event_id", "value", min_margin=5.0,
         max_group_size=10000,
     )
+
+
+@query("q_cohen_kappa")
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's κ (operators/agreement.py:cohen_kappa) between two
+    synthetic raters derived from order keys — chance-corrected
+    agreement from ONE contingency hash agg. Oracle replays the
+    cell algebra."""
+    from pipeline_dataengineer_spark.operators.agreement import (
+        cohen_kappa,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).alias("ra"),
+        ((F.col("o_orderkey") + (F.col("o_orderkey") % 7) % 3) % 4).alias(
+            "rb"
+        ),
+    )
+    return cohen_kappa(o, "ra", "rb")
+
+
+@query("q_fleiss_kappa")
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' κ (operators/agreement.py:fleiss_kappa): each order is
+    an item, its 3 synthetic ratings derive from the key — constant
+    panel size by construction. Oracle replays P̄_o/P̄_e."""
+    from pipeline_dataengineer_spark.operators.agreement import (
+        fleiss_kappa,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    ratings = o.select(
+        F.col("o_orderkey").alias("item"),
+        F.explode(
+            F.array(
+                F.col("o_orderkey") % 4,
+                (F.col("o_orderkey") * 3 + 1) % 4,
+                (F.col("o_orderkey") % 7) % 4,
+            )
+        ).alias("label"),
+    )
+    return fleiss_kappa(ratings, "item", "label")
+
+
+@query("q_bradley_terry")
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strengths (operators/agreement.py:
+    bradley_terry) over 5 synthetic arms with outcomes derived from
+    click events, 4 MM iterations. Oracle unrolls the identical MM
+    trajectory as chained CTEs over the same pair counts."""
+    from pipeline_dataengineer_spark.operators.agreement import (
+        bradley_terry,
+    )
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    duels = e.select(
+        (F.col("event_id") % 5).alias("w"),
+        ((F.col("event_id") + 1 + F.col("user_id") % 4) % 5).alias("l"),
+    )
+    return bradley_terry(duels, "w", "l", iters=4)

@@ -381,3 +381,100 @@ def test_all_pairs_margin_and_cap(spark):
         for r in all_pairs(tied, "g", "i", "s").collect()
     }
     assert got == {(1, 3), (2, 3)}
+
+
+# ------------------------------------------------------------------
+# agreement / rating
+# ------------------------------------------------------------------
+
+
+def test_cohen_kappa_reference(spark):
+    from pipeline_dataengineer_spark.operators.agreement import cohen_kappa
+
+    # classic worked example: po=0.7, pe=0.5, kappa=0.4
+    rows = (
+        [("y", "y")] * 45 + [("y", "n")] * 15
+        + [("n", "y")] * 15 + [("n", "n")] * 25
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cohen_kappa(df, "a", "b").collect()[0]
+    po = 0.7
+    pe = (60 * 60 + 40 * 40) / 100.0**2
+    assert got["p_observed"] == pytest.approx(po)
+    assert got["p_expected"] == pytest.approx(pe)
+    assert got["kappa"] == pytest.approx(round((po - pe) / (1 - pe), 6))
+    # perfect agreement
+    perf = spark.createDataFrame(
+        [("x", "x")] * 10 + [("y", "y")] * 10, "a string, b string"
+    )
+    assert cohen_kappa(perf, "a", "b").collect()[0]["kappa"] == 1.0
+
+
+def test_fleiss_kappa_reference(spark):
+    from pipeline_dataengineer_spark.operators.agreement import (
+        fleiss_kappa,
+    )
+
+    # Wikipedia's canonical Fleiss example: 10 items x 14 raters,
+    # 5 categories; kappa ~= 0.20993
+    table_counts = [
+        [0, 0, 0, 0, 14],
+        [0, 2, 6, 4, 2],
+        [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1],
+        [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0],
+        [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for item, cat_counts in enumerate(table_counts):
+        for cat, c in enumerate(cat_counts):
+            rows += [(item, cat)] * c
+    df = spark.createDataFrame(rows, "item int, label int")
+    got = fleiss_kappa(df.repartition(7), "item", "label").collect()[0]
+    assert got["n_items"] == 10 and got["n_raters"] == 14
+    assert got["kappa"] == pytest.approx(0.209930, abs=1e-5)
+
+    ragged = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "item int, label string"
+    )
+    with pytest.raises(ValueError, match="constant panel"):
+        fleiss_kappa(ragged, "item", "label")
+
+
+def test_bradley_terry_recovers_order(spark):
+    from pipeline_dataengineer_spark.operators.agreement import (
+        bradley_terry,
+    )
+
+    # strengths 4 : 2 : 1 -> win probabilities 4/6, 4/5, 2/3;
+    # generate a deterministic outcome table matching expectations
+    rows = []
+    for w, l, n in [("A", "B", 40), ("B", "A", 20),
+                    ("A", "C", 48), ("C", "A", 12),
+                    ("B", "C", 40), ("C", "B", 20)]:
+        rows += [(w, l)] * n
+    df = spark.createDataFrame(rows, "w string, l string").repartition(6)
+    got = {
+        r["item"]: r for r in bradley_terry(df, "w", "l", iters=200).collect()
+    }
+    assert got["A"]["strength"] > got["B"]["strength"] > got["C"]["strength"]
+    # MLE ratios approach the generating 4:2:1 (exact pair table)
+    assert got["A"]["strength"] / got["C"]["strength"] == pytest.approx(
+        4.0, rel=0.05
+    )
+    assert got["B"]["strength"] / got["C"]["strength"] == pytest.approx(
+        2.0, rel=0.05
+    )
+    assert got["A"]["wins"] == 88 and got["A"]["games"] == 120
+    # determinism across partitionings
+    again = {
+        r["item"]: r["strength"]
+        for r in bradley_terry(
+            df.repartition(13), "w", "l", iters=200
+        ).collect()
+    }
+    assert all(again[k] == got[k]["strength"] for k in again)

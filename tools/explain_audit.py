@@ -626,6 +626,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_preference_all": (["BroadcastHashJoin"],
                          ["BroadcastNestedLoopJoin", "CartesianProduct",
                           "Window"]),
+    # kappa: contingency hash aggs + cell-sized broadcast joins
+    "q_cohen_kappa": (["HashAggregate"],
+                      ["Window", "SortMergeJoin", "CartesianProduct"]),
+    "q_fleiss_kappa": (["HashAggregate", "Generate"],
+                       ["Window", "SortMergeJoin", "CartesianProduct"]),
+    # Bradley-Terry: facts reduce to pair counts (hash aggs); the MM
+    # runs on the collected items-bounded pair table, so the final
+    # frame is a local scan
+    "q_bradley_terry": (["Scan ExistingRDD"], ["Window"]),
 }
 
 
