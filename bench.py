@@ -191,6 +191,11 @@ HEADLINE = [
     "q_mann_kendall",
     "q_grouped_ols",
     "q_jaro",
+    # round 6: packing / inequality / preference / rank-corr
+    "q_pack_chunks",
+    "q_gini_global",
+    "q_preference_pairs",
+    "q_spearman",
 ]
 
 

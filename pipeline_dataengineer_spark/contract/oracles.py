@@ -6896,3 +6896,38 @@ SELECT p.item,
              WHERE g.a = p.item OR g.b = p.item) AS BIGINT) AS games
 FROM p4 p LEFT JOIN wins w ON w.item = p.item
 """
+
+ORACLES["q_krippendorff"] = """
+WITH ratings AS (
+  SELECT o_orderkey AS item, u.label
+  FROM orders, LATERAL unnest(list_slice(
+      [o_orderkey % 4, (o_orderkey * 3 + 1) % 4,
+       (o_orderkey % 7) % 4, (o_orderkey % 11) % 4],
+      1, CAST(o_orderkey % 3 + 2 AS INT))) AS u(label)
+), counts AS (
+  SELECT item, label, count(*) AS c FROM ratings GROUP BY item, label
+), per_item AS (
+  SELECT item, sum(c) AS ni, sum(c * (c - 1)) AS match
+  FROM counts GROUP BY item
+  HAVING sum(c) >= 2
+), obs AS (
+  SELECT sum((ni * (ni - 1) - match) * 1.0 / (ni - 1)) AS do_num,
+         sum(ni) AS N, count(*) AS n_items
+  FROM per_item
+), lbl AS (
+  SELECT sum(tc * 1.0 * (tc - 1)) AS match_e
+  FROM (
+    SELECT sum(c) AS tc FROM counts
+    WHERE item IN (SELECT item FROM per_item)
+    GROUP BY label)
+)
+SELECT round(1.0 - (do_num / N)
+             / ((N * 1.0 * (N - 1) - match_e) / (N * 1.0 * (N - 1))),
+             6) AS alpha,
+       round(do_num / N, 6) AS d_observed,
+       round((N * 1.0 * (N - 1) - match_e) / (N * 1.0 * (N - 1)), 6)
+         AS d_expected,
+       CAST(N AS BIGINT) AS n_ratings,
+       CAST(n_items AS BIGINT) AS n_items
+FROM obs, lbl
+"""

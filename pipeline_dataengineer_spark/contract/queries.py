@@ -8964,3 +8964,32 @@ def q_bradley_terry(spark, sf_dir):
         ((F.col("event_id") + 1 + F.col("user_id") % 4) % 5).alias("l"),
     )
     return bradley_terry(duels, "w", "l", iters=4)
+
+
+@query("q_krippendorff")
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's α, nominal (operators/agreement.py:
+    krippendorff_alpha) over a RAGGED synthetic panel (2-4 ratings
+    per order, derived from the key — exactly the shape Fleiss'
+    κ rejects). Oracle replays D_o/D_e over pairable items."""
+    from pipeline_dataengineer_spark.operators.agreement import (
+        krippendorff_alpha,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    ratings = o.select(
+        F.col("o_orderkey").alias("item"),
+        F.explode(
+            F.slice(
+                F.array(
+                    F.col("o_orderkey") % 4,
+                    (F.col("o_orderkey") * 3 + 1) % 4,
+                    (F.col("o_orderkey") % 7) % 4,
+                    (F.col("o_orderkey") % 11) % 4,
+                ),
+                F.lit(1),
+                (F.col("o_orderkey") % 3 + 2).cast("int"),
+            )
+        ).alias("label"),
+    )
+    return krippendorff_alpha(ratings, "item", "label")

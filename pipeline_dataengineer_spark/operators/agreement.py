@@ -241,3 +241,71 @@ def bradley_terry(
         rows,
         f"item {id_type}, strength double, wins long, games long",
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's α for NOMINAL data over long-form ratings (one
+    row per (item, rating)) — the agreement coefficient that, unlike
+    Fleiss' κ, accepts RAGGED panels (items rated by different
+    numbers of raters; items with a single rating contribute nothing
+    and are excluded, per the standard formulation).
+
+        α = 1 − D_o / D_e, with (nominal metric)
+        D_o = Σ_i [n_i(n_i−1) − Σ_c n_ic(n_ic−1)] / (n_i − 1) / N
+        D_e = [N(N−1) − Σ_c n_c(n_c−1)] / (N(N−1))
+
+    where N = Σ pairable ratings. Everything is two combinable
+    hash aggs over (item, label) counts — the facts are touched
+    once, cells after."""
+    counts = (
+        df.groupBy(
+            F.col(item_col).alias("__it"), F.col(label_col).alias("__l")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_item = counts.groupBy("__it").agg(
+        F.sum("__c").alias("__ni"),
+        F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__match"),
+    ).filter(F.col("__ni") >= 2)
+    obs = per_item.agg(
+        F.sum(
+            (
+                F.col("__ni") * (F.col("__ni") - 1) - F.col("__match")
+            ).cast("double")
+            / (F.col("__ni") - 1)
+        ).alias("__do_num"),
+        F.sum("__ni").alias("__N"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    # pairable label totals: recompute label counts over ONLY items
+    # with >= 2 ratings (single-rating items are excluded everywhere)
+    lbl = (
+        counts.join(
+            F.broadcast(per_item.select("__it")), "__it", "left_semi"
+        )
+        .groupBy("__l")
+        .agg(F.sum("__c").alias("__tc"))
+        .agg(
+            F.sum(
+                F.col("__tc").cast("double") * (F.col("__tc") - 1)
+            ).alias("__match_e")
+        )
+    )
+    out = obs.crossJoin(F.broadcast(lbl))
+    n = F.col("__N").cast("double")
+    d_o = F.col("__do_num") / n
+    d_e = (n * (n - 1) - F.col("__match_e")) / (n * (n - 1))
+    return out.select(
+        F.round(
+            1.0 - F.try_divide(d_o, d_e), round_to
+        ).alias("alpha"),
+        F.round(d_o, round_to).alias("d_observed"),
+        F.round(d_e, round_to).alias("d_expected"),
+        F.col("__N").cast("long").alias("n_ratings"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )

@@ -478,3 +478,43 @@ def test_bradley_terry_recovers_order(spark):
         ).collect()
     }
     assert all(again[k] == got[k]["strength"] for k in again)
+
+
+def test_krippendorff_alpha_reference(spark):
+    """Krippendorff's own worked nominal example (4 raters, 12 items,
+    ragged with missing ratings): alpha = 0.743 (Krippendorff 2011,
+    'Computing Krippendorff's Alpha-Reliability', nominal data
+    example yields 0.743 for the pairable subset)."""
+    from pipeline_dataengineer_spark.operators.agreement import (
+        krippendorff_alpha,
+    )
+
+    # the standard example grid (None = missing); raters A-D
+    grid = {
+        "A": [1, 2, 3, 3, 2, 1, 4, 1, 2, None, None, None],
+        "B": [1, 2, 3, 3, 2, 2, 4, 1, 2, 5, None, 3],
+        "C": [None, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, None],
+        "D": [1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, None],
+    }
+    rows = []
+    for rater, vals in grid.items():
+        for item, v in enumerate(vals):
+            if v is not None:
+                rows.append((item, v))
+    df = spark.createDataFrame(rows, "item int, label int")
+    got = krippendorff_alpha(df.repartition(5), "item", "label").collect()[0]
+    assert got["alpha"] == pytest.approx(0.743, abs=0.002)
+    # perfect agreement -> 1.0
+    perf = spark.createDataFrame(
+        [(i, i % 3) for i in range(30) for _ in range(3)],
+        "item int, label int",
+    )
+    assert krippendorff_alpha(perf, "item", "label").collect()[0][
+        "alpha"
+    ] == 1.0
+    # single-rating items contribute nothing
+    plus_single = df.union(
+        spark.createDataFrame([(99, 1)], "item int, label int")
+    )
+    again = krippendorff_alpha(plus_single, "item", "label").collect()[0]
+    assert again["alpha"] == got["alpha"]

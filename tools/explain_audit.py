@@ -635,6 +635,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # runs on the collected items-bounded pair table, so the final
     # frame is a local scan
     "q_bradley_terry": (["Scan ExistingRDD"], ["Window"]),
+    # Krippendorff alpha: two cell-sized hash aggs + a broadcast
+    # semi-join restricting labels to pairable items
+    "q_krippendorff": (["HashAggregate", "Generate"],
+                       ["Window", "SortMergeJoin", "CartesianProduct"]),
 }
 
 
