@@ -6931,3 +6931,5 @@ SELECT round(1.0 - (do_num / N)
        CAST(n_items AS BIGINT) AS n_items
 FROM obs, lbl
 """
+
+ORACLES["q_benjamini_hochberg_dist"] = ORACLES["q_benjamini_hochberg"]

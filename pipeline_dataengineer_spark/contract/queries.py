@@ -8993,3 +8993,29 @@ def q_krippendorff(spark, sf_dir):
         ).alias("label"),
     )
     return krippendorff_alpha(ratings, "item", "label")
+
+
+@query("q_benjamini_hochberg_dist")
+def q_benjamini_hochberg_dist(spark, sf_dir):
+    """benjamini_hochberg(distributed=True): identical q-values via
+    the two-phase global row index + global running-min — no unkeyed
+    window. Shares q_benjamini_hochberg's oracle verbatim."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        benjamini_hochberg,
+    )
+
+    h = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("hyp_id"),
+            (portable_bucket(F.col("o_orderkey"), 100000) / 100000.0)
+            .alias("p"),
+        )
+    )
+    return benjamini_hochberg(
+        h, "hyp_id", "p", alpha=0.05, distributed=True
+    )

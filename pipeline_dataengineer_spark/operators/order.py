@@ -241,6 +241,78 @@ def global_cumsum(
     return out.drop("__pid")
 
 
+def global_cummin(
+    df: DataFrame,
+    order_exprs,
+    value_cols: list[str],
+    prefix: str = "cummin_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running MINIMUM of ``value_cols`` (inclusive of
+    the current row) over the total order ``order_exprs`` — the
+    distributed replacement for ``min(x) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``. Same two-phase shape as global_cumsum:
+    per-partition minima collected, elementwise prefix-minima become
+    broadcast carries, local numpy ``minimum.accumulate`` seeded with
+    the carry. Numeric cols only; NULLs are ignored (treated as +∞ —
+    a row whose prefix is all-NULL gets NULL)."""
+    import numpy as np
+
+    pinned = _pinned_range_sort(df, order_exprs, num_partitions)
+    part_rows = (
+        pinned.groupBy("__pid")
+        .agg(
+            *[
+                F.min(F.col(c).cast("double")).alias(c)
+                for c in value_cols
+            ]
+        )
+        .collect()
+    )
+    carry_in: dict[int, list[float]] = {}
+    acc = [float("inf")] * len(value_cols)
+    for r in sorted(part_rows, key=lambda r: r["__pid"]):
+        carry_in[r["__pid"]] = list(acc)
+        for i, c in enumerate(value_cols):
+            v = r[c]
+            if v is not None and float(v) < acc[i]:
+                acc[i] = float(v)
+
+    schema_out = T.StructType(
+        list(pinned.schema.fields)
+        + [T.StructField(prefix + c, T.DoubleType()) for c in value_cols]
+    )
+
+    def local_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running: list[float] | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = list(
+                    carry_in.get(
+                        int(pdf["__pid"].iloc[0]),
+                        [float("inf")] * len(value_cols),
+                    )
+                )
+            pdf = pdf.copy()
+            for i, c in enumerate(value_cols):
+                vals = (
+                    pdf[c]
+                    .astype("float64")
+                    .fillna(float("inf"))
+                    .to_numpy()
+                )
+                cm = np.minimum(
+                    np.minimum.accumulate(vals), running[i]
+                )
+                pdf[prefix + c] = np.where(np.isinf(cm), np.nan, cm)
+                running[i] = float(cm[-1])
+            yield pdf
+
+    return pinned.mapInPandas(local_scan, schema_out).drop("__pid")
+
+
 def global_running_last(
     df: DataFrame,
     order_exprs,

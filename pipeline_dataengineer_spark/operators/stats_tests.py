@@ -738,6 +738,7 @@ def benjamini_hochberg(
     p_col: str,
     alpha: float = 0.05,
     round_to: int = 6,
+    distributed: bool = False,
 ) -> DataFrame:
     """Benjamini-Hochberg FDR correction — the multiple-testing
     companion every grouped test in this module eventually needs
@@ -753,24 +754,51 @@ def benjamini_hochberg(
     Pure window algebra: one ascending rank, one descending
     running-min — no Python, no join; ties on p break by id for
     determinism. One sort of the hypothesis table (hypothesis count
-    is test-count-sized, not fact-sized)."""
+    is test-count-sized, not fact-sized). For genomics-scale
+    hypothesis sets where even THAT table out-sizes one task,
+    ``distributed=True`` computes the identical q-values via the
+    two-phase global row index + global running-min
+    (operators/order.py:global_row_index / global_cummin) — no
+    unkeyed window anywhere."""
     p = F.col(p_col).cast("double")
-    w_rank = Window.orderBy(p.asc(), F.col(id_col).asc())
-    w_from_right = (
-        Window.orderBy(F.col("__rk").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    n = Window.partitionBy()
-    step = df.select(
-        F.col(id_col),
-        p.alias("__p"),
-        F.row_number().over(w_rank).alias("__rk"),
-        F.count(F.lit(1)).over(n).alias("__n"),
-    )
-    raw_q = F.col("__p") * F.col("__n") / F.col("__rk")
-    out = step.withColumn(
-        "__q", F.least(F.min(raw_q).over(w_from_right), F.lit(1.0))
-    )
+    if distributed:
+        from pipeline_dataengineer_spark.operators.order import (
+            global_cummin,
+            global_row_index,
+        )
+
+        base = df.select(F.col(id_col), p.alias("__p"))
+        tot = base.agg(F.count(F.lit(1)).alias("__n"))
+        step = global_row_index(
+            base, ["__p", id_col], "__rk0"
+        ).withColumn("__rk", F.col("__rk0") + 1).drop("__rk0")
+        step = step.crossJoin(F.broadcast(tot))
+        raw_q = F.col("__p") * F.col("__n") / F.col("__rk")
+        scanned = global_cummin(
+            step.withColumn("__raw", raw_q),
+            [F.col("__rk").desc()],
+            ["__raw"],
+        )
+        out = scanned.withColumn(
+            "__q", F.least(F.col("cummin___raw"), F.lit(1.0))
+        )
+    else:
+        w_rank = Window.orderBy(p.asc(), F.col(id_col).asc())
+        w_from_right = (
+            Window.orderBy(F.col("__rk").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        n = Window.partitionBy()
+        step = df.select(
+            F.col(id_col),
+            p.alias("__p"),
+            F.row_number().over(w_rank).alias("__rk"),
+            F.count(F.lit(1)).over(n).alias("__n"),
+        )
+        raw_q = F.col("__p") * F.col("__n") / F.col("__rk")
+        out = step.withColumn(
+            "__q", F.least(F.min(raw_q).over(w_from_right), F.lit(1.0))
+        )
     return out.select(
         id_col,
         F.col("__p").alias(p_col),

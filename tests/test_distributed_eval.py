@@ -195,3 +195,39 @@ def test_distributed_plans_have_no_window(spark):
     )
     # the default paths DO carry the (documented) unkeyed window
     assert "Window" in _plan(roc_auc(df, "score", "label"))
+
+
+def test_global_cummin(spark):
+    from pipeline_dataengineer_spark.operators.order import global_cummin
+
+    vals = [float((i * 17) % 29) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, v double"
+    ).repartition(9)
+    got = {
+        r["k"]: r["cummin_v"]
+        for r in global_cummin(df, ["k"], ["v"]).collect()
+    }
+    run = float("inf")
+    for i, v in enumerate(vals):
+        run = min(run, v)
+        assert got[i] == run
+
+
+def test_benjamini_hochberg_distributed_parity(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        benjamini_hochberg,
+    )
+
+    rows = [(i, float(((i * 37) % 101) + 1) / 101.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "hyp_id int, p double").repartition(
+        11
+    )
+    a = sorted(benjamini_hochberg(df, "hyp_id", "p").collect())
+    b = sorted(
+        benjamini_hochberg(df, "hyp_id", "p", distributed=True).collect()
+    )
+    assert a == b
+    assert "Window" not in _plan(
+        benjamini_hochberg(df, "hyp_id", "p", distributed=True)
+    )

@@ -639,6 +639,8 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # semi-join restricting labels to pairable items
     "q_krippendorff": (["HashAggregate", "Generate"],
                        ["Window", "SortMergeJoin", "CartesianProduct"]),
+    # distributed BH: two-phase index + running-min, no unkeyed window
+    "q_benjamini_hochberg_dist": (["MapInPandas"], ["Window"]),
 }
 
 
