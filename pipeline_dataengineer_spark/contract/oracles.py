@@ -3227,7 +3227,7 @@ SELECT label, CAST(dim AS BIGINT) AS dim,
 FROM e GROUP BY label, dim
 """
 
-ORACLES["q_contact_normalize"] = """
+ORACLES["q_contact_normalize"] = r"""
 WITH raw AS (
   SELECT c_custkey,
          CASE
