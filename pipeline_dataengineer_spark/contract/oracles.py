@@ -6933,3 +6933,151 @@ FROM obs, lbl
 """
 
 ORACLES["q_benjamini_hochberg_dist"] = ORACLES["q_benjamini_hochberg"]
+
+ORACLES["q_confusion_matrix"] = """
+SELECT o_orderkey % 4 AS label,
+       (o_orderkey + o_orderkey % 9) % 4 AS pred,
+       count(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+ORACLES["q_classification_report"] = """
+WITH cells AS (
+  SELECT o_orderkey % 4 AS label,
+         (o_orderkey + o_orderkey % 9) % 4 AS pred,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2
+), per_label AS (
+  SELECT label, sum(n) AS support,
+         sum(CASE WHEN label = pred THEN n ELSE 0 END) AS tp
+  FROM cells GROUP BY label
+), per_pred AS (
+  SELECT pred, sum(n) AS pred_n FROM cells GROUP BY pred
+), classes AS (
+  SELECT label AS class FROM per_label
+  UNION SELECT pred FROM per_pred
+), m AS (
+  SELECT c.class,
+         coalesce(l.tp, 0) AS tp,
+         coalesce(p.pred_n, 0) - coalesce(l.tp, 0) AS fp,
+         coalesce(l.support, 0) - coalesce(l.tp, 0) AS fn,
+         coalesce(l.support, 0) AS support
+  FROM classes c
+  LEFT JOIN per_label l ON l.label = c.class
+  LEFT JOIN per_pred p ON p.pred = c.class
+)
+SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(support AS BIGINT) AS support,
+       round(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END, 6)
+         AS precision,
+       round(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END, 6)
+         AS recall,
+       round(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0 THEN
+           2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+           / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn))
+         WHEN tp + fp > 0 AND tp + fn > 0 THEN 0.0 END, 6) AS f1
+FROM m
+"""
+
+ORACLES["q_classification_summary"] = """
+WITH cells AS (
+  SELECT o_orderkey % 4 AS label,
+         (o_orderkey + o_orderkey % 9) % 4 AS pred,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2
+), per_label AS (
+  SELECT label, sum(n) AS support,
+         sum(CASE WHEN label = pred THEN n ELSE 0 END) AS tp
+  FROM cells GROUP BY label
+), per_pred AS (
+  SELECT pred, sum(n) AS pred_n FROM cells GROUP BY pred
+), m AS (
+  SELECT l.label AS class, l.tp,
+         coalesce(p.pred_n, 0) - l.tp AS fp,
+         l.support - l.tp AS fn, l.support
+  FROM per_label l LEFT JOIN per_pred p ON p.pred = l.label
+  WHERE l.support > 0
+), scored AS (
+  SELECT class, tp, support,
+         CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0 END
+           AS prec,
+         CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0 END
+           AS rec
+  FROM m
+), f AS (
+  SELECT class, tp, support, prec, rec,
+         CASE WHEN prec + rec > 0
+              THEN 2 * prec * rec / (prec + rec) ELSE 0 END AS f1
+  FROM scored
+)
+SELECT round(sum(tp) * 1.0 / sum(support), 6) AS accuracy,
+       round(avg(prec), 6) AS macro_precision,
+       round(avg(rec), 6) AS macro_recall,
+       round(avg(f1), 6) AS macro_f1,
+       round(sum(f1 * support) / sum(support), 6) AS weighted_f1,
+       CAST(sum(support) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_classes
+FROM f
+"""
+
+ORACLES["q_bleu"] = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS rt
+  FROM documents WHERE doc_id < 300
+), hyps AS (
+  SELECT doc_id, rt,
+         list_filter(list_transform(generate_series(1, len(rt)),
+                                    i -> CASE WHEN i % 7 <> 0
+                                              THEN rt[i] END),
+                     x -> x IS NOT NULL) AS ht
+  FROM docs
+), lens AS (
+  SELECT sum(len(ht)) AS c, sum(len(rt)) AS r, count(*) AS n_pairs
+  FROM hyps
+), hgr AS (
+  SELECT doc_id, gs.n,
+         array_to_string(list_slice(ht, u.i, u.i + gs.n - 1), ' ') AS g,
+         count(*) AS hc
+  FROM hyps, generate_series(1, 4) AS gs(n),
+       LATERAL unnest(generate_series(1, len(ht) - gs.n + 1)) AS u(i)
+  GROUP BY doc_id, gs.n, g
+), rgr AS (
+  SELECT doc_id, gs.n,
+         array_to_string(list_slice(rt, u.i, u.i + gs.n - 1), ' ') AS g,
+         count(*) AS rc
+  FROM hyps, generate_series(1, 4) AS gs(n),
+       LATERAL unnest(generate_series(1, len(rt) - gs.n + 1)) AS u(i)
+  GROUP BY doc_id, gs.n, g
+), per_n AS (
+  SELECT h.n,
+         sum(least(h.hc, coalesce(r.rc, 0))) AS match,
+         sum(h.hc) AS total
+  FROM hgr h LEFT JOIN rgr r
+    ON r.doc_id = h.doc_id AND r.n = h.n AND r.g = h.g
+  GROUP BY h.n
+), ps AS (
+  SELECT max(CASE WHEN n = 1 THEN match * 1.0 / total END) AS p1,
+         max(CASE WHEN n = 2 THEN match * 1.0 / total END) AS p2,
+         max(CASE WHEN n = 3 THEN match * 1.0 / total END) AS p3,
+         max(CASE WHEN n = 4 THEN match * 1.0 / total END) AS p4
+  FROM per_n
+)
+SELECT round(CASE WHEN coalesce(p1, 0) > 0 AND coalesce(p2, 0) > 0
+                   AND coalesce(p3, 0) > 0 AND coalesce(p4, 0) > 0
+             THEN (CASE WHEN c > r THEN 1.0
+                        ELSE exp(1 - r * 1.0 / c) END)
+                  * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4)
+             ELSE 0.0 END, 6) AS bleu,
+       round(CASE WHEN c > r THEN 1.0
+                  ELSE exp(1 - r * 1.0 / c) END, 6) AS brevity_penalty,
+       round(coalesce(p1, 0), 6) AS p_1,
+       round(coalesce(p2, 0), 6) AS p_2,
+       round(coalesce(p3, 0), 6) AS p_3,
+       round(coalesce(p4, 0), 6) AS p_4,
+       CAST(c AS BIGINT) AS hyp_tokens,
+       CAST(r AS BIGINT) AS ref_tokens,
+       CAST(n_pairs AS BIGINT) AS n_pairs
+FROM ps, lens
+"""

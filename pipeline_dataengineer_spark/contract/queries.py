@@ -9019,3 +9019,109 @@ def q_benjamini_hochberg_dist(spark, sf_dir):
     return benjamini_hochberg(
         h, "hyp_id", "p", alpha=0.05, distributed=True
     )
+
+
+@query("q_confusion_matrix")
+def q_confusion_matrix(spark, sf_dir):
+    """Confusion matrix (operators/classification.py) of a synthetic
+    4-class labeler vs predictor over orders — one combinable hash
+    agg. Oracle = the same GROUP BY."""
+    from pipeline_dataengineer_spark.operators.classification import (
+        confusion_matrix,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).alias("label"),
+        ((F.col("o_orderkey") + F.col("o_orderkey") % 9) % 4).alias(
+            "pred"
+        ),
+    )
+    return confusion_matrix(o, "label", "pred")
+
+
+@query("q_classification_report")
+def q_classification_report(spark, sf_dir):
+    """Per-class precision/recall/F1 (operators/classification.py:
+    classification_report, sklearn zero_division→NULL semantics).
+    Oracle replays the margin algebra."""
+    from pipeline_dataengineer_spark.operators.classification import (
+        classification_report,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).alias("label"),
+        ((F.col("o_orderkey") + F.col("o_orderkey") % 9) % 4).alias(
+            "pred"
+        ),
+    )
+    return classification_report(o, "label", "pred")
+
+
+@query("q_classification_summary")
+def q_classification_summary(spark, sf_dir):
+    """Accuracy + macro/weighted averages (operators/
+    classification.py:classification_summary). Oracle replays the
+    report then averages with the same NULL→0 convention."""
+    from pipeline_dataengineer_spark.operators.classification import (
+        classification_summary,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).alias("label"),
+        ((F.col("o_orderkey") + F.col("o_orderkey") % 9) % 4).alias(
+            "pred"
+        ),
+    )
+    return classification_summary(o, "label", "pred")
+
+
+@query("q_bleu")
+def q_bleu(spark, sf_dir):
+    """Corpus BLEU-4 (operators/text_eval.py:bleu_corpus) scoring a
+    deterministic word-dropout 'hypothesis' (every 7th token removed)
+    against each document as reference — pure JVM n-gram algebra, no
+    UDF. Oracle replays tokenize/n-gram/clip in DuckDB list SQL."""
+    from pipeline_dataengineer_spark.operators.text_eval import (
+        bleu_corpus,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    hyp = F.concat_ws(
+        " ",
+        F.filter(toks, lambda t, i: (i + 1) % 7 != 0),
+    )
+    pairs = d.select(
+        "doc_id", F.col("text").alias("ref"), hyp.alias("hyp")
+    )
+    return bleu_corpus(pairs, "doc_id", "ref", "hyp")
+
+
+@query("q_rouge_l")
+def q_rouge_l(spark, sf_dir):
+    """Per-document ROUGE-L (operators/text_eval.py:rouge_l) of the
+    same word-dropout hypothesis — the LCS dynamic program is an
+    Arrow kernel (not SQL-expressible) → rows-only by design;
+    reference-parity pytest in test_round6_ops.py."""
+    from pipeline_dataengineer_spark.operators.text_eval import rouge_l
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    hyp = F.concat_ws(
+        " ",
+        F.filter(toks, lambda t, i: (i + 1) % 7 != 0),
+    )
+    pairs = d.select(
+        "doc_id", F.col("text").alias("ref"), hyp.alias("hyp")
+    )
+    return rouge_l(pairs, "doc_id", "ref", "hyp", max_tokens=600)

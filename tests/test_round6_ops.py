@@ -518,3 +518,106 @@ def test_krippendorff_alpha_reference(spark):
     )
     again = krippendorff_alpha(plus_single, "item", "label").collect()[0]
     assert again["alpha"] == got["alpha"]
+
+
+# ------------------------------------------------------------------
+# text eval: BLEU / ROUGE-L / classification report
+# ------------------------------------------------------------------
+
+
+def _py_bleu(pairs, max_n=4):
+    from collections import Counter
+
+    import math as m
+
+    match = {n: 0 for n in range(1, max_n + 1)}
+    total = {n: 0 for n in range(1, max_n + 1)}
+    c_len = r_len = 0
+    for ref, hyp in pairs:
+        rt, ht = ref.split(), hyp.split()
+        c_len += len(ht)
+        r_len += len(rt)
+        for n in range(1, max_n + 1):
+            hg = Counter(
+                tuple(ht[i : i + n]) for i in range(len(ht) - n + 1)
+            )
+            rg = Counter(
+                tuple(rt[i : i + n]) for i in range(len(rt) - n + 1)
+            )
+            total[n] += sum(hg.values())
+            match[n] += sum(min(c, rg[g]) for g, c in hg.items())
+    ps = [match[n] / total[n] if total[n] else 0.0 for n in range(1, max_n + 1)]
+    if any(p == 0 for p in ps):
+        return 0.0, ps
+    bp = 1.0 if c_len > r_len else m.exp(1 - r_len / c_len)
+    return bp * m.exp(sum(m.log(p) for p in ps) / max_n), ps
+
+
+def test_bleu_corpus_matches_python_reference(spark):
+    from pipeline_dataengineer_spark.operators.text_eval import bleu_corpus
+
+    pairs = [
+        ("the cat sat on the mat", "the cat sat on a mat"),
+        ("there is a cat on the mat", "a cat is on the mat there"),
+        ("how are you doing today my friend", "how are you today friend"),
+        ("repeat repeat repeat repeat", "repeat repeat"),
+    ]
+    df = spark.createDataFrame(
+        [(i, r, h) for i, (r, h) in enumerate(pairs)],
+        "id int, ref string, hyp string",
+    ).repartition(3)
+    got = bleu_corpus(df, "id", "ref", "hyp").collect()[0]
+    ref_bleu, ref_ps = _py_bleu(pairs)
+    assert got["bleu"] == pytest.approx(ref_bleu, abs=1e-6)
+    for n in range(1, 5):
+        assert got[f"p_{n}"] == pytest.approx(ref_ps[n - 1], abs=1e-6)
+    # zero 4-gram precision zeroes the corpus score (no smoothing)
+    tiny = spark.createDataFrame(
+        [(1, "a b c d", "a x y z")], "id int, ref string, hyp string"
+    )
+    assert bleu_corpus(tiny, "id", "ref", "hyp").collect()[0]["bleu"] == 0.0
+
+
+def test_rouge_l_reference_and_truncation(spark):
+    from pipeline_dataengineer_spark.operators.text_eval import rouge_l
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat on the mat"),
+            (2, "a b c d e f g h", "x a y c z e f q"),
+        ],
+        "id int, ref string, hyp string",
+    )
+    got = {r["id"]: r for r in rouge_l(df, "id", "ref", "hyp").collect()}
+    assert got[1]["lcs"] == 5  # the cat on the mat
+    assert got[2]["lcs"] == 4  # a c e f
+    assert got[1]["rouge_l_p"] == 1.0
+    assert got[1]["rouge_l_r"] == pytest.approx(5 / 6)
+    trunc = rouge_l(
+        df, "id", "ref", "hyp", max_tokens=3
+    ).collect()
+    assert all(r["truncated"] for r in trunc)
+    assert all(r["ref_tokens"] == 3 for r in trunc)
+
+
+def test_classification_report_sklearn_semantics(spark):
+    from pipeline_dataengineer_spark.operators.classification import (
+        classification_report,
+        classification_summary,
+    )
+
+    rows = (
+        [("a", "a")] * 50 + [("a", "b")] * 10 + [("b", "b")] * 30
+        + [("b", "a")] * 5 + [("c", "a")] * 5
+    )
+    df = spark.createDataFrame(rows, "label string, pred string")
+    rep = {r["class"]: r for r in classification_report(df, "label", "pred").collect()}
+    assert rep["a"]["tp"] == 50 and rep["a"]["fp"] == 10 and rep["a"]["fn"] == 10
+    assert rep["b"]["precision"] == pytest.approx(0.75)
+    assert rep["c"]["precision"] is None  # never predicted -> NULL
+    assert rep["c"]["recall"] == 0.0
+    s = classification_summary(df, "label", "pred").collect()[0]
+    assert s["accuracy"] == pytest.approx(0.8)
+    # sklearn zero_division=0 macro parity, computed by hand:
+    assert s["macro_precision"] == pytest.approx((0.833333333 + 0.75 + 0.0) / 3, abs=1e-6)
+    assert s["n"] == 100 and s["n_classes"] == 3

@@ -641,6 +641,22 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
                        ["Window", "SortMergeJoin", "CartesianProduct"]),
     # distributed BH: two-phase index + running-min, no unkeyed window
     "q_benjamini_hochberg_dist": (["MapInPandas"], ["Window"]),
+    # classification eval: one contingency hash agg + cell-sized
+    # joins; never a window or a fact-sized sort join
+    "q_confusion_matrix": (["HashAggregate"],
+                           ["Window", "Join", "Generate"]),
+    "q_classification_report": (["HashAggregate"],
+                                ["Window", "SortMergeJoin",
+                                 "CartesianProduct"]),
+    # corpus BLEU: n-gram Generate + combinable gram-count aggs +
+    # (row, n, gram)-keyed hash join — no UDF anywhere (no
+    # ArrowEvalPython / BatchEvalPython), no window
+    "q_bleu": (["Generate", "HashAggregate"],
+               ["Window", "ArrowEvalPython", "BatchEvalPython",
+                "CartesianProduct"]),
+    # ROUGE-L: the LCS kernel is ONE Arrow map over the pairs —
+    # no shuffle beyond the scan, no join, no window
+    "q_rouge_l": (["MapInPandas"], ["Window", "Join", "Exchange"]),
 }
 
 
