@@ -285,3 +285,113 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_page_hinkley(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    delta: float = 0.005,
+    threshold: float = 50.0,
+    quantize: int | None = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key Page-Hinkley mean-shift monitor carried ACROSS
+    micro-batches — the streaming twin of the batch
+    timeseries.page_hinkley. State per key = five scalars
+    (n, running value sum, cumulative m, running min m, running
+    max m); events fold in event-time order within a batch (ties by
+    value), and the running mean is accumulated ONE EVENT AT A TIME
+    exactly like the batch window's sequential avg — so a drained
+    stream is bit-identical to the batch operator on the same data
+    in the quantized mode (the default here: quantize=6 accumulates
+    m as exact integers in 10⁻⁶ units, associative and
+    order-free — see the batch docstring for the float hazard it
+    avoids). Emits one row per input event with
+    (key, ts, value, ph_inc, ph_dec, alarm)."""
+    key_t = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_t}, {ts_col} timestamp, {value_col} double, "
+        "ph_inc double, ph_dec double, alarm boolean"
+    )
+    if quantize is None:
+        state_schema = (
+            "n bigint, sx double, m double, mmin double, mmax double"
+        )
+        scale = None
+    else:
+        state_schema = (
+            "n bigint, sx double, m bigint, mmin bigint, mmax bigint"
+        )
+        scale = float(10 ** quantize)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, sx, m, mmin, mmax = state.get
+        else:
+            n, sx = 0, 0.0
+            m = 0 if scale is not None else 0.0
+            mmin = mmax = None
+        events = []
+        for pdf in pdfs:
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if not pd.isna(v):
+                    events.append((ts, float(v)))
+        events.sort(key=lambda t: (t[0].value, t[1]))
+        rows = []
+
+        def spark_round0(x: float) -> int:
+            # Spark F.round(double) is HALF_UP on the shortest
+            # decimal repr; Python round() is half-to-even. Emulate
+            # HALF_UP via Decimal on str(x) (str gives the same
+            # shortest repr Java's Double.toString uses).
+            import decimal
+
+            return int(
+                decimal.Decimal(repr(x)).quantize(
+                    decimal.Decimal("1"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+
+        for ts, v in events:
+            n += 1
+            sx += v
+            mu = sx / n
+            term = v - mu - delta
+            if scale is not None:
+                m += spark_round0(term * scale)
+            else:
+                m += term
+            mmin = m if mmin is None else min(mmin, m)
+            mmax = m if mmax is None else max(mmax, m)
+            s = scale or 1.0
+            ph_inc = (m - mmin) / s
+            ph_dec = (mmax - m) / s
+            rows.append(
+                (
+                    key[0],
+                    ts,
+                    v,
+                    round(ph_inc, round_to),
+                    round(ph_dec, round_to),
+                    bool(ph_inc > threshold or ph_dec > threshold),
+                )
+            )
+        if n:
+            state.update((int(n), float(sx), m, mmin, mmax))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                key_col, ts_col, value_col, "ph_inc", "ph_dec", "alarm",
+            ],
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -462,3 +462,83 @@ def test_rate_limit_replay_matches_streaming(spark, tmp_path):
     bkey = {(r["user_id"], r["ts"]): (r["admitted"], r["tokens_left"])
             for r in replay}
     assert skey == bkey and len(skey) == len(rows)
+
+
+def test_streaming_page_hinkley_matches_batch_across_drains(
+    spark, tmp_path
+):
+    """streaming_page_hinkley over two checkpointed drains is
+    bit-identical (quantize=6) to the batch page_hinkley over the
+    concatenated data — five scalars of state carry the monitor."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.timeseries import (
+        page_hinkley,
+    )
+    from pipeline_dataengineer_spark.streaming.stateful import (
+        streaming_page_hinkley,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def run():
+        def collect(batch_df, epoch_id):
+            collected.extend(batch_df.collect())
+
+        q = (
+            streaming_page_hinkley(
+                spark.readStream.schema(schema).json(str(src)),
+                delta=0.01,
+                threshold=5.0,
+                quantize=6,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # a mean shift mid-stream so the alarm actually fires
+    vals = [1.0, 1.2, 0.9, 1.1, 1.0, 0.95] + [9.0, 9.5, 9.2, 9.1]
+    b0 = [
+        {"user_id": 7, "ts": f"2024-01-01T00:00:{i:02d}", "value": v}
+        for i, v in enumerate(vals[:6])
+    ]
+    b1 = [
+        {"user_id": 7, "ts": f"2024-01-01T00:01:{i:02d}", "value": v}
+        for i, v in enumerate(vals[6:])
+    ]
+    _write(src, "b0.json", b0)
+    run()
+    _write(src, "b1.json", b1)
+    run()
+
+    batch = spark.createDataFrame(
+        [(7, r["ts"], r["value"]) for r in b0 + b1],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+    want = {
+        r["ts"]: (r["ph_inc"], r["ph_dec"], r["alarm"])
+        for r in page_hinkley(
+            batch, ["user_id"], "ts", "value",
+            delta=0.01, threshold=5.0, quantize=6,
+        ).collect()
+    }
+    got = {
+        r["ts"]: (r["ph_inc"], r["ph_dec"], r["alarm"])
+        for r in collected
+    }
+    assert got == want
+    assert any(a for _, _, a in got.values())  # the shift alarms
