@@ -3227,7 +3227,7 @@ SELECT label, CAST(dim AS BIGINT) AS dim,
 FROM e GROUP BY label, dim
 """
 
-ORACLES["q_contact_normalize"] = r"""
+ORACLES["q_contact_normalize"] = """
 WITH raw AS (
   SELECT c_custkey,
          CASE
@@ -3264,7 +3264,7 @@ WITH raw AS (
   FROM parts
 ), ph AS (
   SELECT c_custkey, valid, loc, dom,
-         trim(c_phone) SIMILAR TO '(\+|00).*' AS had_cc,
+         trim(c_phone) SIMILAR TO '(\\+|00).*' AS had_cc,
          regexp_replace(trim(c_phone), '[^0-9]', '', 'g') AS d0
   FROM canon
 ), ph1 AS (
