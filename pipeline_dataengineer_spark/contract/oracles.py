@@ -7081,3 +7081,31 @@ SELECT round(CASE WHEN coalesce(p1, 0) > 0 AND coalesce(p2, 0) > 0
        CAST(n_pairs AS BIGINT) AS n_pairs
 FROM ps, lens
 """
+
+ORACLES["q_wasserstein"] = """
+WITH two AS (
+  SELECT o_orderpriority AS g, round(o_totalprice, 0) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), cells AS (
+  SELECT v,
+         sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+         sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS ib
+  FROM two GROUP BY v
+), tots AS (
+  SELECT sum(ia) AS na, sum(ib) AS nb FROM cells
+), cum AS (
+  SELECT v,
+         sum(ia) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(ib) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         lead(v) OVER (ORDER BY v) AS vn
+  FROM cells
+)
+SELECT round(sum(abs(ca * nb - cb * na) * 1.0 * (vn - v))
+             / (max(na) * 1.0 * max(nb)), 6) AS w1,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_distinct
+FROM cum, tots
+"""

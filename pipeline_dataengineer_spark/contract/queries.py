@@ -9125,3 +9125,21 @@ def q_rouge_l(spark, sf_dir):
         "doc_id", F.col("text").alias("ref"), hyp.alias("hyp")
     )
     return rouge_l(pairs, "doc_id", "ref", "hyp", max_tokens=600)
+
+
+@query("q_wasserstein")
+def q_wasserstein(spark, sf_dir):
+    """1-D Wasserstein-1 drift distance (operators/stats_tests.py:
+    wasserstein_1d) between URGENT and LOW order totals — completes
+    the drift family (PSI / JS / KS / W1). Oracle replays the
+    pooled-ECDF integral."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        wasserstein_1d,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round("o_totalprice", 0).alias("tp")
+    )
+    return wasserstein_1d(
+        o, "o_orderpriority", "tp", "1-URGENT", "5-LOW"
+    )

@@ -1045,3 +1045,76 @@ def js_divergence(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between two groups'
+    value distributions — the drift score that, unlike KS (sup gap)
+    or JS (needs binning), weighs HOW FAR the mass moved:
+
+        W₁ = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_i |F_a(vᵢ) − F_b(vᵢ)| · (vᵢ₊₁ − vᵢ)
+
+    over the pooled distinct values v₁ < … < v_k. One combinable
+    hash agg reduces the facts to the distinct-value table; the
+    cumulative counts and the successor gap are one window over THAT
+    table (distinct-value-sized — the same documented trade as
+    ks_test's default path). Returns one row
+    (w1, n_a, n_b, n_distinct). Matches scipy.stats.wasserstein
+    _distance on the same samples."""
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    g = two.groupBy("__v").agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("__ia"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("__ib"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.orderBy("__v")
+    cum = g.select(
+        "__v",
+        F.sum("__ia").over(w).alias("__ca"),
+        F.sum("__ib").over(w).alias("__cb"),
+        F.lead("__v").over(w_next).alias("__vn"),
+    )
+    tots = two.groupBy().agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("n_a"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("n_b"),
+    )
+    # |F_a - F_b| = |ca·n_b - cb·n_a| / (n_a·n_b): keep the exact
+    # integer numerator through the sum and divide ONCE at the end —
+    # the per-segment quotient sum is accumulation-order-sensitive
+    # across engines (the q_gini_global lesson), the integer-weighted
+    # sum is not (exact in double below 2^53)
+    seg = cum.crossJoin(F.broadcast(tots)).select(
+        (
+            F.abs(
+                F.col("__ca") * F.col("n_b") - F.col("__cb") * F.col("n_a")
+            ).cast("double")
+            * (F.col("__vn") - F.col("__v"))
+        ).alias("__seg"),
+        "n_a",
+        "n_b",
+    )
+    return seg.agg(
+        F.round(
+            F.try_divide(
+                F.sum("__seg"),
+                (F.max("n_a") * F.max("n_b")).cast("double"),
+            ),
+            round_to,
+        ).alias("w1"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )

@@ -621,3 +621,47 @@ def test_classification_report_sklearn_semantics(spark):
     # sklearn zero_division=0 macro parity, computed by hand:
     assert s["macro_precision"] == pytest.approx((0.833333333 + 0.75 + 0.0) / 3, abs=1e-6)
     assert s["n"] == 100 and s["n_classes"] == 3
+
+
+def test_wasserstein_1d_reference(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        wasserstein_1d,
+    )
+
+    a = [float((i * 7) % 13) for i in range(200)]
+    b = [float((i * 5) % 13) + 1.5 for i in range(150)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    got = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+
+    # scipy-free reference: integral of |F_a - F_b| over pooled grid
+    def ref_w1(xs, ys):
+        grid = sorted(set(xs) | set(ys))
+        w = 0.0
+        import bisect
+
+        sx, sy = sorted(xs), sorted(ys)
+        for v, vn in zip(grid, grid[1:]):
+            fa = bisect.bisect_right(sx, v) / len(sx)
+            fb = bisect.bisect_right(sy, v) / len(sy)
+            w += abs(fa - fb) * (vn - v)
+        return w
+
+    assert got["w1"] == pytest.approx(ref_w1(a, b), abs=1e-6)
+    assert got["n_a"] == 200 and got["n_b"] == 150
+    # identical samples -> 0; shift by c -> exactly c
+    same = spark.createDataFrame(
+        [("a", float(i % 9)) for i in range(90)]
+        + [("b", float(i % 9)) for i in range(90)],
+        "g string, v double",
+    )
+    assert wasserstein_1d(same, "g", "v", "a", "b").collect()[0]["w1"] == 0.0
+    shift = spark.createDataFrame(
+        [("a", float(i % 9)) for i in range(90)]
+        + [("b", float(i % 9) + 2.5) for i in range(90)],
+        "g string, v double",
+    )
+    assert shift.count() == 180
+    assert wasserstein_1d(shift, "g", "v", "a", "b").collect()[0][
+        "w1"
+    ] == pytest.approx(2.5)

@@ -657,6 +657,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # ROUGE-L: the LCS kernel is ONE Arrow map over the pairs —
     # no shuffle beyond the scan, no join, no window
     "q_rouge_l": (["MapInPandas"], ["Window", "Join", "Exchange"]),
+    # W1 drift: fact hash agg to distinct values; the window runs
+    # over THAT table only (ks_test's documented trade); the final
+    # quotient divides an exact integer-weighted sum once
+    "q_wasserstein": (["HashAggregate"],
+                      ["SortMergeJoin", "CartesianProduct"]),
 }
 
 
