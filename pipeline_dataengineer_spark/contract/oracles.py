@@ -7109,3 +7109,53 @@ SELECT round(sum(abs(ca * nb - cb * na) * 1.0 * (vn - v))
        CAST(count(*) AS BIGINT) AS n_distinct
 FROM cum, tots
 """
+
+ORACLES["q_grouped_auc"] = f"""
+WITH base AS (
+  SELECT c_mktsegment AS g,
+         ({_bucket_sql('c_custkey', 100)}) / 100.0 AS s,
+         CASE WHEN ({_bucket_sql('c_custkey + 7', 100)})
+                   < ({_bucket_sql('c_custkey', 100)}) + 15
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+), ranked AS (
+  SELECT g, y,
+         rank() OVER (PARTITION BY g ORDER BY s)
+           + (count(*) OVER (PARTITION BY g, s) - 1) / 2.0 AS r
+  FROM base
+), agg AS (
+  SELECT g,
+         sum(CASE WHEN y = 1 THEN r END) AS rp,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+  FROM ranked GROUP BY g
+)
+SELECT g AS c_mktsegment,
+       round((rp - np * (np + 1) / 2.0) / (np * 1.0 * nn), 6) AS auc,
+       round(2 * ((rp - np * (np + 1) / 2.0) / (np * 1.0 * nn)) - 1, 6)
+         AS gini,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+FROM agg
+"""
+
+ORACLES["q_sample_negatives"] = f"""
+WITH pool AS (
+  SELECT p_partkey,
+         row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+  FROM (SELECT DISTINCT p_partkey FROM part)
+), n AS (SELECT count(*) AS n FROM pool),
+anchors AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_custkey <= 500
+), probes AS (
+  SELECT a.c_custkey,
+         {_bucket_sql('a.c_custkey * 131 + t.i', '(SELECT n FROM n)')}
+           AS idx
+  FROM anchors a, generate_series(0, 4) AS t(i)
+), cand AS (
+  SELECT DISTINCT pr.c_custkey, p.p_partkey AS negative
+  FROM probes pr JOIN pool p ON p.idx = pr.idx
+)
+SELECT c.c_custkey, c.negative
+FROM cand c
+WHERE NOT (c.c_custkey % 200 = c.negative % 200)
+"""

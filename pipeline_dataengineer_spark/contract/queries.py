@@ -9143,3 +9143,54 @@ def q_wasserstein(spark, sf_dir):
     return wasserstein_1d(
         o, "o_orderpriority", "tp", "1-URGENT", "5-LOW"
     )
+
+
+@query("q_grouped_auc")
+def q_grouped_auc(spark, sf_dir):
+    """Per-segment ROC-AUC (operators/calibration.py:
+    grouped_roc_auc): the q_roc_auc scorer sliced by market segment —
+    keyed rank windows, scale-safe without a distributed switch.
+    Oracle replays the per-group rank-sum identity."""
+    from pipeline_dataengineer_spark.operators.calibration import (
+        grouped_roc_auc,
+    )
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (portable_bucket(F.col("c_custkey"), 100) / 100.0).alias("score"),
+        (
+            portable_bucket(F.col("c_custkey") + 7, 100)
+            < portable_bucket(F.col("c_custkey"), 100) + 15
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return grouped_roc_auc(c, ["c_mktsegment"], "score", "label")
+
+
+@query("q_sample_negatives")
+def q_sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling (operators/sampling.py:
+    sample_negatives): 5 pseudo-random part negatives per customer
+    anchor via the Lehmer probe → global pool index equi-join, with
+    (c_custkey % 200 == p_partkey % 200) pairs removed as positives.
+    Oracle replays the index (row_number over the sorted pool) and
+    the probe arithmetic."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        sample_negatives,
+    )
+
+    anchors = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 500
+    ).select(F.col("c_custkey"))
+    pool = table(spark, sf_dir, "part").select("p_partkey")
+    positives = anchors.join(
+        pool, F.col("c_custkey") % 200 == F.col("p_partkey") % 200
+    ).select("c_custkey", "p_partkey")
+    return sample_negatives(
+        anchors, "c_custkey", pool, "p_partkey", k=5,
+        positives=positives,
+    )

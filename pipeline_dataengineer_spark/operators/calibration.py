@@ -512,3 +512,54 @@ def split_conformal(
         )
         .alias("covered"),
     )
+
+
+def grouped_roc_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group exact ROC-AUC (one row per group: groups..., auc,
+    gini, n_pos, n_neg) — the segment-sliced eval every model report
+    needs (AUC by language, by source, by time bucket). Same
+    tie-corrected rank-sum identity as ``roc_auc``, but every window
+    is PARTITIONED by the group — groups rank independently in
+    parallel, so this is scale-safe with no distributed= switch
+    needed (the unkeyed-window hazard only exists for the global
+    variant)."""
+    from pyspark.sql import functions as F
+
+    y = F.col(label_col).cast("int")
+    w = Window.partitionBy(*group_cols).orderBy("__s")
+    wt = Window.partitionBy(*group_cols, "__s")
+    ranked = df.select(
+        *group_cols,
+        y.alias("__y"),
+        F.col(score_col).cast("double").alias("__s"),
+    ).select(
+        *group_cols,
+        "__y",
+        (
+            F.rank().over(w)
+            + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        ).alias("__r"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__rp"),
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("n_neg"),
+    )
+    auc = F.try_divide(
+        F.col("__rp")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0,
+        F.col("n_pos").cast("double") * F.col("n_neg"),
+    )
+    return agg.select(
+        *group_cols,
+        F.round(auc, round_to).alias("auc"),
+        F.round(2 * auc - 1, round_to).alias("gini"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )

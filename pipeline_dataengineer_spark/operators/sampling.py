@@ -376,3 +376,69 @@ def rebalance_classes(
         .unionByName(full)
         .unionByName(null_class)
     )
+
+
+def sample_negatives(
+    anchors: DataFrame,
+    anchor_col: str,
+    pool: DataFrame,
+    item_col: str,
+    k: int,
+    positives: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive/embedding
+    training: for every distinct anchor, pick ``k`` pseudo-random
+    items from the pool — reproducibly (a pure function of the ids:
+    re-runs, repartitions and other engines agree), with NO
+    anchor×pool cross join anywhere.
+
+    Shape: the pool gets its exact global index once
+    (operators/order.py:global_row_index — two-phase, no unkeyed
+    window); each anchor explodes to k probe rows whose pool index
+    is the Lehmer bucket of (anchor·131 + probe_no); negatives
+    arrive via ONE equi-join on the index. ``positives`` (anchor,
+    item pairs — pass columns named like ``anchor_col``/``item_col``)
+    are removed with a LEFT ANTI hash join. Probe collisions and
+    removed positives mean a group can come back with FEWER than k
+    negatives (documented; loop callers re-probe with k' > k rather
+    than this operator guessing). Integer anchor/item keys (the
+    portable hash domain — hash strings to ids upstream).
+
+    Returns (anchor, negative) distinct pairs."""
+    from pipeline_dataengineer_spark.operators.order import (
+        global_row_index,
+    )
+
+    pool_idx = global_row_index(
+        pool.select(F.col(item_col)).distinct(), [item_col], "__idx"
+    )
+    n = pool_idx.count()
+    if n == 0:
+        raise ValueError("sample_negatives: empty pool")
+    a = anchors.select(F.col(anchor_col)).distinct()
+    probes = a.select(
+        anchor_col,
+        F.explode(
+            F.array(*[F.lit(i) for i in range(k)])
+        ).alias("__i"),
+    ).select(
+        anchor_col,
+        portable_bucket(
+            F.col(anchor_col).cast("long") * 131 + F.col("__i"), n
+        ).alias("__idx"),
+    )
+    cand = (
+        probes.join(pool_idx, "__idx")
+        .select(
+            F.col(anchor_col),
+            F.col(item_col).alias("negative"),
+        )
+        .distinct()
+    )
+    if positives is not None:
+        pos = positives.select(
+            F.col(anchor_col),
+            F.col(item_col).alias("negative"),
+        )
+        cand = cand.join(pos, [anchor_col, "negative"], "left_anti")
+    return cand

@@ -665,3 +665,57 @@ def test_wasserstein_1d_reference(spark):
     assert wasserstein_1d(shift, "g", "v", "a", "b").collect()[0][
         "w1"
     ] == pytest.approx(2.5)
+
+
+def test_grouped_roc_auc_matches_global_per_group(spark):
+    from pipeline_dataengineer_spark.operators.calibration import (
+        grouped_roc_auc,
+        roc_auc,
+    )
+
+    rows = [
+        (("a" if i % 3 else "b"), float((i * i) % 9) / 10.0,
+         int((i * 13) % 7 < 3))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, y int").repartition(7)
+    grouped = {
+        r["g"]: (r["auc"], r["n_pos"], r["n_neg"])
+        for r in grouped_roc_auc(df, ["g"], "s", "y").collect()
+    }
+    for g in ("a", "b"):
+        solo = roc_auc(df.filter(F.col("g") == g), "s", "y").collect()[0]
+        assert grouped[g] == (solo["auc"], solo["n_pos"], solo["n_neg"])
+
+
+def test_sample_negatives_deterministic_and_clean(spark):
+    from pipeline_dataengineer_spark.operators.sampling import (
+        sample_negatives,
+    )
+
+    anchors = spark.range(1, 51).select(F.col("id").alias("a"))
+    pool = spark.range(1000, 1300).select(F.col("id").alias("item"))
+    pos = anchors.join(
+        pool, F.col("a") % 10 == F.col("item") % 10
+    ).select("a", "item")
+    out1 = sorted(
+        (r["a"], r["negative"])
+        for r in sample_negatives(
+            anchors, "a", pool, "item", k=4, positives=pos
+        ).collect()
+    )
+    out2 = sorted(
+        (r["a"], r["negative"])
+        for r in sample_negatives(
+            anchors.repartition(9), "a", pool.repartition(5),
+            "item", k=4, positives=pos,
+        ).collect()
+    )
+    assert out1 == out2  # layout-independent
+    pos_set = {(r["a"], r["item"]) for r in pos.collect()}
+    per_anchor = {}
+    for a, neg in out1:
+        assert (a, neg) not in pos_set
+        per_anchor.setdefault(a, set()).add(neg)
+    assert set(per_anchor) == set(range(1, 51))
+    assert all(1 <= len(v) <= 4 for v in per_anchor.values())

@@ -662,6 +662,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # quotient divides an exact integer-weighted sum once
     "q_wasserstein": (["HashAggregate"],
                       ["SortMergeJoin", "CartesianProduct"]),
+    # per-segment AUC: every window is KEYED by the segment
+    "q_grouped_auc": (["Window", "HashAggregate"],
+                      ["CartesianProduct", "Join"]),
+    # negative sampling: probe equi-join on the pool index + anti
+    # join for positives — never an anchor x pool nested loop
+    "q_sample_negatives": (["MapInPandas", "LeftAnti"],
+                           ["BroadcastNestedLoopJoin",
+                            "CartesianProduct"]),
 }
 
 
