@@ -7159,3 +7159,65 @@ SELECT c.c_custkey, c.negative
 FROM cand c
 WHERE NOT (c.c_custkey % 200 = c.negative % 200)
 """
+
+ORACLES["q_effect_size"] = """
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS nb,
+    sum(CASE WHEN o_orderpriority = '1-URGENT'
+             THEN o_totalprice ELSE 0 END) AS sa,
+    sum(CASE WHEN o_orderpriority = '5-LOW'
+             THEN o_totalprice ELSE 0 END) AS sb,
+    sum(CASE WHEN o_orderpriority = '1-URGENT'
+             THEN o_totalprice * o_totalprice ELSE 0 END) AS qa,
+    sum(CASE WHEN o_orderpriority = '5-LOW'
+             THEN o_totalprice * o_totalprice ELSE 0 END) AS qb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), m AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         sqrt((qa - na * (sa / na) * (sa / na)
+               + qb - nb * (sb / nb) * (sb / nb)) / (na + nb - 2))
+           AS sp
+  FROM agg
+)
+SELECT round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(sp, 6) AS sd_pooled,
+       round((ma - mb) / sp, 6) AS cohens_d,
+       round((ma - mb) / sp
+             * (1 - 3.0 / (4 * (na + nb) - 9)), 6) AS hedges_g,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM m
+"""
+
+ORACLES["q_cliffs_delta"] = """
+WITH two AS (
+  SELECT o_orderpriority AS g, round(o_totalprice, 0) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), cells AS (
+  SELECT v,
+         sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+         sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS ib
+  FROM two GROUP BY v
+), cum AS (
+  SELECT ia, ib,
+         coalesce(sum(ib) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS b_below,
+         coalesce(sum(ia) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS a_below
+  FROM cells
+), agg AS (
+  SELECT sum(ia * b_below) AS n_gt, sum(ib * a_below) AS n_lt,
+         sum(ia) AS na, sum(ib) AS nb
+  FROM cum
+)
+SELECT round((n_gt - n_lt) * 1.0 / (na * 1.0 * nb), 6) AS delta,
+       CAST(n_gt AS BIGINT) AS n_gt, CAST(n_lt AS BIGINT) AS n_lt,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM agg
+"""

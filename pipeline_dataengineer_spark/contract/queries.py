@@ -9194,3 +9194,36 @@ def q_sample_negatives(spark, sf_dir):
         anchors, "c_custkey", pool, "p_partkey", k=5,
         positives=positives,
     )
+
+
+@query("q_effect_size")
+def q_effect_size(spark, sf_dir):
+    """Cohen's d / Hedges' g (operators/stats_tests.py:effect_size)
+    between URGENT and LOW order totals — one combinable aggregate.
+    Oracle replays the pooled-SD algebra."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        effect_size,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    return effect_size(
+        o, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )
+
+
+@query("q_cliffs_delta")
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's δ (operators/stats_tests.py:cliffs_delta) for the same
+    comparison — dominance pairs from the distinct-value cumulative
+    (never the quadratic pair space), exact integer numerators.
+    Oracle replays the same reduction."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        cliffs_delta,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round("o_totalprice", 0).alias("tp")
+    )
+    return cliffs_delta(
+        o, "o_orderpriority", "tp", "1-URGENT", "5-LOW"
+    )

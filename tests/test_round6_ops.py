@@ -719,3 +719,35 @@ def test_sample_negatives_deterministic_and_clean(spark):
         per_anchor.setdefault(a, set()).add(neg)
     assert set(per_anchor) == set(range(1, 51))
     assert all(1 <= len(v) <= 4 for v in per_anchor.values())
+
+
+def test_effect_size_and_cliffs_delta(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        cliffs_delta,
+        effect_size,
+    )
+
+    a = [float(v) for v in [2, 4, 4, 4, 5, 5, 7, 9]]   # mean 5, sd 2
+    b = [float(v) for v in [1, 2, 3, 4, 5, 5, 6, 6]]   # mean 4
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    es = effect_size(df, "g", "v", "a", "b").collect()[0]
+    import statistics as st
+
+    sp = (
+        (sum((x - 5) ** 2 for x in a) + sum((x - 4) ** 2 for x in b))
+        / (len(a) + len(b) - 2)
+    ) ** 0.5
+    d = (5 - 4) / sp
+    assert es["mean_a"] == 5.0 and es["mean_b"] == 4.0
+    assert es["cohens_d"] == pytest.approx(round(d, 6))
+    assert es["hedges_g"] == pytest.approx(
+        round(d * (1 - 3 / (4 * 16 - 9)), 6)
+    )
+    cd = cliffs_delta(df, "g", "v", "a", "b").collect()[0]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    assert cd["n_gt"] == gt and cd["n_lt"] == lt
+    assert cd["delta"] == pytest.approx(
+        round((gt - lt) / (len(a) * len(b)), 6)
+    )

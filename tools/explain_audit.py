@@ -670,6 +670,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_sample_negatives": (["MapInPandas", "LeftAnti"],
                            ["BroadcastNestedLoopJoin",
                             "CartesianProduct"]),
+    # effect sizes: ONE combinable aggregate (d/g), distinct-value
+    # cumulative (Cliff's delta) — no fact-sized window or join
+    "q_effect_size": (["HashAggregate"], ["Window", "Join"]),
+    "q_cliffs_delta": (["HashAggregate"],
+                       ["SortMergeJoin", "CartesianProduct"]),
 }
 
 
