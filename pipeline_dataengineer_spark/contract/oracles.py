@@ -7221,3 +7221,29 @@ SELECT round((n_gt - n_lt) * 1.0 / (na * 1.0 * nb), 6) AS delta,
        CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
 FROM agg
 """
+
+ORACLES["q_vocab_overlap"] = """
+WITH toks AS (
+  SELECT DISTINCT source AS g, t.tok AS t
+  FROM documents,
+       LATERAL unnest(regexp_split_to_array(
+           lower(coalesce(text, '')), '\\s+')) AS t(tok)
+  WHERE len(t.tok) >= 2
+), sizes AS (
+  SELECT g, count(*) AS v FROM toks GROUP BY g
+), common AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS common
+  FROM toks a JOIN toks b ON a.t = b.t AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT c.group_a, c.group_b,
+       CAST(sa.v AS BIGINT) AS vocab_a,
+       CAST(sb.v AS BIGINT) AS vocab_b,
+       CAST(c.common AS BIGINT) AS common,
+       round(c.common * 1.0 / (sa.v + sb.v - c.common), 6) AS jaccard,
+       round(c.common * 1.0 / sa.v, 6) AS containment_a_in_b,
+       round(c.common * 1.0 / sb.v, 6) AS containment_b_in_a
+FROM common c
+JOIN sizes sa ON sa.g = c.group_a
+JOIN sizes sb ON sb.g = c.group_b
+"""

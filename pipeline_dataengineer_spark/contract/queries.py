@@ -9227,3 +9227,17 @@ def q_cliffs_delta(spark, sf_dir):
     return cliffs_delta(
         o, "o_orderpriority", "tp", "1-URGENT", "5-LOW"
     )
+
+
+@query("q_vocab_overlap")
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary overlap (operators/corpus.py:
+    vocab_overlap): Jaccard + directed containment between the
+    document sources' distinct token sets. Oracle replays the
+    (slice, token) distinct + token-keyed self-join."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        vocab_overlap,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return vocab_overlap(d, "source", "text", min_token_len=2)

@@ -773,3 +773,89 @@ def pack_greedy_shards(
         "bin_offset",
         "oversize",
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    min_token_len: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus slices (sources,
+    languages, time buckets) — the cheap first look at "how similar
+    are these subcorpora" before anything embedding-based:
+
+        jaccard(A, B) = |V_A ∩ V_B| / |V_A ∪ V_B|
+        containment(A in B) = |V_A ∩ V_B| / |V_A|
+
+    over each slice's distinct lowercase whitespace-token set.
+    Returns one row per unordered slice pair (group_a < group_b):
+    (group_a, group_b, vocab_a, vocab_b, common, jaccard,
+    containment_a_in_b, containment_b_in_a).
+
+    Shape: ONE distinct over (slice, token) — a combinable hash agg —
+    then the intersection is a token-keyed equi self-join of the
+    (slice, token) table (vocabulary-sized, not corpus-sized) and
+    everything after is |slices|²-sized. No window, no Python, no
+    quadratic blowup beyond the slice-pair count."""
+    toks = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+",
+                )
+            ).alias("__t"),
+        )
+        .filter(F.length("__t") >= min_token_len)
+        .distinct()
+    )
+    sizes = toks.groupBy("__g").agg(F.count(F.lit(1)).alias("__v"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("group_a"),
+            F.col("b.__g").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(
+        F.col("__g").alias("group_a"), F.col("__v").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("__g").alias("group_b"), F.col("__v").alias("vocab_b")
+    )
+    out = common.join(F.broadcast(sa), "group_a").join(
+        F.broadcast(sb), "group_b"
+    )
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("common")
+    return out.select(
+        "group_a",
+        "group_b",
+        F.col("vocab_a").cast("long").alias("vocab_a"),
+        F.col("vocab_b").cast("long").alias("vocab_b"),
+        F.col("common").cast("long").alias("common"),
+        F.round(
+            F.try_divide(F.col("common").cast("double"), union),
+            round_to,
+        ).alias("jaccard"),
+        F.round(
+            F.try_divide(
+                F.col("common").cast("double"), F.col("vocab_a")
+            ),
+            round_to,
+        ).alias("containment_a_in_b"),
+        F.round(
+            F.try_divide(
+                F.col("common").cast("double"), F.col("vocab_b")
+            ),
+            round_to,
+        ).alias("containment_b_in_a"),
+    )

@@ -751,3 +751,29 @@ def test_effect_size_and_cliffs_delta(spark):
     assert cd["delta"] == pytest.approx(
         round((gt - lt) / (len(a) * len(b)), 6)
     )
+
+
+def test_vocab_overlap_reference(spark):
+    from pipeline_dataengineer_spark.operators.corpus import vocab_overlap
+
+    rows = [
+        ("a", "the quick brown fox"),
+        ("a", "the lazy dog"),
+        ("b", "the quick red dog"),
+        ("c", "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in vocab_overlap(df, "src", "text").collect()
+    }
+    # V_a = {the,quick,brown,fox,lazy,dog} (6); V_b = {the,quick,red,dog} (4)
+    ab = got[("a", "b")]
+    assert ab["vocab_a"] == 6 and ab["vocab_b"] == 4
+    assert ab["common"] == 3  # the, quick, dog
+    assert ab["jaccard"] == pytest.approx(round(3 / 7, 6))
+    assert ab["containment_a_in_b"] == pytest.approx(0.5)
+    assert ab["containment_b_in_a"] == pytest.approx(0.75)
+    assert ("a", "c") not in got or got[("a", "c")]["common"] >= 0
+    # disjoint vocabularies never meet the inner join -> pair absent
+    assert ("a", "c") not in got and ("b", "c") not in got

@@ -675,6 +675,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_effect_size": (["HashAggregate"], ["Window", "Join"]),
     "q_cliffs_delta": (["HashAggregate"],
                        ["SortMergeJoin", "CartesianProduct"]),
+    # vocab overlap: distinct (slice, token) hash agg + token-keyed
+    # equi self-join — vocabulary-sized, never a nested loop
+    "q_vocab_overlap": (["HashAggregate"],
+                        ["BroadcastNestedLoopJoin",
+                         "CartesianProduct", "Window"]),
 }
 
 
