@@ -653,6 +653,7 @@ SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
 
 
 from pipeline_dataengineer_spark.operators.sampling import bucket_sql as _bucket_sql
+from pipeline_dataengineer_spark.operators.sampling import scramble_sql as _scramble_sql
 
 _B = 1_000_000
 
@@ -6754,13 +6755,15 @@ WITH base AS (
   SELECT a, b, count(*) AS o FROM base GROUP BY a, b
 ), rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
 cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
-tot AS (SELECT sum(o) AS n FROM cells),
+en AS (
+  SELECT sum(coalesce(ra, 0) * 1.0 * coalesce(cb, 0)) AS expnum
+  FROM rm FULL OUTER JOIN cm ON rm.a IS NOT DISTINCT FROM cm.b
+),
 agg AS (
-  SELECT sum(CASE WHEN c.a = c.b THEN o ELSE 0 END) AS agree,
-         sum(CASE WHEN c.a = c.b THEN rm.ra * 1.0 * cm.cb
-                  ELSE 0 END) AS expnum,
-         max(t.n) AS n
-  FROM cells c JOIN rm ON c.a = rm.a JOIN cm ON c.b = cm.b, tot t
+  SELECT sum(CASE WHEN a = b THEN o ELSE 0 END) AS agree,
+         max(en.expnum) AS expnum,
+         sum(o) AS n
+  FROM cells, en
 )
 SELECT round((agree * 1.0 / n - expnum / (n * 1.0 * n))
              / (1 - expnum / (n * 1.0 * n)), 6) AS kappa,
@@ -7148,12 +7151,13 @@ anchors AS (
   SELECT DISTINCT c_custkey FROM customer WHERE c_custkey <= 500
 ), probes AS (
   SELECT a.c_custkey,
-         {_bucket_sql('a.c_custkey * 131 + t.i', '(SELECT n FROM n)')}
-           AS idx
+         ({_scramble_sql('a.c_custkey * 131 + t.i')})
+           % (SELECT n FROM n) AS idx
   FROM anchors a, generate_series(0, 4) AS t(i)
 ), cand AS (
   SELECT DISTINCT pr.c_custkey, p.p_partkey AS negative
   FROM probes pr JOIN pool p ON p.idx = pr.idx
+  WHERE pr.c_custkey <> p.p_partkey
 )
 SELECT c.c_custkey, c.negative
 FROM cand c

@@ -9175,7 +9175,8 @@ def q_grouped_auc(spark, sf_dir):
 def q_sample_negatives(spark, sf_dir):
     """Deterministic negative sampling (operators/sampling.py:
     sample_negatives): 5 pseudo-random part negatives per customer
-    anchor via the Lehmer probe → global pool index equi-join, with
+    anchor via the non-linear scramble probe → global pool index
+    equi-join, with anchor==negative always dropped and
     (c_custkey % 200 == p_partkey % 200) pairs removed as positives.
     Oracle replays the index (row_number over the sorted pool) and
     the probe arithmetic."""

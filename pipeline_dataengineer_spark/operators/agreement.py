@@ -43,25 +43,34 @@ def cohen_kappa(
     ).agg(F.count(F.lit(1)).alias("__o"))
     row_m = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
     col_m = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
-    tot = cells.agg(F.sum("__o").alias("__n"))
-    j = (
-        cells.join(F.broadcast(row_m), "__a")
-        .join(F.broadcast(col_m), "__b")
-        .crossJoin(F.broadcast(tot))
+    # p_e sums ra(l)*cb(l) over ALL labels, including those where the
+    # raters never agree (no observed (l,l) cell) — a full outer join
+    # of the margins, NOT a filter of observed diagonal cells (which
+    # would drop those terms and inflate kappa; disjoint raters must
+    # yield kappa = -p_e/(1-p_e), e.g. -1 for a 2-label swap).
+    exp_num = (
+        row_m.join(
+            col_m,
+            F.col("__a").eqNullSafe(F.col("__b")),
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.coalesce(F.col("__ra"), F.lit(0)).cast("double")
+                * F.coalesce(F.col("__cb"), F.lit(0))
+            ).alias("__exp_num")
+        )
     )
-    agg = j.agg(
-        F.sum(
-            F.when(
-                F.col("__a").eqNullSafe(F.col("__b")), F.col("__o")
-            ).otherwise(0)
-        ).alias("__agree"),
-        F.sum(
-            F.when(
-                F.col("__a").eqNullSafe(F.col("__b")),
-                F.col("__ra").cast("double") * F.col("__cb"),
-            ).otherwise(0.0)
-        ).alias("__exp_num"),
-        F.max("__n").alias("n"),
+    agg = (
+        cells.agg(
+            F.sum(
+                F.when(
+                    F.col("__a").eqNullSafe(F.col("__b")), F.col("__o")
+                ).otherwise(0)
+            ).alias("__agree"),
+            F.sum("__o").alias("n"),
+        )
+        .crossJoin(F.broadcast(exp_num))
     )
     po = F.col("__agree") / F.col("n").cast("double")
     pe = F.col("__exp_num") / (

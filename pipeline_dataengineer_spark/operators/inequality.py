@@ -88,8 +88,16 @@ def lorenz_curve(
     stats = cum.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__tot")
     ).collect()[0]
-    n, tot = int(stats["__n"]), float(stats["__tot"])
+    n = int(stats["__n"])
     spark = df.sparkSession
+    if n == 0 or stats["__tot"] is None:
+        # empty / all-NULL input: no curve to sample — return the
+        # empty frame with the contract schema instead of crashing
+        # on float(None) below.
+        return spark.createDataFrame(
+            [], "point double, n_rows long, value_share double"
+        )
+    tot = float(stats["__tot"])
     cuts = spark.createDataFrame(
         [(k, (n * k) // n_points) for k in range(1, n_points + 1)],
         "__k int, __cut long",

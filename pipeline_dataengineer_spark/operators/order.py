@@ -231,7 +231,7 @@ def global_cumsum(
             racc += sizes[pid]
         off_df = df.sparkSession.createDataFrame(
             [(pid, off) for pid, off in row_off.items()],
-            ["__pid", "__row_off"],
+            "__pid int, __row_off long",
         )
         out = (
             out.join(F.broadcast(off_df), "__pid")

@@ -395,8 +395,15 @@ def sample_negatives(
     Shape: the pool gets its exact global index once
     (operators/order.py:global_row_index — two-phase, no unkeyed
     window); each anchor explodes to k probe rows whose pool index
-    is the Lehmer bucket of (anchor·131 + probe_no); negatives
-    arrive via ONE equi-join on the index. ``positives`` (anchor,
+    is the NON-LINEAR ``portable_scramble`` of (anchor·131 +
+    probe_no) mod pool size — the scramble (not the affine Lehmer
+    bucket) because the affine step is order-preserving: under it
+    one anchor's k probes form a fixed-stride arithmetic progression
+    over the pool index and adjacent anchors receive translated
+    copies of the same pattern (correlated negative sets). Negatives
+    arrive via ONE equi-join on the index; anchor==negative pairs
+    are always removed (an item is never its own negative).
+    ``positives`` (anchor,
     item pairs — pass columns named like ``anchor_col``/``item_col``)
     are removed with a LEFT ANTI hash join. Probe collisions and
     removed positives mean a group can come back with FEWER than k
@@ -423,8 +430,11 @@ def sample_negatives(
         ).alias("__i"),
     ).select(
         anchor_col,
-        portable_bucket(
-            F.col(anchor_col).cast("long") * 131 + F.col("__i"), n
+        F.pmod(
+            portable_scramble(
+                F.col(anchor_col).cast("long") * 131 + F.col("__i")
+            ),
+            F.lit(n),
         ).alias("__idx"),
     )
     cand = (
@@ -432,6 +442,11 @@ def sample_negatives(
         .select(
             F.col(anchor_col),
             F.col(item_col).alias("negative"),
+        )
+        .filter(
+            ~F.col(anchor_col).cast("long").eqNullSafe(
+                F.col("negative").cast("long")
+            )
         )
         .distinct()
     )

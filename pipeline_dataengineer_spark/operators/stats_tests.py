@@ -890,7 +890,7 @@ def kendall_tau_b(
     x_col: str,
     y_col: str,
     round_to: int = 6,
-    max_cells: int = 100_000,
+    max_cells: int = 5_000,
 ) -> DataFrame:
     """Kendall's τ-b (tie-adjusted) over the distinct-CELL contingency
     reduction: group rows into (x, y) cells with counts (one
@@ -903,10 +903,13 @@ def kendall_tau_b(
     Cost is quadratic in DISTINCT CELLS, not rows — the right shape
     for ordinal / bucketed / Likert data (Kendall's statistical home
     turf); for continuous data with ~all-distinct values use
-    spearman_rho. ``max_cells`` is the enforced guard: if the cell
-    count exceeds it the join would be quadratic in rows too, and
-    the operator raises instead of silently stalling (same
-    fail-loudly convention as the LSH bucket cap)."""
+    spearman_rho. ``max_cells`` is the enforced guard: the dominance
+    join evaluates up to max_cells² cell pairs, so the default is
+    sized to keep that sub-second (5k² = 25M broadcast-NL
+    evaluations); anything larger raises instead of silently
+    stalling (same fail-loudly convention as the LSH bucket cap) —
+    a 100k default would admit 10^10 evaluations, hours of stall,
+    which contradicts the fail-loudly rationale."""
     cells = (
         df.select(
             F.col(x_col).cast("double").alias("__x"),

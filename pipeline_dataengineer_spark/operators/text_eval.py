@@ -104,8 +104,14 @@ def bleu_corpus(
         p = F.coalesce(F.col(str(n)), F.lit(0.0))
         term = F.when(p > 0, F.log(p)).otherwise(F.lit(None))
         log_sum = term if log_sum is None else log_sum + term
+    # try_divide: an all-empty-hypothesis corpus has __c = 0 — the
+    # penalty degrades to NULL (bleu coalesces to 0.0) instead of
+    # raising ANSI DIVIDE_BY_ZERO (repo convention, cf. lift_gains).
     bp = F.when(F.col("__c") > F.col("__r"), F.lit(1.0)).otherwise(
-        F.exp(1.0 - F.col("__r").cast("double") / F.col("__c"))
+        F.exp(
+            1.0
+            - F.try_divide(F.col("__r").cast("double"), F.col("__c"))
+        )
     )
     bleu = F.coalesce(
         bp * F.exp(log_sum / float(max_n)), F.lit(0.0)

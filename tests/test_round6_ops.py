@@ -410,6 +410,32 @@ def test_cohen_kappa_reference(spark):
     assert cohen_kappa(perf, "a", "b").collect()[0]["kappa"] == 1.0
 
 
+def test_cohen_kappa_disjoint_diagonal(spark):
+    # Raters NEVER agree: no observed (l,l) cell, yet p_e must still
+    # sum ra(l)*cb(l) over all labels. A=[x,x,y,y], B=[y,y,x,x] →
+    # p_o=0, p_e=0.5, kappa=-1 (sklearn parity).
+    from pipeline_dataengineer_spark.operators.agreement import cohen_kappa
+
+    df = spark.createDataFrame(
+        [("x", "y"), ("x", "y"), ("y", "x"), ("y", "x")],
+        "a string, b string",
+    )
+    got = cohen_kappa(df, "a", "b").collect()[0]
+    assert got["p_observed"] == 0.0
+    assert got["p_expected"] == pytest.approx(0.5)
+    assert got["kappa"] == pytest.approx(-1.0)
+    # one-sided label: B uses a label A never produces — its ra is 0,
+    # term contributes 0, but join must not drop the row.
+    df2 = spark.createDataFrame(
+        [("x", "x"), ("x", "z"), ("y", "y")], "a string, b string"
+    )
+    got2 = cohen_kappa(df2, "a", "b").collect()[0]
+    # margins: ra = {x:2, y:1}; cb = {x:1, z:1, y:1}; n=3
+    # p_e = (2*1 + 1*1 + 0*1)/9 = 3/9; p_o = 2/3
+    assert got2["p_expected"] == pytest.approx(round(3 / 9, 6))
+    assert got2["kappa"] == pytest.approx(round((2 / 3 - 1 / 3) / (1 - 1 / 3), 6))
+
+
 def test_fleiss_kappa_reference(spark):
     from pipeline_dataengineer_spark.operators.agreement import (
         fleiss_kappa,
@@ -576,6 +602,26 @@ def test_bleu_corpus_matches_python_reference(spark):
         [(1, "a b c d", "a x y z")], "id int, ref string, hyp string"
     )
     assert bleu_corpus(tiny, "id", "ref", "hyp").collect()[0]["bleu"] == 0.0
+    # all-empty hypotheses: brevity penalty divides by hyp_tokens=0 —
+    # must degrade (try_divide -> NULL -> bleu 0.0), not raise ANSI
+    # DIVIDE_BY_ZERO.
+    empty = spark.createDataFrame(
+        [(1, "a b c", ""), (2, "d e", "")], "id int, ref string, hyp string"
+    )
+    row = bleu_corpus(empty, "id", "ref", "hyp").collect()[0]
+    assert row["bleu"] == 0.0
+    assert row["hyp_tokens"] == 0
+
+
+def test_lorenz_curve_empty_input(spark):
+    from pipeline_dataengineer_spark.operators.inequality import (
+        lorenz_curve,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    assert lorenz_curve(empty, "v").collect() == []
+    all_null = spark.createDataFrame([(None,), (None,)], "v double")
+    assert lorenz_curve(all_null, "v").collect() == []
 
 
 def test_rouge_l_reference_and_truncation(spark):
@@ -719,6 +765,45 @@ def test_sample_negatives_deterministic_and_clean(spark):
         per_anchor.setdefault(a, set()).add(neg)
     assert set(per_anchor) == set(range(1, 51))
     assert all(1 <= len(v) <= 4 for v in per_anchor.values())
+
+
+def test_sample_negatives_decorrelated_and_no_self(spark):
+    from pipeline_dataengineer_spark.operators.sampling import (
+        sample_negatives,
+    )
+
+    # pool overlaps the anchor id space: an anchor must never draw
+    # itself as a negative.
+    anchors = spark.range(0, 100).select(F.col("id").alias("a"))
+    pool = spark.range(0, 100).select(F.col("id").alias("item"))
+    out = sample_negatives(anchors, "a", pool, "item", k=8)
+    rows = [(r["a"], r["negative"]) for r in out.collect()]
+    assert all(a != n for a, n in rows)
+    # decorrelation: the probe runs through the non-linear scramble,
+    # so one anchor's negatives must NOT form a fixed-stride
+    # arithmetic progression over the pool index, and adjacent
+    # anchors must NOT receive translated copies of the same set.
+    per = {}
+    for a, n in rows:
+        per.setdefault(a, set()).add(n)
+    stride_like = 0
+    for a, negs in per.items():
+        s = sorted(negs)
+        if len(s) >= 3:
+            diffs = {s[i + 1] - s[i] for i in range(len(s) - 1)}
+            if len(diffs) == 1:
+                stride_like += 1
+    assert stride_like <= 2  # a couple by chance, not systematically
+    translated = 0
+    for a in range(99):
+        if a in per and (a + 1) in per and len(per[a]) >= 3:
+            shifts = {
+                (min(per[a + 1]) - min(per[a]))
+            }
+            sh = shifts.pop()
+            if {(x + sh) % 100 for x in per[a]} == per[a + 1]:
+                translated += 1
+    assert translated <= 2
 
 
 def test_effect_size_and_cliffs_delta(spark):
