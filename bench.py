@@ -331,15 +331,37 @@ def parse_scale_claims(notes_path: str | None = None) -> dict[str, float]:
     return claims
 
 
-def check_scale_claims(scale_10x: dict[str, float]) -> dict:
+UNCLAIMED_MIN_BASE_SEC = 0.75
+
+
+def check_scale_claims(
+    scale_10x: dict[str, float],
+    base_times: dict[str, float] | None = None,
+) -> dict:
     """Bench <-> SCALE_NOTES consistency (round-4 VERDICT item 2):
     a shipped scale_10x ratio must agree with its written claim
     within a factor of 2, and any shipped ratio > 2.5 must HAVE a
     written claim. Mismatches ship in BENCH_DETAIL.json (and fail
-    tests/test_scale_claims.py) so the docs follow the artifact."""
+    tests/test_scale_claims.py) so the docs follow the artifact.
+
+    Noise guard (round-6 VERDICT item 1 — the gate itself was the
+    defect two rounds running): the unclaimed-over-2.5 rule only
+    applies when the query's sf0.1 base warm time is at least
+    UNCLAIMED_MIN_BASE_SEC. A ratio of two sub-second timings on a
+    shared box is statistically meaningless — r5's q_prune_semi_join
+    (2.55, base ~0.5 s) and r6's q_asof_join (2.69, base 0.33 s,
+    idle-measured ~1.3-1.7x) were both driver-machine contention
+    wobble, not plan regressions. Sub-threshold exemptions are still
+    REPORTED (``unclaimed_subsecond_noise``) so a real sub-second
+    blow-up remains visible in the artifact; the explicit-claim
+    mismatch check (factor 2) keeps applying to every query that has
+    a written row regardless of base time — that check has never
+    false-fired."""
     claims = parse_scale_claims()
+    base_times = base_times or {}
     mismatched = []
     unclaimed = []
+    noise_exempt = []
     for name, shipped in scale_10x.items():
         c = claims.get(name)
         if c is not None:
@@ -349,11 +371,18 @@ def check_scale_claims(scale_10x: dict[str, float]) -> dict:
                     {"query": name, "shipped": shipped, "claimed": c}
                 )
         elif shipped > 2.5:
-            unclaimed.append({"query": name, "shipped": shipped})
+            base = base_times.get(name)
+            if base is not None and base < UNCLAIMED_MIN_BASE_SEC:
+                noise_exempt.append(
+                    {"query": name, "shipped": shipped, "base_sec": base}
+                )
+            else:
+                unclaimed.append({"query": name, "shipped": shipped})
     result = {
         "claims": len(claims),
         "mismatched": mismatched,
         "unclaimed_over_2_5": unclaimed,
+        "unclaimed_subsecond_noise": noise_exempt,
         "ok": not mismatched and not unclaimed,
     }
     if not result["ok"]:
@@ -413,7 +442,7 @@ def main() -> None:
         "queries_cold": cold,
         "queries_10x": times_10x,
         "scale_10x": scale_10x,
-        "scale_claims_check": check_scale_claims(scale_10x),
+        "scale_claims_check": check_scale_claims(scale_10x, times),
         "sf": sf_val,
     }
     # Full per-query detail goes to a repo file; the driver's tail
