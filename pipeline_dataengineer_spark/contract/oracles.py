@@ -7226,6 +7226,8 @@ SELECT round((n_gt - n_lt) * 1.0 / (na * 1.0 * nb), 6) AS delta,
 FROM agg
 """
 
+ORACLES["q_cliffs_delta_dist"] = ORACLES["q_cliffs_delta"]
+
 ORACLES["q_vocab_overlap"] = """
 WITH toks AS (
   SELECT DISTINCT source AS g, t.tok AS t

@@ -9230,6 +9230,26 @@ def q_cliffs_delta(spark, sf_dir):
     )
 
 
+@query("q_cliffs_delta_dist")
+def q_cliffs_delta_dist(spark, sf_dir):
+    """cliffs_delta(distributed=True): identical dominance counts via
+    the two-phase exclusive global_cumsum over the distinct-value
+    table — no unkeyed window (the continuous-domain scale path;
+    round-6 VERDICT item 2). Shares q_cliffs_delta's oracle
+    verbatim."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        cliffs_delta,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round("o_totalprice", 0).alias("tp")
+    )
+    return cliffs_delta(
+        o, "o_orderpriority", "tp", "1-URGENT", "5-LOW",
+        distributed=True,
+    )
+
+
 @query("q_vocab_overlap")
 def q_vocab_overlap(spark, sf_dir):
     """Pairwise source-vocabulary overlap (operators/corpus.py:

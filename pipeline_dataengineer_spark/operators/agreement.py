@@ -44,20 +44,33 @@ def cohen_kappa(
     row_m = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
     col_m = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
     # p_e sums ra(l)*cb(l) over ALL labels, including those where the
-    # raters never agree (no observed (l,l) cell) — a full outer join
-    # of the margins, NOT a filter of observed diagonal cells (which
-    # would drop those terms and inflate kappa; disjoint raters must
-    # yield kappa = -p_e/(1-p_e), e.g. -1 for a 2-label swap).
+    # raters never agree (no observed (l,l) cell) — NOT a filter of
+    # observed diagonal cells (which would drop those terms and
+    # inflate kappa; disjoint raters must yield kappa = -p_e/(1-p_e),
+    # e.g. -1 for a 2-label swap). Join-free: tag-union the two
+    # margin tables and re-group by label (NULL is a real level —
+    # groupBy keeps it, matching eqNullSafe margin alignment), then
+    # one cell-sized product aggregate.
+    tagged = row_m.select(
+        F.col("__a").alias("__l"),
+        F.col("__ra").alias("__mra"),
+        F.lit(0).alias("__mcb"),
+    ).unionByName(
+        col_m.select(
+            F.col("__b").alias("__l"),
+            F.lit(0).alias("__mra"),
+            F.col("__cb").alias("__mcb"),
+        )
+    )
     exp_num = (
-        row_m.join(
-            col_m,
-            F.col("__a").eqNullSafe(F.col("__b")),
-            "full_outer",
+        tagged.groupBy("__l")
+        .agg(
+            F.sum("__mra").alias("__ra"),
+            F.sum("__mcb").alias("__cb"),
         )
         .agg(
             F.sum(
-                F.coalesce(F.col("__ra"), F.lit(0)).cast("double")
-                * F.coalesce(F.col("__cb"), F.lit(0))
+                F.col("__ra").cast("double") * F.col("__cb")
             ).alias("__exp_num")
         )
     )

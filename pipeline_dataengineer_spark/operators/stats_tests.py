@@ -1182,6 +1182,7 @@ def cliffs_delta(
     group_a,
     group_b,
     round_to: int = 6,
+    distributed: bool = False,
 ) -> DataFrame:
     """Cliff's delta — the ordinal, distribution-free effect size
     behind Mann-Whitney:
@@ -1191,12 +1192,18 @@ def cliffs_delta(
     computed WITHOUT the quadratic pair space: group to distinct
     values (one combinable hash agg), then for each value v the a-rows
     at v dominate exactly cum_b_below(v) b-rows — one cumulative pass
-    over the distinct-value table (the ks_test trade; swap in
-    global_cumsum for a distinct-value table that out-sizes a task).
-    Exact integer numerators, one division. Returns
-    (delta, n_gt, n_lt, n_a, n_b) with the conventional reading
-    |δ| < .147 negligible / < .33 small / < .474 medium / else
-    large."""
+    over the distinct-value table. The default path runs that pass as
+    one global-order window — fine for ordinal/bucketed domains where
+    distinct values are task-sized, but CONTINUOUS doubles make the
+    distinct table ≈ the row count and the unkeyed window a
+    single-task sort. ``distributed=True`` swaps in the two-phase
+    ``global_cumsum`` (operators/order.py) with ``exclusive=True`` —
+    bit-identical __b_below/__a_below (the distinct-value order is
+    total, so tie order cannot matter), no unkeyed window anywhere
+    (same pattern as ks_test/mann_whitney_u). Exact integer
+    numerators, one division. Returns (delta, n_gt, n_lt, n_a, n_b)
+    with the conventional reading |δ| < .147 negligible / < .33 small
+    / < .474 medium / else large."""
     two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(group_col).alias("__g"),
         F.col(value_col).cast("double").alias("__v"),
@@ -1205,19 +1212,37 @@ def cliffs_delta(
         F.sum((F.col("__g") == group_a).cast("long")).alias("__ia"),
         F.sum((F.col("__g") == group_b).cast("long")).alias("__ib"),
     )
-    w_below = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = g.select(
-        "__ia",
-        "__ib",
-        F.coalesce(F.sum("__ib").over(w_below), F.lit(0)).alias(
-            "__b_below"
-        ),
-        F.coalesce(F.sum("__ia").over(w_below), F.lit(0)).alias(
-            "__a_below"
-        ),
-    )
+    if distributed:
+        from pipeline_dataengineer_spark.operators.order import (
+            global_cumsum,
+        )
+
+        cum = global_cumsum(
+            g,
+            ["__v"],
+            ["__ia", "__ib"],
+            exclusive=True,
+            prefix="__below_",
+        ).select(
+            "__ia",
+            "__ib",
+            F.col("__below___ib").alias("__b_below"),
+            F.col("__below___ia").alias("__a_below"),
+        )
+    else:
+        w_below = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = g.select(
+            "__ia",
+            "__ib",
+            F.coalesce(F.sum("__ib").over(w_below), F.lit(0)).alias(
+                "__b_below"
+            ),
+            F.coalesce(F.sum("__ia").over(w_below), F.lit(0)).alias(
+                "__a_below"
+            ),
+        )
     agg = cum.agg(
         F.sum(F.col("__ia") * F.col("__b_below")).alias("n_gt"),
         F.sum(F.col("__ib") * F.col("__a_below")).alias("n_lt"),

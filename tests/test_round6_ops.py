@@ -836,6 +836,30 @@ def test_effect_size_and_cliffs_delta(spark):
     assert cd["delta"] == pytest.approx(
         round((gt - lt) / (len(a) * len(b)), 6)
     )
+    # distributed path: bit parity on a multi-partition fixture
+    cdd = cliffs_delta(
+        df, "g", "v", "a", "b", distributed=True
+    ).collect()[0]
+    assert tuple(cdd) == tuple(cd)
+
+
+def test_cliffs_delta_distributed_continuous(spark):
+    """Continuous domain (every value distinct) — the case the
+    unkeyed-window default cannot scale on; the distributed path must
+    match it bit-for-bit across a many-partition layout."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        cliffs_delta,
+    )
+
+    rows = [("a", float(i) * 1.37 + (i % 13) * 0.001) for i in range(400)]
+    rows += [("b", float(i) * 1.11 + 20.0) for i in range(350)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(11)
+    base = cliffs_delta(df, "g", "v", "a", "b").collect()[0]
+    dist = cliffs_delta(
+        df, "g", "v", "a", "b", distributed=True
+    ).collect()[0]
+    assert tuple(dist) == tuple(base)
+    assert base["n_a"] == 400 and base["n_b"] == 350
 
 
 def test_vocab_overlap_reference(spark):

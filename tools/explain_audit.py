@@ -675,6 +675,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_effect_size": (["HashAggregate"], ["Window", "Join"]),
     "q_cliffs_delta": (["HashAggregate"],
                        ["SortMergeJoin", "CartesianProduct"]),
+    # distributed Cliff's delta: the exclusive global_cumsum replaces
+    # the unkeyed window; post-localCheckpoint the plan tail must be
+    # window-free (same caveat as q_ks_test_dist: the pinned sort is
+    # a LocalTableScan upstream of what remains)
+    "q_cliffs_delta_dist": (["Scan ExistingRDD"], ["Window"]),
     # vocab overlap: distinct (slice, token) hash agg + token-keyed
     # equi self-join — vocabulary-sized, never a nested loop
     "q_vocab_overlap": (["HashAggregate"],
@@ -685,9 +690,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional: audit just these queries
     spark = get_spark("explain-audit")
     failures = 0
-    for name, (must, must_not) in EXPECTATIONS.items():
+    todo = {
+        k: v for k, v in EXPECTATIONS.items() if not only or k in only
+    }
+    for name, (must, must_not) in todo.items():
         p = plan_of(spark, name, sf_dir)
         problems = [f"missing: {m}" for m in must if m not in p] + [
             f"present: {m}" for m in must_not if m in p
@@ -697,7 +706,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"ok    {name}")
-    print(f"\n{len(EXPECTATIONS) - failures}/{len(EXPECTATIONS)} plan checks pass")
+    print(f"\n{len(todo) - failures}/{len(todo)} plan checks pass")
     return 1 if failures else 0
 
 
