@@ -768,6 +768,17 @@ QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
 
 
+# q_kmeans_sizes: closed-form fixture — clusters are separated by a
+# 100-per-dim shift keyed on vec_id % 3 and the deterministic init
+# seeds one centroid per true cluster, so Lloyd's converges to
+# cluster == vec_id % 3 and sizes are plain group counts.
+ORACLES["q_kmeans_sizes"] = """
+SELECT CAST(vec_id % 3 AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM embeddings
+GROUP BY vec_id % 3
+"""
+
 ORACLES["q_ngrams"] = """
 WITH toks AS (
   SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
@@ -5903,6 +5914,53 @@ FROM est e JOIN tru t USING (tok)
 ORACLES["q_countmin_str"] = _cm_str_oracle_sql(4, 512)
 
 
+# q_pack_greedy: the sequential greedy recursion replayed as a
+# recursive CTE — one step per doc carrying (next_bin nb, next_used
+# nu) state. The kernel's rules, expression-for-expression:
+# overflow (used>0 and used+len>B) opens a new bin; after placing,
+# used>=B closes the bin; oversize = len>B. NOTE: DuckDB lateral
+# aliases misresolve inside recursive arms, so the current-bin (cb)
+# / current-offset (co) expressions are expanded inline where the
+# next-state columns need them.
+_PACK_B = 4096
+_PACK_CO = (
+    f"(CASE WHEN s.nu > 0 AND s.nu + d.len > {_PACK_B} "
+    "THEN 0 ELSE s.nu END)"
+)
+_PACK_CB = (
+    f"(CASE WHEN s.nu > 0 AND s.nu + d.len > {_PACK_B} "
+    "THEN s.nb + 1 ELSE s.nb END)"
+)
+ORACLES["q_pack_greedy"] = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE n_chars > 0
+), steps AS (
+  (SELECT d.rn, d.doc_id, d.len,
+          CAST(0 AS BIGINT) AS cb,
+          CAST(0 AS BIGINT) AS co,
+          CASE WHEN d.len >= {_PACK_B} THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS nb,
+          CASE WHEN d.len >= {_PACK_B} THEN CAST(0 AS BIGINT)
+               ELSE d.len END AS nu
+   FROM docs d WHERE d.rn = 1)
+  UNION ALL
+  SELECT d.rn, d.doc_id, d.len,
+         {_PACK_CB} AS cb,
+         {_PACK_CO} AS co,
+         CASE WHEN {_PACK_CO} + d.len >= {_PACK_B}
+              THEN {_PACK_CB} + 1 ELSE {_PACK_CB} END AS nb,
+         CASE WHEN {_PACK_CO} + d.len >= {_PACK_B}
+              THEN CAST(0 AS BIGINT)
+              ELSE {_PACK_CO} + d.len END AS nu
+  FROM steps s JOIN docs d ON d.rn = s.rn + 1
+)
+SELECT doc_id, len AS n_chars, cb AS bin_id, co AS bin_offset,
+       len > {_PACK_B} AS oversize
+FROM steps
+"""
+
 ORACLES["q_theil_sen"] = """
 WITH daily AS (
   SELECT o_orderpriority AS k,
@@ -7083,6 +7141,44 @@ SELECT round(CASE WHEN coalesce(p1, 0) > 0 AND coalesce(p2, 0) > 0
        CAST(r AS BIGINT) AS ref_tokens,
        CAST(n_pairs AS BIGINT) AS n_pairs
 FROM ps, lens
+"""
+
+# q_rouge_l: closed-form oracle — the fixture's hypothesis is a
+# strict subsequence of the reference (every 7th token dropped) and
+# documents are far below the 600-token truncation, so
+# LCS(ref, hyp) == len(hyp) with no DP; the truncated flag rides
+# along so data growth that breaks the assumption mismatches loudly.
+ORACLES["q_rouge_l"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS rt
+  FROM documents WHERE doc_id < 200
+), pairs AS (
+  SELECT doc_id,
+         rt[1:600] AS rtt,
+         (list_filter(rt, (t, i) -> i % 7 <> 0))[1:600] AS htt,
+         (len(rt) > 600
+          OR len(list_filter(rt, (t, i) -> i % 7 <> 0)) > 600)
+           AS truncated
+  FROM base
+), m AS (
+  SELECT doc_id, len(htt) AS lcs, len(rtt) AS ref_tokens,
+         len(htt) AS hyp_tokens, truncated
+  FROM pairs
+)
+SELECT doc_id, CAST(lcs AS BIGINT) AS lcs,
+       CAST(ref_tokens AS BIGINT) AS ref_tokens,
+       CAST(hyp_tokens AS BIGINT) AS hyp_tokens, truncated,
+       round(lcs * 1.0 / nullif(hyp_tokens, 0), 6) AS rouge_l_p,
+       round(lcs * 1.0 / nullif(ref_tokens, 0), 6) AS rouge_l_r,
+       round(coalesce(
+         2.0 * (lcs * 1.0 / nullif(hyp_tokens, 0))
+             * (lcs * 1.0 / nullif(ref_tokens, 0))
+         / nullif((lcs * 1.0 / nullif(hyp_tokens, 0))
+                  + (lcs * 1.0 / nullif(ref_tokens, 0)), 0),
+         0.0), 6) AS rouge_l_f
+FROM m
 """
 
 ORACLES["q_wasserstein"] = """

@@ -1508,15 +1508,32 @@ def q_corpus_clean(spark, sf_dir):
 
 @query("q_kmeans_sizes")
 def q_kmeans_sizes(spark, sf_dir):
-    """Iterative k-means over embeddings (operators/clustering.py) —
-    rows-only per the driver contract's iterative-algorithm carve-out
-    (centroid float summation order is engine-specific). Assignment is
-    one numpy matmul per Arrow batch; only k·d centroid values ever
-    reach the driver."""
+    """Iterative k-means (operators/clustering.py) promoted from
+    rows-only to a FULL hash check via a closed-form fixture
+    (round-6 VERDICT item 5): every embedding is shifted by
+    100·(vec_id % 3) in all 64 dims, making three clusters whose
+    separation (~800) dwarfs the intra-cluster spread (~8). The
+    deterministic init seeds from the k smallest ids — vec_id 0,1,2
+    land one per true cluster — so Lloyd's provably converges to
+    cluster == vec_id % 3 and the sizes are exact group counts the
+    oracle replays. This exercises the whole distributed pipeline
+    (Arrow matmul assignment + relational centroid update) with
+    value-checked output; raw-embedding behavior (engine-specific
+    float summation) stays pytest-checked."""
     from pipeline_dataengineer_spark.operators.clustering import cluster_sizes
 
-    emb = table(spark, sf_dir, "embeddings")
-    return cluster_sizes(emb, k=8, max_iterations=10)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            + (F.col("vec_id") % 3).cast("double") * 100.0,
+        ).alias("embedding"),
+    )
+    return cluster_sizes(emb, k=3, max_iterations=5).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
 
 
 @query("q_ngrams")
@@ -8796,11 +8813,13 @@ def q_pack_chunks(spark, sf_dir):
 def q_pack_greedy(spark, sf_dir):
     """Greedy no-split packing (operators/corpus.py:
     pack_greedy_shards) with num_shards=1 (exact sequential layout)
-    at a 4096-char budget. Greedy bin boundaries are a sequential
-    recursion — not SQL-expressible — so this is rows-only by
-    design; the layout invariants (no bin over budget except
-    oversize singletons, offsets contiguous) are pytest-enforced
-    and the oracle-side row count still must match 1:1."""
+    at a 4096-char budget. Promoted from rows-only to a full hash
+    check (round-6 VERDICT item 5): the greedy boundary recursion IS
+    SQL-expressible as a DuckDB recursive CTE — one step per doc
+    carrying (bin, used) state, with the overflow/oversize rules
+    replayed expression-for-expression (the corpus packs into only
+    ~40 bins/500 docs at sf0.01, so the recursion is cheap). Layout
+    invariants additionally pytest-enforced."""
     from pipeline_dataengineer_spark.operators.corpus import (
         pack_greedy_shards,
     )
@@ -9105,9 +9124,15 @@ def q_bleu(spark, sf_dir):
 @query("q_rouge_l")
 def q_rouge_l(spark, sf_dir):
     """Per-document ROUGE-L (operators/text_eval.py:rouge_l) of the
-    same word-dropout hypothesis — the LCS dynamic program is an
-    Arrow kernel (not SQL-expressible) → rows-only by design;
-    reference-parity pytest in test_round6_ops.py."""
+    same word-dropout hypothesis. The LCS dynamic program is an Arrow
+    kernel, but THIS fixture is oracle-able in closed form: the
+    hypothesis drops every 7th token of the reference, so it is a
+    strict subsequence and LCS(ref, hyp) = |hyp| exactly (docs are
+    ~100 tokens, far under the 600-token truncation, so truncation
+    never breaks the subsequence property — the oracle computes the
+    truncated flag and would hash-mismatch loudly if data growth
+    ever changed that). General-pair DP correctness stays pytest-
+    enforced vs a Python model in test_round6_ops.py."""
     from pipeline_dataengineer_spark.operators.text_eval import rouge_l
 
     d = table(spark, sf_dir, "documents").filter(
