@@ -204,3 +204,71 @@ def incremental_corpus_append(
                 "append"
             ).parquet(signature_store)
     return delta
+
+
+def streaming_corpus_drain(
+    spark,
+    topic_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    signature_store: str | None = None,
+    langs: list[str] | None = None,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.7,
+    source_format: str = "kafka_log",
+) -> None:
+    """The reference's daily Kafka drain (``spark_streaming.py``)
+    composed with the corpus-scale ingest: stream of JSON doc batches
+    → parse (imposed schema) → ``incremental_corpus_append`` (clean +
+    MinHash-LSH near-dup vs the CURRENT corpus, served by the
+    signature store) → append the delta to the corpus directory.
+
+    Exactly-once per doc id regardless of redelivery: the id-level
+    anti-join inside ``incremental_corpus_append`` re-reads the
+    corpus every micro-batch (the reference's read-once A17 bug,
+    fixed), so draining the same offsets twice — or replaying from a
+    fresh checkpoint — appends nothing. ``availableNow`` + a real
+    checkpoint give the daily-drain topology; production swaps
+    ``source_format="kafka"`` with broker options, nothing else
+    changes."""
+    from pipeline_dataengineer_spark.streaming.sinks import (
+        run_available_now,
+    )
+
+    doc_schema = "doc_id bigint, text string, lang string"
+    stream = (
+        spark.readStream.format(source_format)
+        .option("path", topic_dir)
+        .load()
+    )
+    docs = stream.select(
+        F.from_json(F.col("value").cast("string"), doc_schema).alias(
+            "d"
+        )
+    ).select("d.*")
+
+    def _existing(sess) -> DataFrame:
+        try:
+            return sess.read.parquet(corpus_dir).select(
+                "doc_id", "text", "lang"
+            )
+        except Exception:
+            return sess.createDataFrame([], doc_schema)
+
+    def drain_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        existing = _existing(sess)
+        delta = incremental_corpus_append(
+            existing,
+            batch_df,
+            langs=langs,
+            min_quality=min_quality,
+            jaccard_threshold=jaccard_threshold,
+            signature_store=signature_store,
+        )
+        if delta.limit(1).count() > 0:
+            delta.write.mode("append").parquet(corpus_dir)
+        delta.unpersist()
+
+    q = run_available_now(docs, drain_batch, checkpoint_dir)
+    q.awaitTermination()
