@@ -6660,6 +6660,8 @@ SELECT round((c - d) * 1.0
 FROM cd, tot, tx, ty
 """
 
+ORACLES["q_kendall_dist"] = ORACLES["q_kendall"]
+
 ORACLES["q_gini"] = """
 WITH ranked AS (
   SELECT c_mktsegment, c_acctbal + 1000.0 AS v,

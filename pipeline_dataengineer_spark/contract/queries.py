@@ -8729,6 +8729,27 @@ def q_kendall(spark, sf_dir):
     return kendall_tau_b(o, "xa", "xb")
 
 
+@query("q_kendall_dist")
+def q_kendall_dist(spark, sf_dir):
+    """kendall_tau_b(distributed=True): exact τ-b via per-partition
+    vectorized inversion counting + distinct-y cross-partition
+    cumulative dominance — no distinct-cell cap, no quadratic join
+    (the continuous-domain scale path, round 7). Shares q_kendall's
+    oracle verbatim; the result row is driver-assembled from exact
+    long counts, so the plan tail is a literal scan."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 7).cast("double").alias("xa"),
+        (F.floor(F.col("o_totalprice") / 50000)).cast("double").alias(
+            "xb"
+        ),
+    )
+    return kendall_tau_b(o, "xa", "xb", distributed=True)
+
+
 @query("q_gini")
 def q_gini(spark, sf_dir):
     """Gini concentration (operators/inequality.py:gini_coefficient)

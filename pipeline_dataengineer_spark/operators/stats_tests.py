@@ -891,6 +891,7 @@ def kendall_tau_b(
     y_col: str,
     round_to: int = 6,
     max_cells: int = 5_000,
+    distributed: bool = False,
 ) -> DataFrame:
     """Kendall's τ-b (tie-adjusted) over the distinct-CELL contingency
     reduction: group rows into (x, y) cells with counts (one
@@ -902,14 +903,20 @@ def kendall_tau_b(
 
     Cost is quadratic in DISTINCT CELLS, not rows — the right shape
     for ordinal / bucketed / Likert data (Kendall's statistical home
-    turf); for continuous data with ~all-distinct values use
-    spearman_rho. ``max_cells`` is the enforced guard: the dominance
-    join evaluates up to max_cells² cell pairs, so the default is
-    sized to keep that sub-second (5k² = 25M broadcast-NL
-    evaluations); anything larger raises instead of silently
-    stalling (same fail-loudly convention as the LSH bucket cap) —
-    a 100k default would admit 10^10 evaluations, hours of stall,
-    which contradicts the fail-loudly rationale."""
+    turf). ``max_cells`` is the enforced guard: the dominance join
+    evaluates up to max_cells² cell pairs, so the default is sized to
+    keep that sub-second (5k² = 25M broadcast-NL evaluations);
+    anything larger raises instead of silently stalling (same
+    fail-loudly convention as the LSH bucket cap) — a 100k default
+    would admit 10^10 evaluations, hours of stall, which contradicts
+    the fail-loudly rationale.
+
+    For CONTINUOUS data (distinct cells ≈ rows) pass
+    ``distributed=True``: the EXACT O(n log n)-per-partition
+    inversion-counting path (`_kendall_tau_b_distributed`) — no cell
+    cap, no quadratic join, identical τ-b/C/D/n."""
+    if distributed:
+        return _kendall_tau_b_distributed(df, x_col, y_col, round_to)
     cells = (
         df.select(
             F.col(x_col).cast("double").alias("__x"),
@@ -996,6 +1003,187 @@ def kendall_tau_b(
         )
     )
     return out
+
+
+def _count_strict_inversions(r):
+    """Strict inversions (#pairs i<j with r[i] > r[j]) of a dense-rank
+    int array, via MSB bit decomposition — O(n log n), every pass a
+    handful of full-vector numpy ops (no per-element Python loop, no
+    Fenwick): a pair inverts iff the ranks first differ at some bit k
+    with r[i] carrying 1 and r[j] carrying 0 (higher bits equal), so
+    per bit we count, within each same-high-bits group in sequence
+    order, the ones preceding each zero — a segment-cumsum."""
+    import numpy as np
+
+    n = len(r)
+    if n < 2:
+        return 0
+    hi = int(r.max())
+    bits = max(1, hi.bit_length())
+    inv = 0
+    for k in range(bits):
+        group = r >> (k + 1)
+        bitk = (r >> k) & 1
+        order = np.argsort(group, kind="stable")  # keeps seq order
+        g = group[order]
+        bk = bitk[order]
+        ones_cum = np.cumsum(bk)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        seg_sizes = np.diff(np.r_[starts, n])
+        seg_base = np.repeat(ones_cum[starts] - bk[starts], seg_sizes)
+        ones_before = ones_cum - bk - seg_base
+        inv += int(ones_before[bk == 0].sum())
+    return inv
+
+
+def _kendall_tau_b_distributed(
+    df: DataFrame, x_col: str, y_col: str, round_to: int = 6
+) -> DataFrame:
+    """Exact Kendall τ-b with NO distinct-cell cap — the continuous-
+    domain scale path (round-7; the cell-join default is quadratic in
+    distinct cells, which equals the row count for continuous data).
+
+    Discordant pairs D = strict inversions of the y-sequence sorted
+    by (x asc, y asc): equal-x pairs contribute nothing (ys ascend
+    within an x-run) and equal-y pairs are excluded by strictness.
+    Decomposition:
+
+    - range-partition by __x ALONE (Spark's RangePartitioner sends
+      equal keys to one partition, so an x-tie run never spans a
+      boundary), sort within partitions by (__x, __y), pin with
+      localCheckpoint;
+    - WITHIN-partition inversions: the vectorized bit-decomposition
+      kernel per partition (executor-parallel, O(b log b) each);
+    - CROSS-partition pairs always have x_i < x_j strictly, so their
+      count is Σ_v Σ_q cnt_q(v) · Σ_{p<q}(tot_p − cum_p(v)) over the
+      DISTINCT-y table with one per-source-partition count column —
+      cum_p comes from the two-phase global_cumsum, the prefix over
+      q is a P-term column expression. No unkeyed window, no join
+      wider than the distinct-y table.
+
+    C then follows from the pair identity C + D = n₀ − n₁ − n₂ + n₃
+    (total minus x-ties minus y-ties plus joint ties, the standard
+    τ-b bookkeeping), so both counts are exact longs. Returns the
+    same (tau_b, concordant, discordant, n) row as the default path.
+    Count products overflow long only past ~4.3e9 rows per side —
+    the same bound the default path carries."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_dataengineer_spark.operators.order import global_cumsum
+
+    base = (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    )
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    pinned = (
+        base.repartitionByRange(n_part, F.col("__x"))
+        .sortWithinPartitions("__x", "__y")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+    # tie bookkeeping: n0 total pairs, n1 x-tie pairs, n2 y-tie
+    # pairs, n3 joint-tie pairs — three combinable hash aggs
+    def _tie_pairs(keys):
+        return (
+            pinned.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .agg(
+                F.sum(
+                    F.col("__t") * (F.col("__t") - 1) / 2
+                ).alias("p")
+            )
+            .collect()[0]["p"]
+        )
+
+    n = pinned.count()
+    if n < 2:
+        return spark.createDataFrame(
+            [(None, 0, 0, n)],
+            "tau_b double, concordant long, discordant long, n long",
+        )
+    n0 = n * (n - 1) // 2
+    n1 = int(_tie_pairs(["__x"]))
+    n2 = int(_tie_pairs(["__y"]))
+    n3 = int(_tie_pairs(["__x", "__y"]))
+
+    # within-partition strict inversions (executor-parallel)
+    schema_inv = T.StructType([T.StructField("inv", T.LongType())])
+
+    def inv_kernel(batches):
+        import numpy as np
+
+        ys = []
+        for pdf in batches:
+            if len(pdf):
+                ys.append(pdf["__y"].to_numpy())
+        if not ys:
+            return
+        y = np.concatenate(ys)
+        uniq = np.unique(y)
+        ranks = np.searchsorted(uniq, y)
+        yield pd.DataFrame({"inv": [_count_strict_inversions(ranks)]})
+
+    d_within = (
+        pinned.select("__y")
+        .mapInPandas(inv_kernel, schema_inv)
+        .agg(F.sum("inv"))
+        .collect()[0][0]
+        or 0
+    )
+
+    # cross-partition: distinct-y table with one count column per
+    # source partition, inclusive cumulative counts via global_cumsum
+    p_ids = sorted(
+        r["__pid"]
+        for r in pinned.select("__pid").distinct().collect()
+    )
+    c_cols = [f"__c{p}" for p in p_ids]
+    g = pinned.groupBy("__y").agg(
+        *[
+            F.sum(
+                F.when(F.col("__pid") == p, 1).otherwise(0)
+            ).alias(f"__c{p}")
+            for p in p_ids
+        ]
+    )
+    tot_row = g.agg(
+        *[F.sum(c).alias(c) for c in c_cols]
+    ).collect()[0]
+    cum = global_cumsum(g, ["__y"], c_cols, prefix="__cum_")
+    # per distinct y: Σ_q cnt_q · (rows from earlier partitions with
+    # y strictly greater) — running prefix over partition order
+    prefix = F.lit(0).cast("long")
+    contrib = F.lit(0).cast("long")
+    for p in p_ids:
+        contrib = contrib + F.col(f"__c{p}").cast("long") * prefix
+        prefix = prefix + (
+            F.lit(int(tot_row[f"__c{p}"]))
+            - F.col(f"__cum___c{p}").cast("long")
+        )
+    d_cross = (
+        cum.select(contrib.alias("__d"))
+        .agg(F.sum("__d"))
+        .collect()[0][0]
+        or 0
+    )
+
+    d = int(d_within) + int(d_cross)
+    c = (n0 - n1 - n2 + n3) - d
+    denom = float(n0 - n1) * float(n0 - n2)
+    tau = (
+        round((c - d) / (denom**0.5), round_to) if denom > 0 else None
+    )
+    return spark.createDataFrame(
+        [(tau, c, d, n)],
+        "tau_b double, concordant long, discordant long, n long",
+    )
 
 
 def js_divergence(

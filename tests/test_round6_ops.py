@@ -886,3 +886,91 @@ def test_vocab_overlap_reference(spark):
     assert ("a", "c") not in got or got[("a", "c")]["common"] >= 0
     # disjoint vocabularies never meet the inner join -> pair absent
     assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_kendall_distributed_matches_default_and_bruteforce(spark):
+    """distributed=True (inversion counting, no cell cap) must agree
+    exactly with the default cell-join path AND a brute-force pair
+    count, on a continuous multi-partition fixture with x ties, y
+    ties, and joint ties."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    rows = []
+    for i in range(400):
+        x = float(i % 37) + (0.5 if i % 11 == 0 else 0.0)  # x ties
+        y = float((i * 7919) % 101) / 3.0 + (i % 5)         # y ties
+        rows.append((x, y))
+    # some joint ties
+    rows += [(3.0, 4.0)] * 4
+    df = spark.createDataFrame(rows, "x double, y double").repartition(13)
+    base = kendall_tau_b(df, "x", "y").collect()[0]
+    dist = kendall_tau_b(df, "x", "y", distributed=True).collect()[0]
+    assert (
+        dist["concordant"],
+        dist["discordant"],
+        dist["n"],
+        dist["tau_b"],
+    ) == (
+        base["concordant"],
+        base["discordant"],
+        base["n"],
+        base["tau_b"],
+    )
+    # brute force
+    c = d = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dx = rows[i][0] - rows[j][0]
+            dy = rows[i][1] - rows[j][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    assert dist["concordant"] == c and dist["discordant"] == d
+
+
+def test_kendall_distributed_continuous_no_cap(spark):
+    """All-distinct continuous data past the default path's cell cap
+    still computes exactly (the scale case the cap forbids)."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    n = 6000  # > max_cells=5000 distinct cells
+    rows = [
+        (float(i) + (i % 7) * 0.01, float((i * 2654435761) % 1_000_003))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double").repartition(17)
+    with pytest.raises(ValueError):
+        kendall_tau_b(df, "x", "y").collect()
+    out = kendall_tau_b(df, "x", "y", distributed=True).collect()[0]
+    assert out["n"] == n
+    assert out["concordant"] + out["discordant"] <= n * (n - 1) // 2
+    # x is strictly increasing in i; y is a pseudo-random permutation
+    # -> tau near 0, counts huge but consistent
+    assert abs(out["tau_b"]) < 0.05
+    assert out["concordant"] > 0 and out["discordant"] > 0
+
+
+def test_kendall_distributed_perfect_orders(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    up = spark.createDataFrame(
+        [(float(i), float(i) * 2.5) for i in range(500)],
+        "x double, y double",
+    ).repartition(9)
+    assert kendall_tau_b(up, "x", "y", distributed=True).collect()[0][
+        "tau_b"
+    ] == 1.0
+    down = spark.createDataFrame(
+        [(float(i), -float(i)) for i in range(500)],
+        "x double, y double",
+    ).repartition(9)
+    assert kendall_tau_b(down, "x", "y", distributed=True).collect()[
+        0
+    ]["tau_b"] == -1.0

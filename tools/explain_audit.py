@@ -680,6 +680,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # window-free (same caveat as q_ks_test_dist: the pinned sort is
     # a LocalTableScan upstream of what remains)
     "q_cliffs_delta_dist": (["Scan ExistingRDD"], ["Window"]),
+    # distributed Kendall: counts are computed eagerly (inversion
+    # kernel + distinct-y cumsum jobs), the returned row is a literal
+    # — audit pins the tail is a local scan with no window/join
+    "q_kendall_dist": (["Scan ExistingRDD"], ["Window", "Join"]),
     # vocab overlap: distinct (slice, token) hash agg + token-keyed
     # equi self-join — vocabulary-sized, never a nested loop
     "q_vocab_overlap": (["HashAggregate"],
