@@ -1088,30 +1088,43 @@ def _kendall_tau_b_distributed(
         .localCheckpoint()
     )
 
-    # tie bookkeeping: n0 total pairs, n1 x-tie pairs, n2 y-tie
-    # pairs, n3 joint-tie pairs — three combinable hash aggs
-    def _tie_pairs(keys):
-        return (
-            pinned.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__t"))
-            .agg(
-                F.sum(
-                    F.col("__t") * (F.col("__t") - 1) / 2
-                ).alias("p")
-            )
-            .collect()[0]["p"]
-        )
-
-    n = pinned.count()
+    # tie bookkeeping (n, n1 x-tie pairs, n2 y-tie pairs, n3 joint):
+    # ONE combinable pass over the facts builds the distinct-cell
+    # table; n/n3 and the per-axis tie sums are cell-sized aggs on it
+    cells = (
+        pinned.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .persist()
+    )
+    tot = cells.agg(
+        F.sum("__t").alias("n"),
+        F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("n3"),
+    ).collect()[0]
+    n = int(tot["n"] or 0)
     if n < 2:
+        cells.unpersist()
         return spark.createDataFrame(
             [(None, 0, 0, n)],
             "tau_b double, concordant long, discordant long, n long",
         )
     n0 = n * (n - 1) // 2
-    n1 = int(_tie_pairs(["__x"]))
-    n2 = int(_tie_pairs(["__y"]))
-    n3 = int(_tie_pairs(["__x", "__y"]))
+    n3 = int(tot["n3"])
+
+    def _axis_ties(key):
+        return int(
+            cells.groupBy(key)
+            .agg(F.sum("__t").alias("__s"))
+            .agg(
+                F.sum(
+                    F.col("__s") * (F.col("__s") - 1) / 2
+                ).alias("p")
+            )
+            .collect()[0]["p"]
+        )
+
+    n1 = _axis_ties("__x")
+    n2 = _axis_ties("__y")
+    cells.unpersist()
 
     # within-partition strict inversions (executor-parallel)
     schema_inv = T.StructType([T.StructField("inv", T.LongType())])
