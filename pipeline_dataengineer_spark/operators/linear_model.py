@@ -66,6 +66,10 @@ def logistic_gd(
             *[F.avg((p - y) * xs[j]).alias(f"g{j}") for j in range(d)],
             F.avg(p - y).alias("gb"),
         ).collect()[0]
+        if r["gb"] is None:
+            raise ValueError(
+                "gradient fit: empty input (no non-NULL rows) - nothing to fit"
+            )
         w = [w[j] - lr * (r[f"g{j}"] + l2 * w[j]) for j in range(d)]
         b = b - lr * r["gb"]
     z = F.lit(b)
@@ -146,6 +150,10 @@ def quantile_regression_gd(
             *[F.avg(g * xs[j]).alias(f"g{j}") for j in range(d)],
             F.avg(g).alias("gb"),
         ).collect()[0]
+        if r["gb"] is None:
+            raise ValueError(
+                "gradient fit: empty input (no non-NULL rows) - nothing to fit"
+            )
         w = [w[j] - lr * r[f"g{j}"] for j in range(d)]
         b = b - lr * r["gb"]
     pred = F.lit(b)
@@ -201,6 +209,10 @@ def poisson_gd(
             *[F.avg((mu - y) * xs[j]).alias(f"g{j}") for j in range(d)],
             F.avg(mu - y).alias("gb"),
         ).collect()[0]
+        if r["gb"] is None:
+            raise ValueError(
+                "gradient fit: empty input (no non-NULL rows) - nothing to fit"
+            )
         w = [w[j] - lr * r[f"g{j}"] for j in range(d)]
         b = b - lr * r["gb"]
     z = F.lit(b)

@@ -264,8 +264,13 @@ def histogram(
         row = df.agg(
             F.min(v).alias("lo"), F.max(v).alias("hi")
         ).collect()[0]
-        lo = float(row["lo"]) if lo is None else lo
-        hi = float(row["hi"]) if hi is None else hi
+        # empty / all-NULL input leaves min/max NULL: any bounds do
+        # (every surviving row is NULL -> bin -1 regardless), so fall
+        # back instead of TypeError(float(None))
+        if lo is None:
+            lo = float(row["lo"]) if row["lo"] is not None else 0.0
+        if hi is None:
+            hi = float(row["hi"]) if row["hi"] is not None else 1.0
     if hi <= lo:
         hi = lo + 1.0
     w = (hi - lo) / bins

@@ -31,6 +31,14 @@ def chi2_association(
     row_m = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
     col_m = cells.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
     n = cells.agg(F.sum("__o")).collect()[0][0]
+    if n is None:
+        # empty input: no contingency table — degrade to the NULL
+        # row instead of TypeError(float(None)) below (same repo
+        # convention as lorenz_curve/histogram empty guards)
+        return df.sparkSession.createDataFrame(
+            [(None, 0, None, 0)],
+            "chi2 double, dof long, cramers_v double, n long",
+        )
     joined = (
         cells.join(F.broadcast(row_m), col_a, "left")
         .join(F.broadcast(col_m), col_b, "left")

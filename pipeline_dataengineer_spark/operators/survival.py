@@ -345,6 +345,11 @@ def cox_ph(
                 for j in range(d)
             ]
         ).collect()[0]
+        if g[f"g{0}"] is None:
+            raise ValueError(
+                "cox fit: empty input (no non-NULL rows) - "
+                "nothing to fit"
+            )
         w = [w[j] + lr * g[f"g{j}"] for j in range(d)]
 
     cells = risk_cells(w)

@@ -171,3 +171,59 @@ def test_adamic_adar_max_degree_cap_fires(spark):
     assert capped[(1, 2)] == round(1.0 / math.log(2.0), 6)
     # hub-only pairs like (3, 4) disappear under the cap
     assert (3, 4) in uncapped and (3, 4) not in capped
+
+
+# ------------------------------------------------------------------
+# round-7 defensive sweep: the lorenz/bleu empty-input bug class
+# (float(None)/arith(None) after a driver-side collect on empty or
+# all-NULL input) audited across every collect()[0] site
+# ------------------------------------------------------------------
+
+
+def test_chi2_empty_input_degrades(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        chi2_association,
+    )
+
+    empty = spark.createDataFrame([], "a string, b string")
+    row = chi2_association(empty, "a", "b").collect()[0]
+    assert row["n"] == 0 and row["chi2"] is None
+
+
+def test_histogram_empty_and_allnull_input(spark):
+    from pipeline_dataengineer_spark.operators.profiling import histogram
+
+    empty = spark.createDataFrame([], "v double")
+    assert histogram(empty, "v", bins=4).collect() == []
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    got = histogram(nulls, "v", bins=4).collect()
+    # all rows land in the NULL bin (-1); no TypeError on the bounds
+    assert [(r["bin"], r["n"]) for r in got] == [(-1, 2)]
+
+
+def test_gradient_fits_empty_input_raise_clearly(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.linear_model import (
+        logistic_gd,
+        poisson_gd,
+        quantile_regression_gd,
+    )
+
+    empty = spark.createDataFrame([], "x double, y double")
+    with pytest.raises(ValueError, match="empty input"):
+        logistic_gd(empty, ["x"], "y", iterations=1)
+    with pytest.raises(ValueError, match="empty input"):
+        quantile_regression_gd(empty, ["x"], "y", iterations=1)
+    with pytest.raises(ValueError, match="empty input"):
+        poisson_gd(empty, ["x"], "y", iterations=1)
+
+
+def test_cox_ph_empty_input_raises_clearly(spark):
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.survival import cox_ph
+
+    empty = spark.createDataFrame([], "t double, e int, x double")
+    with pytest.raises(ValueError, match="empty input"):
+        cox_ph(empty, "t", "e", ["x"], iterations=1)
