@@ -2335,18 +2335,19 @@ walk(node, cost) AS (
 SELECT node, min(cost) AS dist FROM walk GROUP BY node
 """
 
-# q_bootstrap_ci: identical Lehmer uniform + Poisson(1) CDF ladder +
-# weighted means + quantile_cont — the determinism makes a bootstrap
+# q_bootstrap_ci: identical scrambled uniform (non-linear — the
+# affine Lehmer stride gave consecutive ids a low-discrepancy weight
+# pattern within each replicate) + Poisson(1) CDF ladder + weighted
+# means + quantile_cont — the determinism makes a bootstrap
 # hash-checkable across engines.
-ORACLES["q_bootstrap_ci"] = """
+ORACLES["q_bootstrap_ci"] = f"""
 WITH reps AS (
   SELECT e.event_type, e.event_id, e.value, g.r AS rep
   FROM events e, generate_series(0, 199) AS g(r)
 ),
 w AS (
   SELECT event_type, rep, value,
-         CAST(((((event_id * 200 + rep) % 2147483647 + 2147483647)
-                 % 2147483647 * 48271) % 2147483647) % 1000000
+         CAST(({_scramble_sql('event_id * 200 + rep')}) % 1000000
               AS DOUBLE) / 1000000 AS u
   FROM reps
 ),
@@ -3093,8 +3094,8 @@ nn AS (SELECT count(*) AS n FROM part),
 users AS (SELECT DISTINCT user_id FROM inter),
 draws AS MATERIALIZED (
   SELECT u.user_id, d.d AS draw,
-         ({_bucket_sql('u.user_id * 131 + d.d * 7 + 17', 1_000_000)}) % nn.n
-           AS i
+         (({_scramble_sql('u.user_id * 131 + d.d * 7 + 17')}) % 1000000)
+           % nn.n AS i
   FROM users u
   CROSS JOIN (SELECT unnest(range(0, 12)) AS d) d, nn
 ),

@@ -13,7 +13,7 @@ collapses them before the shuffle; the shuffle carries
 This implementation is additionally DETERMINISTIC and
 engine-portable: the Poisson multiplicity comes from inverting the
 Poisson(1) CDF on a Lehmer-hash uniform of (row id, replicate) —
-``operators/sampling.py:portable_bucket`` arithmetic — with the CDF
+``operators/sampling.py:portable_scramble`` arithmetic — with the CDF
 thresholds written as exact double literals. Any engine replaying
 the same integer hash and the same CASE ladder reproduces the exact
 resamples, which is how the q_bootstrap_ci oracle hash-checks a
@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+from pipeline_dataengineer_spark.operators.sampling import portable_scramble
 
 # P(Poisson(1) <= k) for k = 0..7, as exact double literals (e^-1
 # partial sums). Truncation at 8 biases P by < 1e-5 — far below
@@ -73,10 +73,18 @@ def bootstrap_mean_ci(
     base = df.select(*group_cols, id_col, value_col).select(
         *group_cols, id_col, value_col, rep
     )
+    # NON-LINEAR scramble, not the affine Lehmer bucket: the affine
+    # step is order-preserving with a constant stride, so within one
+    # replicate consecutive ids would receive a fixed low-discrepancy
+    # weight pattern (anticorrelated weights understate the bootstrap
+    # variance) — the same hazard class fixed in sample_negatives.
     u = (
-        portable_bucket(
-            F.col(id_col).cast("long") * n_replicates + F.col("__rep"),
-            _BUCKETS,
+        F.pmod(
+            portable_scramble(
+                F.col(id_col).cast("long") * n_replicates
+                + F.col("__rep")
+            ),
+            F.lit(_BUCKETS),
         ).cast("double")
         / _BUCKETS
     )

@@ -19,7 +19,7 @@ Scale notes:
   as any groupBy; precondition with ``sampling.group_sample`` to cap
   per-entity degree when the degree distribution is unbounded (the
   industry fix — rating caps change the loss negligibly);
-- determinism: factor init is the Lehmer hash of (id, dim) — no RNG,
+- determinism: factor init is the non-linear scramble of (id, dim) — no RNG,
   stable across layouts — and each solve sorts its group by the other
   side's id so float summation order is fixed. Two runs agree
   bit-for-bit.
@@ -42,19 +42,26 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pipeline_dataengineer_spark.operators.sampling import portable_bucket
+from pipeline_dataengineer_spark.operators.sampling import portable_scramble
 
 _B = 1_000_003
 
 
 def _init_factors(ids: DataFrame, id_col: str, rank: int) -> DataFrame:
-    """Deterministic small init in [-0.5, 0.5) / rank per dim, from
-    the Lehmer bucket of (id * 31 + dim) — layout-independent."""
+    """Deterministic small init in [-0.5, 0.5) / rank per dim from
+    the NON-LINEAR scramble of (id * 31 + dim) — layout-independent.
+    The scramble, not the affine Lehmer bucket: under the affine map
+    adjacent ids' init vectors were coordinate-wise translated copies
+    of each other (constant stride per id step), a correlated init
+    the iterations then had to wash out."""
     dims = [
         (
             (
-                portable_bucket(
-                    F.col(id_col).cast("long") * 31 + F.lit(j), _B
+                F.pmod(
+                    portable_scramble(
+                        F.col(id_col).cast("long") * 31 + F.lit(j)
+                    ),
+                    F.lit(_B),
                 )
                 / F.lit(float(_B))
                 - 0.5
@@ -225,7 +232,7 @@ def negative_samples(
     drawn pseudo-randomly from the ``items`` catalog.
 
     Fully relational and engine-portable: candidate i for a user is
-    the catalog item at Lehmer-bucket(user * 131 + i * 7 + seed)
+    the catalog item at scramble(user * 131 + i * 7 + seed) mod n
     (dense catalog indices from one catalog-sized row_number window);
     candidates explode k*oversample wide (a constant), the user's
     true interactions are removed with ONE anti-join on (user, item),
@@ -238,9 +245,6 @@ def negative_samples(
     a higher oversample, the group_sample guard pattern)."""
     from pyspark.sql import Window
 
-    from pipeline_dataengineer_spark.operators.sampling import (
-        portable_bucket,
-    )
 
     n_items_row = items.agg(F.count("*").alias("n"))
     idx = items.select(
@@ -258,11 +262,13 @@ def negative_samples(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda i: portable_bucket(
-                        F.col(user_col).cast("long") * 131
-                        + i * 7
-                        + F.lit(seed),
-                        1_000_000,
+                    lambda i: F.pmod(
+                        portable_scramble(
+                            F.col(user_col).cast("long") * 131
+                            + i * 7
+                            + F.lit(seed)
+                        ),
+                        F.lit(1_000_000),
                     )
                     % F.col("n"),
                 )
