@@ -974,3 +974,45 @@ def test_kendall_distributed_perfect_orders(spark):
     assert kendall_tau_b(down, "x", "y", distributed=True).collect()[
         0
     ]["tau_b"] == -1.0
+
+
+def test_kendall_distributed_randomized_vs_bruteforce(spark):
+    """Randomized (seeded) fixtures across tie regimes, each checked
+    against the O(n^2) definition — the property the decomposition
+    must hold under any tie layout, including an extreme-skew run
+    where one x value holds half the rows (RangePartitioner pins the
+    whole run to one partition; correctness must not depend on
+    balance)."""
+    import random
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    rng = random.Random(1347)
+    fixtures = []
+    # dense ties
+    fixtures.append(
+        [(float(rng.randint(0, 4)), float(rng.randint(0, 3))) for _ in range(300)]
+    )
+    # continuous, no ties
+    fixtures.append(
+        [(rng.random(), rng.random()) for _ in range(300)]
+    )
+    # extreme x skew: half the rows share one x
+    fixtures.append(
+        [(7.0, rng.random()) for _ in range(150)]
+        + [(rng.random() * 5, rng.random()) for _ in range(150)]
+    )
+    for rows in fixtures:
+        df = spark.createDataFrame(rows, "x double, y double").repartition(11)
+        got = kendall_tau_b(df, "x", "y", distributed=True).collect()[0]
+        c = d = 0
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                s = (rows[i][0] - rows[j][0]) * (rows[i][1] - rows[j][1])
+                if s > 0:
+                    c += 1
+                elif s < 0:
+                    d += 1
+        assert (got["concordant"], got["discordant"]) == (c, d), rows[:5]
