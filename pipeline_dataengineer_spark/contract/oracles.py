@@ -6663,6 +6663,38 @@ FROM cd, tot, tx, ty
 
 ORACLES["q_kendall_dist"] = ORACLES["q_kendall"]
 
+# q_kendall_cont: the oracle is the O(n²) TEXTBOOK pair definition
+# (affordable on the bounded 2000-row fixture: 4M pair evaluations),
+# NOT a replay of the engine's decomposition — an independent check
+# of the distributed inversion-counting path.
+ORACLES["q_kendall_cont"] = """
+WITH base AS (
+  SELECT c_acctbal + c_custkey / 1000.0 AS x,
+         c_acctbal * 0.3 + (c_custkey * 2654435761 % 1000) / 10.0 AS y,
+         row_number() OVER (ORDER BY c_custkey) AS rn
+  FROM customer WHERE c_custkey <= 2000
+), cd AS (
+  SELECT
+    sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS c,
+    sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS d
+  FROM base a JOIN base b ON a.rn < b.rn
+), nn AS (SELECT count(*) AS n FROM base),
+tx AS (
+  SELECT sum(t * (t - 1) / 2) AS n1
+  FROM (SELECT count(*) AS t FROM base GROUP BY x)
+), ty AS (
+  SELECT sum(t * (t - 1) / 2) AS n2
+  FROM (SELECT count(*) AS t FROM base GROUP BY y)
+)
+SELECT round((c - d) /
+             sqrt((n * (n - 1) / 2.0 - n1) * (n * (n - 1) / 2.0 - n2)),
+             6) AS tau_b,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       CAST(n AS BIGINT) AS n
+FROM cd, nn, tx, ty
+"""
+
 ORACLES["q_gini"] = """
 WITH ranked AS (
   SELECT c_mktsegment, c_acctbal + 1000.0 AS v,

@@ -8750,6 +8750,31 @@ def q_kendall_dist(spark, sf_dir):
     return kendall_tau_b(o, "xa", "xb", distributed=True)
 
 
+@query("q_kendall_cont")
+def q_kendall_cont(spark, sf_dir):
+    """kendall_tau_b(distributed=True) on a CONTINUOUS fixture —
+    ~all-distinct (x, y) over 2000 customers, the exact case the
+    default path's cell cap forbids. Spark runs the O(n log n)
+    inversion decomposition; the oracle can afford the O(n²)
+    definition directly (4M pair evaluations on the bounded fixture),
+    so this differential checks the scale path against the textbook
+    pair count, not a replay of our own algebra."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        kendall_tau_b,
+    )
+
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 2000
+    ).select(
+        (F.col("c_acctbal") + F.col("c_custkey") / 1000.0).alias("x"),
+        (
+            F.col("c_acctbal") * 0.3
+            + (F.col("c_custkey") * 2654435761 % 1000) / 10.0
+        ).alias("y"),
+    )
+    return kendall_tau_b(c, "x", "y", distributed=True)
+
+
 @query("q_gini")
 def q_gini(spark, sf_dir):
     """Gini concentration (operators/inequality.py:gini_coefficient)

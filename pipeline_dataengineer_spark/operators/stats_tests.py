@@ -1179,18 +1179,37 @@ def _kendall_tau_b_distributed(
     ).collect()[0]
     cum = global_cumsum(g, ["__y"], c_cols, prefix="__cum_")
     # per distinct y: Σ_q cnt_q · (rows from earlier partitions with
-    # y strictly greater) — running prefix over partition order
-    prefix = F.lit(0).cast("long")
-    contrib = F.lit(0).cast("long")
-    for p in p_ids:
-        contrib = contrib + F.col(f"__c{p}").cast("long") * prefix
-        prefix = prefix + (
-            F.lit(int(tot_row[f"__c{p}"]))
-            - F.col(f"__cum___c{p}").cast("long")
-        )
+    # y strictly greater) = Σ_q cnt_q · Σ_{p<q}(tot_p − cum_p).
+    # NOT a chained Column prefix expression: a P-term running-prefix
+    # tree trips Catalyst codegen's subexpression elimination into
+    # building multi-GB generated source once P ≈ 32 (measured:
+    # OutOfMemoryError in CodegenContext on the 32-partition
+    # continuous fixture; same expression-growth class as the
+    # Hilbert-index note in README). An Arrow kernel does the P-wide
+    # product-sum as three vectorized numpy ops per batch instead.
+    import numpy as np
+
+    tot_vec = np.array(
+        [int(tot_row[c]) for c in c_cols], dtype=np.int64
+    )
+    cum_cols = [f"__cum_{c}" for c in c_cols]
+    schema_d = T.StructType([T.StructField("d", T.LongType())])
+
+    def cross_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cnt = pdf[c_cols].to_numpy(dtype=np.int64)
+            rem = tot_vec[None, :] - pdf[cum_cols].to_numpy(
+                dtype=np.int64
+            )
+            prefix = np.cumsum(rem, axis=1) - rem  # exclusive over p
+            yield pd.DataFrame({"d": [int((cnt * prefix).sum())]})
+
     d_cross = (
-        cum.select(contrib.alias("__d"))
-        .agg(F.sum("__d"))
+        cum.select(*c_cols, *cum_cols)
+        .mapInPandas(cross_kernel, schema_d)
+        .agg(F.sum("d"))
         .collect()[0][0]
         or 0
     )

@@ -684,6 +684,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # kernel + distinct-y cumsum jobs), the returned row is a literal
     # — audit pins the tail is a local scan with no window/join
     "q_kendall_dist": (["Scan ExistingRDD"], ["Window", "Join"]),
+    "q_kendall_cont": (["Scan ExistingRDD"], ["Window", "Join"]),
     # vocab overlap: distinct (slice, token) hash agg + token-keyed
     # equi self-join — vocabulary-sized, never a nested loop
     "q_vocab_overlap": (["HashAggregate"],
