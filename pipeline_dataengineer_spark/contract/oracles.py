@@ -6663,6 +6663,32 @@ FROM cd, tot, tx, ty
 
 ORACLES["q_kendall_dist"] = ORACLES["q_kendall"]
 
+ORACLES["q_grouped_spearman"] = """
+WITH base AS (
+  SELECT c_mktsegment AS g, c_acctbal AS x,
+         (c_custkey % 97) * 1.0 + c_acctbal * 0.01 AS y
+  FROM customer WHERE c_acctbal IS NOT NULL
+), r AS (
+  SELECT g,
+         rank() OVER (PARTITION BY g ORDER BY x)
+           + (count(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY g ORDER BY y)
+           + (count(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+  FROM base
+), m AS (
+  SELECT g, count(*) AS n, sum(rx) AS sa, sum(ry) AS sb,
+         sum(rx * rx) AS saa, sum(ry * ry) AS sbb,
+         sum(rx * ry) AS sab
+  FROM r GROUP BY g
+)
+SELECT g AS c_mktsegment,
+       round((n * sab - sa * sb)
+             / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+             6) AS rho,
+       CAST(n AS BIGINT) AS n
+FROM m
+"""
+
 # q_kendall_cont: the oracle is the O(n²) TEXTBOOK pair definition
 # (affordable on the bounded 2000-row fixture: 4M pair evaluations),
 # NOT a replay of the engine's decomposition — an independent check

@@ -8750,6 +8750,30 @@ def q_kendall_dist(spark, sf_dir):
     return kendall_tau_b(o, "xa", "xb", distributed=True)
 
 
+@query("q_grouped_spearman")
+def q_grouped_spearman(spark, sf_dir):
+    """Per-segment Spearman ρ (operators/stats_tests.py:
+    grouped_spearman): rank correlation of account balance vs a
+    derived ordinal per market segment — keyed windows over per-group
+    distinct-value tables, scale-safe with no distributed switch
+    (the grouped_roc_auc shape). Oracle replays fractional ranks via
+    rank() + (ties-1)/2 and the Pearson-on-ranks moments."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_spearman,
+    )
+
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    ).select(
+        "c_mktsegment",
+        F.col("c_acctbal").alias("x"),
+        (
+            (F.col("c_custkey") % 97) * 1.0 + F.col("c_acctbal") * 0.01
+        ).alias("y"),
+    )
+    return grouped_spearman(c, ["c_mktsegment"], "x", "y")
+
+
 @query("q_kendall_cont")
 def q_kendall_cont(spark, sf_dir):
     """kendall_tau_b(distributed=True) on a CONTINUOUS fixture —

@@ -893,6 +893,74 @@ def spearman_rho(
     )
 
 
+def grouped_spearman(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Spearman ρ — the segment-sliced rank correlation
+    (per experiment arm, per source, per language slice), one row per
+    group: (group..., rho, n). Average-rank tie handling, pairwise-
+    complete NULL drop — same semantics as spearman_rho per group.
+
+    Scale-safe WITHOUT a distributed switch: every window is KEYED by
+    the group (Window.partitionBy(group).orderBy(value) over the
+    per-group DISTINCT-value table, the grouped_roc_auc shape), so no
+    single-task stage exists at any group count; the final moments
+    are one combinable hash agg."""
+    keys = [F.col(c) for c in group_cols]
+    base = df.select(
+        *group_cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def ranked(col, out):
+        g = base.groupBy(*group_cols, col).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return g.select(
+            *group_cols,
+            col,
+            (
+                F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+                + (F.col("__cnt") + 1) / 2.0
+            ).alias(out),
+        )
+
+    rx = ranked("__x", "__rx")
+    ry = ranked("__y", "__ry")
+    j = base.join(rx, [*group_cols, "__x"]).join(
+        ry, [*group_cols, "__y"]
+    )
+    agg = j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("__sa"),
+        F.sum("__ry").alias("__sb"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__saa"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__sbb"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    den = F.sqrt(
+        (n * F.col("__saa") - F.col("__sa") * F.col("__sa"))
+        * (n * F.col("__sbb") - F.col("__sb") * F.col("__sb"))
+    )
+    return agg.select(
+        *group_cols,
+        F.round(F.try_divide(num, den), round_to).alias("rho"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def kendall_tau_b(
     df: DataFrame,
     x_col: str,

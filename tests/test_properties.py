@@ -209,3 +209,28 @@ def test_random_projection_preserves_distances(spark):
             ratios.append(d1 / d0)
     r = np.array(ratios)
     assert 0.5 < r.min() and r.max() < 1.6
+
+
+# ------------------------------------------------------------------
+# distributed-Kendall inversion kernel (pure numpy function)
+# ------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(min_value=0, max_value=40), max_size=200))
+@settings(**_SETTINGS)
+def test_count_strict_inversions_matches_definition(vals):
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        _count_strict_inversions,
+    )
+
+    r = np.asarray(vals, dtype=np.int64)
+    got = _count_strict_inversions(r)
+    want = sum(
+        1
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if vals[i] > vals[j]
+    )
+    assert got == want

@@ -1016,3 +1016,25 @@ def test_kendall_distributed_randomized_vs_bruteforce(spark):
                 elif s < 0:
                     d += 1
         assert (got["concordant"], got["discordant"]) == (c, d), rows[:5]
+
+
+def test_grouped_spearman_matches_solo_per_group(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_spearman,
+        spearman_rho,
+    )
+
+    rows = []
+    for i in range(300):
+        g = "abc"[i % 3]
+        rows.append((g, float((i * 7) % 13), float((i * 5) % 9) + (i % 13)))
+    df = spark.createDataFrame(rows, "g string, x double, y double").repartition(7)
+    grouped = {
+        r["g"]: (r["rho"], r["n"])
+        for r in grouped_spearman(df, ["g"], "x", "y").collect()
+    }
+    for g in "abc":
+        solo = spearman_rho(
+            df.filter(F.col("g") == g), "x", "y"
+        ).collect()[0]
+        assert grouped[g] == (solo["rho"], solo["n"])

@@ -685,6 +685,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # — audit pins the tail is a local scan with no window/join
     "q_kendall_dist": (["Scan ExistingRDD"], ["Window", "Join"]),
     "q_kendall_cont": (["Scan ExistingRDD"], ["Window", "Join"]),
+    # grouped Spearman: every window keyed by the group over the
+    # per-group distinct-value table; moments one combinable agg —
+    # no nested loop, no cartesian
+    "q_grouped_spearman": (["HashAggregate", "Window"],
+                           ["BroadcastNestedLoopJoin",
+                            "CartesianProduct"]),
     # vocab overlap: distinct (slice, token) hash agg + token-keyed
     # equi self-join — vocabulary-sized, never a nested loop
     "q_vocab_overlap": (["HashAggregate"],
