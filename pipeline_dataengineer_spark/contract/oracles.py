@@ -6663,6 +6663,39 @@ FROM cd, tot, tx, ty
 
 ORACLES["q_kendall_dist"] = ORACLES["q_kendall"]
 
+ORACLES["q_grouped_cliffs"] = """
+WITH two AS (
+  SELECT month(o_orderdate) % 4 AS bucket,
+         o_orderpriority AS g, round(o_totalprice, 0) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), cells AS (
+  SELECT bucket, v,
+         sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+         sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS ib
+  FROM two GROUP BY bucket, v
+), cum AS (
+  SELECT bucket, ia, ib,
+         coalesce(sum(ib) OVER (PARTITION BY bucket ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS b_below,
+         coalesce(sum(ia) OVER (PARTITION BY bucket ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS a_below
+  FROM cells
+), agg AS (
+  SELECT bucket,
+         sum(ia * b_below) AS n_gt, sum(ib * a_below) AS n_lt,
+         sum(ia) AS na, sum(ib) AS nb
+  FROM cum GROUP BY bucket
+)
+SELECT bucket,
+       round((n_gt - n_lt) * 1.0 / (na * 1.0 * nb), 6) AS delta,
+       CAST(n_gt AS BIGINT) AS n_gt, CAST(n_lt AS BIGINT) AS n_lt,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM agg
+"""
+
 ORACLES["q_grouped_spearman"] = """
 WITH base AS (
   SELECT c_mktsegment AS g, c_acctbal AS x,

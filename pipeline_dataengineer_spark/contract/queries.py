@@ -8750,6 +8750,27 @@ def q_kendall_dist(spark, sf_dir):
     return kendall_tau_b(o, "xa", "xb", distributed=True)
 
 
+@query("q_grouped_cliffs")
+def q_grouped_cliffs(spark, sf_dir):
+    """Per-segment Cliff's δ (operators/stats_tests.py:
+    grouped_cliffs_delta): URGENT-vs-LOW order-total effect size per
+    order month bucket — the dominance cumulative KEYED by the group,
+    scale-safe at any group count. Oracle replays cells + keyed
+    cumulative + per-group exact counts."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_cliffs_delta,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.month("o_orderdate") % 4).alias("bucket"),
+        "o_orderpriority",
+        F.round("o_totalprice", 0).alias("tp"),
+    )
+    return grouped_cliffs_delta(
+        o, ["bucket"], "o_orderpriority", "tp", "1-URGENT", "5-LOW"
+    )
+
+
 @query("q_grouped_spearman")
 def q_grouped_spearman(spark, sf_dir):
     """Per-segment Spearman ρ (operators/stats_tests.py:

@@ -1558,3 +1558,68 @@ def cliffs_delta(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     )
+
+
+def grouped_cliffs_delta(
+    df: DataFrame,
+    group_cols: list[str],
+    class_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Cliff's δ — the segment-sliced ordinal effect size
+    (per experiment arm, per market, per cohort), one row per group:
+    (group..., delta, n_gt, n_lt, n_a, n_b). Same dominance identity
+    as cliffs_delta, computed per group over the per-group
+    distinct-value table with the cumulative window KEYED by the
+    group — scale-safe at any group count with no distributed switch
+    (the grouped_spearman / grouped_roc_auc shape)."""
+    two = df.filter(
+        F.col(class_col).isin([group_a, group_b])
+    ).select(
+        *group_cols,
+        F.col(class_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    g = two.groupBy(*group_cols, "__v").agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("__ia"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("__ib"),
+    )
+    w_below = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        *group_cols,
+        "__ia",
+        "__ib",
+        F.coalesce(F.sum("__ib").over(w_below), F.lit(0)).alias(
+            "__b_below"
+        ),
+        F.coalesce(F.sum("__ia").over(w_below), F.lit(0)).alias(
+            "__a_below"
+        ),
+    )
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum(F.col("__ia") * F.col("__b_below")).alias("n_gt"),
+        F.sum(F.col("__ib") * F.col("__a_below")).alias("n_lt"),
+        F.sum("__ia").alias("n_a"),
+        F.sum("__ib").alias("n_b"),
+    )
+    return agg.select(
+        *group_cols,
+        F.round(
+            F.try_divide(
+                (F.col("n_gt") - F.col("n_lt")).cast("double"),
+                (F.col("n_a") * F.col("n_b")).cast("double"),
+            ),
+            round_to,
+        ).alias("delta"),
+        F.col("n_gt").cast("long").alias("n_gt"),
+        F.col("n_lt").cast("long").alias("n_lt"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )

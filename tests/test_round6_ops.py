@@ -1038,3 +1038,30 @@ def test_grouped_spearman_matches_solo_per_group(spark):
             df.filter(F.col("g") == g), "x", "y"
         ).collect()[0]
         assert grouped[g] == (solo["rho"], solo["n"])
+
+
+def test_grouped_cliffs_matches_solo_per_group(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        cliffs_delta,
+        grouped_cliffs_delta,
+    )
+
+    rows = []
+    for i in range(240):
+        seg = "xy"[i % 2]
+        cls = "a" if i % 3 else "b"
+        rows.append((seg, cls, float((i * 13) % 29) + (i % 2)))
+    df = spark.createDataFrame(
+        rows, "seg string, cls string, v double"
+    ).repartition(5)
+    grouped = {
+        r["seg"]: tuple(r)[1:]
+        for r in grouped_cliffs_delta(
+            df, ["seg"], "cls", "v", "a", "b"
+        ).collect()
+    }
+    for seg in "xy":
+        solo = cliffs_delta(
+            df.filter(F.col("seg") == seg), "cls", "v", "a", "b"
+        ).collect()[0]
+        assert grouped[seg] == tuple(solo)

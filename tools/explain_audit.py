@@ -691,6 +691,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_grouped_spearman": (["HashAggregate", "Window"],
                            ["BroadcastNestedLoopJoin",
                             "CartesianProduct"]),
+    "q_grouped_cliffs": (["HashAggregate", "Window"],
+                         ["BroadcastNestedLoopJoin",
+                          "CartesianProduct", "SortMergeJoin"]),
     # vocab overlap: distinct (slice, token) hash agg + token-keyed
     # equi self-join — vocabulary-sized, never a nested loop
     "q_vocab_overlap": (["HashAggregate"],
