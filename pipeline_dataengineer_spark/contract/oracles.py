@@ -6663,6 +6663,45 @@ FROM cd, tot, tx, ty
 
 ORACLES["q_kendall_dist"] = ORACLES["q_kendall"]
 
+ORACLES["q_windowed_psi"] = """
+WITH ref AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL
+), b AS (
+  SELECT [quantile_cont(v, 0.1), quantile_cont(v, 0.2),
+          quantile_cont(v, 0.3), quantile_cont(v, 0.4),
+          quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+          quantile_cont(v, 0.7), quantile_cont(v, 0.8),
+          quantile_cont(v, 0.9)] AS bounds
+  FROM ref
+), rbin AS (
+  SELECT len(list_filter(b.bounds, x -> v > x)) AS bin,
+         count(*) AS c
+  FROM ref, b GROUP BY 1
+), rt AS (SELECT sum(c) AS n FROM rbin),
+win AS (
+  SELECT date_trunc('day', ts) AS day,
+         len(list_filter(b.bounds, x -> value > x)) AS bin,
+         count(*) AS c
+  FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2
+), wt AS (SELECT day, sum(c) AS n FROM win GROUP BY 1),
+grid AS (
+  SELECT wt.day, wt.n, g.bin
+  FROM wt, (SELECT unnest(range(10)) AS bin) g
+), terms AS (
+  SELECT grid.day, grid.n,
+         greatest(coalesce(win.c, 0) * 1.0 / grid.n, 1e-6) AS p,
+         greatest(coalesce(rbin.c, 0) * 1.0 / rt.n, 1e-6) AS q
+  FROM grid
+  LEFT JOIN win ON win.day = grid.day AND win.bin = grid.bin
+  LEFT JOIN rbin ON rbin.bin = grid.bin, rt
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       CAST(n AS BIGINT) AS n
+FROM terms GROUP BY day, n
+"""
+
 ORACLES["q_grouped_cliffs"] = """
 WITH two AS (
   SELECT month(o_orderdate) % 4 AS bucket,

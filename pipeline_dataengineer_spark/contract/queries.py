@@ -8750,6 +8750,32 @@ def q_kendall_dist(spark, sf_dir):
     return kendall_tau_b(o, "xa", "xb", distributed=True)
 
 
+@query("q_windowed_psi")
+def q_windowed_psi(spark, sf_dir):
+    """Windowed drift monitor (streaming/drift.py:windowed_psi) in
+    batch-parity mode: PSI of each day's event values against the
+    frozen 'view'-event reference distribution — the streaming face
+    of q_psi_drift (same equal-frequency bins, same 1e-6 floor; the
+    identical plan runs under readStream + withWatermark, pytest-
+    proven). Oracle replays boundaries (quantile_cont), the full
+    10-bin grid per day (empty bins contribute their floored term),
+    and the term sum."""
+    from pipeline_dataengineer_spark.streaming.drift import (
+        freeze_reference,
+        windowed_psi,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "view").select("value")
+    bounds, props = freeze_reference(ref, "value", n_bins=10)
+    out = windowed_psi(ev, "ts", "value", bounds, props, window="1 day")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "psi",
+        "n",
+    )
+
+
 @query("q_grouped_cliffs")
 def q_grouped_cliffs(spark, sf_dir):
     """Per-segment Cliff's δ (operators/stats_tests.py:

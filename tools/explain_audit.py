@@ -694,6 +694,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_grouped_cliffs": (["HashAggregate", "Window"],
                          ["BroadcastNestedLoopJoin",
                           "CartesianProduct", "SortMergeJoin"]),
+    # windowed PSI: ONE stateful aggregation (conditional bin counts
+    # per event-time window), reference frozen driver-side — no join
+    # over the facts, no window function, no second agg exchange
+    "q_windowed_psi": (["HashAggregate"],
+                       ["Window", "Join", "CartesianProduct"]),
     # vocab overlap: distinct (slice, token) hash agg + token-keyed
     # equi self-join — vocabulary-sized, never a nested loop
     "q_vocab_overlap": (["HashAggregate"],
