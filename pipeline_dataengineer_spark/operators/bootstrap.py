@@ -89,8 +89,14 @@ def bootstrap_mean_ci(
         / _BUCKETS
     )
     weighted = base.withColumn("__w", poisson_multiplicity(u).cast("double"))
+    # try_divide: a replicate whose Poisson weights all drew 0 (only
+    # realistic for tiny groups — a 1-row group zeroes ~37% of
+    # replicates) must yield the documented NULL mean, not ANSI
+    # DIVIDE_BY_ZERO (doubles raise too — SCALE_NOTES round-6 note).
     rep_means = weighted.groupBy(*group_cols, "__rep").agg(
-        (F.sum(F.col("__w") * F.col(value_col)) / F.sum("__w")).alias("__m")
+        F.try_divide(
+            F.sum(F.col("__w") * F.col(value_col)), F.sum("__w")
+        ).alias("__m")
     )
     cis = rep_means.groupBy(*group_cols).agg(
         F.round(F.percentile("__m", F.lit(lower_q)), 4).alias("ci_lo"),

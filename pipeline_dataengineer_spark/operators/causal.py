@@ -222,11 +222,15 @@ def diff_in_diff(
         (F.col("__m11") - F.col("__m10"))
         - (F.col("__m01") - F.col("__m00"))
     )
+    # try_divide: an EMPTY design cell has count 0 (a literal zero,
+    # not NULL) — plain division would raise ANSI DIVIDE_BY_ZERO;
+    # with try_divide the se (and z) degrade to NULL, matching the
+    # NULL did that the missing cell mean already produces.
     se = F.sqrt(
-        F.col("__v11") / F.col("__n11")
-        + F.col("__v10") / F.col("__n10")
-        + F.col("__v01") / F.col("__n01")
-        + F.col("__v00") / F.col("__n00")
+        F.try_divide(F.col("__v11"), F.col("__n11"))
+        + F.try_divide(F.col("__v10"), F.col("__n10"))
+        + F.try_divide(F.col("__v01"), F.col("__n01"))
+        + F.try_divide(F.col("__v00"), F.col("__n00"))
     )
     return agg.select(
         F.round(F.col("__m10"), round_to).alias("treat_pre"),

@@ -40,3 +40,14 @@ def test_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, bootstrap_mean_ci(df, ["g"], "id", "v", 50).collect()))
     r2 = sorted(map(tuple, bootstrap_mean_ci(df, ["g"], "id", "v", 50).collect()))
     assert r1 == r2
+
+
+def test_single_row_group_zero_weight_replicates_degrade(spark):
+    """A 1-row group zeroes ~37% of replicates' Poisson weights; those
+    replicates must yield the documented NULL mean (excluded from the
+    percentile and from n_replicates_used), not DIVIDE_BY_ZERO."""
+    df = spark.createDataFrame([("g", 1, 5.0)], ["g", "id", "v"])
+    r = bootstrap_mean_ci(df, ["g"], "id", "v", n_replicates=60).collect()[0]
+    assert r["mean"] == 5.0
+    assert 0 < r["n_replicates_used"] < 60  # some replicates dropped
+    assert r["ci_lo"] == r["ci_hi"] == 5.0  # only one value exists

@@ -72,3 +72,17 @@ def test_diff_in_diff_recovers_planted_effect(spark):
     assert out["n_treat"] == 100 and out["n_ctrl"] == 100
     # planted effect is exact, so z is huge
     assert out["z"] > 50
+
+
+def test_diff_in_diff_empty_cell_degrades_to_null(spark):
+    """A design with an empty cell (no control-pre rows) must return
+    NULL did/se/z, not raise DIVIDE_BY_ZERO on the 0-count cell."""
+    from pipeline_dataengineer_spark.operators.causal import diff_in_diff
+
+    rows = [
+        (1, 0, 1.0), (1, 0, 2.0), (1, 1, 5.0), (1, 1, 6.0),
+        (0, 1, 2.0), (0, 1, 3.0),  # no (0, 0) rows at all
+    ]
+    df = spark.createDataFrame(rows, "tr int, post int, y double")
+    out = diff_in_diff(df, "tr", "post", "y").collect()[0]
+    assert out["did"] is None and out["se"] is None
