@@ -6663,6 +6663,34 @@ FROM cd, tot, tx, ty
 
 ORACLES["q_kendall_dist"] = ORACLES["q_kendall"]
 
+ORACLES["q_grouped_ks"] = """
+WITH two AS (
+  SELECT quarter(o_orderdate) AS q,
+         o_orderpriority AS g, round(o_totalprice, 0) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), cells AS (
+  SELECT q, v,
+         sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+         sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS ib
+  FROM two GROUP BY q, v
+), cum AS (
+  SELECT q,
+         sum(ia) OVER (PARTITION BY q ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(ib) OVER (PARTITION BY q ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         sum(ia) OVER (PARTITION BY q) AS na,
+         sum(ib) OVER (PARTITION BY q) AS nb
+  FROM cells
+)
+SELECT q,
+       round(max(abs(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks_stat,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b
+FROM cum GROUP BY q
+"""
+
 ORACLES["q_windowed_psi"] = """
 WITH ref AS (
   SELECT value AS v FROM events

@@ -8750,6 +8750,27 @@ def q_kendall_dist(spark, sf_dir):
     return kendall_tau_b(o, "xa", "xb", distributed=True)
 
 
+@query("q_grouped_ks")
+def q_grouped_ks(spark, sf_dir):
+    """Per-segment two-sample KS (operators/stats_tests.py:
+    grouped_ks_test): URGENT-vs-LOW order totals per quarter bucket —
+    ties-absorbed ECDFs from the per-group distinct-value inclusive
+    cumulative, windows KEYED by the group. Oracle replays the
+    range-frame ECDF identity per group."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_ks_test,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.quarter("o_orderdate").alias("q"),
+        "o_orderpriority",
+        F.round("o_totalprice", 0).alias("tp"),
+    )
+    return grouped_ks_test(
+        o, ["q"], "o_orderpriority", "tp", "1-URGENT", "5-LOW"
+    )
+
+
 @query("q_windowed_psi")
 def q_windowed_psi(spark, sf_dir):
     """Windowed drift monitor (streaming/drift.py:windowed_psi) in

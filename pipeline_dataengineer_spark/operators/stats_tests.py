@@ -1623,3 +1623,69 @@ def grouped_cliffs_delta(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     )
+
+
+def grouped_ks_test(
+    df: DataFrame,
+    group_cols: list[str],
+    class_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov — drift / A-B
+    distribution distance sliced by segment, one row per group:
+    (group..., ks_stat, n_a, n_b). Ties absorbed exactly like
+    ks_test (the ECDF evaluates AFTER all equal values), via the
+    per-group distinct-value inclusive cumulative — windows KEYED by
+    the group (the grouped_spearman shape), so no single-task stage
+    at any group count and no driver-side collect at all (fully
+    composable laziness, unlike solo ks_test's scalar short-cut).
+    A group missing one class entirely yields a NULL ks_stat (its
+    try_divide side is NULL) rather than raising — segment slicing
+    legitimately produces one-sided groups."""
+    two = df.filter(
+        F.col(class_col).isin([group_a, group_b])
+    ).select(
+        *group_cols,
+        F.col(class_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    g = two.groupBy(*group_cols, "__v").agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("__ia"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("__ib"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(*group_cols)
+    cum = g.select(
+        *group_cols,
+        F.sum("__ia").over(w).alias("__ca"),
+        F.sum("__ib").over(w).alias("__cb"),
+        F.sum("__ia").over(wg).alias("__na"),
+        F.sum("__ib").over(wg).alias("__nb"),
+    )
+    return (
+        cum.groupBy(*group_cols)
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.try_divide(
+                            F.col("__ca").cast("double"), F.col("__na")
+                        )
+                        - F.try_divide(
+                            F.col("__cb").cast("double"), F.col("__nb")
+                        )
+                    )
+                ),
+                round_to,
+            ).alias("ks_stat"),
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+        )
+    )

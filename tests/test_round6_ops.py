@@ -1065,3 +1065,42 @@ def test_grouped_cliffs_matches_solo_per_group(spark):
             df.filter(F.col("seg") == seg), "cls", "v", "a", "b"
         ).collect()[0]
         assert grouped[seg] == tuple(solo)
+
+
+def test_grouped_ks_matches_solo_and_handles_one_sided(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_ks_test,
+        ks_test,
+    )
+
+    rows = []
+    for i in range(260):
+        seg = "pq"[i % 2]
+        cls = "a" if i % 3 else "b"
+        rows.append((seg, cls, float((i * 17) % 37) + (i % 2) * 3))
+    df = spark.createDataFrame(
+        rows, "seg string, cls string, v double"
+    ).repartition(6)
+    grouped = {
+        r["seg"]: (r["ks_stat"], r["n_a"], r["n_b"])
+        for r in grouped_ks_test(df, ["seg"], "cls", "v", "a", "b").collect()
+    }
+    for seg in "pq":
+        solo = ks_test(
+            df.filter(F.col("seg") == seg), "cls", "v", "a", "b"
+        ).collect()[0]
+        assert grouped[seg] == (
+            round(solo["ks_stat"], 6), solo["n_a"], solo["n_b"],
+        )
+    # one-sided segment -> NULL ks, not an error
+    extra = df.unionByName(
+        spark.createDataFrame(
+            [("z", "a", 1.0), ("z", "a", 2.0)],
+            "seg string, cls string, v double",
+        )
+    )
+    z = {
+        r["seg"]: r["ks_stat"]
+        for r in grouped_ks_test(extra, ["seg"], "cls", "v", "a", "b").collect()
+    }
+    assert z["z"] is None

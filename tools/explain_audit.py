@@ -699,6 +699,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # over the facts, no window function, no second agg exchange
     "q_windowed_psi": (["HashAggregate"],
                        ["Window", "Join", "CartesianProduct"]),
+    "q_grouped_ks": (["HashAggregate", "Window"],
+                     ["BroadcastNestedLoopJoin", "CartesianProduct",
+                      "SortMergeJoin"]),
     # vocab overlap: distinct (slice, token) hash agg + token-keyed
     # equi self-join — vocabulary-sized, never a nested loop
     "q_vocab_overlap": (["HashAggregate"],
