@@ -196,6 +196,16 @@ HEADLINE = [
     "q_gini_global",
     "q_preference_pairs",
     "q_spearman",
+    # round 7: distributed/grouped rank stats + streaming drift
+    # (all measured ~1.0-1.3x at the 10x tier — fixed job-count
+    # overhead dominates; no claims rows needed)
+    "q_kendall_dist",
+    "q_kendall_cont",
+    "q_cliffs_delta_dist",
+    "q_grouped_spearman",
+    "q_grouped_cliffs",
+    "q_grouped_ks",
+    "q_windowed_psi",
 ]
 
 

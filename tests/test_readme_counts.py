@@ -78,3 +78,20 @@ def test_readme_plan_check_count_matches_audit():
         f"README says {m.group(1)} plan shapes; explain_audit has "
         f"{len(mod.EXPECTATIONS)} — update README.md"
     )
+
+
+def test_readme_headline_count_matches_bench():
+    import importlib.util
+
+    text = _readme()
+    m = re.search(r"headline benchmark, (\d+) queries", text)
+    assert m, "README must state the headline query count"
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert int(m.group(1)) == len(mod.HEADLINE), (
+        f"README says {m.group(1)} headline queries; bench.HEADLINE "
+        f"has {len(mod.HEADLINE)} — update README.md"
+    )
