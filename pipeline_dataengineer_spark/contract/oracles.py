@@ -6663,6 +6663,35 @@ FROM cd, tot, tx, ty
 
 ORACLES["q_kendall_dist"] = ORACLES["q_kendall"]
 
+ORACLES["q_fim_transform"] = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         ({_scramble_sql('doc_id')}) % 1000000 < 500000
+           AND text IS NOT NULL AND length(text) > 0 AS gate,
+         ({_scramble_sql('doc_id * 2 + 1')}) % (length(text) + 1) AS p1,
+         ({_scramble_sql('doc_id * 2 + 2')}) % (length(text) + 1) AS p2
+  FROM documents
+), sp AS (
+  SELECT doc_id, text, n, gate,
+         least(p1, p2) AS lo, greatest(p1, p2) AS hi
+  FROM base
+), built AS (
+  SELECT doc_id, gate,
+         CASE WHEN gate THEN CAST(lo AS BIGINT) END AS split_lo,
+         CASE WHEN gate THEN CAST(hi AS BIGINT) END AS split_hi,
+         CASE WHEN gate THEN
+           '<PRE>' || substr(text, 1, lo) || '<SUF>'
+             || substr(text, hi + 1, n - hi) || '<MID>'
+             || substr(text, lo + 1, hi - lo)
+         ELSE text END AS fim_text
+  FROM sp
+)
+SELECT doc_id, gate AS fim_applied, split_lo, split_hi,
+       CAST(length(fim_text) AS INT) AS fim_len,
+       substr(fim_text, 1, 40) AS fim_head
+FROM built
+"""
+
 ORACLES["q_grouped_ks"] = """
 WITH two AS (
   SELECT quarter(o_orderdate) AS q,

@@ -8750,6 +8750,26 @@ def q_kendall_dist(spark, sf_dir):
     return kendall_tau_b(o, "xa", "xb", distributed=True)
 
 
+@query("q_fim_transform")
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle augmentation (operators/corpus.py:
+    fim_transform) over the documents corpus — deterministic gate +
+    split points from the portable scramble, PSM sentinel reordering
+    as pure substring/concat Column arithmetic riding the scan.
+    Oracle replays the scramble, the splits and the concat."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        fim_transform,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = fim_transform(d, "doc_id", "text", fim_rate=0.5)
+    return out.select(
+        "doc_id", "fim_applied", "split_lo", "split_hi",
+        F.length("fim_text").alias("fim_len"),
+        F.substring("fim_text", 1, 40).alias("fim_head"),
+    )
+
+
 @query("q_grouped_ks")
 def q_grouped_ks(spark, sf_dir):
     """Per-segment two-sample KS (operators/stats_tests.py:

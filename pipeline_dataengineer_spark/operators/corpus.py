@@ -859,3 +859,71 @@ def vocab_overlap(
             round_to,
         ).alias("containment_b_in_a"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_rate: float = 0.5,
+    spm: bool = False,
+    pre_token: str = "<PRE>",
+    mid_token: str = "<MID>",
+    suf_token: str = "<SUF>",
+) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al.
+    2022 — the standard infilling augmentation for code/text models):
+    for a deterministic ``fim_rate`` fraction of documents, pick two
+    character positions, call the three pieces (prefix, middle,
+    suffix), and emit the sentinel-delimited reordering the model
+    trains on — PSM ``<PRE>p<SUF>s<MID>m`` by default, SPM
+    ``<PRE><SUF>s<MID>p m``-style when ``spm=True`` (the paper's two
+    modes). Untransformed docs pass through verbatim with
+    ``fim_applied=false``, so the output is a drop-in corpus column.
+
+    Determinism contract (same as sampling.py): WHICH docs transform
+    and WHERE they split derive from the non-linear
+    ``portable_scramble`` of the id — reruns, repartitions and other
+    engines agree bit-for-bit, which is what makes this oracle-able.
+    Pure Column arithmetic (substring/concat riding the scan — no
+    UDF, no shuffle, no join): the transform adds zero stages to
+    whatever plan consumes it.
+
+    Output: input columns + (fim_applied, split_lo, split_hi,
+    fim_text). split points are 0-based character offsets with
+    0 ≤ lo ≤ hi ≤ length(text); empty/NULL text never transforms."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_scramble,
+    )
+
+    _B = 1_000_000
+    key = F.col(id_col).cast("long")
+    n = F.length(F.col(text_col))
+    gate = (
+        F.pmod(portable_scramble(key), F.lit(_B))
+        < F.lit(int(fim_rate * _B))
+    ) & F.col(text_col).isNotNull() & (n > 0)
+    p1 = F.pmod(portable_scramble(key * 2 + 1), n + 1)
+    p2 = F.pmod(portable_scramble(key * 2 + 2), n + 1)
+    lo = F.least(p1, p2)
+    hi = F.greatest(p1, p2)
+    prefix = F.substring(F.col(text_col), 1, lo)
+    middle = F.substring(F.col(text_col), lo + 1, hi - lo)
+    suffix = F.substring(F.col(text_col), hi + 1, n - hi)
+    if spm:
+        fim = F.concat(
+            F.lit(pre_token), F.lit(suf_token), suffix,
+            F.lit(mid_token), prefix, middle,
+        )
+    else:
+        fim = F.concat(
+            F.lit(pre_token), prefix, F.lit(suf_token), suffix,
+            F.lit(mid_token), middle,
+        )
+    return df.select(
+        "*",
+        gate.alias("fim_applied"),
+        F.when(gate, lo.cast("long")).alias("split_lo"),
+        F.when(gate, hi.cast("long")).alias("split_hi"),
+        F.when(gate, fim).otherwise(F.col(text_col)).alias("fim_text"),
+    )

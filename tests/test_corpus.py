@@ -297,3 +297,54 @@ def test_dedupe_repeated_segments_keeps_first_order(spark):
     out = dedupe_repeated_segments(df, words_per_segment=2).collect()[0]
     assert out["clean_text"] == "a b c d e f"
     assert out["n_kept"] == 3 and out["n_removed"] == 1
+
+
+def test_fim_transform_reconstruction_and_determinism(spark):
+    """The three pieces must reassemble the original text exactly,
+    split points are layout-independent, untransformed docs pass
+    through, and the PSM/SPM strings carry the pieces in the paper's
+    order."""
+    from pipeline_dataengineer_spark.operators.corpus import fim_transform
+
+    rows = [(i, f"doc {i} " + "abcdefghij" * (1 + i % 7)) for i in range(60)]
+    rows.append((60, ""))      # empty: never transforms
+    rows.append((61, None))    # NULL: never transforms
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_transform(df, fim_rate=0.6).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    applied = [r for r in out if r["fim_applied"]]
+    assert 10 < len(applied) < 55  # rate ~0.6, scramble-gated
+    for r in applied:
+        text = r["text"]
+        lo, hi = r["split_lo"], r["split_hi"]
+        assert 0 <= lo <= hi <= len(text)
+        pre, mid, suf = text[:lo], text[lo:hi], text[hi:]
+        assert r["fim_text"] == f"<PRE>{pre}<SUF>{suf}<MID>{mid}"
+    assert by_id[60]["fim_applied"] is False
+    assert by_id[61]["fim_applied"] is False
+    assert by_id[61]["fim_text"] is None
+    for r in out:
+        if not r["fim_applied"]:
+            assert r["fim_text"] == r["text"]
+            assert r["split_lo"] is None
+    # layout independence
+    out2 = {
+        r["doc_id"]: (r["fim_applied"], r["split_lo"], r["split_hi"])
+        for r in fim_transform(df.repartition(9), fim_rate=0.6).collect()
+    }
+    assert out2 == {
+        r["doc_id"]: (r["fim_applied"], r["split_lo"], r["split_hi"])
+        for r in out
+    }
+    # SPM mode ordering
+    spm = {
+        r["doc_id"]: r
+        for r in fim_transform(df, fim_rate=0.6, spm=True).collect()
+    }
+    for r in applied:
+        s = spm[r["doc_id"]]
+        text = r["text"]
+        lo, hi = r["split_lo"], r["split_hi"]
+        assert s["fim_text"] == (
+            f"<PRE><SUF>{text[hi:]}<MID>{text[:lo]}{text[lo:hi]}"
+        )

@@ -699,6 +699,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # over the facts, no window function, no second agg exchange
     "q_windowed_psi": (["HashAggregate"],
                        ["Window", "Join", "CartesianProduct"]),
+    # FIM augmentation is ONE fused projection riding the scan:
+    # no shuffle, no join, no aggregate, no window anywhere
+    "q_fim_transform": ([], ["Exchange", "Join", "HashAggregate",
+                             "Window"]),
     "q_grouped_ks": (["HashAggregate", "Window"],
                      ["BroadcastNestedLoopJoin", "CartesianProduct",
                       "SortMergeJoin"]),
