@@ -6692,6 +6692,49 @@ SELECT doc_id, gate AS fim_applied, split_lo, split_hi,
 FROM built
 """
 
+ORACLES["q_span_corruption"] = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(floor(length(text) / 3) AS INT) AS seg
+  FROM documents
+), p AS (
+  SELECT *, CAST(round(seg * 0.15) AS INT) AS sl FROM base
+), st AS (
+  SELECT *,
+    CAST(0 * seg + ({_scramble_sql('doc_id * 3 + 0')})
+         % (seg - sl + 1) AS INT) AS s0,
+    CAST(1 * seg + ({_scramble_sql('doc_id * 3 + 1')})
+         % (seg - sl + 1) AS INT) AS s1,
+    CAST(2 * seg + ({_scramble_sql('doc_id * 3 + 2')})
+         % (seg - sl + 1) AS INT) AS s2,
+    (text IS NOT NULL AND seg > 0
+     AND CAST(round(seg * 0.15) AS INT) > 0) AS ok
+  FROM p
+), built AS (
+  SELECT doc_id, n, sl, s0, s1, s2, ok,
+    CASE WHEN ok THEN
+      substr(text, 1, s0) || '<extra_id_0>'
+      || substr(text, s0 + sl + 1, s1 - s0 - sl) || '<extra_id_1>'
+      || substr(text, s1 + sl + 1, s2 - s1 - sl) || '<extra_id_2>'
+      || substr(text, s2 + sl + 1, n - s2 - sl)
+    ELSE text END AS corrupted,
+    CASE WHEN ok THEN
+      '<extra_id_0>' || substr(text, s0 + 1, sl)
+      || '<extra_id_1>' || substr(text, s1 + 1, sl)
+      || '<extra_id_2>' || substr(text, s2 + 1, sl)
+    ELSE '' END AS targets
+  FROM st
+)
+SELECT doc_id,
+       CAST(length(corrupted) AS INT) AS corrupted_len,
+       substr(corrupted, 1, 40) AS corrupted_head,
+       targets,
+       CASE WHEN ok THEN [CAST(s0 AS BIGINT), CAST(s1 AS BIGINT),
+                          CAST(s2 AS BIGINT)] END AS span_starts,
+       CASE WHEN ok THEN CAST(sl AS BIGINT) END AS span_len
+FROM built
+"""
+
 ORACLES["q_grouped_ks"] = """
 WITH two AS (
   SELECT quarter(o_orderdate) AS q,

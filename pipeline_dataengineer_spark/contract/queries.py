@@ -8770,6 +8770,29 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+@query("q_span_corruption")
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption (operators/corpus.py:span_corruption)
+    over the documents corpus — deterministic per-segment spans from
+    the portable scramble, sentinel splice as a fixed substring chain
+    riding the scan. Oracle replays segments, spans and both
+    concatenations."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        span_corruption,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = span_corruption(d, "doc_id", "text", n_spans=3)
+    return out.select(
+        "doc_id",
+        F.length("corrupted").alias("corrupted_len"),
+        F.substring("corrupted", 1, 40).alias("corrupted_head"),
+        "targets",
+        "span_starts",
+        "span_len",
+    )
+
+
 @query("q_grouped_ks")
 def q_grouped_ks(spark, sf_dir):
     """Per-segment two-sample KS (operators/stats_tests.py:

@@ -927,3 +927,78 @@ def fim_transform(
         F.when(gate, hi.cast("long")).alias("split_hi"),
         F.when(gate, fim).otherwise(F.col(text_col)).alias("fim_text"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_spans: int = 3,
+    mask_ratio: float = 0.15,
+    sentinel: str = "<extra_id_{i}>",
+) -> DataFrame:
+    """T5/UL2-style span-corruption transform (Raffel et al. 2020 —
+    the standard denoising pretraining objective): mask ``n_spans``
+    character spans per document and emit the sentinel-delimited
+    (corrupted_text, targets) pair the model trains on —
+    ``targets = <extra_id_0>span0<extra_id_1>span1...``.
+
+    Deterministic, non-overlapping by construction: the document is
+    cut into ``n_spans`` equal segments; within segment i the span's
+    length is round(mask_ratio · segment) and its offset comes from
+    the ``portable_scramble`` of (id·n_spans + i) — so WHERE the
+    corruption lands is a pure function of the id (layout- and
+    engine-independent, hash-checkable) and spans can never collide.
+    Documents shorter than ``n_spans`` characters pass through with
+    ``corrupted = text`` and empty targets.
+
+    Pure Column arithmetic (a fixed 2·n_spans-substring concat chain
+    riding the scan — linear expression, codegen-safe; no UDF, no
+    shuffle). Output: input columns + (corrupted, targets,
+    span_starts, span_len)."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_scramble,
+    )
+
+    key = F.col(id_col).cast("long")
+    n = F.length(F.col(text_col))
+    seg = F.floor(n / n_spans).cast("int")
+    span_len = F.round(seg * mask_ratio).cast("int")
+    ok = F.col(text_col).isNotNull() & (seg > 0) & (span_len > 0)
+    starts = []
+    for i in range(n_spans):
+        off = F.pmod(
+            portable_scramble(key * n_spans + i),
+            seg - span_len + 1,
+        )
+        starts.append((F.lit(i) * seg + off).cast("int"))
+    corrupted_parts = []
+    target_parts = []
+    prev_end = F.lit(0).cast("int")
+    for i, st in enumerate(starts):
+        tok = F.lit(sentinel.format(i=i))
+        corrupted_parts.append(
+            F.substring(F.col(text_col), prev_end + 1, st - prev_end)
+        )
+        corrupted_parts.append(tok)
+        target_parts.append(tok)
+        target_parts.append(
+            F.substring(F.col(text_col), st + 1, span_len)
+        )
+        prev_end = st + span_len
+    corrupted_parts.append(
+        F.substring(F.col(text_col), prev_end + 1, n - prev_end)
+    )
+    return df.select(
+        "*",
+        F.when(ok, F.concat(*corrupted_parts))
+        .otherwise(F.col(text_col))
+        .alias("corrupted"),
+        F.when(ok, F.concat(*target_parts))
+        .otherwise(F.lit(""))
+        .alias("targets"),
+        F.when(ok, F.array(*[s.cast("long") for s in starts])).alias(
+            "span_starts"
+        ),
+        F.when(ok, span_len.cast("long")).alias("span_len"),
+    )

@@ -348,3 +348,53 @@ def test_fim_transform_reconstruction_and_determinism(spark):
         assert s["fim_text"] == (
             f"<PRE><SUF>{text[hi:]}<MID>{text[:lo]}{text[lo:hi]}"
         )
+
+
+def test_span_corruption_reconstruction(spark):
+    """Removing the sentinels and splicing the target spans back at
+    their recorded starts must reproduce the original text exactly;
+    short docs pass through; determinism across layouts."""
+    from pipeline_dataengineer_spark.operators.corpus import span_corruption
+
+    rows = [(i, f"row {i}: " + "the quick brown fox " * (2 + i % 5))
+            for i in range(40)]
+    rows.append((40, "ab"))   # shorter than n_spans -> passthrough
+    rows.append((41, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption(df, n_spans=3).collect()}
+    for i in range(40):
+        r = out[i]
+        text = r["text"]
+        sl = r["span_len"]
+        starts = r["span_starts"]
+        assert len(starts) == 3
+        # spans are in order and non-overlapping
+        for a, b in zip(starts, starts[1:]):
+            assert a + sl <= b
+        # reconstruct
+        rebuilt = ""
+        prev = 0
+        spans = []
+        for s in starts:
+            rebuilt += text[prev:s]
+            spans.append(text[s:s + sl])
+            prev = s + sl
+        rebuilt_corr = ""
+        prev = 0
+        for j, s in enumerate(starts):
+            rebuilt_corr += text[prev:s] + f"<extra_id_{j}>"
+            prev = s + sl
+        rebuilt_corr += text[prev:]
+        assert r["corrupted"] == rebuilt_corr
+        assert r["targets"] == "".join(
+            f"<extra_id_{j}>{sp}" for j, sp in enumerate(spans)
+        )
+    assert out[40]["corrupted"] == "ab" and out[40]["targets"] == ""
+    assert out[41]["corrupted"] is None
+    again = {
+        r["doc_id"]: (r["corrupted"], r["targets"])
+        for r in span_corruption(df.repartition(7), n_spans=3).collect()
+    }
+    assert again == {
+        k: (v["corrupted"], v["targets"]) for k, v in out.items()
+    }

@@ -699,6 +699,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # over the facts, no window function, no second agg exchange
     "q_windowed_psi": (["HashAggregate"],
                        ["Window", "Join", "CartesianProduct"]),
+    # span corruption: same one-projection contract as FIM
+    "q_span_corruption": ([], ["Exchange", "Join", "HashAggregate",
+                               "Window"]),
     # FIM augmentation is ONE fused projection riding the scan:
     # no shuffle, no join, no aggregate, no window anywhere
     "q_fim_transform": ([], ["Exchange", "Join", "HashAggregate",
