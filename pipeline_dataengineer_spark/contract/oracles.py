@@ -6692,6 +6692,25 @@ SELECT doc_id, gate AS fim_applied, split_lo, split_hi,
 FROM built
 """
 
+ORACLES["q_mixture_epochs"] = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1
+                   WHEN 'de' THEN 0 ELSE NULL END AS fl,
+         CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 0
+                   WHEN 'de' THEN 400000 ELSE NULL END AS th
+  FROM documents WHERE lang IN ('en', 'fr', 'de')
+), counted AS (
+  SELECT doc_id, lang,
+         fl + CASE WHEN ({_scramble_sql('doc_id')}) % 1000000 < th
+                   THEN 1 ELSE 0 END AS n_copies
+  FROM base
+)
+SELECT doc_id, lang,
+       CAST(unnest(range(1, n_copies + 1)) AS INT) AS epoch
+FROM counted WHERE n_copies > 0
+"""
+
 ORACLES["q_span_corruption"] = f"""
 WITH base AS (
   SELECT doc_id, text, length(text) AS n,

@@ -8770,6 +8770,24 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+@query("q_mixture_epochs")
+def q_mixture_epochs(spark, sf_dir):
+    """Multi-epoch mixture materialization (operators/corpus.py:
+    mixture_epochs): per-lang epoch factors over documents — floor(e)
+    full copies plus a scramble-gated fractional copy, exploded with
+    a 1-based epoch index. Oracle replays the threshold and
+    generate_series."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        mixture_epochs,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mixture_epochs(
+        d, "doc_id", "lang", {"en": 2.5, "fr": 1.0, "de": 0.4}
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
 @query("q_span_corruption")
 def q_span_corruption(spark, sf_dir):
     """T5-style span corruption (operators/corpus.py:span_corruption)

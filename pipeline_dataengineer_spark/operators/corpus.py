@@ -1002,3 +1002,73 @@ def span_corruption(
         ),
         F.when(ok, span_len.cast("long")).alias("span_len"),
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    epochs: dict[str, float],
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Multi-epoch mixture materialization — the other half of the
+    data recipe that ``mixture_sample`` (fractions ≤ 1) cannot
+    express: real pretraining recipes REPEAT their high-quality
+    strata (e.g. {"wiki": 2.7, "books": 1.0, "web": 0.3}). Each
+    document is replicated floor(e) times, plus one more copy iff its
+    deterministic scramble draw falls under frac(e) — so a stratum
+    with e=2.7 contributes every doc twice and a stable 70% of docs a
+    third time, giving exactly e× the stratum's tokens in
+    expectation with zero RNG (reruns, engines and layouts agree).
+    Strata absent from ``epochs`` are dropped (explicit budget, same
+    stance as mixture_sample). Fractions below 1 degrade to plain
+    deterministic subsampling (floor 0 + the fractional draw).
+
+    Output: input columns + ``epoch`` (1-based copy index) — packers
+    downstream shuffle on (key, epoch) so repeated copies land in
+    different contexts. Plan: a CASE threshold + ONE explode of a
+    ≤ ceil(e)-element sequence riding the scan; no shuffle, no join."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_scramble,
+    )
+
+    import math as _math
+
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs for {s!r} must be >= 0, got {e}")
+    full = None
+    thresh = None
+    for s, e in epochs.items():
+        fl = int(_math.floor(e))
+        fr = int(round((e - fl) * buckets))
+        c = F.col(strata_col) == s
+        full = (
+            F.when(c, F.lit(fl))
+            if full is None
+            else full.when(c, F.lit(fl))
+        )
+        thresh = (
+            F.when(c, F.lit(fr))
+            if thresh is None
+            else thresh.when(c, F.lit(fr))
+        )
+    full = full.otherwise(F.lit(0))
+    thresh = thresh.otherwise(F.lit(0))
+    in_weights = F.col(strata_col).isin(list(epochs))
+    extra = (
+        F.pmod(portable_scramble(F.col(key_col)), F.lit(buckets))
+        < thresh
+    ).cast("int")
+    n_copies = F.when(in_weights, full + extra).otherwise(F.lit(0))
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(1), F.col("__n_copies"))
+            ).alias("epoch"),
+        )
+        .drop("__n_copies")
+    )

@@ -398,3 +398,42 @@ def test_span_corruption_reconstruction(spark):
     assert again == {
         k: (v["corrupted"], v["targets"]) for k, v in out.items()
     }
+
+
+def test_mixture_epochs_expectation_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.corpus import mixture_epochs
+
+    rows = [(i, ["hq", "mid", "low", "skip"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = mixture_epochs(
+        df, "k", "s", {"hq": 2.5, "mid": 1.0, "low": 0.3}
+    )
+    per = {
+        r["s"]: r["n"]
+        for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert "skip" not in per  # unweighted stratum dropped
+    assert per["mid"] == 1000  # exactly 1 epoch
+    assert 2300 < per["hq"] < 2700  # ~2.5x of 1000
+    assert 200 < per["low"] < 400  # ~0.3x
+    # epoch indexes are 1..n_copies per key
+    hq = out.filter(F.col("s") == "hq")
+    mx = hq.groupBy("k").agg(
+        F.max("epoch").alias("m"), F.count("*").alias("c")
+    )
+    assert mx.filter(F.col("m") != F.col("c")).count() == 0
+    assert set(
+        r["m"] for r in mx.select("m").distinct().collect()
+    ) == {2, 3}
+    # deterministic across layouts
+    a = sorted((r["k"], r["epoch"]) for r in out.collect())
+    b = sorted(
+        (r["k"], r["epoch"])
+        for r in mixture_epochs(
+            df.repartition(11), "k", "s",
+            {"hq": 2.5, "mid": 1.0, "low": 0.3},
+        ).collect()
+    )
+    assert a == b

@@ -699,6 +699,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # over the facts, no window function, no second agg exchange
     "q_windowed_psi": (["HashAggregate"],
                        ["Window", "Join", "CartesianProduct"]),
+    # multi-epoch mixture: CASE threshold + ONE explode riding the
+    # scan — no shuffle, no join, no window
+    "q_mixture_epochs": (["Generate"], ["Exchange", "Join", "Window",
+                                        "HashAggregate"]),
     # span corruption: same one-projection contract as FIM
     "q_span_corruption": ([], ["Exchange", "Join", "HashAggregate",
                                "Window"]),
