@@ -6692,6 +6692,36 @@ SELECT doc_id, gate AS fim_applied, split_lo, split_hi,
 FROM built
 """
 
+ORACLES["q_prefix_lm"] = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(floor(length(text) * 0.25) AS INT) AS lo,
+         CAST(ceil(length(text) * 0.75) AS INT) AS hi,
+         (text IS NOT NULL AND length(text) > 1) AS ok
+  FROM documents
+), p AS (
+  SELECT *,
+         least(greatest(
+           CAST(lo + ({_scramble_sql('doc_id')})
+                % (greatest(hi - lo, 0) + 1) AS INT), 1), n - 1)
+           AS pos
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN ok THEN CAST(pos AS BIGINT) END AS split_pos,
+       CASE WHEN ok THEN CAST(length(substr(text, 1, pos)) AS INT)
+            END AS ctx_len,
+       CASE WHEN ok
+            THEN CAST(length(substr(text, pos + 1, n - pos)) AS INT)
+            END AS cont_len,
+       CASE WHEN ok THEN substr(substr(text, 1, pos), 1, 20)
+            END AS ctx_head,
+       CASE WHEN ok
+            THEN substr(substr(text, pos + 1, n - pos), 1, 20)
+            END AS cont_head
+FROM p
+"""
+
 ORACLES["q_mixture_epochs"] = f"""
 WITH base AS (
   SELECT doc_id, lang,

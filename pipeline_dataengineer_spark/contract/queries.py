@@ -8770,6 +8770,29 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+@query("q_prefix_lm")
+def q_prefix_lm(spark, sf_dir):
+    """Prefix-LM split (operators/corpus.py:prefix_lm_split) over the
+    documents corpus — deterministic cut in [0.25, 0.75] of length
+    from the portable scramble; context + continuation must
+    reassemble the text. Oracle replays the band arithmetic and both
+    substrings."""
+    from pipeline_dataengineer_spark.operators.corpus import (
+        prefix_lm_split,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prefix_lm_split(d)
+    return out.select(
+        "doc_id",
+        "split_pos",
+        F.length("context").alias("ctx_len"),
+        F.length("continuation").alias("cont_len"),
+        F.substring("context", 1, 20).alias("ctx_head"),
+        F.substring("continuation", 1, 20).alias("cont_head"),
+    )
+
+
 @query("q_mixture_epochs")
 def q_mixture_epochs(spark, sf_dir):
     """Multi-epoch mixture materialization (operators/corpus.py:

@@ -1072,3 +1072,50 @@ def mixture_epochs(
         )
         .drop("__n_copies")
     )
+
+
+def prefix_lm_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.25,
+    max_frac: float = 0.75,
+) -> DataFrame:
+    """Prefix-LM split (the third standard objective next to FIM and
+    span corruption — UL2's S-denoiser): cut each document at a
+    deterministic point within [min_frac, max_frac] of its length
+    into (context, continuation); the model sees the context
+    bidirectionally and continues causally. The cut position comes
+    from the portable scramble of the id mapped into the allowed
+    band, so reruns/layouts/engines agree. Empty/NULL docs pass
+    through with a NULL split. Pure Column arithmetic riding the
+    scan — no UDF, no shuffle.
+
+    Output: input columns + (split_pos, context, continuation)."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_scramble,
+    )
+
+    key = F.col(id_col).cast("long")
+    n = F.length(F.col(text_col))
+    lo = F.floor(n * min_frac).cast("int")
+    hi = F.ceil(n * max_frac).cast("int")
+    ok = F.col(text_col).isNotNull() & (n > 1)
+    span = F.greatest(hi - lo, F.lit(0)) + 1
+    pos = F.least(
+        F.greatest(
+            (lo + F.pmod(portable_scramble(key), span)).cast("int"),
+            F.lit(1),
+        ),
+        (n - 1).cast("int"),
+    )
+    return df.select(
+        "*",
+        F.when(ok, pos.cast("long")).alias("split_pos"),
+        F.when(ok, F.substring(F.col(text_col), 1, pos)).alias(
+            "context"
+        ),
+        F.when(
+            ok, F.substring(F.col(text_col), pos + 1, n - pos)
+        ).alias("continuation"),
+    )

@@ -437,3 +437,32 @@ def test_mixture_epochs_expectation_and_determinism(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_prefix_lm_split_reassembles(spark):
+    from pipeline_dataengineer_spark.operators.corpus import prefix_lm_split
+
+    rows = [(i, "x" * 0 + f"document {i} " + "word " * (i % 9)) for i in range(50)]
+    rows += [(50, "ab"), (51, "a"), (52, ""), (53, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prefix_lm_split(df).collect()}
+    for i in range(50):
+        r = out[i]
+        text = r["text"]
+        pos = r["split_pos"]
+        assert 1 <= pos <= len(text) - 1
+        # band: within [0.25, 0.75] of length (clamped to [1, n-1])
+        assert pos >= max(int(len(text) * 0.25) - 1, 1)
+        assert pos <= min(-(-len(text) * 3 // 4) + 1, len(text) - 1)
+        assert r["context"] + r["continuation"] == text
+        assert len(r["context"]) == pos
+    assert out[50]["split_pos"] == 1  # n=2: only split point
+    assert out[51]["split_pos"] is None  # n=1: no valid split
+    assert out[52]["split_pos"] is None
+    assert out[53]["context"] is None
+    # layout independence
+    again = {
+        r["doc_id"]: r["split_pos"]
+        for r in prefix_lm_split(df.repartition(7)).collect()
+    }
+    assert again == {k: v["split_pos"] for k, v in out.items()}

@@ -703,6 +703,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # scan — no shuffle, no join, no window
     "q_mixture_epochs": (["Generate"], ["Exchange", "Join", "Window",
                                         "HashAggregate"]),
+    # prefix-LM split: same one-projection contract as FIM
+    "q_prefix_lm": ([], ["Exchange", "Join", "HashAggregate",
+                         "Window"]),
     # span corruption: same one-projection contract as FIM
     "q_span_corruption": ([], ["Exchange", "Join", "HashAggregate",
                                "Window"]),
