@@ -6692,6 +6692,51 @@ SELECT doc_id, gate AS fim_applied, split_lo, split_hi,
 FROM built
 """
 
+# q_objectives_mix: length-arithmetic replay of the composition —
+# assignment bucket (salt 7919), per-objective fallback rules, and
+# the closed-form output lengths (no string building needed).
+ORACLES["q_objectives_mix"] = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n,
+         ({_scramble_sql('doc_id + 7919')}) % 1000000 AS b,
+         CAST(floor(length(text) / 3) AS INT) AS seg
+  FROM documents
+), p AS (
+  SELECT *, CAST(round(seg * 0.15) AS INT) AS sl,
+         CAST(floor(n * 0.25) AS INT) AS plo,
+         CAST(ceil(n * 0.75) AS INT) AS phi
+  FROM base
+), a AS (
+  SELECT doc_id, n, sl,
+         CASE WHEN b < 400000 THEN 'causal'
+              WHEN b < 600000 THEN
+                CASE WHEN n > 0 THEN 'fim' ELSE 'causal' END
+              WHEN b < 800000 THEN
+                CASE WHEN seg > 0 AND sl > 0 THEN 'span'
+                     ELSE 'causal' END
+              ELSE CASE WHEN n > 1 THEN 'prefix' ELSE 'causal' END
+         END AS objective,
+         least(greatest(
+           CAST(plo + ({_scramble_sql('doc_id')})
+                % (greatest(phi - plo, 0) + 1) AS INT), 1), n - 1)
+           AS pos
+  FROM p
+)
+SELECT doc_id, objective,
+       CAST(CASE objective
+         WHEN 'causal' THEN n
+         WHEN 'fim' THEN n + 15
+         WHEN 'span' THEN n - 3 * sl + 36
+         WHEN 'prefix' THEN pos
+       END AS INT) AS input_len,
+       CAST(CASE objective
+         WHEN 'span' THEN 3 * (12 + sl)
+         WHEN 'prefix' THEN n - pos
+         ELSE 0
+       END AS INT) AS target_len
+FROM a
+"""
+
 ORACLES["q_prefix_lm"] = f"""
 WITH base AS (
   SELECT doc_id, text, length(text) AS n,

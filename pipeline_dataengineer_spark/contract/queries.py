@@ -8770,6 +8770,28 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+@query("q_objectives_mix")
+def q_objectives_mix(spark, sf_dir):
+    """UL2-style mixture-of-denoisers builder (pipelines/
+    objectives.py:build_objectives_corpus): every doc assigned one
+    objective by scramble bucket and transformed; short docs fall
+    back to causal. The three transforms' string outputs are oracled
+    individually (q_fim_transform / q_span_corruption / q_prefix_lm);
+    THIS differential checks the composition — assignment, fallback
+    and the exact length bookkeeping per objective (fim = n+15
+    sentinel chars, span = n − 3·sl + 36 / targets 3·(12+sl),
+    prefix = pos / n−pos)."""
+    from pipeline_dataengineer_spark.pipelines.objectives import (
+        build_objectives_corpus,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = build_objectives_corpus(d)
+    return out.select(
+        "doc_id", "objective", "input_len", "target_len"
+    )
+
+
 @query("q_prefix_lm")
 def q_prefix_lm(spark, sf_dir):
     """Prefix-LM split (operators/corpus.py:prefix_lm_split) over the

@@ -703,6 +703,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # scan — no shuffle, no join, no window
     "q_mixture_epochs": (["Generate"], ["Exchange", "Join", "Window",
                                         "HashAggregate"]),
+    # mixture-of-denoisers: four filter+projection branches unioned —
+    # no shuffle, no join anywhere in the tree
+    "q_objectives_mix": (["Union"], ["Exchange", "Join",
+                                     "HashAggregate", "Window"]),
     # prefix-LM split: same one-projection contract as FIM
     "q_prefix_lm": ([], ["Exchange", "Join", "HashAggregate",
                          "Window"]),
