@@ -6829,6 +6829,49 @@ SELECT doc_id,
 FROM built
 """
 
+ORACLES["q_windowed_js"] = """
+WITH ref AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL
+), b AS (
+  SELECT [quantile_cont(v, 0.1), quantile_cont(v, 0.2),
+          quantile_cont(v, 0.3), quantile_cont(v, 0.4),
+          quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+          quantile_cont(v, 0.7), quantile_cont(v, 0.8),
+          quantile_cont(v, 0.9)] AS bounds
+  FROM ref
+), rbin AS (
+  SELECT len(list_filter(b.bounds, x -> v > x)) AS bin,
+         count(*) AS c
+  FROM ref, b GROUP BY 1
+), rt AS (SELECT sum(c) AS n FROM rbin),
+win AS (
+  SELECT date_trunc('day', ts) AS day,
+         len(list_filter(b.bounds, x -> value > x)) AS bin,
+         count(*) AS c
+  FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2
+), wt AS (SELECT day, sum(c) AS n FROM win GROUP BY 1),
+grid AS (
+  SELECT wt.day, wt.n, g.bin
+  FROM wt, (SELECT unnest(range(10)) AS bin) g
+), terms AS (
+  SELECT grid.day, grid.n,
+         coalesce(win.c, 0) * 1.0 / grid.n AS p,
+         coalesce(rbin.c, 0) * 1.0 / rt.n AS q
+  FROM grid
+  LEFT JOIN win ON win.day = grid.day AND win.bin = grid.bin
+  LEFT JOIN rbin ON rbin.bin = grid.bin, rt
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(sum(
+         CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+              ELSE 0 END
+         + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))
+                ELSE 0 END), 6) AS js_nats,
+       CAST(n AS BIGINT) AS n
+FROM terms GROUP BY day, n
+"""
+
 ORACLES["q_grouped_ks"] = """
 WITH two AS (
   SELECT quarter(o_orderdate) AS q,

@@ -8856,6 +8856,28 @@ def q_span_corruption(spark, sf_dir):
     )
 
 
+@query("q_windowed_js")
+def q_windowed_js(spark, sf_dir):
+    """Windowed Jensen-Shannon drift (streaming/drift.py:windowed_js)
+    in batch-parity mode — the BOUNDED companion to q_windowed_psi
+    (js ∈ [0, ln 2] even on novel bins). Oracle replays the per-bin
+    KL halves with the 0·ln0 ≡ 0 guard."""
+    from pipeline_dataengineer_spark.streaming.drift import (
+        freeze_reference,
+        windowed_js,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "view").select("value")
+    bounds, props = freeze_reference(ref, "value", n_bins=10)
+    out = windowed_js(ev, "ts", "value", bounds, props, window="1 day")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "js_nats",
+        "n",
+    )
+
+
 @query("q_grouped_ks")
 def q_grouped_ks(spark, sf_dir):
     """Per-segment two-sample KS (operators/stats_tests.py:

@@ -120,3 +120,56 @@ def windowed_psi(
         F.round(psi, round_to).alias("psi"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def windowed_js(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bounds: list[float],
+    ref_props: list[float],
+    window: str = "1 hour",
+    watermark: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence per event-time window vs the frozen
+    reference — the bounded companion to ``windowed_psi`` (JS ∈
+    [0, ln 2] even on disjoint support, where PSI's floored log
+    explodes; alert thresholds stay meaningful under novel bins).
+    Same frozen-reference contract, same single stateful aggregation,
+    same batch/streaming parity. Rows: (window_start, window_end,
+    js_nats, n)."""
+    n_bins = len(ref_props)
+    src = df.filter(F.col(value_col).isNotNull())
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    b = _bin_expr(F.col(value_col), bounds)
+    per_win = src.groupBy(
+        F.window(F.col(ts_col), window).alias("__w")
+    ).agg(
+        *[
+            F.sum(F.when(b == i, 1).otherwise(0)).alias(f"__c{i}")
+            for i in range(n_bins)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    js = None
+    for i in range(n_bins):
+        q = float(ref_props[i])
+        p = F.col(f"__c{i}").cast("double") / F.col("n").cast("double")
+        m = (p + F.lit(q)) / 2.0
+        # 0·ln(0/x) ≡ 0: the p-side KL term is CASE-guarded; the
+        # q-side is a Python-level branch (q is a driver constant)
+        term_p = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+        if q > 0:
+            term_q = F.lit(0.5 * q) * F.log(F.lit(q) / m)
+        else:
+            term_q = F.lit(0.0)
+        term = term_p + term_q
+        js = term if js is None else js + term
+    return per_win.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        F.round(js, round_to).alias("js_nats"),
+        F.col("n").cast("long").alias("n"),
+    )

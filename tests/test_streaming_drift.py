@@ -138,3 +138,51 @@ def test_windowed_psi_watermark_bounds_state(spark, tmp_path):
     }
     assert emitted.get("2024-03-01 10:00:00") == 200
     assert emitted.get("2024-03-01 11:00:00") == 200
+
+
+def test_windowed_js_bounded_and_parity(spark, tmp_path):
+    """JS stays within [0, ln 2] even under total drift (where PSI
+    explodes), and the streaming run matches batch bit-for-bit."""
+    import math
+
+    from pipeline_dataengineer_spark.streaming.drift import windowed_js
+
+    rows = _rows(shift_hour2=1000.0)  # hour 2 fully out of support
+    batch = _df(spark, rows)
+    ref = batch.filter(
+        F.col("ts") < F.lit("2024-03-01 11:00:00").cast("timestamp")
+    ).select("v")
+    bounds, props = freeze_reference(ref, "v", n_bins=8)
+    got = {
+        str(r["window_start"]): r["js_nats"]
+        for r in windowed_js(
+            batch, "ts", "v", bounds, props, window="1 hour"
+        ).collect()
+    }
+    assert got["2024-03-01 10:00:00"] < 0.05
+    h2 = got["2024-03-01 11:00:00"]
+    # +1000 collapses hour 2 into the reference's TOP bin: one-hot p
+    # vs ~uniform q gives JS ~= 0.5 nats — large but still bounded by
+    # ln 2 (where PSI with its floored logs would explode to ~13)
+    assert 0.4 < h2 <= math.log(2) + 1e-9
+    # streaming parity
+    src = tmp_path / "js_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        for ts, v in rows:
+            fh.write(json.dumps({"ts": ts, "v": v}) + "\n")
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        windowed_js(stream, "ts", "v", bounds, props, window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("js_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        str(r["window_start"]): r["js_nats"]
+        for r in spark.sql("SELECT * FROM js_stream").collect()
+    }
+    assert got_stream == got
