@@ -6829,6 +6829,37 @@ SELECT doc_id,
 FROM built
 """
 
+ORACLES["q_grouped_wasserstein"] = """
+WITH two AS (
+  SELECT quarter(o_orderdate) AS q,
+         o_orderpriority AS g, round(o_totalprice, 0) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), cells AS (
+  SELECT q, v,
+         sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+         sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS ib
+  FROM two GROUP BY q, v
+), cum AS (
+  SELECT q, v,
+         sum(ia) OVER (PARTITION BY q ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(ib) OVER (PARTITION BY q ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         lead(v) OVER (PARTITION BY q ORDER BY v) AS vn,
+         sum(ia) OVER (PARTITION BY q) AS na,
+         sum(ib) OVER (PARTITION BY q) AS nb
+  FROM cells
+)
+SELECT q,
+       round(sum(abs(ca * nb - cb * na) * 1.0 * (vn - v))
+             / (max(na) * 1.0 * max(nb)), 6) AS w1,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_distinct
+FROM cum GROUP BY q
+"""
+
 ORACLES["q_windowed_js"] = """
 WITH ref AS (
   SELECT value AS v FROM events

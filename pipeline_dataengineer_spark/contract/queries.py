@@ -8856,6 +8856,26 @@ def q_span_corruption(spark, sf_dir):
     )
 
 
+@query("q_grouped_wasserstein")
+def q_grouped_wasserstein(spark, sf_dir):
+    """Per-quarter Wasserstein-1 drift (operators/stats_tests.py:
+    grouped_wasserstein_1d) between URGENT and LOW order totals —
+    keyed-window ECDF integral with the exact-integer-numerator
+    single division. Oracle replays the identity per group."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_wasserstein_1d,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.quarter("o_orderdate").alias("q"),
+        "o_orderpriority",
+        F.round("o_totalprice", 0).alias("tp"),
+    )
+    return grouped_wasserstein_1d(
+        o, ["q"], "o_orderpriority", "tp", "1-URGENT", "5-LOW"
+    )
+
+
 @query("q_windowed_js")
 def q_windowed_js(spark, sf_dir):
     """Windowed Jensen-Shannon drift (streaming/drift.py:windowed_js)

@@ -1689,3 +1689,75 @@ def grouped_ks_test(
             F.max("__nb").cast("long").alias("n_b"),
         )
     )
+
+
+def grouped_wasserstein_1d(
+    df: DataFrame,
+    group_cols: list[str],
+    class_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group 1-D Wasserstein-1 — the drift family's segment slice
+    (per market / cohort / time bucket), one row per group:
+    (group..., w1, n_a, n_b, n_distinct). Same ECDF-integral identity
+    as wasserstein_1d, with the cumulative counts, successor gap and
+    per-group totals all computed by windows KEYED by the group (the
+    grouped_ks_test shape — no single-task stage at any group count,
+    no driver collect). The exact-integer-numerator trick is kept:
+    segments sum |ca·n_b − cb·n_a|·Δv and divide ONCE, so the score
+    is accumulation-order-insensitive across engines. A group missing
+    one class yields NULL w1 (try_divide by a zero product)."""
+    two = df.filter(
+        F.col(class_col).isin([group_a, group_b])
+    ).select(
+        *group_cols,
+        F.col(class_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    g = two.groupBy(*group_cols, "__v").agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("__ia"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("__ib"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = Window.partitionBy(*group_cols).orderBy("__v")
+    wg = Window.partitionBy(*group_cols)
+    cum = g.select(
+        *group_cols,
+        "__v",
+        F.sum("__ia").over(w).alias("__ca"),
+        F.sum("__ib").over(w).alias("__cb"),
+        F.lead("__v").over(w_next).alias("__vn"),
+        F.sum("__ia").over(wg).alias("__na"),
+        F.sum("__ib").over(wg).alias("__nb"),
+    )
+    seg = cum.select(
+        *group_cols,
+        (
+            F.abs(
+                F.col("__ca") * F.col("__nb")
+                - F.col("__cb") * F.col("__na")
+            ).cast("double")
+            * (F.col("__vn") - F.col("__v"))
+        ).alias("__seg"),
+        "__na",
+        "__nb",
+    )
+    return seg.groupBy(*group_cols).agg(
+        F.round(
+            F.try_divide(
+                F.sum("__seg"),
+                (F.max("__na") * F.max("__nb")).cast("double"),
+            ),
+            round_to,
+        ).alias("w1"),
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )

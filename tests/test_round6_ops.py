@@ -1104,3 +1104,43 @@ def test_grouped_ks_matches_solo_and_handles_one_sided(spark):
         for r in grouped_ks_test(extra, ["seg"], "cls", "v", "a", "b").collect()
     }
     assert z["z"] is None
+
+
+def test_grouped_wasserstein_matches_solo_per_group(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_wasserstein_1d,
+        wasserstein_1d,
+    )
+
+    rows = []
+    for i in range(260):
+        seg = "mn"[i % 2]
+        cls = "a" if i % 3 else "b"
+        rows.append((seg, cls, float((i * 19) % 41) + (i % 2) * 2.5))
+    df = spark.createDataFrame(
+        rows, "seg string, cls string, v double"
+    ).repartition(6)
+    grouped = {
+        r["seg"]: tuple(r)[1:]
+        for r in grouped_wasserstein_1d(
+            df, ["seg"], "cls", "v", "a", "b"
+        ).collect()
+    }
+    for seg in "mn":
+        solo = wasserstein_1d(
+            df.filter(F.col("seg") == seg), "cls", "v", "a", "b"
+        ).collect()[0]
+        assert grouped[seg] == tuple(solo)
+    # one-sided group -> NULL w1
+    extra = df.unionByName(
+        spark.createDataFrame(
+            [("z", "a", 1.0)], "seg string, cls string, v double"
+        )
+    )
+    z = {
+        r["seg"]: r["w1"]
+        for r in grouped_wasserstein_1d(
+            extra, ["seg"], "cls", "v", "a", "b"
+        ).collect()
+    }
+    assert z["z"] is None

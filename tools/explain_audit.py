@@ -717,6 +717,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # no shuffle, no join, no aggregate, no window anywhere
     "q_fim_transform": ([], ["Exchange", "Join", "HashAggregate",
                              "Window"]),
+    "q_grouped_wasserstein": (["HashAggregate", "Window"],
+                              ["BroadcastNestedLoopJoin",
+                               "CartesianProduct", "SortMergeJoin"]),
     "q_windowed_js": (["HashAggregate"],
                       ["Window", "Join", "CartesianProduct"]),
     "q_grouped_ks": (["HashAggregate", "Window"],
