@@ -7725,6 +7725,27 @@ FROM agg
 
 ORACLES["q_cliffs_delta_dist"] = ORACLES["q_cliffs_delta"]
 
+# The driver runs oracles against the sf0.01 tier, so the footer-
+# metadata oracle names those files literally (parquet_metadata is a
+# constant-parameter table function — it cannot read a path from a
+# subquery).  tools/verify_local.py substitutes the sf directory when
+# sweeping other tiers.
+ORACLES["q_rowgroup_stats"] = """
+SELECT
+  regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+  CAST(row_group_id AS INT) AS row_group_id,
+  row_group_num_rows AS num_rows,
+  path_in_schema AS "column",
+  stats_min_value AS min_value,
+  stats_max_value AS max_value,
+  stats_null_count AS null_count,
+  total_compressed_size AS compressed_bytes
+FROM parquet_metadata(['/root/testdata/sf0.01/orders.parquet',
+                       '/root/testdata/sf0.01/customer.parquet'])
+WHERE path_in_schema IN ('o_orderkey', 'o_custkey', 'o_orderstatus',
+                         'c_custkey', 'c_mktsegment')
+"""
+
 ORACLES["q_vocab_overlap"] = """
 WITH toks AS (
   SELECT DISTINCT source AS g, t.tok AS t

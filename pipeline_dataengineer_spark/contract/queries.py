@@ -8378,10 +8378,11 @@ def q_rowgroup_stats(spark, sf_dir):
     """Parquet footer statistics scan (sources/parquet_meta.py:
     row_group_stats) — the data-skipping audit: per (file, row
     group, column) min/max/null/byte facts read from footers only,
-    never a data page. Rows-only by design (the oracle SQL string
-    cannot parameterize the sf_dir path DuckDB's parquet_metadata()
-    needs); the pytest runs the full DuckDB differential instead.
-    file_name reduced to its basename so results are
+    never a data page. Oracle: DuckDB's parquet_metadata() on the
+    driver's sf0.01 files named literally (the table function only
+    accepts constant parameters, so the path cannot come from a
+    subquery; tools/verify_local.py rewrites it when sweeping other
+    tiers). file_name reduced to its basename so results are
     location-independent."""
     import os as _os
 

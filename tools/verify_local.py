@@ -81,7 +81,13 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(ORACLES[name])
+            # Path-literal oracles (parquet_metadata cannot take a
+            # subquery argument) are written against the driver's
+            # sf0.01 tier; rewrite them for whichever tier this
+            # sweep targets.
+            res = con.execute(
+                ORACLES[name].replace("/root/testdata/sf0.01", sf_dir)
+            )
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
