@@ -7746,6 +7746,62 @@ WHERE path_in_schema IN ('o_orderkey', 'o_custkey', 'o_orderstatus',
                          'c_custkey', 'c_mktsegment')
 """
 
+# Full DBSCAN replay: neighbor self-join (incl. the self pair, as the
+# engine's grid join emits it), degree >= min_pts cores, reachability
+# closure over core-core edges via WITH RECURSIVE (min reachable core
+# id == the engine's min-label component), border = min core-neighbor
+# label.  eps = 2.47 (boundary-safe for 0.1-grid points).  The
+# recursive step gates on r.lab < e.ib: the component minimum passes
+# every gate (it is smaller than every other member), so per-node
+# min(lab) is unchanged while the closure sheds most of its pairs.
+ORACLES["q_dbscan"] = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id,
+         {_bucket_sql('c_custkey', 1000)} / 10.0 AS x,
+         {_bucket_sql(f"({_bucket_sql('c_custkey', 1_000_000)}) + 13", 1000)}
+           / 10.0 AS y
+  FROM customer
+  WHERE c_custkey < 4000
+), nbr AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a JOIN pts b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= 2.47 * 2.47
+), core AS (
+  SELECT ia AS id FROM nbr GROUP BY ia HAVING count(*) >= 4
+), cedge AS (
+  SELECT n.ia, n.ib FROM nbr n
+  JOIN core c1 ON n.ia = c1.id
+  JOIN core c2 ON n.ib = c2.id
+), reach AS (
+  SELECT id AS node, id AS lab FROM core
+  UNION
+  SELECT e.ib AS node, r.lab FROM reach r
+  JOIN cedge e ON e.ia = r.node
+  WHERE r.lab < e.ib
+), comp AS (
+  SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+), border AS (
+  SELECT n.ia AS node, min(c.cluster) AS cluster
+  FROM nbr n
+  JOIN comp c ON n.ib = c.node
+  WHERE n.ia NOT IN (SELECT id FROM core)
+  GROUP BY n.ia
+), lab AS (
+  SELECT node, cluster, 'core' AS role FROM comp
+  UNION ALL
+  SELECT node, cluster, 'border' AS role FROM border
+), alln AS (
+  SELECT p.id, l.cluster, coalesce(l.role, 'noise') AS role
+  FROM pts p LEFT JOIN lab l ON p.id = l.node
+)
+SELECT cluster, count(*) AS n_points,
+       sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS n_core
+FROM alln GROUP BY cluster
+ORDER BY n_points DESC, cluster ASC NULLS FIRST
+LIMIT 20
+"""
+
 ORACLES["q_vocab_overlap"] = """
 WITH toks AS (
   SELECT DISTINCT source AS g, t.tok AS t
@@ -7770,4 +7826,24 @@ SELECT c.group_a, c.group_b,
 FROM common c
 JOIN sizes sa ON sa.g = c.group_a
 JOIN sizes sb ON sb.g = c.group_b
+"""
+
+ORACLES["q_hard_negatives"] = """
+WITH a AS (
+  SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av, label AS alab
+  FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT a.aid AS anchor_id, e.vec_id AS neg_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av),
+               4) AS cos_sim
+  FROM embeddings e, a
+  WHERE e.vec_id <> a.aid AND e.label <> a.alab
+), r AS (
+  SELECT anchor_id, neg_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id ASC
+         ) AS INT) AS rank
+  FROM s
+)
+SELECT anchor_id, neg_id, cos_sim, rank FROM r WHERE rank <= 5
 """

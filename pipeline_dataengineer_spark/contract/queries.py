@@ -3923,15 +3923,27 @@ def q_scale_features(spark, sf_dir):
 def q_dbscan(spark, sf_dir):
     """DBSCAN density clustering (operators/spatial.py:dbscan) over
     Lehmer-derived customer points: grid-join neighbors → core count →
-    connected components → border attach. Cluster labels are
-    deterministic (min core id) but need transitive closure, so this
-    is rows-only; the exact kernel is pytest-verified on closed-form
-    blobs and the membership pipeline reuses oracle-checked pieces
-    (grid join: q_spatial_join; CC: q_connected_components)."""
+    connected components → border attach. Every step is deterministic
+    (cluster label = min core id of the component, border attaches to
+    its min core-neighbor label), so the oracle replays the FULL
+    algorithm in SQL — neighbor self-join, degree filter, reachability
+    closure via WITH RECURSIVE, border attach — and the cluster size
+    profile hash-checks. eps uses the 2.47 boundary-safe constant
+    (points are multiples of 0.1; q_spatial_join precedent) so no
+    pair lands within an ulp of the radius. The contract instance
+    caps the point set at 4000 ids: the ORACLE's reachability
+    closure is quadratic in component size (that is why the engine
+    uses min-label propagation instead), so the differential stays
+    tractable at every tier while the engine path itself remains
+    unbounded."""
     from pipeline_dataengineer_spark.operators.sampling import portable_bucket
     from pipeline_dataengineer_spark.operators.spatial import dbscan
 
-    c = table(spark, sf_dir, "customer").select("c_custkey")
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") < 4000)
+    )
     # y goes through a SECOND bucket round: one Lehmer step is affine
     # in the key below the modulus wrap, which would put every point
     # on a diagonal lattice line; the nested bucket destroys the
@@ -3946,7 +3958,7 @@ def q_dbscan(spark, sf_dir):
             / 10.0
         ).alias("y"),
     )
-    out = dbscan(pts, "id", ("x", "y"), eps=2.5, min_pts=4)
+    out = dbscan(pts, "id", ("x", "y"), eps=2.47, min_pts=4)
     return (
         out.groupBy("cluster")
         .agg(
@@ -9574,3 +9586,24 @@ def q_vocab_overlap(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return vocab_overlap(d, "source", "text", min_token_len=2)
+
+
+@query("q_hard_negatives")
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py:hard_negatives):
+    per anchor vector, the top-5 most cosine-similar corpus items
+    with a DIFFERENT label — contrastive-training negative sets.
+    Anchors broadcast, corpus unshuffled, ranks deterministic via
+    rounded score + id tie-break; the oracle replays score, label
+    anti-filter and window rank."""
+    from pipeline_dataengineer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    return hard_negatives(anchors, e, k=5)

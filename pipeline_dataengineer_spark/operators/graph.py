@@ -23,55 +23,148 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min
-    node id reachable. Deterministic for any input edge set."""
-    edges = (
+    node id reachable. Deterministic for any input edge set.
+
+    Star contraction (hook + compress + contract), the provably
+    O(log n)-round MR formulation — NOT plain min-label propagation,
+    whose round count is the component DIAMETER. Plain propagation
+    silently split the sf0.1 q_dbscan giant cluster (spatial
+    diameter ≈ 50 hops > the 20-round budget); the differential
+    caught it, and percolation-shaped clusters are exactly what LSH
+    dedup graphs look like at 100 TB, where a diameter-bound loop is
+    unusable. Per round:
+
+    1. hook: l(v) = min(v, neighbors(v)) on the CURRENT (contracted)
+       edge set — every non-isolated supernode merges with at least
+       one neighbor, so active nodes at least halve per round;
+    2. compress: pointer-jump l until idempotent (inner loop over the
+       node-sized label table, <= log(chain) cheap keyed self-joins)
+       so every node points at its star root;
+    3. apply l to the accumulated global mapping, then contract the
+       edge set to (l(a), l(b)), dropping collapsed self-loops.
+
+    Terminates when the contracted edge set is empty. Raises
+    RuntimeError if ``max_iterations`` rounds were not enough (only
+    possible for > 2**max_iterations nodes) rather than returning a
+    silently split component set."""
+    # localCheckpoint, not persist, throughout: persist caches DATA
+    # but Catalyst still re-analyzes the full recursive plan each
+    # iteration — plan depth doubles per round and analysis time
+    # grows exponentially (measured: iteration 10 of a 10-node chain
+    # never finished). localCheckpoint truncates the logical plan to
+    # the materialized result, keeping every iteration O(1) to plan.
+    sym = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
-    # localCheckpoint, not persist: persist caches DATA but Catalyst
-    # still re-analyzes the full recursive plan each iteration — plan
-    # depth doubles per round and analysis time grows exponentially
-    # (measured: iteration 10 of a 10-node chain never finished).
-    # localCheckpoint truncates the logical plan to the materialized
-    # result, keeping every iteration O(1) to plan.
-    edges = edges.localCheckpoint()
-    labels = (
-        edges.select(F.col("a").alias("node"))
+    # Global mapping keeps EVERY endpoint (self-loop seeds included —
+    # dedup callers rely on singletons appearing in the output).
+    mapping = (
+        sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        # candidate label for each node: min over neighbors' labels
-        neighbor_labels = (
-            edges.join(labels, edges.b == labels.node)
-            .select(F.col("a").alias("node"), "component")
-        )
-        new_labels = (
-            labels.select("node", "component")
-            .union(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # eager: materializes + truncates plan
-        )
-        # Exact convergence: did ANY label change this round? One
-        # node-sized join over the two checkpointed label tables —
-        # works for any orderable label type (numeric doc ids OR
-        # string name keys; a sum-based checksum would need a cast
-        # and can overflow for hashed ids under ANSI mode).
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "__old"), "node"
-            )
-            .filter(F.col("component") != F.col("__old"))
+    edges = sym.filter(F.col("a") != F.col("b")).localCheckpoint()
+
+    def _changed(new, old, new_col, old_col):
+        # Exact change detector: one keyed join over two checkpointed
+        # node-sized tables — works for any orderable label type
+        # (numeric ids OR string keys; a sum-checksum would need a
+        # cast and can overflow hashed ids under ANSI mode).
+        return (
+            new.join(old, "node")
+            .filter(F.col(new_col) != F.col(old_col))
             .limit(1)
             .count()
         )
-        labels = new_labels
-        if changed == 0:
+
+    for _ in range(max_iterations):
+        if edges.isEmpty():
             break
-    return labels.select("node", "component")
+        # 1. hook: min over self + neighbors
+        lab = (
+            edges.groupBy("a")
+            .agg(F.min("b").alias("__m"))
+            .select(
+                F.col("a").alias("node"),
+                F.least("a", "__m").alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        # 2. compress: follow lab pointers until idempotent. Hooking
+        # yields a pseudo-forest, so chains are finite and each jump
+        # at least halves their length.
+        for _c in range(64):
+            jumped = (
+                lab.join(
+                    lab.select(
+                        F.col("node").alias("__c"),
+                        F.col("lab").alias("__cc"),
+                    ),
+                    F.col("lab") == F.col("__c"),
+                    "left",
+                )
+                .select(
+                    "node", F.coalesce("__cc", "lab").alias("lab")
+                )
+                .localCheckpoint()
+            )
+            done = (
+                _changed(
+                    jumped,
+                    lab.withColumnRenamed("lab", "__old"),
+                    "lab",
+                    "__old",
+                )
+                == 0
+            )
+            lab = jumped
+            if done:
+                break
+        # 3a. fold this round's labels into the global mapping
+        mapping = (
+            mapping.join(
+                lab.select(
+                    F.col("node").alias("__n"), F.col("lab").alias("__l")
+                ),
+                mapping.component == F.col("__n"),
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("__l", "component").alias("component"),
+            )
+            .localCheckpoint()
+        )
+        # 3b. contract the edge set onto star roots
+        edges = (
+            edges.join(
+                lab.select(
+                    F.col("node").alias("a"), F.col("lab").alias("__la")
+                ),
+                "a",
+            )
+            .join(
+                lab.select(
+                    F.col("node").alias("b"), F.col("lab").alias("__lb")
+                ),
+                "b",
+            )
+            .select(F.col("__la").alias("a"), F.col("__lb").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} contraction rounds — raise "
+            f"max_iterations"
+        )
+    return mapping.select("node", "component")
 
 
 def dedup_keep_canonical(

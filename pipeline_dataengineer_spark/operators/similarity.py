@@ -434,3 +434,65 @@ def local_outlier_factor(
             F.try_divide(F.col("__mb"), F.col("lrd")), round_to
         ).alias("lof"),
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    anchor_id: str = "anchor_id",
+    anchor_vec: str = "anchor_vec",
+    anchor_label: str = "anchor_label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    score_round: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: per
+    anchor, the ``k`` most cosine-similar corpus items that do NOT
+    share the anchor's label (and are never the anchor itself) —
+    the near-miss negatives that actually move a contrastive loss,
+    where in-batch random negatives are mostly trivial.
+
+    Returns (anchor_id, neg_id, cos_sim, rank), rank 1..k per anchor.
+    Ranks are deterministic: the score is rounded BEFORE ranking and
+    ties break on ascending corpus id, so the selected set is
+    engine-reproducible (and SQL-oracle-checkable) rather than
+    float-noise-dependent.
+
+    Scale: the anchor set (the training batch / epoch seed set) is
+    broadcast; the corpus is scanned once and its vectors are never
+    shuffled — only (anchor, id, score) triples move, and the
+    per-anchor top-k window partitions on the anchor key. For
+    anchor sets too large to broadcast, run ivf_search per anchor
+    shard instead and apply the same label anti-filter; this exact
+    variant doubles as its recall oracle.
+    """
+    a = anchors.select(
+        F.col(anchor_id).alias("__aid"),
+        F.col(anchor_vec).alias("__av"),
+        F.col(anchor_label).alias("__alab"),
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("__cv"), F.col(label_col)
+        )
+        .crossJoin(F.broadcast(a))
+        .filter(
+            (F.col(id_col) != F.col("__aid"))
+            & (F.col(label_col) != F.col("__alab"))
+        )
+        .select(
+            F.col("__aid").alias(anchor_id),
+            F.col(id_col).alias("neg_id"),
+            F.round(cosine_similarity("__cv", "__av"), score_round).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(anchor_id).orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -69,3 +69,34 @@ def test_mmr_k_cut_and_multi_query(spark):
     for rows in by_q.values():
         assert sorted(r["mmr_rank"] for r in rows) == [1, 2]
         assert [r["vec_id"] for r in sorted(rows, key=lambda r: r["mmr_rank"])] == ["a", "c"]
+
+
+def test_hard_negatives_label_filter_and_rank(spark):
+    """Hard negatives never share the anchor's label, never include
+    the anchor row, and rank by descending rounded cosine with the
+    id tie-break."""
+    from pipeline_dataengineer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        # (id, vec, label): anchor 1 points along +x with label "A".
+        (1, [1.0, 0.0], "A"),
+        (2, [0.99, 0.14], "A"),   # same label: excluded however close
+        (3, [0.95, 0.31], "B"),   # closest valid negative
+        (4, [0.9, 0.44], "B"),
+        (5, [0.0, 1.0], "C"),     # orthogonal: last
+        (6, [0.95, 0.31], "B"),   # exact tie with 3 -> id order
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label string"
+    )
+    anchors = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    out = hard_negatives(anchors, df, k=3).collect()
+    got = [(r["neg_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(3, 1), (6, 2), (4, 3)]
+    assert all(r["cos_sim"] <= 1.0 for r in out)
