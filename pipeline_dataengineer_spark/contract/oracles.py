@@ -7847,3 +7847,40 @@ WITH a AS (
 )
 SELECT anchor_id, neg_id, cos_sim, rank FROM r WHERE rank <= 5
 """
+
+# Unrolled greedy k-center trajectory (5 rounds): each cN picks the
+# max rounded distance with min-id tie-break; each dN folds the new
+# center into the running least distance, mirroring the engine's
+# fused expression chain round for round.
+ORACLES["q_kcenter"] = """
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c1 AS (
+  SELECT id, v FROM e ORDER BY id LIMIT 1
+), d1 AS (
+  SELECT e.id, e.v, round(list_sum(list_transform(list_zip(e.v, c1.v), l -> (l[1] - l[2]) * (l[1] - l[2]))), 4) AS d FROM e, c1
+), c2 AS (
+  SELECT id, v, d FROM d1 ORDER BY d DESC, id ASC LIMIT 1
+), d2 AS (
+  SELECT p.id, p.v, least(p.d, round(list_sum(list_transform(list_zip(p.v, c2.v), l -> (l[1] - l[2]) * (l[1] - l[2]))), 4)) AS d FROM d1 p, c2
+), c3 AS (
+  SELECT id, v, d FROM d2 ORDER BY d DESC, id ASC LIMIT 1
+), d3 AS (
+  SELECT p.id, p.v, least(p.d, round(list_sum(list_transform(list_zip(p.v, c3.v), l -> (l[1] - l[2]) * (l[1] - l[2]))), 4)) AS d FROM d2 p, c3
+), c4 AS (
+  SELECT id, v, d FROM d3 ORDER BY d DESC, id ASC LIMIT 1
+), d4 AS (
+  SELECT p.id, p.v, least(p.d, round(list_sum(list_transform(list_zip(p.v, c4.v), l -> (l[1] - l[2]) * (l[1] - l[2]))), 4)) AS d FROM d3 p, c4
+), c5 AS (
+  SELECT id, v, d FROM d4 ORDER BY d DESC, id ASC LIMIT 1
+)
+SELECT 1 AS round, id AS center_id, CAST(NULL AS DOUBLE) AS sel_dist FROM c1
+UNION ALL
+SELECT 2 AS round, id AS center_id, d AS sel_dist FROM c2
+UNION ALL
+SELECT 3 AS round, id AS center_id, d AS sel_dist FROM c3
+UNION ALL
+SELECT 4 AS round, id AS center_id, d AS sel_dist FROM c4
+UNION ALL
+SELECT 5 AS round, id AS center_id, d AS sel_dist FROM c5
+"""

@@ -9607,3 +9607,20 @@ def q_hard_negatives(spark, sf_dir):
         F.col("label").alias("anchor_label"),
     )
     return hard_negatives(anchors, e, k=5)
+
+
+@query("q_kcenter")
+def q_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection
+    (operators/clustering.py:kcenter_coreset): 5 farthest-point
+    rounds over the embeddings table, distances rounded before each
+    argmax and ties broken on min id, so the whole greedy TRAJECTORY
+    hash-checks against an oracle that unrolls the five rounds as
+    chained CTEs."""
+    from pipeline_dataengineer_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+
+    return kcenter_coreset(
+        table(spark, sf_dir, "embeddings"), k=5
+    )

@@ -88,3 +88,70 @@ def cluster_sizes(df: DataFrame, vec_col: str = "embedding", **kw) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection: start from
+    the min-id point, then repeatedly add the point farthest (squared
+    Euclidean, rounded before comparison) from everything selected so
+    far — the classic 2-approximation to the k-center cover and the
+    standard diversity-first seed set for curriculum/coreset data
+    selection (also kmeans++'s deterministic cousin).
+
+    Returns k rows (round, center_id, sel_dist): the selection order,
+    the chosen id, and its rounded distance-to-selected-set at
+    selection time (NULL for the seed). Deterministic end to end:
+    distances are rounded BEFORE the argmax and ties break on min id,
+    so the trajectory is engine-reproducible and SQL-oracle-checkable.
+
+    Scale shape: the corpus is NEVER shuffled — each of the k rounds
+    is one combinable max-of-struct aggregate over a scan with the
+    running min-distance maintained as a fused column expression
+    (least of per-center distances), plus one row fetch for the new
+    center's vector. Driver state is k ids + k vectors (k·d doubles —
+    codebook-sized). The expression chain re-evaluates i distances at
+    round i (O(k²·n·d) total work) in exchange for ZERO corpus
+    materialization; for the k <= a-few-dozen regime coresets live in,
+    the fused scan beats checkpointing a corpus-sized distance column
+    k times.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+
+    def dist2_to(vec: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        sq = F.zip_with("__v", lit, lambda x, y: (x - y) * (x - y))
+        return F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), round_to
+        )
+
+    seed = pts.orderBy("__id").limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_coreset: empty input")
+    centers = [(1, seed[0]["__id"], None)]
+    center_vec = list(seed[0]["__v"])
+    d_expr = dist2_to(center_vec)
+    for rnd in range(2, k + 1):
+        # argmax of (rounded distance, min id): max-of-struct with the
+        # id negated so the struct tie-break picks the SMALLEST id.
+        top = pts.agg(
+            F.max(F.struct(d_expr.alias("d"), (-F.col("__id")).alias("ni")))
+        ).collect()[0][0]
+        cid, cdist = -top["ni"], top["d"]
+        row = pts.filter(F.col("__id") == cid).collect()[0]
+        centers.append((rnd, cid, float(cdist)))
+        d_expr = F.least(d_expr, dist2_to(list(row["__v"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        centers, "round int, center_id bigint, sel_dist double"
+    )

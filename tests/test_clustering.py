@@ -49,3 +49,23 @@ def test_kmeans_real_embeddings_partitions_corpus(spark):
     assert set(sizes) <= set(range(5))
     assert sum(sizes.values()) == df.count()
     assert len(sizes) == 5
+
+
+def test_kcenter_coreset_line_fixture(spark):
+    """On colinear points the greedy trajectory is fully determined:
+    seed = min id (leftmost here), then the far end, then the exact
+    midpoint gap maxima; sel_dist is the squared gap at selection."""
+    from pipeline_dataengineer_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+
+    # ids 0..8 at x = 0, 1, ..., 8 on a line (dim-2 to exercise the
+    # fold); seed is id 0 at x=0.
+    rows = [(i, [float(i), 0.0]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["round"]: (r["center_id"], r["sel_dist"])
+           for r in kcenter_coreset(df, k=4).collect()}
+    assert out[1] == (0, None)
+    assert out[2] == (8, 64.0)          # far end, d = 8^2
+    assert out[3] == (4, 16.0)          # midpoint, min(4,4)^2 with min-id tie
+    assert out[4] == (2, 4.0)           # next gap: ids 2 and 6 tie at 4 -> min id
