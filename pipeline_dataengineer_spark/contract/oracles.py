@@ -7884,3 +7884,89 @@ SELECT 4 AS round, id AS center_id, d AS sel_dist FROM c4
 UNION ALL
 SELECT 5 AS round, id AS center_id, d AS sel_dist FROM c5
 """
+
+
+def _sinkhorn_sql(n_bins: int = 8, reg: float = 2.0, iterations: int = 6) -> str:
+    """Unrolled debiased-Sinkhorn oracle: equal-frequency reference
+    bins (the q_psi_drift recipe), rational kernel, one u/v scaling
+    CTE chain per coupling — (p,q), (p,p), (q,q) — then
+    S = OT(p,q) - OT(p,p)/2 - OT(q,q)/2 plus the (p,q) marginal
+    residuals. Iteration CTEs are MATERIALIZED: DuckDB inlines CTEs
+    by default and the chained references re-evaluate exponentially
+    (measured 20 s -> 0.06 s)."""
+    qs = ", ".join(
+        f"quantile_cont(v, {i / n_bins})" for i in range(1, n_bins)
+    )
+    sql = f"""
+WITH ref AS (
+  SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) <= 1997),
+cur AS (
+  SELECT o_totalprice * 1.15 AS v FROM orders WHERE year(o_orderdate) >= 1998),
+b AS (SELECT [{qs}] AS bounds FROM ref),
+rbin AS MATERIALIZED (
+  SELECT CAST(len(list_filter(b.bounds, x -> v > x)) AS INT) AS bin,
+         count(*) AS n FROM ref, b WHERE v IS NOT NULL GROUP BY 1),
+cbin AS MATERIALIZED (
+  SELECT CAST(len(list_filter(b.bounds, x -> v > x)) AS INT) AS bin,
+         count(*) AS n FROM cur, b WHERE v IS NOT NULL GROUP BY 1),
+spine AS (SELECT CAST(unnest(range({n_bins})) AS INT) AS bin),
+hist AS (
+  SELECT s.bin, coalesce(rbin.n, 0) AS n_ref, coalesce(cbin.n, 0) AS n_cur
+  FROM spine s LEFT JOIN rbin ON s.bin = rbin.bin
+  LEFT JOIN cbin ON s.bin = cbin.bin),
+t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM hist),
+pq AS MATERIALIZED (
+  SELECT bin, CAST(n_ref AS DOUBLE) / tr AS p,
+         CAST(n_cur AS DOUBLE) / tc AS q FROM hist, t),
+kern AS MATERIALIZED (
+  SELECT i.bin AS i, j.bin AS j,
+         1.0 / (1.0 + ((i.bin - j.bin) / {reg}) * ((i.bin - j.bin) / {reg}))
+           AS k,
+         CAST(abs(i.bin - j.bin) AS DOUBLE) AS c
+  FROM spine i, spine j)"""
+    for sfx, pcol, qcol in [("a", "p", "q"), ("b", "p", "p"), ("c", "q", "q")]:
+        sql += f""",
+v0{sfx} AS (SELECT bin AS j, 1.0 AS v FROM spine)"""
+        prev_v = f"v0{sfx}"
+        for it in range(1, iterations + 1):
+            sql += f""",
+su{it}{sfx} AS MATERIALIZED (
+  SELECT kern.i, sum(kern.k * {prev_v}.v) AS su
+  FROM kern JOIN {prev_v} ON kern.j = {prev_v}.j GROUP BY kern.i),
+u{it}{sfx} AS MATERIALIZED (
+  SELECT pq.bin AS i, pq.{pcol} / su{it}{sfx}.su AS u
+  FROM pq JOIN su{it}{sfx} ON pq.bin = su{it}{sfx}.i),
+sv{it}{sfx} AS MATERIALIZED (
+  SELECT kern.j, sum(kern.k * u{it}{sfx}.u) AS sv
+  FROM kern JOIN u{it}{sfx} ON kern.i = u{it}{sfx}.i GROUP BY kern.j),
+v{it}{sfx} AS MATERIALIZED (
+  SELECT pq.bin AS j, pq.{qcol} / sv{it}{sfx}.sv AS v
+  FROM pq JOIN sv{it}{sfx} ON pq.bin = sv{it}{sfx}.j)"""
+            prev_v = f"v{it}{sfx}"
+        last = iterations
+        sql += f""",
+pi{sfx} AS MATERIALIZED (
+  SELECT kern.i, kern.j, u{last}{sfx}.u * kern.k * v{last}{sfx}.v AS pi,
+         kern.c
+  FROM kern JOIN u{last}{sfx} ON kern.i = u{last}{sfx}.i
+  JOIN v{last}{sfx} ON kern.j = v{last}{sfx}.j),
+tc{sfx} AS (SELECT sum(pi * c) AS tcost FROM pi{sfx})"""
+    sql += f""",
+ep AS (
+  SELECT sum(abs(rm.s - pq.p)) AS ep
+  FROM (SELECT i, sum(pi) AS s FROM pia GROUP BY i) rm
+  JOIN pq ON rm.i = pq.bin),
+eq AS (
+  SELECT sum(abs(cm.s - pq.q)) AS eq
+  FROM (SELECT j, sum(pi) AS s FROM pia GROUP BY j) cm
+  JOIN pq ON cm.j = pq.bin)
+SELECT CAST({n_bins} AS INT) AS n_bins, CAST({iterations} AS INT) AS iterations,
+       round(tca.tcost - 0.5 * tcb.tcost - 0.5 * tcc.tcost, 6) AS sinkhorn_div,
+       round(tca.tcost, 6) AS transport_cost,
+       round(ep.ep, 6) AS marginal_err_ref,
+       round(eq.eq, 6) AS marginal_err_cur
+FROM tca, tcb, tcc, ep, eq"""
+    return sql
+
+
+ORACLES["q_sinkhorn_drift"] = _sinkhorn_sql()

@@ -9624,3 +9624,24 @@ def q_kcenter(spark, sf_dir):
     return kcenter_coreset(
         table(spark, sf_dir, "embeddings"), k=5
     )
+
+
+@query("q_sinkhorn_drift")
+def q_sinkhorn_drift(spark, sf_dir):
+    """Optimal-transport drift (operators/stats_tests.py:
+    sinkhorn_drift): 1995-97 order totals vs 1998+ totals shifted
+    +15%, 8 equal-frequency reference bins, rational affinity
+    kernel, 6 fixed Sinkhorn iterations, DEBIASED divergence
+    S(p,q) = OT(p,q) - OT(p,p)/2 - OT(q,q)/2. The oracle unrolls
+    all three scaling trajectories as materialized CTE chains and
+    replays divergence, raw cost and marginal residuals."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        sinkhorn_drift,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") <= 1997).select("o_totalprice")
+    cur = o.filter(F.year("o_orderdate") >= 1998).select(
+        (F.col("o_totalprice") * 1.15).alias("o_totalprice")
+    )
+    return sinkhorn_drift(ref, cur, "o_totalprice", n_bins=8)

@@ -1761,3 +1761,155 @@ def grouped_wasserstein_1d(
         F.max("__nb").cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
     )
+
+
+def sinkhorn_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 8,
+    reg: float = 2.0,
+    iterations: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Optimal-transport drift via Sinkhorn matrix scaling — the
+    cost-aware member of the drift family (PSI/JS/KS are bin-local or
+    rank-local; Wasserstein-1 sees distance but no smoothing). Mass
+    moved ONE bin and mass moved SEVEN bins score differently here.
+
+    Both samples are histogrammed on equal-frequency REFERENCE bins
+    (the psi_drift recipe: exact interpolated percentiles, broadcast
+    into both sides, missing bins kept with zero mass). A strictly
+    positive affinity kernel K_ij = 1/(1+((i−j)/reg)²) is then
+    Sinkhorn-scaled for a FIXED ``iterations`` count:
+
+        u ← p / (K v);   v ← q / (Kᵀ u)
+
+    and the coupling π_ij = u_i K_ij v_j is summarized as
+    transport_cost = Σ π_ij·|i−j| plus the two marginal residuals
+    (how far π is from a true coupling — they shrink geometrically
+    with ``iterations``, and reporting them keeps the fixed-count
+    truncation honest). Because entropic smoothing spreads mass off
+    the diagonal, the raw cost carries a large identity bias (p = q
+    still scores ~1.5 bins under the default kernel); the headline
+    ``sinkhorn_div`` is therefore the DEBIASED Sinkhorn divergence
+    S(p,q) = OT(p,q) − ½·OT(p,p) − ½·OT(q,q), which is exactly 0
+    for identical histograms and grows with moved mass × distance.
+
+    Deterministic / oracle-exact by construction: the classic
+    entropic-OT kernel exp(−C/reg) is replaced by a rational kernel
+    (any strictly positive matrix admits Sinkhorn scaling; this one
+    keeps the distance-decay monotonicity while avoiding cross-engine
+    libm exp), and the iteration count is fixed rather than
+    convergence-tested, so the whole trajectory replays in SQL.
+
+    Scale shape: the only corpus-sized work is the two histogram
+    aggregates (boundaries broadcast, counts partial-aggregable);
+    everything after runs driver-side on the n_bins histogram and the
+    n_bins² kernel — codebook-sized state per the repo convention —
+    so the iteration cost is independent of data volume. (A fully
+    relational formulation was measured first: 2·iterations Spark
+    jobs over 8-row frames cost ~7 s of pure scheduling overhead for
+    microseconds of arithmetic.)"""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.agg(
+        F.array(*[F.percentile(value_col, F.lit(q)) for q in qs]).alias(
+            "__b"
+        )
+    )
+
+    def binned(df: DataFrame, label: str) -> DataFrame:
+        b = df.join(F.broadcast(bounds))
+        bin_id = F.aggregate(
+            F.col("__b"),
+            F.lit(0),
+            lambda acc, bd: acc
+            + F.when(F.col(value_col) > bd, 1).otherwise(0),
+        )
+        return (
+            b.filter(F.col(value_col).isNotNull())
+            .groupBy(bin_id.alias("bin"))
+            .agg(F.count("*").alias(label))
+        )
+
+    spark = ref.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    # The ONLY corpus-sized work: bounds + two histogram aggregates.
+    # Materialize the n_bins-row result once so the p/q/u/v plumbing
+    # below never re-scans the fact tables.
+    hist = (
+        spine.join(binned(ref, "n_ref"), "bin", "left")
+        .join(binned(cur, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .localCheckpoint()
+    )
+    # Everything below runs on DRIVER-SIDE bin-bounded state (the
+    # codebook/quantile-boundary convention): the scaling loop touches
+    # n_bins vectors and an n_bins² kernel — scheduling 2·iterations
+    # Spark jobs over 8-row frames cost ~7 s of pure overhead in the
+    # relational formulation; the arithmetic itself is microseconds.
+    rows = sorted(hist.collect(), key=lambda r: r["bin"])
+    n_ref = [r["n_ref"] for r in rows]
+    n_cur = [r["n_cur"] for r in rows]
+    tr, tc = sum(n_ref), sum(n_cur)
+    if tr == 0 or tc == 0:
+        raise ValueError("sinkhorn_drift: empty reference or current sample")
+    p = [x / tr for x in n_ref]
+    q = [x / tc for x in n_cur]
+    reg = float(reg)
+    kern = [
+        [1.0 / (1.0 + ((i - j) / reg) * ((i - j) / reg)) for j in range(n_bins)]
+        for i in range(n_bins)
+    ]
+
+    def scale(pp: list[float], qq: list[float]):
+        v = [1.0] * n_bins
+        u = [0.0] * n_bins
+        for _ in range(iterations):
+            for i in range(n_bins):
+                su = sum(kern[i][j] * v[j] for j in range(n_bins))
+                u[i] = pp[i] / su if su else 0.0
+            for j in range(n_bins):
+                sv = sum(kern[i][j] * u[i] for i in range(n_bins))
+                v[j] = qq[j] / sv if sv else 0.0
+        pi = [
+            [u[i] * kern[i][j] * v[j] for j in range(n_bins)]
+            for i in range(n_bins)
+        ]
+        tcost = sum(
+            pi[i][j] * abs(i - j)
+            for i in range(n_bins)
+            for j in range(n_bins)
+        )
+        ep = sum(abs(sum(pi[i]) - pp[i]) for i in range(n_bins))
+        eq = sum(
+            abs(sum(pi[i][j] for i in range(n_bins)) - qq[j])
+            for j in range(n_bins)
+        )
+        return tcost, ep, eq
+
+    t_pq, ep, eq = scale(p, q)
+    t_pp, _, _ = scale(p, p)
+    t_qq, _, _ = scale(q, q)
+    div = t_pq - 0.5 * t_pp - 0.5 * t_qq
+    return spark.createDataFrame(
+        [
+            (
+                n_bins,
+                iterations,
+                round(div, round_to),
+                round(t_pq, round_to),
+                round(ep, round_to),
+                round(eq, round_to),
+            )
+        ],
+        "n_bins int, iterations int, sinkhorn_div double, "
+        "transport_cost double, marginal_err_ref double, "
+        "marginal_err_cur double",
+    )

@@ -365,3 +365,52 @@ def test_benjamini_hochberg_textbook(spark):
     ]
     qs = [out[i]["q_value"] for i in sorted(out, key=lambda k: out[k]["rank"])]
     assert qs == sorted(qs)
+
+
+def test_sinkhorn_drift_identity_and_shift(spark):
+    """Identical samples transport (almost) nothing; a one-bin shift
+    costs ~1 bin; marginal residuals shrink with more iterations."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        sinkhorn_drift,
+    )
+
+    base = spark.range(2000).select(
+        (F.col("id") % 80).cast("double").alias("v")
+    )
+    same = sinkhorn_drift(base, base, "v", n_bins=8).collect()[0]
+    assert same["sinkhorn_div"] == 0.0   # debiased: identity is exact
+    assert same["marginal_err_ref"] < 1e-3
+
+    shifted = base.select((F.col("v") + 10.0).alias("v"))
+    one_bin = sinkhorn_drift(base, shifted, "v", n_bins=8).collect()[0]
+    assert one_bin["sinkhorn_div"] > 0.05
+
+    lo = sinkhorn_drift(base, shifted, "v", n_bins=8, iterations=2)
+    hi = sinkhorn_drift(base, shifted, "v", n_bins=8, iterations=12)
+    assert (
+        hi.collect()[0]["marginal_err_ref"]
+        <= lo.collect()[0]["marginal_err_ref"]
+    )
+
+
+def test_sinkhorn_drift_monotone_in_shift(spark):
+    """Farther mass movement costs more: +30 units must out-cost +10
+    on the same 8-bin frame."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        sinkhorn_drift,
+    )
+
+    base = spark.range(2000).select(
+        (F.col("id") % 80).cast("double").alias("v")
+    )
+    near = sinkhorn_drift(
+        base, base.select((F.col("v") + 10.0).alias("v")), "v", n_bins=8
+    ).collect()[0]["sinkhorn_div"]
+    far = sinkhorn_drift(
+        base, base.select((F.col("v") + 30.0).alias("v")), "v", n_bins=8
+    ).collect()[0]["sinkhorn_div"]
+    assert far > near
