@@ -68,6 +68,18 @@ TABLES = {
     "region": {"r_regionkey": "int", "r_name": "str"},
 }
 
+# Per-table unique key (composite for lineitem) — used as the window
+# tie-break so row_number shapes are deterministic in both engines.
+PKS = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+}
+
 # FK edges: (fact table, fact col, dim table, dim col)
 JOINS = [
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -106,13 +118,23 @@ def gen_query(seed: int, con) -> str:
             break
         e = rng.choice(edges)
         new = e[2] if e[0] in tables else e[0]
+        # LEFT JOIN only when the NEW table is the nullable side, so
+        # predicates on already-placed tables keep their semantics.
+        kind = "LEFT JOIN" if rng.random() < 0.25 else "JOIN"
         tables.append(new)
-        joins.append(e)
+        joins.append((e, kind, new))
 
+    # Predicates only on tables joined INNER along the whole chain
+    # (a WHERE on a left-joined table's column would silently turn
+    # the join back into an inner one — legal SQL, but we want the
+    # null-extension path actually exercised).
+    inner_tables = [tables[0]] + [
+        j[2] for j in joins if j[1] == "JOIN"
+    ]
     preds = []
     for _ in range(rng.randrange(3)):
         kind = rng.choice(["int", "num", "str"])
-        cands = _cols(tables, kind)
+        cands = _cols(inner_tables, kind)
         if not cands:
             continue
         c = rng.choice(cands)
@@ -142,19 +164,45 @@ def gen_query(seed: int, con) -> str:
 
     # FROM clause in join discovery order (each edge adds one table)
     frm = tables[0]
-    placed = {tables[0]}
-    for e in joins:
-        new = e[2] if e[0] in placed else e[0]
-        frm += f" JOIN {new} ON {e[1]} = {e[3]}"
-        placed.add(new)
+    for e, kind, new in joins:
+        frm += f" {kind} {new} ON {e[1]} = {e[3]}"
 
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
-    shape = rng.choice(["agg", "agg", "distinct", "toplist"])
-    if shape == "agg":
-        keys = rng.sample(
-            _cols(tables, "str") + _cols(tables, "int"),
-            k=rng.randrange(0, 3),
+    shapes = ["agg", "agg", "distinct", "toplist", "union"]
+    if len(tables) == 1:
+        shapes.append("window")
+    shape = rng.choice(shapes)
+    if shape == "window":
+        t = tables[0]
+        parts = [c for c in TABLES[t] if TABLES[t][c] == "str"]
+        part = rng.choice(parts) if parts else PKS[t][0]
+        val = rng.choice(_cols([t], "num") + _cols([t], "int"))
+        pk_order = ", ".join(
+            f"{c} ASC NULLS FIRST" for c in PKS[t]
         )
+        n = rng.randrange(2, 6)
+        return (
+            f"SELECT * FROM (SELECT {part}, {val}, "
+            f"CAST(row_number() OVER (PARTITION BY {part} "
+            f"ORDER BY {val} DESC NULLS FIRST, {pk_order}) AS BIGINT)"
+            f" AS rn FROM {t}{where}) w WHERE rn <= {n}"
+        )
+    if shape == "union":
+        ucands = _cols([tables[0]], "str") + _cols([tables[0]], "int")
+        cols = rng.sample(
+            ucands, k=max(1, min(rng.randrange(1, 3), len(ucands)))
+        )
+        sel = ", ".join(cols)
+        t = tables[0]
+        setop = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        own = [p for p in preds if p.split()[0] in TABLES[t]]
+        p2 = f" WHERE {own[0]}" if own else ""
+        return (
+            f"SELECT {sel} FROM {t}{p2} {setop} SELECT {sel} FROM {t}"
+        )
+    if shape == "agg":
+        kcands = _cols(tables, "str") + _cols(tables, "int")
+        keys = rng.sample(kcands, k=min(rng.randrange(0, 3), len(kcands)))
         aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
         nums = _cols(tables, "num")
         ints = _cols(tables, "int")
@@ -177,15 +225,16 @@ def gen_query(seed: int, con) -> str:
             having = f" HAVING count(*) >= {rng.randrange(2, 5)}"
         return f"SELECT {sel} FROM {frm}{where}{grp}{having}"
     if shape == "distinct":
+        kcands = _cols(tables, "str") + _cols(tables, "int")
         keys = rng.sample(
-            _cols(tables, "str") + _cols(tables, "int"),
-            k=rng.randrange(1, 3),
+            kcands, k=max(1, min(rng.randrange(1, 3), len(kcands)))
         )
         return f"SELECT DISTINCT {', '.join(keys)} FROM {frm}{where}"
     # toplist: project + total-order sort + limit
+    tcands = (_cols(tables, "str") + _cols(tables, "int")
+              + _cols(tables, "num"))
     cols = rng.sample(
-        _cols(tables, "str") + _cols(tables, "int") + _cols(tables, "num"),
-        k=rng.randrange(2, 5),
+        tcands, k=max(2, min(rng.randrange(2, 5), len(tcands)))
     )
     order = ", ".join(
         f"{c} {rng.choice(['ASC', 'DESC'])} NULLS FIRST" for c in cols
