@@ -206,6 +206,13 @@ HEADLINE = [
     "q_grouped_cliffs",
     "q_grouped_ks",
     "q_windowed_psi",
+    # round 7 continuation: verification-hardened additions — the
+    # star-contraction DBSCAN composition, contrastive hard-negative
+    # mining, greedy k-center selection, debiased Sinkhorn drift.
+    "q_dbscan",
+    "q_hard_negatives",
+    "q_kcenter",
+    "q_sinkhorn_drift",
 ]
 
 

@@ -477,9 +477,14 @@ def bfs_shortest_paths(
     node: str = "node",
     max_depth: int = 30,
     directed: bool = True,
+    strict: bool = True,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop count from ANY source to every
-    reachable node → (node, dist). The relational fixpoint behind
+    reachable node → (node, dist). ``strict`` (default) raises if
+    unreached nodes remain past ``max_depth`` — a too-small budget
+    must not silently report nodes unreachable; pass ``strict=False``
+    for the "neighborhood within N hops" RADIUS reading, where the
+    cut is the point. The relational fixpoint behind
     recursive-CTE workloads (org-chart rollups, BOM explosion, link
     distance from seed domains in a web crawl frontier).
 
@@ -524,6 +529,25 @@ def bfs_shortest_paths(
             break
         settled = settled.union(nxt).localCheckpoint()
         frontier = nxt
+    else:
+        # Same fail-loud rule as connected_components — but probe
+        # first: a frontier on the LAST round is fine if nothing
+        # unsettled lies beyond it (graph exactly max_depth deep).
+        beyond = (
+            e.join(frontier, e.s == frontier.node)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .limit(1)
+            .count()
+        )
+        if beyond and strict:
+            raise RuntimeError(
+                f"bfs_shortest_paths frontier still active after "
+                f"max_depth={max_depth} rounds — unreached nodes "
+                f"would silently be reported unreachable; raise "
+                f"max_depth"
+            )
     return settled
 
 
@@ -535,6 +559,7 @@ def weighted_shortest_paths(
     weight: str = "weight",
     node: str = "node",
     max_iterations: int = 30,
+    strict: bool = True,
 ) -> DataFrame:
     """Single/multi-source weighted shortest paths (non-negative
     weights) → (node, dist). Distributed Bellman-Ford: each round
@@ -593,6 +618,35 @@ def weighted_shortest_paths(
         dist = merged.select("node", "dist")
         if frontier.limit(1).count() == 0:
             break
+    else:
+        # Fail loud (the connected_components rule) — with a probe:
+        # an improvement in the LAST round is fine if one more
+        # relaxation would find nothing (converged exactly on the
+        # budget).
+        cand = (
+            e.join(frontier, e.s == frontier.node)
+            .select(
+                F.col("d").alias("node"),
+                (F.col("dist") + F.col("w")).alias("__nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("__nd").alias("__nd"))
+        )
+        improving = (
+            cand.join(dist.withColumnRenamed("dist", "__cur"), "node", "left")
+            .filter(
+                F.col("__cur").isNull() | (F.col("__nd") < F.col("__cur"))
+            )
+            .limit(1)
+            .count()
+        )
+        if improving and strict:
+            raise RuntimeError(
+                f"weighted_shortest_paths still improving after "
+                f"max_iterations={max_iterations} rounds — the "
+                f"returned distances would silently overstate path "
+                f"lengths; raise max_iterations"
+            )
     return dist
 
 

@@ -182,8 +182,16 @@ def test_bfs_max_depth_truncates(spark):
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
     sources = spark.createDataFrame([(0,)], ["node"])
-    got = bfs_shortest_paths(edges, sources, max_depth=2).collect()
+    # RADIUS reading: strict=False opts into the within-N-hops cut
+    got = bfs_shortest_paths(
+        edges, sources, max_depth=2, strict=False
+    ).collect()
     assert {r["node"]: r["dist"] for r in got} == {0: 0, 1: 1, 2: 2}
+    # default is fail-loud on the same truncating budget
+    import pytest
+
+    with pytest.raises(RuntimeError, match="max_depth"):
+        bfs_shortest_paths(edges, sources, max_depth=2).collect()
 
 
 def test_weighted_shortest_paths_prefers_cheap_long_path(spark):
@@ -503,3 +511,42 @@ def test_adamic_adar_excludes_adjacent_and_orientation(spark):
     )
     # triangle: every pair adjacent -> no predictions at all
     assert adamic_adar(edges).count() == 0
+
+
+def test_bfs_raises_on_truncated_depth(spark):
+    """A 6-node chain with max_depth=3 must FAIL LOUD, not report
+    nodes 4..5 unreachable; max_depth exactly equal to the true
+    depth must succeed (probe, no spurious raise)."""
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.graph import (
+        bfs_shortest_paths,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src int, dst int"
+    )
+    s = spark.createDataFrame([(0,)], "node int")
+    with pytest.raises(RuntimeError, match="max_depth"):
+        bfs_shortest_paths(e, s, max_depth=3).collect()
+    ok = bfs_shortest_paths(e, s, max_depth=5).collect()
+    assert {r["node"]: r["dist"] for r in ok}[5] == 5
+
+
+def test_wsp_raises_on_truncated_budget(spark):
+    """Bellman-Ford under an exhausted round budget with distances
+    still improving raises; an exact-budget run passes the probe."""
+    import pytest
+
+    from pipeline_dataengineer_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(5)], "src int, dst int, weight double"
+    )
+    s = spark.createDataFrame([(0,)], "node int")
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        weighted_shortest_paths(e, s, max_iterations=3).collect()
+    ok = weighted_shortest_paths(e, s, max_iterations=5).collect()
+    assert {r["node"]: r["dist"] for r in ok}[5] == 5.0
