@@ -7970,3 +7970,154 @@ FROM tca, tcb, tcc, ep, eq"""
 
 
 ORACLES["q_sinkhorn_drift"] = _sinkhorn_sql()
+
+
+def _markov_sql() -> str:
+    """Markov removal-effect attribution oracle, closed form.
+
+    The engine solves the absorbing chain with numpy
+    (operators/attribution.py:markov_attribution); SQL has no linear
+    solver, but the chain here is SMALL AND KNOWN: states are
+    __START__ + the four non-conversion event types, so x_START =
+    P(conv) comes out of CRAMER'S RULE. Column 0 of A = I - Q is the
+    unit vector e0 (nothing transitions INTO __START__), so det(A)
+    collapses to one 4x4 minor and det(A with col0 := R) expands
+    along col0 into five 4x4 minors — 24 Leibniz terms each,
+    generated symbolically below with zero-factor products pruned.
+    Each removal variant (block channel b: row b and column b of Q
+    and R[b] zeroed; row sums unchanged because blocked mass moves
+    to DROP) gets its own pair of determinants over the SAME pivoted
+    probability row. LU-vs-Cramer float drift is ~1e-13 relative on
+    these well-conditioned chains — invisible at round 4."""
+    from itertools import permutations
+
+    ch = ["click", "error", "signup", "view"]
+    states = ["__START__"] + ch  # the operator's sorted() order
+
+    def p(i: int, j: int, blocked: int | None) -> str:
+        if j == 0:
+            return "0"
+        if blocked is not None and (i == blocked or j == blocked):
+            return "0"
+        return f"p_{i}_{j}"
+
+    def r(i: int, blocked: int | None) -> str:
+        if blocked is not None and i == blocked:
+            return "0"
+        return f"r_{i}"
+
+    def a(i: int, j: int, blocked: int | None) -> str:
+        # A = I - Q restricted to columns 1..4
+        q = p(i, j, blocked)
+        if i == j:
+            return "1" if q == "0" else f"(1 - {q})"
+        return "0" if q == "0" else f"(- {q})"
+
+    def det4(rows: list[int], blocked: int | None) -> str:
+        # det over A[rows][cols 1..4] via Leibniz, pruning 0 factors
+        cols = [1, 2, 3, 4]
+        terms = []
+        for perm in permutations(range(4)):
+            inv = sum(
+                1
+                for x in range(4)
+                for y in range(x + 1, 4)
+                if perm[x] > perm[y]
+            )
+            fac = [a(rows[x], cols[perm[x]], blocked) for x in range(4)]
+            if "0" in fac:
+                continue
+            sign = "-" if inv % 2 else "+"
+            terms.append(f"{sign} {' * '.join(fac)}")
+        return "(" + " ".join(terms) + ")" if terms else "0"
+
+    def x_start(blocked: int | None) -> str:
+        # Cramer: det(A with col0 := R) / det(A); col0 of A is e0.
+        den = det4([1, 2, 3, 4], blocked)
+        num_terms = []
+        for i in range(5):
+            ri = r(i, blocked)
+            if ri == "0":
+                continue
+            rows = [x for x in range(5) if x != i]
+            minor = det4(rows, blocked)
+            sign = "-" if i % 2 else "+"
+            num_terms.append(f"{sign} {ri} * {minor}")
+        num = "(" + " ".join(num_terms) + ")"
+        return f"({num} / {den})"
+
+    mat_cols = []
+    for i in range(5):
+        for j in range(1, 5):
+            mat_cols.append(
+                f"coalesce(sum(CASE WHEN src = '{states[i]}' AND dst = "
+                f"'{states[j]}' THEN p END), 0) AS p_{i}_{j}"
+            )
+        mat_cols.append(
+            f"coalesce(sum(CASE WHEN src = '{states[i]}' AND dst = "
+            f"'__CONV__' THEN p END), 0) AS r_{i}"
+        )
+    effs = []
+    for b in range(1, 5):
+        effs.append(
+            f"greatest(0, 1 - CASE WHEN xbase > 0 THEN x_{b} / xbase "
+            f"ELSE 0 END) AS eff_{b}"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{states[b]}' AS event_type, round(eff_{b}, 4) AS "
+        f"removal_effect, round(eff_{b} / teff * tconv, 4) AS credit "
+        f"FROM fx"
+        for b in range(1, 5)
+    )
+    xs = ",\n       ".join(
+        [f"{x_start(None)} AS xbase"]
+        + [f"{x_start(b)} AS x_{b}" for b in range(1, 5)]
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         epoch(date_trunc('second', ts)) * 1000000 + event_id % 1000000 AS ord,
+         CASE WHEN event_type = 'purchase' THEN '__CONV__'
+              ELSE event_type END AS state,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+m AS (
+  SELECT *, coalesce(sum(conv) OVER (PARTITION BY user_id ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM ev),
+seq AS (
+  SELECT *, lag(state) OVER (PARTITION BY user_id, jid ORDER BY ord) AS prev
+  FROM m),
+inner_t AS (
+  SELECT coalesce(prev, '__START__') AS src, state AS dst FROM seq),
+drops AS (
+  SELECT max_by(state, ord) AS src, '__DROP__' AS dst
+  FROM seq GROUP BY user_id, jid HAVING max(conv) = 0),
+trans AS (
+  SELECT src, dst, count(*) AS n
+  FROM (SELECT * FROM inner_t UNION ALL SELECT * FROM drops)
+  GROUP BY src, dst),
+tot AS (SELECT src, sum(n) AS t FROM trans GROUP BY src),
+probs AS (
+  SELECT trans.src, trans.dst, CAST(n AS DOUBLE) / t AS p
+  FROM trans JOIN tot USING (src)),
+mat AS MATERIALIZED (
+  SELECT {', '.join(mat_cols)},
+         (SELECT coalesce(sum(n), 0) FROM trans WHERE dst = '__CONV__')
+           AS tconv
+  FROM probs),
+solved AS MATERIALIZED (
+  SELECT {xs}, tconv FROM mat),
+fx AS MATERIALIZED (
+  SELECT {', '.join(effs)}, tconv FROM solved),
+fx2 AS (SELECT *, (eff_1 + eff_2 + eff_3 + eff_4) AS s FROM fx)
+{union.replace('FROM fx', 'FROM fx3')}
+""".replace(
+        "teff",
+        "(CASE WHEN s = 0 THEN 1 ELSE s END)",
+    ).replace(
+        "FROM fx3", "FROM fx2"
+    )
+
+
+ORACLES["q_markov_attr"] = _markov_sql()

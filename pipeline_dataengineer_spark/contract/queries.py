@@ -5943,11 +5943,13 @@ def q_funnel_windowed(spark, sf_dir):
 @query("q_markov_attr")
 def q_markov_attr(spark, sf_dir):
     """Markov removal-effect attribution (operators/attribution.py:
-    markov_attribution). Rows-only by design: the absorbing-chain
-    solve is a driver-side matrix inversion SQL cannot replay; the
-    transition-count framing reuses the oracle-checked journey
-    machinery of q_position_attr/q_time_decay_attr, and removal
-    effects are pytest-pinned on a closed-form chain."""
+    markov_attribution). Fully hash-checked: the absorbing-chain
+    solve is a driver-side numpy inversion, but the chain's state
+    set is small and known (START + the four non-conversion event
+    types), so the oracle replays x_START per removal variant via
+    CRAMER'S RULE — generated Leibniz expansions over the pivoted
+    transition-probability row (see oracles._markov_sql; LU-vs-
+    Cramer drift ~1e-13, invisible at round 4)."""
     from pipeline_dataengineer_spark.operators.attribution import (
         markov_attribution,
     )
