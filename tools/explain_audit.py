@@ -730,6 +730,21 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_vocab_overlap": (["HashAggregate"],
                         ["BroadcastNestedLoopJoin",
                          "CartesianProduct", "Window"]),
+    # hard negatives: anchors arrive BROADCAST into the corpus scan
+    # (BNLJ is the broadcast cross — correct here), per-anchor top-k
+    # is one keyed window; the corpus must never sort-merge or
+    # full-cartesian.
+    "q_hard_negatives": (["BroadcastNestedLoopJoin", "Window"],
+                         ["SortMergeJoin", "CartesianProduct"]),
+    # DBSCAN: neighbor pairs come from the grid EQUI-join (cell keys)
+    # — a nested-loop distance join would be the quadratic classic.
+    # (The final plan is the label join; the CC iterations inside are
+    # checkpoint-truncated.)
+    "q_dbscan": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # q_kcenter / q_sinkhorn_drift / q_markov_attr return driver-
+    # assembled bounded-state results (LocalTableScan) — their heavy
+    # lifting happens in aggregates executed during construction, so
+    # there is no final plan worth asserting on here.
 }
 
 
