@@ -550,3 +550,19 @@ def test_wsp_raises_on_truncated_budget(spark):
         weighted_shortest_paths(e, s, max_iterations=3).collect()
     ok = weighted_shortest_paths(e, s, max_iterations=5).collect()
     assert {r["node"]: r["dist"] for r in ok}[5] == 5.0
+
+
+def test_cc_converges_on_deep_chain(spark):
+    """Diameter worst case: a 10k-node path. Plain min-label
+    propagation needs 10k rounds (the pre-round-7 code could never
+    finish this); star contraction does it inside the default
+    20-round budget."""
+    from pipeline_dataengineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    e = spark.range(9_999).selectExpr("id AS id_a", "id + 1 AS id_b")
+    out = connected_components(e)  # default max_iterations=20
+    rows = out.collect()
+    assert len(rows) == 10_000
+    assert {r["component"] for r in rows} == {0}
