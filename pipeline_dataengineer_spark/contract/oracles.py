@@ -8121,3 +8121,101 @@ fx2 AS (SELECT *, (eff_1 + eff_2 + eff_3 + eff_4) AS s FROM fx)
 
 
 ORACLES["q_markov_attr"] = _markov_sql()
+
+
+def _grouped_sinkhorn_sql(
+    n_bins: int = 8, reg: float = 2.0, iterations: int = 6
+) -> str:
+    """Group-threaded twin of _sinkhorn_sql: every CTE keyed by the
+    segment, three MATERIALIZED scaling chains, one output row per
+    group."""
+    qs = ", ".join(
+        f"quantile_cont(v, {i / n_bins})" for i in range(1, n_bins)
+    )
+    sql = f"""
+WITH ref AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+  WHERE year(o_orderdate) <= 1997),
+cur AS (
+  SELECT o_orderpriority AS g, o_totalprice * 1.15 AS v FROM orders
+  WHERE year(o_orderdate) >= 1998),
+b AS MATERIALIZED (SELECT g, [{qs}] AS bounds FROM ref GROUP BY g),
+rbin AS MATERIALIZED (
+  SELECT r.g, CAST(len(list_filter(b.bounds, x -> r.v > x)) AS INT) AS bin,
+         count(*) AS n
+  FROM ref r JOIN b ON r.g = b.g WHERE r.v IS NOT NULL GROUP BY 1, 2),
+cbin AS MATERIALIZED (
+  SELECT c.g, CAST(len(list_filter(b.bounds, x -> c.v > x)) AS INT) AS bin,
+         count(*) AS n
+  FROM cur c JOIN b ON c.g = b.g WHERE c.v IS NOT NULL GROUP BY 1, 2),
+spine AS (
+  SELECT b.g, CAST(u.i AS INT) AS bin
+  FROM b CROSS JOIN (SELECT unnest(range({n_bins})) AS i) u),
+hist AS (
+  SELECT s.g, s.bin, coalesce(rbin.n, 0) AS n_ref,
+         coalesce(cbin.n, 0) AS n_cur
+  FROM spine s
+  LEFT JOIN rbin ON s.g = rbin.g AND s.bin = rbin.bin
+  LEFT JOIN cbin ON s.g = cbin.g AND s.bin = cbin.bin),
+t AS (SELECT g, sum(n_ref) AS tr, sum(n_cur) AS tc FROM hist GROUP BY g),
+pq AS MATERIALIZED (
+  SELECT hist.g, bin, CAST(n_ref AS DOUBLE) / t.tr AS p,
+         CAST(n_cur AS DOUBLE) / t.tc AS q
+  FROM hist JOIN t ON hist.g = t.g),
+kern AS MATERIALIZED (
+  SELECT CAST(i.i AS INT) AS i, CAST(j.i AS INT) AS j,
+         1.0 / (1.0 + ((i.i - j.i) / {reg}) * ((i.i - j.i) / {reg})) AS k,
+         CAST(abs(i.i - j.i) AS DOUBLE) AS c
+  FROM (SELECT unnest(range({n_bins})) AS i) i,
+       (SELECT unnest(range({n_bins})) AS i) j)"""
+    for sfx, pcol, qcol in [("a", "p", "q"), ("b", "p", "p"), ("c", "q", "q")]:
+        sql += f""",
+v0{sfx} AS (SELECT g, bin AS j, 1.0 AS v FROM spine)"""
+        prev = f"v0{sfx}"
+        for it in range(1, iterations + 1):
+            sql += f""",
+su{it}{sfx} AS MATERIALIZED (
+  SELECT pv.g, kern.i, sum(kern.k * pv.v) AS su
+  FROM kern JOIN {prev} pv ON kern.j = pv.j GROUP BY pv.g, kern.i),
+u{it}{sfx} AS MATERIALIZED (
+  SELECT pq.g, pq.bin AS i, pq.{pcol} / s.su AS u
+  FROM pq JOIN su{it}{sfx} s ON pq.g = s.g AND pq.bin = s.i),
+sv{it}{sfx} AS MATERIALIZED (
+  SELECT pu.g, kern.j, sum(kern.k * pu.u) AS sv
+  FROM kern JOIN u{it}{sfx} pu ON kern.i = pu.i GROUP BY pu.g, kern.j),
+v{it}{sfx} AS MATERIALIZED (
+  SELECT pq.g, pq.bin AS j, pq.{qcol} / s.sv AS v
+  FROM pq JOIN sv{it}{sfx} s ON pq.g = s.g AND pq.bin = s.j)"""
+            prev = f"v{it}{sfx}"
+        last = iterations
+        sql += f""",
+pi{sfx} AS MATERIALIZED (
+  SELECT u.g, kern.i, kern.j, u.u * kern.k * v.v AS pi, kern.c
+  FROM kern
+  JOIN u{last}{sfx} u ON kern.i = u.i
+  JOIN v{last}{sfx} v ON kern.j = v.j AND v.g = u.g),
+tc{sfx} AS (SELECT g, sum(pi * c) AS tcost FROM pi{sfx} GROUP BY g)"""
+    sql += """,
+ep AS (
+  SELECT rm.g, sum(abs(rm.s - pq.p)) AS ep
+  FROM (SELECT g, i, sum(pi) AS s FROM pia GROUP BY g, i) rm
+  JOIN pq ON rm.g = pq.g AND rm.i = pq.bin GROUP BY rm.g),
+eq AS (
+  SELECT cm.g, sum(abs(cm.s - pq.q)) AS eq
+  FROM (SELECT g, j, sum(pi) AS s FROM pia GROUP BY g, j) cm
+  JOIN pq ON cm.g = pq.g AND cm.j = pq.bin GROUP BY cm.g)
+SELECT tca.g AS o_orderpriority,
+       round(tca.tcost - 0.5 * tcb.tcost - 0.5 * tcc.tcost, 6)
+         AS sinkhorn_div,
+       round(tca.tcost, 6) AS transport_cost,
+       round(ep.ep, 6) AS marginal_err_ref,
+       round(eq.eq, 6) AS marginal_err_cur
+FROM tca
+JOIN tcb ON tca.g = tcb.g
+JOIN tcc ON tca.g = tcc.g
+JOIN ep ON tca.g = ep.g
+JOIN eq ON tca.g = eq.g"""
+    return sql
+
+
+ORACLES["q_grouped_sinkhorn"] = _grouped_sinkhorn_sql()

@@ -9647,3 +9647,29 @@ def q_sinkhorn_drift(spark, sf_dir):
         (F.col("o_totalprice") * 1.15).alias("o_totalprice")
     )
     return sinkhorn_drift(ref, cur, "o_totalprice", n_bins=8)
+
+
+@query("q_grouped_sinkhorn")
+def q_grouped_sinkhorn(spark, sf_dir):
+    """Per-segment debiased Sinkhorn drift (operators/stats_tests.py:
+    grouped_sinkhorn_drift): one OT drift row per o_orderpriority,
+    1995-97 totals vs 1998+ shifted +15%, per-group equal-frequency
+    bounds. The applyInPandas kernel uses the same ordered-loop
+    arithmetic as the global operator, so the group-threaded unrolled
+    oracle (three scaling CTE chains keyed by group) replays it
+    bit-for-bit at round 6."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_sinkhorn_drift,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") <= 1997).select(
+        "o_orderpriority", "o_totalprice"
+    )
+    cur = o.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 1.15).alias("o_totalprice"),
+    )
+    return grouped_sinkhorn_drift(
+        ref, cur, "o_orderpriority", "o_totalprice", n_bins=8
+    )

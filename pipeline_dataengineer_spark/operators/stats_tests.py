@@ -1913,3 +1913,144 @@ def sinkhorn_drift(
         "transport_cost double, marginal_err_ref double, "
         "marginal_err_cur double",
     )
+
+
+def grouped_sinkhorn_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 8,
+    reg: float = 2.0,
+    iterations: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-segment debiased Sinkhorn drift — the keyed twin of
+    ``sinkhorn_drift`` (one row per group), completing the grouped
+    drift family next to grouped_ks / grouped_wasserstein.
+
+    Per group: equal-frequency bounds from THAT group's reference
+    slice (keyed percentile aggregate), both sides histogrammed on
+    them (keyed join — groups can outnumber any broadcast), then the
+    three scaling trajectories run inside one applyInPandas over the
+    group's n_bins-row histogram. Groups never share state, so the
+    kernel is embarrassingly parallel and its per-group cost is the
+    bin-bounded constant.
+
+    The kernel uses the same ordered python-loop arithmetic as the
+    global operator (NOT vectorized numpy) so every float op matches
+    the unrolled SQL oracle term for term; at n_bins=8 the loop is
+    microseconds per group and throughput is histogram-bound, not
+    kernel-bound."""
+    import pandas as pd
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.groupBy(group_col).agg(
+        F.array(*[F.percentile(value_col, F.lit(q)) for q in qs]).alias(
+            "__b"
+        )
+    )
+
+    def binned(df: DataFrame, label: str) -> DataFrame:
+        b = df.join(bounds, group_col)
+        bin_id = F.aggregate(
+            F.col("__b"),
+            F.lit(0),
+            lambda acc, bd: acc
+            + F.when(F.col(value_col) > bd, 1).otherwise(0),
+        )
+        return (
+            b.filter(F.col(value_col).isNotNull())
+            .groupBy(group_col, bin_id.alias("bin"))
+            .agg(F.count("*").alias(label))
+        )
+
+    hist = (
+        binned(ref, "n_ref")
+        .join(binned(cur, "n_cur"), [group_col, "bin"], "full_outer")
+        .select(
+            group_col,
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    reg_f = float(reg)
+    kern = [
+        [
+            1.0 / (1.0 + ((i - j) / reg_f) * ((i - j) / reg_f))
+            for j in range(n_bins)
+        ]
+        for i in range(n_bins)
+    ]
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_ref = [0] * n_bins
+        n_cur = [0] * n_bins
+        for _, row in pdf.iterrows():
+            n_ref[int(row["bin"])] = int(row["n_ref"])
+            n_cur[int(row["bin"])] = int(row["n_cur"])
+        tr, tc = sum(n_ref), sum(n_cur)
+        g = pdf[group_col].iloc[0]
+        if tr == 0 or tc == 0:
+            return pd.DataFrame(
+                {
+                    group_col: [g],
+                    "sinkhorn_div": [None],
+                    "transport_cost": [None],
+                    "marginal_err_ref": [None],
+                    "marginal_err_cur": [None],
+                }
+            )
+        p = [x / tr for x in n_ref]
+        q = [x / tc for x in n_cur]
+
+        def scale(pp, qq):
+            v = [1.0] * n_bins
+            u = [0.0] * n_bins
+            for _ in range(iterations):
+                for i in range(n_bins):
+                    su = sum(kern[i][j] * v[j] for j in range(n_bins))
+                    u[i] = pp[i] / su if su else 0.0
+                for j in range(n_bins):
+                    sv = sum(kern[i][j] * u[i] for i in range(n_bins))
+                    v[j] = qq[j] / sv if sv else 0.0
+            pi = [
+                [u[i] * kern[i][j] * v[j] for j in range(n_bins)]
+                for i in range(n_bins)
+            ]
+            tcost = sum(
+                pi[i][j] * abs(i - j)
+                for i in range(n_bins)
+                for j in range(n_bins)
+            )
+            ep = sum(abs(sum(pi[i]) - pp[i]) for i in range(n_bins))
+            eq = sum(
+                abs(sum(pi[i][j] for i in range(n_bins)) - qq[j])
+                for j in range(n_bins)
+            )
+            return tcost, ep, eq
+
+        t_pq, ep, eq = scale(p, q)
+        t_pp, _, _ = scale(p, p)
+        t_qq, _, _ = scale(q, q)
+        return pd.DataFrame(
+            {
+                group_col: [g],
+                "sinkhorn_div": [
+                    round(t_pq - 0.5 * t_pp - 0.5 * t_qq, round_to)
+                ],
+                "transport_cost": [round(t_pq, round_to)],
+                "marginal_err_ref": [round(ep, round_to)],
+                "marginal_err_cur": [round(eq, round_to)],
+            }
+        )
+
+    out_schema = (
+        f"{group_col} string, sinkhorn_div double, "
+        "transport_cost double, marginal_err_ref double, "
+        "marginal_err_cur double"
+    )
+    return hist.groupBy(group_col).applyInPandas(solve, out_schema)

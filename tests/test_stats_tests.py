@@ -414,3 +414,43 @@ def test_sinkhorn_drift_monotone_in_shift(spark):
         base, base.select((F.col("v") + 30.0).alias("v")), "v", n_bins=8
     ).collect()[0]["sinkhorn_div"]
     assert far > near
+
+
+def test_grouped_sinkhorn_matches_global_per_group(spark):
+    """Each group's row equals the global operator run on that
+    group's slice alone — the keyed kernel shares the arithmetic."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        grouped_sinkhorn_drift,
+        sinkhorn_drift,
+    )
+
+    base = spark.range(3000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.col("id") % 70).cast("double").alias("v"),
+    )
+    cur = base.select(
+        "g",
+        F.when(F.col("g") == "a", F.col("v") + 20.0)
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+    grouped = {
+        r["g"]: r
+        for r in grouped_sinkhorn_drift(
+            base, cur, "g", "v", n_bins=8
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = sinkhorn_drift(
+            base.filter(F.col("g") == g),
+            cur.filter(F.col("g") == g),
+            "v",
+            n_bins=8,
+        ).collect()[0]
+        assert grouped[g]["sinkhorn_div"] == solo["sinkhorn_div"]
+        assert grouped[g]["transport_cost"] == solo["transport_cost"]
+    # the shifted group must out-score the identical one
+    assert grouped["a"]["sinkhorn_div"] > grouped["b"]["sinkhorn_div"]
+    assert grouped["b"]["sinkhorn_div"] == 0.0
