@@ -21,9 +21,20 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    driver_finish_edges: int = 50_000,
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min
     node id reachable. Deterministic for any input edge set.
+
+    Hybrid finish: whenever the CURRENT (contracted) edge set fits
+    under ``driver_finish_edges``, it is collected and closed with a
+    driver-side union-find instead of more Spark rounds. Star
+    contraction shrinks the active graph geometrically, so this
+    bound is reached in O(log) rounds no matter the input size; 50k
+    edges ≈ 2 MB — boundary/codebook-order driver state, and each
+    avoided round saves ~10 scheduler round-trips (measured: the
+    sf0.1 DBSCAN core graph, 33k edges, dropped from ~17 s of tiny
+    jobs to one collect). Set 0 to force the fully distributed path.
 
     Star contraction (hook + compress + contract), the provably
     O(log n)-round MR formulation — NOT plain min-label propagation,
@@ -82,7 +93,49 @@ def connected_components(
         )
 
     for _ in range(max_iterations):
-        if edges.isEmpty():
+        n_edges = edges.count()
+        if n_edges == 0:
+            break
+        if n_edges <= driver_finish_edges:
+            # bounded remainder: close it out with union-find
+            rows = edges.collect()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in rows:
+                ra, rb = find(row["a"]), find(row["b"])
+                if ra != rb:
+                    # union by min so the root IS the component min
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            lab_rows = [(n, find(n)) for n in parent]
+            lab = edges.sparkSession.createDataFrame(
+                lab_rows, schema=edges.select(
+                    F.col("a").alias("node"), F.col("b").alias("lab")
+                ).schema,
+            )
+            mapping = (
+                mapping.join(
+                    lab.select(
+                        F.col("node").alias("__n"),
+                        F.col("lab").alias("__l"),
+                    ),
+                    mapping.component == F.col("__n"),
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.coalesce("__l", "component").alias("component"),
+                )
+                .localCheckpoint()
+            )
             break
         # 1. hook: min over self + neighbors
         lab = (

@@ -562,7 +562,9 @@ def test_cc_converges_on_deep_chain(spark):
     )
 
     e = spark.range(9_999).selectExpr("id AS id_a", "id + 1 AS id_b")
-    out = connected_components(e)  # default max_iterations=20
+    # driver_finish_edges=0 forces the fully distributed contraction
+    # path (the default hybrid would just collect 10k edges)
+    out = connected_components(e, driver_finish_edges=0)
     rows = out.collect()
     assert len(rows) == 10_000
     assert {r["component"] for r in rows} == {0}
