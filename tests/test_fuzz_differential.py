@@ -37,3 +37,22 @@ def test_fuzz_seeds_1_to_30(engines):
 def test_fuzz_seeds_31_to_60(engines):
     spark, con = engines
     assert run_seeds(spark, con, range(31, 61), verbose=False) == []
+
+
+def test_gen_query_is_deterministic():
+    """Same seed + same data -> byte-identical SQL (the reproducer
+    contract printed on failure must actually reproduce)."""
+    from tools.fuzz_differential import gen_query
+
+    def fresh_con():
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{SF_DIR}/{t}.parquet'"
+            )
+        return con
+
+    a, b = fresh_con(), fresh_con()
+    for seed in (1, 7, 42, 123, 999):
+        assert gen_query(seed, a) == gen_query(seed, b)
