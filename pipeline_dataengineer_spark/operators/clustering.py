@@ -104,9 +104,11 @@ def kcenter_coreset(
     standard diversity-first seed set for curriculum/coreset data
     selection (also kmeans++'s deterministic cousin).
 
-    Returns k rows (round, center_id, sel_dist): the selection order,
-    the chosen id, and its rounded distance-to-selected-set at
-    selection time (NULL for the seed). Deterministic end to end:
+    Returns up to k rows (round, center_id, sel_dist): the selection
+    order, the chosen id, and its rounded distance-to-selected-set at
+    selection time (NULL for the seed). Stops short of k when every
+    remaining point coincides with a selected center (duplicate
+    "centers" add zero coverage). Deterministic end to end:
     distances are rounded BEFORE the argmax and ties break on min id,
     so the trajectory is engine-reproducible and SQL-oracle-checkable.
 
@@ -148,6 +150,12 @@ def kcenter_coreset(
             F.max(F.struct(d_expr.alias("d"), (-F.col("__id")).alias("ni")))
         ).collect()[0][0]
         cid, cdist = -top["ni"], top["d"]
+        if cdist is None or cdist <= 0.0:
+            # every remaining point coincides with a selected center
+            # (k exceeds the number of distinct points) — a further
+            # "center" would add zero coverage, so stop short rather
+            # than emit duplicates
+            break
         row = pts.filter(F.col("__id") == cid).collect()[0]
         centers.append((rnd, cid, float(cdist)))
         d_expr = F.least(d_expr, dist2_to(list(row["__v"])))
