@@ -8219,3 +8219,71 @@ JOIN eq ON tca.g = eq.g"""
 
 
 ORACLES["q_grouped_sinkhorn"] = _grouped_sinkhorn_sql()
+
+ORACLES["q_inequality_panel"] = """
+WITH base AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+a AS (
+  SELECT g, count(*) AS n, sum(x) AS s, sum(ln(x)) AS sl,
+         sum(x * ln(x)) AS sxl, sum(pow(x, 0.5)) AS sp
+  FROM base GROUP BY g)
+SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+       round(sxl / s - ln(s / n), 6) AS theil_t,
+       round(ln(s / n) - sl / n, 6) AS theil_l,
+       round(1.0 - pow(sp / n, 2.0) / (s / n), 6) AS atkinson
+FROM a
+"""
+
+ORACLES["q_eb_shrink"] = """
+WITH g AS (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(o_totalprice AS DOUBLE)) AS s,
+         sum(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE))
+           AS ss
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey),
+t AS (
+  SELECT sum(n) AS nn, sum(s) AS ts, count(*) AS ng,
+         sum(ss - s * s / n) AS ssw, sum(n * n) AS sn2,
+         sum(s * s / n) AS snm2
+  FROM g),
+c AS (
+  SELECT *, ssw / (nn - ng) AS msw,
+         (snm2 - ts * ts / nn) / (ng - 1) AS msb,
+         (nn - sn2 / nn) / (ng - 1) AS n0
+  FROM t),
+c2 AS (SELECT *, greatest(0, (msb - msw) / n0) AS tau2 FROM c)
+SELECT g.o_custkey, CAST(g.n AS BIGINT) AS n,
+       round(g.s / g.n, 6) AS raw_mean,
+       round(CASE WHEN c2.ng > 1 AND c2.n0 > 0 AND c2.msw > 0
+                  THEN c2.tau2 / (c2.tau2 + c2.msw / g.n) END, 6)
+         AS shrinkage,
+       round(CASE WHEN c2.ng > 1 AND c2.n0 > 0 AND c2.msw > 0
+                  THEN c2.ts / c2.nn
+                       + (c2.tau2 / (c2.tau2 + c2.msw / g.n))
+                         * (g.s / g.n - c2.ts / c2.nn)
+                  ELSE g.s / g.n END, 6) AS eb_mean
+FROM g, c2
+"""
+
+ORACLES["q_holm"] = """
+WITH h AS (
+  SELECT o_orderkey AS hyp_id, (((((((o_orderkey) % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647) % 100000) / 100000.0 AS p
+  FROM orders WHERE o_orderkey < 1000
+), s AS (
+  SELECT hyp_id, p,
+         row_number() OVER (ORDER BY p ASC, hyp_id ASC) AS rk,
+         count(*) OVER () AS n
+  FROM h
+), q AS (
+  SELECT hyp_id, p, rk,
+         max(least(1.0, p * (n - rk + 1))) OVER (ORDER BY rk ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj
+  FROM s
+)
+SELECT hyp_id, p, CAST(rk AS BIGINT) AS rank,
+       round(adj, 6) AS adj_p, adj <= 0.05 AS reject
+FROM q
+"""
+
+ORACLES["q_holm_dist"] = ORACLES["q_holm"]

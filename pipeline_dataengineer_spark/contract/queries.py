@@ -9673,3 +9673,82 @@ def q_grouped_sinkhorn(spark, sf_dir):
     return grouped_sinkhorn_drift(
         ref, cur, "o_orderpriority", "o_totalprice", n_bins=8
     )
+
+
+@query("q_inequality_panel")
+def q_inequality_panel(spark, sf_dir):
+    """Entropy-family inequality indices (operators/inequality.py:
+    theil_atkinson): Theil T / Theil L / Atkinson(0.5) of order
+    totals per priority — five combinable aggregates per group, no
+    sort (the decomposable complement to q_gini's rank formula)."""
+    from pipeline_dataengineer_spark.operators.inequality import (
+        theil_atkinson,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    return theil_atkinson(
+        o, "o_totalprice", ["o_orderpriority"], epsilon=0.5
+    )
+
+
+@query("q_eb_shrink")
+def q_eb_shrink(spark, sf_dir):
+    """Empirical-Bayes partial pooling (operators/stats_tests.py:
+    eb_shrink_means): per-customer mean order totals shrunk toward
+    the grand mean by the one-way random-effects factor — the
+    small-slice-safe per-source quality estimator. All variance
+    components from one G-row reduction (MSB needs no second pass:
+    Σ n(m−m̄)² = Σ s²/n − S²/N), oracle-replayed exactly."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        eb_shrink_means,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    return eb_shrink_means(o, "o_custkey", "o_totalprice")
+
+
+def _holm_hypotheses(spark, sf_dir):
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("hyp_id"),
+            (portable_bucket(F.col("o_orderkey"), 100000) / 100000.0)
+            .alias("p"),
+        )
+    )
+
+
+@query("q_holm")
+def q_holm(spark, sf_dir):
+    """Holm step-down FWER adjustment (operators/stats_tests.py:
+    holm_bonferroni) over the same deterministic pseudo-p table as
+    q_benjamini_hochberg — ascending rank + left running max,
+    oracle-replayed bit-for-bit."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        holm_bonferroni,
+    )
+
+    return holm_bonferroni(
+        _holm_hypotheses(spark, sf_dir), "hyp_id", "p", alpha=0.05
+    )
+
+
+@query("q_holm_dist")
+def q_holm_dist(spark, sf_dir):
+    """holm_bonferroni(distributed=True): identical adjusted p via
+    the two-phase global row index + running max derived from
+    global_cummin (max(x) = -cummin(-x)) — no unkeyed window; shares
+    q_holm's oracle verbatim."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        holm_bonferroni,
+    )
+
+    return holm_bonferroni(
+        _holm_hypotheses(spark, sf_dir), "hyp_id", "p", alpha=0.05,
+        distributed=True,
+    )

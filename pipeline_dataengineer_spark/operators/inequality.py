@@ -121,3 +121,60 @@ def lorenz_curve(
         )
         .orderBy("point")
     )
+
+
+def theil_atkinson(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    epsilon: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Entropy-family inequality indices — the decomposable
+    complements to the rank-based Gini above:
+
+    - Theil T  = (1/n) Σ (x/μ)·ln(x/μ)  — top-sensitive;
+    - Theil L  = (1/n) Σ ln(μ/x)        — bottom-sensitive (MLD);
+    - Atkinson(ε) = 1 − (1/μ)·[(1/n) Σ x^(1−ε)]^(1/(1−ε)), the
+      welfare reading (ε=0.5 default; ε→1 uses the geometric-mean
+      limit).
+
+    Everything reduces to five combinable aggregates per group
+    (n, Σx, Σln x, Σx·ln x, Σx^(1−ε)) via
+        T = Σx·lnx / Σx − ln μ,   L = ln μ − (1/n)Σln x
+    — one shuffle, no windows, no sort (the Gini needs a global
+    rank; these do not, which is why they decompose across groups
+    and scale for free). Rows with NULL or non-positive values are
+    dropped (logs); ``group_cols=None`` yields one global row."""
+    eps = float(epsilon)
+    if eps == 1.0:
+        raise ValueError(
+            "epsilon=1 is the geometric-mean limit; pass 0.999… or "
+            "extend with the ln-based branch if you need it exactly"
+        )
+    x = F.col("__x")
+    base = df.select(
+        *(group_cols or []),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(x.isNotNull() & (x > 0))
+    aggs = [
+        F.count("*").alias("__n"),
+        F.sum(x).alias("__s"),
+        F.sum(F.log(x)).alias("__sl"),
+        F.sum(x * F.log(x)).alias("__sxl"),
+        F.sum(F.pow(x, F.lit(1.0 - eps))).alias("__sp"),
+    ]
+    g = base.groupBy(*group_cols).agg(*aggs) if group_cols else base.agg(*aggs)
+    mu = F.col("__s") / F.col("__n")
+    theil_t = F.col("__sxl") / F.col("__s") - F.log(mu)
+    theil_l = F.log(mu) - F.col("__sl") / F.col("__n")
+    atk = F.lit(1.0) - (
+        F.pow(F.col("__sp") / F.col("__n"), F.lit(1.0 / (1.0 - eps))) / mu
+    )
+    return g.select(
+        *(group_cols or []),
+        F.col("__n").alias("n"),
+        F.round(theil_t, round_to).alias("theil_t"),
+        F.round(theil_l, round_to).alias("theil_l"),
+        F.round(atk, round_to).alias("atkinson"),
+    )

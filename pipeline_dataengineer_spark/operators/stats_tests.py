@@ -2054,3 +2054,150 @@ def grouped_sinkhorn_drift(
         "marginal_err_cur double"
     )
     return hist.groupBy(group_col).applyInPandas(solve, out_schema)
+
+
+def eb_shrink_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) partial pooling of
+    per-group means — the right estimator for per-domain / per-source
+    quality scores where small slices otherwise dominate rankings by
+    noise alone. One-way random-effects method-of-moments:
+
+        m_bar = grand mean        MSW = pooled within variance
+        MSB = Sigma n_g (m_g - m_bar)^2 / (G - 1)
+        n0  = (N - Sigma n_g^2 / N) / (G - 1)
+        tau2 = max(0, (MSB - MSW) / n0)
+        shrink_g  = tau2 / (tau2 + MSW / n_g)
+        eb_mean_g = m_bar + shrink_g * (m_g - m_bar)
+
+    Small groups (MSW/n_g large) pull hard toward the grand mean;
+    large groups keep their own signal — the behaviour a min-count
+    threshold fakes, without the cliff.
+
+    Scale shape: ONE combinable per-group aggregate (n, Sigma x,
+    Sigma x^2), then a single G-row reduction for every variance
+    component — MSB needs no second data pass because
+    Sigma n(m - m_bar)^2 = Sigma s^2/n - S^2/N — broadcast back onto
+    the group table (no window, no re-shuffle). Degenerate cases are
+    explicit: G = 1 or n0 <= 0 or MSW undefined (every group a
+    singleton) -> shrinkage NULL and eb_mean = raw mean; tau2 floors
+    at 0 -> shrinkage 0 -> full pooling."""
+    x = F.col(value_col).cast("double")
+    g = (
+        df.filter(x.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("__s"),
+            F.sum(x * x).alias("__ss"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("__N"),
+        F.sum("__s").alias("__S"),
+        F.count("*").alias("__G"),
+        F.sum(
+            F.col("__ss") - F.col("__s") * F.col("__s") / F.col("n")
+        ).alias("__ssw"),
+        F.sum(F.col("n") * F.col("n")).alias("__sn2"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("n")).alias("__snm2"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    gmean = F.col("__S") / F.col("__N")
+    m = F.col("__s") / F.col("n")
+    msw = F.try_divide(F.col("__ssw"), (F.col("__N") - F.col("__G")))
+    msb = F.try_divide(
+        F.col("__snm2") - F.col("__S") * F.col("__S") / F.col("__N"),
+        (F.col("__G") - F.lit(1)).cast("double"),
+    )
+    n0 = F.try_divide(
+        F.col("__N") - F.col("__sn2") / F.col("__N"),
+        (F.col("__G") - F.lit(1)).cast("double"),
+    )
+    tau2 = F.greatest(F.lit(0.0), F.try_divide(msb - msw, n0))
+    shrink = F.when(
+        (F.col("__G") > 1)
+        & n0.isNotNull()
+        & (n0 > 0)
+        & msw.isNotNull()
+        & (msw > 0),
+        tau2 / (tau2 + msw / F.col("n")),
+    )
+    eb = F.when(shrink.isNotNull(), gmean + shrink * (m - gmean)).otherwise(m)
+    return j.select(
+        group_col,
+        "n",
+        F.round(m, round_to).alias("raw_mean"),
+        F.round(shrink, round_to).alias("shrinkage"),
+        F.round(eb, round_to).alias("eb_mean"),
+    )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    id_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+    distributed: bool = False,
+) -> DataFrame:
+    """Holm's step-down FWER correction — benjamini_hochberg's
+    strict sibling when the guarantee must be family-wise (any false
+    positive), not just FDR:
+
+        adj_(i) = max_{j <= i} min(1, (n − j + 1) · p_(j))   (p asc)
+
+    — monotone by the running MAX from the left where BH runs a min
+    from the right. Returns every row with (rank, adj_p, reject);
+    ties on p break by id for determinism.
+
+    Same scale story as BH: one sort of the hypothesis-count-sized
+    table by default; ``distributed=True`` computes the identical
+    adjusted values with the two-phase global row index plus the
+    running max derived from the EXISTING global_cummin primitive
+    via max(x) = −cummin(−x) — no unkeyed window anywhere."""
+    p = F.col(p_col).cast("double")
+    raw = F.least(
+        F.lit(1.0),
+        F.col("__p") * (F.col("__n") - F.col("__rk") + 1),
+    )
+    if distributed:
+        from pipeline_dataengineer_spark.operators.order import (
+            global_cummin,
+            global_row_index,
+        )
+
+        base = df.select(F.col(id_col), p.alias("__p"))
+        tot = base.agg(F.count(F.lit(1)).alias("__n"))
+        step = global_row_index(
+            base, ["__p", id_col], "__rk0"
+        ).withColumn("__rk", F.col("__rk0") + 1).drop("__rk0")
+        step = step.crossJoin(F.broadcast(tot)).withColumn(
+            "__neg", -raw
+        )
+        scanned = global_cummin(step, [F.col("__rk").asc()], ["__neg"])
+        out = scanned.withColumn("__adj", -F.col("cummin___neg"))
+    else:
+        w_rank = Window.orderBy(p.asc(), F.col(id_col).asc())
+        w_from_left = Window.orderBy(F.col("__rk").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        n = Window.partitionBy()
+        step = df.select(
+            F.col(id_col),
+            p.alias("__p"),
+            F.row_number().over(w_rank).alias("__rk"),
+            F.count(F.lit(1)).over(n).alias("__n"),
+        )
+        out = step.withColumn("__adj", F.max(raw).over(w_from_left))
+    return out.select(
+        id_col,
+        F.col("__p").alias(p_col),
+        F.col("__rk").cast("long").alias("rank"),
+        F.round(F.col("__adj"), round_to).alias("adj_p"),
+        (F.col("__adj") <= alpha).alias("reject"),
+    )

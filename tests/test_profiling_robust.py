@@ -406,3 +406,29 @@ def test_trimmed_mean_interior_average(spark):
     assert r0["n_used"] == 10
     with pytest.raises(ValueError):
         trimmed_mean(df, ["k"], "v", trim=0.5)
+
+
+def test_theil_atkinson_known_values(spark):
+    """Equal incomes -> all indices 0; a 2-value 80/20 split matches
+    the textbook closed forms."""
+    import math
+
+    from pipeline_dataengineer_spark.operators.inequality import (
+        theil_atkinson,
+    )
+
+    eq = spark.createDataFrame([(5.0,)] * 10, "v double")
+    r = theil_atkinson(eq, "v").collect()[0]
+    assert r["theil_t"] == 0.0 and r["theil_l"] == 0.0 and r["atkinson"] == 0.0
+
+    # 4 people at 1, 1 person at 16: mu = 4
+    sk = spark.createDataFrame([(1.0,)] * 4 + [(16.0,)], "v double")
+    got = theil_atkinson(sk, "v", epsilon=0.5).collect()[0]
+    mu = 4.0
+    t_exp = (4 * (1 / mu) * math.log(1 / mu)
+             + (16 / mu) * math.log(16 / mu)) / 5
+    l_exp = (4 * math.log(mu / 1) + math.log(mu / 16)) / 5
+    a_exp = 1 - ((4 * 1**0.5 + 16**0.5) / 5) ** 2 / mu
+    assert abs(got["theil_t"] - t_exp) < 1e-6
+    assert abs(got["theil_l"] - l_exp) < 1e-6
+    assert abs(got["atkinson"] - a_exp) < 1e-6

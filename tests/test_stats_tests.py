@@ -454,3 +454,68 @@ def test_grouped_sinkhorn_matches_global_per_group(spark):
     # the shifted group must out-score the identical one
     assert grouped["a"]["sinkhorn_div"] > grouped["b"]["sinkhorn_div"]
     assert grouped["b"]["sinkhorn_div"] == 0.0
+
+
+def test_eb_shrink_closed_form(spark):
+    """Hand-checkable one-way layout: two large informative groups +
+    one small noisy one; the singleton-ish group shrinks hardest and
+    all eb means sit strictly between raw mean and grand mean."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        eb_shrink_means,
+    )
+
+    rows = (
+        [("a", 10.0 + (i % 5)) for i in range(20)]
+        + [("b", 20.0 + (i % 5)) for i in range(20)]
+        + [("c", 40.0), ("c", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in eb_shrink_means(df, "g", "v").collect()}
+    grand = sum(v for _, v in rows) / len(rows)
+    for gname in ("a", "b", "c"):
+        r = out[gname]
+        raw = r["raw_mean"]
+        assert 0.0 <= r["shrinkage"] <= 1.0
+        between = (min(raw, grand) - 1e-9 <= r["eb_mean"]
+                   <= max(raw, grand) + 1e-9)
+        assert between, (gname, r)
+    # the 2-row group has far less weight than the 20-row groups
+    assert out["c"]["shrinkage"] < out["a"]["shrinkage"]
+
+
+def test_eb_shrink_degenerate_single_group(spark):
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        eb_shrink_means,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0)], "g string, v double"
+    )
+    r = eb_shrink_means(df, "g", "v").collect()[0]
+    assert r["shrinkage"] is None and r["eb_mean"] == r["raw_mean"]
+
+
+def test_holm_bonferroni_textbook_and_dist_parity(spark):
+    """Classic 4-hypothesis example: p = .01, .02, .03, .04 ->
+    adj = .04, .06, .06, .06 (running max enforces monotonicity);
+    distributed path is bit-identical."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        holm_bonferroni,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.01), (2, 0.02), (3, 0.03), (4, 0.04)], "hyp_id int, p double"
+    )
+    want = {1: 0.04, 2: 0.06, 3: 0.06, 4: 0.06}
+    for dist in (False, True):
+        out = {
+            r["hyp_id"]: r
+            for r in holm_bonferroni(
+                df, "hyp_id", "p", distributed=dist
+            ).collect()
+        }
+        for h, adj in want.items():
+            assert abs(out[h]["adj_p"] - adj) < 1e-9, (dist, h, out[h])
+        assert out[1]["reject"] and not out[2]["reject"]
