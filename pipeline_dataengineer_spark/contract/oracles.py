@@ -8238,14 +8238,14 @@ FROM a
 ORACLES["q_eb_shrink"] = """
 WITH g AS (
   SELECT o_custkey, count(*) AS n,
-         sum(CAST(o_totalprice AS DOUBLE)) AS s,
-         sum(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE))
-           AS ss
+         sum(CAST(floor(o_totalprice / 10) AS DOUBLE)) AS s,
+         sum(CAST(floor(o_totalprice / 10) AS DOUBLE)
+             * CAST(floor(o_totalprice / 10) AS DOUBLE)) AS ss
   FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey),
 t AS (
   SELECT sum(n) AS nn, sum(s) AS ts, count(*) AS ng,
-         sum(ss - s * s / n) AS ssw, sum(n * n) AS sn2,
-         sum(s * s / n) AS snm2
+         sum(ss - floor(s * s / n)) AS ssw, sum(n * n) AS sn2,
+         sum(floor(s * s / n)) AS snm2
   FROM g),
 c AS (
   SELECT *, ssw / (nn - ng) AS msw,

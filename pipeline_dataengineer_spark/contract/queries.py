@@ -9698,13 +9698,23 @@ def q_eb_shrink(spark, sf_dir):
     the grand mean by the one-way random-effects factor — the
     small-slice-safe per-source quality estimator. All variance
     components from one G-row reduction (MSB needs no second pass:
-    Σ n(m−m̄)² = Σ s²/n − S²/N), oracle-replayed exactly."""
+    Σ n(m−m̄)² = Σ s²/n − S²/N), oracle-replayed exactly. The
+    contract instance feeds FLOORED DECI-DOLLAR integers: the global
+    components are sums over every fact row, and double sums of
+    150k arbitrary doubles differ between engines in the last ulp
+    (measured: 67/15000 eb_means flipped their 6th decimal at
+    sf0.1); integer inputs < 2^53 plus exact_reduce (floored
+    s^2/n terms) make every sum exact on both sides, so the whole
+    estimator replays bit-for-bit."""
     from pipeline_dataengineer_spark.operators.stats_tests import (
         eb_shrink_means,
     )
 
-    o = table(spark, sf_dir, "orders")
-    return eb_shrink_means(o, "o_custkey", "o_totalprice")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / 10).alias("tp10"),
+    )
+    return eb_shrink_means(o, "o_custkey", "tp10", exact_reduce=True)
 
 
 def _holm_hypotheses(spark, sf_dir):

@@ -2061,6 +2061,7 @@ def eb_shrink_means(
     group_col: str,
     value_col: str,
     round_to: int = 6,
+    exact_reduce: bool = False,
 ) -> DataFrame:
     """Empirical-Bayes (James-Stein-style) partial pooling of
     per-group means — the right estimator for per-domain / per-source
@@ -2085,7 +2086,16 @@ def eb_shrink_means(
     the group table (no window, no re-shuffle). Degenerate cases are
     explicit: G = 1 or n0 <= 0 or MSW undefined (every group a
     singleton) -> shrinkage NULL and eb_mean = raw mean; tau2 floors
-    at 0 -> shrinkage 0 -> full pooling."""
+    at 0 -> shrinkage 0 -> full pooling.
+
+    ``exact_reduce=True`` floors each group's s^2/n term before the
+    G-row sums. With integer-valued inputs that makes the global
+    variance components BIT-EXACT under any partitioning or engine
+    (every summed term is an integer < 2^53; a plain double sum of
+    15k inexact quotients drifted 67 of 15000 rounded outputs
+    between engines at sf0.1) at the cost of a <= 0.5 per-group
+    perturbation — noise-level against count-scale variances, and
+    trivially replayable in SQL (floor has no tie semantics)."""
     x = F.col(value_col).cast("double")
     g = (
         df.filter(x.isNotNull())
@@ -2096,31 +2106,32 @@ def eb_shrink_means(
             F.sum(x * x).alias("__ss"),
         )
     )
+    term = F.col("__s") * F.col("__s") / F.col("n")
+    if exact_reduce:
+        term = F.floor(term).cast("double")
     tot = g.agg(
-        F.sum("n").alias("__N"),
-        F.sum("__s").alias("__S"),
-        F.count("*").alias("__G"),
-        F.sum(
-            F.col("__ss") - F.col("__s") * F.col("__s") / F.col("n")
-        ).alias("__ssw"),
+        F.sum("n").alias("__nn"),
+        F.sum("__s").alias("__ts"),
+        F.count("*").alias("__ng"),
+        F.sum(F.col("__ss") - term).alias("__ssw"),
         F.sum(F.col("n") * F.col("n")).alias("__sn2"),
-        F.sum(F.col("__s") * F.col("__s") / F.col("n")).alias("__snm2"),
+        F.sum(term).alias("__snm2"),
     )
     j = g.crossJoin(F.broadcast(tot))
-    gmean = F.col("__S") / F.col("__N")
+    gmean = F.col("__ts") / F.col("__nn")
     m = F.col("__s") / F.col("n")
-    msw = F.try_divide(F.col("__ssw"), (F.col("__N") - F.col("__G")))
+    msw = F.try_divide(F.col("__ssw"), (F.col("__nn") - F.col("__ng")))
     msb = F.try_divide(
-        F.col("__snm2") - F.col("__S") * F.col("__S") / F.col("__N"),
-        (F.col("__G") - F.lit(1)).cast("double"),
+        F.col("__snm2") - F.col("__ts") * F.col("__ts") / F.col("__nn"),
+        (F.col("__ng") - F.lit(1)).cast("double"),
     )
     n0 = F.try_divide(
-        F.col("__N") - F.col("__sn2") / F.col("__N"),
-        (F.col("__G") - F.lit(1)).cast("double"),
+        F.col("__nn") - F.col("__sn2") / F.col("__nn"),
+        (F.col("__ng") - F.lit(1)).cast("double"),
     )
     tau2 = F.greatest(F.lit(0.0), F.try_divide(msb - msw, n0))
     shrink = F.when(
-        (F.col("__G") > 1)
+        (F.col("__ng") > 1)
         & n0.isNotNull()
         & (n0 > 0)
         & msw.isNotNull()
