@@ -741,6 +741,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # (The final plan is the label join; the CC iterations inside are
     # checkpoint-truncated.)
     "q_dbscan": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # Holm distributed twin: running max via -cummin(-x) over the
+    # two-phase primitives — the whole point is NO unkeyed window
+    "q_holm_dist": (["MapInPandas"], ["Window"]),
     # q_kcenter / q_sinkhorn_drift / q_markov_attr return driver-
     # assembled bounded-state results (LocalTableScan) — their heavy
     # lifting happens in aggregates executed during construction, so
