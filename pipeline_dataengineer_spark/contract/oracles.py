@@ -8287,3 +8287,9 @@ FROM q
 """
 
 ORACLES["q_holm_dist"] = ORACLES["q_holm"]
+
+ORACLES["q_pruned_read"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
+"""

@@ -9762,3 +9762,38 @@ def q_holm_dist(spark, sf_dir):
         _holm_hypotheses(spark, sf_dir), "hyp_id", "p", alpha=0.05,
         distributed=True,
     )
+
+
+@query("q_pruned_read")
+def q_pruned_read(spark, sf_dir):
+    """End-to-end footer-stats file pruning (sources/parquet_meta.py:
+    prune_paths/read_pruned): orders re-laid-out by price range into
+    12 files (repartitionByRange so each file owns a disjoint price
+    band), then a band predicate reads ONLY the files whose footer
+    min/max admit it — and the result must equal the plain filtered
+    table, which is exactly what the oracle checks. The pruning
+    effectiveness itself (files actually dropped) is pytest-pinned;
+    this query proves the cut loses no rows."""
+    import os
+
+    from pipeline_dataengineer_spark.sources.parquet_meta import (
+        read_pruned,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_pruned_{tag}"
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(12, "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    paths = sorted(
+        f"{out}/{f}"
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    return read_pruned(
+        spark, paths, "o_totalprice", 100_000.0, 150_000.0
+    )

@@ -139,3 +139,65 @@ def skipping_effectiveness(
             F.when(skippable, F.col("num_rows")).otherwise(F.lit(0))
         ).alias("skippable_rows"),
     )
+
+
+def prune_paths(
+    spark: SparkSession,
+    paths: list[str],
+    column: str,
+    lo,
+    hi,
+) -> list[str]:
+    """The file subset that can contain rows with
+    ``lo <= column <= hi`` according to footer stats alone — a file
+    is dropped only when EVERY row group in it is skippable, and a
+    row group without usable stats is conservatively kept. This is
+    the engine-level version of what a lakehouse manifest prune
+    does: at 100 TB the footer pass costs file-count/cores tasks and
+    no data pages, and each dropped file is a whole scan task that
+    never launches."""
+    from pyspark.sql import functions as F
+
+    st = row_group_stats(spark, paths, columns=[column])
+    mn = F.col("min_value").cast("double")
+    mx = F.col("max_value").cast("double")
+    skippable = (
+        mn.isNotNull()
+        & mx.isNotNull()
+        & ((mx < F.lit(float(lo))) | (mn > F.lit(float(hi))))
+    )
+    per_file = st.groupBy("file_name").agg(
+        F.min(skippable.cast("int")).alias("__all_skip")
+    )
+    kept = [
+        r["file_name"]
+        for r in per_file.filter(F.col("__all_skip") == 0).collect()
+    ]
+    # files the stats scan never saw (empty footer edge) stay kept
+    seen = {r["file_name"] for r in per_file.collect()}
+    kept += [p for p in paths if p not in seen]
+    return sorted(kept)
+
+
+def read_pruned(
+    spark: SparkSession,
+    paths: list[str],
+    column: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Footer-pruned ranged read: scan only the files
+    ``prune_paths`` keeps, then apply the residual row filter (the
+    stats cut is file-granular; the predicate still runs — results
+    are EXACTLY the plain filtered read, which is what the contract
+    oracle checks). Returns an empty, correctly-typed frame when
+    every file prunes away."""
+    from pyspark.sql import functions as F
+
+    kept = prune_paths(spark, paths, column, lo, hi)
+    src = kept if kept else paths  # schema-only fallback
+    df = spark.read.parquet(*src)
+    pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    if not kept:
+        return df.filter(F.lit(False))
+    return df.filter(pred)

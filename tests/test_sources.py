@@ -286,3 +286,39 @@ def test_skipping_effectiveness_report(spark):
         spark, [path], "o_orderkey", -1, 10**12
     ).collect()[0]
     assert full["skippable_groups"] == 0
+
+
+def test_prune_paths_drops_out_of_band_files(spark, tmp_path):
+    """Range-partitioned layout: a narrow band keeps only the files
+    whose footer min/max admit it, and the pruned read equals the
+    plain filtered read row for row."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.sources.parquet_meta import (
+        prune_paths,
+        read_pruned,
+    )
+
+    out = str(tmp_path / "banded")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    df.repartitionByRange(10, "v").write.parquet(out)
+    import os
+
+    paths = sorted(
+        f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    kept = prune_paths(spark, paths, "v", 100.0, 199.0)
+    assert 0 < len(kept) < len(paths)  # actually pruned something
+    got = sorted(
+        r["id"] for r in read_pruned(spark, paths, "v", 100.0, 199.0).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in df.filter((F.col("v") >= 100.0) & (F.col("v") <= 199.0)).collect()
+    )
+    assert got == want
+
+    # fully out-of-band: every file prunes, result is empty but typed
+    assert read_pruned(spark, paths, "v", 5000.0, 6000.0).count() == 0
