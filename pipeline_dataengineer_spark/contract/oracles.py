@@ -8293,3 +8293,89 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
 """
+
+
+def _windowed_ot_sql(
+    n_bins: int = 8, reg: float = 2.0, iterations: int = 6
+) -> str:
+    """Window-keyed twin of _grouped_sinkhorn_sql for the streaming
+    monitor's batch-parity query: frozen reference proportions from
+    the view events (p, constant across windows), per-day live
+    proportions (q), three MATERIALIZED scaling chains per day."""
+    qs = ", ".join(
+        f"quantile_cont(v, {i / n_bins})" for i in range(1, n_bins)
+    )
+    sql = f"""
+WITH ref AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL),
+b AS (SELECT [{qs}] AS bounds FROM ref),
+rbin AS MATERIALIZED (
+  SELECT CAST(len(list_filter(b.bounds, x -> v > x)) AS INT) AS bin,
+         count(*) AS c
+  FROM ref, b GROUP BY 1),
+rt AS (SELECT sum(c) AS n FROM rbin),
+win AS MATERIALIZED (
+  SELECT date_trunc('day', ts) AS g,
+         CAST(len(list_filter(b.bounds, x -> value > x)) AS INT) AS bin,
+         count(*) AS c
+  FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2),
+wt AS (SELECT g, sum(c) AS n FROM win GROUP BY g),
+spine AS (
+  SELECT wt.g, CAST(u.i AS INT) AS bin
+  FROM wt CROSS JOIN (SELECT unnest(range({n_bins})) AS i) u),
+pq AS MATERIALIZED (
+  SELECT s.g, s.bin,
+         CAST(coalesce(rbin.c, 0) AS DOUBLE) / rt.n AS p,
+         CAST(coalesce(win.c, 0) AS DOUBLE) / wt.n AS q
+  FROM spine s
+  LEFT JOIN rbin ON s.bin = rbin.bin
+  LEFT JOIN win ON s.g = win.g AND s.bin = win.bin
+  JOIN wt ON s.g = wt.g, rt),
+kern AS MATERIALIZED (
+  SELECT CAST(i.i AS INT) AS i, CAST(j.i AS INT) AS j,
+         1.0 / (1.0 + ((i.i - j.i) / {reg}) * ((i.i - j.i) / {reg})) AS k,
+         CAST(abs(i.i - j.i) AS DOUBLE) AS c
+  FROM (SELECT unnest(range({n_bins})) AS i) i,
+       (SELECT unnest(range({n_bins})) AS i) j)"""
+    for sfx, pcol, qcol in [("a", "p", "q"), ("b", "p", "p"), ("c", "q", "q")]:
+        sql += f""",
+v0{sfx} AS (SELECT g, bin AS j, 1.0 AS v FROM spine)"""
+        prev = f"v0{sfx}"
+        for it in range(1, iterations + 1):
+            sql += f""",
+su{it}{sfx} AS MATERIALIZED (
+  SELECT pv.g, kern.i, sum(kern.k * pv.v) AS su
+  FROM kern JOIN {prev} pv ON kern.j = pv.j GROUP BY pv.g, kern.i),
+u{it}{sfx} AS MATERIALIZED (
+  SELECT pq.g, pq.bin AS i, pq.{pcol} / s.su AS u
+  FROM pq JOIN su{it}{sfx} s ON pq.g = s.g AND pq.bin = s.i),
+sv{it}{sfx} AS MATERIALIZED (
+  SELECT pu.g, kern.j, sum(kern.k * pu.u) AS sv
+  FROM kern JOIN u{it}{sfx} pu ON kern.i = pu.i GROUP BY pu.g, kern.j),
+v{it}{sfx} AS MATERIALIZED (
+  SELECT pq.g, pq.bin AS j, pq.{qcol} / s.sv AS v
+  FROM pq JOIN sv{it}{sfx} s ON pq.g = s.g AND pq.bin = s.j)"""
+            prev = f"v{it}{sfx}"
+        last = iterations
+        sql += f""",
+pi{sfx} AS MATERIALIZED (
+  SELECT u.g, kern.i, kern.j, u.u * kern.k * v.v AS pi, kern.c
+  FROM kern
+  JOIN u{last}{sfx} u ON kern.i = u.i
+  JOIN v{last}{sfx} v ON kern.j = v.j AND v.g = u.g),
+tc{sfx} AS (SELECT g, sum(pi * c) AS tcost FROM pi{sfx} GROUP BY g)"""
+    sql += """
+SELECT strftime(tca.g, '%Y-%m-%d') AS day,
+       round(tca.tcost - 0.5 * tcb.tcost - 0.5 * tcc.tcost, 6)
+         AS sinkhorn_div,
+       round(tca.tcost, 6) AS transport_cost,
+       CAST(wt.n AS BIGINT) AS n
+FROM tca
+JOIN tcb ON tca.g = tcb.g
+JOIN tcc ON tca.g = tcc.g
+JOIN wt ON tca.g = wt.g"""
+    return sql
+
+
+ORACLES["q_windowed_ot"] = _windowed_ot_sql()

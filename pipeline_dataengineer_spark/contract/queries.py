@@ -9797,3 +9797,30 @@ def q_pruned_read(spark, sf_dir):
     return read_pruned(
         spark, paths, "o_totalprice", 100_000.0, 150_000.0
     )
+
+
+@query("q_windowed_ot")
+def q_windowed_ot(spark, sf_dir):
+    """Windowed debiased-Sinkhorn drift monitor (streaming/drift.py:
+    windowed_ot) in batch-parity mode — the cost-aware companion to
+    q_windowed_psi/q_windowed_js (OT sees HOW FAR mass moved across
+    bins). Frozen view-event reference, daily windows, 8 bins; the
+    oracle rebuilds the reference and unrolls all three scaling
+    trajectories per day (the grouped-sinkhorn CTE machinery keyed
+    by window); batch/stream parity is pytest-proven bit-identical
+    on a live two-mode run."""
+    from pipeline_dataengineer_spark.streaming.drift import (
+        freeze_reference,
+        windowed_ot,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "view").select("value")
+    bounds, props = freeze_reference(ref, "value", n_bins=8)
+    out = windowed_ot(ev, "ts", "value", bounds, props, window="1 day")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "sinkhorn_div",
+        "transport_cost",
+        "n",
+    )

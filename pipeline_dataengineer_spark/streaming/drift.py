@@ -19,6 +19,7 @@ reference never re-reads; the fact stream aggregates map-side into
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -171,5 +172,116 @@ def windowed_js(
         F.col("__w.start").alias("window_start"),
         F.col("__w.end").alias("window_end"),
         F.round(js, round_to).alias("js_nats"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def windowed_ot(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bounds: list[float],
+    ref_props: list[float],
+    window: str = "1 hour",
+    watermark: str | None = None,
+    reg: float = 2.0,
+    iterations: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Debiased Sinkhorn OT drift per event-time window vs the frozen
+    reference — the cost-aware member of this monitor family (PSI/JS
+    are bin-local; OT scores mass moved ONE bin differently from mass
+    moved seven). Streaming face of
+    ``operators/stats_tests.py:sinkhorn_drift``: same rational
+    affinity kernel, same fixed iteration count, same debiased
+    S(p,q) = OT(p,q) − OT(p,p)/2 − OT(q,q)/2 with p = frozen
+    reference proportions and q = the window's live proportions.
+
+    Plan shape: the ONE stateful aggregation (n_bins conditional
+    counts per window — identical to windowed_psi) feeds a stateless
+    Arrow kernel that runs the three scaling trajectories per window
+    row with the SAME ordered-loop float arithmetic as the batch and
+    grouped operators, so backtest (batch frame) and live monitor
+    (stream) emit bit-identical scores and the unrolled SQL oracle
+    replays them. Rows: (window_start, window_end, sinkhorn_div,
+    transport_cost, n)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_bins = len(ref_props)
+    if n_bins != len(bounds) + 1:
+        raise ValueError("ref_props must have len(bounds)+1 entries")
+    src = df.filter(F.col(value_col).isNotNull())
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    b = _bin_expr(F.col(value_col), bounds)
+    per_win = src.groupBy(
+        F.window(F.col(ts_col), window).alias("__w")
+    ).agg(
+        *[
+            F.sum(F.when(b == i, 1).otherwise(0)).alias(f"__c{i}")
+            for i in range(n_bins)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    reg_f = float(reg)
+    kern = [
+        [
+            1.0 / (1.0 + ((i - j) / reg_f) * ((i - j) / reg_f))
+            for j in range(n_bins)
+        ]
+        for i in range(n_bins)
+    ]
+    p_ref = [float(x) for x in ref_props]
+
+    def _scale(pp, qq):
+        v = [1.0] * n_bins
+        u = [0.0] * n_bins
+        for _ in range(iterations):
+            for i in range(n_bins):
+                su = sum(kern[i][j] * v[j] for j in range(n_bins))
+                u[i] = pp[i] / su if su else 0.0
+            for j in range(n_bins):
+                sv = sum(kern[i][j] * u[i] for i in range(n_bins))
+                v[j] = qq[j] / sv if sv else 0.0
+        pi = [
+            [u[i] * kern[i][j] * v[j] for j in range(n_bins)]
+            for i in range(n_bins)
+        ]
+        return sum(
+            pi[i][j] * abs(i - j)
+            for i in range(n_bins)
+            for j in range(n_bins)
+        )
+
+    t_pp = _scale(p_ref, p_ref)  # window-independent: once, driver-side
+
+    @pandas_udf("array<double>")
+    def ot_kernel(packed: pd.Series) -> pd.Series:
+        out = []
+        for arr in packed:
+            vals = [int(x) for x in arr]
+            counts, tot = vals[:-1], vals[-1]
+            if tot == 0:
+                out.append([None, None])
+                continue
+            q = [c / tot for c in counts]
+            t_pq = _scale(p_ref, q)
+            t_qq = _scale(q, q)
+            out.append([t_pq - 0.5 * t_pp - 0.5 * t_qq, t_pq])
+        return pd.Series(out)
+
+    scored = per_win.withColumn(
+        "__ot",
+        ot_kernel(
+            F.array(
+                *[F.col(f"__c{i}") for i in range(n_bins)], F.col("n")
+            )
+        ),
+    )
+    return scored.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        F.round(F.element_at("__ot", 1), round_to).alias("sinkhorn_div"),
+        F.round(F.element_at("__ot", 2), round_to).alias("transport_cost"),
         F.col("n").cast("long").alias("n"),
     )

@@ -186,3 +186,46 @@ def test_windowed_js_bounded_and_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM js_stream").collect()
     }
     assert got_stream == got
+
+
+def test_windowed_ot_batch_streaming_parity_and_drift(spark, tmp_path):
+    from pipeline_dataengineer_spark.streaming.drift import windowed_ot
+
+    rows = _rows(shift_hour2=30.0)
+    batch = _df(spark, rows)
+    ref = batch.filter(
+        F.col("ts") < F.lit("2024-03-01 11:00:00").cast("timestamp")
+    ).select("v")
+    bounds, props = freeze_reference(ref, "v", n_bins=8)
+
+    got_batch = sorted(
+        (str(r["window_start"]), r["sinkhorn_div"], r["n"])
+        for r in windowed_ot(
+            batch, "ts", "v", bounds, props, window="1 hour"
+        ).collect()
+    )
+    # hour 1 tracks the reference (debiased ~0); hour 2 is shifted
+    by_win = dict((w, d) for w, d, _ in got_batch)
+    assert abs(by_win["2024-03-01 10:00:00"]) < 0.05
+    assert by_win["2024-03-01 11:00:00"] > 0.3
+
+    src = tmp_path / "ot_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        for ts, v in rows:
+            fh.write(json.dumps({"ts": ts, "v": v}) + "\n")
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        windowed_ot(stream, "ts", "v", bounds, props, window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ot_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = sorted(
+        (str(r["window_start"]), r["sinkhorn_div"], r["n"])
+        for r in spark.sql("SELECT * FROM ot_stream").collect()
+    )
+    assert got_stream == got_batch  # bit-identical scores
