@@ -8379,3 +8379,46 @@ JOIN wt ON tca.g = wt.g"""
 
 
 ORACLES["q_windowed_ot"] = _windowed_ot_sql()
+
+ORACLES["q_rmst"] = f"""
+WITH subjects AS (
+  SELECT c_mktsegment AS k,
+         {_bucket_sql('c_custkey', 40)} AS t,
+         CASE WHEN ({_bucket_sql('c_custkey + 3', 10)}) < 8
+              THEN 1 ELSE 0 END AS ev
+  FROM customer
+), cells AS (
+  SELECT k, t, sum(ev) AS d, sum(1 - ev) AS c
+  FROM subjects GROUP BY k, t
+), risk AS (
+  SELECT k, t, d, c,
+         sum(d + c) OVER (PARTITION BY k)
+           - coalesce(sum(d + c) OVER (
+               PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n
+  FROM cells
+), curve AS (
+  SELECT k, t, d, n,
+         CASE WHEN min(1.0 - d / (n * 1.0)) OVER w <= 0.0 THEN 0.0
+              ELSE exp(sum(ln(nullif(1.0 - d / (n * 1.0), 0.0))) OVER w) END AS s
+  FROM risk
+  WINDOW w AS (PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), ev_curve AS (
+  SELECT k, CAST(t AS DOUBLE) AS t, s FROM curve
+  WHERE d > 0 AND t <= 30.0
+), seg AS (
+  SELECT k, t, s,
+         lag(t) OVER w2 AS pt, lag(s) OVER w2 AS ps,
+         lead(t) OVER w2 AS nt
+  FROM ev_curve
+  WINDOW w2 AS (PARTITION BY k ORDER BY t)
+)
+SELECT k AS c_mktsegment,
+       round(sum(coalesce(ps, 1.0) * (t - coalesce(pt, 0.0))
+                 + CASE WHEN nt IS NULL THEN s * (30.0 - t)
+                        ELSE 0.0 END), 6) AS rmst,
+       30.0 AS horizon
+FROM seg GROUP BY k
+"""

@@ -9824,3 +9824,28 @@ def q_windowed_ot(spark, sf_dir):
         "transport_cost",
         "n",
     )
+
+
+@query("q_rmst")
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time (operators/survival.py:rmst):
+    area under each segment's KM curve to horizon 30 on the
+    q_kaplan_meier fixture — the non-proportional-hazards effect
+    summary. Oracle extends the KM replay with the lead/lag step
+    integral."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        portable_bucket,
+    )
+    from pipeline_dataengineer_spark.operators.survival import rmst
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey"
+    )
+    subjects = c.select(
+        "c_mktsegment",
+        portable_bucket(F.col("c_custkey"), 40).alias("duration"),
+        (portable_bucket(F.col("c_custkey") + 3, 10) < 8)
+        .cast("int")
+        .alias("event"),
+    )
+    return rmst(subjects, ["c_mktsegment"], "duration", "event", 30.0)

@@ -374,3 +374,62 @@ def cox_ph(
         sel.append(F.lit(round(w[j], round_to)).alias(f"coef_{c}"))
     sel.append(F.col("loglik"))
     return tot.crossJoin(F.broadcast(ll)).select(*sel)
+
+
+def rmst(
+    df: DataFrame,
+    key_cols: list[str],
+    duration_col: str,
+    event_col: str,
+    horizon: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Restricted mean survival time per key: the area under the
+    Kaplan-Meier step curve on [0, horizon] — "expected survival
+    time within the window", the standard effect summary when
+    hazards are non-proportional and a single hazard ratio would
+    lie. In retention terms: expected active days within the first
+    ``horizon`` days.
+
+    RMST = Σ_i S(t_i) · (min(t_{i+1}, τ) − t_i) over event times
+    t_i ≤ τ, plus the leading 1·(t_1 − 0) segment, where S is the
+    KM step function (survival AFTER the drop at t_i). Pure window
+    algebra on the event-time-sized curve (lead per key), one
+    aggregate per key — the curve table is distinct-event-times
+    sized, never subject-sized. Returns (keys…, rmst, horizon).
+    Keys with NO observed event inside the horizon are absent (their
+    KM curve is flat at 1, so RMST = horizon by definition) —
+    left-join the key table and coalesce if you need them."""
+    curve = kaplan_meier(df, key_cols, duration_col, event_col).select(
+        *key_cols,
+        F.col(duration_col).cast("double").alias("__t"),
+        F.col("survival").alias("__s"),
+    ).filter(F.col("__t") <= F.lit(float(horizon)))
+    w = Window.partitionBy(*key_cols).orderBy("__t")
+    seg = curve.select(
+        *key_cols,
+        "__t",
+        "__s",
+        F.lag("__t").over(w).alias("__pt"),
+        F.lag("__s").over(w).alias("__ps"),
+        F.lead("__t").over(w).alias("__nt"),
+    )
+    # segment ENDING at this row: previous survival held over
+    # (prev_t, t]; the first row's lead-in is survival 1 from 0;
+    # the last row contributes its own S out to the horizon.
+    lead_in = F.coalesce(F.col("__ps"), F.lit(1.0)) * (
+        F.col("__t") - F.coalesce(F.col("__pt"), F.lit(0.0))
+    )
+    tail = F.when(
+        F.col("__nt").isNull(),
+        F.col("__s") * (F.lit(float(horizon)) - F.col("__t")),
+    ).otherwise(F.lit(0.0))
+    return (
+        seg.groupBy(*key_cols)
+        .agg(F.sum(lead_in + tail).alias("__rmst"))
+        .select(
+            *key_cols,
+            F.round("__rmst", round_to).alias("rmst"),
+            F.lit(float(horizon)).alias("horizon"),
+        )
+    )

@@ -204,3 +204,25 @@ def test_cox_ph_quantized_matches_raw(spark):
     ).collect()[0]
     assert qz["coef_x"] == pytest.approx(raw["coef_x"], abs=1e-5)
     assert qz["loglik"] == pytest.approx(raw["loglik"], abs=1e-4)
+
+
+def test_rmst_closed_forms(spark):
+    """No censoring, everyone fails at t=5, horizon 10 -> RMST is
+    exactly 5; a 50/50 split at t=5 holds S=0.5 to the horizon ->
+    5 + 0.5*5 = 7.5; and RMST is monotone in the horizon."""
+    from pipeline_dataengineer_spark.operators.survival import rmst
+
+    all_die = spark.createDataFrame(
+        [("g", 5, 1)] * 8, "k string, d int, e int"
+    )
+    r = rmst(all_die, ["k"], "d", "e", 10.0).collect()[0]
+    assert r["rmst"] == 5.0
+
+    half = spark.createDataFrame(
+        [("g", 5, 1)] * 4 + [("g", 9, 0)] * 4, "k string, d int, e int"
+    )
+    r2 = rmst(half, ["k"], "d", "e", 10.0).collect()[0]
+    assert abs(r2["rmst"] - 7.5) < 1e-9
+
+    r3 = rmst(half, ["k"], "d", "e", 6.0).collect()[0]
+    assert r3["rmst"] < r2["rmst"]
