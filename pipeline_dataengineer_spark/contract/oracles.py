@@ -8422,3 +8422,32 @@ SELECT k AS c_mktsegment,
        30.0 AS horizon
 FROM seg GROUP BY k
 """
+
+ORACLES["q_msprt"] = """
+WITH base AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x
+  FROM events WHERE event_id < 2000
+), cum AS (
+  SELECT event_type, event_id,
+         count(*) OVER w AS n, sum(x) OVER w AS s
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), lam AS (
+  SELECT event_type, event_id, n, s / n AS xbar,
+         0.5 * ln(900.0 / (900.0 + n * 900.0))
+         + (n * n * 900.0 * (s / n - 50.0) * (s / n - 50.0))
+           / (2.0 * 900.0 * (900.0 + n * 900.0)) AS ll
+  FROM cum
+), p AS (
+  SELECT event_type, event_id, n, xbar, ll,
+         min(least(1.0, exp(-ll))) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pa
+  FROM lam
+)
+SELECT event_type, event_id, CAST(n AS BIGINT) AS n,
+       round(ll, 6) AS log_lambda,
+       round(pa, 6) AS p_always, pa <= 0.05 AS reject
+FROM p
+"""

@@ -9849,3 +9849,28 @@ def q_rmst(spark, sf_dir):
         .alias("event"),
     )
     return rmst(subjects, ["c_mktsegment"], "duration", "event", 30.0)
+
+
+@query("q_msprt")
+def q_msprt(spark, sf_dir):
+    """Always-valid mixture SPRT (operators/stats_tests.py:
+    msprt_mean): per event type, the running always-valid p-value
+    for 'mean value differs from 50' over the event_id-ordered
+    stream, sigma2 = 900. Every cumulative quantity is an ordered
+    window — order-defined and engine-identical — so the oracle
+    replays the whole evidence track row for row. xbar is dropped
+    from the hash-checked projection: the raw quotient s/n lands on
+    exact decimal .5 rounding ties (5 of 2000 rows at sf0.01) where
+    Spark HALF_UP and DuckDB half-even disagree; the nonlinear
+    log_lambda/p columns carry the same information tie-free."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        msprt_mean,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).filter(F.col("event_id") < 2000)
+    return msprt_mean(
+        ev, ["event_type"], "event_id", "value",
+        theta0=50.0, sigma2=900.0,
+    ).drop("xbar")

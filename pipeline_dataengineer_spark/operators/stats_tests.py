@@ -2212,3 +2212,68 @@ def holm_bonferroni(
         F.round(F.col("__adj"), round_to).alias("adj_p"),
         (F.col("__adj") <= alpha).alias("reject"),
     )
+
+
+def msprt_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    obs_col: str,
+    theta0: float,
+    sigma2: float,
+    tau2: float | None = None,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mixture SPRT with always-valid p-values per key — the
+    "peek whenever you like" A/B statistic (Johari et al.): for a
+    stream of observations with known variance ``sigma2`` and a
+    N(theta0, tau2) mixture over the alternative mean,
+
+        ln Λ_n = ½·ln(σ²/(σ²+nτ²)) + n²τ²(x̄_n−θ₀)² / (2σ²(σ²+nτ²))
+
+    and p_n = min_{m≤n} min(1, 1/Λ_m) is a valid p-value at EVERY n
+    simultaneously — no peeking penalty, unlike a repeatedly-tested
+    fixed-horizon t-test. Complements ``sprt`` (Bernoulli, fixed
+    simple alternative, stop-at-boundary) with the
+    composite-alternative mean case and a monotone evidence track.
+
+    Returns one row per observation: (keys…, order, n, xbar,
+    log_lambda, p_always, reject) with p_always nonincreasing along
+    the stream. Engine-exact: every cumulative quantity is an
+    ORDERED window sum/min (per-key total order via ``order_col``),
+    and ordered window accumulation is order-defined — identical
+    across engines, unlike a groupBy sum; libm exp/ln ulps are
+    absorbed by the output rounding."""
+    t2 = float(sigma2) if tau2 is None else float(tau2)
+    s2 = float(sigma2)
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(obs_col).cast("double")
+    base = df.select(*key_cols, F.col(order_col), x.alias("__x"))
+    cum = base.select(
+        *key_cols,
+        order_col,
+        F.count(F.lit(1)).over(wc).alias("__n"),
+        F.sum("__x").over(wc).alias("__s"),
+    )
+    n = F.col("__n").cast("double")
+    xbar = F.col("__s") / n
+    denom = s2 + n * t2
+    log_lam = (
+        F.lit(0.5) * F.log(F.lit(s2) / denom)
+        + (n * n * t2 * (xbar - F.lit(float(theta0)))
+           * (xbar - F.lit(float(theta0))))
+        / (F.lit(2.0 * s2) * denom)
+    )
+    p_now = F.least(F.lit(1.0), F.exp(-log_lam))
+    scored = cum.withColumn("__p", F.min(p_now).over(wc))
+    return scored.select(
+        *key_cols,
+        order_col,
+        F.col("__n").cast("long").alias("n"),
+        F.round(xbar, round_to).alias("xbar"),
+        F.round(log_lam, round_to).alias("log_lambda"),
+        F.round(F.col("__p"), round_to).alias("p_always"),
+        (F.col("__p") <= alpha).alias("reject"),
+    )

@@ -519,3 +519,30 @@ def test_holm_bonferroni_textbook_and_dist_parity(spark):
         for h, adj in want.items():
             assert abs(out[h]["adj_p"] - adj) < 1e-9, (dist, h, out[h])
         assert out[1]["reject"] and not out[2]["reject"]
+
+
+def test_msprt_always_valid_properties(spark):
+    """p is monotone nonincreasing along each stream; a stream truly
+    at theta0 keeps p high; a strongly shifted stream drives p to
+    rejection."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        msprt_mean,
+    )
+
+    rows = [("null", i, 50.0 + (7.0 if i % 2 else -7.0)) for i in range(200)]
+    rows += [("shift", i, 80.0 + (7.0 if i % 2 else -7.0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = msprt_mean(
+        df, ["k"], "i", "v", theta0=50.0, sigma2=49.0
+    ).collect()
+    by_k = {}
+    for r in sorted(out, key=lambda r: (r["k"], r["i"])):
+        by_k.setdefault(r["k"], []).append(r["p_always"])
+    for k, ps in by_k.items():
+        assert all(a >= b for a, b in zip(ps, ps[1:])), k  # monotone
+    assert by_k["null"][-1] > 0.2
+    assert by_k["shift"][-1] < 1e-6
+    rej = {r["k"]: r["reject"] for r in out if r["i"] == 199}
+    assert rej == {"null": False, "shift": True}
