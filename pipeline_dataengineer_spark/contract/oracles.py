@@ -8451,3 +8451,92 @@ SELECT event_type, event_id, CAST(n AS BIGINT) AS n,
        round(pa, 6) AS p_always, pa <= 0.05 AS reject
 FROM p
 """
+
+
+def _aipw_sql(iterations: int = 3, lr: float = 0.5, l2: float = 0.01,
+              ridge: float = 1e-6) -> str:
+    """Closed-form AIPW oracle: unrolled-GD propensity (the
+    q_logistic_gd pattern, label = treatment), per-arm ridge-OLS via
+    Cramer 3x3 over the pivoted moment matrices, clipped correction,
+    final aggregate."""
+    sig = "(1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2))))"
+    gd = ", w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b)"
+    for i in range(1, iterations + 1):
+        gd += f""", g{i} AS (
+  SELECT avg(({sig} - t) * x1) AS g1,
+         avg(({sig} - t) * x2) AS g2,
+         avg({sig} - t) AS gb
+  FROM base, w{i-1} w
+), w{i} AS (
+  SELECT w.w1 - {lr} * (g.g1 + {l2} * w.w1) AS w1,
+         w.w2 - {lr} * (g.g2 + {l2} * w.w2) AS w2,
+         w.b - {lr} * g.gb AS b
+  FROM w{i-1} w, g{i} g
+)"""
+
+    def det3(m):
+        (a, bq, c), (dd, e, f), (g, h, i) = m
+        return (f"({a} * ({e} * {i} - {f} * {h}) "
+                f"- {bq} * ({dd} * {i} - {f} * {g}) "
+                f"+ {c} * ({dd} * {h} - {e} * {g}))")
+
+    def arm_solve(arm):
+        p = f"mo{arm}."
+        A = [
+            [f"({p}m00 + {ridge})", f"{p}m01", f"{p}m02"],
+            [f"{p}m01", f"({p}m11 + {ridge})", f"{p}m12"],
+            [f"{p}m02", f"{p}m12", f"({p}m22 + {ridge})"],
+        ]
+        v = [f"{p}v0", f"{p}v1", f"{p}v2"]
+        den = det3(A)
+        cols = []
+        for j in range(3):
+            Aj = [row[:] for row in A]
+            for r3 in range(3):
+                Aj[r3][j] = v[r3]
+            cols.append(f"{det3(Aj)} / {den} AS b{arm}_{j}")
+        return (f"beta{arm} AS (SELECT " + ", ".join(cols)
+                + f" FROM mo{arm})")
+
+    moments = ""
+    for arm in (0, 1):
+        moments += f""", mo{arm} AS (
+  SELECT sum(1.0) AS m00, sum(x1) AS m01, sum(x2) AS m02,
+         sum(x1 * x1) AS m11, sum(x1 * x2) AS m12,
+         sum(x2 * x2) AS m22,
+         sum(y) AS v0, sum(y * x1) AS v1, sum(y * x2) AS v2
+  FROM base WHERE t = {arm}
+), {arm_solve(arm)}"""
+
+    w = f"w{iterations}"
+    return f"""
+WITH base AS (
+  SELECT o_totalprice / 100000.0 AS x1,
+         (o_custkey % 100) / 100.0 AS x2,
+         CASE WHEN (o_custkey % 10
+                    + CAST(floor(o_totalprice / 100000.0 * 5) AS BIGINT))
+                   % 2 = 0 THEN 1.0 ELSE 0.0 END AS t,
+         o_totalprice / 50000.0 + (o_custkey % 7) / 7.0
+           + CASE WHEN (o_custkey % 10
+                        + CAST(floor(o_totalprice / 100000.0 * 5) AS BIGINT))
+                       % 2 = 0 THEN 0.7 ELSE 0.0 END AS y
+  FROM orders
+){gd}{moments},
+scored AS (
+  SELECT base.*,
+         least(greatest({sig}, 0.05), 0.95) AS e,
+         (b1_0 + b1_1 * x1 + b1_2 * x2) AS mu1,
+         (b0_0 + b0_1 * x1 + b0_2 * x2) AS mu0
+  FROM base, {w} w, beta1, beta0
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(t) AS BIGINT) AS n_treat,
+       round(sum(t * y) / sum(t)
+             - sum((1.0 - t) * y) / sum(1.0 - t), 6) AS ate_naive,
+       round(avg(mu1 - mu0 + t * (y - mu1) / e
+                 - (1.0 - t) * (y - mu0) / (1.0 - e)), 6) AS ate_aipw
+FROM scored
+"""
+
+
+ORACLES["q_aipw_ate"] = _aipw_sql()

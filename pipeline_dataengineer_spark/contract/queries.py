@@ -9874,3 +9874,41 @@ def q_msprt(spark, sf_dir):
         ev, ["event_type"], "event_id", "value",
         theta0=50.0, sigma2=900.0,
     ).drop("xbar")
+
+
+@query("q_aipw_ate")
+def q_aipw_ate(spark, sf_dir):
+    """Doubly-robust ATE (operators/causal.py:aipw_ate): treatment
+    deterministically confounded with the price feature, outcome
+    carrying a true +0.7 effect. The oracle replays EVERYTHING in
+    closed form — the 3-iteration logistic propensity (unrolled GD
+    CTEs, the q_logistic_gd machinery), both per-arm ridge OLS
+    solves via Cramer 3×3 over the moment matrices, the clipped
+    AIPW correction, and the final aggregate."""
+    from pipeline_dataengineer_spark.operators.causal import aipw_ate
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        ((F.col("o_custkey") % 100) / 100.0).alias("x2"),
+        (
+            (
+                F.col("o_custkey") % 10
+                + F.floor(F.col("o_totalprice") / 100000.0 * 5)
+            )
+            % 2
+            == 0
+        )
+        .cast("int")
+        .alias("t"),
+        (
+            F.col("o_totalprice") / 50000.0
+            + (F.col("o_custkey") % 7) / 7.0
+        ).alias("__y0"),
+    ).select(
+        "x1",
+        "x2",
+        "t",
+        (F.col("__y0") + F.col("t") * 0.7).alias("y"),
+    )
+    return aipw_ate(base, "t", "y", ["x1", "x2"])

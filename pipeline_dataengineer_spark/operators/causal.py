@@ -243,3 +243,113 @@ def diff_in_diff(
         F.round(se, round_to).alias("se"),
         F.round(F.try_divide(did, se), round_to).alias("z"),
     )
+
+
+def aipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    feature_cols: list[str],
+    lr: float = 0.5,
+    l2: float = 0.01,
+    iterations: int = 3,
+    ridge: float = 1e-6,
+    clip: tuple[float, float] = (0.05, 0.95),
+    round_to: int = 6,
+) -> DataFrame:
+    """Doubly-robust average treatment effect (AIPW / augmented IPW):
+
+        ATE = mean[ μ₁(x) − μ₀(x)
+                    + T·(Y − μ₁(x))/e(x)
+                    − (1−T)·(Y − μ₀(x))/(1−e(x)) ]
+
+    with e(x) a full-batch-GD logistic propensity (the logistic_gd
+    loop, unrounded) and μ_t(x) per-arm ridge OLS outcome models —
+    consistent if EITHER model is right, the workhorse estimator
+    observational pipelines should default to over raw
+    difference-in-means. Propensities are clipped to ``clip``
+    (overlap guard; reported convention, not hidden).
+
+    Returns one row: (n, n_treat, ate_naive, ate_aipw).
+
+    Scale shape: the propensity fit is ``iterations`` combinable
+    d+1-mean aggregates (the logistic_gd posture); the outcome
+    models need ONE groupBy(treatment) aggregate of (d+1)² second
+    moments, solved driver-side ((d+1)×(d+1) — codebook-sized); the
+    estimate itself is one final combinable aggregate. The driver
+    only ever holds coefficient vectors."""
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.linear_model import (
+        _fit_logistic,
+    )
+
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("feature_cols must be non-empty")
+    t = F.col(treat_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    xs = [F.col(c).cast("double") for c in feature_cols]
+
+    w, b = _fit_logistic(df, feature_cols, treat_col, lr, l2, iterations)
+
+    # per-arm design moments: X = (1, x1..xd)
+    basis = [F.lit(1.0)] + xs
+    aggs = []
+    for j in range(d + 1):
+        for k in range(j, d + 1):
+            aggs.append(F.sum(basis[j] * basis[k]).alias(f"m_{j}_{k}"))
+        aggs.append(F.sum(basis[j] * y).alias(f"v_{j}"))
+    arms = {
+        int(r[treat_col]): r
+        for r in df.groupBy(treat_col).agg(*aggs).collect()
+    }
+    if set(arms) != {0, 1}:
+        raise ValueError(
+            f"aipw_ate needs both treatment arms present, got {sorted(arms)}"
+        )
+
+    def beta(arm: int) -> list[float]:
+        r = arms[arm]
+        m = np.zeros((d + 1, d + 1))
+        v = np.zeros(d + 1)
+        for j in range(d + 1):
+            v[j] = r[f"v_{j}"]
+            for k in range(j, d + 1):
+                m[j, k] = m[k, j] = r[f"m_{j}_{k}"]
+        m += ridge * np.eye(d + 1)
+        return [float(x) for x in np.linalg.solve(m, v)]
+
+    b1, b0 = beta(1), beta(0)
+
+    z = F.lit(b)
+    for j in range(d):
+        z = z + F.lit(w[j]) * xs[j]
+    e = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    e = F.least(F.greatest(e, F.lit(float(clip[0]))), F.lit(float(clip[1])))
+
+    def mu(beta_vec: list[float]):
+        out = F.lit(beta_vec[0])
+        for j in range(d):
+            out = out + F.lit(beta_vec[j + 1]) * xs[j]
+        return out
+
+    mu1, mu0 = mu(b1), mu(b0)
+    term = (
+        mu1
+        - mu0
+        + t * (y - mu1) / e
+        - (F.lit(1.0) - t) * (y - mu0) / (F.lit(1.0) - e)
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(t).cast("long").alias("n_treat"),
+        F.round(
+            F.try_divide(F.sum(t * y), F.sum(t))
+            - F.try_divide(
+                F.sum((F.lit(1.0) - t) * y), F.sum(F.lit(1.0) - t)
+            ),
+            round_to,
+        ).alias("ate_naive"),
+        F.round(F.avg(term), round_to).alias("ate_aipw"),
+    )

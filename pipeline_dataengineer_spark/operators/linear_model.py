@@ -22,6 +22,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fit_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float,
+    l2: float,
+    iterations: int,
+) -> tuple[list[float], float]:
+    """The raw full-batch GD loop behind logistic_gd — returns the
+    UNROUNDED (weights, bias) so composers (aipw_ate's propensity
+    model) train on full precision; logistic_gd rounds only at its
+    output edge."""
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("feature_cols must be non-empty")
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    w = [0.0] * d
+    b = 0.0
+    for _ in range(iterations):
+        z = F.lit(b)
+        for j in range(d):
+            z = z + F.lit(w[j]) * xs[j]
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = df.agg(
+            *[F.avg((p - y) * xs[j]).alias(f"g{j}") for j in range(d)],
+            F.avg(p - y).alias("gb"),
+        ).collect()[0]
+        if r["gb"] is None:
+            raise ValueError(
+                "gradient fit: empty input (no non-NULL rows) - nothing to fit"
+            )
+        w = [w[j] - lr * (r[f"g{j}"] + l2 * w[j]) for j in range(d)]
+        b = b - lr * r["gb"]
+    return w, b
+
+
 def logistic_gd(
     df: DataFrame,
     feature_cols: list[str],
@@ -50,28 +87,10 @@ def logistic_gd(
     count here (right up to hundreds of features); for very wide
     sparse spaces use text_model.train_linear_classifier's hashed
     representation instead."""
+    w, b = _fit_logistic(df, feature_cols, label_col, lr, l2, iterations)
     d = len(feature_cols)
-    if d == 0:
-        raise ValueError("feature_cols must be non-empty")
     xs = [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
-    w = [0.0] * d
-    b = 0.0
-    for _ in range(iterations):
-        z = F.lit(b)
-        for j in range(d):
-            z = z + F.lit(w[j]) * xs[j]
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        r = df.agg(
-            *[F.avg((p - y) * xs[j]).alias(f"g{j}") for j in range(d)],
-            F.avg(p - y).alias("gb"),
-        ).collect()[0]
-        if r["gb"] is None:
-            raise ValueError(
-                "gradient fit: empty input (no non-NULL rows) - nothing to fit"
-            )
-        w = [w[j] - lr * (r[f"g{j}"] + l2 * w[j]) for j in range(d)]
-        b = b - lr * r["gb"]
     z = F.lit(b)
     for j in range(d):
         z = z + F.lit(w[j]) * xs[j]

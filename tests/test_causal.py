@@ -86,3 +86,34 @@ def test_diff_in_diff_empty_cell_degrades_to_null(spark):
     df = spark.createDataFrame(rows, "tr int, post int, y double")
     out = diff_in_diff(df, "tr", "post", "y").collect()[0]
     assert out["did"] is None and out["se"] is None
+
+
+def test_aipw_recovers_effect_under_confounding(spark):
+    """Treatment assignment depends on x; naive difference-in-means
+    is biased, AIPW lands near the planted effect; both arms
+    required."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.causal import aipw_ate
+
+    n = 4000
+    base = spark.range(n).select(
+        (F.col("id") % 100 / 100.0).alias("x"),
+        ((F.col("id") % 100 + F.col("id") % 7) % 2 == 0)
+        .cast("int")
+        .alias("t"),
+    )
+    df = base.select(
+        "x",
+        "t",
+        (F.col("x") * 3.0 + F.col("t") * 1.5
+         + (F.col("x") * 100).cast("long") % 5 / 10.0).alias("y"),
+    )
+    r = aipw_ate(df, "t", "y", ["x"]).collect()[0]
+    assert abs(r["ate_aipw"] - 1.5) < 0.15
+    assert r["n"] == n and 0 < r["n_treat"] < n
+
+    one_arm = df.filter(F.col("t") == 1)
+    with pytest.raises(ValueError, match="both treatment arms"):
+        aipw_ate(one_arm, "t", "y", ["x"])
