@@ -8540,3 +8540,31 @@ FROM scored
 
 
 ORACLES["q_aipw_ate"] = _aipw_sql()
+
+ORACLES["q_qte"] = """
+WITH base AS (
+  SELECT CASE WHEN (o_custkey % 10
+                    + CAST(floor(o_totalprice / 100000.0 * 5) AS BIGINT))
+                   % 2 = 0 THEN 1 ELSE 0 END AS t,
+         o_totalprice / 50000.0 + (o_custkey % 7) / 7.0
+           + CASE WHEN (o_custkey % 10
+                        + CAST(floor(o_totalprice / 100000.0 * 5) AS BIGINT))
+                       % 2 = 0 THEN 0.7 ELSE 0.0 END AS y
+  FROM orders
+), arm1 AS (
+  SELECT 0.25 AS q, quantile_disc(y, 0.25) AS y1 FROM base WHERE t = 1
+  UNION ALL
+  SELECT 0.5, quantile_disc(y, 0.5) FROM base WHERE t = 1
+  UNION ALL
+  SELECT 0.75, quantile_disc(y, 0.75) FROM base WHERE t = 1
+), arm0 AS (
+  SELECT 0.25 AS q, quantile_disc(y, 0.25) AS y0 FROM base WHERE t = 0
+  UNION ALL
+  SELECT 0.5, quantile_disc(y, 0.5) FROM base WHERE t = 0
+  UNION ALL
+  SELECT 0.75, quantile_disc(y, 0.75) FROM base WHERE t = 0
+)
+SELECT arm1.q, round(y1, 6) AS y_treated, round(y0, 6) AS y_control,
+       round(y1 - y0, 6) AS qte
+FROM arm1 JOIN arm0 ON arm1.q = arm0.q
+"""

@@ -9912,3 +9912,40 @@ def q_aipw_ate(spark, sf_dir):
         (F.col("__y0") + F.col("t") * 0.7).alias("y"),
     )
     return aipw_ate(base, "t", "y", ["x1", "x2"])
+
+
+@query("q_qte")
+def q_qte(spark, sf_dir):
+    """Quantile treatment effects (operators/causal.py:
+    quantile_treatment_effects) on the q_aipw_ate fixture: exact
+    per-arm discrete quantiles (two-phase distributed sort, no
+    single-task ORDER BY) differenced at 0.25/0.5/0.75. Oracle =
+    quantile_disc per arm."""
+    from pipeline_dataengineer_spark.operators.causal import (
+        quantile_treatment_effects,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        (
+            (
+                F.col("o_custkey") % 10
+                + F.floor(F.col("o_totalprice") / 100000.0 * 5)
+            )
+            % 2
+            == 0
+        )
+        .cast("int")
+        .alias("t"),
+        (
+            F.col("o_totalprice") / 50000.0
+            + (F.col("o_custkey") % 7) / 7.0
+        ).alias("__y0"),
+    ).select(
+        "t",
+        (
+            F.col("__y0")
+            + F.col("t") * 0.7
+        ).alias("y"),
+    )
+    return quantile_treatment_effects(base, "t", "y")
