@@ -213,6 +213,11 @@ HEADLINE = [
     "q_hard_negatives",
     "q_kcenter",
     "q_sinkhorn_drift",
+    # round 7 continuation, second batch: eval/causal/monitoring
+    "q_eb_shrink",
+    "q_markov_attr",
+    "q_aipw_ate",
+    "q_windowed_ot",
 ]
 
 
