@@ -280,15 +280,27 @@ def run_tier_child() -> None:
     names = os.environ["SPARK_GRAFT_TIER_NAMES"].split(",")
     label = os.environ.get("SPARK_GRAFT_TIER_LABEL", "tier")
     spark = get_spark(f"bench-{label}")
+    payload = {}
     if label.startswith("10x"):
         sf_dir = os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         )
         ensure_10x(spark, sf_dir, data_dir)
+        # PAIRED ratio measurement: time the base tier again IN THIS
+        # JVM, seconds before the 10x timing, so the ratio's
+        # numerator and denominator share the same host state. Three
+        # idle canonical runs measured the ratio from CROSS-process
+        # base times at 18.6 / 4.48 / 0.84 for the same sub-second
+        # query — host drift between tiers an hour apart swamps the
+        # signal; pairing cancels it.
+        _warm_session(spark, sf_dir)
+        paired, _ = _run_queries(spark, names, sf_dir)
+        payload["paired_base"] = paired
     _warm_session(spark, data_dir)
     times, cold = _run_queries(spark, names, data_dir)
+    payload.update({"times": times, "cold": cold})
     with open(out_path, "w") as fh:
-        json.dump({"times": times, "cold": cold}, fh)
+        json.dump(payload, fh)
 
 
 def _spawn_tier(label: str, names, data_dir: str):
@@ -322,7 +334,7 @@ def _spawn_tier(label: str, names, data_dir: str):
         os.unlink(out_path)
     except OSError:
         pass
-    return d["times"], d["cold"]
+    return d["times"], d["cold"], d.get("paired_base", {})
 
 
 def parse_scale_claims(notes_path: str | None = None) -> dict[str, float]:
@@ -450,7 +462,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for i in range(0, len(HEADLINE), size):
         chunk = HEADLINE[i : i + size]
-        t, c = _spawn_tier(f"base{i // size}", chunk, sf_dir)
+        t, c, _ = _spawn_tier(f"base{i // size}", chunk, sf_dir)
         times.update(t)
         cold.update(c)
     total = sum(times.values())
@@ -466,14 +478,19 @@ def main() -> None:
         # numerator and denominator must share the same in-sequence
         # drift window, else late-suite ratios divide a drift-prone
         # numerator by a drift-bounded denominator (round-5 ADVICE)
+        paired_base: dict[str, float] = {}
         for i in range(0, len(HEADLINE), size):
             chunk = HEADLINE[i : i + size]
-            t10, _ = _spawn_tier(f"10x{i // size}", chunk, dir_10x)
+            t10, _, pb = _spawn_tier(f"10x{i // size}", chunk, dir_10x)
             times_10x.update(t10)
+            paired_base.update(pb)
         for name, t in times_10x.items():
-            # wall-clock ratio for 10x the data; > ~2.5 needs a
-            # written claim in SCALE_NOTES.md's machine-checked table
-            scale_10x[name] = round(t / max(times.get(name, 0), 1e-3), 2)
+            # wall-clock ratio for 10x the data, from the PAIRED
+            # same-JVM base measurement (falls back to the base tier
+            # if absent); > ~2.5 needs a written claim in
+            # SCALE_NOTES.md's machine-checked table
+            den = paired_base.get(name, times.get(name, 0))
+            scale_10x[name] = round(t / max(den, 1e-3), 2)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
