@@ -223,7 +223,16 @@ def gen_query(seed: int, con) -> str:
         having = ""
         if keys and rng.random() < 0.3:
             having = f" HAVING count(*) >= {rng.randrange(2, 5)}"
-        return f"SELECT {sel} FROM {frm}{where}{grp}{having}"
+        sql = f"SELECT {sel} FROM {frm}{where}{grp}{having}"
+        if keys and rng.random() < 0.4:
+            # agg + deterministic top-n: order by the count then the
+            # full key tuple (total order -> stable LIMIT cut)
+            order = ", ".join(
+                ["n_rows DESC NULLS FIRST"]
+                + [f"{k} ASC NULLS FIRST" for k in keys]
+            )
+            sql += f" ORDER BY {order} LIMIT {rng.randrange(3, 12)}"
+        return sql
     if shape == "distinct":
         kcands = _cols(tables, "str") + _cols(tables, "int")
         keys = rng.sample(
