@@ -8568,3 +8568,38 @@ SELECT arm1.q, round(y1, 6) AS y_treated, round(y0, 6) AS y_control,
        round(y1 - y0, 6) AS qte
 FROM arm1 JOIN arm0 ON arm1.q = arm0.q
 """
+
+ORACLES["q_yuen"] = """
+WITH two AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), q AS (
+  SELECT g, quantile_cont(v, 0.2) AS lo, quantile_cont(v, 0.8) AS hi
+  FROM two GROUP BY g
+), per AS (
+  SELECT two.g,
+         count(*) AS n,
+         sum(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END) AS h,
+         sum(CASE WHEN v >= lo AND v <= hi THEN v ELSE 0.0 END) AS ks,
+         sum(least(greatest(v, lo), hi)) AS ws,
+         sum(least(greatest(v, lo), hi) * least(greatest(v, lo), hi))
+           AS wss
+  FROM two JOIN q ON two.g = q.g
+  GROUP BY two.g
+), c AS (
+  SELECT g, n, h, ks / h AS mt,
+         ((wss - ws * ws / n) / (n - 1)) * (n - 1) / (h * (h - 1)) AS d
+  FROM per
+), a AS (SELECT * FROM c WHERE g = '1-URGENT'),
+b AS (SELECT * FROM c WHERE g = '5-LOW')
+SELECT CAST(a.h AS BIGINT) AS h_a, CAST(b.h AS BIGINT) AS h_b,
+       round(a.mt, 6) AS trimmed_mean_a,
+       round(b.mt, 6) AS trimmed_mean_b,
+       round(a.mt - b.mt, 6) AS diff,
+       round((a.mt - b.mt) / sqrt(a.d + b.d), 6) AS t_stat,
+       round((a.d + b.d) * (a.d + b.d)
+             / (a.d * a.d / (a.h - 1) + b.d * b.d / (b.h - 1)), 6) AS df
+FROM a, b
+"""

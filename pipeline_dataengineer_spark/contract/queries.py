@@ -9949,3 +9949,21 @@ def q_qte(spark, sf_dir):
         ).alias("y"),
     )
     return quantile_treatment_effects(base, "t", "y")
+
+
+@query("q_yuen")
+def q_yuen(spark, sf_dir):
+    """Yuen trimmed-mean robust two-sample test (operators/
+    stats_tests.py:yuen_test): URGENT vs LOW order totals, 20% trim.
+    Oracle replays thresholds (quantile_cont), the threshold-based
+    trim/winsorize aggregates and the Welch algebra exactly."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        yuen_test,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return yuen_test(
+        o, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )

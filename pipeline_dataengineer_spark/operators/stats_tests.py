@@ -2277,3 +2277,100 @@ def msprt_mean(
         F.round(F.col("__p"), round_to).alias("p_always"),
         (F.col("__p") <= alpha).alias("reject"),
     )
+
+
+def yuen_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    trim: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Yuen's trimmed-mean two-sample test — the robust Welch t for
+    heavy-tailed metrics (revenue, latency, token counts), where a
+    handful of outliers swings a plain t-test arbitrarily:
+
+        t = (m_t(a) − m_t(b)) / sqrt(d_a + d_b),
+        d_g = s²_w(g)·(n_g−1) / (h_g·(h_g−1))
+
+    with m_t the trimmed mean, s²_w the WINSORIZED sample variance
+    (every value clamped to the trim thresholds, variance over all
+    n_g rows) and h_g the kept count; df by Welch-Satterthwaite over
+    the two d components. Trimming is THRESHOLD-based: the exact
+    interpolated ``trim`` / ``1−trim`` quantiles per group, dropping
+    values strictly outside — deterministic and SQL-replayable where
+    rank-based trimming is tie-ambiguous (differs only for ties
+    sitting exactly on a threshold; stated, not hidden). No p-value
+    column — the t CDF is not engine-portable; compare |t| to the
+    usual ~2 threshold at these df.
+
+    Scale shape: one per-group percentile aggregate (two thresholds
+    broadcast back), one conditional aggregate over the facts — no
+    sort of the data, no window. Returns a single row."""
+    if not (0 < trim < 0.5):
+        raise ValueError("trim must be in (0, 0.5)")
+    v = F.col(value_col).cast("double")
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & v.isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    qs = two.groupBy("__g").agg(
+        F.percentile("__v", F.lit(float(trim))).alias("__lo"),
+        F.percentile("__v", F.lit(1.0 - float(trim))).alias("__hi"),
+    )
+    j = two.join(F.broadcast(qs), "__g")
+    kept = (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+    wv = F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi"))
+    per = (
+        j.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(kept.cast("long")).alias("__h"),
+            F.sum(F.when(kept, F.col("__v")).otherwise(0.0)).alias("__ks"),
+            F.sum(wv).alias("__ws"),
+            F.sum(wv * wv).alias("__wss"),
+        )
+        .collect()
+    )
+    rows = {r["__g"]: r for r in per}
+    if set(rows) != {group_a, group_b}:
+        raise ValueError(
+            f"yuen_test needs both groups present, got {sorted(rows)}"
+        )
+
+    def comp(g):
+        r = rows[g]
+        n, h = r["__n"], r["__h"]
+        if h < 2 or n < 2:
+            raise ValueError(f"yuen_test: group {g} too small after trim")
+        mt = r["__ks"] / h
+        s2w = (r["__wss"] - r["__ws"] * r["__ws"] / n) / (n - 1)
+        d = s2w * (n - 1) / (h * (h - 1))
+        return n, h, mt, d
+
+    na, ha, ma, da = comp(group_a)
+    nb, hb, mb, db = comp(group_b)
+    se2 = da + db
+    t = (ma - mb) / se2 ** 0.5 if se2 > 0 else float("nan")
+    dof = (
+        se2 * se2 / (da * da / (ha - 1) + db * db / (hb - 1))
+        if (da > 0 or db > 0)
+        else float("nan")
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(ha),
+                int(hb),
+                round(ma, round_to),
+                round(mb, round_to),
+                round(ma - mb, round_to),
+                round(t, round_to),
+                round(dof, round_to),
+            )
+        ],
+        "h_a long, h_b long, trimmed_mean_a double, trimmed_mean_b "
+        "double, diff double, t_stat double, df double",
+    )

@@ -546,3 +546,33 @@ def test_msprt_always_valid_properties(spark):
     assert by_k["shift"][-1] < 1e-6
     rej = {r["k"]: r["reject"] for r in out if r["i"] == 199}
     assert rej == {"null": False, "shift": True}
+
+
+def test_yuen_robust_to_outliers(spark):
+    """Identical trimmed cores -> |t| small even with a monster
+    outlier in one arm (the plain mean difference would be huge);
+    a genuine location shift -> |t| large. Both arms required."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        yuen_test,
+    )
+
+    core = [float(x) for x in range(1, 41)]
+    rows = [("a", v) for v in core] + [("b", v) for v in core]
+    rows.append(("a", 1e7))  # outlier the trim must neutralize
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = yuen_test(df, "g", "v", "a", "b", trim=0.2).collect()[0]
+    assert abs(r["t_stat"]) < 1.0
+    assert abs(r["trimmed_mean_a"] - r["trimmed_mean_b"]) < 2.0
+
+    shifted = spark.createDataFrame(
+        [("a", v) for v in core] + [("b", v + 15.0) for v in core],
+        "g string, v double",
+    )
+    r2 = yuen_test(shifted, "g", "v", "a", "b", trim=0.2).collect()[0]
+    assert r2["t_stat"] < -4.0
+
+    with pytest.raises(ValueError, match="both groups"):
+        yuen_test(df.filter(F.col("g") == "a"), "g", "v", "a", "b")
