@@ -8603,3 +8603,42 @@ SELECT CAST(a.h AS BIGINT) AS h_a, CAST(b.h AS BIGINT) AS h_b,
              / (a.d * a.d / (a.h - 1) + b.d * b.d / (b.h - 1)), 6) AS df
 FROM a, b
 """
+
+ORACLES["q_brunner_munzel"] = """
+WITH two AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), ranked AS (
+  SELECT g, v,
+         rank() OVER (ORDER BY v) + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS mp,
+         rank() OVER (PARTITION BY g ORDER BY v)
+           + (count(*) OVER (PARTITION BY g, v) - 1) / 2.0 AS mo
+  FROM two
+), agg AS (
+  SELECT sum(CASE WHEN g = '1-URGENT' THEN 1.0 ELSE 0.0 END) AS na,
+         sum(CASE WHEN g = '5-LOW' THEN 1.0 ELSE 0.0 END) AS nb,
+         sum(CASE WHEN g = '1-URGENT' THEN mp ELSE 0.0 END) AS ra,
+         sum(CASE WHEN g = '5-LOW' THEN mp ELSE 0.0 END) AS rb,
+         sum(CASE WHEN g = '1-URGENT' THEN mp - mo ELSE 0.0 END) AS pa,
+         sum(CASE WHEN g = '5-LOW' THEN mp - mo ELSE 0.0 END) AS pb,
+         sum(CASE WHEN g = '1-URGENT' THEN (mp - mo) * (mp - mo)
+                  ELSE 0.0 END) AS pa2,
+         sum(CASE WHEN g = '5-LOW' THEN (mp - mo) * (mp - mo)
+                  ELSE 0.0 END) AS pb2
+  FROM ranked
+), c AS (
+  SELECT *, (pa2 - pa * pa / na) / (na - 1) AS s2a,
+         (pb2 - pb * pb / nb) / (nb - 1) AS s2b
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round((rb / nb - (nb + 1) / 2.0) / na, 6) AS p_hat,
+       round((na * nb * (rb / nb - ra / na))
+             / ((na + nb) * sqrt(na * s2a + nb * s2b)), 6) AS w_stat,
+       round((na * s2a + nb * s2b) * (na * s2a + nb * s2b)
+             / ((na * s2a) * (na * s2a) / (na - 1)
+                + (nb * s2b) * (nb * s2b) / (nb - 1)), 6) AS df
+FROM c
+"""

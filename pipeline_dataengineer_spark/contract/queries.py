@@ -9967,3 +9967,22 @@ def q_yuen(spark, sf_dir):
     return yuen_test(
         o, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
     )
+
+
+@query("q_brunner_munzel")
+def q_brunner_munzel(spark, sf_dir):
+    """Brunner-Munzel rank-Welch test (operators/stats_tests.py:
+    brunner_munzel): URGENT vs LOW order totals. Midranks and
+    placements are half-integers, so every aggregate is an exact
+    double and the oracle replays the whole statistic through SQL
+    rank windows."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        brunner_munzel,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return brunner_munzel(
+        o, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )

@@ -2374,3 +2374,86 @@ def yuen_test(
         "h_a long, h_b long, trimmed_mean_a double, trimmed_mean_b "
         "double, diff double, t_stat double, df double",
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brunner-Munzel test — the modern replacement for Mann-Whitney
+    when the two groups may differ in VARIANCE or shape (MWU's
+    variance formula assumes exchangeability under H0; BM estimates
+    each group's placement variance separately, the rank-world
+    Welch):
+
+        p̂  = P(X_a < X_b) + ½·P(X_a = X_b)
+            = (R̄_b − (n_b+1)/2) / n_a
+        W  = n_a·n_b·(R̄_b − R̄_a) / (N · sqrt(n_a·S²_a + n_b·S²_b))
+
+    with midranks for ties, placements P_i = pooled midrank − own-
+    group midrank, S²_g their sample variance, and Satterthwaite df
+    over the two variance components. Returns one row:
+    (n_a, n_b, p_hat, w_stat, df).
+
+    Engine-exact by construction: midranks and placements are
+    half-integers, so ΣP and ΣP² (the moment form of S²) are EXACT
+    doubles under any accumulation order — every cross-engine
+    difference lives in the final divisions, absorbed at round 6.
+    Default path sorts the two-group slice through unkeyed rank
+    windows (evaluation-sized); for slices that outgrow one task,
+    the mann_whitney_u distributed=True recipe (distinct-value hash
+    agg + two-phase global cumsum, per group and pooled) applies
+    verbatim — placements depend only on tie-class counts."""
+    v = F.col(value_col).cast("double")
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & v.isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    w_pool = Window.orderBy("__v")
+    w_own = Window.partitionBy("__g").orderBy("__v")
+    ranked = (
+        two.withColumn("__rp", F.rank().over(w_pool))
+        .withColumn(
+            "__cp", F.count(F.lit(1)).over(Window.partitionBy("__v"))
+        )
+        .withColumn("__ro", F.rank().over(w_own))
+        .withColumn(
+            "__co",
+            F.count(F.lit(1)).over(Window.partitionBy("__g", "__v")),
+        )
+    )
+    mid_pool = F.col("__rp") + (F.col("__cp") - 1) / 2.0
+    mid_own = F.col("__ro") + (F.col("__co") - 1) / 2.0
+    p = mid_pool - mid_own
+    is_a = (F.col("__g") == group_a).cast("double")
+    is_b = (F.col("__g") == group_b).cast("double")
+    agg = ranked.agg(
+        F.sum(is_a).alias("na"),
+        F.sum(is_b).alias("nb"),
+        F.sum(is_a * mid_pool).alias("ra"),
+        F.sum(is_b * mid_pool).alias("rb"),
+        F.sum(is_a * p).alias("pa"),
+        F.sum(is_b * p).alias("pb"),
+        F.sum(is_a * p * p).alias("pa2"),
+        F.sum(is_b * p * p).alias("pb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    rma, rmb = F.col("ra") / na, F.col("rb") / nb
+    s2a = (F.col("pa2") - F.col("pa") * F.col("pa") / na) / (na - 1)
+    s2b = (F.col("pb2") - F.col("pb") * F.col("pb") / nb) / (nb - 1)
+    comp = na * s2a + nb * s2b
+    w = (na * nb * (rmb - rma)) / ((na + nb) * F.sqrt(comp))
+    dof = (comp * comp) / (
+        (na * s2a) * (na * s2a) / (na - 1)
+        + (nb * s2b) * (nb * s2b) / (nb - 1)
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round((rmb - (nb + 1) / 2.0) / na, round_to).alias("p_hat"),
+        F.round(w, round_to).alias("w_stat"),
+        F.round(dof, round_to).alias("df"),
+    )

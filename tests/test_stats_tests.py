@@ -576,3 +576,22 @@ def test_yuen_robust_to_outliers(spark):
 
     with pytest.raises(ValueError, match="both groups"):
         yuen_test(df.filter(F.col("g") == "a"), "g", "v", "a", "b")
+
+
+def test_brunner_munzel_textbook(spark):
+    """The Brunner-Munzel (2000) example from the scipy docs:
+    W ~= 3.1375, df ~= 17.683, p_hat = 0.969."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        brunner_munzel,
+    )
+
+    x1 = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1]
+    x2 = [3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4]
+    rows = [("a", float(v)) for v in x1] + [("b", float(v)) for v in x2]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    assert r["n_a"] == 14 and r["n_b"] == 11
+    assert abs(r["w_stat"] - 3.1374674823029505) < 1e-6
+    assert abs(r["df"] - 17.682841977) < 1e-4
+    # brute-forced P(X_a < X_b) + 0.5 P(=) over all 154 pairs
+    assert abs(r["p_hat"] - 0.788961038961039) < 1e-6
