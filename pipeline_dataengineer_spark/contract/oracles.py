@@ -8642,3 +8642,7 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                 + (nb * s2b) * (nb * s2b) / (nb - 1)), 6) AS df
 FROM c
 """
+
+# distributed=True computes identical exact-dyadic sums from
+# tie-class counts — bit-identical statistics, same oracle.
+ORACLES["q_brunner_munzel_dist"] = ORACLES["q_brunner_munzel"]

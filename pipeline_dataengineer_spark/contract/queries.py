@@ -9986,3 +9986,28 @@ def q_brunner_munzel(spark, sf_dir):
     return brunner_munzel(
         o, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
     )
+
+
+@query("q_brunner_munzel_dist")
+def q_brunner_munzel_dist(spark, sf_dir):
+    """brunner_munzel(distributed=True): identical midrank/placement
+    sums via distinct-value hash agg + ONE two-phase exclusive
+    global_cumsum — no unkeyed WindowExec anywhere in the plan (the
+    round-7 VERDICT item 2 scale path; mirrors q_cliffs_delta_dist).
+    Shares q_brunner_munzel's oracle verbatim: both paths sum exact
+    dyadic terms, so the rounded statistics are bit-identical."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        brunner_munzel,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return brunner_munzel(
+        o,
+        "o_orderpriority",
+        "o_totalprice",
+        "1-URGENT",
+        "5-LOW",
+        distributed=True,
+    )

@@ -2383,6 +2383,7 @@ def brunner_munzel(
     group_a,
     group_b,
     round_to: int = 6,
+    distributed: bool = False,
 ) -> DataFrame:
     """Brunner-Munzel test — the modern replacement for Mann-Whitney
     when the two groups may differ in VARIANCE or shape (MWU's
@@ -2404,42 +2405,80 @@ def brunner_munzel(
     doubles under any accumulation order — every cross-engine
     difference lives in the final divisions, absorbed at round 6.
     Default path sorts the two-group slice through unkeyed rank
-    windows (evaluation-sized); for slices that outgrow one task,
-    the mann_whitney_u distributed=True recipe (distinct-value hash
-    agg + two-phase global cumsum, per group and pooled) applies
-    verbatim — placements depend only on tie-class counts."""
+    windows (evaluation-sized). ``distributed=True`` computes the
+    IDENTICAL sums with no unkeyed window — the mann_whitney_u /
+    cliffs_delta scale recipe: hash-agg the slice down to distinct
+    values with per-group tie-class counts, then pooled and
+    per-group midranks all come from ONE two-phase exclusive
+    global_cumsum (operators/order.py) over that distinct-value
+    table; placements depend only on tie-class counts, and every
+    per-value contribution is the tie-class count times a
+    half-integer, so both paths produce bit-identical doubles."""
     v = F.col(value_col).cast("double")
     two = df.filter(
         F.col(group_col).isin([group_a, group_b]) & v.isNotNull()
     ).select(F.col(group_col).alias("__g"), v.alias("__v"))
-    w_pool = Window.orderBy("__v")
-    w_own = Window.partitionBy("__g").orderBy("__v")
-    ranked = (
-        two.withColumn("__rp", F.rank().over(w_pool))
-        .withColumn(
-            "__cp", F.count(F.lit(1)).over(Window.partitionBy("__v"))
+    if distributed:
+        from pipeline_dataengineer_spark.operators.order import (
+            global_cumsum,
         )
-        .withColumn("__ro", F.rank().over(w_own))
-        .withColumn(
-            "__co",
-            F.count(F.lit(1)).over(Window.partitionBy("__g", "__v")),
+
+        g = two.groupBy("__v").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum((F.col("__g") == group_a).cast("long")).alias("__ca"),
+            F.sum((F.col("__g") == group_b).cast("long")).alias("__cb"),
         )
-    )
-    mid_pool = F.col("__rp") + (F.col("__cp") - 1) / 2.0
-    mid_own = F.col("__ro") + (F.col("__co") - 1) / 2.0
-    p = mid_pool - mid_own
-    is_a = (F.col("__g") == group_a).cast("double")
-    is_b = (F.col("__g") == group_b).cast("double")
-    agg = ranked.agg(
-        F.sum(is_a).alias("na"),
-        F.sum(is_b).alias("nb"),
-        F.sum(is_a * mid_pool).alias("ra"),
-        F.sum(is_b * mid_pool).alias("rb"),
-        F.sum(is_a * p).alias("pa"),
-        F.sum(is_b * p).alias("pb"),
-        F.sum(is_a * p * p).alias("pa2"),
-        F.sum(is_b * p * p).alias("pb2"),
-    )
+        gc = global_cumsum(
+            g, ["__v"], ["__cnt", "__ca", "__cb"], exclusive=True
+        )
+        # midrank of tie class v = count_before(v) + (cnt(v)+1)/2,
+        # pooled and per group; placement = pooled − own midrank.
+        mid_pool = F.col("cum___cnt") + (F.col("__cnt") + 1) / 2.0
+        mid_a = F.col("cum___ca") + (F.col("__ca") + 1) / 2.0
+        mid_b = F.col("cum___cb") + (F.col("__cb") + 1) / 2.0
+        p_a = mid_pool - mid_a
+        p_b = mid_pool - mid_b
+        ca = F.col("__ca").cast("double")
+        cb = F.col("__cb").cast("double")
+        agg = gc.agg(
+            F.sum(ca).alias("na"),
+            F.sum(cb).alias("nb"),
+            F.sum(ca * mid_pool).alias("ra"),
+            F.sum(cb * mid_pool).alias("rb"),
+            F.sum(ca * p_a).alias("pa"),
+            F.sum(cb * p_b).alias("pb"),
+            F.sum(ca * p_a * p_a).alias("pa2"),
+            F.sum(cb * p_b * p_b).alias("pb2"),
+        )
+    else:
+        w_pool = Window.orderBy("__v")
+        w_own = Window.partitionBy("__g").orderBy("__v")
+        ranked = (
+            two.withColumn("__rp", F.rank().over(w_pool))
+            .withColumn(
+                "__cp", F.count(F.lit(1)).over(Window.partitionBy("__v"))
+            )
+            .withColumn("__ro", F.rank().over(w_own))
+            .withColumn(
+                "__co",
+                F.count(F.lit(1)).over(Window.partitionBy("__g", "__v")),
+            )
+        )
+        mid_pool = F.col("__rp") + (F.col("__cp") - 1) / 2.0
+        mid_own = F.col("__ro") + (F.col("__co") - 1) / 2.0
+        p = mid_pool - mid_own
+        is_a = (F.col("__g") == group_a).cast("double")
+        is_b = (F.col("__g") == group_b).cast("double")
+        agg = ranked.agg(
+            F.sum(is_a).alias("na"),
+            F.sum(is_b).alias("nb"),
+            F.sum(is_a * mid_pool).alias("ra"),
+            F.sum(is_b * mid_pool).alias("rb"),
+            F.sum(is_a * p).alias("pa"),
+            F.sum(is_b * p).alias("pb"),
+            F.sum(is_a * p * p).alias("pa2"),
+            F.sum(is_b * p * p).alias("pb2"),
+        )
     na, nb = F.col("na"), F.col("nb")
     rma, rmb = F.col("ra") / na, F.col("rb") / nb
     s2a = (F.col("pa2") - F.col("pa") * F.col("pa") / na) / (na - 1)

@@ -595,3 +595,31 @@ def test_brunner_munzel_textbook(spark):
     assert abs(r["df"] - 17.682841977) < 1e-4
     # brute-forced P(X_a < X_b) + 0.5 P(=) over all 154 pairs
     assert abs(r["p_hat"] - 0.788961038961039) < 1e-6
+    # distributed path: bit parity on the same fixture
+    rd = brunner_munzel(
+        df, "g", "v", "a", "b", distributed=True
+    ).collect()[0]
+    assert tuple(rd) == tuple(r)
+
+
+def test_brunner_munzel_distributed_continuous(spark):
+    """Continuous domain (every value distinct) across a
+    many-partition layout — the case the unkeyed-window default
+    funnels through one task; the cumsum path must match it
+    bit-for-bit (placements are tie-class-count functions, every
+    aggregate term an exact dyadic rational)."""
+    from pipeline_dataengineer_spark.operators.stats_tests import (
+        brunner_munzel,
+    )
+
+    rows = [("a", float(i) * 1.37 + (i % 13) * 0.001) for i in range(400)]
+    rows += [("b", float(i) * 1.11 + 20.0) for i in range(350)]
+    # a sprinkle of cross-group ties to exercise the midrank math
+    rows += [("a", 500.5), ("b", 500.5), ("b", 500.5)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(11)
+    base = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    dist = brunner_munzel(
+        df, "g", "v", "a", "b", distributed=True
+    ).collect()[0]
+    assert tuple(dist) == tuple(base)
+    assert base["n_a"] == 401 and base["n_b"] == 352

@@ -680,6 +680,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # window-free (same caveat as q_ks_test_dist: the pinned sort is
     # a LocalTableScan upstream of what remains)
     "q_cliffs_delta_dist": (["Scan ExistingRDD"], ["Window"]),
+    # distributed Brunner-Munzel: pooled + per-group midranks all
+    # from ONE exclusive global_cumsum over the distinct-value table
+    # — plan tail window-free (round-7 VERDICT item 2)
+    "q_brunner_munzel_dist": (["Scan ExistingRDD"], ["Window"]),
     # distributed Kendall: counts are computed eagerly (inversion
     # kernel + distinct-y cumsum jobs), the returned row is a literal
     # — audit pins the tail is a local scan with no window/join
