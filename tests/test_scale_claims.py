@@ -1,8 +1,18 @@
-"""Bench <-> SCALE_NOTES consistency gate (round-4 VERDICT item 2):
-the shipped BENCH_DETAIL.json scale_10x ratios must agree with the
-machine-checked claims table in SCALE_NOTES.md. Round 4 shipped two
-testimony/artifact mismatches (22.14 shipped vs 5.2 written); this
-test makes the docs follow the artifact or fail CI."""
+"""Bench <-> SCALE_NOTES consistency gate (round-4 VERDICT item 2;
+structurally redesigned round 8 after three consecutive false-red
+rounds — VERDICT r7 item 1): the shipped BENCH_DETAIL.json scale_10x
+ratios must agree with the machine-checked claims table in
+SCALE_NOTES.md under the asymmetric + re-measured rule:
+
+  (a) a claim only fails when the ratio ships SLOWER than claim x 2
+      (improvements are reported, never red);
+  (b) a flagged ratio is judged by the MEDIAN of the shipped value
+      plus the paired re-measure reps bench.py ran in a fresh child
+      JVM at artifact time (shipped under ``remeasured`` so this
+      test replays the identical decision offline);
+  (c) sub-second-base queries get looser bounds (claim x 3 /
+      backstop 5.0) instead of a blanket exemption.
+"""
 
 from __future__ import annotations
 
@@ -32,41 +42,111 @@ def test_claims_table_parses():
 
 
 def test_shipped_ratios_match_claims():
-    """Every shipped scale_10x ratio within 2x of its claim; every
-    shipped ratio > 2.5 with a >= 0.75 s base has a written claim
-    (sub-second bases are exempt from the unclaimed rule — a ratio
-    of two sub-second timings on a contended box is noise; the r5/r6
-    false reds q_prune_semi_join 2.55 and q_asof_join 2.69 were both
-    this). Skips when the current BENCH_DETAIL.json predates the
-    claims check (no scale_10x), e.g. after an sf0.01 smoke run with
-    the 10x tier disabled."""
+    """Replay the shipped artifact's gate decision against the
+    CURRENT claims table, reusing the re-measure evidence bench.py
+    stored at artifact time. Red only when a flagged query's median
+    ratio (shipped + paired re-measure reps) exceeds its bound.
+    Skips when BENCH_DETAIL.json has no scale_10x tier (e.g. an
+    sf0.01 smoke run with SPARK_GRAFT_10X=0)."""
     _, check_scale_claims = _load()
     path = os.path.join(REPO, "BENCH_DETAIL.json")
     detail = json.load(open(path))
     scale = detail.get("scale_10x") or {}
     if not scale:
         pytest.skip("BENCH_DETAIL.json has no scale_10x tier")
-    result = check_scale_claims(scale, detail.get("queries") or {})
+    result = check_scale_claims(
+        scale,
+        detail.get("queries") or {},
+        remeasured=(detail.get("scale_claims_check") or {}).get(
+            "remeasured"
+        ),
+    )
     assert result["ok"], json.dumps(result, indent=1)
 
 
-def test_unclaimed_gate_noise_robust():
-    """The unclaimed rule must exempt sub-second-base queries (and
-    report them) but still fire on a genuinely slow unclaimed query."""
+def test_asymmetric_rule_improvements_never_red():
+    """Shipping FASTER than claim / 2 must never fail — it ships as
+    stale_claim_improvement (the r7 false-red mode: the AQE
+    grouped-map fix outran four claims)."""
     _, check_scale_claims = _load()
-    scale = {"q_fake_subsecond": 3.1, "q_fake_slow": 3.1}
-    base = {"q_fake_subsecond": 0.3, "q_fake_slow": 2.4}
-    result = check_scale_claims(scale, base)
-    assert [u["query"] for u in result["unclaimed_over_2_5"]] == [
-        "q_fake_slow"
+    # q_dup_spans has a real claim (3.0); ship a big improvement
+    result = check_scale_claims({"q_dup_spans": 0.9}, {"q_dup_spans": 2.0})
+    assert result["ok"]
+    assert [s["query"] for s in result["stale_claim_improvement"]] == [
+        "q_dup_spans"
     ]
-    assert [n["query"] for n in result["unclaimed_subsecond_noise"]] == [
-        "q_fake_subsecond"
-    ]
+
+
+def test_remeasure_median_clears_contention():
+    """One contended shipped rep must not condemn the artifact when
+    the paired re-measure medians back inside the bound (the r7
+    q_minhash_neardup mode: shipped 10.42, idle paired 2.1-2.4,
+    claim 3.0)."""
+    _, check_scale_claims = _load()
+    calls = []
+
+    def fake_remeasure(names):
+        calls.append(list(names))
+        return {n: [2.2, 2.4] for n in names}
+
+    result = check_scale_claims(
+        {"q_minhash_neardup": 10.42},
+        {"q_minhash_neardup": 2.4},
+        remeasure=fake_remeasure,
+    )
+    assert calls == [["q_minhash_neardup"]]
+    assert result["ok"], result
+    assert result["remeasured_ok"][0]["median"] == 2.4
+    # the evidence ships for offline replay
+    assert result["remeasured"]["q_minhash_neardup"] == [2.2, 2.4]
+    # and replaying from stored reps (no callable) reaches the same
+    # verdict — the pytest path against the artifact
+    replay = check_scale_claims(
+        {"q_minhash_neardup": 10.42},
+        {"q_minhash_neardup": 2.4},
+        remeasured={"q_minhash_neardup": [2.2, 2.4]},
+    )
+    assert replay["ok"]
+
+
+def test_remeasure_confirms_real_regression():
+    """When the re-measure agrees the query got slower, the gate
+    stays red — re-measuring is noise control, not amnesty."""
+    _, check_scale_claims = _load()
+    result = check_scale_claims(
+        {"q_minhash_neardup": 9.0},
+        {"q_minhash_neardup": 2.4},
+        remeasure=lambda names: {n: [8.5, 9.2] for n in names},
+    )
     assert not result["ok"]
-    # with the slow one claimed, the sub-second wobble alone is ok
+    assert result["mismatched"][0]["query"] == "q_minhash_neardup"
+    assert result["mismatched"][0]["median"] == 9.0
+
+
+def test_unclaimed_rule_with_subsecond_backstop():
+    """Unclaimed ratios over 2.5 red with a second-scale base;
+    sub-second bases keep a 5.0 backstop — looser, not exempt
+    (round-7 ADVICE: the old exemption could never fire)."""
+    _, check_scale_claims = _load()
+    # sub-second base, ratio 3.1 -> within backstop, ok
     assert check_scale_claims(
         {"q_fake_subsecond": 3.1}, {"q_fake_subsecond": 0.3}
     )["ok"]
-    # no base time recorded -> conservative: still requires a claim
+    # sub-second base, genuine blow-up past the backstop -> red
+    blow = check_scale_claims(
+        {"q_fake_subsecond": 7.0},
+        {"q_fake_subsecond": 0.3},
+        remeasure=lambda names: {n: [6.8, 7.2] for n in names},
+    )
+    assert not blow["ok"]
+    # second-scale base, unclaimed 3.1, re-measure agrees -> red
+    slow = check_scale_claims(
+        {"q_fake_slow": 3.1},
+        {"q_fake_slow": 2.4},
+        remeasure=lambda names: {n: [3.0, 3.2] for n in names},
+    )
+    assert not slow["ok"]
+    assert slow["unclaimed_over_2_5"][0]["query"] == "q_fake_slow"
+    # no base time recorded -> conservative strict bound; with no
+    # re-measure evidence either, shipped alone confirms red
     assert not check_scale_claims({"q_fake_unknown": 3.1}, {})["ok"]
