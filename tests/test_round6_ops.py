@@ -906,7 +906,9 @@ def test_kendall_distributed_matches_default_and_bruteforce(spark):
     rows += [(3.0, 4.0)] * 4
     df = spark.createDataFrame(rows, "x double, y double").repartition(13)
     base = kendall_tau_b(df, "x", "y").collect()[0]
-    dist = kendall_tau_b(df, "x", "y", distributed=True).collect()[0]
+    dist = kendall_tau_b(
+        df, "x", "y", distributed=True, num_partitions=13
+    ).collect()[0]
     assert (
         dist["concordant"],
         dist["discordant"],
@@ -946,7 +948,9 @@ def test_kendall_distributed_continuous_no_cap(spark):
     df = spark.createDataFrame(rows, "x double, y double").repartition(17)
     with pytest.raises(ValueError):
         kendall_tau_b(df, "x", "y").collect()
-    out = kendall_tau_b(df, "x", "y", distributed=True).collect()[0]
+    out = kendall_tau_b(
+        df, "x", "y", distributed=True, num_partitions=17
+    ).collect()[0]
     assert out["n"] == n
     assert out["concordant"] + out["discordant"] <= n * (n - 1) // 2
     # x is strictly increasing in i; y is a pseudo-random permutation
@@ -964,16 +968,16 @@ def test_kendall_distributed_perfect_orders(spark):
         [(float(i), float(i) * 2.5) for i in range(500)],
         "x double, y double",
     ).repartition(9)
-    assert kendall_tau_b(up, "x", "y", distributed=True).collect()[0][
-        "tau_b"
-    ] == 1.0
+    assert kendall_tau_b(
+        up, "x", "y", distributed=True, num_partitions=9
+    ).collect()[0]["tau_b"] == 1.0
     down = spark.createDataFrame(
         [(float(i), -float(i)) for i in range(500)],
         "x double, y double",
     ).repartition(9)
-    assert kendall_tau_b(down, "x", "y", distributed=True).collect()[
-        0
-    ]["tau_b"] == -1.0
+    assert kendall_tau_b(
+        down, "x", "y", distributed=True, num_partitions=9
+    ).collect()[0]["tau_b"] == -1.0
 
 
 def test_kendall_distributed_randomized_vs_bruteforce(spark):
@@ -1006,7 +1010,9 @@ def test_kendall_distributed_randomized_vs_bruteforce(spark):
     )
     for rows in fixtures:
         df = spark.createDataFrame(rows, "x double, y double").repartition(11)
-        got = kendall_tau_b(df, "x", "y", distributed=True).collect()[0]
+        got = kendall_tau_b(
+            df, "x", "y", distributed=True, num_partitions=7
+        ).collect()[0]
         c = d = 0
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
