@@ -9780,8 +9780,11 @@ def q_pruned_read(spark, sf_dir):
         read_pruned,
     )
 
+    # per-process suffix: two concurrent runs on the same tier (e.g.
+    # bench + verify_local) must not overwrite each other's files
+    # mid-read (round-7 ADVICE); same-process re-runs stay idempotent
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/spark_graft_pruned_{tag}"
+    out = f"/tmp/spark_graft_pruned_{tag}_{os.getpid()}"
     (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -144,12 +144,19 @@ def kcenter_coreset(
     center_vec = list(seed[0]["__v"])
     d_expr = dist2_to(center_vec)
     for rnd in range(2, k + 1):
-        # argmax of (rounded distance, min id): max-of-struct with the
-        # id negated so the struct tie-break picks the SMALLEST id.
+        # argmax of (rounded distance, min id) in ONE aggregate:
+        # min_by over (−distance, id) picks the smallest id among
+        # the max-distance rows and — unlike the old negated-id
+        # struct trick — works for ANY orderable id type (string
+        # doc ids, etc.), not just numerics (round-7 ADVICE).
         top = pts.agg(
-            F.max(F.struct(d_expr.alias("d"), (-F.col("__id")).alias("ni")))
-        ).collect()[0][0]
-        cid, cdist = -top["ni"], top["d"]
+            F.max(d_expr).alias("d"),
+            F.min_by(
+                F.col("__id"),
+                F.struct((-d_expr).alias("nd"), F.col("__id").alias("i")),
+            ).alias("cid"),
+        ).collect()[0]
+        cid, cdist = top["cid"], top["d"]
         if cdist is None or cdist <= 0.0:
             # every remaining point coincides with a selected center
             # (k exceeds the number of distinct points) — a further
@@ -160,6 +167,8 @@ def kcenter_coreset(
         centers.append((rnd, cid, float(cdist)))
         d_expr = F.least(d_expr, dist2_to(list(row["__v"])))
     spark = df.sparkSession
+    # center_id keeps the INPUT id type (was hardcoded bigint)
+    id_t = pts.schema["__id"].dataType.simpleString()
     return spark.createDataFrame(
-        centers, "round int, center_id bigint, sel_dist double"
+        centers, f"round int, center_id {id_t}, sel_dist double"
     )

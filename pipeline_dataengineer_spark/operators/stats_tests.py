@@ -2010,7 +2010,11 @@ def grouped_sinkhorn_drift(
     )
 
     def binned(df: DataFrame, label: str) -> DataFrame:
-        b = df.join(bounds, group_col)
+        # LEFT join: a group present only in the current sample has
+        # no reference-derived bounds — its rows land in a NULL bin
+        # and surface as a NULL-metric row (tr == 0 in the kernel)
+        # instead of being silently dropped (round-7 ADVICE).
+        b = df.join(bounds, group_col, "left")
         bin_id = F.aggregate(
             F.col("__b"),
             F.lit(0),
@@ -2046,6 +2050,8 @@ def grouped_sinkhorn_drift(
         n_ref = [0] * n_bins
         n_cur = [0] * n_bins
         for _, row in pdf.iterrows():
+            if pd.isna(row["bin"]):  # cur-only group: no ref bounds
+                continue
             n_ref[int(row["bin"])] = int(row["n_ref"])
             n_cur[int(row["bin"])] = int(row["n_cur"])
         tr, tc = sum(n_ref), sum(n_cur)
@@ -2104,8 +2110,11 @@ def grouped_sinkhorn_drift(
             }
         )
 
+    # group column keeps its INPUT type (round-7 ADVICE: hardcoding
+    # string broke non-string keys, e.g. an int segment id)
+    g_type = hist.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} string, sinkhorn_div double, "
+        f"{group_col} {g_type}, sinkhorn_div double, "
         "transport_cost double, marginal_err_ref double, "
         "marginal_err_cur double"
     )
