@@ -8646,3 +8646,76 @@ FROM c
 # distributed=True computes identical exact-dyadic sums from
 # tie-class counts — bit-identical statistics, same oracle.
 ORACLES["q_brunner_munzel_dist"] = ORACLES["q_brunner_munzel"]
+
+
+def _minhash_lsh_replay_sql() -> str:
+    """FULL SQL replay of q_minhash_neardup's banded MinHash-LSH —
+    promotes the 7-round rows-only driver row to a value-hash check
+    (round-8 VERDICT item 3, strictly stronger than the suggested
+    r=1 trick: the production bands=8/r=16 config is replayed as-is,
+    recall gaps and all).
+
+    Replayable because every stage is deterministic integer math:
+    shingle codes are base-256 byte packs of the lowercased text
+    (ascii() == byte for the pure-ASCII fixture, pinned by
+    tests/test_minhash_oracle_replay.py), the 128 permutations are
+    h_i(x) = (a_i * (x % 2^31) + b_i) % (2^31 - 1) with constants
+    from the engine's seeded generator, and an LSH bucket match is
+    EXACTLY band-slice equality (the engine's blake2b band hash is
+    injective modulo ~2^-64 collisions). Candidates then get the
+    same exact-Jaccard verify over distinct shingle codes with the
+    same round-then-filter ordering."""
+    from pipeline_dataengineer_spark.operators.dedup import (
+        _permutation_constants,
+    )
+
+    mults, adds = _permutation_constants(128)
+    consts = ",".join(
+        f"({i},{m},{a})" for i, (m, a) in enumerate(zip(mults, adds))
+    )
+    return f"""
+WITH consts(i, mult, add) AS (VALUES {consts}),
+corpus AS (
+  SELECT doc_id, lower(text) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lower(text) || ' suffix token' FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest([
+      CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+    + CAST(ascii(substr(text, CAST(i AS INT)+1, 1)) AS BIGINT) * 256
+    + CAST(ascii(substr(text, CAST(i AS INT)+2, 1)) AS BIGINT) * 65536
+    + CAST(ascii(substr(text, CAST(i AS INT)+3, 1)) AS BIGINT) * 16777216
+    + CAST(ascii(substr(text, CAST(i AS INT)+4, 1)) AS BIGINT) * 4294967296
+    FOR i IN range(1, length(text) - 3)]) AS code
+  FROM corpus
+), sigs AS (
+  SELECT s.doc_id, c.i,
+         min(((s.code % 2147483648) * c.mult + c.add) % 2147483647) AS h
+  FROM sh s CROSS JOIN consts c
+  GROUP BY s.doc_id, c.i
+), bsig AS (
+  SELECT doc_id, i // 16 AS b, list(h ORDER BY i) AS sig
+  FROM sigs GROUP BY doc_id, i // 16
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bsig x JOIN bsig y ON x.b = y.b AND x.sig = y.sig
+                         AND x.doc_id < y.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ic
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.code = a.code
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.ic AS DOUBLE) / (sa.n + sb.n - i.ic), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(CAST(i.ic AS DOUBLE) / (sa.n + sb.n - i.ic), 4) >= 0.7
+ORDER BY i.id_a, i.id_b
+"""
+
+
+ORACLES["q_minhash_neardup"] = _minhash_lsh_replay_sql()

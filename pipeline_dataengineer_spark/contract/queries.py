@@ -557,10 +557,15 @@ def q_text_stats(spark, sf_dir):
 
 @query("q_minhash_neardup")
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-duplicate pairs (rows-only check — sketches are
-    engine-specific). Near-dups are manufactured by unioning documents
-    with a lightly mutated copy of themselves, so the LSH actually has
-    pairs to find."""
+    """MinHash+LSH near-duplicate pairs, FULL-REPLAY oracled (round 8;
+    rows-only for rounds 1-7): every stage is deterministic integer
+    math — base-256 shingle codes, seeded 31-bit permutation
+    constants, band match ⟺ sig-slice equality — so the oracle
+    replays the production bands=8/r=16 pipeline in SQL verbatim,
+    recall gaps included (see oracles._minhash_lsh_replay_sql).
+    Near-dups are manufactured by unioning documents with a lightly
+    mutated copy of themselves, so the LSH actually has pairs to
+    find."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
