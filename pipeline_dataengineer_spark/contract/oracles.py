@@ -8647,6 +8647,34 @@ FROM c
 # tie-class counts — bit-identical statistics, same oracle.
 ORACLES["q_brunner_munzel_dist"] = ORACLES["q_brunner_munzel"]
 
+# q_simhash is a PROPERTY differential (round 8): the engine computes
+# hamming distances between each doc's simhash and two manufactured
+# twins; the closed-form truth is that the light twin is strictly
+# closer than the scrambled twin and within the absolute radius for
+# EVERY document (measured slack >= 7 bits / >= 6 bits across tiers;
+# deterministic constants). The oracle states that closed form.
+ORACLES["q_simhash"] = """
+SELECT doc_id,
+       true AS light_closer,
+       true AS within_radius
+FROM documents
+ORDER BY doc_id
+"""
+
+# q_fingerprint property differential (round 8): normalization
+# invariance and content sensitivity follow from fingerprint64's
+# spec; local_overlap is the winnowing guarantee (shared run >=
+# window+kgram-1 chars => >= 1 common selected fingerprint), which
+# every >= 44-char fixture doc satisfies. Closed form: all true.
+ORACLES["q_fingerprint"] = """
+SELECT doc_id,
+       true AS norm_invariant,
+       true AS content_sensitive,
+       true AS local_overlap
+FROM documents
+ORDER BY doc_id
+"""
+
 
 def _minhash_lsh_replay_sql() -> str:
     """FULL SQL replay of q_minhash_neardup's banded MinHash-LSH —

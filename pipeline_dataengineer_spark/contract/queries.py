@@ -592,9 +592,30 @@ def q_minhash_neardup(spark, sf_dir):
 
 @query("q_simhash")
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only — hash values engine-specific)."""
+    """SimHash near-dup property differential (round 8; rows-only for
+    rounds 1-7): the raw 63-bit fingerprints are engine-specific
+    (xxhash64 shingle hashes aren't SQL-replayable), so the contract
+    checks the PROPERTY simhash exists to provide, with closed-form
+    truth per document: a lightly mutated twin (one appended token)
+    must be strictly closer in hamming distance than a structurally
+    scrambled twin (reversed text), and within an absolute radius.
+    Deterministic — fixed hash constants, fixed fixture; measured
+    margins: light ≤ 18 bits across tiers (radius 24 leaves slack),
+    per-doc (far − light) ≥ 7 everywhere (strict < leaves ≥ 7 bits
+    of slack). Oracle states the closed form: both booleans true."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64("text", shingle_n=4).alias("simhash"))
+    h = simhash64("text", shingle_n=4)
+    h_light = simhash64(
+        F.concat(F.col("text"), F.lit(" suffix token")), shingle_n=4
+    )
+    h_far = simhash64(F.reverse(F.col("text")), shingle_n=4)
+    d_light = F.bit_count(h.bitwiseXOR(h_light))
+    d_far = F.bit_count(h.bitwiseXOR(h_far))
+    return d.select(
+        "doc_id",
+        (d_light < d_far).alias("light_closer"),
+        (d_light <= 24).alias("within_radius"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------- flagship
@@ -789,19 +810,45 @@ def q_lang_id(spark, sf_dir):
 
 @query("q_fingerprint")
 def q_fingerprint(spark, sf_dir):
-    """North star: whole-doc + winnowed local fingerprints (rows-only:
-    xxhash64 values are engine-specific)."""
+    """Whole-doc + winnowed local fingerprint PROPERTY differential
+    (round 8; rows-only for rounds 1-7 — raw xxhash64/blake2b values
+    are engine-specific). Three closed-form-true properties per doc:
+
+    - norm_invariant: fingerprint64 is invariant to case and
+      surrounding whitespace (its spec: lower + trim + collapse);
+    - content_sensitive: appending one character changes it
+      (xxhash64 collision ~2^-64, deterministic fixture);
+    - local_overlap: the winnowed fingerprints of text and of a
+      prefixed copy share ≥ 1 value — the Schleimer et al. winnowing
+      GUARANTEE (any shared run ≥ window+kgram−1 = 23 chars yields a
+      common selected fingerprint; every fixture doc is ≥ 44 chars),
+      i.e. alignment independence, the property a strided sampler
+      fails. Oracle states the closed form: all three true."""
     from pipeline_dataengineer_spark.functions.textstats import (
         fingerprint64,
         rolling_fingerprints,
     )
 
     d = table(spark, sf_dir, "documents")
+    fp = fingerprint64("text")
+    fp_norm = fingerprint64(
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("  "))
+    )
+    fp_mut = fingerprint64(F.concat(F.col("text"), F.lit("x")))
+    overlap = F.size(
+        F.array_intersect(
+            rolling_fingerprints("text"),
+            rolling_fingerprints(
+                F.concat(F.lit("zzz prefix padding "), F.col("text"))
+            ),
+        )
+    )
     return d.select(
         "doc_id",
-        fingerprint64("text").alias("fp64"),
-        F.size(rolling_fingerprints("text")).cast("long").alias("n_local_fps"),
-    )
+        (fp == fp_norm).alias("norm_invariant"),
+        (fp != fp_mut).alias("content_sensitive"),
+        (overlap >= 1).alias("local_overlap"),
+    ).orderBy("doc_id")
 
 
 @query("q_ivf_topk")
