@@ -8675,6 +8675,54 @@ FROM documents
 ORDER BY doc_id
 """
 
+# q_pca_project closed-form replay (round 8): the d=2 covariance has
+# analytic eigenvectors — major axis at θ = ½·atan2(2c_xy, c_xx−c_yy),
+# minor axis perpendicular — canonicalized exactly like the engine
+# (flip so the max-|entry| coordinate is positive, first index wins
+# ties) and applied to the same moment-form sample covariance.
+ORACLES["q_pca_project"] = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_acctbal + c_custkey / 1000.0 AS DOUBLE) AS x,
+         CAST(c_acctbal * 0.3
+              + (c_custkey * 2654435761 % 1000) / 10.0 AS DOUBLE) AS y
+  FROM customer WHERE c_custkey <= 2000
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pts
+), c AS (
+  SELECT sx / n AS mx, sy / n AS my,
+         (sxx - sx * sx / n) / (n - 1) AS cxx,
+         (syy - sy * sy / n) / (n - 1) AS cyy,
+         (sxy - sx * sy / n) / (n - 1) AS cxy
+  FROM m
+), eig AS (
+  SELECT mx, my, 0.5 * atan2(2 * cxy, cxx - cyy) AS th FROM c
+), vecs AS (
+  SELECT mx, my,
+         cos(th) AS a1, sin(th) AS b1,
+         -sin(th) AS a2, cos(th) AS b2
+  FROM eig
+), canon AS (
+  SELECT mx, my,
+    CASE WHEN (CASE WHEN abs(a1) >= abs(b1) THEN a1 ELSE b1 END) < 0
+         THEN -a1 ELSE a1 END AS v1x,
+    CASE WHEN (CASE WHEN abs(a1) >= abs(b1) THEN a1 ELSE b1 END) < 0
+         THEN -b1 ELSE b1 END AS v1y,
+    CASE WHEN (CASE WHEN abs(a2) >= abs(b2) THEN a2 ELSE b2 END) < 0
+         THEN -a2 ELSE a2 END AS v2x,
+    CASE WHEN (CASE WHEN abs(a2) >= abs(b2) THEN a2 ELSE b2 END) < 0
+         THEN -b2 ELSE b2 END AS v2y
+  FROM vecs
+)
+SELECT p.c_custkey,
+       round((p.x - mx) * v1x + (p.y - my) * v1y, 3) AS pc_1,
+       round((p.x - mx) * v2x + (p.y - my) * v2y, 3) AS pc_2
+FROM pts p CROSS JOIN canon
+ORDER BY p.c_custkey
+"""
+
 
 def _minhash_lsh_replay_sql() -> str:
     """FULL SQL replay of q_minhash_neardup's banded MinHash-LSH —
@@ -8747,3 +8795,24 @@ ORDER BY i.id_a, i.id_b
 
 
 ORACLES["q_minhash_neardup"] = _minhash_lsh_replay_sql()
+
+# q_hll_merge (round 8): the exact per-lang distinct hash-checks
+# directly; the sketch estimate ships as its accuracy property
+# (|est − exact| ≤ 5% · exact — measured max 2.9% at sf0.1,
+# deterministic sketch). Closed form: true per lang.
+ORACLES["q_hll_merge"] = """
+SELECT lang,
+       count(DISTINCT doc_id) AS exact_distinct,
+       true AS est_within_5pct
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+# q_ivfpq_self_top1 (round 8): closed form — full-probe PQ search
+# returns the query itself at rank 1 for corpus-vector queries.
+ORACLES["q_ivfpq_self_top1"] = """
+SELECT vec_id AS query_id, vec_id, 1 AS rank
+FROM embeddings WHERE vec_id < 5
+ORDER BY query_id
+"""

