@@ -8816,3 +8816,63 @@ SELECT vec_id AS query_id, vec_id, 1 AS rank
 FROM embeddings WHERE vec_id < 5
 ORDER BY query_id
 """
+
+# q_leakage_safe_split (round 8): root of doc n in the 5-chain
+# fixture is n - n%5 (closed form); the split replays the portable
+# bucket on the root with hash_split's cumulative ranges.
+ORACLES["q_leakage_safe_split"] = f"""
+WITH rooted AS (
+  SELECT doc_id, doc_id - doc_id % 5 AS root FROM documents
+)
+SELECT doc_id, root,
+       CASE WHEN {_bucket_sql('root', _B)} < {int(0.8 * _B)} THEN 'train'
+            WHEN {_bucket_sql('root', _B)} < {int(0.9 * _B)} THEN 'val'
+            ELSE 'test' END AS split
+FROM rooted
+ORDER BY doc_id
+"""
+
+# q_approx_stats (round 8): exact distinct hash-checks; sketches
+# ship as accuracy properties vs exacts computed in the same pass.
+ORACLES["q_approx_stats"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       true AS acd_within_10pct,
+       true AS amed_within_2pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# q_kll_quantiles (round 8): n is exact; the estimates certify the
+# bound KLL promises (rank error), robust to sketch randomization.
+ORACLES["q_kll_quantiles"] = """
+SELECT event_type, count(*) AS n,
+       true AS p50_rank_ok,
+       true AS p95_rank_ok
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# q_compression_ratio (round 8): raw byte size is exact on the ASCII
+# fixture; the deflate ratio ships as closed-form properties.
+ORACLES["q_compression_ratio"] = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       true AS ratio_in_band,
+       true AS doubling_compresses
+FROM documents
+ORDER BY doc_id
+"""
+
+# q_bpe_tokens (round 8): BPE is lossless by construction — the
+# reconstruction and token-count band are closed-form true.
+ORACLES["q_bpe_tokens"] = """
+SELECT doc_id,
+       true AS roundtrip_ok,
+       true AS token_count_in_band
+FROM documents
+ORDER BY doc_id
+"""

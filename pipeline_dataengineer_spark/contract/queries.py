@@ -1022,13 +1022,32 @@ def q_unpivot(spark, sf_dir):
 
 @query("q_approx_stats")
 def q_approx_stats(spark, sf_dir):
-    """Sketch aggregates (HLL++, GK-quantile) — rows-only: sketch
-    outputs are engine-specific by design (SURVEY §2C)."""
+    """Sketch aggregates (HLL++, GK-quantile), ORACLED round 8
+    (rows-only before): the exact per-flag distinct hash-checks
+    directly and each sketch ships as its accuracy property against
+    the exact aggregate computed in the same pass — HLL++ (rsd 5%)
+    within 10% of the exact distinct, percentile_approx within 2% of
+    the exact median's value (measured ≤2.2%/≤0.4% across tiers;
+    deterministic sketches). Closed form: both booleans true."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(F.percentile_approx("l_extendedprice", 0.5), 0).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("acd"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile("l_extendedprice", 0.5).alias("emed"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("acd") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("acd_within_10pct"),
+        (
+            F.abs(F.col("amed") - F.col("emed"))
+            <= 0.02 * F.abs(F.col("emed"))
+        ).alias("amed_within_2pct"),
+    ).orderBy("l_returnflag")
 
 
 @query("q_salted_agg")
@@ -1386,6 +1405,29 @@ def q_connected_components(spark, sf_dir):
     from pipeline_dataengineer_spark.operators.graph import connected_components
 
     return connected_components(_chain_edges(spark, sf_dir))
+
+
+@query("q_leakage_safe_split")
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-rooted train/val/test split (operators/sampling.py:
+    leakage_safe_split): near-dup pairs → connected components → the
+    portable hash bucket of the CLUSTER ROOT decides the split, so
+    near-duplicates can never straddle train/val (the contamination
+    guarantee). Oracle: root of doc n in the 5-chain fixture is
+    n − n%5 (closed form, same as q_connected_components) and the
+    split replays bucket_sql on that root."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = leakage_safe_split(
+        d,
+        "doc_id",
+        _chain_edges(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "root", "split").orderBy("doc_id")
 
 
 @query("q_dedup_canonical")
@@ -3476,21 +3518,42 @@ def q_group_by_all(spark, sf_dir):
 
 @query("q_bpe_tokens")
 def q_bpe_tokens(spark, sf_dir):
-    """BPE tokenization (operators/bpe.py): merge table learned on a
-    bounded sample driver-side, applied corpus-wide via broadcast
-    closure + mapInPandas — the corpus never shuffles. Rows-only
-    check (the token stream is vocabulary-specific); distributed vs
-    driver-encoder parity is pytest-proven."""
+    """BPE tokenization (operators/bpe.py), ORACLED round 8
+    (rows-only before): the token stream is vocabulary-specific, but
+    BPE is LOSSLESS by construction — merges only ever concatenate
+    adjacent symbols — so the engine certifies per doc that the
+    concatenated tokens reconstruct the pre-tokenized text exactly
+    (lowercased words each closed by the ▁ end-of-word marker) and
+    that the token count sits in its provable band (≥ one token per
+    word, ≤ chars + one marker per word). Merge table still learned
+    on the bounded sample and applied via broadcast closure; the
+    corpus never shuffles. Oracle states the closed form."""
     from pipeline_dataengineer_spark.operators.bpe import (
+        EOW,
         bpe_tokenize,
         learn_bpe_merges,
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = learn_bpe_merges(d, num_merges=100, max_sample_rows=2_000)
-    return bpe_tokenize(d, merges).select(
-        "doc_id", "n_bpe_tokens", F.slice("bpe_tokens", 1, 5).alias("head_tokens")
+    toks = bpe_tokenize(d, merges)
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    expected = F.concat_ws(
+        "", F.transform(words, lambda w: F.concat(w, F.lit(EOW)))
     )
+    stripped_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return toks.select(
+        "doc_id",
+        (F.concat_ws("", F.col("bpe_tokens")) == expected).alias(
+            "roundtrip_ok"
+        ),
+        (
+            (F.col("n_bpe_tokens") >= F.size(words))
+            & (F.col("n_bpe_tokens") <= stripped_len + F.size(words))
+        ).alias("token_count_in_band"),
+    ).orderBy("doc_id")
 
 
 @query("q_heavy_hitters")
@@ -3538,10 +3601,13 @@ def q_approx_topk(spark, sf_dir):
 @query("q_kll_quantiles")
 def q_kll_quantiles(spark, sf_dir):
     """Mergeable KLL quantile states (functions/sketches.py:
-    kll_states/merge_kll/kll_quantiles): per-event-type sketches over
-    two halves of events, merged, quantiles estimated. Rows-only —
-    KLL compaction is randomized so estimates are engine-specific;
-    accuracy and the exact-n invariant are pytest-checked."""
+    kll_states/merge_kll/kll_quantiles), ORACLED round 8 (rows-only
+    before): KLL compaction is randomized so raw estimates are
+    engine-specific, but the bound KLL PROMISES — rank error — is
+    checkable: the engine computes each estimate's rank within the
+    exact distribution and certifies |rank − q| ≤ 5% (k=200 bounds
+    rank error at ~1.65% @ 99% confidence — 3× margin, robust to the
+    sketch's internal coin flips). n hash-checks exactly."""
     from pipeline_dataengineer_spark.functions.sketches import (
         kll_quantiles,
         kll_states,
@@ -3556,7 +3622,35 @@ def q_kll_quantiles(spark, sf_dir):
         kll_states(half_b, ["event_type"], "value"),
         keys=["event_type"],
     )
-    return kll_quantiles(merged, ["event_type"], [0.5, 0.95]).orderBy("event_type")
+    est = kll_quantiles(merged, ["event_type"], [0.5, 0.95])
+    # RANK-error certification (the bound KLL actually promises):
+    # the rank of each estimate within the exact distribution must
+    # sit within 5% of its target rank — k=200 bounds rank error at
+    # ~1.65% with 99% confidence, so 5% is ~3x margin against the
+    # sketch's internal randomization. n is exact by construction.
+    v = F.col("value").cast("double")
+    ranks = (
+        ev.filter(v.isNotNull())
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum((v <= F.col("q_0_5")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("r50"),
+            (
+                F.sum((v <= F.col("q_0_95")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("r95"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("r50") - 0.5) <= 0.05).alias("p50_rank_ok"),
+        (F.abs(F.col("r95") - 0.95) <= 0.05).alias("p95_rank_ok"),
+    ).orderBy("event_type")
 
 
 @query("q_interval_join_semi")
@@ -6156,14 +6250,42 @@ def q_nth_value(spark, sf_dir):
 @query("q_compression_ratio")
 def q_compression_ratio(spark, sf_dir):
     """Deflate compression-ratio quality signal
-    (operators/text_features.py:compression_ratio). Rows-only:
-    zlib has no SQL replay; the discriminative behavior (loops
-    compress below prose, noise above) is pytest-pinned."""
+    (operators/text_features.py:compression_ratio), ORACLED round 8
+    (rows-only before): zlib has no SQL replay, so the exact raw
+    byte size hash-checks (octet_length on the ASCII fixture) and
+    the ratio ships as two closed-form properties per doc — the
+    ratio lands in the sane deflate band for text, and DOUBLING the
+    document compresses strictly better (the 32 KB deflate window
+    sees the repeat; every fixture doc is < 1.2 KB), which is the
+    discriminative behavior the signal exists for."""
     from pipeline_dataengineer_spark.operators.text_features import (
         compression_ratio,
     )
 
-    return compression_ratio(table(spark, sf_dir, "documents"))
+    d = table(spark, sf_dir, "documents")
+    base = compression_ratio(d)
+    doubled = compression_ratio(
+        d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.col("text")).alias("text"),
+        )
+    ).select(
+        F.col("doc_id"), F.col("ratio").alias("ratio2x")
+    )
+    return (
+        base.join(doubled, "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            ((F.col("ratio") > 0.05) & (F.col("ratio") < 1.2)).alias(
+                "ratio_in_band"
+            ),
+            (F.col("ratio2x") < F.col("ratio")).alias(
+                "doubling_compresses"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query("q_association_rules")

@@ -457,3 +457,52 @@ def sample_negatives(
         )
         cand = cand.join(pos, [anchor_col, "negative"], "left_anti")
     return cand
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """``hash_split`` whose unit of assignment is the NEAR-DUP
+    CLUSTER, not the row — the contamination control a train/val
+    split needs after any near-dup detector has run: if doc A (train)
+    and its near-duplicate B (val) straddle the split, the eval set
+    is contaminated and the val loss is fiction. Splitting on the
+    cluster root makes straddling impossible by construction.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair set (minhash LSH,
+    simhash, embedding cosine, the exact prefix-filter join — all of
+    this module's detectors emit that shape). Roots come from
+    ``connected_components`` (min reachable id, deterministic);
+    unpaired rows are their own root. The split is then the portable
+    hash bucket of the root — stable across runs, engines, layouts,
+    and incremental corpus rebuilds, exactly like ``hash_split``.
+
+    Scale shape: components run on the PAIR set (tiny next to the
+    corpus — near-dup pairs, not rows), one equi-join attaches roots
+    to the corpus, and the split itself is a narrow projection that
+    rides the scan. Returns ``df`` + (``root``, ``split``).
+
+    Reference parity: composes the same public building blocks the
+    engine already verifies one by one (connected_components oracled
+    by closed form; hash_split oracled via bucket_sql)."""
+    from pipeline_dataengineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    comps = connected_components(pairs, src=id_a, dst=id_b)
+    joined = df.join(
+        comps.withColumnRenamed("node", id_col),
+        id_col,
+        "left",
+    )
+    rooted = joined.withColumn(
+        "root",
+        F.coalesce(F.col("component"), F.col(id_col).cast("long")),
+    ).drop("component")
+    return hash_split(rooted, "root", weights, buckets)

@@ -1,0 +1,88 @@
+"""leakage_safe_split: the contamination guarantee (near-dup pairs
+never straddle splits), root correctness, weight sanity, and parity
+with plain hash_split for pair-free corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_near_dups_never_straddle(spark):
+    from pipeline_dataengineer_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _docs(spark)
+    # chains of 4: 0-1-2-3, 8-9-10-11, ... (every other 4-block)
+    pairs = (
+        docs.filter((F.col("doc_id") % 8 < 3))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.7, "val": 0.3}
+    )
+    # every pair's two sides carry the same split label
+    a = out.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+    )
+    b = out.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+    )
+    straddle = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0
+    # roots: min id of the 4-chain for members, self for singletons
+    rows = {r["doc_id"]: r["root"] for r in out.collect()}
+    for d in range(200):
+        if d % 8 < 4:
+            assert rows[d] == d - d % 8
+        else:
+            assert rows[d] == d
+
+
+def test_pair_free_matches_hash_split(spark):
+    from pipeline_dataengineer_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = _docs(spark)
+    empty = docs.filter(F.lit(False)).select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    w = {"train": 0.8, "val": 0.2}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, "doc_id", empty, w).collect()
+    }
+    want = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", w).collect()
+    }
+    assert got == want
+
+
+def test_weights_validated(spark):
+    from pipeline_dataengineer_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _docs(spark, 10)
+    empty = docs.filter(F.lit(False)).select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(
+            docs, "doc_id", empty, {"train": 0.5, "val": 0.1}
+        )

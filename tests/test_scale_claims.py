@@ -68,12 +68,13 @@ def test_asymmetric_rule_improvements_never_red():
     """Shipping FASTER than claim / 2 must never fail — it ships as
     stale_claim_improvement (the r7 false-red mode: the AQE
     grouped-map fix outran four claims)."""
-    _, check_scale_claims = _load()
-    # q_dup_spans has a real claim (3.0); ship a big improvement
-    result = check_scale_claims({"q_dup_spans": 0.9}, {"q_dup_spans": 2.0})
+    parse_scale_claims, check_scale_claims = _load()
+    # take any real claim row and ship a 3x improvement
+    name, claim = next(iter(parse_scale_claims().items()))
+    result = check_scale_claims({name: claim / 3}, {name: 2.0})
     assert result["ok"]
     assert [s["query"] for s in result["stale_claim_improvement"]] == [
-        "q_dup_spans"
+        name
     ]
 
 

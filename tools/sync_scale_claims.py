@@ -117,11 +117,21 @@ def main() -> int:
         if eff < 1.6:
             changes.append(f"drop   {q}: claim {c} -> (effective {eff})")
             continue
-        if max(eff / c, c / eff) > 1.5:
+        # DOWNWARD only: the engine getting faster re-anchors the
+        # claim; a claim drifting UP is either contention (the
+        # re-measure gate handles it) or a real regression (which
+        # must red the gate and be investigated, not silently
+        # re-anchored away — that would be claim laundering).
+        if eff < c and c / eff > 1.5:
             why = re.sub(r"\s*\[re-anchored.*?\]\s*$", "", why)
             why = f"{why} [re-anchored {stamp} tool: median {eff}]"
             changes.append(f"anchor {q}: claim {c} -> {eff}")
             c = eff
+        elif eff > c * 1.5:
+            changes.append(
+                f"KEEP   {q}: claim {c} vs effective {eff} — upward "
+                "re-anchor requires investigation, not automation"
+            )
         out_rows.append((q, c, why))
     for q, eff in sorted(effective.items()):
         if q in existing or eff <= 2.0:
