@@ -218,6 +218,10 @@ HEADLINE = [
     "q_markov_attr",
     "q_aipw_ate",
     "q_windowed_ot",
+    # round 8: window-free Brunner-Munzel twin + cluster-rooted
+    # contamination-safe split (CC on the pair set + one equi-join)
+    "q_brunner_munzel_dist",
+    "q_leakage_safe_split",
 ]
 
 

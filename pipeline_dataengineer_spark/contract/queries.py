@@ -9387,9 +9387,9 @@ def q_pca_project(spark, sf_dir):
             ).alias("xy"),
         )
     )
-    return pca_project(c, "c_custkey", "xy", k=2, round_to=3).orderBy(
-        "c_custkey"
-    )
+    # no orderBy: the compare is order-insensitive and the audit pins
+    # this plan as ONE exchange-free narrow map over the scan
+    return pca_project(c, "c_custkey", "xy", k=2, round_to=3)
 
 
 @query("q_mann_whitney_dist")

@@ -684,6 +684,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # from ONE exclusive global_cumsum over the distinct-value table
     # — plan tail window-free (round-7 VERDICT item 2)
     "q_brunner_munzel_dist": (["Scan ExistingRDD"], ["Window"]),
+    # cluster-rooted split: components run on the PAIR set, ONE
+    # equi-join attaches roots, the split is a narrow projection —
+    # no pair-space blowup anywhere
+    "q_leakage_safe_split": (["Join"],
+                             ["CartesianProduct",
+                              "BroadcastNestedLoopJoin"]),
     # distributed Kendall: counts are computed eagerly (inversion
     # kernel + distinct-y cumsum jobs), the returned row is a literal
     # — audit pins the tail is a local scan with no window/join
