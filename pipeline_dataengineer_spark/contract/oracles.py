@@ -8876,3 +8876,13 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+# q_embedding_neardup (round 8): the twin is a positive SCALING, so
+# cosine(v, 1.001v) = 1 exactly (scale-invariance) and the sign
+# pattern matches bit-for-bit; organic pairs max out at cosine 0.60
+# vs the 0.999 threshold. Closed form: exactly the twin pairs.
+ORACLES["q_embedding_neardup"] = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine
+FROM embeddings
+ORDER BY id_a
+"""

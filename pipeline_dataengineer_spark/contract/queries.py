@@ -868,9 +868,17 @@ def q_ivf_topk(spark, sf_dir):
 
 @query("q_embedding_neardup")
 def q_embedding_neardup(spark, sf_dir):
-    """North star: embedding-cosine near-duplicate pairs via
-    random-hyperplane LSH (rows-only). Near-dups manufactured by
-    unioning a lightly-perturbed copy of the corpus."""
+    """Embedding-cosine near-duplicate pairs via random-hyperplane
+    LSH, ORACLED round 8 (rows-only before) with a closed form that
+    is GUARANTEED, not measured: the manufactured twin is a 1.001×
+    SCALING, and cosine is scale-invariant (each pair scores exactly
+    1.0 up to float tail, absorbed at round 4) while positive
+    scaling preserves every hyperplane sign bit-for-bit (IEEE
+    multiplication by a positive keeps the accumulator's sign), so
+    every (v, v+1M) pair is bucketed AND passes verify by
+    construction. No organic pair can appear: the max off-diagonal
+    cosine in the embeddings fixture is 0.60 across tiers vs the
+    0.999 threshold. Output = exactly the twin pairs."""
     from pipeline_dataengineer_spark.operators.dedup import (
         embedding_cosine_near_duplicates,
     )
@@ -881,8 +889,11 @@ def q_embedding_neardup(spark, sf_dir):
         F.transform("embedding", lambda v: v * F.lit(1.001)).alias("embedding"),
     )
     corpus = e.unionByName(perturbed)
-    return embedding_cosine_near_duplicates(
+    pairs = embedding_cosine_near_duplicates(
         corpus, "vec_id", "embedding", threshold=0.999, n_planes=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
 
 
