@@ -8886,3 +8886,16 @@ SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine
 FROM embeddings
 ORDER BY id_a
 """
+
+# q_feature_hashing (round 8): the portable tokenizer's term count
+# is exact in SQL; the signed-trick invariant (L1 <= n_terms, same
+# parity) is closed-form true for a correct implementation.
+ORACLES["q_feature_hashing"] = """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '),
+                       x -> x <> '')) AS n_terms,
+       true AS dim_ok,
+       true AS l1_parity_ok
+FROM documents
+ORDER BY doc_id
+"""

@@ -6042,16 +6042,41 @@ def q_rolling_distinct(spark, sf_dir):
 @query("q_feature_hashing")
 def q_feature_hashing(spark, sf_dir):
     """Signed feature-hashing document vectors
-    (operators/text_features.py:hashed_doc_vectors — xxhash64 bucket
-    + sign bit, integer-exact so the dense vectors hash-check). The
-    engine-native embedding stand-in feeding the similarity stack.
-    Oracle: rows-only (DuckDB has no xxhash64); the bucket/sign
-    arithmetic is deterministic and pytest-pinned instead."""
+    (operators/text_features.py:hashed_doc_vectors), ORACLED round 8
+    (rows-only before — DuckDB has no xxhash64): the portable
+    tokenizer's term count hash-checks exactly, and the signed trick
+    has a closed-form invariant per doc — every term contributes ±1
+    to exactly one bucket, so the vector's L1 norm is ≤ n_terms with
+    the SAME PARITY (each in-bucket cancellation removes exactly 2).
+    A wrong bucket spill, dropped term, or non-±1 contribution breaks
+    the parity or the bound. Dense shape pinned at dim=32."""
     from pipeline_dataengineer_spark.operators.text_features import (
         hashed_doc_vectors,
     )
 
-    return hashed_doc_vectors(table(spark, sf_dir, "documents"), dim=32)
+    d = table(spark, sf_dir, "documents")
+    v = hashed_doc_vectors(d, dim=32)
+    n_terms = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+        )
+    ).cast("long")
+    l1 = F.aggregate(
+        "vector", F.lit(0.0), lambda acc, x: acc + F.abs(x)
+    ).cast("long")
+    return (
+        v.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            n_terms.alias("n_terms"),
+            (F.size("vector") == 32).alias("dim_ok"),
+            (
+                (l1 <= n_terms)
+                & (F.pmod(l1, F.lit(2)) == F.pmod(n_terms, F.lit(2)))
+            ).alias("l1_parity_ok"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query("q_ranking_metrics")
