@@ -537,8 +537,14 @@ JOIN (
 ) big ON o_orderkey = big.l_orderkey
 """
 
+# sum over exact DECIMAL, not round(avg(double)): a double average
+# landing on a .005 boundary rounds differently per engine (Spark's
+# round goes through the shortest decimal string, DuckDB rounds the
+# binary value) — sf0.001 hit exactly that (4201.315). Exact sums
+# have no boundary class at all.
 ORACLES["q_sql_api"] = """
-SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+SELECT n_name, count(*) AS n_customers,
+       round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS sum_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """

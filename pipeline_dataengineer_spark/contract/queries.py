@@ -1207,7 +1207,7 @@ def q_sql_api(spark, sf_dir):
         spark,
         """
         SELECT n_name, count(*) AS n_customers,
-               round(avg(c_acctbal), 2) AS avg_bal
+               round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS sum_bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         """,
