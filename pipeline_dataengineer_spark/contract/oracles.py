@@ -721,12 +721,16 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# integer cents + dyadic quantiles (.25/.5/.75/.875): every
+# interpolation term is an exact dyadic rational, so quantile_cont
+# and Spark's percentile produce bit-identical doubles regardless of
+# formula order — no round(), no boundary class (round 8).
 ORACLES["q_quantiles"] = """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.50) / 100.0 AS p50,
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) / 100.0 AS p75,
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.875) / 100.0 AS p875,
        count(*) AS cnt
 FROM lineitem GROUP BY l_returnflag
 """

@@ -1556,15 +1556,24 @@ def q_skew_kurtosis(spark, sf_dir):
 
 @query("q_quantiles")
 def q_quantiles(spark, sf_dir):
-    """Multi-quantile exact percentiles per group (interpolated —
-    same definition as DuckDB quantile_cont)."""
+    """Multi-quantile exact percentiles per group, made CROSS-ENGINE
+    EXACT (round 8): interpolation over doubles is boundary-prone —
+    engines interleave a + f·(b−a) vs (1−f)·a + f·b and a result one
+    ulp either side of .xx5 rounds differently (sf0.001 hit it at
+    p50). Over INTEGER CENTS with DYADIC quantiles (.25/.5/.75/.875
+    are exact binary), every interpolation term is an exact dyadic
+    rational well under 2^53, so both formulas produce bit-identical
+    doubles and the /100 descale matches everywhere — no rounding
+    needed at all."""
     li = table(spark, sf_dir, "lineitem")
-    p = lambda f: F.round(F.percentile("l_extendedprice", F.lit(f)), 2)
-    return li.groupBy("l_returnflag").agg(
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    src = li.select(cents.alias("__c"), "l_returnflag")
+    p = lambda f: F.percentile("__c", F.lit(f)) / 100.0
+    return src.groupBy("l_returnflag").agg(
         p(0.25).alias("p25"),
         p(0.50).alias("p50"),
         p(0.75).alias("p75"),
-        p(0.95).alias("p95"),
+        p(0.875).alias("p875"),
         F.count("*").alias("cnt"),
     )
 
