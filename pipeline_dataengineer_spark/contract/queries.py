@@ -2731,11 +2731,15 @@ def q_ngram_lm_ppl(spark, sf_dir):
 
 @query("q_semantic_dedup")
 def q_semantic_dedup(spark, sf_dir):
-    """SemDeDup (operators/dedup.py:semantic_dedup): k-means the
-    embeddings, drop within-cluster cosine near-dups keeping min id
-    (rows-only — k-means assignments are engine-specific). Near-dups
-    manufactured by unioning a scaled copy of the corpus (cosine is
-    scale-invariant, so every original/copy pair is an exact hit)."""
+    """SemDeDup (operators/dedup.py:semantic_dedup), ORACLED round 8
+    (rows-only before): cluster ids are engine-specific, but the KEPT
+    SET has a guaranteed closed form on this fixture — the twin is a
+    2.0× scaling, k-means runs on L2-normalized vectors, so each
+    original/copy pair normalizes to the IDENTICAL vector (same
+    cluster by determinism of argmin on equal inputs, cosine exactly
+    1 ≥ threshold) and min-id keeps the original; no organic pair can
+    be dropped (max off-diagonal cosine 0.60 across tiers vs 0.9999).
+    Kept set = exactly the original corpus ids."""
     from pipeline_dataengineer_spark.operators.dedup import semantic_dedup
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2746,7 +2750,7 @@ def q_semantic_dedup(spark, sf_dir):
         )
     )
     kept = semantic_dedup(doubled, "vec_id", "embedding", threshold=0.9999, k=8)
-    return kept.select("vec_id", "cluster")
+    return kept.select("vec_id").orderBy("vec_id")
 
 
 @query("q_incremental_agg")
