@@ -5380,11 +5380,11 @@ WITH base AS (
     (SELECT min(n) FROM (SELECT count(*) n FROM base
        GROUP BY date_trunc('year', d), o_orderpriority)) AS m_year
 ), lvl AS (
-  SELECT CASE WHEN m_day >= 40 THEN 'day'
-              WHEN m_week >= 40 THEN 'week'
-              WHEN m_month >= 40 THEN 'month'
-              WHEN m_quarter >= 40 THEN 'quarter'
-              WHEN m_year >= 40 THEN 'year' END AS level
+  SELECT CASE WHEN m_day >= 15 THEN 'day'
+              WHEN m_week >= 15 THEN 'week'
+              WHEN m_month >= 15 THEN 'month'
+              WHEN m_quarter >= 15 THEN 'quarter'
+              WHEN m_year >= 15 THEN 'year' END AS level
   FROM mins
 )
 SELECT b.o_orderkey, b.o_orderpriority,

@@ -7945,7 +7945,7 @@ def q_generalize_dates(spark, sf_dir):
         "o_orderpriority",
     )
     gen, level = generalize_dates_to_k(
-        o, "d", ["o_orderpriority"], k=40, out_col="d_gen"
+        o, "d", ["o_orderpriority"], k=15, out_col="d_gen"
     )
     return gen.select(
         "o_orderkey",
