@@ -32,6 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; keys absent here (engine-
-    specific sketches: minhash, simhash) get rows-only checks."""
+    """DuckDB-equivalent SQL per query. As of round 8 every former
+    rows-only sketch row has an oracle (minhash via full SQL replay
+    of the banded LSH; simhash/fingerprint via closed-form property
+    differentials); the few keys still absent are composite pipelines
+    whose stages are oracle-checked piecewise — they get the driver's
+    rows-only check."""
     return dict(ORACLES)
