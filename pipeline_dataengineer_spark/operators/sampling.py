@@ -488,13 +488,30 @@ def leakage_safe_split(
     to the corpus, and the split itself is a narrow projection that
     rides the scan. Returns ``df`` + (``root``, ``split``).
 
+    INTEGER ids only (same contract as ``portable_bucket``, whose
+    cross-engine SQL twin is integer arithmetic): a string doc id
+    would silently cast to NULL roots, so non-integral id types
+    raise here instead. Map string ids through a key table first.
+
     Reference parity: composes the same public building blocks the
     engine already verifies one by one (connected_components oracled
     by closed form; hash_split oracled via bucket_sql)."""
+    from pyspark.sql import types as T
+
     from pipeline_dataengineer_spark.operators.graph import (
         connected_components,
     )
 
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            "leakage_safe_split: integer id column required (got "
+            f"{id_type.simpleString()} for {id_col!r}); the cluster "
+            "root feeds portable_bucket, whose engine-portable twin "
+            "is integer arithmetic. Map string ids via a key table."
+        )
     comps = connected_components(pairs, src=id_a, dst=id_b)
     joined = df.join(
         comps.withColumnRenamed("node", id_col),

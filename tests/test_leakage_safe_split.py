@@ -86,3 +86,20 @@ def test_weights_validated(spark):
         leakage_safe_split(
             docs, "doc_id", empty, {"train": 0.5, "val": 0.1}
         )
+
+
+def test_string_ids_raise_clearly(spark):
+    from pipeline_dataengineer_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [("a",), ("b",)], "doc_id string"
+    )
+    empty = docs.filter(F.lit(False)).select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    with pytest.raises(ValueError, match="integer id column"):
+        leakage_safe_split(
+            docs, "doc_id", empty, {"train": 0.5, "val": 0.5}
+        )
