@@ -8917,3 +8917,26 @@ ORDER BY doc_id
 ORACLES["q_semantic_dedup"] = """
 SELECT vec_id FROM embeddings ORDER BY vec_id
 """
+
+# q_split_contamination (round 8): replay the row-hash split via
+# bucket_sql, the 5-chain edges, and the unordered-split grouping.
+ORACLES["q_split_contamination"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN {_bucket_sql('doc_id', _B)} < {int(0.8 * _B)} THEN 'train'
+              WHEN {_bucket_sql('doc_id', _B)} < {int(0.9 * _B)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), e AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b
+  FROM documents WHERE doc_id % 5 < 4
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*) AS n_pairs
+FROM e
+JOIN s sa ON sa.doc_id = e.id_a
+JOIN s sb ON sb.doc_id = e.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

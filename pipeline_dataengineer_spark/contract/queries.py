@@ -1441,6 +1441,31 @@ def q_leakage_safe_split(spark, sf_dir):
     return out.select("doc_id", "root", "split").orderBy("doc_id")
 
 
+@query("q_split_contamination")
+def q_split_contamination(spark, sf_dir):
+    """Split-contamination audit (operators/sampling.py:
+    split_contamination_report): count near-dup pairs by the
+    unordered pair of splits their endpoints landed in, here over a
+    DELIBERATELY leaky row-hash split (plain hash_split on doc_id) —
+    the negative case the leakage-safe split exists to prevent, with
+    a nonzero off-diagonal the oracle replays exactly (bucket_sql
+    split + chain edges + least/greatest grouping). The zero-
+    off-diagonal positive case after leakage_safe_split is
+    pytest-pinned."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        hash_split,
+        split_contamination_report,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    split = hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split_contamination_report(
+        split, "doc_id", _chain_edges(spark, sf_dir)
+    ).orderBy("split_a", "split_b")
+
+
 @query("q_dedup_canonical")
 def q_dedup_canonical(spark, sf_dir):
     """End-to-end duplicate-cluster collapse: keep the min-id member

@@ -523,3 +523,38 @@ def leakage_safe_split(
         F.coalesce(F.col("component"), F.col(id_col).cast("long")),
     ).drop("component")
     return hash_split(rooted, "root", weights, buckets)
+
+
+def split_contamination_report(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The AUDIT for ``leakage_safe_split``'s guarantee (and the
+    indictment of a row-hashed split): count near-dup pairs by the
+    (unordered) pair of splits their endpoints landed in. Off-diagonal
+    rows are eval contamination — doc A trains while its near-dup B
+    evaluates. Run it after ANY split of a deduplicated corpus; a
+    leakage-safe split yields an empty off-diagonal by construction,
+    a plain row-hash split does not.
+
+    Scale shape: two equi-joins attach endpoint splits to the PAIR
+    set (pair-sized, tiny next to the corpus), then one pair-sized
+    groupBy; the corpus itself is scanned once per side and never
+    shuffled beyond the join. Returns (split_a, split_b, n_pairs)
+    with split_a <= split_b."""
+    a = df.select(
+        F.col(id_col).alias(id_a), F.col(split_col).alias("__sa")
+    )
+    b = df.select(
+        F.col(id_col).alias(id_b), F.col(split_col).alias("__sb")
+    )
+    j = pairs.join(a, id_a).join(b, id_b)
+    lo = F.least("__sa", "__sb")
+    hi = F.greatest("__sa", "__sb")
+    return j.groupBy(lo.alias("split_a"), hi.alias("split_b")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -103,3 +103,38 @@ def test_string_ids_raise_clearly(spark):
         leakage_safe_split(
             docs, "doc_id", empty, {"train": 0.5, "val": 0.5}
         )
+
+
+def test_contamination_report_positive_and_negative(spark):
+    """The audit's two faces on one fixture: a row-hash split leaks
+    (nonzero off-diagonal), the cluster-rooted split cannot (empty
+    off-diagonal)."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+        split_contamination_report,
+    )
+
+    docs = _docs(spark, 400)
+    pairs = (
+        docs.filter(F.col("doc_id") % 4 < 3)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    w = {"train": 0.7, "val": 0.3}
+    leaky = split_contamination_report(
+        hash_split(docs, "doc_id", w), "doc_id", pairs
+    )
+    off = leaky.filter(F.col("split_a") != F.col("split_b"))
+    assert off.count() > 0  # row-hash splits DO leak near-dups
+    safe = split_contamination_report(
+        leakage_safe_split(docs, "doc_id", pairs, w), "doc_id", pairs
+    )
+    assert (
+        safe.filter(F.col("split_a") != F.col("split_b")).count() == 0
+    )
+    # every pair is accounted for in the report
+    total = sum(r["n_pairs"] for r in safe.collect())
+    assert total == pairs.count()
