@@ -690,6 +690,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_leakage_safe_split": (["Join"],
                              ["CartesianProduct",
                               "BroadcastNestedLoopJoin"]),
+    # contamination audit: equi-joins attach endpoint splits to the
+    # PAIR set; never a pair-space or corpus-wide blowup
+    "q_split_contamination": (["Join", "HashAggregate"],
+                              ["CartesianProduct",
+                               "BroadcastNestedLoopJoin"]),
     # distributed Kendall: counts are computed eagerly (inversion
     # kernel + distinct-y cumsum jobs), the returned row is a literal
     # — audit pins the tail is a local scan with no window/join
