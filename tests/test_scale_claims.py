@@ -6,10 +6,15 @@ SCALE_NOTES.md under the asymmetric + re-measured rule:
 
   (a) a claim only fails when the ratio ships SLOWER than claim x 2
       (improvements are reported, never red);
-  (b) a flagged ratio is judged by the MEDIAN of the shipped value
+  (b) a flagged ratio is judged by the MIN of the shipped value
       plus the paired re-measure reps bench.py ran in a fresh child
       JVM at artifact time (shipped under ``remeasured`` so this
-      test replays the identical decision offline);
+      test replays the identical decision offline) — min, not
+      median, because wall-clock contention is strictly inflationary
+      on a deterministic plan (round-9 fix after the r8 driver box
+      shipped q_dup_spans 3.39 with reps [17.63, 1.46]: the median
+      kept the contended shipped value, the min clears it; a true
+      regression is slow in EVERY rep and still reds);
   (c) sub-second-base queries get looser bounds (claim x 3 /
       backstop 5.0) instead of a blanket exemption.
 """
@@ -97,7 +102,7 @@ def test_remeasure_median_clears_contention():
     )
     assert calls == [["q_minhash_neardup"]]
     assert result["ok"], result
-    assert result["remeasured_ok"][0]["median"] == 2.4
+    assert result["remeasured_ok"][0]["decided_min"] == 2.2
     # the evidence ships for offline replay
     assert result["remeasured"]["q_minhash_neardup"] == [2.2, 2.4]
     # and replaying from stored reps (no callable) reaches the same
@@ -121,7 +126,7 @@ def test_remeasure_confirms_real_regression():
     )
     assert not result["ok"]
     assert result["mismatched"][0]["query"] == "q_minhash_neardup"
-    assert result["mismatched"][0]["median"] == 9.0
+    assert result["mismatched"][0]["decided_min"] == 8.5
 
 
 def test_unclaimed_rule_with_subsecond_backstop():
@@ -151,3 +156,44 @@ def test_unclaimed_rule_with_subsecond_backstop():
     # no base time recorded -> conservative strict bound; with no
     # re-measure evidence either, shipped alone confirms red
     assert not check_scale_claims({"q_fake_unknown": 3.1}, {})["ok"]
+
+
+def test_r8_driver_artifact_replays_green():
+    """Regression fixture: the round-8 driver-shipped BENCH_DETAIL
+    (contended box — q_dup_spans shipped 3.39 vs bound 3.3 with
+    re-measure reps [17.63, 1.46], one rep itself contended) must
+    replay ok:true under the min statistic. This is the exact
+    artifact that redded rounds 5-8; VERDICT r8 item 1 names it as
+    the acceptance fixture."""
+    _, check_scale_claims = _load()
+    path = os.path.join(
+        REPO, "tests", "fixtures", "bench_detail_r8_driver.json"
+    )
+    detail = json.load(open(path))
+    result = check_scale_claims(
+        detail["scale_10x"],
+        detail.get("queries") or {},
+        remeasured=(detail.get("scale_claims_check") or {}).get(
+            "remeasured"
+        ),
+    )
+    assert result["ok"], json.dumps(result, indent=1)
+    # and the contended query was decided by its clean rep, not the
+    # shipped value
+    cleared = {e["query"]: e for e in result["remeasured_ok"]}
+    assert cleared["q_dup_spans"]["decided_min"] == 1.46
+
+
+def test_true_regression_still_reds_under_min():
+    """The min statistic is noise control, not amnesty: when the
+    shipped ratio AND every re-measure rep exceed the bound, the
+    gate stays red."""
+    _, check_scale_claims = _load()
+    result = check_scale_claims(
+        {"q_dup_spans": 8.0},
+        {"q_dup_spans": 2.0},
+        remeasure=lambda names: {n: [7.5, 8.4] for n in names},
+    )
+    assert not result["ok"]
+    assert result["mismatched"][0]["query"] == "q_dup_spans"
+    assert result["mismatched"][0]["decided_min"] == 7.5
