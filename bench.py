@@ -222,6 +222,13 @@ HEADLINE = [
     # contamination-safe split (CC on the pair set + one equi-join)
     "q_brunner_munzel_dist",
     "q_leakage_safe_split",
+    # round 9: the iterative-clustering family enters the headline
+    # bench (VERDICT r8 item 3) now that kmeans persists its
+    # projected input — previously q_semantic_dedup sat untracked at
+    # 174 s (sf0.01) because every Lloyd iteration re-evaluated the
+    # derived union+transform lineage (~40 corpus recomputes)
+    "q_kmeans_sizes",
+    "q_semantic_dedup",
 ]
 
 

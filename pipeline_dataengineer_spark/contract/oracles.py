@@ -8940,3 +8940,101 @@ JOIN s sb ON sb.doc_id = e.id_b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+# q_dsir_sample (round 9, rows-only since round 4): on the two-token
+# fixture every doc's tokens share ONE hash bucket and the two
+# domains' buckets differ (pytest-pinned), so add-alpha log-ratio
+# weights collapse to n_tokens x (a per-domain constant computable
+# from four token totals) — no hash replication. The Gumbel-top-k
+# cut replays via portable_scramble's SQL twin: u = (scramble+1)/2^31+1,
+# key = log_w - ln(-ln(u)), top-100 by (key DESC, doc_id ASC).
+ORACLES["q_dsir_sample"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 1 AS BIGINT) AS n,
+         doc_id % 3 = 0 AS dom_a
+  FROM documents
+), tot AS (
+  SELECT
+    (SELECT SUM(n) FROM d WHERE doc_id % 6 = 0) AS tt,
+    (SELECT SUM(n) FROM d) AS rt,
+    (SELECT SUM(n) FROM d WHERE dom_a) AS ra,
+    (SELECT SUM(n) FROM d WHERE NOT dom_a) AS rb
+), w AS (
+  SELECT doc_id, n,
+         n * (CASE WHEN dom_a
+              THEN ln((tt + 0.5) / (tt + 0.5 * 4096))
+                   - ln((ra + 0.5) / (rt + 0.5 * 4096))
+              ELSE ln(0.5 / (tt + 0.5 * 4096))
+                   - ln((rb + 0.5) / (rt + 0.5 * 4096))
+              END) AS log_w
+  FROM d, tot
+), keyed AS (
+  SELECT doc_id, n, log_w,
+         log_w - ln(-ln(({_scramble_sql('doc_id')} + 1.0)
+                        / 2147483649.0)) AS k
+  FROM w
+)
+SELECT doc_id, n AS n_tokens, round(log_w, 6) AS log_w
+FROM keyed
+ORDER BY k DESC, doc_id ASC
+LIMIT 100
+"""
+
+# q_pq_topk (round 9, rows-only since round 4): closed form — plain
+# PQ self-retrieval at k=1 returns the query itself (own ADC = own
+# quantization error << any other vector's ADC in 64-d; margin
+# checked at every tier before pinning).
+ORACLES["q_pq_topk"] = """
+SELECT vec_id AS query_id, vec_id, 1 AS rank
+FROM embeddings WHERE vec_id < 5
+ORDER BY query_id
+"""
+
+# q_sft_dataset (round 9, rows-only since round 5): full SQL replay.
+# The only engine-specific stage was the xxhash64 dedup fingerprint
+# — but the fingerprint is a pure proxy for equality of the
+# whitespace-normalized flat rendering, so the oracle groups by the
+# normalized STRING itself (collision-free; an actual xxhash64
+# collision would surface as a real row diff, which is the point).
+# Gate, token counts, rendering, keep-first dedup, and the per-source
+# token budget (portable-scramble order, floors-until-crossed) all
+# replay in SQL.
+ORACLES["q_sft_dataset"] = f"""
+WITH conv AS (
+  SELECT doc_id AS conv_id, lang AS source,
+         substring(text, 1, 80) AS uc,
+         're: ' || substring(text, 1, 40) AS ac
+  FROM documents
+  WHERE doc_id % 7 <> 6
+), gated AS (
+  SELECT conv_id, source,
+         CAST(len(regexp_split_to_array(trim(uc), '\\s+')) AS BIGINT)
+           AS user_tokens,
+         CAST(len(regexp_split_to_array(trim(ac), '\\s+')) AS BIGINT)
+           AS assistant_tokens,
+         lower(regexp_replace(
+           trim('<|user|>' || uc || chr(10) || '<|assistant|>' || ac),
+           '\\s+', ' ', 'g')) AS norm
+  FROM conv
+  WHERE len(trim(uc)) > 0 AND len(trim(ac)) > 0
+), dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY norm ORDER BY conv_id)
+         AS rn
+  FROM gated
+), kept AS (
+  SELECT conv_id, source, user_tokens, assistant_tokens,
+         user_tokens + assistant_tokens AS ntok,
+         CASE source WHEN 'en' THEN 5000 WHEN 'fr' THEN 2000
+                     WHEN 'de' THEN 2000 WHEN 'es' THEN 2000
+                     WHEN 'zh' THEN 500 ELSE -1 END AS budget
+  FROM dedup WHERE rn = 1
+), c AS (
+  SELECT *, SUM(ntok) OVER (PARTITION BY source
+             ORDER BY {_scramble_sql('conv_id')}, conv_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM kept
+)
+SELECT conv_id, source, 2 AS n_turns, user_tokens, assistant_tokens
+FROM c WHERE budget >= 0 AND cum - ntok < budget
+"""

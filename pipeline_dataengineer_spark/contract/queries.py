@@ -2774,7 +2774,22 @@ def q_semantic_dedup(spark, sf_dir):
             F.transform("embedding", lambda v: v * F.lit(2.0)).alias("embedding"),
         )
     )
-    kept = semantic_dedup(doubled, "vec_id", "embedding", threshold=0.9999, k=8)
+    # auto-k (round 9): target_cluster_size pins per-cluster size as
+    # the corpus grows, so the within-cluster pair join is linear at
+    # the 10x tier instead of quadratic (fixed k=8 measured 11.5x);
+    # the closed-form oracle is k-independent (parallel pairs land
+    # together under ANY centroids, organic pairs never pass 0.9999).
+    # max_iterations=10 bounds the Lloyd job count in the headline
+    # bench — convergence quality is irrelevant to the kept set here.
+    kept = semantic_dedup(
+        doubled,
+        "vec_id",
+        "embedding",
+        threshold=0.9999,
+        k=8,
+        max_iterations=10,
+        target_cluster_size=1250,
+    )
     return kept.select("vec_id").orderBy("vec_id")
 
 
@@ -4298,8 +4313,15 @@ def q_pq_topk(spark, sf_dir):
     """Compressed ANN at the honest setting (operators/pq.py): 64
     float32 dims → 8 one-byte codes (32× smaller — the difference
     between scanning 100 TB of floats and 3 TB of codes), ADC
-    scoring with zero per-row float math. Lossy → rows-only; the
-    recall floor vs exact search is pytest-enforced."""
+    scoring with zero per-row float math. PROMOTED to a full oracle
+    round 9 (rows-only since round 4) via the q_ivfpq_self_top1
+    pattern: corpus vectors as queries at k=1 — a vector's own ADC
+    distance is its quantization error, far below any other vector's
+    ADC in 64-d (margin verified at every tier), so the answer has
+    the closed form (v, v, 1). The same lossy codebooks/encode/LUT/
+    gather machinery runs; top-10 recall of this configuration stays
+    pytest-enforced (tests/test_pq.py recall floors), and the
+    lossless algebra is hash-checked by q_pq_exact."""
     from pipeline_dataengineer_spark.operators.pq import (
         pq_encode,
         pq_topk,
@@ -4309,13 +4331,13 @@ def q_pq_topk(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     books = pq_train(e, m=8, codebook_size=64, sample_size=4096)
     enc = pq_encode(e, books)
-    q = e.filter(F.col("vec_id") < 3).select(
+    q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = pq_topk(enc, books, q, k=10)
+    out = pq_topk(enc, books, q, k=1)
     return out.select(
-        "query_id", "vec_id", "dist2", F.col("rank").cast("long").alias("rank")
-    )
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id")
 
 
 @query("q_cep_pattern")
@@ -6883,18 +6905,33 @@ def q_vector_index(spark, sf_dir):
 @query("q_dsir_sample")
 def q_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (operators/corpus.py:dsir_sample,
-    Xie et al. 2023): select 100 documents from the full corpus
-    toward the French-language target distribution via hashed-unigram
-    likelihood ratios + the deterministic Gumbel-top-k trick.
-    Rows-only by design (xxhash64 bucket hashing is engine-specific);
-    domain separation and layout determinism are pytest-proven
-    (tests/test_dsir.py)."""
+    Xie et al. 2023), PROMOTED to a full oracle round 9 (rows-only
+    since round 4) via a closed-form two-domain fixture: every doc's
+    text is ONE token repeated n = doc_id%13+1 times — token 'qza'
+    for domain A (doc_id%3==0), 'vrk' for domain B — and the target
+    is the even half of domain A. All of a doc's tokens then land in
+    a single hash bucket, and as long as the two tokens' buckets
+    differ (they do for xxhash64 mod 4096 — pytest-pinned in
+    tests/test_dsir.py::test_fixture_tokens_bucket_apart, so a Spark
+    upgrade that changes the hash fails loudly), log_w collapses to
+    n · (log-ratio of that bucket), a pure function of four token
+    totals the oracle computes by SQL aggregation — no hash
+    replication needed. The Gumbel-top-k cut replays exactly via
+    portable_scramble's SQL twin. Raw-text behavior (engine-specific
+    bucket hashing) stays pytest-proven (tests/test_dsir.py)."""
     from pipeline_dataengineer_spark.operators.corpus import dsir_sample
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    target = d.filter(F.col("lang") == "fr").select("doc_id", "text")
-    return dsir_sample(
-        d.select("doc_id", "text"), target, n_docs=100, n_buckets=4096
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    n_rep = (F.col("doc_id") % 13 + 1).cast("int")
+    tok = F.when(F.col("doc_id") % 3 == 0, "qza").otherwise("vrk")
+    raw = d.select(
+        "doc_id",
+        F.trim(F.repeat(F.concat(tok, F.lit(" ")), n_rep)).alias("text"),
+    )
+    target = raw.filter(F.col("doc_id") % 6 == 0)
+    out = dsir_sample(raw, target, n_docs=100, n_buckets=4096)
+    return out.select(
+        "doc_id", "n_tokens", F.round("log_w", 6).alias("log_w")
     )
 
 
@@ -8038,10 +8075,13 @@ def q_sft_dataset(spark, sf_dir):
     """Integration: the SFT dataset pipeline (pipelines/
     sft_dataset.py) over synthetic conversations built from the
     documents table — gate → fingerprint dedup → per-source token
-    budget → training rows with loss spans. Rows-only by design (the
-    fingerprint is xxhash64, engine-specific); every stage is
-    oracle-checked piecewise through q_chat_validate / q_chat_spans /
-    q_dedup_lastwins / q_token_budget."""
+    budget → training rows with loss spans. PROMOTED to a full oracle
+    round 9 (rows-only since round 5) by component replay: the
+    xxhash64 dedup fingerprint is a pure proxy for equality of the
+    whitespace-normalized flat rendering, so the oracle dedups on
+    the normalized STRING itself; gate, token counts, and the
+    portable-scramble budget replay in SQL (the same twins behind
+    q_chat_validate / q_dedup_lastwins / q_token_budget, composed)."""
     from pipeline_dataengineer_spark.pipelines.sft_dataset import (
         build_sft_dataset,
     )
@@ -10101,9 +10141,28 @@ def q_pruned_read(spark, sf_dir):
 
     # per-process suffix: two concurrent runs on the same tier (e.g.
     # bench + verify_local) must not overwrite each other's files
-    # mid-read (round-7 ADVICE); same-process re-runs stay idempotent
+    # mid-read (round-7 ADVICE); same-process re-runs stay idempotent.
+    # The suffix means every process leaves a dir behind (round-9
+    # ADVICE: unbounded /tmp growth) — the result is a LAZY read over
+    # the files so we cannot delete in-function; instead reap dirs
+    # whose owning PID is dead, and atexit-remove our own.
+    import atexit
+    import glob
+    import shutil
+
     tag = os.path.basename(sf_dir.rstrip("/"))
+    for stale in glob.glob(f"/tmp/spark_graft_pruned_{tag}_*"):
+        pid_s = stale.rsplit("_", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)  # raises if the process is gone
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
     out = f"/tmp/spark_graft_pruned_{tag}_{os.getpid()}"
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -545,16 +545,26 @@ def split_contamination_report(
     set (pair-sized, tiny next to the corpus), then one pair-sized
     groupBy; the corpus itself is scanned once per side and never
     shuffled beyond the join. Returns (split_a, split_b, n_pairs)
-    with split_a <= split_b."""
+    with split_a <= split_b.
+
+    Endpoints absent from ``df`` are NOT dropped (round-9 ADVICE: an
+    audit that silently undercounts contamination when ``df`` covers
+    only one split's rows fails in the worst direction) — the joins
+    are LEFT joins from the pair set, and a pair with any unmatched
+    endpoint surfaces under split ``"__missing__"``, which sorts
+    into the off-diagonal like any other mismatch."""
     a = df.select(
         F.col(id_col).alias(id_a), F.col(split_col).alias("__sa")
     )
     b = df.select(
         F.col(id_col).alias(id_b), F.col(split_col).alias("__sb")
     )
-    j = pairs.join(a, id_a).join(b, id_b)
-    lo = F.least("__sa", "__sb")
-    hi = F.greatest("__sa", "__sb")
+    j = pairs.join(a, id_a, "left").join(b, id_b, "left")
+    missing = F.lit("__missing__")
+    sa = F.coalesce(F.col("__sa").cast("string"), missing)
+    sb = F.coalesce(F.col("__sb").cast("string"), missing)
+    lo = F.least(sa, sb)
+    hi = F.greatest(sa, sb)
     return j.groupBy(lo.alias("split_a"), hi.alias("split_b")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )

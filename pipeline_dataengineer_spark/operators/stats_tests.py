@@ -2478,7 +2478,13 @@ def brunner_munzel(
     global_cumsum (operators/order.py) over that distinct-value
     table; placements depend only on tie-class counts, and every
     per-value contribution is the tie-class count times a
-    half-integer, so both paths produce bit-identical doubles."""
+    half-integer, so both paths produce bit-identical doubles —
+    while those sums stay exactly representable: per-tie-class terms
+    like ca·P² reach ~n³/4 quarter-integers, so the bit-identity
+    guarantee holds up to ~2^53/4 ≈ 2M rows per group, the same
+    bound the kendall distributed docstring states for its count
+    products; beyond it accumulation order can differ in the last
+    ulp (absorbed by the round-6 output rounding in practice)."""
     v = F.col(value_col).cast("double")
     two = df.filter(
         F.col(group_col).isin([group_a, group_b]) & v.isNotNull()

@@ -80,3 +80,17 @@ def test_dsir_sample_deterministic_across_layouts(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_fixture_tokens_bucket_apart(spark):
+    """Pin of q_dsir_sample's oracle assumption (round 9): the two
+    fixture tokens hash to DIFFERENT buckets mod 4096, so each
+    domain's log-ratio is its own bucket's — the closed form the
+    DuckDB oracle computes. A Spark release that changes xxhash64
+    (it never has; the algorithm is pinned) fails here loudly rather
+    than as a silent oracle mismatch."""
+    r = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("qza")), F.lit(4096)).alias("a"),
+        F.pmod(F.xxhash64(F.lit("vrk")), F.lit(4096)).alias("b"),
+    ).collect()[0]
+    assert (r["a"], r["b"]) == (475, 2728)

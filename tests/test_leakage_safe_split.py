@@ -138,3 +138,32 @@ def test_contamination_report_positive_and_negative(spark):
     # every pair is accounted for in the report
     total = sum(r["n_pairs"] for r in safe.collect())
     assert total == pairs.count()
+
+
+def test_contamination_report_surfaces_missing_endpoints(spark):
+    """An endpoint absent from df must NOT silently vanish from the
+    audit (round-9 ADVICE: an undercounting audit fails in the worst
+    direction) — it surfaces as a '__missing__' split row."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        hash_split,
+        split_contamination_report,
+    )
+
+    docs = _docs(spark, 100)
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 500), (600, 700)], "id_a long, id_b long"
+    )  # 500/600/700 are not in docs
+    rep = split_contamination_report(
+        hash_split(docs, "doc_id", {"train": 0.7, "val": 0.3}),
+        "doc_id",
+        pairs,
+    ).collect()
+    total = sum(r["n_pairs"] for r in rep)
+    assert total == 3  # every pair accounted for, none dropped
+    missing = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in rep
+        if "__missing__" in (r["split_a"], r["split_b"])
+    }
+    assert sum(missing.values()) == 2
+    assert ("__missing__", "__missing__") in missing  # the 600-700 pair
