@@ -229,6 +229,10 @@ HEADLINE = [
     # derived union+transform lineage (~40 corpus recomputes)
     "q_kmeans_sizes",
     "q_semantic_dedup",
+    # round 9: 8-range regexp script histogram — the heaviest of the
+    # new scan-riding quality projections (mojibake repair shares the
+    # plan shape; one representative in the headline is enough)
+    "q_script_detect",
 ]
 
 

@@ -9038,3 +9038,46 @@ WITH conv AS (
 SELECT conv_id, source, 2 AS n_turns, user_tokens, assistant_tokens
 FROM c WHERE budget >= 0 AND cum - ntok < budget
 """
+
+
+# q_encoding_repair (round 9): closed form — repair(mangle(x)) == x,
+# was_broken ⟺ non-ASCII present (strlen > length), clean text is a
+# fixed point of the repair (validity-gate margins checked per tier).
+ORACLES["q_encoding_repair"] = """
+SELECT doc_id,
+       strlen(text) > length(text) AS was_broken,
+       true AS repaired_ok,
+       true AS clean_unchanged
+FROM documents
+"""
+
+# q_script_detect (round 9): identical explicit codepoint ranges in
+# RE2; dominant = first-in-order argmax, 'none' on all-zero.
+ORACLES["q_script_detect"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS latin,
+         len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS cyrillic,
+         len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS greek,
+         len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS arabic,
+         len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS han,
+         len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]')) AS hangul,
+         len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) AS kana,
+         len(regexp_extract_all(text, '[0-9]')) AS digit
+  FROM documents
+), m AS (
+  SELECT *, greatest(latin, cyrillic, greek, arabic, han, hangul, kana, digit) AS mx FROM c
+)
+SELECT doc_id, latin, cyrillic, greek, arabic, han, hangul, kana, digit,
+       CASE WHEN mx = 0 THEN 'none'
+            WHEN latin = mx THEN 'latin'
+            WHEN cyrillic = mx THEN 'cyrillic'
+            WHEN greek = mx THEN 'greek'
+            WHEN arabic = mx THEN 'arabic'
+            WHEN han = mx THEN 'han'
+            WHEN hangul = mx THEN 'hangul'
+            WHEN kana = mx THEN 'kana'
+            WHEN digit = mx THEN 'digit'
+       END AS dominant
+FROM m
+"""

@@ -10392,3 +10392,55 @@ def q_brunner_munzel_dist(spark, sf_dir):
         "5-LOW",
         distributed=True,
     )
+
+
+@query("q_encoding_repair")
+def q_encoding_repair(spark, sf_dir):
+    """ftfy-style mojibake repair (functions/text.py:fix_mojibake —
+    UTF-8-read-as-Latin-1 double encoding, the dominant corpus
+    encoding defect): every document is deterministically MANGLED
+    (its UTF-8 bytes re-shown as Latin-1 — 'é' → 'Ã©') and then
+    repaired. Closed form: repair(mangle(text)) == text for every
+    doc; was_broken ⟺ the text had any non-ASCII char (byte length
+    > char length — the oracle's strlen/length differential); clean
+    text passes through untouched (pure ASCII round-trips to itself;
+    real accented text re-encodes to INVALID UTF-8, so the validity
+    gate rejects it — margins verified at every tier). One fused
+    codegen projection, no UDF, rides the scan at 100 TB."""
+    from pipeline_dataengineer_spark.functions.text import (
+        fix_mojibake,
+        is_mojibake,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    moji = F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
+    m = d.select("doc_id", "text", moji.alias("moji"))
+    return m.select(
+        "doc_id",
+        is_mojibake(F.col("moji")).alias("was_broken"),
+        (fix_mojibake(F.col("moji")) == F.col("text")).alias(
+            "repaired_ok"
+        ),
+        (fix_mojibake(F.col("text")) == F.col("text")).alias(
+            "clean_unchanged"
+        ),
+    )
+
+
+@query("q_script_detect")
+def q_script_detect(spark, sf_dir):
+    """Unicode-script histogram + dominant script per document
+    (functions/textstats.py:script_profile) — the routing signal
+    multilingual pipelines branch on, and a mojibake/mislabel
+    detector when script contradicts the declared language. Counts
+    use explicit codepoint ranges (identical literals in Java regex
+    and RE2, so the oracle replays them); dominant is the
+    first-in-range-order argmax, 'none' when all counts are zero."""
+    from pipeline_dataengineer_spark.functions.textstats import (
+        script_profile,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", script_profile(F.col("text")).alias("p")
+    ).select("doc_id", "p.*")

@@ -241,3 +241,56 @@ def jaro_winkler(s1, s2):
     # serializing the whole scoring pass). The flag pins exactly one
     # evaluation where the plan places it.
     return jaro_winkler_udf.asNondeterministic()(c1, c2)
+
+
+def mojibake_candidate(col: Column | str, charset: str = "ISO-8859-1") -> Column:
+    """The single-pass un-mangle candidate: re-encode the string as
+    ``charset`` bytes and decode those bytes as UTF-8 — the inverse
+    of the classic mojibake (UTF-8 bytes mis-read as Latin-1, turning
+    'é' into 'Ã©'). NULL when the text cannot round-trip (some char
+    exceeds the charset's repertoire, so encode would be lossy) or
+    when the bytes are not valid UTF-8 (the decode surfaces U+FFFD).
+    Pure JVM encode/decode — codegen, no UDF. Spark's ``encode``
+    accepts only the standard charsets (US-ASCII, ISO-8859-1, UTF-8,
+    UTF-16*); CP1252-specific mojibake (curly quotes → 'â€œ') is out
+    of that set and stays unrepaired — detectable downstream because
+    its signature chars (€, ™) exceed U+00FF.
+
+    Spark 4's ANSI ``decode`` THROWS on malformed UTF-8, so validity
+    is checked FIRST with ``is_valid_utf8`` over the re-encoded bytes
+    (byte-reinterpret cast — never throws) and the decode runs only
+    inside the passing CASE branch (conditional branches evaluate
+    lazily per row in codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    gate = c.rlike("^[\\x00-\\xff]*$")  # lossless into Latin-1
+    as_bytes = F.encode(c, charset)
+    valid = F.call_function("is_valid_utf8", as_bytes.cast("string"))
+    return F.when(gate & valid, F.decode(as_bytes, "UTF-8"))
+
+
+def fix_mojibake(col: Column | str, charset: str = "ISO-8859-1") -> Column:
+    """ftfy-style encoding repair (the fix_encoding core, re-expressed
+    as one fused projection): if the text's ``charset`` bytes decode
+    as VALID UTF-8 and that decoding changes the text, the text was
+    almost certainly UTF-8 mis-read through ``charset`` — return the
+    decoded form; otherwise return the input unchanged. Sound on the
+    clean side by construction: pure-ASCII text round-trips to itself
+    (no change), and genuinely accented ``charset`` text ('café' as
+    Latin-1) produces invalid UTF-8 byte sequences, so neither is
+    touched. Repeated application is idempotent once fixed. No
+    shuffle, no UDF — safe to run over 100 TB as part of any cleaning
+    projection (compose with ``clean_corpus``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cand = mojibake_candidate(c, charset)
+    return F.when(
+        cand.isNotNull() & (cand != c) & c.isNotNull(), cand
+    ).otherwise(c)
+
+
+def is_mojibake(col: Column | str, charset: str = "ISO-8859-1") -> Column:
+    """Boolean twin of :func:`fix_mojibake`: true when the repair
+    would change the text — the detector a corpus-quality report
+    aggregates (share of mangled docs per source/crawl)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cand = mojibake_candidate(c, charset)
+    return cand.isNotNull() & (cand != c) & c.isNotNull()

@@ -226,3 +226,45 @@ def readability(col: Column | str) -> Column:
             F.round(flesch, 4).alias("flesch"),
         ),
     )
+
+
+# Unicode script blocks by explicit codepoint range — ranges, not
+# \p{script=...} classes, because Java regex and RE2 (DuckDB) agree
+# on ranges but differ in script-property coverage and spelling.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "greek": "[\\x{0370}-\\x{03FF}]",
+    "arabic": "[\\x{0600}-\\x{06FF}]",
+    "han": "[\\x{4E00}-\\x{9FFF}]",
+    "hangul": "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]",
+    "kana": "[\\x{3040}-\\x{30FF}]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(col: Column | str) -> Column:
+    """Per-document Unicode-script histogram + dominant script — the
+    routing signal multilingual corpus pipelines branch on (script
+    mismatch vs the declared language is also a strong mojibake /
+    mislabel detector). Counts per script block (codepoints, explicit
+    ranges so any engine replays them) and the argmax with a fixed
+    tie order (the SCRIPT_RANGES key order; 'none' when every count
+    is zero). One fused regexp projection — no UDF, no shuffle; at
+    100 TB this rides the scan like any other quality column."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {
+        name: F.size(F.regexp_extract_all(c, F.lit(rng), 0)).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    best_name, best_count = F.lit("none"), F.lit(0).cast("long")
+    # fixed fold order == tie order: an earlier script wins ties, and
+    # 'none' survives only when all counts are zero
+    for name, cnt in counts.items():
+        take = cnt > best_count
+        best_name = F.when(take, F.lit(name)).otherwise(best_name)
+        best_count = F.when(take, cnt).otherwise(best_count)
+    return F.struct(
+        *[cnt.alias(name) for name, cnt in counts.items()],
+        best_name.alias("dominant"),
+    )

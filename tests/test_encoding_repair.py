@@ -1,0 +1,78 @@
+"""Mojibake repair + script profiling (functions/text.py:
+fix_mojibake, functions/textstats.py:script_profile) — round 9."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_dataengineer_spark.functions.text import (
+    fix_mojibake,
+    is_mojibake,
+    mojibake_candidate,
+)
+from pipeline_dataengineer_spark.functions.textstats import script_profile
+
+
+def _repair(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    rows = df.select(
+        "id",
+        fix_mojibake(F.col("t")).alias("fixed"),
+        is_mojibake(F.col("t")).alias("broken"),
+    ).orderBy("id").collect()
+    return [(r["fixed"], r["broken"]) for r in rows]
+
+
+def test_repairs_classic_latin1_mojibake(spark):
+    out = _repair(spark, ["cafÃ© crÃ¨me", "naÃ¯ve", "ä¸\xadæ\x96\x87"])
+    assert out[0] == ("café crème", True)
+    assert out[1] == ("naïve", True)
+    assert out[2] == ("中文", True)
+
+
+def test_clean_text_is_a_fixed_point(spark):
+    clean = ["hello world", "café crème", "中文 text", "Привет", ""]
+    out = _repair(spark, clean)
+    assert [f for f, _ in out] == clean
+    assert not any(b for _, b in out)
+
+
+def test_repair_is_idempotent(spark):
+    df = spark.createDataFrame([(1, "cafÃ©")], "id long, t string")
+    once = df.select(fix_mojibake(F.col("t")).alias("t"))
+    twice = once.select(fix_mojibake(F.col("t")).alias("t"))
+    assert twice.collect()[0]["t"] == "café"
+
+
+def test_cp1252_signature_stays_unrepaired(spark):
+    # 'â€œ' (CP1252-mangled curly quote) contains € > U+00FF: outside
+    # Spark's encode charset set, documented as unrepaired (candidate
+    # NULL), never corrupted
+    df = spark.createDataFrame([(1, 'â€œquoteâ€\x9d')], "id long, t string")
+    r = df.select(
+        mojibake_candidate(F.col("t")).alias("c"),
+        fix_mojibake(F.col("t")).alias("f"),
+    ).collect()[0]
+    assert r["c"] is None
+    assert r["f"] == 'â€œquoteâ€\x9d'
+
+
+def test_null_passthrough(spark):
+    df = spark.createDataFrame([(1, None)], "id long, t string")
+    r = df.select(fix_mojibake(F.col("t")).alias("f"),
+                  is_mojibake(F.col("t")).alias("b")).collect()[0]
+    assert r["f"] is None and r["b"] is False
+
+
+def test_script_profile_counts_and_dominant(spark):
+    df = spark.createDataFrame(
+        [(1, "abc где 123"), (2, "中文字"), (3, "¿¡!?"), (4, "한국어 とき")],
+        "id long, t string",
+    )
+    rows = {r["id"]: r["p"] for r in df.select("id", script_profile(F.col("t")).alias("p")).collect()}
+    assert (rows[1]["latin"], rows[1]["cyrillic"], rows[1]["digit"]) == (3, 3, 3)
+    assert rows[1]["dominant"] == "latin"  # tie -> earliest in order
+    assert rows[2]["han"] == 3 and rows[2]["dominant"] == "han"
+    assert rows[3]["dominant"] == "none"  # punctuation only
+    assert rows[4]["hangul"] == 3 and rows[4]["kana"] == 2
+    assert rows[4]["dominant"] == "hangul"

@@ -763,6 +763,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # assembled bounded-state results (LocalTableScan) — their heavy
     # lifting happens in aggregates executed during construction, so
     # there is no final plan worth asserting on here.
+    # round 9: mojibake repair and script profiling are pure fused
+    # projections — they must ride the scan with NO exchange and a
+    # 2-column pruned read (quality columns at 100 TB are free only
+    # if they never shuffle).
+    "q_encoding_repair": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange"],
+    ),
+    "q_script_detect": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange"],
+    ),
 }
 
 
