@@ -462,11 +462,6 @@ CLAIM_TOL = 2.0
 UNCLAIMED_BOUND = 2.5
 
 
-def _median(vals: list[float]) -> float:
-    s = sorted(vals)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
-
 
 def check_scale_claims(
     scale_10x: dict[str, float],

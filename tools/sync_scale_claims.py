@@ -4,9 +4,10 @@ the same cure sync_readme_counts.py applied to count drift: claims
 must FOLLOW artifacts via a tool, not hand-edited prose that goes
 stale whenever the engine gets faster).
 
-Policy, applied to each headline query's EFFECTIVE ratio (median of
+Policy, applied to each headline query's EFFECTIVE ratio (MIN of
 the artifact's shipped scale_10x value and any stored re-measure
-reps):
+reps — the same statistic the gate decides on since round 9:
+contention only inflates, so the smallest observation is cleanest):
 
 - effective > 2.0  -> the query needs a claim row (margin under the
   gate's 2.5 unclaimed bound); a new row's claim is the effective
@@ -56,11 +57,6 @@ WHYS = {
 GENERIC_WHY = "linear-in-input plan; claim set from the paired 10x tier"
 
 
-def _median(vals):
-    s = sorted(vals)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
-
 
 def parse_table(text: str):
     """Return (start_idx, end_idx, rows) where rows is
@@ -98,7 +94,7 @@ def main() -> int:
         "remeasured"
     ) or {}
     effective = {
-        q: round(_median([r] + list(remeasured.get(q) or [])), 2)
+        q: round(min([r] + list(remeasured.get(q) or [])), 2)
         for q, r in scale.items()
     }
     stamp = dt.date.fromtimestamp(os.path.getmtime(artifact_path))
@@ -124,7 +120,7 @@ def main() -> int:
         # re-anchored away — that would be claim laundering).
         if eff < c and c / eff > 1.5:
             why = re.sub(r"\s*\[re-anchored.*?\]\s*$", "", why)
-            why = f"{why} [re-anchored {stamp} tool: median {eff}]"
+            why = f"{why} [re-anchored {stamp} tool: min {eff}]"
             changes.append(f"anchor {q}: claim {c} -> {eff}")
             c = eff
         elif eff > c * 1.5:
@@ -136,7 +132,7 @@ def main() -> int:
     for q, eff in sorted(effective.items()):
         if q in existing or eff <= 2.0:
             continue
-        why = WHYS.get(q, GENERIC_WHY) + f" [added {stamp} tool: median {eff}]"
+        why = WHYS.get(q, GENERIC_WHY) + f" [added {stamp} tool: min {eff}]"
         out_rows.append((q, eff, why))
         changes.append(f"add    {q}: claim {eff}")
 
