@@ -9081,3 +9081,45 @@ SELECT doc_id, latin, cyrillic, greek, arabic, han, hangul, kana, digit,
        END AS dominant
 FROM m
 """
+
+# q_t_closeness (round 9): full replay — the integer-numerator EMD
+# (cn·n − gn·cs running sum over the ordered domain) makes every
+# intermediate exact, so the single final division is the only float.
+ORACLES["q_t_closeness"] = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+  FROM customer
+), g AS (
+  SELECT v, count(*) AS gn FROM base GROUP BY v
+), tot AS (
+  SELECT (SELECT count(*) FROM base) AS n,
+         (SELECT count(*) FROM g) AS m
+), cls AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS cs
+  FROM base GROUP BY 1, 2
+), cells AS (
+  SELECT c_nationkey, c_mktsegment, v, count(*) AS cn
+  FROM base GROUP BY 1, 2, 3
+), fullcells AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.cs, g.v, g.gn,
+         coalesce(cells.cn, 0) AS cn
+  FROM cls CROSS JOIN g
+  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+                 AND cells.c_mktsegment = cls.c_mktsegment
+                 AND cells.v = g.v
+), run AS (
+  SELECT c_nationkey, c_mktsegment, cs,
+         SUM(cn * (SELECT n FROM tot) - gn * cs)
+           OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS r
+  FROM fullcells
+)
+SELECT c_nationkey, c_mktsegment,
+       min(cs) AS class_size,
+       round(SUM(abs(r)) / (min(cs) * (SELECT n FROM tot)
+             * ((SELECT m FROM tot) - 1.0)), 6) AS t
+FROM run
+GROUP BY 1, 2
+"""

@@ -10444,3 +10444,33 @@ def q_script_detect(spark, sf_dir):
     return d.select(
         "doc_id", script_profile(F.col("text")).alias("p")
     ).select("doc_id", "p.*")
+
+
+@query("q_t_closeness")
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators/privacy.py:t_closeness_report) —
+    completes the anonymity ladder next to q_k_anonymize (size),
+    q_anonymity_audit / q_entropy_l_div (variety): ordered-distance
+    EMD between each (nation, segment) class's account-balance-band
+    distribution and the global one. The running sum uses the EXACT
+    integer numerator cn·g_tot − gn·class_size, so both the cumsum
+    and Σ|·| are order-independent longs and the only float op is
+    the final division — bit-identical across engines. Bands via
+    floor (round's half-boundary is an engine tie class; floor is
+    not)."""
+    from pipeline_dataengineer_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    c = table(spark, sf_dir, "customer").withColumn(
+        "band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    out = t_closeness_report(
+        c, ["c_nationkey", "c_mktsegment"], "band"
+    )
+    return out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("long").alias("class_size"),
+        "t",
+    )

@@ -181,3 +181,92 @@ def entropy_l_diversity(
             "int"
         ),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) for an
+    ORDERED sensitive attribute — the member of the anonymity ladder
+    k-anonymity (size) and l-diversity (variety) miss: a class can be
+    large and varied yet still skewed (all its salaries in the top
+    decile). t = the ordered-distance Earth Mover's Distance between
+    the class's sensitive distribution and the whole table's,
+
+        t = (1/(m-1)) · Σ_i | Σ_{j<=i} (p_class(v_j) − p_global(v_j)) |
+
+    over the m ordered distinct sensitive values. Returns one row per
+    equivalence class: (quasi_cols..., class_size, t). Release gate:
+    max(t) <= threshold (0.15-0.2 in the paper's experiments).
+
+    Scale shape: two combinable groupBys (global value histogram —
+    domain-sized; class × value histogram — class·domain-sized), one
+    broadcast join of the global histogram onto the class cells, and
+    a per-class ordered window over the DOMAIN (never the facts) for
+    the running sum. The domain must be release-bounded (bin
+    continuous attributes first — the same precondition the paper
+    imposes); the fact table is touched exactly twice, map-side
+    combined both times. NULL sensitive values are excluded (they are
+    a disclosure question for l-diversity, not distance).
+    """
+    v = F.col(sensitive_col)
+    base = df.filter(v.isNotNull())
+    # global histogram over the ordered domain (m rows)
+    glob = base.groupBy(v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__gn")
+    )
+    g_tot = base.count()
+    m = glob.count()
+    if m < 2:
+        # a single-value domain: every class matches it exactly
+        return (
+            base.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"))
+            .withColumn("t", F.lit(0.0))
+        )
+    # class x value cells (class·m rows) — full domain per class via
+    # the broadcast cross of class list x domain, so absent values
+    # count as p_class = 0 (the EMD needs the zeros)
+    classes = base.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    cells = base.groupBy(*quasi_cols, v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cn")
+    )
+    full = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cells, [*quasi_cols, "__v"], "left")
+        .withColumn("__cn", F.coalesce(F.col("__cn"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # EXACT integer running sum: p_c(v) − p_g(v) over the common
+    # denominator class_size·g_tot has integer numerator
+    # cn·g_tot − gn·class_size, so the cumsum AND the Σ|·| are exact
+    # longs under any accumulation order — the whole statistic is a
+    # single final division, bit-identical across engines (the float
+    # formulation's Σ of m doubles is order-sensitive in the last
+    # ulp, a round() boundary class). Bound: needs
+    # class_size·g_tot·m < 2^63 — comfortably true at audit scale
+    # (the domain is release-bounded by precondition).
+    run = F.sum(
+        F.col("__cn") * F.lit(g_tot) - F.col("__gn") * F.col("class_size")
+    ).over(w)
+    return (
+        full.withColumn("__run", run)
+        .groupBy(*quasi_cols)
+        .agg(
+            F.first("class_size").alias("class_size"),
+            F.round(
+                F.sum(F.abs(F.col("__run")))
+                / (F.first("class_size") * F.lit(float(g_tot)) * F.lit(m - 1)),
+                round_to,
+            ).alias("t"),
+        )
+    )
