@@ -76,3 +76,41 @@ def test_script_profile_counts_and_dominant(spark):
     assert rows[3]["dominant"] == "none"  # punctuation only
     assert rows[4]["hangul"] == 3 and rows[4]["kana"] == 2
     assert rows[4]["dominant"] == "hangul"
+
+
+def test_streaming_parity(spark, tmp_path):
+    """Both new text ops are stateless projections, so they must run
+    unchanged on a readStream plan and produce the batch answer —
+    proves no batch-only construct (collect, count, window-less
+    aggregate) snuck into the expression."""
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "cafÃ© crÃ¨me"), (2, "hello"), (3, "中文 text"), (4, "Привет 123")
+    ]
+    batch = spark.createDataFrame(rows, "id long, t string")
+    batch.write.parquet(src)
+
+    def apply(df):
+        return df.select(
+            "id",
+            fix_mojibake(F.col("t")).alias("fixed"),
+            is_mojibake(F.col("t")).alias("broken"),
+            script_profile(F.col("t")).alias("p"),
+        )
+
+    stream = spark.readStream.schema("id long, t string").parquet(src)
+    q = (
+        apply(stream)
+        .writeStream.format("memory")
+        .queryName("enc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_enc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (tuple(r) for r in spark.sql("SELECT * FROM enc_stream").collect())
+    )
+    want = sorted(tuple(r) for r in apply(batch).collect())
+    assert got == want
