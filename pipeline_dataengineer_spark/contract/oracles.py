@@ -9047,6 +9047,7 @@ ORACLES["q_encoding_repair"] = """
 SELECT doc_id,
        strlen(text) > length(text) AS was_broken,
        true AS repaired_ok,
+       true AS deep_ok,
        true AS clean_unchanged
 FROM documents
 """

@@ -10413,13 +10413,26 @@ def q_encoding_repair(spark, sf_dir):
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    moji = F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
-    m = d.select("doc_id", "text", moji.alias("moji"))
+
+    def mangle(c):
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    m = d.select(
+        "doc_id",
+        "text",
+        mangle(F.col("text")).alias("moji"),
+        mangle(mangle(F.col("text"))).alias("moji2"),
+    )
     return m.select(
         "doc_id",
         is_mojibake(F.col("moji")).alias("was_broken"),
         (fix_mojibake(F.col("moji")) == F.col("text")).alias(
             "repaired_ok"
+        ),
+        # a re-crawl of an already-mangled page: two layers unwind
+        # with passes=2 — one layer per pass, still one projection
+        (fix_mojibake(F.col("moji2"), passes=2) == F.col("text")).alias(
+            "deep_ok"
         ),
         (fix_mojibake(F.col("text")) == F.col("text")).alias(
             "clean_unchanged"

@@ -268,7 +268,9 @@ def mojibake_candidate(col: Column | str, charset: str = "ISO-8859-1") -> Column
     return F.when(gate & valid, F.decode(as_bytes, "UTF-8"))
 
 
-def fix_mojibake(col: Column | str, charset: str = "ISO-8859-1") -> Column:
+def fix_mojibake(
+    col: Column | str, charset: str = "ISO-8859-1", passes: int = 1
+) -> Column:
     """ftfy-style encoding repair (the fix_encoding core, re-expressed
     as one fused projection): if the text's ``charset`` bytes decode
     as VALID UTF-8 and that decoding changes the text, the text was
@@ -279,12 +281,25 @@ def fix_mojibake(col: Column | str, charset: str = "ISO-8859-1") -> Column:
     Latin-1) produces invalid UTF-8 byte sequences, so neither is
     touched. Repeated application is idempotent once fixed. No
     shuffle, no UDF — safe to run over 100 TB as part of any cleaning
-    projection (compose with ``clean_corpus``)."""
+    projection (compose with ``clean_corpus``).
+
+    ``passes`` unrolls the repair for MULTIPLY-mangled text (a
+    re-crawl of an already-mangled page is mangled twice: 'é' →
+    'Ã©' → 'Ã\\x83Â©'); each pass strips one encoding layer and a
+    fixed text passes through untouched, so ``passes=2`` is ftfy's
+    loop-to-fixpoint for the depth real corpora exhibit. The unroll
+    is still one fused projection — no UDF, no extra pass over the
+    data."""
+    if passes < 1:
+        raise ValueError("passes must be >= 1")
     c = F.col(col) if isinstance(col, str) else col
-    cand = mojibake_candidate(c, charset)
-    return F.when(
-        cand.isNotNull() & (cand != c) & c.isNotNull(), cand
-    ).otherwise(c)
+    out = c
+    for _ in range(passes):
+        cand = mojibake_candidate(out, charset)
+        out = F.when(
+            cand.isNotNull() & (cand != out) & out.isNotNull(), cand
+        ).otherwise(out)
+    return out
 
 
 def is_mojibake(col: Column | str, charset: str = "ISO-8859-1") -> Column:

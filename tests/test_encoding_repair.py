@@ -114,3 +114,27 @@ def test_streaming_parity(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in apply(batch).collect())
     assert got == want
+
+
+def test_double_mojibake_two_passes(spark):
+    """A twice-mangled page ('é' mangled to 'Ã©' then re-crawled and
+    mangled again) unwinds with passes=2; one pass strips exactly one
+    layer; clean text is a fixed point at any depth."""
+    once = "cafÃ©"
+    twice_df = spark.createDataFrame([(1, once)], "id long, t string").select(
+        F.decode(F.encode(F.col("t"), "UTF-8"), "ISO-8859-1").alias("t")
+    )
+    twice = twice_df.collect()[0]["t"]
+    df = spark.createDataFrame(
+        [(1, twice), (2, once), (3, "café"), (4, "plain")],
+        "id long, t string",
+    )
+    out = {r["id"]: (r["p1"], r["p2"]) for r in df.select(
+        "id",
+        fix_mojibake(F.col("t")).alias("p1"),
+        fix_mojibake(F.col("t"), passes=2).alias("p2"),
+    ).collect()}
+    assert out[1] == (once, "café")   # one layer per pass
+    assert out[2] == ("café", "café")
+    assert out[3] == ("café", "café")  # fixed point survives extra passes
+    assert out[4] == ("plain", "plain")
