@@ -352,13 +352,25 @@ def _spawn_tier(label: str, names, data_dir: str):
     return d["times"], d["cold"], d.get("paired_base", {})
 
 
+def min_leg_ratio(tbs: list[float], t10s: list[float]) -> float:
+    """The re-measure's DECIDED evidence: min(10x legs)/min(base
+    legs). A paired per-rep ratio is wrong whenever either of ITS
+    legs was hit by host noise — and a contaminated BASE leg DEFLATES
+    it, so pooling raw paired ratios into a min() would let one bad
+    base rep fake-clear a genuine regression (the false-green
+    direction). Per-leg minima only ever remove inflation: each min
+    approximates that leg's clean time as long as ANY rep of the leg
+    ran clean."""
+    return round(min(t10s) / max(min(tbs), 1e-3), 2)
+
+
 def run_remeasure_child() -> None:
     """Child-process entry for the claims-gate re-measure (round-8
     gate redesign, VERDICT r7 item 1b): for each flagged query, run
     REPS more paired base+10x warm measurements in ONE fresh JVM and
-    write {"ratios": {name: [r1, .., rn, min-leg]}}. The decision is
-    min over shipped + this list (round-9: contention is strictly
-    inflationary).
+    write {"ratios": {name: [min-leg]}, "reps_detail": {...legs...}}.
+    The decision is min over shipped + the ratios list (round-9:
+    contention is strictly inflationary).
 
     Round-9 continuation: the list's LAST element is the MIN-LEG
     ratio min(t10 reps)/min(tb reps) — strictly more robust than any
@@ -400,15 +412,16 @@ def run_remeasure_child() -> None:
             t10 = time.time() - t0
             legs[name][0].append(tb)
             legs[name][1].append(t10)
-    ratios = {}
-    for name, (tbs, t10s) in legs.items():
-        per_rep = [
-            round(t / max(b, 1e-3), 2) for b, t in zip(tbs, t10s)
-        ]
-        min_leg = round(min(t10s) / max(min(tbs), 1e-3), 2)
-        ratios[name] = per_rep + [min_leg]
+    ratios = {n: [min_leg_ratio(tbs, t10s)] for n, (tbs, t10s) in legs.items()}
+    detail = {
+        n: {
+            "base": [round(b, 3) for b in tbs],
+            "tenx": [round(t, 3) for t in t10s],
+        }
+        for n, (tbs, t10s) in legs.items()
+    }
     with open(out_path, "w") as fh:
-        json.dump({"ratios": ratios}, fh)
+        json.dump({"ratios": ratios, "reps_detail": detail}, fh)
 
 
 def _spawn_remeasure(names: list[str], sf_dir: str, dir_10x: str) -> dict:
@@ -503,10 +516,11 @@ def check_scale_claims(
         (visible, never red) — getting faster must never fail the
         suite (r7 shipped 4 improvement-direction reds after the AQE
         grouped-map fix outran its claims).
-    (b) RE-MEASURE before declaring red: each flagged query gets up
-        to 2 more paired base+10x reps in one fresh child JVM
-        (``remeasure`` callable, bench-time) and the MIN of
-        shipped + reps decides (round-9 fix, VERDICT r8 item 1:
+    (b) RE-MEASURE before declaring red: each flagged query gets
+        REPS (default 3) more paired base+10x reps in one fresh
+        child JVM (``remeasure`` callable, bench-time), distilled to
+        the MIN-LEG ratio min(t10)/min(tb), and the MIN of
+        shipped + that evidence decides (round-9 fix, VERDICT r8 item 1:
         wall-clock contention is strictly inflationary on a
         deterministic plan, so the least-contaminated observation is
         the smallest one; the r8 median kept the suspect shipped

@@ -8931,12 +8931,14 @@ WITH s AS (
   SELECT doc_id AS id_a, doc_id + 1 AS id_b
   FROM documents WHERE doc_id % 5 < 4
 )
-SELECT least(sa.split, sb.split) AS split_a,
-       greatest(sa.split, sb.split) AS split_b,
+SELECT least(coalesce(sa.split, '__missing__'),
+             coalesce(sb.split, '__missing__')) AS split_a,
+       greatest(coalesce(sa.split, '__missing__'),
+                coalesce(sb.split, '__missing__')) AS split_b,
        count(*) AS n_pairs
 FROM e
-JOIN s sa ON sa.doc_id = e.id_a
-JOIN s sb ON sb.doc_id = e.id_b
+LEFT JOIN s sa ON sa.doc_id = e.id_a
+LEFT JOIN s sb ON sb.doc_id = e.id_b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
@@ -9042,20 +9044,42 @@ FROM c WHERE budget >= 0 AND cum - ntok < budget
 
 # q_encoding_repair (round 9): closed form — repair(mangle(x)) == x,
 # was_broken ⟺ non-ASCII present (strlen > length), clean text is a
-# fixed point of the repair (validity-gate margins checked per tier).
+# fixed point of the repair. The corpus is 100% ASCII at every tier,
+# so the fixture PLANTS multibyte text (accented Latin / CJK / ASCII
+# control by doc_id%3) — replayed verbatim here; was_broken's
+# strlen/length differential then fires for two of the three groups.
 ORACLES["q_encoding_repair"] = """
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+                   WHEN 0 THEN ' café crème ¿señor?'
+                   WHEN 1 THEN ' 中文文本'
+                   ELSE '' END AS text
+  FROM documents
+)
 SELECT doc_id,
        strlen(text) > length(text) AS was_broken,
        true AS repaired_ok,
        true AS deep_ok,
        true AS clean_unchanged
-FROM documents
+FROM planted
 """
 
 # q_script_detect (round 9): identical explicit codepoint ranges in
 # RE2; dominant = first-in-order argmax, 'none' on all-zero.
 ORACLES["q_script_detect"] = r"""
-WITH c AS (
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 2 THEN '中文文本分析 四十二 123'
+              ELSE text || CASE doc_id % 6
+                             WHEN 1 THEN ' Привет мир'
+                             WHEN 3 THEN ' 한국어 とき かな'
+                             WHEN 4 THEN ' مرحبا بالعالم'
+                             WHEN 5 THEN ' αβγδε ζήτα'
+                             ELSE '' END
+         END AS text
+  FROM documents
+), c AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS latin,
          len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS cyrillic,
@@ -9065,7 +9089,7 @@ WITH c AS (
          len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]')) AS hangul,
          len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) AS kana,
          len(regexp_extract_all(text, '[0-9]')) AS digit
-  FROM documents
+  FROM planted
 ), m AS (
   SELECT *, greatest(latin, cyrillic, greek, arabic, han, hangul, kana, digit) AS mx FROM c
 )

@@ -10412,7 +10412,21 @@ def q_encoding_repair(spark, sf_dir):
         is_mojibake,
     )
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The synthetic documents corpus is 100% ASCII at every tier
+    # (checked against the parquet fixtures), which would make the
+    # mangle a no-op and every boolean vacuous — so the fixture
+    # PLANTS real multibyte text: accented Latin for doc_id%3==0,
+    # CJK for %3==1, ASCII-only for %3==2 (the control group that
+    # pins the no-op path). The plant is replayed verbatim in SQL.
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, " café crème ¿señor?")
+            .when(F.col("doc_id") % 3 == 1, " 中文文本")
+            .otherwise(""),
+        ).alias("text"),
+    )
 
     def mangle(c):
         return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
@@ -10453,7 +10467,28 @@ def q_script_detect(spark, sf_dir):
         script_profile,
     )
 
-    d = table(spark, sf_dir, "documents")
+    # The synthetic corpus is ASCII-only at every tier, which would
+    # leave six of the eight script counters permanently zero — the
+    # fixture PLANTS per-doc multilingual suffixes (cycled by
+    # doc_id%6: none / cyrillic / han / hangul+kana / arabic / greek)
+    # so every range and the tie order fire for real; the plant is
+    # replayed verbatim in the oracle.
+    plant = (
+        F.when(F.col("doc_id") % 6 == 1, " Привет мир")
+        .when(F.col("doc_id") % 6 == 3, " 한국어 とき かな")
+        .when(F.col("doc_id") % 6 == 4, " مرحبا بالعالم")
+        .when(F.col("doc_id") % 6 == 5, " αβγδε ζήτα")
+        .otherwise("")
+    )
+    # %6==2 REPLACES the text (no Latin left), so dominant genuinely
+    # flips to 'han' for that group — the others append, exercising
+    # every counter under a latin-dominant mix
+    text = F.when(
+        F.col("doc_id") % 6 == 2, F.lit("中文文本分析 四十二 123")
+    ).otherwise(F.concat(F.col("text"), plant))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
     return d.select(
         "doc_id", script_profile(F.col("text")).alias("p")
     ).select("doc_id", "p.*")

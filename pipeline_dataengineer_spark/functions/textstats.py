@@ -264,6 +264,11 @@ def script_profile(col: Column | str) -> Column:
         take = cnt > best_count
         best_name = F.when(take, F.lit(name)).otherwise(best_name)
         best_count = F.when(take, cnt).otherwise(best_count)
+    # NULL text → NULL dominant (counts are already NULL via
+    # size(regexp over NULL)); without this the fold's NULL > best
+    # comparisons all fail and 'none' leaks out — while a SQL replay
+    # (greatest/CASE over NULLs) yields NULL, a latent parity split
+    best_name = F.when(c.isNotNull(), best_name)
     return F.struct(
         *[cnt.alias(name) for name, cnt in counts.items()],
         best_name.alias("dominant"),

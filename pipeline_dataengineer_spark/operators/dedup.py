@@ -719,7 +719,12 @@ def semantic_dedup(
         F.transform(vec_col, lambda v: v.cast("double") / l2_norm(F.col(vec_col))),
     )
     if target_cluster_size is not None:
-        n = df.count()  # one cheap metadata-ish job, bounds the join
+        # Cheap even on a derived union+transform lineage: Catalyst
+        # prunes every projection under a bare count, so the executed
+        # plan is a zero-column scan (verified: FileScan parquet []
+        # for q_semantic_dedup's doubled frame) — NOT a corpus
+        # recompute.
+        n = df.count()
         k = max(k, -(-n // int(target_cluster_size)))
     assigned = kmeans(
         unit, vec_col="__unit", id_col=id_col, k=k, max_iterations=max_iterations

@@ -552,7 +552,11 @@ def split_contamination_report(
     only one split's rows fails in the worst direction) — the joins
     are LEFT joins from the pair set, and a pair with any unmatched
     endpoint surfaces under split ``"__missing__"``, which sorts
-    into the off-diagonal like any other mismatch."""
+    into the off-diagonal like any other mismatch. The split columns
+    are cast to STRING for the coalesce, so (split_a, split_b) are
+    string labels and the least/greatest canonical ordering is
+    lexicographic — splits are categorical names, never quantities,
+    so only the unordered PAIR identity matters."""
     a = df.select(
         F.col(id_col).alias(id_a), F.col(split_col).alias("__sa")
     )

@@ -138,3 +138,12 @@ def test_double_mojibake_two_passes(spark):
     assert out[2] == ("café", "café")
     assert out[3] == ("café", "café")  # fixed point survives extra passes
     assert out[4] == ("plain", "plain")
+
+
+def test_script_profile_null_text(spark):
+    """NULL text yields NULL counts AND NULL dominant — matching what
+    any SQL replay (greatest/CASE over NULLs) produces, instead of a
+    'none' that only the Spark fold would emit."""
+    df = spark.createDataFrame([(1, None)], "id long, t string")
+    r = df.select(script_profile(F.col("t")).alias("p")).collect()[0]["p"]
+    assert r["latin"] is None and r["dominant"] is None

@@ -197,3 +197,31 @@ def test_true_regression_still_reds_under_min():
     assert not result["ok"]
     assert result["mismatched"][0]["query"] == "q_dup_spans"
     assert result["mismatched"][0]["decided_min"] == 7.5
+
+
+def test_min_leg_ratio_resists_base_leg_deflation():
+    """The re-measure's decided evidence is min(t10)/min(tb), never a
+    pool of paired per-rep ratios: with a true 8x regression where
+    one rep's BASE leg was contaminated 10x (paired ratios
+    [8.0, 0.8, 8.1]), the min-leg ratio still reads ~8 and the gate
+    stays red — while min over the paired pool would have cleared it
+    at 0.8. Inflated 10x legs are still discounted (min leg)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import check_scale_claims, min_leg_ratio
+
+    tbs = [2.0, 20.0, 2.1]     # rep 1's base leg contaminated
+    t10s = [16.0, 16.2, 17.0]  # genuinely ~8x slower at 10x
+    r = min_leg_ratio(tbs, t10s)
+    assert r == 8.0
+    result = check_scale_claims(
+        {"q_fake_regressed": 8.1},
+        {"q_fake_regressed": 2.0},
+        remeasured={"q_fake_regressed": [r]},
+    )
+    assert not result["ok"]
+    # and a clean-legged contended window still clears: every pairing
+    # was wrong but each leg has one clean rep
+    tbs2, t10s2 = [2.0, 9.5, 2.7], [19.0, 14.9, 5.9]  # true ~2.9x
+    assert min_leg_ratio(tbs2, t10s2) == 2.95

@@ -119,7 +119,10 @@ def main() -> int:
         # must red the gate and be investigated, not silently
         # re-anchored away — that would be claim laundering).
         if eff < c and c / eff > 1.5:
-            why = re.sub(r"\s*\[re-anchored.*?\]\s*$", "", why)
+            # strip the previous tag WHEREVER it sits — hand edits
+            # sometimes append prose after it, and an end-anchored
+            # strip would stack a second tag instead of replacing
+            why = re.sub(r"\s*\[re-anchored.*?\]", "", why).strip()
             why = f"{why} [re-anchored {stamp} tool: min {eff}]"
             changes.append(f"anchor {q}: claim {c} -> {eff}")
             c = eff
