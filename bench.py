@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import string
 import sys
 import time
@@ -457,7 +458,14 @@ def _spawn_remeasure(names: list[str], sf_dir: str, dir_10x: str) -> dict:
         os.unlink(out_path)
     except OSError:
         pass
-    return d.get("ratios", {})
+    # ship TAGGED evidence (round-10 ADVICE): the raw legs ride along
+    # so an offline replay recomputes the min-leg ratio itself instead
+    # of trusting a bare number whose kind it cannot verify.
+    detail = d.get("reps_detail", {})
+    return {
+        n: {"min_leg": v, "reps_detail": detail.get(n, {})}
+        for n, v in d.get("ratios", {}).items()
+    }
 
 
 def parse_scale_claims(notes_path: str | None = None) -> dict[str, float]:
@@ -532,6 +540,13 @@ def check_scale_claims(
         slow. The reps ship in the artifact under ``remeasured`` so
         tests/test_scale_claims.py replays the identical decision
         offline (pass them back via the ``remeasured`` parameter).
+        Round-10 ADVICE hardening: evidence is format-tagged — only
+        tagged min-leg evidence (dict with min_leg/reps_detail,
+        min-leg recomputed from the legs when present) may pool into
+        the min; an untagged plain list is legacy r8-era PAIRED
+        ratios whose base-leg contamination deflates them, so they
+        enter as their MEDIAN (replayed legacy artifacts judge
+        conservatively — they cannot be re-measured).
     (c) Sub-second-base queries are re-measured like everything else
         but judged against looser bounds (claim x 3 / backstop 5.0)
         instead of the r7 blanket exemption — a real sub-second
@@ -571,11 +586,33 @@ def check_scale_claims(
     unclaimed = []
     cleared = []
     for name, shipped, c in flagged:
-        reps = remeasured.get(name) or []
-        # min, not median: contention only inflates wall time, so the
-        # smallest of shipped+reps is the cleanest observation of the
-        # plan; a real regression is slow in EVERY rep and still reds
-        decided = round(min([shipped] + list(reps)), 2)
+        ev = remeasured.get(name)
+        # Evidence handling is FORMAT-TAGGED (round-10 ADVICE —
+        # bench.py:check_scale_claims pooled whatever list shipped):
+        #  * dict {"min_leg": [...], "reps_detail": {...}} is the
+        #    tagged child output; recompute the min-leg ratio from
+        #    the raw legs when present (min per LEG only removes
+        #    inflation, so pooling these into min() with shipped is
+        #    safe — a true regression is slow in every 10x leg);
+        #  * an untagged plain list is legacy PAIRED per-rep ratios
+        #    (r8-era artifacts): a contaminated BASE leg DEFLATES a
+        #    paired ratio, so min() over them has a false-green
+        #    direction — use their MEDIAN instead (conservative; a
+        #    replayed legacy artifact cannot be re-measured).
+        if isinstance(ev, dict):
+            det = ev.get("reps_detail") or {}
+            if det.get("base") and det.get("tenx"):
+                reps = [min_leg_ratio(det["base"], det["tenx"])]
+            else:
+                reps = [float(x) for x in ev.get("min_leg") or []]
+            decided = round(min([shipped] + reps), 2)
+        else:
+            reps = [float(x) for x in ev or []]
+            decided = (
+                round(min(shipped, statistics.median(reps)), 2)
+                if reps
+                else round(shipped, 2)
+            )
         bound = _bounds(name, c)
         entry = {
             "query": name,

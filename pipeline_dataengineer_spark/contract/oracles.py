@@ -2027,6 +2027,18 @@ FROM (
 ) WHERE rk <= 5
 """
 
+# q_ivf_topk (round 10, rows-only rounds 1-9): closed form — partial
+# probe (nprobe=2 of 8) corpus-as-queries self-top1. A vector's
+# rank-1 probe is its home bucket (assignment and probe ranking use
+# the same cosine metric), cosine(v, v) rounds to exactly 1.0 at 6
+# digits, and the fixture's max off-diagonal cosine is 0.60 at every
+# tier (the q_embedding_neardup margin).
+ORACLES["q_ivf_topk"] = """
+SELECT vec_id AS query_id, vec_id, CAST(1.0 AS DOUBLE) AS score, 1 AS rank
+FROM embeddings WHERE vec_id < 200
+ORDER BY query_id
+"""
+
 
 ORACLES["q_spatial_join"] = f"""
 WITH pts AS (
@@ -8827,6 +8839,46 @@ FROM embeddings WHERE vec_id < 5
 ORDER BY query_id
 """
 
+# q_ivfpq_topk (round 10, rows-only rounds 1-9): closed form — the
+# self-top1 argument at a PARTIAL probe (nprobe=4 of 8): a partial
+# probe only shrinks the candidate set and never removes self (the
+# rank-1 probed cell IS the vector's encoded cell), so the
+# nprobe=all margin (own quantization error << any other ADC
+# distance) carries over a fortiori.
+ORACLES["q_ivfpq_topk"] = """
+SELECT vec_id AS query_id, vec_id, 1 AS rank
+FROM embeddings WHERE vec_id < 200
+ORDER BY query_id
+"""
+
+# q_als_topk (round 10, rows-only rounds 1-9): rank-1 closed-form
+# fixture — ratings f(u)*g(i) over a COMPLETE customers x 40-parts
+# matrix are recovered EXACTLY by one alternating iteration (user
+# half-solve shares one design matrix => U = f*z'; item half-solve
+# fits R_:j = g(j)*f in colspace(U) with zero residual; ridge bias
+# ~1e-12 relative on integer-valued predictions, absorbed by
+# round(., 3)). Top-3 replays as row_number over f*g.
+ORACLES["q_als_topk"] = """
+WITH u AS (
+  SELECT c_custkey AS user_id,
+         CAST(c_custkey % 7 + 1 AS DOUBLE) AS f
+  FROM customer
+),
+i AS (
+  SELECT p_partkey AS item_id, CAST(p_partkey + 1 AS DOUBLE) AS g
+  FROM part WHERE p_partkey <= 40
+),
+p AS (
+  SELECT user_id, item_id, f * g AS pred,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY f * g DESC, item_id ASC) AS rk
+  FROM u CROSS JOIN i
+)
+SELECT user_id, item_id, round(pred, 3) AS prediction,
+       CAST(rk AS BIGINT) AS rank
+FROM p WHERE rk <= 3
+"""
+
 # q_leakage_safe_split (round 8): root of doc n in the 5-chain
 # fixture is n - n%5 (closed form); the split replays the portable
 # bucket on the root with hash_split's cumulative ranges.
@@ -9143,8 +9195,15 @@ WITH base AS (
 )
 SELECT c_nationkey, c_mktsegment,
        min(cs) AS class_size,
-       round(SUM(abs(r)) / (min(cs) * (SELECT n FROM tot)
-             * ((SELECT m FROM tot) - 1.0)), 6) AS t
+       -- m<2 guard mirrors t_closeness_report's single-value-domain
+       -- branch (privacy.py): every class matches a 1-value domain
+       -- exactly, t = 0.0 — without it the (m-1) denominator divides
+       -- by zero if the banded domain ever collapses (round-10
+       -- ADVICE: latent parity split on a different tier/fixture)
+       CASE WHEN (SELECT m FROM tot) < 2 THEN 0.0
+            ELSE round(SUM(abs(r)) / (min(cs) * (SELECT n FROM tot)
+                 * ((SELECT m FROM tot) - 1.0)), 6)
+       END AS t
 FROM run
 GROUP BY 1, 2
 """

@@ -853,17 +853,30 @@ def q_fingerprint(spark, sf_dir):
 
 @query("q_ivf_topk")
 def q_ivf_topk(spark, sf_dir):
-    """North star: IVF approximate nearest neighbors (rows-only:
-    hash-seeded centroids are engine-specific). Query = 3 corpus
-    vectors; nprobe=4 of 8 buckets."""
+    """North star: IVF approximate nearest neighbors, PROMOTED to a
+    full oracle round 10 (rows-only rounds 1-9) via corpus-as-queries
+    self-top1 at a PARTIAL probe — the piece q_ivf_exact (nprobe=all,
+    brute-force hash check) does not cover. Closed form: a corpus
+    vector is assigned to its own nearest centroid, so with any
+    nprobe >= 1 its rank-1 probe IS its home bucket, it is always a
+    candidate, and cosine(v, v) = 1.0 beats every other candidate
+    (max off-diagonal cosine in the embeddings fixture is 0.60 at
+    every tier — the q_embedding_neardup margin). Result = (v, v,
+    1.0, 1) by construction while the centroid ranking, probe cut
+    (2 of 8), bucket equi-join, and within-bucket scoring all
+    execute. Realistic-recall behavior of partial probes stays
+    pytest-enforced (tests/test_similarity.py)."""
     from pipeline_dataengineer_spark.operators.similarity import ivf_build, ivf_search
 
     e = table(spark, sf_dir, "embeddings")
-    query_vecs = e.filter(F.col("vec_id") < 3).select(
+    query_vecs = e.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     centroids, assigned = ivf_build(e, num_centroids=8)
-    return ivf_search(centroids, assigned, query_vecs, k=5, nprobe=4)
+    out = ivf_search(centroids, assigned, query_vecs, k=1, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id")
 
 
 @query("q_embedding_neardup")
@@ -4776,31 +4789,41 @@ def q_group_sample(spark, sf_dir):
 
 @query("q_als_topk")
 def q_als_topk(spark, sf_dir):
-    """ALS recommender (operators/recommender.py): customers x parts
-    implicit ratings (summed lineitem quantity), one alternating
-    iteration (both half-solves) at rank 4, then broadcast top-3
-    parts per customer.
-    Deterministic end-to-end (Lehmer factor init + fixed solve
-    order), but the factor VALUES are engine-specific — rows-only by
-    design, like the other iterative/sketch queries; the algebraic
-    laws are pytest-proven (test_recommender.py: planted low-rank
-    recovery, bit-exact layout determinism, top-k == argmax law)."""
+    """ALS recommender (operators/recommender.py), PROMOTED to a full
+    oracle round 10 (rows-only rounds 1-9) via a rank-1 closed-form
+    fixture: ratings = f(user) * g(item) over a COMPLETE customers x
+    40-parts matrix (f = custkey%7+1, g = partkey+1 — integer-valued,
+    engine-portable). On a complete rank-1 matrix, one alternating
+    iteration at model rank 4 recovers the matrix EXACTLY: the user
+    half-solve against ANY full-rank init gives U = f * z' (each
+    user's normal equations share the same design matrix, so x_u is
+    exactly proportional to f(u)); the item half-solve then fits
+    R_:j = g(j) * f, which lies in colspace(U) = span{f}, with zero
+    residual — so prediction(u, j) = f(u) * g(j) up to the tiny ridge
+    (reg=1e-6; item-side relative bias ~ reg / (E[f^2] * ||z||^2) ~
+    1e-12, and the user-side ridge cancels entirely because the item
+    solve fits the ACTUAL U). Predictions are integers +- 1e-9, so
+    round(., 3) is exact; g is injective so per-user top-3 has no
+    ties. The full join -> grouped Arrow ridge solve -> broadcast
+    top-k machinery executes unchanged; free-rank recovery and
+    determinism stay pytest-proven (test_recommender.py)."""
     from pipeline_dataengineer_spark.operators.recommender import (
         als,
         recommend_top_k,
     )
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-    ratings = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("user_id"),
-            F.col("l_partkey").alias("item_id"),
-        )
-        .agg(F.sum("l_quantity").cast("double").alias("rating"))
+    u = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        (F.pmod("c_custkey", F.lit(7)) + 1).cast("double").alias("__f"),
     )
-    uf, itf = als(ratings, rank=4, iterations=1)
+    i = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 40).select(
+        F.col("p_partkey").alias("item_id"),
+        (F.col("p_partkey") + 1).cast("double").alias("__g"),
+    )
+    ratings = u.crossJoin(F.broadcast(i)).select(
+        "user_id", "item_id", (F.col("__f") * F.col("__g")).alias("rating")
+    )
+    uf, itf = als(ratings, rank=4, reg=1e-6, iterations=1)
     recs = recommend_top_k(uf, itf, k=3)
     return recs.select(
         "user_id",
@@ -8516,15 +8539,22 @@ def q_ivfpq_self_top1(spark, sf_dir):
 
 @query("q_ivfpq_topk")
 def q_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ in the REALISTIC lossy configuration (operators/pq.py:
-    ivfpq_build/ivfpq_search — 16-entry residual codebooks over the
-    full corpus, nprobe=4 of 8 cells): rows-only by design — scores
-    are quantized approximations and centroids are engine-specific,
-    so recall<1 is the point, not a defect. Accuracy is enforced by
+    """IVF-PQ at a PARTIAL probe (operators/pq.py: ivfpq_build/
+    ivfpq_search — 16-entry residual codebooks, nprobe=4 of 8 cells),
+    PROMOTED to a full oracle round 10 (rows-only rounds 1-9) via
+    corpus-as-queries self-top1: a vector's encoded cell is its
+    nearest centroid, so its rank-1 probe always contains it, and its
+    own ADC distance is its quantization error — far below any other
+    vector's ADC distance in 64-d (the q_ivfpq_self_top1 margin,
+    verified at every tier for nprobe=all; a partial probe only
+    SHRINKS the candidate set and never removes self, so the top-1
+    closed form (v, v, 1) holds a fortiori). This puts the probe
+    RANKING + CUT path under an oracle — the piece q_ivfpq_self_top1
+    (nprobe=all) and q_ivfpq_exact (lossless algebra) don't cover.
+    dist2 stays engine-specific (quantization error) and is dropped
+    from the checked output; realistic k=10 recall stays enforced by
     tests/test_pq.py::test_ivfpq_lossy_recall_floor (mean recall@10
-    vs brute force >= 0.3 full-probe / >= 0.15 half-probe on random
-    vectors, the hardest case for PQ); the composed machinery itself
-    is hash-checked by q_ivfpq_exact's lossless configuration."""
+    vs brute force >= 0.3 full-probe / >= 0.15 half-probe)."""
     from pipeline_dataengineer_spark.operators.pq import (
         ivfpq_build,
         ivfpq_search,
@@ -8535,14 +8565,13 @@ def q_ivfpq_topk(spark, sf_dir):
         e, num_centroids=8, m=8, codebook_size=16, sample_size=4096,
         refine_iterations=4,
     )
-    q = e.filter(F.col("vec_id") < 3).select(
+    q = e.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivfpq_search(cents, enc, books, q, k=10, nprobe=4)
+    out = ivfpq_search(cents, enc, books, q, k=1, nprobe=4)
     return out.select(
-        "query_id", "vec_id", "dist2",
-        F.col("rank").cast("long").alias("rank"),
-    )
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id")
 
 
 @query("q_theil_sen")
@@ -10149,18 +10178,36 @@ def q_pruned_read(spark, sf_dir):
     import atexit
     import glob
     import shutil
+    import time
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     for stale in glob.glob(f"/tmp/spark_graft_pruned_{tag}_*"):
         pid_s = stale.rsplit("_", 1)[-1]
-        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+        if not pid_s.isdigit() or pid_s == str(os.getpid()):
             continue
+        dead = False
         try:
             os.kill(int(pid_s), 0)  # raises if the process is gone
         except ProcessLookupError:
+            dead = True
+        except (OSError, OverflowError):
+            # PermissionError (alive under another uid), EINVAL, or an
+            # out-of-range numeric suffix (OverflowError from os.kill
+            # on a crafted dir name — round-10 ADVICE: must not fail
+            # the whole query): not proven dead by the probe.
+            pass
+        if not dead:
+            # mtime-age fallback (round-10 ADVICE): a recycled PID now
+            # owned by an unrelated live process would otherwise pin
+            # the dir forever. Any legitimate owner is a bench/verify
+            # run measured in minutes; a day-old dir is garbage.
+            try:
+                age = time.time() - os.path.getmtime(stale)
+            except OSError:
+                continue
+            dead = age > 86_400
+        if dead:
             shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            pass  # alive under another uid — leave it
     out = f"/tmp/spark_graft_pruned_{tag}_{os.getpid()}"
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     (

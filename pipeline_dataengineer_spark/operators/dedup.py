@@ -719,11 +719,13 @@ def semantic_dedup(
         F.transform(vec_col, lambda v: v.cast("double") / l2_norm(F.col(vec_col))),
     )
     if target_cluster_size is not None:
-        # Cheap even on a derived union+transform lineage: Catalyst
-        # prunes every projection under a bare count, so the executed
-        # plan is a zero-column scan (verified: FileScan parquet []
-        # for q_semantic_dedup's doubled frame) — NOT a corpus
-        # recompute.
+        # Column-pruned scan, not a full materialization: Catalyst
+        # prunes every projection under a bare count (verified:
+        # FileScan parquet [] for q_semantic_dedup's doubled frame),
+        # but a derived union/transform lineage still executes its
+        # full scan, and this is one extra action per call even when
+        # the default k already wins the max below (round-10 ADVICE).
+        # Callers that already know n should pass k directly.
         n = df.count()
         k = max(k, -(-n // int(target_cluster_size)))
     assigned = kmeans(

@@ -551,22 +551,37 @@ def split_contamination_report(
     audit that silently undercounts contamination when ``df`` covers
     only one split's rows fails in the worst direction) — the joins
     are LEFT joins from the pair set, and a pair with any unmatched
-    endpoint surfaces under split ``"__missing__"``, which sorts
-    into the off-diagonal like any other mismatch. The split columns
-    are cast to STRING for the coalesce, so (split_a, split_b) are
-    string labels and the least/greatest canonical ordering is
-    lexicographic — splits are categorical names, never quantities,
-    so only the unordered PAIR identity matters."""
+    endpoint surfaces under split ``"__missing__"``. A matched row
+    whose split value is NULL surfaces as ``"__null__"`` instead
+    (round-10 ADVICE: a join miss and a present-but-unlabeled row
+    are different data defects; conflating them hides whichever one
+    you went looking for). Both are RESERVED labels: a corpus whose
+    split column actually contains either string is indistinguishable
+    from the defect it names — rename such splits before auditing.
+    Both sort into the off-diagonal like any other mismatch. The
+    split columns are cast to STRING for the labels, so (split_a,
+    split_b) are string labels and the least/greatest canonical
+    ordering is lexicographic — splits are categorical names, never
+    quantities, so only the unordered PAIR identity matters."""
     a = df.select(
-        F.col(id_col).alias(id_a), F.col(split_col).alias("__sa")
+        F.col(id_col).alias(id_a),
+        F.col(split_col).alias("__sa"),
+        F.lit(True).alias("__ma"),
     )
     b = df.select(
-        F.col(id_col).alias(id_b), F.col(split_col).alias("__sb")
+        F.col(id_col).alias(id_b),
+        F.col(split_col).alias("__sb"),
+        F.lit(True).alias("__mb"),
     )
     j = pairs.join(a, id_a, "left").join(b, id_b, "left")
-    missing = F.lit("__missing__")
-    sa = F.coalesce(F.col("__sa").cast("string"), missing)
-    sb = F.coalesce(F.col("__sb").cast("string"), missing)
+    # match marker, not coalesce-on-split: NULL __ma can ONLY mean the
+    # join missed, while a NULL split on a matched row is its own bug
+    sa = F.when(
+        F.col("__ma").isNull(), F.lit("__missing__")
+    ).otherwise(F.coalesce(F.col("__sa").cast("string"), F.lit("__null__")))
+    sb = F.when(
+        F.col("__mb").isNull(), F.lit("__missing__")
+    ).otherwise(F.coalesce(F.col("__sb").cast("string"), F.lit("__null__")))
     lo = F.least(sa, sb)
     hi = F.greatest(sa, sb)
     return j.groupBy(lo.alias("split_a"), hi.alias("split_b")).agg(

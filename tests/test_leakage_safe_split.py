@@ -167,3 +167,31 @@ def test_contamination_report_surfaces_missing_endpoints(spark):
     }
     assert sum(missing.values()) == 2
     assert ("__missing__", "__missing__") in missing  # the 600-700 pair
+
+
+def test_contamination_report_distinguishes_null_split_from_miss(spark):
+    """A matched row with a NULL split is '__null__', a join miss is
+    '__missing__' (round-10 ADVICE: they are different data defects —
+    an unlabeled row vs an endpoint the corpus never had — and the
+    audit must not conflate them)."""
+    from pipeline_dataengineer_spark.operators.sampling import (
+        split_contamination_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "train"), (2, None), (3, "test")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 99)], "id_a long, id_b long"
+    )  # 2 is present-but-NULL; 99 is absent
+    rep = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in split_contamination_report(
+            docs, "doc_id", pairs
+        ).collect()
+    }
+    assert rep == {
+        ("__null__", "train"): 1,
+        ("__missing__", "test"): 1,
+    }

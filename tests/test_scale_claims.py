@@ -7,14 +7,15 @@ SCALE_NOTES.md under the asymmetric + re-measured rule:
   (a) a claim only fails when the ratio ships SLOWER than claim x 2
       (improvements are reported, never red);
   (b) a flagged ratio is judged by the MIN of the shipped value
-      plus the paired re-measure reps bench.py ran in a fresh child
-      JVM at artifact time (shipped under ``remeasured`` so this
-      test replays the identical decision offline) — min, not
-      median, because wall-clock contention is strictly inflationary
-      on a deterministic plan (round-9 fix after the r8 driver box
-      shipped q_dup_spans 3.39 with reps [17.63, 1.46]: the median
-      kept the contended shipped value, the min clears it; a true
-      regression is slow in EVERY rep and still reds);
+      plus the TAGGED min-leg re-measure evidence bench.py ran in a
+      fresh child JVM at artifact time (shipped under ``remeasured``
+      with the raw legs so this test replays — and recomputes — the
+      identical decision offline). Min-leg, because wall-clock
+      contention is strictly inflationary per LEG on a deterministic
+      plan, while a contaminated BASE leg DEFLATES a paired ratio;
+      untagged legacy paired lists therefore enter as their MEDIAN,
+      never the min (round-10 ADVICE — a true regression with one
+      base-deflated rep must stay red);
   (c) sub-second-base queries get looser bounds (claim x 3 /
       backstop 5.0) instead of a blanket exemption.
 """
@@ -83,17 +84,30 @@ def test_asymmetric_rule_improvements_never_red():
     ]
 
 
-def test_remeasure_median_clears_contention():
+def test_remeasure_clears_contention():
     """One contended shipped rep must not condemn the artifact when
-    the paired re-measure medians back inside the bound (the r7
-    q_minhash_neardup mode: shipped 10.42, idle paired 2.1-2.4,
-    claim 3.0)."""
+    the tagged min-leg re-measure evidence lands back inside the
+    bound (the r7 q_minhash_neardup mode: shipped 10.42, idle paired
+    2.1-2.4, claim 3.0). The fake mirrors the real child's tagged
+    output; the decision must RECOMPUTE min-leg from the raw legs,
+    not trust the shipped scalar."""
     _, check_scale_claims = _load()
     calls = []
 
     def fake_remeasure(names):
         calls.append(list(names))
-        return {n: [2.2, 2.4] for n in names}
+        # min-leg from legs: 5.06/2.2 = 2.3 (the stored scalar 9.9 is
+        # a decoy — legs are authoritative when present)
+        return {
+            n: {
+                "min_leg": [9.9],
+                "reps_detail": {
+                    "base": [2.2, 2.4, 2.3],
+                    "tenx": [5.28, 5.06, 5.52],
+                },
+            }
+            for n in names
+        }
 
     result = check_scale_claims(
         {"q_minhash_neardup": 10.42},
@@ -102,17 +116,20 @@ def test_remeasure_median_clears_contention():
     )
     assert calls == [["q_minhash_neardup"]]
     assert result["ok"], result
-    assert result["remeasured_ok"][0]["decided_min"] == 2.2
-    # the evidence ships for offline replay
-    assert result["remeasured"]["q_minhash_neardup"] == [2.2, 2.4]
-    # and replaying from stored reps (no callable) reaches the same
-    # verdict — the pytest path against the artifact
+    assert result["remeasured_ok"][0]["decided_min"] == 2.3
+    # the tagged evidence ships for offline replay
+    assert result["remeasured"]["q_minhash_neardup"]["reps_detail"][
+        "base"
+    ] == [2.2, 2.4, 2.3]
+    # and replaying from stored evidence (no callable) reaches the
+    # same verdict — the pytest path against the artifact
     replay = check_scale_claims(
         {"q_minhash_neardup": 10.42},
         {"q_minhash_neardup": 2.4},
-        remeasured={"q_minhash_neardup": [2.2, 2.4]},
+        remeasured=result["remeasured"],
     )
     assert replay["ok"]
+    assert replay["remeasured_ok"][0]["decided_min"] == 2.3
 
 
 def test_remeasure_confirms_real_regression():
@@ -122,11 +139,33 @@ def test_remeasure_confirms_real_regression():
     result = check_scale_claims(
         {"q_minhash_neardup": 9.0},
         {"q_minhash_neardup": 2.4},
-        remeasure=lambda names: {n: [8.5, 9.2] for n in names},
+        remeasure=lambda names: {
+            n: {
+                "min_leg": [8.5],
+                "reps_detail": {"base": [2.0, 2.1], "tenx": [17.0, 18.4]},
+            }
+            for n in names
+        },
     )
     assert not result["ok"]
     assert result["mismatched"][0]["query"] == "q_minhash_neardup"
     assert result["mismatched"][0]["decided_min"] == 8.5
+
+
+def test_untagged_paired_lists_median_not_min():
+    """Round-10 ADVICE: an UNTAGGED evidence list is legacy r8-era
+    PAIRED per-rep ratios — a contaminated BASE leg DEFLATES a paired
+    ratio, so pooling them into min() has a false-green direction.
+    They must enter as their MEDIAN: a true 8x regression with one
+    base-deflated rep ([8.0, 0.8, 8.1]) stays red."""
+    _, check_scale_claims = _load()
+    result = check_scale_claims(
+        {"q_fake_regressed": 8.2},
+        {"q_fake_regressed": 2.0},
+        remeasured={"q_fake_regressed": [8.0, 0.8, 8.1]},
+    )
+    assert not result["ok"]
+    assert result["unclaimed_over_2_5"][0]["decided_min"] == 8.0
 
 
 def test_unclaimed_rule_with_subsecond_backstop():
@@ -158,13 +197,19 @@ def test_unclaimed_rule_with_subsecond_backstop():
     assert not check_scale_claims({"q_fake_unknown": 3.1}, {})["ok"]
 
 
-def test_r8_driver_artifact_replays_green():
-    """Regression fixture: the round-8 driver-shipped BENCH_DETAIL
-    (contended box — q_dup_spans shipped 3.39 vs bound 3.3 with
-    re-measure reps [17.63, 1.46], one rep itself contended) must
-    replay ok:true under the min statistic. This is the exact
-    artifact that redded rounds 5-8; VERDICT r8 item 1 names it as
-    the acceptance fixture."""
+def test_r8_legacy_paired_artifact_judges_conservatively():
+    """Semantics fixture for the round-10 ADVICE hardening: the
+    round-8 driver artifact carries UNTAGGED paired re-measure lists
+    (q_dup_spans shipped 3.39 vs bound 3.3, reps [17.63, 1.46]) and
+    NO raw legs, so its deflation-prone 1.46 rep may no longer
+    min-pool the gate green. Median of the paired pool keeps the
+    decided value at the shipped 3.39 → the legacy replay is RED —
+    conservative by design, because a replayed artifact cannot be
+    re-measured and paired ratios alone cannot distinguish a clean
+    rep from a base-deflated one. (The live gate is unaffected:
+    bench.py's child has shipped tagged min-leg evidence with raw
+    legs since round 9, and the r9 driver run cleared green on it —
+    q_dup_spans decided 1.76 from legs.)"""
     _, check_scale_claims = _load()
     path = os.path.join(
         REPO, "tests", "fixtures", "bench_detail_r8_driver.json"
@@ -177,22 +222,26 @@ def test_r8_driver_artifact_replays_green():
             "remeasured"
         ),
     )
-    assert result["ok"], json.dumps(result, indent=1)
-    # and the contended query was decided by its clean rep, not the
-    # shipped value
-    cleared = {e["query"]: e for e in result["remeasured_ok"]}
-    assert cleared["q_dup_spans"]["decided_min"] == 1.46
+    assert not result["ok"]
+    flagged = {e["query"]: e for e in result["mismatched"]}
+    assert flagged["q_dup_spans"]["decided_min"] == 3.39
 
 
 def test_true_regression_still_reds_under_min():
     """The min statistic is noise control, not amnesty: when the
-    shipped ratio AND every re-measure rep exceed the bound, the
-    gate stays red."""
+    shipped ratio AND every re-measured leg agree it got slower,
+    the gate stays red."""
     _, check_scale_claims = _load()
     result = check_scale_claims(
         {"q_dup_spans": 8.0},
         {"q_dup_spans": 2.0},
-        remeasure=lambda names: {n: [7.5, 8.4] for n in names},
+        remeasure=lambda names: {
+            n: {
+                "min_leg": [7.5],
+                "reps_detail": {"base": [2.0, 2.2], "tenx": [15.0, 16.8]},
+            }
+            for n in names
+        },
     )
     assert not result["ok"]
     assert result["mismatched"][0]["query"] == "q_dup_spans"
