@@ -718,7 +718,14 @@ def main() -> None:
     # round 3 (BENCH_r03 parsed:null). The printed line stays compact:
     # totals + the 19 baseline-comparable queries + worst-5 offenders.
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_root, "BENCH_DETAIL.json"), "w") as fh:
+    # Non-canonical runs (smokes at other SFs, contended debugging)
+    # can redirect the artifact so they don't clobber the shipped
+    # canonical detail (round 10: an sf0.01 smoke overwrote the
+    # gate-green r9 artifact and had to be restored from git).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL_PATH", os.path.join(repo_root, "BENCH_DETAIL.json")
+    )
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
 
     compact_queries = {k: times[k] for k in BASELINE_SET if k in times}

@@ -37,7 +37,17 @@ def get_spark(
     1000-executor scale except the master itself.
     """
     cpus = cpus or default_parallelism()
-    shuffle_partitions = shuffle_partitions or cpus
+    # $SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the cores-sized
+    # default: sizing shuffles to local parallelism is right at bench
+    # scale, but a fixed-partition-count shuffle grows per-partition
+    # bytes linearly with the data — the round-10 sf10 spot tier
+    # measured q_tpch_q21_shape at 19.7x for 10x data with 32
+    # partitions (~2M lineitem rows each, spilling) vs ~linear once
+    # partitions scale with input. On a real cluster this is
+    # tune_for_scale's job; the env knob is the local equivalent.
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    ) or cpus
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
