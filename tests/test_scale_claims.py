@@ -47,6 +47,23 @@ def test_claims_table_parses():
     assert all(0 < v < 50 for v in claims.values())
 
 
+def test_parser_stops_at_first_table():
+    """The claims parser must ingest ONLY the 'Machine-checked 10x'
+    table — SCALE_NOTES gained a round-10 sf10 spot-tier table whose
+    rows also match '| q_name | number |' (second column is an sf1
+    leg time, NOT a 10x claim); the parser's break-at-first-table-end
+    is what keeps those rows out of the gate. Pin it: the sf10
+    section's q_tpch_q21_shape row (measured 19.69 at sf10) is
+    unclaimed, and no parsed claim carries the sf10 numbers."""
+    parse_scale_claims, _ = _load()
+    claims = parse_scale_claims()
+    # q21 appears only in the sf10 table; it must not become a claim
+    assert "q_tpch_q21_shape" not in claims
+    # minhash is in BOTH tables: the claim (2.0) must win, never the
+    # sf10 section's sf1-leg column (6.05)
+    assert claims.get("q_minhash_neardup") == 2.0
+
+
 def test_shipped_ratios_match_claims():
     """Replay the shipped artifact's gate decision against the
     CURRENT claims table, reusing the re-measure evidence bench.py
