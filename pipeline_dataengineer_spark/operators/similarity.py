@@ -227,22 +227,28 @@ def rrf_fuse(
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
     parts = partition_cols or []
-    tagged = []
-    for i, r in enumerate(rankings):
-        w = (
-            Window.partitionBy(F.lit(i), *parts)
-            .orderBy(F.col("__s").desc(), F.col(id_col).asc())
+    # Tag each list with its index as a REAL column and rank the
+    # union in ONE window partitioned by (__list, parts) — same ranks
+    # as the old per-list constant-partition windows, but a single
+    # Window operator that hash-partitions across lists instead of N
+    # windows each warning "No Partition Defined" and funneling into
+    # one task (round 10, guide §2.4).
+    tagged = [
+        r.select(
+            F.lit(i).alias("__list"),
+            *parts,
+            F.col(id_col),
+            F.col(score_col).cast("double").alias("__s"),
         )
-        tagged.append(
-            r.select(
-                *parts,
-                F.col(id_col),
-                F.col(score_col).cast("double").alias("__s"),
-            ).withColumn("__rank", F.row_number().over(w))
-        )
+        for i, r in enumerate(rankings)
+    ]
     from functools import reduce
 
     u = reduce(lambda a, b: a.unionByName(b), tagged)
+    w = Window.partitionBy("__list", *parts).orderBy(
+        F.col("__s").desc(), F.col(id_col).asc()
+    )
+    u = u.withColumn("__rank", F.row_number().over(w))
     return (
         u.groupBy(*parts, id_col)
         .agg(

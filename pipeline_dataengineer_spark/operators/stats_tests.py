@@ -366,11 +366,15 @@ def psi_drift(
     before the log — the standard guard, reported as-is so the score
     is reproducible.
 
-    Scale shape: boundaries are ONE group-sized aggregate on the
-    reference, broadcast into both bin assignments (a fixed
-    comparison fan, no window/sort of either fact table — the
-    quantile_bucketize shape); each side then collapses to ≤ n_bins
-    partial-aggregable counts. Output: one row per bin plus the
+    Scale shape (round 10): boundaries are ONE group-sized aggregate
+    on the reference, broadcast into ONE side-tagged union of both
+    tables (a fixed comparison fan, no window/sort of either fact
+    table — the quantile_bucketize shape); the union collapses to
+    ≤ n_bins rows in ONE conditional-count aggregate, so each input
+    is binned once instead of per-side and the old n_bins-row
+    full-outer join is gone (guide §2.4). The bin-count exchange is
+    reused (ReusedExchange) by the totals aggregate that broadcasts
+    back for the p_ref/p_cur terms. Output: one row per bin plus the
     n_bins totals needed to recompute, and ``.psi`` on the DataFrame
     is NOT provided — sum the ``psi_term`` column (keeps the operator
     lazy)."""
@@ -381,26 +385,24 @@ def psi_drift(
         ).alias("__b")
     )
 
-    def binned(df: DataFrame, label: str) -> DataFrame:
-        b = df.join(F.broadcast(bounds))
-        bin_id = F.aggregate(
-            F.col("__b"),
-            F.lit(0),
-            lambda acc, bd: acc
-            + F.when(F.col(value_col) > bd, 1).otherwise(0),
+    both = ref.select(
+        F.col(value_col).alias("__v"), F.lit(0).alias("__side")
+    ).unionByName(
+        cur.select(F.col(value_col).alias("__v"), F.lit(1).alias("__side"))
+    )
+    bin_id = F.aggregate(
+        F.col("__b"),
+        F.lit(0),
+        lambda acc, bd: acc + F.when(F.col("__v") > bd, 1).otherwise(0),
+    )
+    j = (
+        both.filter(F.col("__v").isNotNull())
+        .join(F.broadcast(bounds))
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.when(F.col("__side") == 0, 1)).alias("n_ref"),
+            F.count(F.when(F.col("__side") == 1, 1)).alias("n_cur"),
         )
-        return (
-            b.filter(F.col(value_col).isNotNull())
-            .groupBy(bin_id.alias("bin"))
-            .agg(F.count("*").alias(f"n_{label}"))
-        )
-
-    r = binned(ref, "ref")
-    c = binned(cur, "cur")
-    j = r.join(c, "bin", "full_outer").select(
-        F.coalesce(r["bin"], c["bin"]).alias("bin"),
-        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
     tot = j.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")

@@ -11,6 +11,8 @@ North-star text-analysis extension (no analog in the reference).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -145,51 +147,66 @@ def bm25_rank(
     of hybrid retrieval for RAG corpora) — the scoring complement of
     ``inverted_index``.
 
-    Scale shape: the query vocabulary is tiny and broadcast, so the
-    corpus is filtered to query-term rows with a BroadcastHashJoin
-    BEFORE anything aggregates — everything downstream is sized by
-    matches, not the corpus. Document length and avgdl are map-side
-    combinable aggregates; per-term document frequency is bounded by
-    |query| rows. The only corpus-wide exchange is the per-doc length
-    aggregate, which partial-aggregates because a document's terms
-    are born co-located with it. No window over the hot term key
-    (same reasoning as tf_idf's groupBy reformulation).
+    Scale shape (round 10): the query vocabulary is a LITERAL list,
+    so each query term's frequency is a conditional count inside the
+    SAME per-document aggregate that computes document length — one
+    explode, ONE corpus exchange carrying (id, dl, tf_0..tf_k) — no
+    separate (id, term) aggregate, no per-term dfreq join, no doclen
+    equi-join (guide §2.3/§2.4: the old shape's three corpus-keyed
+    exchanges collapse to one narrow map-side-combined one). A second
+    fold turns the per-doc rows into ONE combinable stats aggregate
+    (N, avgdl, df per term) that broadcasts back as a single row, and
+    scoring is a fused projection — everything downstream of the
+    per-doc aggregate is doc-count-sized.
     """
     if not query_terms:
         raise ValueError("bm25_rank: query_terms must be non-empty")
-    spark = df.sparkSession
-    q = spark.createDataFrame(
-        [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
-    )
+    q_terms = sorted({t.lower() for t in query_terms})
     t = terms(df, id_col, text_col)
-    # per-document length over ALL terms (BM25 normalizes by full
-    # document length, not just matched terms)
-    doclen = t.groupBy(id_col).agg(F.count("*").alias("__dl"))
-    stats = doclen.agg(
-        F.avg("__dl").alias("__avgdl"),
+    # Per-document length AND per-query-term frequencies in ONE
+    # map-side-combinable aggregate (empty documents produce no term
+    # rows, so N/avgdl exclude them — identical to the old doclen).
+    pop = t.groupBy(id_col).agg(
+        F.count("*").alias("__dl"),
+        *[
+            F.count(F.when(F.col("term") == term, 1)).alias(f"__tf{i}")
+            for i, term in enumerate(q_terms)
+        ],
+    )
+    # Global stats in ONE combinable aggregate: corpus size, average
+    # document length, and per-term document frequency.
+    stats = pop.agg(
         F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(q_terms))
+        ],
     )
-    hits = t.join(F.broadcast(q), "term")
-    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(doclen, id_col)
-        .crossJoin(F.broadcast(stats))
+
+    def per_term(i: int):
+        tf = F.col(f"__tf{i}")
+        dfq = F.col(f"__df{i}")
+        idf = F.log((F.col("__n") - dfq + 0.5) / (dfq + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        return F.when(tf > 0, idf * tf * (k1 + 1.0) / denom).otherwise(0.0)
+
+    n_hits = reduce(
+        lambda a, i: a + (F.col(f"__tf{i}") > 0).cast("long"),
+        range(len(q_terms)),
+        F.lit(0).cast("long"),
     )
-    idf = F.log(
-        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    score = reduce(
+        lambda a, i: a + per_term(i), range(len(q_terms)), F.lit(0.0)
     )
-    denom = F.col("__tf") + k1 * (
-        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
-    )
-    per_term = idf * F.col("__tf") * (k1 + 1.0) / denom
     return (
-        scored.withColumn("__s", per_term)
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_hits"),
-            F.round(F.sum("__s"), round_to).alias("score"),
+        pop.crossJoin(F.broadcast(stats))
+        .withColumn("n_hits", n_hits)
+        .filter(F.col("n_hits") > 0)
+        .select(
+            F.col(id_col),
+            "n_hits",
+            F.round(score, round_to).alias("score"),
         )
     )
 

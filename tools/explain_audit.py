@@ -242,7 +242,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # round-3 continuation, sixth batch
     # BM25: query vocab broadcast — corpus never sort-merge-joined
-    "q_bm25": (["BroadcastHashJoin"], []),
+    # round 10: the query vocabulary is folded into the per-doc
+    # aggregate as conditional counts — no term join at all anymore;
+    # the only join left is the 1-row stats broadcast (BNLJ), and the
+    # old tf/dfreq/doclen joins must not reappear
+    "q_bm25": (["BroadcastNestedLoopJoin"], ["BroadcastHashJoin", "SortMergeJoin"]),
     # deterministic shuffle: the whole point is NO single-task window
     "q_shuffle_index": ([], ["Window"]),
     # bitmap distinct: imperative aggregate, no join anywhere
