@@ -2794,14 +2794,19 @@ def q_semantic_dedup(spark, sf_dir):
     # together under ANY centroids, organic pairs never pass 0.9999).
     # max_iterations=10 bounds the Lloyd job count in the headline
     # bench — convergence quality is irrelevant to the kept set here.
+    # Round 10: k is computed HERE from the cheap base-table count
+    # (column-pruned parquet count) instead of target_cluster_size's
+    # count of the derived union+transform frame — n is exactly
+    # 2·|embeddings| by construction, so k is identical to what
+    # auto-k derived, one lineage execution cheaper (guide §1.2).
+    n = 2 * e.count()
     kept = semantic_dedup(
         doubled,
         "vec_id",
         "embedding",
         threshold=0.9999,
-        k=8,
+        k=max(8, -(-n // 1250)),
         max_iterations=10,
-        target_cluster_size=1250,
     )
     return kept.select("vec_id").orderBy("vec_id")
 

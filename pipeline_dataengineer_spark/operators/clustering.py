@@ -41,6 +41,80 @@ def _make_assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _lloyd_centroids(
+    work: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    max_iterations: int,
+    tol: float,
+) -> np.ndarray:
+    """Run Lloyd's iterations over an (ideally persisted) (id, vec)
+    frame and return the final (k, d) centroid matrix.
+
+    Round-10 iteration shape (guide §2.3 "aggregate before you
+    shuffle" + §4.2): assignment AND the per-cluster partial sums
+    happen in ONE ``mapInPandas`` pass — each task accumulates a
+    (k, d) sum matrix + k counts in numpy across its batches and
+    emits ≤ k tiny rows. The old shape returned n assignment ints to
+    the JVM and then ``posexplode``d every vector (n·d rows) into the
+    update aggregate; now nothing corpus-sized crosses an exchange —
+    the shuffle carries ≤ tasks·k·d skinny rows and the driver still
+    only ever sees k·d doubles per iteration."""
+    first = (
+        work.orderBy(id_col).limit(k).collect()
+    )  # k rows — driver-side by design, same as any k-means init
+    cents = np.array([list(r[vec_col]) for r in first], dtype=np.float64)
+    out_schema = "cluster int, cnt long, sums array<double>"
+    for _ in range(max_iterations):
+        c_now = cents.astype(np.float64)
+        sq = (c_now * c_now).sum(axis=1)
+        kk = c_now.shape[0]
+
+        def partials(batches):
+            sums = None
+            cnts = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                a = np.argmin(sq[None, :] - 2.0 * (x @ c_now.T), axis=1)
+                if sums is None:
+                    sums = np.zeros((kk, x.shape[1]), dtype=np.float64)
+                    cnts = np.zeros(kk, dtype=np.int64)
+                np.add.at(cnts, a, 1)
+                np.add.at(sums, a, x)
+            if sums is None:
+                return
+            present = np.nonzero(cnts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": present.astype("int32"),
+                    "cnt": cnts[present],
+                    "sums": [sums[i].tolist() for i in present],
+                }
+            )
+
+        new_rows = (
+            work.select(vec_col)
+            .mapInPandas(partials, out_schema)
+            .select(
+                "cluster", "cnt", F.posexplode("sums").alias("dim", "s")
+            )
+            .groupBy("cluster", "dim")
+            .agg((F.sum("s") / F.sum("cnt")).alias("m"))
+            .collect()
+        )  # k·d rows — the only driver traffic per iteration
+        new_cents = cents.copy()  # empty clusters keep their centroid
+        for r in new_rows:
+            new_cents[r.cluster, r.dim] = r.m
+        shift = float(np.abs(new_cents - cents).max())
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -68,28 +142,9 @@ def kmeans(
     # projection is 2 columns, and spilling beats recompute.
     work = df.select(id_col, vec_col).persist()
     try:
-        first = (
-            work.orderBy(id_col).limit(k).collect()
-        )  # k rows — driver-side by design, same as any k-means init
-        cents = np.array([list(r[vec_col]) for r in first], dtype=np.float64)
-        for _ in range(max_iterations):
-            assign = _make_assign_udf(cents)
-            assigned = work.withColumn("cluster", assign(F.col(vec_col)))
-            new_rows = (
-                assigned.select(
-                    "cluster", F.posexplode(vec_col).alias("dim", "v")
-                )
-                .groupBy("cluster", "dim")
-                .agg(F.avg("v").alias("m"))
-                .collect()
-            )  # k·d rows — the only driver traffic per iteration
-            new_cents = cents.copy()  # empty clusters keep their centroid
-            for r in new_rows:
-                new_cents[r.cluster, r.dim] = r.m
-            shift = float(np.abs(new_cents - cents).max())
-            cents = new_cents
-            if shift < tol:
-                break
+        cents = _lloyd_centroids(
+            work, vec_col, id_col, k, max_iterations, tol
+        )
     finally:
         work.unpersist()
     final_assign = _make_assign_udf(cents)

@@ -705,10 +705,24 @@ def semantic_dedup(
     join ships the PRE-NORMALIZED unit vector, so the per-pair test
     is one dot product (cosine of units) instead of dot + two norms,
     and the norm work is O(n·d) not O(pairs·d). The drop set carries
-    ids only, and the final filter is a LEFT ANTI equi-join, never a
-    shuffle of the raw vectors."""
+    ids only, and the final join attaches the kept (id, cluster) set
+    back to the input — never a shuffle of the raw vectors.
+
+    Round-10 cost shape (guide §2.4/§5 + measured: the pair join was
+    ~8 of the query's 12 s): the projected (id, unit, cluster) frame
+    is PERSISTED once — the old shape re-derived it from the full
+    input lineage three times (both self-join sides + the anti-join
+    left). And because cos(u, v) ≥ t on unit vectors forces
+    |u_i − v_i| ≤ √(2(1−t)) in EVERY coordinate, a codegen-friendly
+    per-coordinate prefilter on the first two dims runs before the
+    interpreted full dot product — provably lossless (a necessary
+    condition of the kept predicate), and it cuts the O(d)
+    interpreted-lambda evaluations to near-candidates only."""
     from pipeline_dataengineer_spark.functions.vectors import dot, l2_norm
-    from pipeline_dataengineer_spark.operators.clustering import kmeans
+    from pipeline_dataengineer_spark.operators.clustering import (
+        _lloyd_centroids,
+        _make_assign_udf,
+    )
 
     # Cluster on L2-NORMALIZED vectors (as the paper does): k-means is
     # Euclidean, and without this a parallel pair of different
@@ -728,12 +742,36 @@ def semantic_dedup(
         # Callers that already know n should pass k directly.
         n = df.count()
         k = max(k, -(-n // int(target_cluster_size)))
-    assigned = kmeans(
-        unit, vec_col="__unit", id_col=id_col, k=k, max_iterations=max_iterations
+    work = unit.select(id_col, "__unit").persist()
+    cents = _lloyd_centroids(
+        work, "__unit", id_col, k, max_iterations, tol=1e-6
     )
-    slim = assigned.select(
-        F.col(id_col).alias("__id"), F.col("__unit").alias("__u"), "cluster"
+    assign = _make_assign_udf(cents)
+    # One persisted (id, unit, cluster) frame feeds the self-join's
+    # both sides AND the kept-set anti join — the same
+    # persist-the-loop-input contract as kmeans itself (MLlib-style;
+    # the cache lives as long as the returned frame, cleared by
+    # clearCache()/session end like any MLlib model input).
+    slim = (
+        work.withColumn("cluster", assign(F.col("__unit")))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col("__unit").alias("__u"),
+            "cluster",
+        )
+        .persist()
     )
+    # per-coordinate necessary condition of cos >= threshold on unit
+    # vectors (tiny additive slack guards the fp rounding of the
+    # subtraction; coalesce keeps short/NULL coords permissive)
+    delta = (2.0 * max(1.0 - float(threshold), 0.0)) ** 0.5 + 1e-9
+
+    def near(i: int):
+        return F.coalesce(
+            F.abs(F.col("l.__u")[i] - F.col("r.__u")[i]) <= F.lit(delta),
+            F.lit(True),
+        )
+
     l, r = slim.alias("l"), slim.alias("r")
     dropped = (
         l.join(
@@ -741,11 +779,16 @@ def semantic_dedup(
             (F.col("l.cluster") == F.col("r.cluster"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
+        .filter(near(0) & near(1))
         .filter(dot(F.col("l.__u"), F.col("r.__u")) >= F.lit(threshold))
         .select(F.col("r.__id").alias(id_col))
         .distinct()
     )
-    return assigned.drop("__unit").join(dropped, id_col, "left_anti")
+    kept = (
+        slim.join(dropped, F.col("__id") == F.col(id_col), "left_anti")
+        .select(F.col("__id").alias(id_col), "cluster")
+    )
+    return df.join(kept, id_col)
 
 
 def hamming_near_duplicates(

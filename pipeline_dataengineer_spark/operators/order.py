@@ -54,46 +54,37 @@ def global_row_index(
     # action can shift rows across partitions and corrupt the offsets
     # (observed: permuted indices under a second evaluation). The
     # checkpoint pins one materialized partitioning for both passes.
-    with_pid = ordered.withColumn(
-        "__pid", F.spark_partition_id()
+    #
+    # Round 10 (guide §4): the per-partition local index needs no
+    # Python pass — ``monotonically_increasing_id`` IS
+    # (partition_id << 33) + 0-based-row-counter-in-partition-order,
+    # computed BEFORE the checkpoint so it is stored with the pinned
+    # data. The old mapInPandas round-tripped every checkpointed row
+    # through Arrow just to attach a counter; now both the partition
+    # id and the local index are bit-slices of a stored long, and the
+    # offset lookup is a literal map (no join operator at all).
+    with_mid = ordered.withColumn(
+        "__mid", F.monotonically_increasing_id()
     ).localCheckpoint()
-
-    schema_out = T.StructType(
-        list(with_pid.schema.fields)
-        + [T.StructField("__local_idx", T.LongType())]
-    )
-
-    def local_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # mapInPandas sees each PARTITION as a batch iterator: keep a
-        # running counter across batches so the index is partition-local
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["__local_idx"] = range(seen, seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    indexed = with_pid.mapInPandas(local_index, schema_out)
+    pid = F.shiftright(F.col("__mid"), 33).cast("int")
+    local_idx = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
     # partition sizes -> cumulative offsets (partition-count-sized)
     sizes = {
         r["__pid"]: r["cnt"]
-        for r in with_pid.groupBy("__pid")
+        for r in with_mid.groupBy(pid.alias("__pid"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    off_map = F.create_map(
+        *[F.lit(x) for p, off in offsets.items() for x in (p, off)]
     )
-    return (
-        indexed.join(F.broadcast(off_df), "__pid")
-        .withColumn(index_col, F.col("__local_idx") + F.col("__off"))
-        .drop("__pid", "__local_idx", "__off")
-    )
+    return with_mid.withColumn(
+        index_col, local_idx + F.element_at(off_map, pid)
+    ).drop("__mid")
 
 
 def _pinned_range_sort(df: DataFrame, order_exprs, num_partitions=None):
