@@ -64,9 +64,25 @@ def connected_components(
     # grows exponentially (measured: iteration 10 of a 10-node chain
     # never finished). localCheckpoint truncates the logical plan to
     # the materialized result, keeping every iteration O(1) to plan.
+    # Both directions from ONE pass over the input via explode —
+    # a union of (src,dst)/(dst,src) selects evaluates the whole
+    # upstream edge pipeline twice (round 10, measured 2.1 s of the
+    # q_dbscan CC's 4 s: the core-degree joins ran once per
+    # direction; guide §2.4 duplicated-subtree rule).
     sym = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .localCheckpoint()
     )

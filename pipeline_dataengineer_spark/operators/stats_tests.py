@@ -1188,6 +1188,72 @@ def _kendall_tau_b_distributed(
             spark.sparkContext.defaultParallelism,
         ),
     )
+    if n_part == 1:
+        # Single-partition fast path (round 10, guide §1.2/§4.2): at
+        # this size the whole computation is one numpy kernel — sort,
+        # strict inversions, and EVERY tie term in one pass over one
+        # task. The general path below spent 4 more jobs here
+        # (checkpoint materialization, the 4-branch bookkeeping union
+        # — whose codegen compile dominated first-rep latency — and a
+        # separate inversion job) computing numbers this kernel
+        # produces with identical integer math. coalesce(1) is
+        # narrow: no shuffle, the one task reads every scan split.
+        import numpy as np
+
+        schema_one = T.StructType(
+            [
+                T.StructField("d", T.LongType()),
+                T.StructField("n1", T.LongType()),
+                T.StructField("n2", T.LongType()),
+                T.StructField("n3", T.LongType()),
+            ]
+        )
+
+        def one_kernel(batches):
+            xs, ys = [], []
+            for pdf in batches:
+                if len(pdf):
+                    xs.append(pdf["__x"].to_numpy())
+                    ys.append(pdf["__y"].to_numpy())
+            if not xs:
+                return
+            x = np.concatenate(xs)
+            y = np.concatenate(ys)
+            order = np.lexsort((y, x))  # sort by (__x asc, __y asc)
+            y_sorted = y[order]
+            uniq = np.unique(y_sorted)
+            ranks = np.searchsorted(uniq, y_sorted)
+            d_ = _count_strict_inversions(ranks)
+
+            def tie_pairs(counts):
+                c = counts.astype(np.int64)
+                return int((c * (c - 1) // 2).sum())
+
+            n1_ = tie_pairs(np.unique(x, return_counts=True)[1])
+            n2_ = tie_pairs(np.unique(y, return_counts=True)[1])
+            n3_ = tie_pairs(
+                np.unique(
+                    np.stack([x, y], axis=1), axis=0, return_counts=True
+                )[1]
+            )
+            yield pd.DataFrame(
+                {"d": [int(d_)], "n1": [n1_], "n2": [n2_], "n3": [n3_]}
+            )
+
+        r = base.coalesce(1).mapInPandas(one_kernel, schema_one).collect()[0]
+        d, n1, n2, n3 = int(r["d"]), int(r["n1"]), int(r["n2"]), int(r["n3"])
+        n0 = n * (n - 1) // 2
+        c = (n0 - n1 - n2 + n3) - d
+        denom = float(n0 - n1) * float(n0 - n2)
+        tau = (
+            round((c - d) / (denom**0.5), round_to)
+            if denom > 0
+            else None
+        )
+        return spark.createDataFrame(
+            [(tau, c, d, n)],
+            "tau_b double, concordant long, discordant long, n long",
+        )
     pinned = (
         base.repartitionByRange(n_part, F.col("__x"))
         .sortWithinPartitions("__x", "__y")
