@@ -589,11 +589,11 @@ def perplexity_buckets(
     )
 
     g = [group_col] if group_col else []
-    scored = perplexity(df, lm, id_col=id_col, text_col=text_col)
-    if g:
-        scored = scored.join(
-            df.select(id_col, *g), id_col
-        )
+    # the group rides the scoring aggregate (functionally dependent
+    # on the id) instead of a doc-sized join back (round 10)
+    scored = perplexity(
+        df, lm, id_col=id_col, text_col=text_col, carry_cols=g
+    )
     w = Window.partitionBy(*g).orderBy("ppl", id_col)
     out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
     label = (

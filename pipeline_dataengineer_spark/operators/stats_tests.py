@@ -1944,43 +1944,46 @@ def sinkhorn_drift(
         )
     )
 
-    def binned(df: DataFrame, label: str) -> DataFrame:
-        b = df.join(F.broadcast(bounds))
-        bin_id = F.aggregate(
-            F.col("__b"),
-            F.lit(0),
-            lambda acc, bd: acc
-            + F.when(F.col(value_col) > bd, 1).otherwise(0),
-        )
-        return (
-            b.filter(F.col(value_col).isNotNull())
-            .groupBy(bin_id.alias("bin"))
-            .agg(F.count("*").alias(label))
-        )
-
     spark = ref.sparkSession
-    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-    # The ONLY corpus-sized work: bounds + two histogram aggregates.
-    # Materialize the n_bins-row result once so the p/q/u/v plumbing
-    # below never re-scans the fact tables.
+    # The ONLY corpus-sized work: bounds + ONE side-tagged histogram
+    # aggregate (round 10, the psi_drift restructure): both samples
+    # union into a single binning pass with conditional counts — the
+    # old per-side binned() subtrees each re-ran the percentile
+    # bounds and scanned their fact table separately, and the n_bins
+    # spine join + localCheckpoint added a materialization job for
+    # rows the collect below receives anyway (missing bins are
+    # zero-filled driver-side).
+    both = ref.select(
+        F.col(value_col).alias("__v"), F.lit(0).alias("__side")
+    ).unionByName(
+        cur.select(F.col(value_col).alias("__v"), F.lit(1).alias("__side"))
+    )
+    bin_id = F.aggregate(
+        F.col("__b"),
+        F.lit(0),
+        lambda acc, bd: acc + F.when(F.col("__v") > bd, 1).otherwise(0),
+    )
     hist = (
-        spine.join(binned(ref, "n_ref"), "bin", "left")
-        .join(binned(cur, "n_cur"), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        both.filter(F.col("__v").isNotNull())
+        .join(F.broadcast(bounds))
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.when(F.col("__side") == 0, 1)).alias("n_ref"),
+            F.count(F.when(F.col("__side") == 1, 1)).alias("n_cur"),
         )
-        .localCheckpoint()
     )
     # Everything below runs on DRIVER-SIDE bin-bounded state (the
     # codebook/quantile-boundary convention): the scaling loop touches
     # n_bins vectors and an n_bins² kernel — scheduling 2·iterations
     # Spark jobs over 8-row frames cost ~7 s of pure overhead in the
     # relational formulation; the arithmetic itself is microseconds.
-    rows = sorted(hist.collect(), key=lambda r: r["bin"])
-    n_ref = [r["n_ref"] for r in rows]
-    n_cur = [r["n_cur"] for r in rows]
+    got = {r["bin"]: r for r in hist.collect()}
+    n_ref = [
+        (got[b]["n_ref"] if b in got else 0) for b in range(n_bins)
+    ]
+    n_cur = [
+        (got[b]["n_cur"] if b in got else 0) for b in range(n_bins)
+    ]
     tr, tc = sum(n_ref), sum(n_cur)
     if tr == 0 or tc == 0:
         raise ValueError("sinkhorn_drift: empty reference or current sample")

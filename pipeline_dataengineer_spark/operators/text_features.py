@@ -233,19 +233,29 @@ def word_repetition_stats(
     )
 
 
-def char_trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, gram) rows: every sliding 3-char window of the lowercased
-    text. Pure codegen (`transform(sequence(...))` + explode) — no
-    Python, no shuffle; gram rows stay co-located with their document.
-    Docs shorter than 3 chars produce no grams (the `sequence` guard
-    matters: Spark's sequence(1, 0) counts *down*, so the length
-    filter is load-bearing, not cosmetic)."""
+def char_trigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, carry_cols..., gram) rows: every sliding 3-char window of
+    the lowercased text. Pure codegen (`transform(sequence(...))` +
+    explode) — no Python, no shuffle; gram rows stay co-located with
+    their document. Docs shorter than 3 chars produce no grams (the
+    `sequence` guard matters: Spark's sequence(1, 0) counts *down*,
+    so the length filter is load-bearing, not cosmetic).
+    ``carry_cols`` ride the explode so downstream per-doc aggregates
+    can group on (id, carry...) instead of joining the attributes
+    back on (round 10, guide §2.4)."""
+    carry = list(carry_cols or [])
     t = F.lower(F.col(text_col))
     return (
-        df.select(id_col, t.alias("__t"))
+        df.select(id_col, *carry, t.alias("__t"))
         .filter(F.length("__t") >= 3)
         .select(
             id_col,
+            *carry,
             F.explode(
                 F.expr("transform(sequence(1, length(__t) - 2),"
                        " i -> substring(__t, i, 3))")
@@ -274,7 +284,12 @@ def train_char_trigram_lm(
     ctx = cnt.groupBy(F.substring("gram", 1, 2).alias("__pfx")).agg(
         F.sum("__c").alias("__cc")
     )
-    return cnt.join(ctx, F.substring("gram", 1, 2) == F.col("__pfx")).select(
+    # ctx is ≤ |charset|² rows but derived, so Catalyst has no size
+    # estimate and plans a shuffle join — broadcast it explicitly
+    # (round 10, guide §3.1: hint when you know a side is small)
+    return cnt.join(
+        F.broadcast(ctx), F.substring("gram", 1, 2) == F.col("__pfx")
+    ).select(
         "gram", F.log(F.col("__c") / F.col("__cc")).alias("logp")
     )
 
@@ -286,25 +301,32 @@ def perplexity(
     text_col: str = "text",
     unk_logp: float = -16.11809565095832,  # ln(1e-7)
     round_to: int = 4,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Score documents against a trigram LM: (id, n_grams, ppl) with
-    ppl = exp(-mean logp); unseen grams get `unk_logp` (a flat unknown
-    penalty — enough for filtering, no backoff chain to shuffle).
+    """Score documents against a trigram LM: (id, carry_cols...,
+    n_grams, ppl) with ppl = exp(-mean logp); unseen grams get
+    `unk_logp` (a flat unknown penalty — enough for filtering, no
+    backoff chain to shuffle).
 
     The LM side is explicitly broadcast (bounded size, see
     train_char_trigram_lm), so the corpus is never shuffled for the
     join; the per-doc mean partial-aggregates before its one exchange
-    because a document's grams are born co-located with it."""
-    grams = char_trigrams(df, id_col, text_col)
+    because a document's grams are born co-located with it.
+    ``carry_cols`` are functionally dependent doc attributes (e.g.
+    the language) grouped along with the id — callers that need them
+    downstream avoid a doc-sized join back (round 10, guide §2.4)."""
+    carry = list(carry_cols or [])
+    grams = char_trigrams(df, id_col, text_col, carry_cols=carry)
     scored = grams.join(F.broadcast(lm), "gram", "left")
     return (
-        scored.groupBy(id_col)
+        scored.groupBy(id_col, *carry)
         .agg(
             F.count("*").alias("n_grams"),
             F.avg(F.coalesce("logp", F.lit(unk_logp))).alias("__avglp"),
         )
         .select(
             id_col,
+            *carry,
             "n_grams",
             F.round(F.exp(-F.col("__avglp")), round_to).alias("ppl"),
         )
