@@ -70,14 +70,18 @@ def remove_boilerplate_segments(
 
     Returns (id, clean_text, n_kept, n_removed).
 
-    Scale shape: segmentization is a JVM-side explode (no Python);
-    segment document-frequency is a partial-aggregable groupBy on the
-    segment key (hashed to 8 bytes so the wide shuffle never carries
-    segment text); the filter joins doc-frequency back on the hash
-    (AQE-skew-splittable — boilerplate keys are by definition the hot
-    ones); reassembly is one groupBy(id) with an order-carrying
-    struct sort, reusing nothing wider than the (id, seg) rows that
-    survived. Total: three shuffles, none carrying full documents.
+    Scale shape (round 10): segmentization is a JVM-side explode (no
+    Python); segment document-frequency is a partial-aggregable
+    groupBy on the segment key (hashed to 8 bytes so the wide shuffle
+    never carries segment text); the strike list that survives the
+    frequency filter is bounded by construction (< segments-per-doc /
+    max_doc_frac keys), so it BROADCASTS into the anti join — the
+    corpus text is never shuffled on the segment key; reassembly is
+    one groupBy(id) with an order-carrying struct sort over the
+    surviving (id, seg) rows, with the per-doc segment total carried
+    as a column (it is n_segs by construction) instead of a third
+    corpus re-explode + join. Total: two shuffles — the hashed-key
+    docfreq and the per-doc reassembly — neither carrying documents.
     """
     from pipeline_dataengineer_spark.catalog import scale_out
 
@@ -87,6 +91,11 @@ def remove_boilerplate_segments(
         scale_out(df.select(id_col, text_col))
         .select(
             id_col,
+            # the per-doc segment total IS n_segs by construction
+            # (posexplode of a 0..n_segs-1 transform) — carrying it
+            # as a column removes the old third corpus re-explode
+            # that recounted it with a groupBy(id) + join (round 10)
+            n_segs.cast("long").alias("__n_total"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), n_segs - 1),
@@ -113,8 +122,15 @@ def remove_boilerplate_segments(
         .filter(F.col("_df") > F.col("_n") * max_doc_frac)
         .select("seg_hash")
     )
-    kept = segs.join(docfreq, "seg_hash", "left_anti")
-    total = segs.groupBy(id_col).agg(F.count("*").alias("_n_total"))
+    # BROADCAST the strike list: it is bounded by construction (a
+    # segment needs > max_doc_frac·n docs, so there are fewer than
+    # 1/max_doc_frac · avg-segments-per-doc of them) — the planner
+    # sees a derived frame with no stats and would otherwise shuffle
+    # every (id, seg_idx, segment) row by seg_hash, i.e. re-shuffle
+    # the entire corpus TEXT for an anti join whose right side is
+    # list-sized (round 10, guide §3.1/§2.3: shuffle keys, not
+    # payloads).
+    kept = segs.join(F.broadcast(docfreq), "seg_hash", "left_anti")
     return (
         kept.groupBy(id_col)
         .agg(
@@ -128,8 +144,8 @@ def remove_boilerplate_segments(
                 " ",
             ).alias("clean_text"),
             F.count("*").alias("n_kept"),
+            F.max("__n_total").alias("_n_total"),
         )
-        .join(total, id_col)
         .select(
             id_col,
             "clean_text",
