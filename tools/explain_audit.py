@@ -552,9 +552,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # so the only visible scan is the totals branch — pruned to the
     # single label column). Never a cartesian or a single-task
     # fact-sized sort.
+    # round 10: the two-phase index attaches its local position via
+    # monotonically_increasing_id bit-slices stored with the pinned
+    # checkpoint — the MapInPandas counter pass is GONE and must not
+    # come back (it round-tripped every row through Python).
     "q_lift_gains": (
-        ["MapInPandas", "ReadSchema: struct<c_mktsegment:string>"],
-        ["CartesianProduct"],
+        ["ReadSchema: struct<c_mktsegment:string>"],
+        ["CartesianProduct", "MapInPandas"],
     ),
     # conformal: per-group rank window + broadcast band join; the
     # rank window is PARTITIONED (no global single-task window)
@@ -671,9 +675,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
                       ["CartesianProduct", "Join"]),
     # negative sampling: probe equi-join on the pool index + anti
     # join for positives — never an anchor x pool nested loop
-    "q_sample_negatives": (["MapInPandas", "LeftAnti"],
+    # (round 10: same note as q_lift_gains — the index's Python
+    # counter pass is gone, pinned absent)
+    "q_sample_negatives": (["LeftAnti"],
                            ["BroadcastNestedLoopJoin",
-                            "CartesianProduct"]),
+                            "CartesianProduct", "MapInPandas"]),
     # effect sizes: ONE combinable aggregate (d/g), distinct-value
     # cumulative (Cliff's delta) — no fact-sized window or join
     "q_effect_size": (["HashAggregate"], ["Window", "Join"]),
