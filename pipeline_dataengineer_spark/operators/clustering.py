@@ -227,23 +227,28 @@ def kcenter_coreset(
         # (cid, d). Coalescing NULL to +inf makes such rows lose the
         # min_by exactly as they lose the max.
         nd = F.coalesce(-d_expr, F.lit(float("inf")))
+        # the winner's VECTOR rides the same min_by struct as its id
+        # (round 10): the old shape ran a second filter+collect job
+        # per round just to fetch the chosen row — one aggregate per
+        # round now carries everything the next round needs
         top = pts.agg(
             F.max(d_expr).alias("d"),
             F.min_by(
-                F.col("__id"),
+                F.struct(
+                    F.col("__id").alias("cid"), F.col("__v").alias("cv")
+                ),
                 F.struct(nd.alias("nd"), F.col("__id").alias("i")),
-            ).alias("cid"),
+            ).alias("c"),
         ).collect()[0]
-        cid, cdist = top["cid"], top["d"]
+        cid, cdist = top["c"]["cid"], top["d"]
         if cdist is None or cdist <= 0.0:
             # every remaining point coincides with a selected center
             # (k exceeds the number of distinct points) — a further
             # "center" would add zero coverage, so stop short rather
             # than emit duplicates
             break
-        row = pts.filter(F.col("__id") == cid).collect()[0]
         centers.append((rnd, cid, float(cdist)))
-        d_expr = F.least(d_expr, dist2_to(list(row["__v"])))
+        d_expr = F.least(d_expr, dist2_to(list(top["c"]["cv"])))
     spark = df.sparkSession
     # center_id keeps the INPUT id type (was hardcoded bigint)
     id_t = pts.schema["__id"].dataType.simpleString()
