@@ -1086,6 +1086,41 @@ def kendall_tau_b(
     return out
 
 
+def _count_weighted_strict_inversions(r, w):
+    """Weighted strict inversions: Σ over pairs i<j with r[i] > r[j]
+    of w[i]·w[j] — the same MSB bit decomposition as
+    ``_count_strict_inversions`` (which it reduces to at w ≡ 1), with
+    the per-bit ones-count replaced by a ones-WEIGHT cumsum. Lets the
+    single-partition kendall kernel run on DISTINCT weighted cells
+    instead of raw rows (round 10): tie-heavy fixtures collapse
+    1.5M rows to ~70 cells."""
+    import numpy as np
+
+    n = len(r)
+    if n < 2:
+        return 0
+    hi = int(r.max())
+    bits = max(1, hi.bit_length())
+    w = w.astype(np.int64)
+    inv = 0
+    for k in range(bits):
+        group = r >> (k + 1)
+        bitk = (r >> k) & 1
+        order = np.argsort(group, kind="stable")  # keeps seq order
+        g = group[order]
+        bk = bitk[order]
+        wo = w[order]
+        wbk = wo * bk
+        ones_cum = np.cumsum(wbk)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        seg_sizes = np.diff(np.r_[starts, n])
+        seg_base = np.repeat(ones_cum[starts] - wbk[starts], seg_sizes)
+        ones_before = ones_cum - wbk - seg_base
+        zero = bk == 0
+        inv += int((ones_before[zero] * wo[zero]).sum())
+    return inv
+
+
 def _count_strict_inversions(r):
     """Strict inversions (#pairs i<j with r[i] > r[j]) of a dense-rank
     int array, via MSB bit decomposition — O(n log n), every pass a
@@ -1220,21 +1255,37 @@ def _kendall_tau_b_distributed(
             x = np.concatenate(xs)
             y = np.concatenate(ys)
             order = np.lexsort((y, x))  # sort by (__x asc, __y asc)
-            y_sorted = y[order]
-            uniq = np.unique(y_sorted)
-            ranks = np.searchsorted(uniq, y_sorted)
-            d_ = _count_strict_inversions(ranks)
+            xo, yo = x[order], y[order]
+            nr = len(xo)
+            # collapse to DISTINCT (x, y) cells with weights via the
+            # sorted runs (np.unique(axis=0) measured 60x slower):
+            # row-pair counts become weighted cell-pair counts —
+            # identical integers, and tie-heavy data collapses
+            # massively (the 10x-tier fixture: 1.5M rows → ~70 cells)
+            new_run = np.r_[
+                True, (xo[1:] != xo[:-1]) | (yo[1:] != yo[:-1])
+            ]
+            starts = np.flatnonzero(new_run)
+            w = np.diff(np.r_[starts, nr]).astype(np.int64)
+            cx, cy = xo[starts], yo[starts]
 
             def tie_pairs(counts):
                 c = counts.astype(np.int64)
                 return int((c * (c - 1) // 2).sum())
 
-            n1_ = tie_pairs(np.unique(x, return_counts=True)[1])
-            n2_ = tie_pairs(np.unique(y, return_counts=True)[1])
-            n3_ = tie_pairs(
-                np.unique(
-                    np.stack([x, y], axis=1), axis=0, return_counts=True
-                )[1]
+            n3_ = tie_pairs(w)
+            xw = np.add.reduceat(
+                w, np.flatnonzero(np.r_[True, cx[1:] != cx[:-1]])
+            )
+            n1_ = tie_pairs(xw)
+            uy, inv_y = np.unique(cy, return_inverse=True)
+            n2_ = tie_pairs(np.bincount(inv_y, weights=w))
+            # D over rows = weighted strict inversions of the cell
+            # y-rank sequence (within-cell pairs tie on y; within an
+            # x-run cells ascend in y, contributing nothing — exactly
+            # the row-level strictness)
+            d_ = _count_weighted_strict_inversions(
+                inv_y.astype(np.int64), w
             )
             yield pd.DataFrame(
                 {"d": [int(d_)], "n1": [n1_], "n2": [n2_], "n3": [n3_]}
