@@ -538,13 +538,30 @@ def _token_ngrams(
     out_id: str,
 ) -> DataFrame:
     """(out_id, start_pos, gram) rows of token n-grams, 1-based
-    positions. Built with ml.feature.NGram (JVM-compiled sliding
-    join) instead of a transform+slice expression tree — identical
-    output, ~3× less cold codegen and faster execution (same fix as
-    the trigram counter, see SCALE_NOTES). scale_out keeps the
-    CPU-heavy tokenize stage off a one-task scan."""
-    from pyspark.ml.feature import NGram
+    positions. scale_out keeps the CPU-heavy tokenize stage off a
+    one-task scan.
 
+    ``hash_grams=True`` (round 11, guide §2.3 narrow-the-bytes +
+    §1.2 per-task work): the gram KEY is ``xxhash64`` over the n
+    per-token hashes instead of ``xxhash64`` over the materialized
+    gram STRING. Two grams are equal iff their token tuples are equal
+    (tokens contain no whitespace, so the space-joined string and the
+    token tuple have identical equivalence classes modulo the same
+    ~n²/2⁶⁴ hash-collision odds as before). What this buys, measured
+    on the round-10 plan (plans/r11/q_dup_spans_before.txt): the old
+    NGram path built every ~50-char gram string inside a Scala UDF
+    that Catalyst evaluated TWICE per side (once in the
+    Generate-inferred ``size(UDF(...)) > 0`` filter, once in the
+    projection), i.e. four corpus-wide gram-string materializations
+    per query — the allocation storm behind the operator's documented
+    GC-canary bimodality. Now each token is hashed ONCE per document
+    (one array pass), positions explode as a cheap int sequence, and
+    the gram key is a codegen'd ``xxhash64`` of n ``element_at``
+    longs — no gram-sized allocation anywhere.
+
+    ``hash_grams=False`` keeps the NGram string path verbatim (the
+    hash-check-against-another-engine contract).
+    """
     from pipeline_dataengineer_spark.catalog import scale_out
 
     base = scale_out(df).select(
@@ -553,18 +570,40 @@ def _token_ngrams(
             "__toks"
         ),
     )
+    if hash_grams:
+        hashed = base.select(
+            out_id,
+            F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+        ).filter(F.size("__th") >= n_tokens)
+        # explode 1..(T-n+1) — ascending by construction (T >= n).
+        positions = F.sequence(
+            F.lit(1), F.size("__th") - (n_tokens - 1)
+        )
+        g = hashed.select(
+            out_id, "__th", F.explode(positions).alias("__sp")
+        )
+        gram = F.xxhash64(
+            *[
+                F.element_at("__th", F.col("__sp") + j)
+                for j in range(n_tokens)
+            ]
+        )
+        return g.select(
+            out_id,
+            F.col("__sp").cast("long").alias("start_pos"),
+            gram.alias("gram"),
+        )
+    from pyspark.ml.feature import NGram
+
     ng = NGram(n=n_tokens, inputCol="__toks", outputCol="__grams")
     out = ng.transform(base).select(
         out_id, F.posexplode("__grams").alias("__p", "gram")
     )
-    out = out.select(
+    return out.select(
         out_id,
         (F.col("__p") + 1).cast("long").alias("start_pos"),
         "gram",
     )
-    if hash_grams:
-        out = out.withColumn("gram", F.xxhash64("gram"))
-    return out
 
 
 def duplicate_ngram_spans(

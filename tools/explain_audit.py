@@ -43,6 +43,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "q_range_join": ([], ["BroadcastNestedLoopJoin"]),
     "q_agg_group": (["HashAggregate"], []),
     "q_dedup_lastwins": (["Window"], []),
+    # round 11: token-hash gram keys — the NGram string-gram UDF
+    # (which Catalyst evaluated twice per side via the inferred
+    # Generate filter) must not return; duplicated-gram detection
+    # stays a partial-aggregable count + LeftSemi join back.
+    "q_dup_spans": (["LeftSemi", "xxhash64"], ["UDF("]),
     "q_salted_agg": (["HashAggregate"], []),
     "q_tpch_q5_shape": (["BroadcastHashJoin"], ["CartesianProduct"]),
     # deterministic sample must stay a narrow filter riding the scan:
