@@ -496,6 +496,22 @@ def parse_scale_claims(notes_path: str | None = None) -> dict[str, float]:
     return claims
 
 
+def parse_claims_cores(notes_path: str | None = None) -> int | None:
+    """The core count the claims table's ratios were measured at —
+    SCALE_NOTES.md states it once as 'claims_cores: N' next to the
+    table (round-11, VERDICT r10 item 9). None when absent (legacy
+    notes): bounds then never scale."""
+    import re
+
+    if notes_path is None:
+        notes_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALE_NOTES.md"
+        )
+    with open(notes_path) as fh:
+        m = re.search(r"claims_cores:\s*(\d+)", fh.read())
+    return int(m.group(1)) if m else None
+
+
 UNCLAIMED_MIN_BASE_SEC = 0.75
 # after the min-of-(shipped+reps) re-measure, sub-second-base queries keep a
 # LOOSER bound instead of the old blanket exemption (a real
@@ -513,6 +529,7 @@ def check_scale_claims(
     base_times: dict[str, float] | None = None,
     remeasure=None,
     remeasured: dict[str, list[float]] | None = None,
+    cpus: int | None = None,
 ) -> dict:
     """Bench <-> SCALE_NOTES consistency, round-8 structural redesign
     (VERDICT r7 item 1 — the gate itself was the defect three rounds
@@ -559,13 +576,34 @@ def check_scale_claims(
     claims = parse_scale_claims()
     base_times = base_times or {}
     remeasured = dict(remeasured or {})
+    # Core-aware bounds (round-11, VERDICT r10 item 9: the driver's
+    # 8-core leg red-flagged q_dup_spans against a bound written at
+    # 32 cores). A 10x-tier ratio is core-count-dependent: the 10x
+    # leg is compute-bound (slows by up to the core deficit) while
+    # the sf0.1 base leg is overhead-bound (PERF_r10 scaling block:
+    # every 8c/32c base ratio ≈ 1), so the honest envelope scales the
+    # bound by claims_cores / cpus. Capped at 2x so a true
+    # >= 4x-the-claim regression still reds at ANY core count
+    # (empirically the 8-core inflation was ~2.1x for the worst
+    # query, q_dup_spans 1.35 -> 3.52 pre-fix). Applies only when
+    # the caller states its core count (bench-time, or the pytest
+    # replay reading the artifact's `cpus`) — legacy callers/
+    # artifacts keep the exact old behavior.
+    claims_cores = parse_claims_cores()
+    core_factor = 1.0
+    if cpus and claims_cores and cpus < claims_cores:
+        core_factor = min(claims_cores / cpus, 2.0)
 
     def _bounds(name: str, claim: float | None) -> float:
         base = base_times.get(name)
         subsec = base is not None and base < UNCLAIMED_MIN_BASE_SEC
         if claim is not None:
-            return claim * (SUBSEC_CLAIM_TOL if subsec else CLAIM_TOL)
-        return SUBSEC_UNCLAIMED_BOUND if subsec else UNCLAIMED_BOUND
+            return claim * (
+                SUBSEC_CLAIM_TOL if subsec else CLAIM_TOL
+            ) * core_factor
+        return (
+            SUBSEC_UNCLAIMED_BOUND if subsec else UNCLAIMED_BOUND
+        ) * core_factor
 
     stale_improvement = []
     flagged: list[tuple[str, float, float | None]] = []
@@ -629,6 +667,7 @@ def check_scale_claims(
             cleared.append(entry)
     result = {
         "claims": len(claims),
+        "core_factor": core_factor,
         "mismatched": mismatched,
         "unclaimed_over_2_5": unclaimed,
         "stale_claim_improvement": stale_improvement,
@@ -700,6 +739,8 @@ def main() -> None:
         remeasure_fn = lambda names: _spawn_remeasure(  # noqa: E731
             names, sf_dir, dir_10x
         )
+    from pipeline_dataengineer_spark.session import default_parallelism
+
     detail = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -709,8 +750,15 @@ def main() -> None:
         "queries_10x": times_10x,
         "scale_10x": scale_10x,
         "scale_claims_check": check_scale_claims(
-            scale_10x, times, remeasure=remeasure_fn
+            scale_10x,
+            times,
+            remeasure=remeasure_fn,
+            cpus=default_parallelism(),
         ),
+        # the core count this artifact ran at — the pytest replay
+        # passes it back so an 8-core artifact is judged against
+        # core-scaled bounds, never against raw 32-core claims
+        "cpus": default_parallelism(),
         "sf": sf_val,
     }
     # Full per-query detail goes to a repo file; the driver's tail

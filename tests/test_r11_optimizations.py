@@ -92,6 +92,129 @@ def test_dup_spans_positions_and_short_docs(spark):
     assert starts == [1, 2, 3]
 
 
+def test_lloyd_collect_fast_path_matches_aggregate_path(spark):
+    """The bounded driver-collect of per-task partials (one
+    single-stage job per iteration) must produce the same centroids
+    as the map-side-combined aggregate path — identical partial sums,
+    only the final fold moves from an exchange to the driver.
+    Tolerance is summation-order ulps only; assignments must be
+    bit-identical on a separated fixture."""
+    import numpy as np
+
+    from pipeline_dataengineer_spark.operators.clustering import (
+        _lloyd_centroids,
+    )
+
+    rows = []
+    for i in range(120):
+        c = i % 3
+        rows.append(
+            (
+                i,
+                [
+                    float(c * 10) + (i % 7) * 0.01,
+                    float(c * -5) + (i % 5) * 0.02,
+                ],
+            )
+        )
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(5)
+        .persist()
+    )
+    try:
+        fast = _lloyd_centroids(
+            df, "embedding", "vec_id", 3, 8, tol=1e-9
+        )
+        slow = _lloyd_centroids(
+            df,
+            "embedding",
+            "vec_id",
+            3,
+            8,
+            tol=1e-9,
+            driver_collect_max_rows=0,  # force the aggregate path
+        )
+    finally:
+        df.unpersist()
+    assert np.allclose(fast, slow, rtol=0, atol=1e-9), (fast, slow)
+
+
+def test_semantic_dedup_releases_lloyd_cache(spark):
+    """semantic_dedup must not leave its Lloyd-input cache pinned
+    (VERDICT r10 item 8): after the call, exactly ONE new persisted
+    frame remains (the documented caller-owned `.sem_dedup_cache`
+    handle), and unpersisting it restores the starting state."""
+    from pipeline_dataengineer_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (i, [1.0 + 0.001 * (i % 4), 2.0, float(i % 3)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persisted():
+        return jsc.getPersistentRDDs().size()
+
+    before = n_persisted()
+    out = semantic_dedup(df, "vec_id", "embedding", threshold=0.999, k=2,
+                         max_iterations=3)
+    out.count()
+    assert n_persisted() == before + 1  # slim only; `work` released
+    out.sem_dedup_cache.unpersist(blocking=True)
+    assert n_persisted() == before
+
+
+def test_monotonic_id_bit_layout_pin(spark):
+    """global_row_index's stored-id trick depends on
+    monotonically_increasing_id's documented layout: partition id in
+    the upper 31 bits (<< 33), per-partition 0-based row counter in
+    the lower 33. Pin it directly: the bit-slices must equal
+    spark_partition_id() and a per-partition row_number."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 1000)
+        .repartition(7)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    pid_slice = F.shiftright(F.col("__mid"), 33).cast("int")
+    local_slice = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    w = Window.partitionBy("__pid").orderBy("__mid")
+    checked = df.withColumn(
+        "__rn", F.row_number().over(w) - 1
+    ).filter(
+        (pid_slice != F.col("__pid")) | (local_slice != F.col("__rn"))
+    )
+    assert checked.count() == 0
+
+
+@pytest.mark.parametrize("n_parts", [256, 1030])
+def test_global_row_index_many_partitions(spark, n_parts):
+    """Forced high partition counts must still produce the exact
+    0..n-1 total order — 256 exercises the dense O(1) literal-array
+    offset lookup, 1030 the >1024 broadcast-join fallback (both with
+    empty partitions, since rows << partitions)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_dataengineer_spark.operators.order import (
+        global_row_index,
+    )
+
+    n = 2000
+    df = spark.range(0, n).select(
+        (F.col("id") * 2654435761 % 9973).alias("key"), "id"
+    )
+    out = global_row_index(
+        df, ["key", "id"], "idx", num_partitions=n_parts
+    ).collect()
+    assert sorted(r["idx"] for r in out) == list(range(n))
+    ordered = sorted(out, key=lambda r: (r["key"], r["id"]))
+    assert [r["idx"] for r in ordered] == list(range(n))
+
+
 def test_session_plans_input_aware_initial_partitions(spark):
     """AQE coalescing can only MERGE partitions, so the planned
     (initial) count is the scale-safety ceiling: it must be the

@@ -83,6 +83,7 @@ def test_shipped_ratios_match_claims():
         remeasured=(detail.get("scale_claims_check") or {}).get(
             "remeasured"
         ),
+        cpus=detail.get("cpus"),
     )
     assert result["ok"], json.dumps(result, indent=1)
 
@@ -242,6 +243,66 @@ def test_r8_legacy_paired_artifact_judges_conservatively():
     assert not result["ok"]
     flagged = {e["query"]: e for e in result["mismatched"]}
     assert flagged["q_dup_spans"]["decided_min"] == 3.39
+
+
+def test_core_aware_bounds_scale_for_low_core_artifacts():
+    """Round-11 (VERDICT r10 item 9): the driver's 8-core leg decided
+    q_dup_spans at 4.18 against the 32-core bound 3.3 — a false red
+    caused purely by the core deficit (the 10x leg is compute-bound,
+    the base leg overhead-bound). With the artifact's core count
+    passed in, bounds scale by claims_cores/cpus capped at 2x: the
+    8-core replay of that exact decision goes green, a genuine
+    blow-up past the scaled bound stays red, and a 32-core artifact
+    keeps the exact unscaled bounds."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import parse_claims_cores
+
+    _, check_scale_claims = _load()
+    assert parse_claims_cores() == 32
+    # the r10 driver's exact 8-core evidence: shipped 5.74, min-leg
+    # 4.18 from tagged legs -> bound 1.65*2*2 = 6.6 at 8 cores
+    ev = {
+        "q_dup_spans": {
+            "min_leg": [4.18],
+            "reps_detail": {
+                "base": [4.734, 3.563, 2.861],
+                "tenx": [22.092, 13.103, 11.952],
+            },
+        }
+    }
+    red_at_32 = check_scale_claims(
+        {"q_dup_spans": 5.74}, {"q_dup_spans": 2.588}, remeasured=ev
+    )
+    assert not red_at_32["ok"]  # unscaled: the historical false red
+    green_at_8 = check_scale_claims(
+        {"q_dup_spans": 5.74},
+        {"q_dup_spans": 2.588},
+        remeasured=ev,
+        cpus=8,
+    )
+    assert green_at_8["ok"], green_at_8
+    assert green_at_8["core_factor"] == 2.0
+    # a true regression clears no bound: every leg ~5x the claim
+    blown = check_scale_claims(
+        {"q_dup_spans": 9.0},
+        {"q_dup_spans": 2.588},
+        remeasured={
+            "q_dup_spans": {
+                "min_leg": [8.6],
+                "reps_detail": {"base": [2.6, 2.7], "tenx": [22.4, 23.9]},
+            }
+        },
+        cpus=8,
+    )
+    assert not blown["ok"]
+    # >= claims_cores: no scaling at all
+    at_32 = check_scale_claims(
+        {"q_dup_spans": 5.74}, {"q_dup_spans": 2.588}, remeasured=ev,
+        cpus=32,
+    )
+    assert at_32["core_factor"] == 1.0 and not at_32["ok"]
 
 
 def test_true_regression_still_reds_under_min():
