@@ -130,6 +130,18 @@ def remove_boilerplate_segments(
     # the entire corpus TEXT for an anti join whose right side is
     # list-sized (round 10, guide §3.1/§2.3: shuffle keys, not
     # payloads).
+    #
+    # Bound this forced broadcast assumes (round-11, r10 ADVICE): the
+    # strike list is < segments_per_doc / max_doc_frac KEYS (8 bytes
+    # each — seg_hash only, never segment text). At the default
+    # max_doc_frac=0.5 that is ~2·segments_per_doc rows (KBs). The
+    # bound degrades as 1/max_doc_frac: at max_doc_frac=1e-4 and
+    # ~100 segments/doc it allows ~1e6 keys ≈ 16 MB broadcast —
+    # still fine; a pathological caller passing max_doc_frac ≈ 1e-7
+    # on a billion-segment corpus is asking for a ~GB broadcast and
+    # should pre-aggregate instead. The forced hint is correct for
+    # every realistic boilerplate threshold (the operator's purpose
+    # is "segments appearing in a sizable FRACTION of docs").
     kept = segs.join(F.broadcast(docfreq), "seg_hash", "left_anti")
     return (
         kept.groupBy(id_col)
